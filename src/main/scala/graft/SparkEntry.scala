@@ -1,13 +1,207 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.TimesheetFixture
+import graft.ops._
+import graft.pipelines.TimesheetPipeline
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql`. Every query
+  * ends in a deterministic ORDER BY so the comparison is stable regardless
+  * of partitioning.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TimesheetPipeline.flagship(spark, "/root/testdata/sf0.001")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ───── E1 flagship: scan → unpivot → cleanse → join → agg ─────
+    "q01_e1_flagship" -> ((s, dir) => TimesheetPipeline.flagship(s, dir)),
+
+    // ───── S2: heterogeneous multi-sheet union with column defaulting ─────
+    "q02_union_sheets" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val sheetF = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderpriority").as("commessa"),
+          col("o_totalprice").as("val"))
+      val sheetO = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_totalprice").as("val")) // no commessa
+      val sheetP = o.filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), col("o_orderpriority").as("commessa")) // no val
+      Sources.unionSheets(
+          Seq("F" -> sheetF, "O" -> sheetO, "P" -> sheetP), defaultCol = "commessa")
+        .orderBy("o_orderkey")
+    },
+
+    // ───── P1/P2/P4/P5: scalar cleansing layer ─────
+    "q03_cleanse_scalars" -> { (s, dir) =>
+      TimesheetFixture.wide(s, dir).select(
+          col("rid"),
+          Cleansing.weekStart(col("weekrange")).as("week_start"),
+          Cleansing.surname(col("autore")).as("surname"),
+          Cleansing.cleanHours(col("h_giovedi")).as("ore_gio"))
+        .orderBy("rid")
+    },
+
+    // ───── R1: weekday unpivot ─────
+    "q04_unpivot" -> { (s, dir) =>
+      Reshape.meltWeek(TimesheetFixture.wide(s, dir),
+          idCols = Seq("rid", "sheet", "weekrange", "autore", "commessa"))
+        .filter(col("ore_raw").isNotNull)
+        .select("rid", "giorno", "doff", "ore_raw")
+        .orderBy("rid", "doff")
+    },
+
+    // ───── J1/P3: broadcast lookup join with fall-through default ─────
+    "q05_lookup_join" -> { (s, dir) =>
+      import s.implicits._
+      val m = Seq(("BUILDING", "B2B"), ("AUTOMOBILE", "AUTO"))
+        .toDF("seg_raw", "seg_mapped")
+      Lookup.mapWithDefault(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment").as("segment")),
+          "segment", m)
+        .orderBy("c_custkey")
+    },
+
+    // ───── A1: 3-key sum aggregate ─────
+    "q06_agg_sum3" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_shipdate").cast("date").as("data"),
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"))
+        .groupBy("data", "l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("data", "l_returnflag", "l_linestatus")
+    },
+
+    // ───── A2: distinct-set string-join + sum aggregate ─────
+    "q07_agg_setjoin" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(
+        col("l_shipdate").cast("date").as("data"),
+        col("l_returnflag").as("surname"),
+        col("l_linestatus").as("commessa"),
+        col("l_quantity").as("ore"))
+      Aggregates.setJoinSum(li, Seq("data", "surname"), "commessa", "ore")
+        .orderBy("data", "surname")
+    },
+
+    // ───── S5/J2: update-only keyed merge ─────
+    "q08_merge_update" -> { (s, dir) =>
+      val target = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderpriority").as("commessa"),
+        col("o_totalprice").as("ore"))
+      val updates = Aggregates.setJoinSum(
+        t(s, dir, "lineitem").select(
+          col("l_orderkey").as("o_orderkey"),
+          col("l_returnflag").as("commessa"),
+          col("l_quantity").as("ore")),
+        Seq("o_orderkey"), "commessa", "ore")
+      MergeUpdate.updateOnly(target, updates, Seq("o_orderkey"),
+          Map("commessa" -> "commessa", "ore" -> "ore"))
+        .orderBy("o_orderkey")
+    },
+
+    // ───── Window functions: ranked top-N per group ─────
+    "q09_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    // ───── Tumbling time-window aggregate (batch form of the streaming op) ─────
+    "q10_window_tumbling" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    },
+
+    // ───── S4: partitioned write + read-back round trip ─────
+    "q11_part_write" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_s4_").toString
+      Sinks.writePartitioned(
+        TimesheetPipeline.flagship(s, dir), "surname", out)
+      s.read.parquet(out)
+        .groupBy("surname")
+        .agg(count(lit(1)).as("n_rows"), sum("ore").as("sum_ore"))
+        .orderBy("surname")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_e1_flagship" -> Oracles.flagship,
+
+    "q02_union_sheets" ->
+      ("SELECT o_orderkey, o_orderpriority AS commessa, o_totalprice AS val, 'F' AS _sheet FROM orders WHERE o_orderstatus = 'F' " +
+        "UNION ALL SELECT o_orderkey, 'O', o_totalprice, 'O' FROM orders WHERE o_orderstatus = 'O' " +
+        "UNION ALL SELECT o_orderkey, o_orderpriority, NULL, 'P' FROM orders WHERE o_orderstatus = 'P' " +
+        "ORDER BY o_orderkey"),
+
+    "q03_cleanse_scalars" ->
+      (s"WITH ${Oracles.wideCte} SELECT rid, " +
+        "CAST(try_strptime(trim(split_part(weekrange, ' al ', 1)), '%d/%m/%Y') AS DATE) AS week_start, " +
+        "CASE WHEN trim(autore) = '' THEN 'unknown' ELSE lower(regexp_split_to_array(trim(autore), '\\s+')[-1]) END AS surname, " +
+        "coalesce(try_cast(trim(replace(h_giovedi, chr(160), '')) AS DOUBLE), 0.0) AS ore_gio " +
+        "FROM wide ORDER BY rid"),
+
+    "q04_unpivot" ->
+      (s"WITH ${Oracles.wideCte}, ${Oracles.meltCte} " +
+        "SELECT rid, giorno, doff, ore_raw FROM melt WHERE ore_raw IS NOT NULL ORDER BY rid, doff"),
+
+    "q05_lookup_join" ->
+      ("WITH m(seg_raw, seg_mapped) AS (VALUES ('BUILDING', 'B2B'), ('AUTOMOBILE', 'AUTO')) " +
+        "SELECT c_custkey, coalesce(m.seg_mapped, c.c_mktsegment) AS segment " +
+        "FROM customer c LEFT JOIN m ON c.c_mktsegment = m.seg_raw ORDER BY c_custkey"),
+
+    "q06_agg_sum3" ->
+      ("SELECT CAST(l_shipdate AS DATE) AS data, l_returnflag, l_linestatus, " +
+        "sum(l_quantity) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n " +
+        "FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+
+    "q07_agg_setjoin" ->
+      ("SELECT CAST(l_shipdate AS DATE) AS data, l_returnflag AS surname, " +
+        "string_agg(DISTINCT l_linestatus, '; ' ORDER BY l_linestatus) AS commessa, " +
+        "sum(l_quantity) AS ore FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q08_merge_update" ->
+      ("WITH u AS (SELECT l_orderkey, string_agg(DISTINCT l_returnflag, '; ' ORDER BY l_returnflag) AS c, " +
+        "sum(l_quantity) AS s FROM lineitem GROUP BY 1) " +
+        "SELECT o_orderkey, coalesce(u.c, o_orderpriority) AS commessa, coalesce(u.s, o_totalprice) AS ore " +
+        "FROM orders o LEFT JOIN u ON o.o_orderkey = u.l_orderkey ORDER BY o_orderkey"),
+
+    "q09_window_rank" ->
+      ("SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+
+    "q10_window_tumbling" ->
+      ("SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, " +
+        "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q11_part_write" ->
+      (s"${Oracles.recordsWith}, ${Oracles.mappingCte}, " +
+        "joined AS (SELECT k.data, k.surname, coalesce(m.code_mapped, k.commessa) AS commessa, k.ore " +
+        "FROM kept k LEFT JOIN mapping m ON k.commessa = m.code_raw), " +
+        "agg AS (SELECT data, surname, string_agg(DISTINCT commessa, '; ' ORDER BY commessa) AS commessa, " +
+        "sum(ore) AS ore FROM joined GROUP BY data, surname) " +
+        "SELECT surname, count(*) AS n_rows, sum(ore) AS sum_ore FROM agg GROUP BY surname ORDER BY surname")
+  )
 }

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Scalar cleansing / parsing layer (SURVEY.md §2.2, operators P1-P11).
+  *
+  * Pure `Column => Column` functions: they stay inside whole-stage codegen,
+  * push down through Catalyst, and are independently unit-testable. Null/parse
+  * tolerance uses `try_*` semantics (null-on-failure) rather than exceptions,
+  * matching the reference's row-skip / default-on-error behavior
+  * (reference: timesheet_transform.py:44-82).
+  */
+object Cleansing {
+
+  /** P1: keep rows whose week-range string contains the " al " separator
+    * (reference: timesheet_transform.py:44-46). */
+  def hasWeekRange(c: Column): Column = c.isNotNull && c.contains(" al ")
+
+  /** P2: parse "DD/MM/YYYY al DD/MM/YYYY" → week-start date, day-first;
+    * returns null on malformed input, which callers filter (≙ the
+    * reference's row-skip, timesheet_transform.py:47-52). */
+  def weekStart(c: Column): Column =
+    try_to_date(trim(split(c, " al ").getItem(0)), "d/M/yyyy")
+
+  /** P4: surname = lower-cased last whitespace-separated token of the author
+    * full name; blank/null → "unknown" (timesheet_transform.py:59-60). */
+  def surname(c: Column): Column =
+    when(c.isNull || trim(c) === "", lit("unknown"))
+      .otherwise(lower(element_at(split(trim(c), "\\s+"), -1)))
+
+  /** P5: hours cleansing — strip non-breaking spaces + whitespace, tolerant
+    * cast to double, failure → 0.0 (timesheet_transform.py:66-73). */
+  def cleanHours(c: Column): Column =
+    coalesce(
+      trim(regexp_replace(c.cast("string"), "\u00A0", "")).try_cast(DoubleType),
+      lit(0.0))
+
+  /** P6: null-check on the RAW value, ≠0 on the CLEANED value — the exact
+    * predicate shape of timesheet_transform.py:75. */
+  def keepHours(raw: Column, cleaned: Column): Column =
+    raw.isNotNull && cleaned =!= 0.0
+
+  /** P9: date-granularity normalization; accepts string/timestamp/date cells
+    * (timesheet_transform.py:118-125). */
+  def asDate(c: Column): Column = c.try_cast("date")
+
+  /** P11: partition/sheet-name truncation (timesheet_transform_v1.py:99). */
+  def truncName(c: Column, n: Int = 31): Column = substring(c, 1, n)
+}

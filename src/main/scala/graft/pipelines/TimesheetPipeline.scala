@@ -1,0 +1,47 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.fixtures.TimesheetFixture
+import graft.ops.{Aggregates, Cleansing, Lookup, Reshape}
+
+/** E1 — the reference's flagship pipeline (SURVEY.md §3), composed from the
+  * operator library as one lazy DataFrame expression:
+  *
+  *   wide scan → unpivot(7 weekday cols) → cleanse/parse → date expand →
+  *   broadcast lookup join → groupBy(data, surname) set-join + sum.
+  *
+  * Catalyst plans it with exactly one shuffle (the final hash aggregate);
+  * the unpivot is an Expand, the lookup join broadcasts, and all scalar
+  * work stays in whole-stage codegen (reference loop equivalent:
+  * timesheet_transform.py:43-95, executed row-at-a-time in CPython).
+  */
+object TimesheetPipeline {
+
+  /** Post-unpivot cleansed long-form records: (rid, data, commessa,
+    * surname, ore) — FIXTURES.md F4 intermediate schema. */
+  def cleansedRecords(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = TimesheetFixture.wide(spark, sfDir)
+    val melted = Reshape.meltWeek(
+      wide, idCols = Seq("rid", "sheet", "weekrange", "autore", "commessa"))
+    melted
+      .filter(Cleansing.hasWeekRange(col("weekrange")))                 // P1
+      .withColumn("week_start", Cleansing.weekStart(col("weekrange")))  // P2
+      .filter(col("week_start").isNotNull)
+      .withColumn("ore", Cleansing.cleanHours(col("ore_raw")))          // P5
+      .filter(Cleansing.keepHours(col("ore_raw"), col("ore")))          // P6
+      .withColumn("data", Reshape.dayDate(col("week_start"), col("doff"))) // P7
+      .withColumn("surname", Cleansing.surname(col("autore")))          // P4
+      .select("rid", "data", "commessa", "surname", "ore")              // P8
+  }
+
+  /** Full E1: cleansed records → J1 lookup (fall-through) → A2 aggregate. */
+  def flagship(spark: SparkSession, sfDir: String): DataFrame = {
+    val mapped = Lookup.mapWithDefault(
+      cleansedRecords(spark, sfDir), "commessa", TimesheetFixture.mapping(spark))
+    Aggregates
+      .setJoinSum(mapped, Seq("data", "surname"), "commessa", "ore")
+      .orderBy("data", "surname")
+  }
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's DuckDB-oracle gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<query>/ parquet (written by graft.Verify), runs
+the matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with
+the sfDir tables registered as bare-named views, and compares: schema
+(column names), row count, and values (columns sorted by name, rows sorted,
+floats rounded to 9 significant decimals before hashing).
+"""
+import json
+import sys
+import glob
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _iso(v):
+    if v is None or v is pd.NaT:
+        return None
+    s = v.isoformat()
+    return s + "T00:00:00" if len(s) == 10 else s
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if np.issubdtype(df[c].dtype, np.datetime64):
+            df[c] = df[c].astype("datetime64[us]").astype(object)
+        if df[c].dtype == object:
+            # normalize date/datetime-like objects to a uniform ISO string
+            df[c] = df[c].apply(lambda v: _iso(v) if hasattr(v, "isoformat") else v)
+        if np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(9)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+            want = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1
+        elif len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+        else:
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                              check_exact=False, rtol=1e-9, atol=1e-9)
+                print(f"OK   {name}: {len(got)} rows")
+                continue
+            except AssertionError as e:
+                print(f"FAIL {name}: value mismatch: {str(e)[:400]}")
+                n_fail += 1
+    return n_fail
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
