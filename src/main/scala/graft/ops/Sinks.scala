@@ -17,12 +17,17 @@ object Sinks {
 
   /** Write one parquet partition per `key` value (truncated to
     * `maxKeyLen` chars as the reference truncates sheet names). */
+  /** Repartitioning by the key first means each task writes a handful of
+    * partition directories instead of every task touching every key
+    * (tasks × keys small files — the classic partitionBy blowup at scale).
+    * AQE coalesces the shuffle if keys are few. */
   def writePartitioned(
       df: DataFrame,
       key: String,
       outDir: String,
       maxKeyLen: Int = 31): Unit =
     df.withColumn(key, Cleansing.truncName(col(key), maxKeyLen))
+      .repartition(col(key))
       .write.mode("overwrite")
       .partitionBy(key)
       .parquet(outDir)

@@ -20,19 +20,29 @@ import graft.ops.{Aggregates, Cleansing, Lookup, Reshape}
 object TimesheetPipeline {
 
   /** Post-unpivot cleansed long-form records: (rid, data, commessa,
-    * surname, ore) — FIXTURES.md F4 intermediate schema. */
+    * surname, ore) — FIXTURES.md F4 intermediate schema.
+    *
+    * Per-row scalar work (P1/P2/P4 parse + extract) runs BEFORE the
+    * unpivot: filters on id columns commute with the melt, and doing them
+    * first means each date parse / regex runs once per input row instead
+    * of 7x — and keeps the heavy expressions out of the Expand's
+    * projection list (Expand duplicates its child expressions into every
+    * emitted branch, which at scale both multiplies CPU and blows up
+    * codegen). Only the per-cell hour cleansing (P5/P6) runs post-melt.
+    */
   def cleansedRecords(spark: SparkSession, sfDir: String): DataFrame = {
     val wide = TimesheetFixture.wide(spark, sfDir)
-    val melted = Reshape.meltWeek(
-      wide, idCols = Seq("rid", "sheet", "weekrange", "autore", "commessa"))
-    melted
+    val parsed = wide
       .filter(Cleansing.hasWeekRange(col("weekrange")))                 // P1
       .withColumn("week_start", Cleansing.weekStart(col("weekrange")))  // P2
       .filter(col("week_start").isNotNull)
+      .withColumn("surname", Cleansing.surname(col("autore")))          // P4
+    val melted = Reshape.meltWeek(
+      parsed, idCols = Seq("rid", "week_start", "surname", "commessa"))
+    melted
       .withColumn("ore", Cleansing.cleanHours(col("ore_raw")))          // P5
       .filter(Cleansing.keepHours(col("ore_raw"), col("ore")))          // P6
       .withColumn("data", Reshape.dayDate(col("week_start"), col("doff"))) // P7
-      .withColumn("surname", Cleansing.surname(col("autore")))          // P4
       .select("rid", "data", "commessa", "surname", "ore")              // P8
   }
 

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Edge semantics of the scalar layer, cataloged in SURVEY.md §2.2 / §5. */
+class CleansingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P1/P2: week range parse — valid, garbage, missing separator, bad date") {
+    val df = Seq(
+      "03/03/2025 al 09/03/2025", // valid
+      "garbage",                  // no separator -> P1 drops
+      "99/99/2025 al 01/01/2025", // separator but unparseable -> null
+      " 3/3/2025 al 9/3/2025"     // non-padded day-first still parses
+    ).toDF("wr")
+    val out = df
+      .withColumn("keep", Cleansing.hasWeekRange($"wr"))
+      .withColumn("ws", Cleansing.weekStart($"wr"))
+      .collect()
+    assert(out(0).getBoolean(1) && out(0).getDate(2).toString == "2025-03-03")
+    assert(!out(1).getBoolean(1))
+    assert(out(2).getBoolean(1) && out(2).isNullAt(2))
+    assert(out(3).getBoolean(1) && out(3).getDate(2).toString == "2025-03-03")
+  }
+
+  test("P4: surname — last token, lowercased; empty/blank/null -> unknown") {
+    val df = Seq(
+      Some("Pietro Fava"), Some("  Anna Maria DE LUCA  "), Some("Single"),
+      Some("   "), Some(""), None
+    ).toDF("autore")
+    val got = df.select(Cleansing.surname($"autore")).as[String].collect().toSeq
+    assert(got == Seq("fava", "de luca".split(" ").last, "single", "unknown", "unknown", "unknown"))
+  }
+
+  test("P5: hours cleansing — NBSP, whitespace, unparseable -> 0.0, numeric passthrough") {
+    val df = Seq(" 8 ", " 7.5", "n/a", "", "3").toDF("h")
+    val got = df.select(Cleansing.cleanHours($"h")).as[Double].collect().toSeq
+    assert(got == Seq(8.0, 7.5, 0.0, 0.0, 3.0))
+  }
+
+  test("P6: null raw is dropped even though cleaned is 0; zero cleaned dropped") {
+    val df = Seq(Some("4"), Some("0"), Some("junk"), None).toDF("raw")
+      .withColumn("ore", Cleansing.cleanHours($"raw"))
+      .filter(Cleansing.keepHours($"raw", $"ore"))
+    assert(df.select("raw").as[String].collect().toSeq == Seq("4"))
+  }
+
+  test("P9: date normalization accepts string and timestamp cells") {
+    val df = Seq("2025-03-03", "not a date").toDF("c")
+      .select(Cleansing.asDate($"c").as("d"))
+    val got = df.collect()
+    assert(got(0).getDate(0).toString == "2025-03-03" && got(1).isNullAt(0))
+  }
+
+  test("P11: name truncation to 31 chars") {
+    val long = "x" * 40
+    val got = Seq(long).toDF("n")
+      .select(Cleansing.truncName(col("n"))).as[String].head()
+    assert(got == "x" * 31)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class JoinAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("J1/P3: lookup join maps known codes, falls through unknown, preserves count") {
+    val facts = Seq("A", "B", "C", "A", null).toDF("code")
+    val mapping = Seq(("A", "Alpha"), ("B", "Beta"), ("Z", "Zeta")).toDF("k", "v")
+    val got = Lookup.mapWithDefault(facts, "code", mapping)
+    assert(got.count() == 5)
+    val vals = got.select("code").as[String].collect().toSeq
+    assert(vals.count(_ == "Alpha") == 2 && vals.contains("Beta") && vals.contains("C"))
+    assert(vals.count(_ == null) == 1) // null key stays null (no match, fall through)
+  }
+
+  test("J1 plan: mapping side is broadcast") {
+    val facts = Seq("A").toDF("code")
+    val mapping = Seq(("A", "Alpha")).toDF("k", "v")
+    val plan = Lookup.mapWithDefault(facts, "code", mapping)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join, got:\n$plan")
+  }
+
+  test("A2: distinct-set string join sorts and dedups; sum aggregates") {
+    val df = Seq(
+      ("d1", "p1", "B", 2.0), ("d1", "p1", "A", 3.0), ("d1", "p1", "B", 5.0),
+      ("d2", "p1", "C", 1.0)
+    ).toDF("data", "surname", "commessa", "ore")
+    val got = Aggregates.setJoinSum(df, Seq("data", "surname"), "commessa", "ore")
+      .orderBy("data").collect()
+    assert(got(0).getString(2) == "A; B" && got(0).getDouble(3) == 10.0)
+    assert(got(1).getString(2) == "C" && got(1).getDouble(3) == 1.0)
+  }
+
+  test("A2/A3: idempotence — re-aggregating the aggregate is a no-op") {
+    val df = Seq(("d1", "p1", "B; A", 2.0)).toDF("data", "surname", "commessa", "ore")
+    val once = Aggregates.setJoinSum(df, Seq("data", "surname"), "commessa", "ore")
+    val twice = Aggregates.setJoinSum(once, Seq("data", "surname"), "commessa", "ore")
+    assert(once.collect().toSeq == twice.collect().toSeq)
+  }
+
+  test("A1: n-key sum preserves total") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v")
+    val got = Aggregates.sumByKeys(df, Seq("k"), "v", "s")
+    assert(got.agg(sum("s")).head().getDouble(0) == 6.0)
+  }
+
+  test("S5/J2: merge updates matched rows only, never inserts, count preserved") {
+    val target = Seq((1L, "old1", 10.0), (2L, "old2", 20.0), (3L, "old3", 30.0))
+      .toDF("id", "commessa", "ore")
+    val updates = Seq((2L, "new2", 99.0), (9L, "ghost", 0.0))
+      .toDF("id", "commessa", "ore")
+    val got = MergeUpdate.updateOnly(target, updates, Seq("id"),
+      Map("commessa" -> "commessa", "ore" -> "ore")).orderBy("id").collect()
+    assert(got.length == 3) // never insert (id=9 dropped)
+    assert(got(0).getString(1) == "old1" && got(0).getDouble(2) == 10.0) // untouched
+    assert(got(1).getString(1) == "new2" && got(1).getDouble(2) == 99.0) // updated
+    assert(got(2).getString(1) == "old3")
+  }
+
+  test("S2: union sheets defaults missing column to sheet name, fills absent cols with null") {
+    val s1 = Seq((1L, "X", 5.0)).toDF("id", "commessa", "v")
+    val s2 = Seq((2L, 6.0)).toDF("id", "v")        // missing commessa -> sheet name
+    val s3 = Seq((3L, "Y")).toDF("id", "commessa") // missing v -> null
+    val got = Sources.unionSheets(Seq("A" -> s1, "B" -> s2, "C" -> s3), "commessa")
+      .orderBy("id").collect()
+    assert(got.map(_.getAs[String]("commessa")).toSeq == Seq("X", "B", "Y"))
+    assert(got.map(_.getAs[String]("_sheet")).toSeq == Seq("A", "B", "C"))
+    assert(got(2).isNullAt(got(2).fieldIndex("v")))
+  }
+}
