@@ -1,0 +1,158 @@
+package graft
+
+/** DuckDB-dialect oracles for the training-data-pipeline extension ops
+  * (dedup, similarity, text analysis). Hash constants are generated from
+  * the same Scala values as [[graft.ops.Hashing]] so the two engines stay
+  * in lockstep by construction: hash60(s) ≡ first 15 md5 hex chars as a
+  * 60-bit int, permutation j = (37j+11)·h + 101j+7 mod 1000000007.
+  */
+object OraclesExt {
+
+  private val P = 1000000007L
+  private val K = 16 // minhash signature length
+  private val BANDS = 4
+
+  private def h60(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** documents → word tokens. */
+  val tokCte: String =
+    "tok AS (SELECT doc_id, source, text, " +
+      "regexp_extract_all(lower(text), '\\w+') AS toks FROM documents)"
+
+  /** word 3-gram distinct shingle sets (empty list when < 3 tokens). */
+  val sh3Cte: String =
+    "sh3 AS (SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+3], ' ') " +
+      "for i in range(len(toks)-2)]) AS shs FROM tok)"
+
+  val dedupExact: String =
+    s"WITH $tokCte, " +
+      "k AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS ck FROM tok) " +
+      "SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, " +
+      "string_agg(doc_id::VARCHAR, ';' ORDER BY doc_id) AS member_ids " +
+      "FROM k GROUP BY ck HAVING count(*) >= 2 ORDER BY keeper_id"
+
+  val dedupJaccard: String =
+    s"WITH $tokCte, $sh3Cte, " +
+      "shing AS (SELECT doc_id, unnest(shs) AS s FROM sh3), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i " +
+      "FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT ida AS id_a, idb AS id_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jac " +
+      "FROM inter JOIN sz x ON ida = x.doc_id JOIN sz y ON idb = y.doc_id " +
+      "WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.8 ORDER BY 1, 2"
+
+  val dedupMinhash: String = {
+    val aCoef = s"(37 * j + 11)"
+    val bCoef = s"(101 * j + 7)"
+    val r = K / BANDS
+    s"WITH $tokCte, $sh3Cte, " +
+      "shing AS (SELECT doc_id, unnest(shs) AS s FROM sh3), " +
+      s"hsh AS (SELECT doc_id, ${h60("s")} % $P AS h FROM shing), " +
+      s"mh AS (SELECT doc_id, j, min(($aCoef * h + $bCoef) % $P) AS m " +
+      s"FROM hsh, range($K) t(j) GROUP BY 1, 2), " +
+      "sig AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mh GROUP BY 1), " +
+      s"band AS (SELECT doc_id, sig, b, array_to_string(sig[b*$r+1:b*$r+$r], ',') AS k " +
+      s"FROM sig, range($BANDS) t(b)), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sig AS sa, y.sig AS sb " +
+      "FROM band x JOIN band y ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id) " +
+      s"SELECT id_a, id_b, list_sum([CASE WHEN sa[i+1] = sb[i+1] THEN 1 ELSE 0 END " +
+      s"for i in range($K)]) / $K.0 AS est_jac FROM cand ORDER BY 1, 2"
+  }
+
+  val dedupSimhash: String =
+    s"WITH $tokCte, " +
+      "t2 AS (SELECT doc_id, unnest(toks) AS tk FROM tok), " +
+      s"th AS (SELECT doc_id, ${h60("tk")} AS h FROM t2), " +
+      "bits AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s " +
+      "FROM th, range(32) r(j) GROUP BY 1, 2), " +
+      "fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS f " +
+      "FROM bits GROUP BY 1), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hdist " +
+      "FROM fp a JOIN fp b ON a.doc_id < b.doc_id) " +
+      "SELECT id_a, id_b, hdist FROM pairs WHERE hdist <= 6 ORDER BY 1, 2"
+
+  /** double-precision cosine, sequential fold — mirrors Similarity.cosine. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  val embCte: String =
+    "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
+
+  val dedupEmbedding: String =
+    s"WITH $embCte, " +
+      s"p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(${cosSql("a.v", "b.v")}, 6) AS cos " +
+      "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) " +
+      "SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY 1, 2"
+
+  val simTopKBrute: String =
+    s"WITH $embCte, " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0) " +
+      s", s AS (SELECT qid, vec_id AS cid, round(${cosSql("qv", "v")}, 6) AS cos " +
+      "FROM q, e WHERE vec_id <> qid), " +
+      "r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM s) " +
+      "SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
+
+  val simTopKIvf: String =
+    s"WITH $embCte, " +
+      "q AS (SELECT vec_id AS qid, label AS cell, v AS qv FROM e WHERE vec_id % 100 = 0) " +
+      s", s AS (SELECT qid, vec_id AS cid, round(${cosSql("qv", "v")}, 6) AS cos " +
+      "FROM q JOIN e ON e.label = q.cell AND e.vec_id <> q.qid), " +
+      "r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM s) " +
+      "SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
+
+  private def hitRatioSql(listSql: String): String =
+    s"(CASE WHEN len(toks) = 0 THEN 0.0 ELSE " +
+      s"len(list_filter(toks, t -> list_contains($listSql, t))) * 1.0 / len(toks) END)"
+
+  private def langList(lang: String): String =
+    graft.ops.TextAnalysis.stopwords.toMap.apply(lang)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val textLangId: String = {
+    val scores = Seq("de", "en", "es", "fr")
+      .map(l => s"${hitRatioSql(langList(l))} AS s_$l").mkString(", ")
+    s"WITH $tokCte, " +
+      s"sc AS (SELECT doc_id, $scores FROM tok), " +
+      "m AS (SELECT doc_id, s_de, s_en, s_es, s_fr, greatest(s_de, s_en, s_es, s_fr) AS mx FROM sc) " +
+      "SELECT doc_id, CASE WHEN mx <= 0.0 THEN 'und' WHEN s_de = mx THEN 'de' " +
+      "WHEN s_en = mx THEN 'en' WHEN s_es = mx THEN 'es' ELSE 'fr' END AS lang_pred, " +
+      "round(s_en, 6) AS s_en FROM m ORDER BY doc_id"
+  }
+
+  val textQuality: String =
+    s"WITH $tokCte, " +
+      "q AS (SELECT doc_id, len(toks) AS n_words, " +
+      "CASE WHEN len(toks) = 0 THEN 0.0 ELSE list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks) END AS avg_wlen, " +
+      "len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) AS punct_ratio, " +
+      s"${hitRatioSql(langList("en"))} AS stop_ratio FROM tok) " +
+      "SELECT doc_id, n_words, round(avg_wlen, 6) AS avg_wlen, round(punct_ratio, 6) AS punct_ratio, " +
+      "round(stop_ratio, 6) AS stop_ratio, " +
+      "round(stop_ratio * 0.5 + least(n_words / 100.0, 1.0) * 0.5 - punct_ratio * 0.25, 6) AS quality " +
+      "FROM q ORDER BY doc_id"
+
+  val textTokens: String =
+    "SELECT source, count(*) AS n_docs, " +
+      "sum(len(string_split_regex(trim(text), '\\s+'))) AS sum_ws, " +
+      "sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS sum_bpe, " +
+      "sum(length(text)) AS sum_chars " +
+      "FROM documents GROUP BY 1 ORDER BY 1"
+
+  val textFingerprint: String =
+    s"WITH $tokCte " +
+      s"SELECT doc_id, ${h60("array_to_string(toks, ' ')")} AS fp_content, " +
+      s"list_reduce(list_prepend(0::BIGINT, [${h60("t")} % $P for t in toks]), " +
+      s"(a, b) -> (a * 31 + b) % $P) AS fp_poly " +
+      "FROM tok ORDER BY doc_id"
+
+  val sessionWindow: String =
+    "WITH g AS (SELECT user_id, ts, value, " +
+      "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +
+      "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE " +
+      "THEN 1 ELSE 0 END AS ns FROM events), " +
+      "s AS (SELECT user_id, ts, value, " +
+      "sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+      "SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, " +
+      "user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value " +
+      "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"
+}

@@ -143,6 +143,133 @@ object SparkEntry {
         .groupBy("surname")
         .agg(count(lit(1)).as("n_rows"), sum("ore").as("sum_ore"))
         .orderBy("surname")
+    },
+
+    // ───── Dedup: exact (normalized bag-of-words content key) ─────
+    "q12_dedup_exact" -> { (s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id",
+          md5(concat_ws(" ",
+            array_sort(array_distinct(TextAnalysis.words(col("text")))))))
+        .orderBy("keeper_id")
+    },
+
+    // ───── Dedup: exact n-gram Jaccard near-dup pairs ─────
+    "q13_dedup_jaccard" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+      Dedup.jaccardPairs(d, "doc_id", Dedup.shingles(col("toks"), 3), 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ───── Dedup: MinHash + LSH banded candidates ─────
+    "q14_dedup_minhash" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+      Dedup.minhashPairs(d, "doc_id", Dedup.shingles(col("toks"), 3))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ───── Dedup: SimHash + banded Hamming pairs ─────
+    "q15_dedup_simhash" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+      Dedup.simhashPairs(d, "doc_id", col("toks"), maxDist = 6)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ───── Dedup: embedding-cosine near-dup (label-blocked) ─────
+    "q16_dedup_embedding" -> { (s, dir) =>
+      Dedup.embeddingPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ───── Similarity: brute-force cosine top-k ─────
+    "q17_sim_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.topKBrute(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          k = 5)
+        .orderBy("qid", "rnk")
+    },
+
+    // ───── Similarity: IVF-style cell-probed top-k ─────
+    "q18_sim_topk_ivf" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.topKIvf(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+              col("label").as("cell")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+            col("label").as("cell")),
+          k = 5)
+        .orderBy("qid", "rnk")
+    },
+
+    // ───── Text: stopword language-ID ─────
+    "q19_text_langid" -> { (s, dir) =>
+      val toks = TextAnalysis.words(col("text"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.langId(toks).as("lang_pred"),
+          round(TextAnalysis.hitRatio(toks,
+            TextAnalysis.stopwords.toMap.apply("en")), 6).as("s_en"))
+        .orderBy("doc_id")
+    },
+
+    // ───── Text: quality scoring ─────
+    "q20_text_quality" -> { (s, dir) =>
+      val toks = TextAnalysis.words(col("text"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          size(toks).as("n_words"),
+          round(TextAnalysis.avgWordLen(toks), 6).as("avg_wlen"),
+          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextAnalysis.hitRatio(toks,
+            TextAnalysis.stopwords.toMap.apply("en")), 6).as("stop_ratio"),
+          round(TextAnalysis.qualityScore(col("text"), toks), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ───── Text: token counting per source ─────
+    "q21_text_tokens" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+          col("source"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws"),
+          size(TextAnalysis.bpeTokens(col("text"))).as("bpe"),
+          length(col("text")).as("chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("ws").as("sum_ws"),
+          sum("bpe").as("sum_bpe"), sum("chars").as("sum_chars"))
+        .orderBy("source")
+    },
+
+    // ───── Text: document fingerprinting ─────
+    "q22_text_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.contentFingerprint(col("text")).as("fp_content"),
+          Hashing.polyFingerprint(TextAnalysis.words(col("text"))).as("fp_poly"))
+        .orderBy("doc_id")
+    },
+
+    // ───── Multimodal: binary payload → per-partition feature extraction
+    // (decode is a deterministic stub; no SQL oracle → rows-only check) ─────
+    "q23_multimodal" -> { (s, dir) =>
+      Multimodal.extractFeatures(Multimodal.mediaTable(s, dir)).toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          round(avg("nBytes"), 3).as("avg_bytes"),
+          round(sum(element_at(col("features"), 8).cast("double")), 3).as("f7_sum"))
+        .orderBy("kind")
+    },
+
+    // ───── Session windows over events (batch form of the streaming op) ─────
+    "q24_session_window" -> { (s, dir) =>
+      graft.streaming.StreamingOps.sessionize(t(s, dir, "events"))
+        .orderBy("user_id", "session_start")
     }
   )
 
@@ -202,6 +329,21 @@ object SparkEntry {
         "FROM kept k LEFT JOIN mapping m ON k.commessa = m.code_raw), " +
         "agg AS (SELECT data, surname, string_agg(DISTINCT commessa, '; ' ORDER BY commessa) AS commessa, " +
         "sum(ore) AS ore FROM joined GROUP BY data, surname) " +
-        "SELECT surname, count(*) AS n_rows, sum(ore) AS sum_ore FROM agg GROUP BY surname ORDER BY surname")
+        "SELECT surname, count(*) AS n_rows, sum(ore) AS sum_ore FROM agg GROUP BY surname ORDER BY surname"),
+
+    "q12_dedup_exact" -> OraclesExt.dedupExact,
+    "q13_dedup_jaccard" -> OraclesExt.dedupJaccard,
+    "q14_dedup_minhash" -> OraclesExt.dedupMinhash,
+    "q15_dedup_simhash" -> OraclesExt.dedupSimhash,
+    "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
+    "q17_sim_topk" -> OraclesExt.simTopKBrute,
+    "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,
+    "q19_text_langid" -> OraclesExt.textLangId,
+    "q20_text_quality" -> OraclesExt.textQuality,
+    "q21_text_tokens" -> OraclesExt.textTokens,
+    "q22_text_fingerprint" -> OraclesExt.textFingerprint,
+    // q23_multimodal: mapPartitions feature extraction — not SQL-expressible,
+    // driver records the weaker rows-only check.
+    "q24_session_window" -> OraclesExt.sessionWindow
   )
 }

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Hashing.P
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale posture (the part that matters at 100 TB):
+  *  - exact dedup is a single hash-aggregate on a 60-bit content key — the
+  *    shuffle moves (key, partial) only, never the documents;
+  *  - candidate generation for MinHash/SimHash is *banded*: docs are
+  *    shuffled by small band keys so only same-bucket docs ever meet in a
+  *    join (the all-pairs O(n²) never materializes);
+  *  - the n-gram Jaccard join shuffles by shingle — exact but the
+  *    "small corpus / verify" path; the sketch ops are the scale path.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a token array (empty when too short). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Exact dedup: group by a normalized content key, keep the minimum id
+    * as the canonical representative. Returns one row per duplicate
+    * *group* (`minGroup` ≥ 2 hides singletons).
+    *
+    * `key` should be a deterministic digest (e.g.
+    * [[TextAnalysis.contentFingerprint]] for exact-after-normalization, or
+    * `md5(text)` for byte-exact).
+    */
+  def exactGroups(df: DataFrame, idCol: String, key: Column, minGroup: Int = 2): DataFrame =
+    df.groupBy(key.as("content_key"))
+      .agg(
+        min(col(idCol)).as("keeper_id"),
+        count(lit(1)).as("n_copies"),
+        concat_ws(";", transform(array_sort(collect_list(col(idCol))), _.cast("string")))
+          .as("member_ids"))
+      .filter(col("n_copies") >= minGroup)
+      .drop("content_key")
+
+  /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles,
+    * self-join on shingle, count intersections, filter by
+    * |A∩B| / (|A|+|B|-|A∩B|) ≥ `minJaccard`. Output (id_a, id_b, jac)
+    * with id_a < id_b, jac rounded to 6dp (threshold applied on the
+    * rounded value so the DuckDB oracle decides identically). */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      shingleCol: Column,
+      minJaccard: Double): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(array_distinct(shingleCol)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i") / (col("sa.n") + col("sb.n") - col("i")), 6).as("jac"))
+      .filter(col("jac") >= minJaccard)
+  }
+
+  /** MinHash signature: k permutation-mins over the distinct shingle set.
+    * One md5 per shingle, then k affine permutations of that value — all
+    * array expressions, no explode, no shuffle. */
+  def minhashSignature(shingleCol: Column, k: Int = 16): Column = {
+    val hs = transform(array_distinct(shingleCol), s => Hashing.hashP(s))
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hs,
+        h => (element_at(lit((0 until k).map(j => 37L * j + 11L).toArray),
+          i + 1) * h
+          + element_at(lit((0 until k).map(j => 101L * j + 7L).toArray),
+            i + 1)) % P)))
+  }
+
+  /** MinHash + LSH candidate pairs: split the k-long signature into
+    * `bands` bands of k/bands rows; docs sharing any full band collide.
+    * Output (id_a, id_b, est_jac = matching-minhash fraction) for pairs
+    * sharing ≥1 band. The band join shuffles on (band, key) — bucket-local
+    * work only, the 100 TB shape. */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      shingleCol: Column,
+      k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(shingleCol, k).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .withColumn("bkey",
+        concat_ws(",", transform(slice(col("sig"), col("b") * r + 1, lit(r)),
+          _.cast("string"))))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+      (size(filter(zip_with(col("sa"), col("sb"), (p, q) => p === q),
+        b => b)) / lit(k.toDouble)).as("est_jac"))
+  }
+
+  /** 32-bit SimHash fingerprints: per token, each bit of the 60-bit token
+    * hash votes ±1; fingerprint bit j is the sign of the vote sum.
+    * Computed as one hash-aggregate with 32 sum columns — a single
+    * shuffle of (doc, 32 longs), not the token stream. */
+  def simhash(df: DataFrame, idCol: String, tokenCol: Column): DataFrame = {
+    val th = df.select(col(idCol).as("id"),
+      explode(tokenCol).as("t")).withColumn("h", Hashing.hash60(col("t")))
+    val sums = (0 until 32).map(j =>
+      sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"s$j"))
+    val voted = th.groupBy("id").agg(sums.head, sums.tail: _*)
+    val fp = (0 until 32).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    voted.select(col("id"), fp.as("fp"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, via banded
+    * candidate generation: the 32-bit fingerprint splits into 8 nibbles;
+    * by pigeonhole any pair within distance ≤ 7 shares an identical nibble
+    * at the same position, so banding is *exact* (not approximate) for
+    * `maxDist` ≤ 7 while only same-nibble docs ever join. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: Column,
+      maxDist: Int = 6): DataFrame = {
+    require(maxDist <= 7, "nibble banding is only exact for maxDist <= 7")
+    val fps = simhash(df, idCol, tokenCol)
+    val banded = fps.select(col("id"), col("fp"),
+        explode(sequence(lit(0), lit(7))).as("b"))
+      .withColumn("nib", expr("(fp >> (b * 4)) & 15"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.nib") === col("y.nib") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.fp").as("fa"), col("y.fp").as("fb"))
+      .distinct()
+    cand
+      .withColumn("hdist", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("hdist") <= maxDist)
+      .select("id_a", "id_b", "hdist")
+  }
+
+  /** Embedding-cosine near-dup pairs within coarse blocks: `blockCol`
+    * (e.g. a cluster/label id — the IVF-style coarse quantizer) bounds the
+    * pair space so the join shuffles by block instead of exploding n².
+    * Threshold applied on the 6dp-rounded cosine (oracle parity). */
+  def embeddingPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      minCosine: Double): DataFrame = {
+    val x = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col(blockCol).as("blk"))
+    val y = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col(blockCol).as("blk"))
+    x.join(y, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

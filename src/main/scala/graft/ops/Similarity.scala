@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: IVF-style
+  * coarse-quantized search — probe only the query's cell(s), which turns
+  * the n×m cross join into per-cell joins. All math is array expressions
+  * (`zip_with` + `aggregate` folding in element order, in double), so the
+  * DuckDB oracle reproduces scores bit-for-bit.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact brute-force cosine top-k: every query scores every corpus row,
+    * rank by (cosine desc, id asc). The query side is broadcast (queries
+    * ≪ corpus), so the corpus never shuffles — one scan + per-partition
+    * top-k via the rank window on the query key. */
+  def topKBrute(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("qid", "rnk", "cid", "cos")
+  }
+
+  /** IVF-style approximate top-k: both sides carry a coarse cell id (here
+    * a precomputed cluster/label; in a full IVF, argmin over centroids) and
+    * only same-cell candidates are scored. Equi-join on the cell →
+    * shuffle-by-cell, never n×m. */
+  def topKIvf(
+      queries: DataFrame, // (qid, qvec, cell)
+      corpus: DataFrame, // (cid, cvec, cell)
+      k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("qid", "rnk", "cid", "cos")
+  }
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH bucketing: `nBits` sign
+    * bits of dot products with deterministic pseudo-random hyperplanes.
+    * Hyperplane j, dim d has component hash60(j|d) mapped into [-1, 1) —
+    * fully reproducible, no RNG state. Returns df + `bucket` column;
+    * candidate sets = equal-bucket groups (multi-probe = hamming-ball
+    * expansion over buckets, not implemented). */
+  def lshBucket(vec: Column, dim: Int, nBits: Int = 8): Column = {
+    val planes: Seq[Column] = (0 until nBits).map { j =>
+      val comps = (0 until dim).map { d =>
+        lit((Hashing.longHash60(s"plane:$j:$d") % 2000001L) / 1000000.0 - 1.0)
+      }
+      array(comps: _*)
+    }
+    val bits = (0 until nBits).map { j =>
+      when(dot(vec, planes(j)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

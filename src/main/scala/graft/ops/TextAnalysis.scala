@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * All pure `Column` functions over a text column — no UDFs, no explode:
+  * each stays a single codegen'd projection, so a 100 TB corpus pays one
+  * narrow map pass with filters/projections still pushed to the scan.
+  */
+object TextAnalysis {
+
+  /** Lower-cased word tokens (`\w+`). */
+  def words(c: Column): Column =
+    regexp_extract_all(lower(c), lit("\\w+"), lit(0))
+
+  /** BPE-ish subword tokenization: word runs plus individual punctuation
+    * marks — the standard pre-tokenizer split (`\w+|[^\w\s]`). */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column = size(split(trim(c), "\\s+"))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small: language ID at corpus scale is a
+    * constant-size `array_intersect`-style scan per doc, not a model. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "mit", "von", "zu", "auf"),
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "dans", "est"))
+
+  /** Fraction of `toks` found in `list` (hit ratio, counts repeats). */
+  def hitRatio(toks: Column, list: Seq[String]): Column = {
+    val set = array(list.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(set, t)))
+        / size(toks).cast("double"))
+  }
+
+  /** Language-ID by stopword hit ratio: highest-scoring language wins,
+    * alphabetical-first tie-break, zero hits → "und"(etermined). */
+  def langId(toks: Column): Column = {
+    val scores = stopwords.map { case (l, ws) => l -> hitRatio(toks, ws) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(maxScore > 0.0 && s === maxScore, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Mean word length of a token array (0.0 for empty). */
+  def avgWordLen(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(toks).cast("double"))
+
+  /** Punctuation chars per text char. */
+  def punctRatio(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^\\w\\s]"), lit(0))).cast("double") /
+      length(c).cast("double")
+
+  /** Digit chars per text char. */
+  def digitRatio(c: Column): Column =
+    size(regexp_extract_all(c, lit("[0-9]"), lit(0))).cast("double") /
+      length(c).cast("double")
+
+  /** Composite document quality score in [~-0.25, 1]: rewards stopword
+    * density (fluent prose) and length, penalizes punctuation soup. The
+    * exact formula is mirrored in the DuckDB oracle; the *shape* (cheap
+    * per-doc ratios combined linearly) is what a corpus filter runs. */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val stopRatio = hitRatio(toks, stopwords.toMap.apply("en"))
+    stopRatio * 0.5 +
+      least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.5 -
+      punctRatio(text) * 0.25
+  }
+
+  /** Order-sensitive 60-bit content fingerprint of the normalized
+    * (lower-cased, whitespace-collapsed) word stream. */
+  def contentFingerprint(c: Column): Column =
+    Hashing.hash60(concat_ws(" ", words(c)))
+}

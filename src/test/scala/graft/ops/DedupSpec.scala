@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "dog lazy the over jumps fox brown quick the"), // same bag, diff order
+    (4L, "a completely different document about spark engines"),
+    (5L, "the quick brown fox jumps over the lazy cat")   // near-dup of 1
+  ).toDF("doc_id", "text")
+    .withColumn("toks", TextAnalysis.words(col("text")))
+
+  test("shingles: n-grams with count size-n+1; short docs -> empty") {
+    val sh = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "t")
+      .select(col("id"), Dedup.shingles(TextAnalysis.words(col("t")), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L).isEmpty)
+  }
+
+  test("exactGroups: normalized-bag key groups 1,2,3; keeper is min id") {
+    val key = md5(concat_ws(" ", array_sort(array_distinct(col("toks")))))
+    val g = Dedup.exactGroups(docs, "doc_id", key).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("keeper_id") == 1L)
+    assert(g.head.getAs[Long]("n_copies") == 3L)
+    assert(g.head.getAs[String]("member_ids") == "1;2;3")
+  }
+
+  test("jaccardPairs: exact dups at 1.0, near-dup above 0.5, unrelated absent") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id",
+        Dedup.shingles(col("toks"), 3), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 5L)) && pairs((1L, 5L)) > 0.5 && pairs((1L, 5L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhashPairs: identical shingle sets agree on every minhash (est 1.0)") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", Dedup.shingles(col("toks"), 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // near-dups collide on >=1 band and agree on most rows
+    assert(pairs.get((1L, 5L)).forall(_ >= 0.5))
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash signature is k longs, deterministic") {
+    val sig = docs.filter(col("doc_id") === 1)
+      .select(Dedup.minhashSignature(Dedup.shingles(col("toks"), 3), 16))
+      .head().getSeq[Long](0)
+    assert(sig.length == 16 && sig.forall(v => v >= 0 && v < Hashing.P))
+    val sig2 = docs.filter(col("doc_id") === 2)
+      .select(Dedup.minhashSignature(Dedup.shingles(col("toks"), 3), 16))
+      .head().getSeq[Long](0)
+    assert(sig == sig2)
+  }
+
+  test("simhashPairs: identical token streams at distance 0; banding == brute force") {
+    val banded = Dedup.simhashPairs(docs, "doc_id", col("toks"), maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(banded((1L, 2L)) == 0)
+    // brute-force check of the banding exactness guarantee (maxDist <= 7)
+    val fps = Dedup.simhash(docs, "doc_id", col("toks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      d = java.lang.Long.bitCount(fps(a) ^ fps(b)) if d <= 7
+    } yield (a, b) -> d).toMap
+    assert(banded == brute)
+  }
+
+  test("embeddingPairs: parallel vectors ~1.0, blocked by label, orthogonal excluded") {
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f), 0),
+      (2L, Array(2f, 0f, 0f), 0), // parallel to 1, same block
+      (3L, Array(0f, 1f, 0f), 0), // orthogonal
+      (4L, Array(1f, 0f, 0f), 1)  // parallel to 1 but other block
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingPairs(e, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(pairs((1L, 2L)) == 1.0)
+  }
+}

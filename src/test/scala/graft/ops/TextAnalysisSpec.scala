@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("words / bpeTokens / wsTokenCount") {
+    val df = Seq("Hello, world! It's 42.").toDF("t")
+    val r = df.select(
+      TextAnalysis.words(col("t")).as("w"),
+      TextAnalysis.bpeTokens(col("t")).as("b"),
+      TextAnalysis.wsTokenCount(col("t")).as("n")).head()
+    assert(r.getSeq[String](0) == Seq("hello", "world", "it", "s", "42"))
+    // words + each punctuation mark as its own token
+    assert(r.getSeq[String](1) == Seq("Hello", ",", "world", "!", "It", "'", "s", "42", "."))
+    assert(r.getInt(2) == 4)
+  }
+
+  test("langId: stopword majority picks language; no hits -> und") {
+    val df = Seq(
+      "the cat is on the mat and a dog",  // en
+      "der Hund ist ein Tier und das Haus", // de
+      "xyzzy plugh qwerty"                // none
+    ).toDF("t")
+    val got = df.select(TextAnalysis.langId(TextAnalysis.words(col("t"))))
+      .as[String].collect().toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("quality metrics: ratios and composite") {
+    val df = Seq("the data of the table is good").toDF("t")
+    val toks = TextAnalysis.words(col("t"))
+    val r = df.select(
+      TextAnalysis.hitRatio(toks, TextAnalysis.stopwords.toMap.apply("en")).as("s"),
+      TextAnalysis.avgWordLen(toks).as("awl"),
+      TextAnalysis.punctRatio(col("t")).as("p")).head()
+    assert(r.getDouble(0) == 4.0 / 7.0) // the, of, the, is
+    assert(math.abs(r.getDouble(1) - 23.0 / 7.0) < 1e-12)
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  test("fingerprints: normalization-invariant content hash; order-sensitive poly hash") {
+    val df = Seq(
+      (1L, "Hello   WORLD foo"),
+      (2L, "hello world FOO"),   // same normalized stream
+      (3L, "foo world hello")    // same words, different order
+    ).toDF("id", "t")
+    val r = df.select(col("id"),
+        TextAnalysis.contentFingerprint(col("t")).as("c"),
+        Hashing.polyFingerprint(TextAnalysis.words(col("t"))).as("p"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == r(2L))
+    assert(r(1L)._1 != r(3L)._1 && r(1L)._2 != r(3L)._2)
+  }
+
+  test("hash60 matches the DuckDB construction on a known value") {
+    // md5('abc') = 900150983cd24fb0...; first 15 hex = 0x900150983cd24fb
+    val got = Seq("abc").toDF("s").select(Hashing.hash60(col("s")))
+      .as[Long].head()
+    assert(got == 648541476951500027L)
+    assert(Hashing.longHash60("abc") == 648541476951500027L)
+  }
+}

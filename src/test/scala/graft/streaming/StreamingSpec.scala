@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourlyByType: streaming tumbling agg over two micro-batches") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingOps.hourlyByType(
+        ms.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("update").start()
+    try {
+      ms.addData((ts("2026-01-01 10:05:00"), "click", 1.0),
+        (ts("2026-01-01 10:55:00"), "click", 2.0),
+        (ts("2026-01-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      ms.addData((ts("2026-01-01 11:30:00"), "view", 7.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .groupBy("win_start", "event_type")
+        .agg(max("n").as("n"), max("sum_value").as("s"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got(("2026-01-01 10:00:00.0", "click")) == ((2L, 3.0)))
+      assert(got(("2026-01-01 11:00:00.0", "view")) == ((2L, 12.0)))
+    } finally q.stop()
+  }
+
+  test("runningUserTotals: state accumulates across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.runningUserTotals(ms.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode(StreamingOps.runningTotalsOutputMode.toString.toLowerCase).start()
+    try {
+      ms.addData(StreamingOps.UserEvent(1L, ts("2026-01-01 10:00:00"), 2.0),
+        StreamingOps.UserEvent(1L, ts("2026-01-01 10:01:00"), 3.0),
+        StreamingOps.UserEvent(2L, ts("2026-01-01 10:02:00"), 10.0))
+      q.processAllAvailable()
+      ms.addData(StreamingOps.UserEvent(1L, ts("2026-01-01 12:00:00"), 5.0))
+      q.processAllAvailable()
+      val last = spark.table("totals").groupBy("user_id")
+        .agg(max("n").as("n"), max("total").as("t"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(last(1L) == ((3L, 10.0)))
+      assert(last(2L) == ((1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: batch semantics — 30min gap splits sessions") {
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1.0),
+      (1L, ts("2026-01-01 10:20:00"), 2.0),  // same session (gap 20m)
+      (1L, ts("2026-01-01 10:50:00"), 3.0),  // gap exactly 30m -> still merges
+      (1L, ts("2026-01-01 12:00:00"), 4.0),  // new session
+      (2L, ts("2026-01-01 10:00:00"), 9.0)
+    ).toDF("user_id", "ts", "value")
+    val got = StreamingOps.sessionize(events)
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(2), r.getTimestamp(0).toString, r.getLong(3), r.getDouble(4)))
+    // an event at exactly prev_ts + gap MERGES (Spark treats the session
+    // close as inclusive for merging); only gaps strictly > 30m split
+    assert(got.toSeq == Seq(
+      (1L, "2026-01-01 10:00:00.0", 3L, 6.0),
+      (1L, "2026-01-01 12:00:00.0", 1L, 4.0),
+      (2L, "2026-01-01 10:00:00.0", 1L, 9.0)))
+  }
+}
