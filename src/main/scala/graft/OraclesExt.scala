@@ -65,7 +65,7 @@ object OraclesExt {
       "t2 AS (SELECT doc_id, unnest(toks) AS tk FROM tok), " +
       s"th AS (SELECT doc_id, ${h60("tk")} AS h FROM t2), " +
       "bits AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s " +
-      "FROM th, range(32) r(j) GROUP BY 1, 2), " +
+      "FROM th, range(60) r(j) GROUP BY 1, 2), " +
       "fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS f " +
       "FROM bits GROUP BY 1), " +
       "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hdist " +

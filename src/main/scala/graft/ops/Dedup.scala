@@ -69,18 +69,26 @@ object Dedup {
       .filter(col("jac") >= minJaccard)
   }
 
-  /** MinHash signature: k permutation-mins over the distinct shingle set.
-    * One md5 per shingle, then k affine permutations of that value — all
-    * array expressions, no explode, no shuffle. */
-  def minhashSignature(shingleCol: Column, k: Int = 16): Column = {
-    val hs = transform(array_distinct(shingleCol), s => Hashing.hashP(s))
+  /** md5-based shingle-set hashes (mod P) — compute ONCE per row and alias
+    * before deriving the k permutations: Catalyst's CollapseProject keeps
+    * an expensive multiply-referenced alias materialized, so the md5 pass
+    * runs once instead of k times. */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(array_distinct(shingleCol), s => Hashing.hashP(s))
+
+  /** k permutation-mins over an already-hashed shingle set ([[shingleHashes]]). */
+  def minhashFromHashes(hs: Column, k: Int = 16): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(hs,
         h => (element_at(lit((0 until k).map(j => 37L * j + 11L).toArray),
           i + 1) * h
           + element_at(lit((0 until k).map(j => 101L * j + 7L).toArray),
             i + 1)) % P)))
-  }
+
+  /** MinHash signature straight from shingles (one-shot convenience; the
+    * pair pipeline materializes [[shingleHashes]] first instead). */
+  def minhashSignature(shingleCol: Column, k: Int = 16): Column =
+    minhashFromHashes(shingleHashes(shingleCol), k)
 
   /** MinHash + LSH candidate pairs: split the k-long signature into
     * `bands` bands of k/bands rows; docs sharing any full band collide.
@@ -95,65 +103,82 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(shingleCol, k).as("sig"))
+    // explode + k min-aggregates instead of nested array lambdas: the hash
+    // aggregate is whole-stage-codegen'd (higher-order functions are not),
+    // the expression tree stays small (fast to plan/compile), and the
+    // shuffle carries (id, k partial mins). Docs with no shingles drop out
+    // (they have no signature; the all-null sigs would otherwise collide).
+    val hs = df.select(col(idCol).as("id"),
+      explode(shingleHashes(shingleCol)).as("h"))
+    val mins = (0 until k).map(j =>
+      min((lit(37L * j + 11L) * col("h") + lit(101L * j + 7L)) % P).as(s"m$j"))
+    val sigs = hs.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("b"))
       .withColumn("bkey",
         concat_ws(",", transform(slice(col("sig"), col("b") * r + 1, lit(r)),
           _.cast("string"))))
-    val cand = banded.as("x").join(banded.as("y"),
+    // est computed BEFORE distinct: a pair colliding in several bands costs
+    // a few extra 16-element compares, but the distinct then shuffles only
+    // (id, id, double) rows instead of two full signatures per row.
+    banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sig").as("sa"), col("y.sig").as("sb"))
+        (size(filter(zip_with(col("x.sig"), col("y.sig"), (p, q) => p === q),
+          b => b)) / lit(k.toDouble)).as("est_jac"))
       .distinct()
-    cand.select(col("id_a"), col("id_b"),
-      (size(filter(zip_with(col("sa"), col("sb"), (p, q) => p === q),
-        b => b)) / lit(k.toDouble)).as("est_jac"))
   }
 
-  /** 32-bit SimHash fingerprints: per token, each bit of the 60-bit token
+  /** SimHash width: all 60 hash bits. More bits = sharper distance
+    * separation (fewer false near-pairs on self-similar corpora) and
+    * smaller LSH buckets; 60 stays sign-free in a 64-bit long in both
+    * engines (the oracle sums bit powers in BIGINT). */
+  val simhashBits = 60
+  private val simhashBands = 10 // 10 bands x 6 bits
+
+  /** 60-bit SimHash fingerprints: per token, each bit of the 60-bit token
     * hash votes ±1; fingerprint bit j is the sign of the vote sum.
-    * Computed as one hash-aggregate with 32 sum columns — a single
-    * shuffle of (doc, 32 longs), not the token stream. */
+    * Computed as one hash-aggregate with 60 sum columns — a single
+    * shuffle of (doc, 60 longs), not the token stream. */
   def simhash(df: DataFrame, idCol: String, tokenCol: Column): DataFrame = {
     val th = df.select(col(idCol).as("id"),
       explode(tokenCol).as("t")).withColumn("h", Hashing.hash60(col("t")))
-    val sums = (0 until 32).map(j =>
+    val sums = (0 until simhashBits).map(j =>
       sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"s$j"))
     val voted = th.groupBy("id").agg(sums.head, sums.tail: _*)
-    val fp = (0 until 32).map(j =>
+    val fp = (0 until simhashBits).map(j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     voted.select(col("id"), fp.as("fp"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, via banded
-    * candidate generation: the 32-bit fingerprint splits into 8 nibbles;
-    * by pigeonhole any pair within distance ≤ 7 shares an identical nibble
-    * at the same position, so banding is *exact* (not approximate) for
-    * `maxDist` ≤ 7 while only same-nibble docs ever join. */
+    * candidate generation: the 60-bit fingerprint splits into 10 bands of
+    * 6 bits; by pigeonhole any pair within distance ≤ 9 shares an
+    * identical band at the same position, so banding is *exact* (not
+    * approximate) for `maxDist` ≤ 9 while only same-band docs ever join. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       tokenCol: Column,
       maxDist: Int = 6): DataFrame = {
-    require(maxDist <= 7, "nibble banding is only exact for maxDist <= 7")
+    require(maxDist < simhashBands, "banding is only exact for maxDist < bands")
     val fps = simhash(df, idCol, tokenCol)
     val banded = fps.select(col("id"), col("fp"),
-        explode(sequence(lit(0), lit(7))).as("b"))
-      .withColumn("nib", expr("(fp >> (b * 4)) & 15"))
-    val cand = banded.as("x").join(banded.as("y"),
+        explode(sequence(lit(0), lit(simhashBands - 1))).as("b"))
+      .withColumn("nib", expr("(fp >> (b * 6)) & 63"))
+    // distance filter BEFORE distinct: far pairs (the vast majority of
+    // band collisions) die in the map stage; the dedup shuffle then only
+    // carries the near pairs.
+    banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.nib") === col("y.nib") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.fp").as("fa"), col("y.fp").as("fb"))
-      .distinct()
-    cand
-      .withColumn("hdist", bit_count(col("fa").bitwiseXOR(col("fb"))))
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hdist"))
       .filter(col("hdist") <= maxDist)
-      .select("id_a", "id_b", "hdist")
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs within coarse blocks: `blockCol`
@@ -166,13 +191,16 @@ object Dedup {
       vecCol: String,
       blockCol: String,
       minCosine: Double): DataFrame = {
+    // norms precomputed once per vector (not once per pair): the join-side
+    // projections keep them, so each pair costs one dot product.
     val x = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
-      col(blockCol).as("blk"))
+      col(blockCol).as("blk"), Similarity.l2norm(col(vecCol)).as("na"))
     val y = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      col(blockCol).as("blk"))
+      col(blockCol).as("blk"), Similarity.l2norm(col(vecCol)).as("nb"))
     x.join(y, Seq("blk")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos"))
       .filter(col("cos") >= minCosine)
   }
 }

@@ -32,10 +32,14 @@ object Similarity {
       queries: DataFrame, // (qid, qvec)
       corpus: DataFrame, // (cid, cvec)
       k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    // norms once per row on each side — every (q,c) pair then costs a
+    // single dot product instead of three
+    val q = queries.withColumn("qn", l2norm(col("qvec")))
+    val c = corpus.withColumn("cn", l2norm(col("cvec")))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qvec"), col("cvec")), 6).as("cos"))
+        round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select("qid", "rnk", "cid", "cos")
@@ -49,10 +53,12 @@ object Similarity {
       queries: DataFrame, // (qid, qvec, cell)
       corpus: DataFrame, // (cid, cvec, cell)
       k: Int): DataFrame = {
-    val scored = corpus.join(broadcast(queries), Seq("cell"))
+    val q = queries.withColumn("qn", l2norm(col("qvec")))
+    val c = corpus.withColumn("cn", l2norm(col("cvec")))
+    val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qvec"), col("cvec")), 6).as("cos"))
+        round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select("qid", "rnk", "cid", "cos")
