@@ -1,0 +1,28 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.VecDot
+
+/** SparkSessionExtensions hook registering graft's native expressions for
+  * SQL use (`SELECT vec_dot(a.embedding, b.embedding) ...`).
+  *
+  * Enable per session:
+  *   SparkSession.builder.withExtensions(GraftExtensions)  — or —
+  *   spark.sql.extensions=graft.ext.GraftExtensions
+  *
+  * The DataFrame API path ([[graft.ops.Similarity.dot]]) constructs the
+  * expression directly and does not require the extension.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children.head, children(1))))
+  }
+}
+
+object GraftExtensions extends GraftExtensions

@@ -14,8 +14,19 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product in double precision — a native codegen'd
+    * expression ([[graft.expressions.VecDot]]); bit-identical to the
+    * higher-order formulation [[dotHof]] but stays in whole-stage codegen
+    * instead of interpreting two lambdas per element. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.VecDot(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** Reference higher-order-function dot product (used to cross-check
+    * [[dot]] in tests; not on the hot path). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

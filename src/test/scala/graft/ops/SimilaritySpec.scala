@@ -46,6 +46,29 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (k, v) => assert(brute.get(k).contains(v), s"$k") }
   }
 
+  test("VecDot: native expression is bit-identical to the HOF fold on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+    val both = e.as("a").crossJoin(e.as("b"))
+      .select(
+        Similarity.dot(col("a.embedding"), col("b.embedding")).as("native"),
+        Similarity.dotHof(col("a.embedding"), col("b.embedding")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("vec_dot is SQL-callable once GraftExtensions' builder is registered") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[graft.expressions.VecDot].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.VecDot(children.head, children(1)))
+    val got = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(got == 11.0)
+  }
+
   test("lshBucket: deterministic and equal for identical vectors") {
     val df = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
       (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)))
