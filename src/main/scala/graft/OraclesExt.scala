@@ -145,6 +145,20 @@ object OraclesExt {
       s"(a, b) -> (a * 31 + b) % $P) AS fp_poly " +
       "FROM tok ORDER BY doc_id"
 
+  /** E2/E3 (v1/v2) pipeline: case-preserving UNKNOWN surname + A1 3-key
+    * sum aggregate — mirrors TimesheetPipeline.pipelineV1. */
+  val pipelineV1: String =
+    s"WITH ${Oracles.wideCte}, ${Oracles.meltCte}, " +
+      "cleanv1 AS (SELECT rid, commessa, " +
+      "CAST(try_strptime(trim(split_part(weekrange, ' al ', 1)), '%d/%m/%Y') AS DATE) + doff AS data, " +
+      "CASE WHEN trim(autore) = '' THEN 'UNKNOWN' ELSE regexp_split_to_array(trim(autore), '\\s+')[-1] END AS surname, " +
+      "coalesce(try_cast(trim(replace(ore_raw, chr(160), '')) AS DOUBLE), 0.0) AS ore, ore_raw " +
+      "FROM melt WHERE weekrange LIKE '% al %'), " +
+      "keptv1 AS (SELECT data, commessa, surname, ore FROM cleanv1 " +
+      "WHERE ore_raw IS NOT NULL AND ore <> 0.0 AND data IS NOT NULL) " +
+      "SELECT data, commessa, surname, sum(ore) AS ore FROM keptv1 " +
+      "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+
   val sessionWindow: String =
     "WITH g AS (SELECT user_id, ts, value, " +
       "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +

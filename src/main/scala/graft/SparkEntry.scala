@@ -270,7 +270,10 @@ object SparkEntry {
     "q24_session_window" -> { (s, dir) =>
       graft.streaming.StreamingOps.sessionize(t(s, dir, "events"))
         .orderBy("user_id", "session_start")
-    }
+    },
+
+    // ───── E2/E3: the v1/v2 pipeline (case-preserved surname, A1 agg) ─────
+    "q25_e2_pipeline" -> ((s, dir) => TimesheetPipeline.pipelineV1(s, dir))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -344,6 +347,7 @@ object SparkEntry {
     "q22_text_fingerprint" -> OraclesExt.textFingerprint,
     // q23_multimodal: mapPartitions feature extraction — not SQL-expressible,
     // driver records the weaker rows-only check.
-    "q24_session_window" -> OraclesExt.sessionWindow
+    "q24_session_window" -> OraclesExt.sessionWindow,
+    "q25_e2_pipeline" -> OraclesExt.pipelineV1
   )
 }

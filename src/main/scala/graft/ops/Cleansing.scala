@@ -30,6 +30,13 @@ object Cleansing {
     when(c.isNull || trim(c) === "", lit("unknown"))
       .otherwise(lower(element_at(split(trim(c), "\\s+"), -1)))
 
+  /** P4 (v1/v3 variant): surname with ORIGINAL case preserved and the
+    * "UNKNOWN" sentinel (timesheet_transform_v1.py:64,
+    * timesheet_transform_v3.py:66) — the final version lowercases. */
+  def surnameV1(c: Column): Column =
+    when(c.isNull || trim(c) === "", lit("UNKNOWN"))
+      .otherwise(element_at(split(trim(c), "\\s+"), -1))
+
   /** P5: hours cleansing — strip non-breaking spaces + whitespace, tolerant
     * cast to double, failure → 0.0 (timesheet_transform.py:66-73). */
   def cleanHours(c: Column): Column =

@@ -25,6 +25,21 @@ object Sources {
     else df
   }
 
+  /** S1 (CSV container): schema-first CSV scan, header row, PERMISSIVE
+    * row tolerance (malformed rows -> nulls, matching the reference's
+    * skip-don't-throw posture). Excel is the reference's *container*;
+    * CSV/Parquet are the canonical columnar equivalents here. */
+  def csvTable(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
   /** S2: union heterogeneous sheets; a sheet lacking `defaultCol` gets it
     * filled with the sheet name (timesheet_transform.py:23-26); sheets with
     * different column sets union by name with null fill

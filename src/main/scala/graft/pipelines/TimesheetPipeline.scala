@@ -54,4 +54,28 @@ object TimesheetPipeline {
       .setJoinSum(mapped, Seq("data", "surname"), "commessa", "ore")
       .orderBy("data", "surname")
   }
+
+  /** E2/E3 (v1/v2 dataflow, SURVEY.md §3 E2): same melt/cleanse but the
+    * case-preserving "UNKNOWN" surname variant (P4-v1) and the 3-key
+    * sum-only aggregate (A1) — no set-join, no mapping fall-through
+    * beyond the lookup. Ends in the S4 partitioned writer in the
+    * reference; here it returns the aggregate (the writer is exercised
+    * by q11). */
+  def pipelineV1(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = TimesheetFixture.wide(spark, sfDir)
+    val parsed = wide
+      .filter(Cleansing.hasWeekRange(col("weekrange")))
+      .withColumn("week_start", Cleansing.weekStart(col("weekrange")))
+      .filter(col("week_start").isNotNull)
+      .withColumn("surname", Cleansing.surnameV1(col("autore")))
+    val melted = Reshape.meltWeek(
+      parsed, idCols = Seq("rid", "week_start", "surname", "commessa"))
+    val records = melted
+      .withColumn("ore", Cleansing.cleanHours(col("ore_raw")))
+      .filter(Cleansing.keepHours(col("ore_raw"), col("ore")))
+      .withColumn("data", Reshape.dayDate(col("week_start"), col("doff")))
+      .select("data", "commessa", "surname", "ore")
+    Aggregates.sumByKeys(records, Seq("data", "commessa", "surname"), "ore", "ore")
+      .orderBy("data", "commessa", "surname")
+  }
 }

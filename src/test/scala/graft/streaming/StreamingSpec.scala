@@ -57,6 +57,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream/batch parity: hourlyByType over the events file source") {
+    // the file stream source wants a directory: stage the events file
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val path = dir.toString
+    val raw = spark.read.parquet(path)
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    val stream = spark.readStream.schema(raw.schema).parquet(path)
+    val q = StreamingOps.hourlyByType(normalize(stream))
+      .writeStream.format("memory").queryName("parity")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("parity")
+        .orderBy("win_start", "event_type").collect().toSeq
+      val batch = StreamingOps.hourlyByType(normalize(raw))
+        .orderBy("win_start", "event_type").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("sessionize: batch semantics — 30min gap splits sessions") {
     val events = Seq(
       (1L, ts("2026-01-01 10:00:00"), 1.0),
