@@ -21,6 +21,22 @@ object Sinks {
     * partition directories instead of every task touching every key
     * (tasks × keys small files — the classic partitionBy blowup at scale).
     * AQE coalesces the shuffle if keys are few. */
+  /** Bucketed + sorted table write: co-locates (and pre-sorts) rows by
+    * `key` so later equi-joins/aggregations on it read shuffle-free —
+    * the storage-level answer to "this join shuffles 100 TB every run".
+    * Requires a table (bucket metadata lives in the catalog). */
+  def writeBucketed(
+      df: DataFrame,
+      key: String,
+      nBuckets: Int,
+      table: String): Unit =
+    df.write
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
   def writePartitioned(
       df: DataFrame,
       key: String,

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Physical-plan regression tests: the scale story (broadcast joins where
+  * a side is small, bounded shuffle counts, pushdown reaching the parquet
+  * scan) is asserted, not hoped for. If a refactor re-plans a broadcast
+  * join as a sort-merge join or adds a shuffle, these fail.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    p.collect(pf) ++ p.subqueries.flatMap(collectAll(_)(pf))
+
+  test("flagship: lookup join broadcasts; exactly one pre-sort shuffle (the A2 agg)") {
+    val plan = executed(pipelines.TimesheetPipeline.flagship(spark, dir))
+    val bhj = collectAll(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected a broadcast hash join in:\n$plan")
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    // one shuffle for groupBy(data, surname), one for the final orderBy
+    // (range partitioning) — nothing else
+    assert(shuffles.size <= 2, s"unexpected shuffles (${shuffles.size}):\n$plan")
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    val df = ops.Sources.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val scans = executed(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(l_quantity,40"),
+      scan.metadata("PushedFilters"))
+    assert(scan.schema.fieldNames.toSet == Set("l_orderkey", "l_quantity"),
+      s"column pruning failed: ${scan.schema.fieldNames.mkString(",")}")
+  }
+
+  test("similarity top-k: query side broadcasts (corpus never shuffles for the join)") {
+    import org.apache.spark.sql.functions.col
+    val e = ops.Sources.table(spark, dir, "embeddings")
+    val df = ops.Similarity.topKIvf(
+      e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("cell")),
+      e.select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        col("label").as("cell")),
+      5)
+    val plan = executed(df)
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"expected broadcast join in:\n$plan")
+  }
+
+  test("merge-update: no driver-side collect — single equi-join plan") {
+    import org.apache.spark.sql.functions.col
+    val target = ops.Sources.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("commessa"),
+        col("o_totalprice").as("ore"))
+    val updates = ops.Aggregates.setJoinSum(
+      ops.Sources.table(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_returnflag").as("commessa"), col("l_quantity").as("ore")),
+      Seq("o_orderkey"), "commessa", "ore")
+    val merged = ops.MergeUpdate.updateOnly(target, updates, Seq("o_orderkey"),
+      Map("commessa" -> "commessa", "ore" -> "ore"))
+    // row-preservation invariant: left join on unique keys
+    assert(merged.count() == target.count())
+  }
+}

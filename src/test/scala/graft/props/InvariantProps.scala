@@ -1,0 +1,104 @@
+package graft.props
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.ops.{Aggregates, Cleansing, Dedup, MergeUpdate, Reshape}
+
+/** Property-based invariants (SURVEY.md §5.3): unpivot row-count
+  * conservation, aggregate sum preservation + idempotence, merge-update
+  * frame invariants. Small generated frames, but the properties are the
+  * ones that must hold at any scale.
+  */
+object InvariantProps extends Properties("graft.invariants") {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("props")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val genCell: Gen[Option[String]] = Gen.frequency(
+    3 -> Gen.choose(0, 10).map(n => Some(n.toString)),
+    1 -> Gen.const(Some("n/a")),
+    1 -> Gen.const(Some(" 7 ")),
+    1 -> Gen.const(None))
+
+  private val genRow: Gen[(Long, Seq[Option[String]])] = for {
+    rid <- Gen.choose(1L, 1000000L)
+    cells <- Gen.listOfN(7, genCell)
+  } yield (rid, cells)
+
+  private def wideDf(rows: List[(Long, Seq[Option[String]])]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (rid, cs) =>
+      (rid, cs(0), cs(1), cs(2), cs(3), cs(4), cs(5), cs(6))
+    }.toDF("rid", "h_lunedi", "h_martedi", "h_mercoledi", "h_giovedi",
+      "h_venerdi", "h_sabato", "h_domenica")
+  }
+
+  property("melt conserves non-null cells") =
+    forAll(Gen.nonEmptyListOf(genRow)) { rows =>
+      val df = wideDf(rows)
+      val melted = Reshape.meltWeek(df, idCols = Seq("rid"))
+      val nonNullIn = rows.map(_._2.count(_.isDefined)).sum
+      melted.filter(col("ore_raw").isNotNull).count() == nonNullIn &&
+        melted.count() == rows.size * 7L
+    }
+
+  property("setJoinSum preserves the measure sum and is idempotent") =
+    forAll(Gen.nonEmptyListOf(for {
+      k <- Gen.choose(1, 5); c <- Gen.oneOf("A", "B", "C")
+      v <- Gen.choose(0, 100)
+    } yield (k, c, v.toDouble))) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("k", "c", "v")
+      val agg = Aggregates.setJoinSum(df, Seq("k"), "c", "v").cache()
+      val sumIn = rows.map(_._3).sum
+      val sumOut = agg.agg(sum("v")).head().getDouble(0)
+      val keysUnique = agg.groupBy("k").count().filter(col("count") > 1).count() == 0
+      // idempotence (A3 semantics): re-aggregating the aggregate is identity
+      val again = Aggregates.setJoinSum(agg, Seq("k"), "c", "v")
+      val same = again.exceptAll(agg).count() == 0 && agg.exceptAll(again).count() == 0
+      math.abs(sumIn - sumOut) < 1e-6 && keysUnique && same
+    }
+
+  property("updateOnly preserves target cardinality and untouched rows") =
+    forAll(
+      Gen.nonEmptyListOf(for {
+        k <- Gen.choose(1, 20); v <- Gen.choose(0, 100)
+      } yield (k, v.toDouble)),
+      Gen.listOf(for {
+        k <- Gen.choose(1, 30); v <- Gen.choose(200, 300)
+      } yield (k, v.toDouble))) { (targetRows, updateRows) =>
+      import spark.implicits._
+      val target = targetRows.distinctBy(_._1).toDF("k", "v")
+      val updates = updateRows.distinctBy(_._1).toDF("k", "v")
+      val merged = MergeUpdate.updateOnly(target, updates, Seq("k"), Map("v" -> "v"))
+      val updatedKeys = updateRows.map(_._1).toSet
+      val untouched = merged.filter(!col("k").isin(updatedKeys.toSeq: _*))
+      val untouchedIn = target.filter(!col("k").isin(updatedKeys.toSeq: _*))
+      merged.count() == target.count() &&
+        untouched.exceptAll(untouchedIn).count() == 0
+    }
+
+  property("cleanHours never yields null; null/garbage raw maps to 0") =
+    forAll(Gen.listOfN(20, genCell)) { cells =>
+      import spark.implicits._
+      val df = cells.map(c => Tuple1(c.orNull)).toDF("raw")
+        .select(Cleansing.cleanHours(col("raw")).as("v"))
+      df.filter(col("v").isNull).count() == 0
+    }
+
+  property("shingle count is max(0, n - 2) for 3-grams") =
+    forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "d"))) { toks =>
+      import spark.implicits._
+      val df = Seq(Tuple1(toks)).toDF("toks")
+        .select(size(Dedup.shingles(col("toks"), 3)).as("n"))
+      df.head().getInt(0) == math.max(0, toks.size - 2)
+    }
+}
