@@ -13,6 +13,18 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: initialize parquet reader, shuffle machinery, and
+    // codegen/JIT paths so one-time JVM setup isn't attributed to
+    // whichever query happens to run first (each query still pays its
+    // own plan + codegen inside its timing).
+    locally {
+      import org.apache.spark.sql.functions._
+      val warm = spark.read.parquet(s"$sfDir/nation.parquet")
+      warm.join(warm.select(col("n_nationkey").as("k")),
+          col("n_nationkey") === col("k"))
+        .groupBy("n_regionkey").agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
     // deterministic run order; SPARK_GRAFT_ONLY=q03,q14 restricts (debug)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

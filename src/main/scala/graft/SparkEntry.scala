@@ -273,7 +273,18 @@ object SparkEntry {
     },
 
     // ───── E2/E3: the v1/v2 pipeline (case-preserved surname, A1 agg) ─────
-    "q25_e2_pipeline" -> ((s, dir) => TimesheetPipeline.pipelineV1(s, dir))
+    "q25_e2_pipeline" -> ((s, dir) => TimesheetPipeline.pipelineV1(s, dir)),
+
+    // ───── Similarity: random-hyperplane LSH-bucketed top-k ─────
+    "q26_sim_topk_lsh" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.topKLsh(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          k = 5, dim = 64, nBits = 4)
+        .orderBy("qid", "rnk")
+    }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -348,6 +359,7 @@ object SparkEntry {
     // q23_multimodal: mapPartitions feature extraction — not SQL-expressible,
     // driver records the weaker rows-only check.
     "q24_session_window" -> OraclesExt.sessionWindow,
-    "q25_e2_pipeline" -> OraclesExt.pipelineV1
+    "q25_e2_pipeline" -> OraclesExt.pipelineV1,
+    "q26_sim_topk_lsh" -> OraclesExt.simTopKLsh
   )
 }

@@ -75,22 +75,39 @@ object Similarity {
       .select("qid", "rnk", "cid", "cos")
   }
 
+  /** Deterministic hyperplane j for [[lshBucket]]: component d is
+    * hash60("plane:j:d") mapped into [-1, 1). Reproducible anywhere
+    * (the DuckDB oracle embeds the same values as literals). */
+  def planeComponents(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d =>
+      (Hashing.longHash60(s"plane:$j:$d") % 2000001L) / 1000000.0 - 1.0)
+
   /** Random-hyperplane (SimHash-for-vectors) LSH bucketing: `nBits` sign
-    * bits of dot products with deterministic pseudo-random hyperplanes.
-    * Hyperplane j, dim d has component hash60(j|d) mapped into [-1, 1) —
-    * fully reproducible, no RNG state. Returns df + `bucket` column;
-    * candidate sets = equal-bucket groups (multi-probe = hamming-ball
-    * expansion over buckets, not implemented). */
+    * bits of dot products with deterministic pseudo-random hyperplanes —
+    * fully reproducible, no RNG state. Candidate sets = equal-bucket
+    * groups (multi-probe = hamming-ball expansion over buckets, not
+    * implemented). */
   def lshBucket(vec: Column, dim: Int, nBits: Int = 8): Column = {
-    val planes: Seq[Column] = (0 until nBits).map { j =>
-      val comps = (0 until dim).map { d =>
-        lit((Hashing.longHash60(s"plane:$j:$d") % 2000001L) / 1000000.0 - 1.0)
-      }
-      array(comps: _*)
-    }
     val bits = (0 until nBits).map { j =>
-      when(dot(vec, planes(j)) > 0, lit(1L << j)).otherwise(lit(0L))
+      val plane = array(planeComponents(j, dim).map(lit): _*)
+      when(dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: both sides bucket by [[lshBucket]]
+    * and only same-bucket pairs are scored — the self-tuning variant of
+    * [[topKIvf]] when no precomputed cell/cluster id exists. Recall
+    * depends on `nBits` (fewer bits → bigger buckets → higher recall,
+    * more work). */
+  def topKLsh(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      k: Int,
+      dim: Int,
+      nBits: Int = 4): DataFrame = {
+    val q = queries.withColumn("cell", lshBucket(col("qvec"), dim, nBits))
+    val c = corpus.withColumn("cell", lshBucket(col("cvec"), dim, nBits))
+    topKIvf(q, c, k)
   }
 }

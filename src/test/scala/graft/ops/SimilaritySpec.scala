@@ -46,6 +46,26 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (k, v) => assert(brute.get(k).contains(v), s"$k") }
   }
 
+  test("topKLsh: hits subset of brute force with identical scores, decent recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val lsh = Similarity.topKLsh(q, c, 5, dim = 64, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val brute = Similarity.topKBrute(q, c, 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (k, v) => assert(brute.get(k).contains(v), s"$k") }
+    // recall@5 floor vs exact top-5. Near-uniform random vectors are the
+    // LSH worst case (no cluster structure, single probe): this only
+    // guards against a broken bucketing, not a quality bar.
+    val bruteTop5 = Similarity.topKBrute(q, c, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = lsh.keySet.count(bruteTop5) / bruteTop5.size.toDouble
+    assert(recall > 0.1, s"recall@5 = $recall")
+  }
+
   test("VecDot: native expression is bit-identical to the HOF fold on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(100)

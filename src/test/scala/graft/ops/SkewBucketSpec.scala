@@ -40,6 +40,15 @@ class SkewBucketSpec extends SparkSpec {
       .select("l_orderkey", "l_quantity")
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a fresh JVM has an empty in-memory catalog but the warehouse dirs
+    // survive on disk; clear them or saveAsTable hits LOCATION_ALREADY_EXISTS
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
     Sinks.writeBucketed(orders, "o_orderkey", 4, "b_orders")
     Sinks.writeBucketed(
       lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),

@@ -20,6 +20,8 @@ object InvariantProps extends Properties("graft.invariants") {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh_").toString)
     .getOrCreate()
 
   private val genCell: Gen[Option[String]] = Gen.frequency(
