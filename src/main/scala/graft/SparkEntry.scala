@@ -284,6 +284,45 @@ object SparkEntry {
           e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
           k = 5, dim = 64, nBits = 4)
         .orderBy("qid", "rnk")
+    },
+
+    // ───── Semi/anti joins: customers with/without open orders ─────
+    "q27_join_semi_anti" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      val semi = c.join(open, c("c_custkey") === open("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_open").as("status"))
+      val anti = c.join(open, c("c_custkey") === open("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_open").as("status"))
+      semi.unionByName(anti).orderBy("c_custkey")
+    },
+
+    // ───── Rollup: subtotals + grand total over (returnflag, linestatus) ─────
+    "q28_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // ───── Global top-N: ORDER BY + LIMIT (TakeOrderedAndProject) ─────
+    "q29_topn_global" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+
+    // ───── Distinct-count aggregates (exact; approx_count_distinct in spec) ─────
+    "q30_distinct_count" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct("l_partkey").as("n_part"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -360,6 +399,27 @@ object SparkEntry {
     // driver records the weaker rows-only check.
     "q24_session_window" -> OraclesExt.sessionWindow,
     "q25_e2_pipeline" -> OraclesExt.pipelineV1,
-    "q26_sim_topk_lsh" -> OraclesExt.simTopKLsh
+    "q26_sim_topk_lsh" -> OraclesExt.simTopKLsh,
+
+    "q27_join_semi_anti" ->
+      ("SELECT c_custkey, 'has_open' AS status FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O') " +
+        "UNION ALL SELECT c_custkey, 'no_open' FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O') " +
+        "ORDER BY c_custkey"),
+
+    "q28_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+
+    "q29_topn_global" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"),
+
+    "q30_distinct_count" ->
+      ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, " +
+        "count(DISTINCT l_partkey) AS n_part, count(*) AS n " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1")
   )
 }
