@@ -323,6 +323,27 @@ object SparkEntry {
           countDistinct("l_partkey").as("n_part"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    },
+
+    // ───── Semi-structured: JSON extraction from the events props column ─────
+    "q31_json_extract" -> { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 6).as("avg_k"))
+        .orderBy("event_type")
+    },
+
+    // ───── Statistical aggregates: exact percentiles + stddev ─────
+    "q32_stats" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(stddev_samp(col("value")), 6).as("sd"))
+        .orderBy("event_type")
     }
   )
 
@@ -420,6 +441,17 @@ object SparkEntry {
     "q30_distinct_count" ->
       ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, " +
         "count(DISTINCT l_partkey) AS n_part, count(*) AS n " +
-        "FROM lineitem GROUP BY 1 ORDER BY 1")
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+
+    "q31_json_extract" ->
+      ("SELECT event_type, count(*) AS n, sum(json_extract(props, '$.k')::BIGINT) AS sum_k, " +
+        "round(avg(json_extract(props, '$.k')::BIGINT), 6) AS avg_k " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+
+    "q32_stats" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
+        "round(quantile_cont(value, 0.9), 6) AS p90, " +
+        "round(stddev_samp(value), 6) AS sd " +
+        "FROM events GROUP BY 1 ORDER BY 1")
   )
 }
