@@ -44,6 +44,18 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup on an id column: duplicates arriving within
+    * the watermark window are dropped; state for ids older than the
+    * watermark is evicted (bounded state — the streaming face of
+    * [[graft.ops.Dedup.exactGroups]]). */
+  def streamingDedup(
+      events: DataFrame,
+      idCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   // ── custom state: running per-user totals via mapGroupsWithState ──
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

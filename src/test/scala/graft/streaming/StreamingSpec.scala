@@ -83,6 +83,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedup: duplicate ids within the watermark are dropped across batches") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamingOps.streamingDedup(
+        ms.toDF().toDF("event_id", "ts", "value"), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts("2026-01-01 10:00:00"), 1.0),
+        (1L, ts("2026-01-01 10:00:05"), 1.0), // dup in same batch
+        (2L, ts("2026-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      ms.addData((1L, ts("2026-01-01 10:02:00"), 9.9), // dup across batches
+        (3L, ts("2026-01-01 10:03:00"), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionize: batch semantics — 30min gap splits sessions") {
     val events = Seq(
       (1L, ts("2026-01-01 10:00:00"), 1.0),
