@@ -344,6 +344,41 @@ object SparkEntry {
           round(expr("percentile(value, 0.9)"), 6).as("p90"),
           round(stddev_samp(col("value")), 6).as("sd"))
         .orderBy("event_type")
+    },
+
+    // ───── Bucketed storage: write bucketed tables, join shuffle-free ─────
+    "q33_bucketed_join" -> { (s, dir) =>
+      for (tbl <- Seq("g33_orders", "g33_lineitem")) {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new java.io.File(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
+        if (loc.exists()) { loc.listFiles().foreach(_.delete()); loc.delete() }
+      }
+      Sinks.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey", 8, "g33_orders")
+      Sinks.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+          col("l_quantity")),
+        "o_orderkey", 8, "g33_lineitem")
+      s.table("g33_orders").join(s.table("g33_lineitem"), "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"),
+          max("o_totalprice").as("price"))
+        .orderBy("o_orderkey")
+    },
+
+    // ───── Skew: salted join, row-identical to the plain join ─────
+    "q34_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      val dim = Seq(("R", "returned"), ("A", "accepted"), ("N", "none"))
+        .toDF("l_returnflag", "label")
+      Skew.saltedJoin(
+          t(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+          dim, Seq("l_returnflag"), buckets = 8)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy("label")
     }
   )
 
@@ -452,6 +487,18 @@ object SparkEntry {
       ("SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, " +
         "round(quantile_cont(value, 0.9), 6) AS p90, " +
         "round(stddev_samp(value), 6) AS sd " +
-        "FROM events GROUP BY 1 ORDER BY 1")
+        "FROM events GROUP BY 1 ORDER BY 1"),
+
+    // bucketing/salting change the physical plan, never the result: both
+    // oracles are the plain logical join.
+    "q33_bucketed_join" ->
+      ("SELECT o.o_orderkey, sum(l.l_quantity) AS sum_qty, max(o.o_totalprice) AS price " +
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    "q34_salted_join" ->
+      ("WITH dim(l_returnflag, label) AS (VALUES ('R', 'returned'), ('A', 'accepted'), ('N', 'none')) " +
+        "SELECT label, count(*) AS n, sum(l_quantity) AS sum_qty " +
+        "FROM lineitem JOIN dim USING (l_returnflag) GROUP BY 1 ORDER BY 1")
   )
 }

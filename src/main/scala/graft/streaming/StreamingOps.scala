@@ -81,4 +81,62 @@ object StreamingOps {
 
   /** Output mode for [[runningUserTotals]] sinks. */
   val runningTotalsOutputMode: OutputMode = OutputMode.Update()
+
+  case class SessionOut(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+  /** Internal session accumulator (public: the state encoder's generated
+    * code must be able to reach the accessors). */
+  case class SessionState(
+      startMs: Long, lastMs: Long, n: Long, total: Double)
+
+  /** Custom-state sessionizer via flatMapGroupsWithState: sessions close
+    * (and emit) when the event-time watermark passes last-event + gap —
+    * semantics `session_window` can't express when the *emission* must be
+    * a custom record (e.g. enriched session summaries) or the close
+    * condition isn't a fixed gap. State per user is O(1); event-time
+    * timeout + watermark bound it. Append-mode sink. */
+  def sessionizeStateful(
+      events: Dataset[UserEvent],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark passed last + gap: close and emit the session
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid,
+              new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs + gapMs), s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption.orNull
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case null =>
+                  cur = SessionState(t, t, 1, e.value)
+                case s if t - s.lastMs <= gapMs =>
+                  cur = SessionState(s.startMs, math.max(s.lastMs, t),
+                    s.n + 1, s.total + e.value)
+                case s => // gap exceeded inside the batch: emit, start anew
+                  closed += SessionOut(uid, new java.sql.Timestamp(s.startMs),
+                    new java.sql.Timestamp(s.lastMs + gapMs), s.n, s.total)
+                  cur = SessionState(t, t, 1, e.value)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

@@ -83,6 +83,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStateful: sessions emit when the watermark passes last + gap") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.sessionizeStateful(ms.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // session A: two events close together
+      ms.addData(StreamingOps.UserEvent(1L, ts("2026-01-01 10:00:00"), 1.0),
+        StreamingOps.UserEvent(1L, ts("2026-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      // advance event time far enough that the watermark (max - 2h)
+      // passes session A's close (10:10 + 30m = 10:40): need max >= 12:40
+      ms.addData(StreamingOps.UserEvent(2L, ts("2026-01-01 13:00:00"), 5.0))
+      q.processAllAvailable()
+      // one more batch so the timeout fires after the watermark update
+      ms.addData(StreamingOps.UserEvent(2L, ts("2026-01-01 13:01:00"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4))).toSeq
+      assert(got.contains(
+        (1L, "2026-01-01 10:00:00.0", "2026-01-01 10:40:00.0", 2L, 3.0)),
+        got.toString)
+    } finally q.stop()
+  }
+
   test("streamingDedup: duplicate ids within the watermark are dropped across batches") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Double)]
