@@ -54,8 +54,12 @@ object Dedup {
       idCol: String,
       shingleCol: Column,
       minJaccard: Double): DataFrame = {
+    // materialize the exploded shingle frame once: it feeds three plan
+    // branches (both self-join sides + the size agg) which would otherwise
+    // each recompute the scan+tokenize+explode
     val sh = df
       .select(col(idCol).as("id"), explode(array_distinct(shingleCol)).as("s"))
+      .localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
@@ -165,7 +169,9 @@ object Dedup {
       tokenCol: Column,
       maxDist: Int = 6): DataFrame = {
     require(maxDist < simhashBands, "banding is only exact for maxDist < bands")
-    val fps = simhash(df, idCol, tokenCol)
+    // materialized once: the fingerprint aggregation would otherwise run
+    // twice (broadcast side of the self-join rebuilds the whole subtree)
+    val fps = simhash(df, idCol, tokenCol).localCheckpoint()
     val banded = fps.select(col("id"), col("fp"),
         explode(sequence(lit(0), lit(simhashBands - 1))).as("b"))
       .withColumn("nib", expr("(fp >> (b * 6)) & 63"))
