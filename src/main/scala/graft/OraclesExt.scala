@@ -119,6 +119,27 @@ object OraclesExt {
       "SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
   }
 
+  /** Mirrors Similarity.topKLshMultiProbe: query probes its own cell plus
+    * every cell at Hamming distance 1. */
+  val simTopKLshMultiProbe: String = {
+    val nBits = 4; val dim = 64
+    val cellSql = (0 until nBits).map { j =>
+      val plane = graft.ops.Similarity.planeComponents(j, dim)
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $plane::DOUBLE[]) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeList = ("c0" +: (0 until nBits).map(j => s"xor(c0, ${1L << j})"))
+      .mkString("[", ", ", "]")
+    s"WITH $embCte, " +
+      s"b AS (SELECT vec_id, v, $cellSql AS cell FROM e), " +
+      s"q0 AS (SELECT vec_id AS qid, v AS qv, cell AS c0 FROM b WHERE vec_id % 100 = 0), " +
+      s"q AS (SELECT qid, qv, unnest($probeList) AS cell FROM q0), " +
+      s"s AS (SELECT qid, vec_id AS cid, round(${cosSql("qv", "b.v")}, 6) AS cos " +
+      "FROM q JOIN b ON b.cell = q.cell AND b.vec_id <> q.qid), " +
+      "r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM s) " +
+      "SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
+  }
+
   private def hitRatioSql(listSql: String): String =
     s"(CASE WHEN len(toks) = 0 THEN 0.0 ELSE " +
       s"len(list_filter(toks, t -> list_contains($listSql, t))) * 1.0 / len(toks) END)"

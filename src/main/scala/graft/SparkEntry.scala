@@ -379,6 +379,45 @@ object SparkEntry {
         .groupBy("label")
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
         .orderBy("label")
+    },
+
+    // ───── Analytic window functions: lag/lead, running + moving aggregates ─────
+    "q35_window_analytics" -> { (s, dir) =>
+      val byCust = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val movingW = byCust.rowsBetween(-2, 0)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("prev_price", lag("o_totalprice", 1).over(byCust))
+        .withColumn("next_key", lead("o_orderkey", 1).over(byCust))
+        .withColumn("run_total",
+          round(sum("o_totalprice").over(byCust.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .withColumn("mov_avg3", round(avg("o_totalprice").over(movingW), 6))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+
+    // ───── Similarity: multi-probe LSH top-k (recall/cost knob) ─────
+    "q37_sim_topk_multiprobe" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.topKLshMultiProbe(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          k = 5, dim = 64, nBits = 4)
+        .orderBy("qid", "rnk")
+    },
+
+    // ───── Set operations: INTERSECT / EXCEPT ─────
+    "q36_set_ops" -> { (s, dir) =>
+      val mar = t(s, dir, "orders").filter(month(col("o_orderdate").cast("date")) === 3)
+        .select("o_custkey")
+      val apr = t(s, dir, "orders").filter(month(col("o_orderdate").cast("date")) === 4)
+        .select("o_custkey")
+      val both = mar.intersect(apr).withColumn("which", lit("both"))
+      val marOnly = mar.except(apr).withColumn("which", lit("march_only"))
+      both.unionByName(marOnly).orderBy("which", "o_custkey")
     }
   )
 
@@ -499,6 +538,25 @@ object SparkEntry {
     "q34_salted_join" ->
       ("WITH dim(l_returnflag, label) AS (VALUES ('R', 'returned'), ('A', 'accepted'), ('N', 'none')) " +
         "SELECT label, count(*) AS n, sum(l_quantity) AS sum_qty " +
-        "FROM lineitem JOIN dim USING (l_returnflag) GROUP BY 1 ORDER BY 1")
+        "FROM lineitem JOIN dim USING (l_returnflag) GROUP BY 1 ORDER BY 1"),
+
+    "q35_window_analytics" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, " +
+        "lag(o_totalprice, 1) OVER w AS prev_price, " +
+        "lead(o_orderkey, 1) OVER w AS next_key, " +
+        "round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total, " +
+        "round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3 " +
+        "FROM orders WHERE o_custkey % 10 = 0 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) " +
+        "ORDER BY o_custkey, o_orderdate, o_orderkey"),
+
+    "q37_sim_topk_multiprobe" -> OraclesExt.simTopKLshMultiProbe,
+
+    "q36_set_ops" ->
+      ("WITH mar AS (SELECT o_custkey FROM orders WHERE month(CAST(o_orderdate AS DATE)) = 3), " +
+        "apr AS (SELECT o_custkey FROM orders WHERE month(CAST(o_orderdate AS DATE)) = 4) " +
+        "SELECT o_custkey, 'both' AS which FROM (SELECT * FROM mar INTERSECT SELECT * FROM apr) " +
+        "UNION ALL SELECT o_custkey, 'march_only' FROM (SELECT * FROM mar EXCEPT SELECT * FROM apr) " +
+        "ORDER BY which, o_custkey")
   )
 }

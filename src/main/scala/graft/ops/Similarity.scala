@@ -110,4 +110,25 @@ object Similarity {
     val c = corpus.withColumn("cell", lshBucket(col("cvec"), dim, nBits))
     topKIvf(q, c, k)
   }
+
+  /** Multi-probe LSH top-k: each query also probes every bucket at
+    * Hamming distance 1 from its own (nBits+1 probes total). Probe cells
+    * are distinct, so no candidate dedup is needed; the corpus side still
+    * carries one cell per row — only the (small, broadcast) query side
+    * fans out. Standard recall/cost knob for hyperplane LSH. */
+  def topKLshMultiProbe(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      k: Int,
+      dim: Int,
+      nBits: Int = 4): DataFrame = {
+    val c = corpus.withColumn("cell", lshBucket(col("cvec"), dim, nBits))
+    val q0 = queries.withColumn("cell0", lshBucket(col("qvec"), dim, nBits))
+    val probes = col("cell0") +:
+      (0 until nBits).map(j => col("cell0").bitwiseXOR(lit(1L << j)))
+    val q = q0
+      .withColumn("cell", explode(array(probes: _*)))
+      .drop("cell0")
+    topKIvf(q, c, k)
+  }
 }

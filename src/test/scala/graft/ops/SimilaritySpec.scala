@@ -66,6 +66,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1, s"recall@5 = $recall")
   }
 
+  test("topKLshMultiProbe: recall >= single-probe recall, scores exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val single = hits(Similarity.topKLsh(q, c, 5, dim = 64, nBits = 4))
+    val multi = hits(Similarity.topKLshMultiProbe(q, c, 5, dim = 64, nBits = 4))
+    val bruteTop5 = hits(Similarity.topKBrute(q, c, 5))
+    val rs = single.count(bruteTop5) / bruteTop5.size.toDouble
+    val rm = multi.count(bruteTop5) / bruteTop5.size.toDouble
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    assert(rm > 0.3, s"recall@5 multi-probe = $rm")
+  }
+
   test("VecDot: native expression is bit-identical to the HOF fold on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(100)
