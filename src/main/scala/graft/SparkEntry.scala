@@ -209,27 +209,31 @@ object SparkEntry {
     },
 
     // ───── Text: stopword language-ID ─────
+    // tokenize once via an alias: passing the words() expression directly
+    // would inline the regexp scan into every score branch (~10x work)
     "q19_text_langid" -> { (s, dir) =>
-      val toks = TextAnalysis.words(col("text"))
-      t(s, dir, "documents").select(
+      t(s, dir, "documents")
+        .withColumn("toks", TextAnalysis.words(col("text")))
+        .select(
           col("doc_id"),
-          TextAnalysis.langId(toks).as("lang_pred"),
-          round(TextAnalysis.hitRatio(toks,
+          TextAnalysis.langId(col("toks")).as("lang_pred"),
+          round(TextAnalysis.hitRatio(col("toks"),
             TextAnalysis.stopwords.toMap.apply("en")), 6).as("s_en"))
         .orderBy("doc_id")
     },
 
     // ───── Text: quality scoring ─────
     "q20_text_quality" -> { (s, dir) =>
-      val toks = TextAnalysis.words(col("text"))
-      t(s, dir, "documents").select(
+      t(s, dir, "documents")
+        .withColumn("toks", TextAnalysis.words(col("text")))
+        .select(
           col("doc_id"),
-          size(toks).as("n_words"),
-          round(TextAnalysis.avgWordLen(toks), 6).as("avg_wlen"),
+          size(col("toks")).as("n_words"),
+          round(TextAnalysis.avgWordLen(col("toks")), 6).as("avg_wlen"),
           round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TextAnalysis.hitRatio(toks,
+          round(TextAnalysis.hitRatio(col("toks"),
             TextAnalysis.stopwords.toMap.apply("en")), 6).as("stop_ratio"),
-          round(TextAnalysis.qualityScore(col("text"), toks), 6).as("quality"))
+          round(TextAnalysis.qualityScore(col("text"), col("toks")), 6).as("quality"))
         .orderBy("doc_id")
     },
 

@@ -41,7 +41,7 @@ object Cleansing {
     * cast to double, failure → 0.0 (timesheet_transform.py:66-73). */
   def cleanHours(c: Column): Column =
     coalesce(
-      trim(regexp_replace(c.cast("string"), "\u00A0", "")).try_cast(DoubleType),
+      trim(translate(c.cast("string"), "\u00A0", "")).try_cast(DoubleType),
       lit(0.0))
 
   /** P6: null-check on the RAW value, ≠0 on the CLEANED value — the exact
