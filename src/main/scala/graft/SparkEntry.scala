@@ -413,6 +413,18 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    // ───── Deterministic split + stratified sampling (reproducible corpus ops) ─────
+    "q38_split_sample" -> { (s, dir) =>
+      val rates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 0.25)
+      t(s, dir, "documents")
+        .withColumn("split",
+          TextAnalysis.splitAssign(col("doc_id"), trainPct = 80, valPct = 10))
+        .filter(TextAnalysis.stratifiedKeep(col("doc_id"), col("lang"), rates))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("split", "lang")
+    },
+
     // ───── Set operations: INTERSECT / EXCEPT ─────
     "q36_set_ops" -> { (s, dir) =>
       val mar = t(s, dir, "orders").filter(month(col("o_orderdate").cast("date")) === 3)
@@ -555,6 +567,15 @@ object SparkEntry {
         "ORDER BY o_custkey, o_orderdate, o_orderkey"),
 
     "q37_sim_topk_multiprobe" -> OraclesExt.simTopKLshMultiProbe,
+
+    "q38_split_sample" ->
+      ("WITH d AS (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h FROM documents), " +
+        "a AS (SELECT lang, n_chars, " +
+        "CASE WHEN h % 100 < 80 THEN 'train' WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split, " +
+        "CASE WHEN lang = 'en' THEN h % 1000 < 500 WHEN lang = 'zh' THEN h % 1000 < 250 " +
+        "WHEN lang IN ('de', 'fr', 'es') THEN h % 1000 < 1000 ELSE false END AS keep FROM d) " +
+        "SELECT split, lang, count(*) AS n, sum(n_chars) AS sum_chars " +
+        "FROM a WHERE keep GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "q36_set_ops" ->
       ("WITH mar AS (SELECT o_custkey FROM orders WHERE month(CAST(o_orderdate AS DATE)) = 3), " +

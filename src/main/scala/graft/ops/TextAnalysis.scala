@@ -83,4 +83,25 @@ object TextAnalysis {
     * (lower-cased, whitespace-collapsed) word stream. */
   def contentFingerprint(c: Column): Column =
     Hashing.hash60(concat_ws(" ", words(c)))
+
+  /** Deterministic train/val/test assignment from a stable id: the same
+    * row lands in the same split on every run, any engine, any partition
+    * count — the reproducibility contract RNG-based splits can't give.
+    * Buckets by hash60(id) % 100: [0,trainPct) train, then val, rest test. */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = Hashing.hash60(id.cast("string")) % 100
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Deterministic stratified sampling: keep a row iff
+    * hash60(id) % 1000 < rate(stratum)·1000. Same engine-independence as
+    * [[splitAssign]]; `rates` maps stratum value → keep fraction. */
+  def stratifiedKeep(id: Column, stratum: Column, rates: Map[String, Double]): Column = {
+    val b = Hashing.hash60(id.cast("string")) % 1000
+    rates.toSeq.sortBy(_._1).foldLeft(lit(false)) { case (acc, (k, r)) =>
+      when(stratum === k, b < (r * 1000).toInt).otherwise(acc)
+    }
+  }
 }
