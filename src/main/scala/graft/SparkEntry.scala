@@ -413,6 +413,19 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    // ───── Similarity: k-means IVF top-k (trained quantizer, multi-cell probe;
+    // k-means isn't SQL-reproducible → rows-only check, exactness proven in
+    // SimilaritySpec via the nProbe=nCells ≡ brute-force property) ─────
+    "q39_sim_topk_ivf_kmeans" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.topKIvfKmeans(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          k = 5, nCells = 16, nProbe = 4)
+        .orderBy("qid", "rnk")
+    },
+
     // ───── Deterministic split + stratified sampling (reproducible corpus ops) ─────
     "q38_split_sample" -> { (s, dir) =>
       val rates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 0.25)

@@ -75,6 +75,58 @@ object Similarity {
       .select("qid", "rnk", "cid", "cos")
   }
 
+  /** Real IVF: train a k-means coarse quantizer over the corpus (fixed
+    * seed → deterministic), assign each corpus vector its nearest
+    * centroid cell, and have each query probe its `nProbe` nearest cells.
+    * Training is one ml-lib job over a sample-sized corpus; at serving
+    * time everything is expressions — centroid scores are literal arrays,
+    * so probing stays inside codegen and the corpus is only ever joined
+    * by cell. */
+  def ivfIndex(
+      corpus: DataFrame, // (cid, cvec)
+      nCells: Int,
+      seed: Long = 42L): (Array[Array[Double]], DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = corpus.withColumn("_v", array_to_vector(col("cvec")))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("_v").setPredictionCol("cell").fit(withVec)
+    val indexed = model.transform(withVec)
+      .select(col("cid"), col("cvec"), col("cell").cast("long").as("cell"))
+    (model.clusterCenters.map(_.toArray), indexed)
+  }
+
+  /** Cells of the `nProbe` nearest centroids for a query vector, as an
+    * array column. Ranks by −2·q·cᵢ + ‖cᵢ‖² (monotone in Euclidean
+    * distance); centroids are plan-time literals. */
+  def probeCells(qvec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cNorm2 = c.map(x => x * x).sum
+      struct(
+        (dot(qvec, array(c.map(lit): _*)) * -2.0 + cNorm2).as("score"),
+        lit(i.toLong).as("cell"))
+    }
+    transform(
+      slice(array_sort(array(scored: _*)), 1, nProbe),
+      s => s.getField("cell"))
+  }
+
+  /** IVF top-k with a k-means quantizer: probe the `nProbe` nearest cells
+    * per query. `nProbe = nCells` is exact (= brute force); small nProbe
+    * trades recall for touching a fraction of the corpus. */
+  def topKIvfKmeans(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val (centroids, indexed) = ivfIndex(corpus, nCells, seed)
+    val q = queries
+      .withColumn("cell", explode(probeCells(col("qvec"), centroids, nProbe)))
+    topKIvf(q, indexed, k)
+  }
+
   /** Deterministic hyperplane j for [[lshBucket]]: component d is
     * hash60("plane:j:d") mapped into [-1, 1). Reproducible anywhere
     * (the DuckDB oracle embeds the same values as literals). */

@@ -82,6 +82,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rm > 0.3, s"recall@5 multi-probe = $rm")
   }
 
+  test("topKIvfKmeans: subset of brute with exact scores; more probes -> more recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val p2 = hits(Similarity.topKIvfKmeans(q, c, 5, nCells = 8, nProbe = 2))
+    val p8 = hits(Similarity.topKIvfKmeans(q, c, 5, nCells = 8, nProbe = 8))
+    val brute = hits(Similarity.topKBrute(q, c, 10000))
+    p2.foreach { case (k, v) => assert(brute.get(k).contains(v), s"$k") }
+    // probing every cell IS brute force
+    val bruteTop5 = hits(Similarity.topKBrute(q, c, 5))
+    assert(p8 == bruteTop5)
+    val r2 = p2.keySet.count(bruteTop5.keySet) / bruteTop5.size.toDouble
+    assert(r2 > 0.2, s"recall@5 nProbe=2: $r2")
+  }
+
   test("VecDot: native expression is bit-identical to the HOF fold on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(100)
