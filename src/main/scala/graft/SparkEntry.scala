@@ -426,6 +426,16 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    // ───── Multimodal: binary frame sampling (expression-only slicing;
+    // binary output → rows-only check like q23) ─────
+    "q40_frame_sample" -> { (s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaTable(s, dir).toDF().filter(col("kind") === "video"),
+          n = 4, frameBytes = 32)
+        .select(col("id"), col("frame_no"), length(col("frame")).as("frame_len"))
+        .orderBy("id", "frame_no")
+    },
+
     // ───── Deterministic split + stratified sampling (reproducible corpus ops) ─────
     "q38_split_sample" -> { (s, dir) =>
       val rates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 0.25)

@@ -110,6 +110,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingUserActivity: an event lands in all 4 overlapping 1h/15m panes") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val q = StreamingOps.slidingUserActivity(
+        ms.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("update").start()
+    try {
+      ms.addData((ts("2026-01-01 10:31:00"), 7L))
+      q.processAllAvailable()
+      val wins = spark.table("sliding")
+        .collect().map(r => r.getTimestamp(0).toString).sorted.toSeq
+      assert(wins == Seq(
+        "2026-01-01 09:45:00.0", "2026-01-01 10:00:00.0",
+        "2026-01-01 10:15:00.0", "2026-01-01 10:30:00.0"))
+    } finally q.stop()
+  }
+
   test("streamingDedup: duplicate ids within the watermark are dropped across batches") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Double)]
