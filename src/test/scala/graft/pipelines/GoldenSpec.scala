@@ -7,10 +7,14 @@ import graft.SparkSpec
   * pipeline's output on the fixed sf0.001 input, independently of the
   * DuckDB-oracle gate. If cleansing, melt, lookup, or aggregation
   * semantics drift, these exact values move. */
-class GoldenSpec extends SparkSpec {
+class GoldenSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private lazy val out =
     TimesheetPipeline.flagship(spark, "/root/testdata/sf0.001").cache()
+
+  // the shared session outlives this suite: a cached flagship would make
+  // PlanShapeSpec see an InMemoryTableScan instead of the real plan
+  override def afterAll(): Unit = { out.unpersist(); super.afterAll() }
 
   test("flagship sf0.001: pinned cardinality and totals") {
     assert(out.count() == 7936L)
