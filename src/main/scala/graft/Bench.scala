@@ -35,13 +35,24 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: fully executes every output column (count() would let
       // Catalyst prune per-row expression work away), writes nothing.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            // negative sentinel keeps the failure visible in BENCH output
+            // instead of silently counting a partial run as a real time
+            System.err.println(s"BENCH FAIL $name: $e")
+            -1.0
+        }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failed queries carry the -1 sentinel in `queries`; exclude them from
+    // the headline total rather than letting them subtract from it
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -172,9 +172,11 @@ object OraclesExt {
 
   val textTokens: String =
     "SELECT source, count(*) AS n_docs, " +
-      "sum(len(string_split_regex(trim(text), '\\s+'))) AS sum_ws, " +
-      "sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS sum_bpe, " +
-      "sum(length(text)) AS sum_chars " +
+      // ::BIGINT: DuckDB sum(INTEGER) yields HUGEINT, which pandas widens to
+      // float64 and the driver's hash compare then mismatches vs Spark's long.
+      "sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS sum_ws, " +
+      "sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))::BIGINT AS sum_bpe, " +
+      "sum(length(text))::BIGINT AS sum_chars " +
       "FROM documents GROUP BY 1 ORDER BY 1"
 
   val textFingerprint: String =

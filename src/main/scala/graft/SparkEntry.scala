@@ -557,7 +557,7 @@ object SparkEntry {
         "FROM lineitem GROUP BY 1 ORDER BY 1"),
 
     "q31_json_extract" ->
-      ("SELECT event_type, count(*) AS n, sum(json_extract(props, '$.k')::BIGINT) AS sum_k, " +
+      ("SELECT event_type, count(*) AS n, sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k, " +
         "round(avg(json_extract(props, '$.k')::BIGINT), 6) AS avg_k " +
         "FROM events GROUP BY 1 ORDER BY 1"),
 
@@ -597,7 +597,7 @@ object SparkEntry {
         "CASE WHEN h % 100 < 80 THEN 'train' WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split, " +
         "CASE WHEN lang = 'en' THEN h % 1000 < 500 WHEN lang = 'zh' THEN h % 1000 < 250 " +
         "WHEN lang IN ('de', 'fr', 'es') THEN h % 1000 < 1000 ELSE false END AS keep FROM d) " +
-        "SELECT split, lang, count(*) AS n, sum(n_chars) AS sum_chars " +
+        "SELECT split, lang, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars " +
         "FROM a WHERE keep GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "q36_set_ops" ->

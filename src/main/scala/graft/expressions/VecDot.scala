@@ -10,17 +10,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `array<double>`), accumulating left-to-right in double — the exact fold
   * order of `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, +)`, so results
   * are bit-identical to the higher-order-function formulation and to the
-  * DuckDB oracle's `list_dot_product` on double lists.
+  * DuckDB oracle's `list_dot_product` on double lists. Null inputs, null
+  * elements, and length mismatches all yield NULL, matching both: zip_with
+  * pads the shorter array with null and null*x → null poisons the sum.
   *
   * Why a custom Expression: Spark's higher-order functions have no
   * `doGenCode` — each element evaluation is an interpreted lambda call. A
   * cosine top-k over n×m pairs of 64-dim vectors makes n·m·64 of those;
   * this expression turns them into a tight generated loop inside
-  * whole-stage codegen. Null elements are treated as 0 contribution;
-  * length mismatch uses the shorter length.
+  * whole-stage codegen.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // null is produced even from non-null inputs (ragged / null-element case)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -43,16 +47,16 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val xf = elemIsFloat(left); val yf = elemIsFloat(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-        val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-        acc += xv * yv
-      }
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -63,14 +67,17 @@ case class VecDot(left: Expression, right: Expression)
       val xGet = if (elemIsFloat(left)) s"(double) $x.getFloat(i)" else s"$x.getDouble(i)"
       val yGet = if (elemIsFloat(right)) s"(double) $y.getFloat(i)" else s"$y.getDouble(i)"
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if (!$x.isNullAt(i) && !$y.isNullAt(i)) {
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double acc = 0.0;
+         |  int n = $x.numElements();
+         |  for (int i = 0; i < n; i++) {
+         |    if ($x.isNullAt(i) || $y.isNullAt(i)) { ${ev.isNull} = true; break; }
          |    acc += $xGet * $yGet;
          |  }
+         |  if (!${ev.isNull}) { ${ev.value} = acc; }
          |}
-         |${ev.value} = acc;
        """.stripMargin
     })
 

@@ -110,6 +110,23 @@ class SimilaritySpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("VecDot: null elements, ragged lengths, and null inputs all yield NULL like the HOF fold") {
+    val df = Seq(
+      (1L, Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0, 4.0)), // clean
+      (2L, Array[java.lang.Double](1.0, null), Array[java.lang.Double](3.0, 4.0)), // null elem
+      (3L, Array[java.lang.Double](1.0, 2.0, 3.0), Array[java.lang.Double](3.0, 4.0)), // ragged
+      (4L, null, Array[java.lang.Double](3.0, 4.0))) // null input
+      .toDF("id", "a", "b")
+    val nulls = df.select(col("id"),
+        Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(nulls(1L) == ((false, false)))
+    assert(nulls(2L) == ((true, true)))
+    assert(nulls(3L) == ((true, true)))
+    assert(nulls(4L) == ((true, true)))
+  }
+
   test("vec_dot is SQL-callable once GraftExtensions' builder is registered") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo

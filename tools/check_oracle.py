@@ -41,6 +41,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def kinds(df: pd.DataFrame):
+    """Numeric family per column: the driver hashes raw values, so int64 2
+    vs float64 2.0 (e.g. a DuckDB HUGEINT sum widened by pandas) must FAIL
+    here even though the values agree numerically."""
+    out = []
+    for c in df.columns:
+        dt = df[c].dtype
+        if np.issubdtype(dt, np.floating):
+            out.append("float")
+        elif np.issubdtype(dt, np.integer):
+            out.append("int")
+        elif np.issubdtype(dt, np.bool_):
+            out.append("bool")
+        else:
+            out.append("other")
+    return out
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -65,6 +83,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
         elif len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+        elif kinds(got) != kinds(want):
+            bad = [f"{c}: {g} vs {w}" for c, g, w in
+                   zip(got.columns, kinds(got), kinds(want)) if g != w]
+            print(f"FAIL {name}: dtype family mismatch ({'; '.join(bad)})")
             n_fail += 1
         else:
             try:
