@@ -22,6 +22,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Sources.table(s, dir, name)
 
+  /** Balanced scan for CPU-heavy pipelines (regex/hash/vector math per
+    * row): spreads a single-row-group local file across cores. Plain
+    * aggregate scans stay on t() — an extra shuffle there is pure loss. */
+  private def tb(s: SparkSession, dir: String, name: String): DataFrame =
+    Sources.table(s, dir, name, balance = true)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───── E1 flagship: scan → unpivot → cleanse → join → agg ─────
     "q01_e1_flagship" -> ((s, dir) => TimesheetPipeline.flagship(s, dir)),
@@ -138,7 +144,7 @@ object SparkEntry {
       val out = java.nio.file.Files
         .createTempDirectory("graft_s4_").toString
       Sinks.writePartitioned(
-        TimesheetPipeline.flagship(s, dir), "surname", out)
+        TimesheetPipeline.flagshipUnordered(s, dir), "surname", out)
       s.read.parquet(out)
         .groupBy("surname")
         .agg(count(lit(1)).as("n_rows"), sum("ore").as("sum_ore"))
@@ -147,7 +153,7 @@ object SparkEntry {
 
     // ───── Dedup: exact (normalized bag-of-words content key) ─────
     "q12_dedup_exact" -> { (s, dir) =>
-      Dedup.exactGroups(t(s, dir, "documents"), "doc_id",
+      Dedup.exactGroups(tb(s, dir, "documents"), "doc_id",
           md5(concat_ws(" ",
             array_sort(array_distinct(TextAnalysis.words(col("text")))))))
         .orderBy("keeper_id")
@@ -155,7 +161,7 @@ object SparkEntry {
 
     // ───── Dedup: exact n-gram Jaccard near-dup pairs ─────
     "q13_dedup_jaccard" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
+      val d = tb(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
       Dedup.jaccardPairs(d, "doc_id", Dedup.shingles(col("toks"), 3), 0.8)
         .orderBy("id_a", "id_b")
@@ -163,7 +169,7 @@ object SparkEntry {
 
     // ───── Dedup: MinHash + LSH banded candidates ─────
     "q14_dedup_minhash" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
+      val d = tb(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
       Dedup.minhashPairs(d, "doc_id", Dedup.shingles(col("toks"), 3))
         .orderBy("id_a", "id_b")
@@ -171,7 +177,7 @@ object SparkEntry {
 
     // ───── Dedup: SimHash + banded Hamming pairs ─────
     "q15_dedup_simhash" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
+      val d = tb(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
       Dedup.simhashPairs(d, "doc_id", col("toks"), maxDist = 6)
         .orderBy("id_a", "id_b")
@@ -179,14 +185,14 @@ object SparkEntry {
 
     // ───── Dedup: embedding-cosine near-dup (label-blocked) ─────
     "q16_dedup_embedding" -> { (s, dir) =>
-      Dedup.embeddingPairs(t(s, dir, "embeddings"),
+      Dedup.embeddingPairs(tb(s, dir, "embeddings"),
           "vec_id", "embedding", "label", 0.4)
         .orderBy("id_a", "id_b")
     },
 
     // ───── Similarity: brute-force cosine top-k ─────
     "q17_sim_topk" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      val e = tb(s, dir, "embeddings")
       Similarity.topKBrute(
           e.filter(col("vec_id") % 100 === 0)
             .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
@@ -197,7 +203,7 @@ object SparkEntry {
 
     // ───── Similarity: IVF-style cell-probed top-k ─────
     "q18_sim_topk_ivf" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      val e = tb(s, dir, "embeddings")
       Similarity.topKIvf(
           e.filter(col("vec_id") % 100 === 0)
             .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
@@ -209,37 +215,36 @@ object SparkEntry {
     },
 
     // ───── Text: stopword language-ID ─────
-    // tokenize once via an alias: passing the words() expression directly
-    // would inline the regexp scan into every score branch (~10x work)
+    // langIdText: whole-text regexp_count passes (codegen'd) instead of
+    // HOF filters over a token array (interpreted, re-evaluated per score
+    // branch) — same values, ~40x less per-doc work at corpus scale
     "q19_text_langid" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("toks", TextAnalysis.words(col("text")))
+      tb(s, dir, "documents")
         .select(
           col("doc_id"),
-          TextAnalysis.langId(col("toks")).as("lang_pred"),
-          round(TextAnalysis.hitRatio(col("toks"),
+          TextAnalysis.langIdText(col("text")).as("lang_pred"),
+          round(TextAnalysis.hitRatioText(col("text"),
             TextAnalysis.stopwords.toMap.apply("en")), 6).as("s_en"))
         .orderBy("doc_id")
     },
 
     // ───── Text: quality scoring ─────
     "q20_text_quality" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("toks", TextAnalysis.words(col("text")))
+      tb(s, dir, "documents")
         .select(
           col("doc_id"),
-          size(col("toks")).as("n_words"),
-          round(TextAnalysis.avgWordLen(col("toks")), 6).as("avg_wlen"),
+          TextAnalysis.wordCount(col("text")).as("n_words"),
+          round(TextAnalysis.avgWordLenText(col("text")), 6).as("avg_wlen"),
           round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TextAnalysis.hitRatio(col("toks"),
+          round(TextAnalysis.hitRatioText(col("text"),
             TextAnalysis.stopwords.toMap.apply("en")), 6).as("stop_ratio"),
-          round(TextAnalysis.qualityScore(col("text"), col("toks")), 6).as("quality"))
+          round(TextAnalysis.qualityScoreText(col("text")), 6).as("quality"))
         .orderBy("doc_id")
     },
 
     // ───── Text: token counting per source ─────
     "q21_text_tokens" -> { (s, dir) =>
-      t(s, dir, "documents").select(
+      tb(s, dir, "documents").select(
           col("source"),
           TextAnalysis.wsTokenCount(col("text")).as("ws"),
           size(TextAnalysis.bpeTokens(col("text"))).as("bpe"),
@@ -252,7 +257,7 @@ object SparkEntry {
 
     // ───── Text: document fingerprinting ─────
     "q22_text_fingerprint" -> { (s, dir) =>
-      t(s, dir, "documents").select(
+      tb(s, dir, "documents").select(
           col("doc_id"),
           TextAnalysis.contentFingerprint(col("text")).as("fp_content"),
           Hashing.polyFingerprint(TextAnalysis.words(col("text"))).as("fp_poly"))
@@ -281,7 +286,7 @@ object SparkEntry {
 
     // ───── Similarity: random-hyperplane LSH-bucketed top-k ─────
     "q26_sim_topk_lsh" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      val e = tb(s, dir, "embeddings")
       Similarity.topKLsh(
           e.filter(col("vec_id") % 100 === 0)
             .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
@@ -404,7 +409,7 @@ object SparkEntry {
 
     // ───── Similarity: multi-probe LSH top-k (recall/cost knob) ─────
     "q37_sim_topk_multiprobe" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      val e = tb(s, dir, "embeddings")
       Similarity.topKLshMultiProbe(
           e.filter(col("vec_id") % 100 === 0)
             .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
@@ -417,7 +422,7 @@ object SparkEntry {
     // k-means isn't SQL-reproducible → rows-only check, exactness proven in
     // SimilaritySpec via the nProbe=nCells ≡ brute-force property) ─────
     "q39_sim_topk_ivf_kmeans" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
+      val e = tb(s, dir, "embeddings")
       Similarity.topKIvfKmeans(
           e.filter(col("vec_id") % 100 === 0)
             .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
@@ -439,7 +444,7 @@ object SparkEntry {
     // ───── Deterministic split + stratified sampling (reproducible corpus ops) ─────
     "q38_split_sample" -> { (s, dir) =>
       val rates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 0.25)
-      t(s, dir, "documents")
+      tb(s, dir, "documents")
         .withColumn("split",
           TextAnalysis.splitAssign(col("doc_id"), trainPct = 80, valPct = 10))
         .filter(TextAnalysis.stratifiedKeep(col("doc_id"), col("lang"), rates))

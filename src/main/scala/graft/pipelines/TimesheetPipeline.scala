@@ -46,14 +46,18 @@ object TimesheetPipeline {
       .select("rid", "data", "commessa", "surname", "ore")              // P8
   }
 
-  /** Full E1: cleansed records → J1 lookup (fall-through) → A2 aggregate. */
-  def flagship(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Full E1 without the presentation sort — for sinks (q11's partitioned
+    * write) where a global ORDER BY would cost a range-shuffle + sort only
+    * to be destroyed by the writer's own repartition-by-key. */
+  def flagshipUnordered(spark: SparkSession, sfDir: String): DataFrame = {
     val mapped = Lookup.mapWithDefault(
       cleansedRecords(spark, sfDir), "commessa", TimesheetFixture.mapping(spark))
-    Aggregates
-      .setJoinSum(mapped, Seq("data", "surname"), "commessa", "ore")
-      .orderBy("data", "surname")
+    Aggregates.setJoinSum(mapped, Seq("data", "surname"), "commessa", "ore")
   }
+
+  /** Full E1: cleansed records → J1 lookup (fall-through) → A2 aggregate. */
+  def flagship(spark: SparkSession, sfDir: String): DataFrame =
+    flagshipUnordered(spark, sfDir).orderBy("data", "surname")
 
   /** E2/E3 (v1/v2 dataflow, SURVEY.md §3 E2): same melt/cleanse but the
     * case-preserving "UNKNOWN" surname variant (P4-v1) and the 3-key

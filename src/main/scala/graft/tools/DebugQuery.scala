@@ -12,11 +12,15 @@ object DebugQuery {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val n = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CONF="k=v;k=v" injects experimental confs for A/B runs
+    val extra = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2)).map(a => a(0) -> a(1))
+    val b0 = SparkSession.builder()
       .withExtensions(new graft.ext.GraftExtensions)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .master(s"local[$cpus]")
+    val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -41,6 +41,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0)
   }
 
+  test("regexp_count variants are value-identical to the token-array forms") {
+    // edge cases: stopword repeats, tie-break, prefix-stopwords glued to
+    // word chars (the_x, an1), accents (ASCII \w splits on them), empty
+    // and punctuation-only text, plus the real sf0.001 documents corpus
+    val edge = Seq(
+      "the cat is on the mat and a dog",
+      "der Hund ist ein Tier und das Haus",
+      "le chat est dans la maison et les",
+      "el gato y la casa de un que en los",
+      "xyzzy plugh qwerty",
+      "the_x an1 a-b the.the,the",
+      "perché città è the più the",
+      "", "!!! ... ???", "a", "an an an").toDF("text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text")
+    for (df <- Seq(edge, corpus)) {
+      val toks = TextAnalysis.words(col("text"))
+      val en = TextAnalysis.stopwords.toMap.apply("en")
+      val both = df.select(
+        TextAnalysis.langId(toks).as("lang_slow"),
+        TextAnalysis.langIdText(col("text")).as("lang_fast"),
+        TextAnalysis.hitRatio(toks, en).as("hr_slow"),
+        TextAnalysis.hitRatioText(col("text"), en).as("hr_fast"),
+        size(toks).as("n_slow"),
+        TextAnalysis.wordCount(col("text")).as("n_fast"),
+        TextAnalysis.avgWordLen(toks).as("awl_slow"),
+        TextAnalysis.avgWordLenText(col("text")).as("awl_fast"),
+        TextAnalysis.qualityScore(col("text"), toks).as("q_slow"),
+        TextAnalysis.qualityScoreText(col("text")).as("q_fast"))
+      val bad = both.filter(
+        col("lang_slow") =!= col("lang_fast") ||
+          col("hr_slow") =!= col("hr_fast") ||
+          col("n_slow") =!= col("n_fast") ||
+          col("awl_slow") =!= col("awl_fast") ||
+          col("q_slow") =!= col("q_fast")).count()
+      assert(bad == 0)
+    }
+  }
+
   test("fingerprints: normalization-invariant content hash; order-sensitive poly hash") {
     val df = Seq(
       (1L, "Hello   WORLD foo"),
