@@ -60,8 +60,10 @@ object OraclesExt {
       s"for i in range($K)]) / $K.0 AS est_jac FROM cand ORDER BY 1, 2"
   }
 
-  val dedupSimhash: String =
-    s"WITH $tokCte, " +
+  /** CTE chain ending in `pairs(id_a, id_b, hdist)` — the simhash
+    * near-dup pair derivation, shared by the pair and cluster oracles. */
+  private val simhashPairsCte: String =
+    s"$tokCte, " +
       "t2 AS (SELECT doc_id, unnest(toks) AS tk FROM tok), " +
       s"th AS (SELECT doc_id, ${h60("tk")} AS h FROM t2), " +
       "bits AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s " +
@@ -69,8 +71,51 @@ object OraclesExt {
       "fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS f " +
       "FROM bits GROUP BY 1), " +
       "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hdist " +
-      "FROM fp a JOIN fp b ON a.doc_id < b.doc_id) " +
+      "FROM fp a JOIN fp b ON a.doc_id < b.doc_id)"
+
+  val dedupSimhash: String =
+    s"WITH $simhashPairsCte " +
       "SELECT id_a, id_b, hdist FROM pairs WHERE hdist <= 6 ORDER BY 1, 2"
+
+  /** Connected components over the simhash near-pairs via transitive
+    * closure (recursive CTE) — small at oracle scale; the Spark side uses
+    * iterative min-label propagation instead (closure is quadratic in
+    * path count and would never run at corpus scale). */
+  val dedupClusters: String =
+    "WITH RECURSIVE " + simhashPairsCte + ", " +
+      "np AS (SELECT id_a, id_b FROM pairs WHERE hdist <= 6), " +
+      "edges AS (SELECT id_a AS a, id_b AS b FROM np " +
+      "UNION SELECT id_b, id_a FROM np), " +
+      "reach(a, b) AS (SELECT DISTINCT a, a FROM edges " +
+      "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+      "labels AS (SELECT a AS id, min(b) AS rep FROM reach GROUP BY 1) " +
+      "SELECT rep, count(*)::BIGINT AS n_members, " +
+      "string_agg(id::VARCHAR, ';' ORDER BY id) AS member_ids " +
+      "FROM labels GROUP BY 1 ORDER BY 1"
+
+  /** Backward as-of join: clicks pick up the latest prior (or equal-time)
+    * purchase value per user; DuckDB's native ASOF LEFT JOIN is the
+    * oracle for the Spark union+running-window formulation. */
+  val asofJoin: String =
+    "WITH p AS (SELECT user_id, ts, max(value) AS purch_val FROM events " +
+      "WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+      "c AS (SELECT event_id, user_id, ts, value AS click_val FROM events " +
+      "WHERE event_type = 'click') " +
+      "SELECT c.event_id, c.user_id, c.click_val, p.purch_val " +
+      "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts " +
+      "ORDER BY c.event_id"
+
+  /** Interval-containment join: clicks within the half-open 2-hour window
+    * after any same-user purchase, counted per click (0 when none). The
+    * plain inequality LEFT JOIN is the oracle for the binned equi-join. */
+  val rangeJoin: String =
+    "WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+      "p AS (SELECT user_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end " +
+      "FROM events WHERE event_type = 'purchase') " +
+      "SELECT c.event_id, c.user_id, count(p.w_start)::BIGINT AS n_cover " +
+      "FROM c LEFT JOIN p ON c.user_id = p.user_id " +
+      "AND c.ts >= p.w_start AND c.ts < p.w_end " +
+      "GROUP BY 1, 2 ORDER BY 1"
 
   /** double-precision cosine, sequential fold — mirrors Similarity.cosine. */
   private def cosSql(a: String, b: String): String =

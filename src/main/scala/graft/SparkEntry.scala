@@ -441,6 +441,51 @@ object SparkEntry {
         .orderBy("id", "frame_no")
     },
 
+    // ───── As-of join: clicks pick up the latest prior purchase value ─────
+    "q41_asof_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("click_val"))
+      // pre-aggregate (user, ts) so equal-timestamp right rows are
+      // deterministic — the as-of contract (see asofJoinBackward scaladoc)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purch_val"))
+      Temporal.asofJoinBackward(clicks, purchases,
+          keys = Seq("user_id"), lTime = "ts", rTime = "ts",
+          payload = Seq("purch_val"))
+        .select("event_id", "user_id", "click_val", "purch_val")
+        .orderBy("event_id")
+    },
+
+    // ───── Binned interval join: clicks inside 2h post-purchase windows ─────
+    "q42_range_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val windows = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      val pairs = Temporal.rangeJoinBinned(clicks, windows,
+        keys = Seq("user_id"), pTime = "ts",
+        startCol = "w_start", endCol = "w_end", binSeconds = 3600)
+      clicks.join(pairs.groupBy("event_id").agg(count(lit(1)).as("n_cover")),
+          Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_cover"), lit(0L)).as("n_cover"))
+        .orderBy("event_id")
+    },
+
+    // ───── Dedup: near-dup pairs → duplicate clusters (connected components) ─────
+    "q43_dedup_clusters" -> { (s, dir) =>
+      val d = tb(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+      Dedup.clusters(
+          Dedup.simhashPairs(d, "doc_id", col("toks"), maxDist = 6),
+          "id_a", "id_b")
+        .orderBy("rep")
+    },
+
     // ───── Deterministic split + stratified sampling (reproducible corpus ops) ─────
     "q38_split_sample" -> { (s, dir) =>
       val rates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 0.25)
@@ -610,6 +655,10 @@ object SparkEntry {
         "apr AS (SELECT o_custkey FROM orders WHERE month(CAST(o_orderdate AS DATE)) = 4) " +
         "SELECT o_custkey, 'both' AS which FROM (SELECT * FROM mar INTERSECT SELECT * FROM apr) " +
         "UNION ALL SELECT o_custkey, 'march_only' FROM (SELECT * FROM mar EXCEPT SELECT * FROM apr) " +
-        "ORDER BY which, o_custkey")
+        "ORDER BY which, o_custkey"),
+
+    "q41_asof_join" -> OraclesExt.asofJoin,
+    "q42_range_join" -> OraclesExt.rangeJoin,
+    "q43_dedup_clusters" -> OraclesExt.dedupClusters
   )
 }

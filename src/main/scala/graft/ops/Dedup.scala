@@ -187,6 +187,90 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected edge list — turns near-dup
+    * PAIRS (any of the pair generators above) into duplicate CLUSTERS,
+    * the form a dedup pipeline actually consumes (keep one doc per
+    * component, drop the rest).
+    *
+    * Min-label propagation with pointer jumping: every node starts
+    * labeled with its own id; each round takes the min of its own and
+    * its neighbors' labels, then replaces its label by its label's label
+    * (path halving), so rounds are O(log diameter) instead of
+    * O(diameter) — the standard MapReduce CC acceleration (cf. Kiveris
+    * et al., "Connected Components in MapReduce and Beyond"). Labels are
+    * monotone non-increasing, so the label SUM strictly decreases until
+    * the fixpoint: convergence is one cheap aggregate per round (exact
+    * decimal sum — no overflow ambiguity), never a data-sized driver
+    * collect. Per-round frames are localCheckpoint'ed to truncate
+    * lineage; every shuffle is bounded by |edges|.
+    *
+    * Returns (id, rep) with rep = min id in the component. Deterministic
+    * regardless of partitioning or iteration count.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    // materialize the (possibly expensive) edge derivation ONCE: the
+    // symmetrizing union references it twice and would recompute it
+    val e0 = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    // init = the first neighbor-min round folded into label creation:
+    // every node appears as src in the symmetrized edges, so
+    // rep0 = min(id, min neighbor id)
+    var labels = sym.groupBy("src").agg(min("dst").as("nbr"))
+      .select(col("src").as("id"), least(col("src"), col("nbr")).as("rep"))
+      .localCheckpoint()
+    // static propagation edges: the graph plus self-loops (the self-loop
+    // carries a node's own label through the min, so each round is ONE
+    // join + one min-aggregate, no second "keep own label" join)
+    val base = sym
+      .union(sym.select(col("src"), col("src").as("dst")).distinct())
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var prevSum: java.math.BigDecimal = null
+    var curSum = labelSum(labels)
+    var iter = 0
+    while (curSum != prevSum && iter < maxIter) {
+      // per-round edges = base ∪ label links both ways: v -> rep(v)
+      // contributes rep(rep(v)) (a pointer jump, for free, inside the
+      // same join) and rep(v) -> v spreads a low label back up. Labels
+      // are monotone non-increasing (the self-loop keeps the current
+      // label in the min), so the decimal label sum strictly decreases
+      // until fixpoint — the convergence probe is one cheap aggregate,
+      // never a data-sized driver collect.
+      val linkF = labels.select(col("id").as("src"), col("rep").as("dst"))
+      val linkR = labels.select(col("rep").as("src"), col("id").as("dst"))
+      val next = base.union(linkF).union(linkR)
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src").agg(min("rep").as("rep"))
+        .select(col("src").as("id"), col("rep"))
+        .localCheckpoint()
+      prevSum = curSum
+      curSum = labelSum(next)
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Duplicate clusters from an edge list: one row per component —
+    * (rep = min member id, n_members, member_ids ";"-joined in id
+    * order), the same presentation as [[exactGroups]]. */
+  def clusters(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(edges, aCol, bCol)
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_members"),
+        concat_ws(";", transform(array_sort(collect_list(col("id"))),
+          _.cast("string"))).as("member_ids"))
+
   /** Embedding-cosine near-dup pairs within coarse blocks: `blockCol`
     * (e.g. a cluster/label id — the IVF-style coarse quantizer) bounds the
     * pair space so the join shuffles by block instead of exploding n².

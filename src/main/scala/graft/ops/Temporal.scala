@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins: backward as-of join and a
+  * binned interval (range-containment) join.
+  *
+  * Both are expressed so the pair space never explodes:
+  *  - as-of is a union + one running window per key — a single shuffle of
+  *    (key, time)-tagged rows, no join at all;
+  *  - the interval join buckets time into fixed bins and equi-joins on
+  *    (key, bin), so only same-bin rows ever meet — the theta-join that
+  *    Spark would otherwise plan as a broadcast nested loop becomes a
+  *    shuffle hash join, the 100 TB shape.
+  */
+object Temporal {
+
+  /** Backward as-of join: for each left row, attach the `payload` columns
+    * of the most recent right row with the same `keys` and
+    * `right(rTime) <= left(lTime)` (inclusive, matching DuckDB
+    * `ASOF LEFT JOIN ... ON l.t >= r.t`). Unmatched left rows keep null
+    * payloads (left-outer semantics).
+    *
+    * Implementation: tag both sides, union, and take a running
+    * `last(payload, ignoreNulls)` per key ordered by (time, side) with
+    * right rows sorting first at equal timestamps. One window shuffle on
+    * `keys`; no join, no range explosion — each row is touched once.
+    *
+    * Right-side determinism is the caller's contract: if two right rows
+    * share (keys, rTime), pre-aggregate them first (the window picks the
+    * last in sort order, which is otherwise partition-dependent). Null
+    * payload VALUES on matched rows are indistinguishable from no-match
+    * (ignoreNulls skips them) — pre-filter or fill if that matters.
+    */
+  def asofJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      lTime: String,
+      rTime: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_t", col(lTime))
+      .withColumn("_side", lit(1))
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rTime).as("_t"), lit(0).as("_side")) ++
+        payload.map(col): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPayload = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    withPayload
+      .filter(col("_side") === 1)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+
+  /** Binned interval join: inner-join `points` (instant `pTime`) to
+    * `intervals` (half-open [`startCol`, `endCol`)) sharing `keys`, with
+    * time bucketed into `binSeconds`-wide bins. Each interval is exploded
+    * to the bins it covers (≈ length/bin + 1 rows — pick a bin near the
+    * typical interval length); each point has exactly ONE bin, so every
+    * qualifying (point, interval) pair is emitted exactly once, no
+    * dedup needed. Equi-join on (keys, bin) + residual range filter:
+    * shuffles by (key, bin) instead of nested-looping the cross product.
+    */
+  def rangeJoinBinned(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      pTime: String,
+      startCol: String,
+      endCol: String,
+      binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    def bin(c: Column): Column = floor(unix_micros(c) / binUs)
+    val p = points.withColumn("_bin", bin(col(pTime)))
+    val i = intervals.withColumn("_bin",
+      explode(sequence(bin(col(startCol)),
+        // end is exclusive: the last covered bin holds end - 1µs
+        bin(col(endCol) - expr("INTERVAL 1 MICROSECOND")))))
+    p.join(i, keys :+ "_bin")
+      .filter(col(pTime) >= col(startCol) && col(pTime) < col(endCol))
+      .drop("_bin")
+  }
+}

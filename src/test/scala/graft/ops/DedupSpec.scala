@@ -75,6 +75,23 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("connectedComponents: chains, cycles, and isolated pairs get min-id reps") {
+    // components: {1,2,3,4,5} (a path — needs multi-round propagation),
+    // {10,11,12} (a triangle), {20,21}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val cl = Dedup.clusters(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(cl == Map(
+      1L -> ((5L, "1;2;3;4;5")),
+      10L -> ((3L, "10;11;12")),
+      20L -> ((2L, "20;21"))))
+  }
+
   test("embeddingPairs: parallel vectors ~1.0, blocked by label, orthogonal excluded") {
     val e = Seq(
       (1L, Array(1f, 0f, 0f), 0),

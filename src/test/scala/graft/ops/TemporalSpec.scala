@@ -1,0 +1,69 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asofJoinBackward: latest right at or before each left time, per key") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")), // after r@09:00 -> 9.0
+      (2L, "u1", ts("2024-01-01 12:00:00")), // equal-time r@12:00 -> 12.0 (inclusive)
+      (3L, "u1", ts("2024-01-01 08:00:00")), // before any right -> null
+      (4L, "u2", ts("2024-01-01 10:00:00")), // other key, r@07:00 -> 7.0
+      (5L, "u3", ts("2024-01-01 10:00:00"))) // key with no right rows -> null
+      .toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), 9.0),
+      ("u1", ts("2024-01-01 12:00:00"), 12.0),
+      ("u2", ts("2024-01-01 07:00:00"), 7.0))
+      .toDF("k", "rt", "pay")
+    val got = Temporal.asofJoinBackward(left, right, Seq("k"), "t", "rt", Seq("pay"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got == Map(1L -> Some(9.0), 2L -> Some(12.0), 3L -> None,
+      4L -> Some(7.0), 5L -> None))
+  }
+
+  test("asofJoinBackward keeps every left row exactly once") {
+    val left = Seq((1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t") // dup times
+    val right = Seq(("u1", ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "rt", "pay")
+    val got = Temporal.asofJoinBackward(left, right, Seq("k"), "t", "rt", Seq("pay"))
+    assert(got.count() == 2)
+    assert(got.filter(col("pay") === 1.0).count() == 2)
+  }
+
+  test("rangeJoinBinned equals the naive theta join on half-open intervals") {
+    // deterministic pseudo-random points/intervals spanning many bins
+    val points = (1 to 400).map { i =>
+      (i.toLong, s"u${i % 5}", ts(f"2024-01-01 ${i % 24}%02d:${(i * 7) % 60}%02d:00"))
+    }.toDF("pid", "k", "t")
+    val intervals = (1 to 60).map { j =>
+      val st = ts(f"2024-01-01 ${(j * 5) % 24}%02d:${(j * 13) % 60}%02d:00")
+      (s"u${j % 5}", st, new Timestamp(st.getTime + (j % 4 + 1) * 45 * 60 * 1000L))
+    }.toDF("k", "lo", "hi")
+    val binned = Temporal.rangeJoinBinned(points, intervals, Seq("k"), "t", "lo", "hi", 1800)
+      .select("pid", "k", "lo", "hi")
+    val naive = points.join(intervals, Seq("k"))
+      .filter(col("t") >= col("lo") && col("t") < col("hi"))
+      .select("pid", "k", "lo", "hi")
+    assert(binned.count() == naive.count())
+    assert(binned.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(binned).count() == 0)
+    // boundary semantics: a point at lo matches, a point at hi does not
+    val p2 = Seq((1L, "x", ts("2024-01-01 10:00:00")),
+      (2L, "x", ts("2024-01-01 11:00:00"))).toDF("pid", "k", "t")
+    val i2 = Seq(("x", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("k", "lo", "hi")
+    val hits = Temporal.rangeJoinBinned(p2, i2, Seq("k"), "t", "lo", "hi", 3600)
+      .select("pid").as[Long].collect().toSeq
+    assert(hits == Seq(1L))
+  }
+}
