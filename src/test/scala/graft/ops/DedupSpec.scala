@@ -62,15 +62,16 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhashPairs: identical token streams at distance 0; banding == brute force") {
-    val banded = Dedup.simhashPairs(docs, "doc_id", col("toks"), maxDist = 7)
+    // 7-band layout is pigeonhole-exact for maxDist <= 6
+    val banded = Dedup.simhashPairs(docs, "doc_id", col("toks"), maxDist = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(banded((1L, 2L)) == 0)
-    // brute-force check of the banding exactness guarantee (maxDist <= 7)
+    // brute-force check of the banding exactness guarantee (maxDist <= 6)
     val fps = Dedup.simhash(docs, "doc_id", col("toks"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val brute = (for {
       a <- fps.keys; b <- fps.keys if a < b
-      d = java.lang.Long.bitCount(fps(a) ^ fps(b)) if d <= 7
+      d = java.lang.Long.bitCount(fps(a) ^ fps(b)) if d <= 6
     } yield (a, b) -> d).toMap
     assert(banded == brute)
   }
