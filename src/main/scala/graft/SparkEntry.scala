@@ -476,6 +476,26 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // ───── Pivot: the dual of R1 — long records back to weekday columns ─────
+    // explicit value list: pivot without one collects distinct values to
+    // the driver first (an extra job, unbounded at scale)
+    "q44_pivot" -> { (s, dir) =>
+      Reshape.meltWeek(TimesheetFixture.wide(s, dir), idCols = Seq("rid"))
+        .withColumn("ore", Cleansing.cleanHours(col("ore_raw")))
+        .filter(Cleansing.keepHours(col("ore_raw"), col("ore")))
+        .groupBy("rid")
+        .pivot("giorno", Reshape.weekdays.map(_._2))
+        .agg(round(sum("ore"), 6))
+        .orderBy("rid")
+    },
+
+    // ───── Profiling: one-pass per-column stats ─────
+    "q45_profile" -> { (s, dir) =>
+      Profile.numericProfile(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_totalprice"))
+        .orderBy("col_name")
+    },
+
     // ───── Dedup: near-dup pairs → duplicate clusters (connected components) ─────
     "q43_dedup_clusters" -> { (s, dir) =>
       val d = tb(s, dir, "documents")
@@ -659,6 +679,25 @@ object SparkEntry {
 
     "q41_asof_join" -> OraclesExt.asofJoin,
     "q42_range_join" -> OraclesExt.rangeJoin,
-    "q43_dedup_clusters" -> OraclesExt.dedupClusters
+    "q43_dedup_clusters" -> OraclesExt.dedupClusters,
+
+    "q44_pivot" -> {
+      val cases = Reshape.weekdays.map { case (_, label, _) =>
+        s"round(sum(CASE WHEN giorno = '$label' THEN ore END), 6) AS $label"
+      }.mkString(", ")
+      s"WITH ${Oracles.wideCte}, ${Oracles.meltCte}, " +
+        "c AS (SELECT rid, giorno, " +
+        "coalesce(try_cast(trim(replace(ore_raw, chr(160), '')) AS DOUBLE), 0.0) AS ore, ore_raw FROM melt), " +
+        "k AS (SELECT rid, giorno, ore FROM c WHERE ore_raw IS NOT NULL AND ore <> 0.0) " +
+        s"SELECT rid, $cases FROM k GROUP BY rid ORDER BY rid"
+    },
+
+    "q45_profile" -> Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
+      s"SELECT '$c' AS col_name, count($c)::BIGINT AS n_non_null, " +
+        s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, " +
+        s"count(DISTINCT $c)::BIGINT AS n_distinct, " +
+        s"round(min($c)::DOUBLE, 6) AS min_v, round(max($c)::DOUBLE, 6) AS max_v, " +
+        s"round(avg($c), 2) AS avg_v FROM orders"
+    }.mkString("", " UNION ALL ", " ORDER BY col_name")
   )
 }

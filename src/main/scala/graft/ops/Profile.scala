@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the schema-sanity pass a large-scale pipeline runs
+  * before training ingest (null rates, cardinalities, value ranges).
+  *
+  * Single scan: every statistic for every column is computed in ONE
+  * aggregate (the exact distinct counts rewrite into a Catalyst Expand —
+  * one extra pass per distinct column but still a single stage pipeline),
+  * then the one result row is exploded into one output row per column.
+  * No per-column jobs, no driver-side loops — at 100 TB this is one pass
+  * over the data. Swap `count_distinct` for `approx_count_distinct` when
+  * exactness isn't required and the Expand triples the scan cost.
+  */
+object Profile {
+
+  /** Per-column stats for numeric columns: non-null count, null count,
+    * exact distinct count, min/max (6dp) and mean (2dp — double sums are
+    * order-dependent across partitions, so the mean is only comparable
+    * after coarse rounding; min/max are exact). */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"),
+        count_distinct(col(c)).as(s"${c}__ndist"),
+        round(min(col(c)).cast("double"), 6).as(s"${c}__min"),
+        round(max(col(c)).cast("double"), 6).as(s"${c}__max"),
+        round(avg(col(c)), 2).as(s"${c}__avg"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").as("n_non_null"),
+        col(s"${c}__nnull").as("n_null"),
+        col(s"${c}__ndist").as("n_distinct"),
+        col(s"${c}__min").as("min_v"),
+        col(s"${c}__max").as("max_v"),
+        col(s"${c}__avg").as("avg_v"))
+    }: _*)
+    one.select(explode(rows).as("p")).select("p.*")
+  }
+}
