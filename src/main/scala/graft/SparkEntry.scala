@@ -489,6 +489,16 @@ object SparkEntry {
         .orderBy("rid")
     },
 
+    // ───── Sliding time windows (batch form; each event lands in 2 windows) ─────
+    "q46_window_sliding" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    },
+
     // ───── Profiling: one-pass per-column stats ─────
     "q45_profile" -> { (s, dir) =>
       Profile.numericProfile(t(s, dir, "orders"),
@@ -691,6 +701,18 @@ object SparkEntry {
         "k AS (SELECT rid, giorno, ore FROM c WHERE ore_raw IS NOT NULL AND ore <> 0.0) " +
         s"SELECT rid, $cases FROM k GROUP BY rid ORDER BY rid"
     },
+
+    // each event belongs to the two 30-min-grid windows covering it; the
+    // 30-min grid of time_bucket (origin 2000-01-03) coincides with
+    // Spark's epoch-aligned slide grid (the origins are whole days apart)
+    "q46_window_sliding" ->
+      ("WITH w AS (SELECT event_type, value, " +
+        "time_bucket(INTERVAL 30 MINUTE, ts) AS s1 FROM events), " +
+        "x AS (SELECT event_type, value, s1 AS win_start FROM w " +
+        "UNION ALL SELECT event_type, value, s1 - INTERVAL 30 MINUTE FROM w) " +
+        "SELECT win_start, event_type, count(*)::BIGINT AS n, " +
+        "round(sum(value), 2) AS sum_value " +
+        "FROM x GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "q45_profile" -> Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
       s"SELECT '$c' AS col_name, count($c)::BIGINT AS n_non_null, " +
