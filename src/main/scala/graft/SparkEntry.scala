@@ -499,6 +499,22 @@ object SparkEntry {
         .orderBy("win_start", "event_type")
     },
 
+    // ───── Sequence packing: docs → fixed-size context bins per source ─────
+    "q47_seq_pack" -> { (s, dir) =>
+      val d = tb(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.wordCount(col("text")).as("n_tok"))
+      TextAnalysis.packBins(d, "source", "doc_id", "n_tok", ctxTokens = 2048)
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+        .orderBy("source", "bin")
+    },
+
+    // ───── TF-IDF top-k retrieval for a fixed query ─────
+    "q48_tfidf" -> { (s, dir) =>
+      TextAnalysis.tfidfTopK(tb(s, dir, "documents"), "text", "doc_id",
+        terms = Seq("spark", "query", "join"), k = 10)
+    },
+
     // ───── Profiling: one-pass per-column stats ─────
     "q45_profile" -> { (s, dir) =>
       Profile.numericProfile(t(s, dir, "orders"),
@@ -713,6 +729,31 @@ object SparkEntry {
         "SELECT win_start, event_type, count(*)::BIGINT AS n, " +
         "round(sum(value), 2) AS sum_value " +
         "FROM x GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q47_seq_pack" ->
+      ("WITH d AS (SELECT doc_id, source, " +
+        "len(regexp_extract_all(text, '\\w+')) AS n_tok FROM documents), " +
+        "b AS (SELECT source, floor((sum(n_tok) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) " +
+        "/ 2048)::BIGINT AS bin, n_tok FROM d) " +
+        "SELECT source, bin, count(*)::BIGINT AS n_docs, " +
+        "sum(n_tok)::BIGINT AS sum_tokens " +
+        "FROM b GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q48_tfidf" -> {
+      val terms = Seq("spark", "query", "join")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(regexp_extract_all(lower(text), '\\b$t\\b')) AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i").mkString(", ")
+      val score = terms.indices.map(i =>
+        s"tf$i * ln((s.n + 1.0) / (s.df$i + 1.0))").mkString(" + ")
+      s"WITH d AS (SELECT doc_id, $tfs FROM documents), " +
+        s"s AS (SELECT count(*)::DOUBLE AS n, $dfs FROM d) " +
+        s"SELECT doc_id, round($score, 6) AS score FROM d, s " +
+        "ORDER BY score DESC, doc_id LIMIT 10"
+    },
 
     "q45_profile" -> Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
       s"SELECT '$c' AS col_name, count($c)::BIGINT AS n_non_null, " +

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -148,6 +149,53 @@ object TextAnalysis {
     when(b < trainPct, lit("train"))
       .when(b < trainPct + valPct, lit("val"))
       .otherwise(lit("test"))
+  }
+
+  /** Greedy sequence packing for training-context assembly: docs are
+    * packed in `orderCol` order into fixed-`ctxTokens` bins — doc d goes
+    * to bin floor(tokens-before-d / ctx). One running-sum window per
+    * `groupCol` shard (packing at corpus scale is per-shard by design:
+    * the window parallelizes across groups and stays deterministic,
+    * where a global running sum would serialize on one task). */
+  def packBins(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      nTokCol: String,
+      ctxTokens: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(nTokCol)).over(w))
+      .withColumn("bin", floor((col("_cum") - col(nTokCol)) / ctxTokens))
+      .drop("_cum")
+  }
+
+  /** TF-IDF top-k retrieval for a fixed term list: tf = whole-word
+    * occurrences ([[hitCount]]-style regexp_count, codegen'd), document
+    * frequencies + corpus size from ONE aggregate broadcast back over the
+    * scan, score = Σ tf·ln((N+1)/(df+1)) rounded to 6dp (ln may differ in
+    * the last ulp across engines), ties broken by id. Two passes over the
+    * corpus, no shuffle except the final top-k (TakeOrderedAndProject). */
+  def tfidfTopK(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      terms: Seq[String],
+      k: Int): DataFrame = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      regexp_count(lower(col(textCol)), lit("\\b" + t + "\\b")).as(s"tf$i")
+    }
+    val d = df.select(col(idCol) +: tfCols: _*)
+    val statAggs = count(lit(1)).cast("double").as("n") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = d.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.indices.map(i =>
+      col(s"tf$i") * log((col("n") + 1.0) / (col(s"df$i") + 1.0))).reduce(_ + _)
+    d.crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
   }
 
   /** Deterministic stratified sampling: keep a row iff

@@ -94,6 +94,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L)._1 != r(3L)._1 && r(1L)._2 != r(3L)._2)
   }
 
+  test("packBins: id-ordered greedy packing into fixed token bins per group") {
+    val df = Seq(
+      (1L, "a", 1000), (2L, "a", 900), (3L, "a", 300), (4L, "a", 1), // cum-before: 0,1000,1900,2200
+      (5L, "b", 2048), (6L, "b", 1))                                 // cum-before: 0,2048
+      .toDF("doc_id", "src", "n_tok")
+    val got = TextAnalysis.packBins(df, "src", "doc_id", "n_tok", 2048)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 0L, 6L -> 1L))
+  }
+
+  test("tfidfTopK: rare term outranks common term; ties broken by id") {
+    val df = Seq(
+      (1L, "spark spark spark"),   // tf(spark)=3, df(spark)=3 of 4
+      (2L, "spark rare"),          // rare: df=1 -> higher idf
+      (3L, "spark something else"),
+      (4L, "nothing relevant")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(df, "text", "doc_id", Seq("spark", "rare"), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc2: 1*ln(5/4) + 1*ln(5/2) = 1.139434; doc1: 3*ln(5/4) = 0.669431
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 3L))
+    assert(math.abs(got.head._2 - 1.139434) < 1e-6)
+  }
+
   test("hash60 matches the DuckDB construction on a known value") {
     // md5('abc') = 900150983cd24fb0...; first 15 hex = 0x900150983cd24fb
     val got = Seq("abc").toDF("s").select(Hashing.hash60(col("s")))
