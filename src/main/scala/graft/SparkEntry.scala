@@ -316,6 +316,25 @@ object SparkEntry {
           col("l_linestatus").asc_nulls_first)
     },
 
+    // ───── CUBE: all grouping-set combinations + grouping_id ─────
+    "q49_cube" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // ───── Histogram: fixed-width numeric binning ─────
+    "q50_histogram" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select((floor(col("o_totalprice") / 25000) * 25000).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
     // ───── Global top-N: ORDER BY + LIMIT (TakeOrderedAndProject) ─────
     "q29_topn_global" -> { (s, dir) =>
       t(s, dir, "orders")
@@ -646,6 +665,16 @@ object SparkEntry {
     "q29_topn_global" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"),
+
+    "q49_cube" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n, " +
+        "grouping_id(l_returnflag, l_linestatus)::BIGINT AS gid " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) " +
+        "ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+
+    "q50_histogram" ->
+      ("SELECT (floor(o_totalprice / 25000) * 25000)::BIGINT AS bucket, " +
+        "count(*)::BIGINT AS n FROM orders GROUP BY 1 ORDER BY 1"),
 
     "q30_distinct_count" ->
       ("SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, " +
