@@ -27,10 +27,13 @@ object Bench {
     // execution, not compiler work. Interleaved per query (not one big
     // warmup pass) because the codegen class cache holds ~100 entries —
     // warming all 40 queries up front would evict the early ones again.
-    val warmDir = {
-      val small = new java.io.File("/root/testdata/sf0.001")
-      if (small.isDirectory) small.toString else sfDir
-    }
+    // sf0.01 preferred over sf0.001: the warmup must run the hot loops
+    // enough iterations for C2 to compile them, and 100x-smaller data
+    // leaves them interpreted (measured: q01 timed run 7.5s after an
+    // sf0.001 warmup vs ~3s steady state)
+    val warmDir = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.001")
+      .find(d => new java.io.File(d).isDirectory)
+      .getOrElse(sfDir)
     val results = selected.map { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"WARMUP FAIL $name: $e") }
