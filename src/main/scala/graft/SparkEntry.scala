@@ -460,6 +460,16 @@ object SparkEntry {
         .orderBy("id", "frame_no")
     },
 
+    // ───── Multimodal: batch resize (stride-sampling stub, sizes oracle-checked) ─────
+    "q51_resize" -> { (s, dir) =>
+      Multimodal.resize(Multimodal.mediaTable(s, dir), maxBytes = 512)
+        .toDF()
+        .select(col("id"), col("kind"),
+          col("nBytesIn").cast("long").as("n_in"),
+          col("nBytesOut").cast("long").as("n_out"))
+        .orderBy("id")
+    },
+
     // ───── As-of join: clicks pick up the latest prior purchase value ─────
     "q41_asof_join" -> { (s, dir) =>
       val e = t(s, dir, "events")
@@ -731,6 +741,15 @@ object SparkEntry {
         "SELECT o_custkey, 'both' AS which FROM (SELECT * FROM mar INTERSECT SELECT * FROM apr) " +
         "UNION ALL SELECT o_custkey, 'march_only' FROM (SELECT * FROM mar EXCEPT SELECT * FROM apr) " +
         "ORDER BY which, o_custkey"),
+
+    "q51_resize" ->
+      ("WITH m AS (SELECT doc_id AS id, " +
+        "['image','audio','video'][(doc_id % 3 + 1)] AS kind, " +
+        "strlen(text)::BIGINT AS n_in FROM documents), " +
+        "s AS (SELECT id, kind, n_in, (n_in + 511) // 512 AS stride FROM m) " +
+        "SELECT id, kind, n_in, " +
+        "CASE WHEN n_in <= 512 THEN n_in ELSE (n_in + stride - 1) // stride END AS n_out " +
+        "FROM s ORDER BY id"),
 
     "q41_asof_join" -> OraclesExt.asofJoin,
     "q42_range_join" -> OraclesExt.rangeJoin,

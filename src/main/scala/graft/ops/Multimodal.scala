@@ -67,6 +67,39 @@ object Multimodal {
     }
   }
 
+  case class MediaResized(
+      id: Long, kind: String, nBytesIn: Int, nBytesOut: Int, payload: Array[Byte])
+
+  /** STUB resize: a real implementation would decode, rescale
+    * (bilinear / sample-rate-convert) and re-encode; the stand-in
+    * stride-samples the payload down to ≤ `maxBytes` bytes with
+    * stride = ceilDiv(n, maxBytes), keeping the first byte of each
+    * stride window. Output size ceilDiv(n, stride) is a pure function of
+    * the input size, so the op is oracle-checkable end to end. */
+  def resizeStub(payload: Array[Byte], maxBytes: Int): Array[Byte] = {
+    val n = payload.length
+    if (n <= maxBytes) payload
+    else {
+      val stride = (n + maxBytes - 1) / maxBytes
+      val out = new Array[Byte]((n + stride - 1) / stride)
+      var i = 0
+      while (i < out.length) { out(i) = payload(i * stride); i += 1 }
+      out
+    }
+  }
+
+  /** Batch resize over the media table — same per-partition execution
+    * shape as [[extractFeatures]]. */
+  def resize(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val out = resizeStub(r.payload, maxBytes)
+        MediaResized(r.id, r.kind, r.payload.length, out.length, out)
+      }
+    }
+  }
+
   /** Frame sampling: slice `n` evenly-spaced fixed-width "frames" out of a
     * video payload — pure binary expressions (substring on binary), no
     * decode needed, stays in codegen. */

@@ -27,6 +27,20 @@ class MultimodalSpec extends SparkSpec {
     assert(doc0.payload.length == rows.head.nBytes)
   }
 
+  test("resize: stride-samples payloads to <= maxBytes, small ones pass through") {
+    // unit behavior of the stub
+    assert(Multimodal.resizeStub(Array[Byte](1, 2, 3), 8).toSeq == Seq[Byte](1, 2, 3))
+    val big = Array.tabulate[Byte](10)(_.toByte)
+    assert(Multimodal.resizeStub(big, 4).toSeq == Seq[Byte](0, 3, 6, 9)) // stride 3
+    // dataset-level plumbing
+    val resized = Multimodal.resize(
+      Multimodal.mediaTable(spark, "/root/testdata/sf0.001"), maxBytes = 64).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(_.nBytesOut <= 64))
+    assert(resized.forall(r => r.payload.length == r.nBytesOut))
+    assert(resized.forall(r => (r.nBytesIn <= 64) == (r.nBytesIn == r.nBytesOut)))
+  }
+
   test("sampleFrames: n frames of fixed width, offsets span the payload") {
     val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001").toDF()
       .limit(3)
