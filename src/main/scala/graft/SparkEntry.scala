@@ -281,6 +281,12 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     },
 
+    // ───── Typed-group sessionizer: flatMapGroups twin of q24 ─────
+    "q52_sessionize_typed" -> { (s, dir) =>
+      graft.streaming.StreamingOps.sessionizeTyped(t(s, dir, "events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // ───── E2/E3: the v1/v2 pipeline (case-preserved surname, A1 agg) ─────
     "q25_e2_pipeline" -> ((s, dir) => TimesheetPipeline.pipelineV1(s, dir)),
 
@@ -657,6 +663,8 @@ object SparkEntry {
     // q23_multimodal: mapPartitions feature extraction — not SQL-expressible,
     // driver records the weaker rows-only check.
     "q24_session_window" -> OraclesExt.sessionWindow,
+    // identical sessions from the typed path — same oracle as q24
+    "q52_sessionize_typed" -> OraclesExt.sessionWindow,
     "q25_e2_pipeline" -> OraclesExt.pipelineV1,
     "q26_sim_topk_lsh" -> OraclesExt.simTopKLsh,
 

@@ -87,6 +87,52 @@ object StreamingOps {
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
   /** Internal session accumulator (public: the state encoder's generated
     * code must be able to reach the accessors). */
+  /** Batch twin of [[sessionizeStateful]]: the same inclusive-gap
+    * sessionization via typed `flatMapGroups` — the KeyValueGroupedDataset
+    * path for when session assembly needs imperative per-group logic.
+    * Per-user events are sorted in memory (per-user volume is bounded;
+    * a heavy-hitter-safe variant would pre-repartition by user and use
+    * sortWithinPartitions secondary sort). Emits the same schema and
+    * values as the declarative [[sessionize]] (q24's oracle checks both:
+    * merge at exactly last + gap, end = last + gap, 2dp sums). */
+  def sessionizeTyped(events: DataFrame, gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // Timestamp.getTime is millisecond-precision; event times carry
+    // microseconds, so all arithmetic runs on a µs epoch (the ms-only
+    // form truncated session bounds and broke oracle parity)
+    def toUs(ts: java.sql.Timestamp): Long =
+      java.lang.Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    def fromUs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(java.lang.Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val gapUs = gapMs * 1000L
+    events.select(col("user_id"), col("ts"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[UserEvent]) =>
+        val sorted = it.toIndexedSeq.sortBy(e => (toUs(e.ts), e.value))
+        val out = Seq.newBuilder[SessionOut]
+        var start = 0L; var last = 0L; var n = 0L; var total = 0.0
+        sorted.foreach { e =>
+          val t = toUs(e.ts)
+          if (n == 0) { start = t; last = t; n = 1; total = e.value }
+          else if (t - last <= gapUs) {
+            last = math.max(last, t); n += 1; total += e.value
+          } else {
+            out += SessionOut(uid, fromUs(start), fromUs(last + gapUs), n, total)
+            start = t; last = t; n = 1; total = e.value
+          }
+        }
+        if (n > 0)
+          out += SessionOut(uid, fromUs(start), fromUs(last + gapUs), n, total)
+        out.result().iterator
+      }
+      .select(col("session_start"), col("session_end"), col("user_id"),
+        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+  }
+
   case class SessionState(
       startMs: Long, lastMs: Long, n: Long, total: Double)
 
