@@ -151,6 +151,36 @@ object SparkEntry {
         .orderBy("surname")
     },
 
+    // ───── S1 containers: CSV and JSON-lines round trips ─────
+    // write a typed extract to the container format, read it back
+    // schema-first, aggregate — proves the non-parquet sources preserve
+    // types/nulls end to end (oracle = same aggregate off the original)
+    "q53_csv_roundtrip" -> { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .write.mode("overwrite").option("header", true).csv(out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+      Sources.csvTable(s, out, schema)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    "q54_json_roundtrip" -> { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_json_").toString
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        .write.mode("overwrite").json(out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE")
+      Sources.jsonTable(s, out, schema)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("sum_bal"))
+        .orderBy("s_nationkey")
+    },
+
     // ───── Dedup: exact (normalized bag-of-words content key) ─────
     "q12_dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(tb(s, dir, "documents"), "doc_id",
@@ -648,6 +678,14 @@ object SparkEntry {
         "agg AS (SELECT data, surname, string_agg(DISTINCT commessa, '; ' ORDER BY commessa) AS commessa, " +
         "sum(ore) AS ore FROM joined GROUP BY data, surname) " +
         "SELECT surname, count(*) AS n_rows, sum(ore) AS sum_ore FROM agg GROUP BY surname ORDER BY surname"),
+
+    // round trips change only the storage container, never the values
+    "q53_csv_roundtrip" ->
+      ("SELECT c_mktsegment, count(*)::BIGINT AS n, " +
+        "round(sum(c_acctbal), 2) AS sum_bal FROM customer GROUP BY 1 ORDER BY 1"),
+    "q54_json_roundtrip" ->
+      ("SELECT s_nationkey, count(*)::BIGINT AS n, " +
+        "round(sum(s_acctbal), 2) AS sum_bal FROM supplier GROUP BY 1 ORDER BY 1"),
 
     "q12_dedup_exact" -> OraclesExt.dedupExact,
     "q13_dedup_jaccard" -> OraclesExt.dedupJaccard,

@@ -65,6 +65,18 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** S1 (JSON-lines container): schema-first scan — schema-on-read
+    * without inference (inference is an extra full pass over the data at
+    * scale), PERMISSIVE row tolerance like [[csvTable]]. */
+  def jsonTable(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
   /** S2: union heterogeneous sheets; a sheet lacking `defaultCol` gets it
     * filled with the sheet name (timesheet_transform.py:23-26); sheets with
     * different column sets union by name with null fill
