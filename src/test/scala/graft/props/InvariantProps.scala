@@ -103,4 +103,30 @@ object InvariantProps extends Properties("graft.invariants") {
         .select(size(Dedup.shingles(col("toks"), 3)).as("n"))
       df.head().getInt(0) == math.max(0, toks.size - 2)
     }
+
+  // reference CC by union-find, to check the distributed label propagation
+  private def ccReference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  property("connectedComponents matches union-find on random graphs") =
+    forAll(Gen.listOf(for {
+      a <- Gen.choose(0L, 25L); b <- Gen.choose(0L, 25L) if a != b
+    } yield (a, b))) { edges =>
+      edges.isEmpty || {
+        import spark.implicits._
+        val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == ccReference(edges)
+      }
+    }
 }
