@@ -486,6 +486,18 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
+    // ───── Similarity: product-quantized ADC top-k + exact re-rank
+    // (k-means codebooks not SQL-reproducible → rows-only check like q39) ─────
+    "q55_sim_topk_pq" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.topKPq(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          k = 5, m = 8, ksub = 16, candMult = 8)
+        .orderBy("qid", "rnk")
+    },
+
     // ───── Multimodal: binary frame sampling (expression-only slicing;
     // binary output → rows-only check like q23) ─────
     "q40_frame_sample" -> { (s, dir) =>

@@ -129,6 +129,172 @@ object Similarity {
     topKIvf(q, indexed, k)
   }
 
+  // ── Product quantization (IVF-PQ's compression half) ────────────────
+
+  /** Deterministic local Lloyd's over a (sorted) point sample:
+    * farthest-point init (maximin — deterministic, no RNG, good spread),
+    * then plain Lloyd iterations; empty clusters keep their previous
+    * centroid. Pure driver compute over a bounded sample — no Spark
+    * jobs. */
+  private def lloyd(points: Array[Array[Double]], ksub: Int, iters: Int = 10): Array[Array[Double]] = {
+    val k = math.min(ksub, points.length)
+    val d = points.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    // maximin init: start at the sorted sample's first point, then
+    // repeatedly add the point farthest from its nearest chosen centroid
+    val minD = points.map(p => d2(p, points(0)))
+    val chosen = Array.fill(k)(0)
+    var c = 1
+    while (c < k) {
+      var best = 0; var bestD = -1.0
+      var i = 0
+      while (i < points.length) {
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      chosen(c) = best
+      i = 0
+      while (i < points.length) {
+        val nd = d2(points(i), points(best))
+        if (nd < minD(i)) minD(i) = nd
+        i += 1
+      }
+      c += 1
+    }
+    var cents = chosen.map(i => points(i).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          var dist = 0.0; var i = 0
+          while (i < d) { val x = p(i) - cents(j)(i); dist += x * x; i += 1 }
+          if (dist < bestD) { bestD = dist; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(k)(j =>
+        if (counts(j) == 0) cents(j)
+        else sums(j).map(_ / counts(j)))
+    }
+    cents
+  }
+
+  /** Train per-subspace PQ codebooks on a BOUNDED deterministic sample:
+    * the dim-D vectors split into `m` contiguous subvectors of D/m dims;
+    * each subspace gets its own tiny codebook of ≤ `ksub` centroids.
+    * Codebook training on a capped sample is the standard ANN-index
+    * approach (the driver holds ≤ sampleCap·D doubles regardless of
+    * corpus size — ml-lib fits here cost m full Spark jobs for the same
+    * quality); all ENCODING and SCORING stays distributed expressions.
+    * Returns codebooks(s)(j) = centroid j of subspace s. Requires `cvec`
+    * as array<double> (normalize first for cosine). */
+  def pqTrain(
+      corpus: DataFrame, // (cid, cvec)
+      m: Int,
+      ksub: Int,
+      sampleCap: Int = 4096): Array[Array[Array[Double]]] = {
+    val n = corpus.count()
+    val step = math.max(1L, n / sampleCap)
+    val sample = corpus
+      .filter(pmod(col("cid"), lit(step)) === 0)
+      .select(col("cid"), col("cvec"))
+      .collect()
+      .sortBy(_.getLong(0)) // collect order is partition-dependent; sort isn't
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)), ksub)
+    }.toArray
+  }
+
+  /** Nearest-codebook-entry assignment for subspace `s` — ranks by
+    * −2·v·cⱼ + ‖cⱼ‖² (monotone in Euclidean distance); centroids are
+    * plan-time literals so encoding is pure codegen'd expressions. */
+  private def pqAssign(vec: Column, s: Int, dsub: Int,
+      codebook: Array[Array[Double]]): Column = {
+    val scored = codebook.zipWithIndex.map { case (c, j) =>
+      struct(
+        (dot(slice(vec, s * dsub + 1, dsub), array(c.map(lit): _*)) * -2.0 +
+          c.map(x => x * x).sum).as("score"),
+        lit(j).as("code"))
+    }
+    element_at(array_sort(array(scored: _*)), 1).getField("code")
+  }
+
+  /** PQ top-k with asymmetric distance computation (ADC) + exact re-rank:
+    *
+    *  1. corpus vectors are L2-normalized and encoded once as `m` small
+    *     integer codes (the 100 TB move: 4·D bytes/vector → m codes, and
+    *     scan scoring never touches a float vector);
+    *  2. each query precomputes its m×ksub table of subspace dot products
+    *     (expressions over codebook literals, broadcast with the query);
+    *  3. every candidate's approximate cosine is m table lookups
+    *     (`element_at` with a dynamic index — codegen'd, no HOF), and the
+    *     top `candMult·k` per query survive;
+    *  4. survivors re-rank by EXACT cosine against the real vectors, so
+    *     PQ error only affects candidate selection, never final scores —
+    *     output schema/semantics match [[topKBrute]].
+    */
+  def topKPq(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      candMult: Int = 4): DataFrame = {
+    val normC = corpus
+      .withColumn("_n", l2norm(col("cvec"))) // norm once, not per element
+      .select(col("cid"), transform(col("cvec"), x => x / col("_n")).as("cvec"))
+      .localCheckpoint() // feeds training, encoding, and the re-rank join
+    val books = pqTrain(normC, m, ksub)
+    val dim = books.length * books.head.head.length
+    val dsub = dim / m
+    val encoded = normC.select(col("cid"),
+      array((0 until m).map(s => pqAssign(col("cvec"), s, dsub, books(s))): _*)
+        .as("codes"))
+    // per-query ADC tables, one array column per subspace
+    val qNorm = queries
+      .withColumn("_n", l2norm(col("qvec")))
+      .select(col("qid"), transform(col("qvec"), x => x / col("_n")).as("qvec"))
+    val withTables = (0 until m).foldLeft(qNorm) { (df, s) =>
+      df.withColumn(s"_t$s", array(books(s).map(c =>
+        dot(slice(col("qvec"), s * dsub + 1, dsub), array(c.map(lit): _*))): _*))
+    }
+    val adc = (0 until m).map(s =>
+      element_at(col(s"_t$s"), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid").asc)
+    val candidates = encoded.crossJoin(broadcast(withTables.drop("qvec")))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), adc.as("adc"))
+      .withColumn("_r", row_number().over(wAdc))
+      .filter(col("_r") <= candMult * k)
+      .select("qid", "cid")
+    // exact re-rank of the survivors (vectors already normalized: dot = cosine)
+    val wCos = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    candidates
+      .join(normC, "cid")
+      .join(qNorm, "qid")
+      .select(col("qid"), col("cid"),
+        round(dot(col("qvec"), col("cvec")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(wCos))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "cid", "cos")
+  }
+
   /** Deterministic hyperplane j for [[lshBucket]]: component d is
     * hash60("plane:j:d") mapped into [-1, 1). Reproducible anywhere
     * (the DuckDB oracle embeds the same values as literals). */

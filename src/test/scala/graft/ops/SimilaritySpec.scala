@@ -127,6 +127,25 @@ class SimilaritySpec extends SparkSpec {
     assert(nulls(4L) == ((true, true)))
   }
 
+  test("topKPq: ADC candidates + exact re-rank recover most brute-force neighbors") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val pq = Similarity.topKPq(q, c, k = 5, m = 8, ksub = 16, candMult = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = Similarity.topKBrute(q, c, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq.size == brute.size)
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    info(f"PQ recall@5 vs brute: $recall%.3f")
+    assert(recall >= 0.6)
+    // deterministic: a second run returns the identical result set
+    val pq2 = Similarity.topKPq(q, c, k = 5, m = 8, ksub = 16, candMult = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq2 == pq)
+  }
+
   test("vec_dot is SQL-callable once GraftExtensions' builder is registered") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
