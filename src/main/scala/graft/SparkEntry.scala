@@ -118,6 +118,25 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    // ───── SCD2: history-keeping dimension merge (S5's insert-capable dual) ─────
+    "q56_scd2_merge" -> { (s, dir) =>
+      val dim = t(s, dir, "customer").select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("attr"),
+        lit(java.sql.Date.valueOf("2024-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      // every 3rd key updates (half changed, half identical); some brand-new keys
+      val c = t(s, dir, "customer")
+      val updates = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 2 === 0, col("c_mktsegment"))
+            .otherwise(concat(lit("SEG-"), col("c_mktsegment"))).as("attr"))
+        .union(c.filter(col("c_custkey") % 500 === 0)
+          .select((col("c_custkey") + 10000000L).as("k"), lit("NEWSEG").as("attr")))
+      MergeUpdate.scd2(dim, updates, Seq("k"), "attr", "valid_from", "valid_to",
+          lit(java.sql.Date.valueOf("2024-06-01")))
+        .orderBy("k", "valid_from")
+    },
+
     // ───── Window functions: ranked top-N per group ─────
     "q09_window_rank" -> { (s, dir) =>
       val w = Window.partitionBy("o_custkey")
@@ -690,6 +709,22 @@ object SparkEntry {
         "agg AS (SELECT data, surname, string_agg(DISTINCT commessa, '; ' ORDER BY commessa) AS commessa, " +
         "sum(ore) AS ore FROM joined GROUP BY data, surname) " +
         "SELECT surname, count(*) AS n_rows, sum(ore) AS sum_ore FROM agg GROUP BY surname ORDER BY surname"),
+
+    "q56_scd2_merge" ->
+      ("WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS attr, " +
+        "DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to FROM customer), " +
+        "upd AS (SELECT c_custkey AS k, CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment " +
+        "ELSE 'SEG-' || c_mktsegment END AS attr FROM customer WHERE c_custkey % 3 = 0 " +
+        "UNION ALL SELECT c_custkey + 10000000, 'NEWSEG' FROM customer WHERE c_custkey % 500 = 0), " +
+        "j AS (SELECT coalesce(d.k, u.k) AS k, d.attr AS old_attr, u.attr AS new_attr, " +
+        "d.valid_from FROM dim d FULL JOIN upd u ON d.k = u.k), " +
+        "kept AS (SELECT k, old_attr AS attr, valid_from, " +
+        "CASE WHEN new_attr IS NOT NULL AND new_attr <> old_attr THEN DATE '2024-06-01' END AS valid_to " +
+        "FROM j WHERE old_attr IS NOT NULL), " +
+        "opened AS (SELECT k, new_attr AS attr, DATE '2024-06-01' AS valid_from, " +
+        "CAST(NULL AS DATE) AS valid_to FROM j " +
+        "WHERE old_attr IS NULL OR (new_attr IS NOT NULL AND new_attr <> old_attr)) " +
+        "SELECT * FROM kept UNION ALL SELECT * FROM opened ORDER BY k, valid_from"),
 
     // round trips change only the storage container, never the values
     "q53_csv_roundtrip" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** S5 / J2 — update-only keyed merge (SURVEY.md §2.1 S5, §2.4 J2).
@@ -33,5 +33,47 @@ object MergeUpdate {
     setCols.foldLeft(joined) { case (acc, (tCol, uCol)) =>
       acc.withColumn(tCol, coalesce(col(s"_u_$uCol"), col(tCol)))
     }.drop(setCols.values.toSeq.map(c => s"_u_$c"): _*)
+  }
+
+  /** SCD type-2 merge: history-keeping upsert of a dimension table.
+    *
+    * `dim` carries (keys..., attr, validFrom, validTo) where validTo IS
+    * NULL marks the current row; `updates` carries (keys..., attr) as of
+    * `batch`. Per key:
+    *  - update with a CHANGED attr → current row closes (validTo = batch)
+    *    and a new open row (batch, null) appends;
+    *  - update with an unchanged attr → untouched;
+    *  - update for an unseen key → new open row;
+    *  - no update → untouched. Historical (closed) rows pass through.
+    *
+    * One full-outer shuffle join of current rows against updates (or
+    * broadcast when the update batch is small) + a union — no
+    * driver-side iteration, cardinality grows by exactly the number of
+    * changed + new keys. `updates` must be unique per key. */
+  def scd2(
+      dim: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      attrCol: String,
+      validFrom: String,
+      validTo: String,
+      batch: Column): DataFrame = {
+    val hist = dim.filter(col(validTo).isNotNull)
+    val cur = dim.filter(col(validTo).isNull)
+    val u = updates.select(
+      (keys.map(col) :+ col(attrCol).as("_new_attr")): _*)
+    val j = cur.join(u, keys, "full")
+    val changed = col("_new_attr").isNotNull && col(attrCol).isNotNull &&
+      col("_new_attr") =!= col(attrCol)
+    val isNewKey = col(attrCol).isNull // full-join: no current row for the key
+    val keptOrClosed = j.filter(col(attrCol).isNotNull).select(
+      (keys.map(col) :+ col(attrCol) :+ col(validFrom) :+
+        when(changed, batch).otherwise(col(validTo)).as(validTo)): _*)
+    val opened = j.filter(changed || isNewKey).select(
+      (keys.map(col) :+ col("_new_attr").as(attrCol) :+
+        batch.as(validFrom) :+ lit(null).cast("date").as(validTo)): _*)
+    hist.select((keys.map(col) :+ col(attrCol) :+ col(validFrom) :+ col(validTo)): _*)
+      .unionByName(keptOrClosed)
+      .unionByName(opened)
   }
 }

@@ -61,6 +61,29 @@ class JoinAggSpec extends SparkSpec {
     assert(got(2).getString(1) == "old3")
   }
 
+  test("SCD2: changed keys close+reopen, unchanged untouched, new keys insert, history passes through") {
+    val d = java.sql.Date.valueOf(_: String)
+    val dim = Seq(
+      (1L, "A", d("2024-01-01"), null.asInstanceOf[java.sql.Date]), // will change
+      (2L, "B", d("2024-01-01"), null.asInstanceOf[java.sql.Date]), // unchanged update
+      (3L, "C", d("2024-01-01"), null.asInstanceOf[java.sql.Date]), // no update
+      (1L, "Z", d("2023-01-01"), d("2024-01-01")))                  // closed history
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val updates = Seq((1L, "A2"), (2L, "B"), (9L, "NEW")).toDF("k", "attr")
+    val got = MergeUpdate.scd2(dim, updates, Seq("k"), "attr",
+        "valid_from", "valid_to", lit(d("2024-06-01")))
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString).orNull))
+    assert(got.toSeq == Seq(
+      (1L, "Z", "2023-01-01", "2024-01-01"),  // history untouched
+      (1L, "A", "2024-01-01", "2024-06-01"),  // closed
+      (1L, "A2", "2024-06-01", null),         // reopened
+      (2L, "B", "2024-01-01", null),          // unchanged
+      (3L, "C", "2024-01-01", null),          // no update
+      (9L, "NEW", "2024-06-01", null)))       // new key
+  }
+
   test("S2: union sheets defaults missing column to sheet name, fills absent cols with null") {
     val s1 = Seq((1L, "X", 5.0)).toDF("id", "commessa", "v")
     val s2 = Seq((2L, 6.0)).toDF("id", "v")        // missing commessa -> sheet name
