@@ -104,6 +104,39 @@ object InvariantProps extends Properties("graft.invariants") {
       df.head().getInt(0) == math.max(0, toks.size - 2)
     }
 
+  property("asofJoinBackward matches the per-row scan reference") =
+    forAll(
+      Gen.listOf(for {
+        k <- Gen.choose(0, 4); t <- Gen.choose(0L, 50L)
+      } yield (k, t)),
+      Gen.listOf(for {
+        k <- Gen.choose(0, 4); t <- Gen.choose(0L, 50L); v <- Gen.choose(1, 999)
+      } yield (k, t, v.toDouble))) { (leftRows, rightRows) =>
+      leftRows.isEmpty || {
+        import spark.implicits._
+        import graft.ops.Temporal
+        // unique (k, t) on the right — the as-of determinism contract
+        val rightU = rightRows.groupBy(r => (r._1, r._2))
+          .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toSeq
+        val left = leftRows.zipWithIndex
+          .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+          .toDF("id", "k", "t")
+        val right = rightU
+          .map { case (k, t, v) => (k, new java.sql.Timestamp(t * 1000), v) }
+          .toDF("k", "rt", "pay")
+        val got = Temporal.asofJoinBackward(left, right, Seq("k"), "t", "rt", Seq("pay"))
+          .collect()
+          .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+          .toMap
+        val want = leftRows.zipWithIndex.map { case ((k, t), i) =>
+          val cand = rightU.filter(r => r._1 == k && r._2 <= t)
+          i.toLong -> (if (cand.isEmpty) None
+                       else Some(cand.maxBy(_._2)._3))
+        }.toMap
+        got == want
+      }
+    }
+
   // reference CC by union-find, to check the distributed label propagation
   private def ccReference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
