@@ -649,6 +649,26 @@ object SparkEntry {
       val both = mar.intersect(apr).withColumn("which", lit("both"))
       val marOnly = mar.except(apr).withColumn("which", lit("march_only"))
       both.unionByName(marOnly).orderBy("which", "o_custkey")
+    },
+
+    // ───── Vocabulary construction: top-V tokens with contiguous ids ─────
+    "q57_vocab" -> { (s, dir) =>
+      TextAnalysis.buildVocab(tb(s, dir, "documents"), "text", size = 500)
+        .orderBy("token_id")
+    },
+
+    // ───── Z-order layout: Morton key + per-bucket skipping bounds ─────
+    // The bucket stats ARE the data-skipping story: each z-bucket (→ file
+    // after Layout.zOrdered) spans a narrow range in BOTH columns.
+    "q58_zorder" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          Layout.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+        .groupBy(shiftright(col("z"), 16).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("p_min"), max("l_partkey").as("p_max"),
+          min("l_suppkey").as("s_min"), max("l_suppkey").as("s_max"))
+        .orderBy("zbucket")
     }
   )
 
@@ -725,6 +745,23 @@ object SparkEntry {
         "CAST(NULL AS DATE) AS valid_to FROM j " +
         "WHERE old_attr IS NULL OR (new_attr IS NOT NULL AND new_attr <> old_attr)) " +
         "SELECT * FROM kept UNION ALL SELECT * FROM opened ORDER BY k, valid_from"),
+
+    "q57_vocab" ->
+      ("WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS token FROM documents), " +
+        "c AS (SELECT token, count(*) AS freq FROM tok GROUP BY token) " +
+        "SELECT token, freq, (row_number() OVER (ORDER BY freq DESC, token) - 1)::INT AS token_id " +
+        "FROM c ORDER BY token_id LIMIT 500"),
+
+    "q58_zorder" -> {
+      val z = (0 until 21).map(i =>
+        s"(((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"WITH z AS (SELECT l_partkey, l_suppkey, ($z) AS z FROM lineitem) " +
+        "SELECT (z >> 16) AS zbucket, count(*) AS n, " +
+        "min(l_partkey) AS p_min, max(l_partkey) AS p_max, " +
+        "min(l_suppkey) AS s_min, max(l_suppkey) AS s_max " +
+        "FROM z GROUP BY 1 ORDER BY zbucket"
+    },
 
     // round trips change only the storage container, never the values
     "q53_csv_roundtrip" ->

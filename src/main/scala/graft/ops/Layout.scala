@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) interleaving for
+  * multi-dimensional data skipping.
+  *
+  * The reference's only layout notion is one-sheet-per-surname
+  * partitioning (`timesheet_transform_v1.py:91-100` — S4 in SURVEY §2.1);
+  * at 100 TB the analogous lever is file-level clustering: range-partition
+  * and sort by an interleaved key so every output file covers a compact
+  * rectangle in (x, y) space and parquet min/max footer stats prune scans
+  * filtered on EITHER column, not just the leading sort key.
+  */
+object Layout {
+
+  /** Morton/Z-value of two non-negative integer columns: bit i of `x`
+    * lands at bit 2i, bit i of `y` at bit 2i+1. Pure shift/and/add
+    * chain — codegen'd whole-stage, no UDF; `bits` ≤ 31 keeps the result
+    * in a long with room to spare (2·bits ≤ 62). Values are taken mod
+    * 2^bits (upper bits ignored), so size `bits` to the column domain. */
+  def zValue(x: Column, y: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _) // disjoint bit positions: + ≡ bitwise OR
+  }
+
+  /** Z-ordered layout: range-partition by z-value, then sort within
+    * partitions. Each partition (→ output file on write) covers one
+    * compact, non-overlapping z-range, i.e. a small rectangle in both
+    * dimensions — so min/max stats are tight on BOTH columns and a scan
+    * with a predicate on either one skips most files. One range shuffle
+    * (sampled boundaries, skew-proof) + a local sort; no global sort. */
+  def zOrdered(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      numParts: Int,
+      bits: Int = 21): DataFrame =
+    df.withColumn("_z", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numParts, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+}

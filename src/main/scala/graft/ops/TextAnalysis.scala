@@ -198,6 +198,23 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Vocabulary construction (the tokenizer-training front half): global
+    * word frequencies → top-`size` by (freq desc, token asc) → contiguous
+    * ids 0..size-1. Scale shape: one explode + hash-aggregate whose
+    * shuffle carries (token, partial count) — map-side combine means the
+    * token stream itself never crosses the wire; the top-k truncation is
+    * TakeOrderedAndProject (no global sort of the full vocabulary); the
+    * id-assigning row_number window runs over the `size` surviving rows
+    * only, so the single-partition window is bounded by the vocab size,
+    * never the corpus. */
+  def buildVocab(df: DataFrame, textCol: String, size: Int): DataFrame = {
+    val counts = df.select(explode(words(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    counts.orderBy(col("freq").desc, col("token")).limit(size)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("freq").desc, col("token"))) - 1)
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * hash60(id) % 1000 < rate(stratum)·1000. Same engine-independence as
     * [[splitAssign]]; `rates` maps stratum value → keep fraction. */
