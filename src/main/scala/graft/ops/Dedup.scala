@@ -240,19 +240,22 @@ object Dedup {
       .localCheckpoint()
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
-    // init = the first neighbor-min round folded into label creation:
-    // every node appears as src in the symmetrized edges, so
-    // rep0 = min(id, min neighbor id)
-    var labels = sym.groupBy("src").agg(min("dst").as("nbr"))
-      .select(col("src").as("id"), least(col("src"), col("nbr")).as("rep"))
-      .localCheckpoint()
-    // static propagation edges: the graph plus self-loops (the self-loop
+    // static propagation edges: the graph plus self-loops. The self-loop
     // carries a node's own label through the min, so each round is ONE
-    // join + one min-aggregate, no second "keep own label" join)
+    // join + one min-aggregate (no second "keep own label" join) — and it
+    // folds the first neighbor-min round into label init: min(dst) over
+    // base is min(id, min neighbor id) directly.
     val base = sym
       .union(sym.select(col("src"), col("src").as("dst")).distinct())
-      .localCheckpoint()
+      .localCheckpoint(false)
+    var labels = base.groupBy("src").agg(min("dst").as("rep"))
+      .select(col("src").as("id"), col("rep"))
+      .localCheckpoint(false)
+    // LAZY local checkpoints (eager=false): each round's frame still
+    // truncates lineage — next's plan references labels 3× and would
+    // otherwise grow exponentially across rounds — but materializes
+    // inside the round's ONE job, the convergence probe below, instead
+    // of an eager checkpoint job plus the probe.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v
@@ -274,9 +277,9 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(min("rep").as("rep"))
         .select(col("src").as("id"), col("rep"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       prevSum = curSum
-      curSum = labelSum(next)
+      curSum = labelSum(next) // materializes the lazy checkpoint
       labels = next
       iter += 1
     }
