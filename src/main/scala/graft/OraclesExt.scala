@@ -245,6 +245,39 @@ object OraclesExt {
       "SELECT data, commessa, surname, sum(ore) AS ore FROM keptv1 " +
       "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
 
+  /** Mirrors Dedup.decontaminate at n=4 over the doc_id%20 corpus/bench
+    * split: corpus docs sharing no word 4-gram with the benchmark set. */
+  val decontam: String =
+    s"WITH $tokCte, " +
+      "ng AS (SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+4], ' ') " +
+      "for i in range(len(toks)-3)]) AS shs FROM tok), " +
+      "c AS (SELECT doc_id, unnest(shs) AS s FROM ng WHERE doc_id % 20 <> 0), " +
+      "b AS (SELECT DISTINCT unnest(shs) AS s FROM ng WHERE doc_id % 20 = 0), " +
+      "bad AS (SELECT DISTINCT c.doc_id FROM c JOIN b ON c.s = b.s) " +
+      "SELECT d.doc_id, d.source FROM documents d " +
+      "WHERE d.doc_id % 20 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad) " +
+      "ORDER BY d.doc_id"
+
+  /** Mirrors TextAnalysis.repetitionStats + the q60 keep rule. */
+  val repetition: String =
+    s"WITH $tokCte, " +
+      "uc AS (SELECT doc_id, t, count(*) AS c FROM " +
+      "(SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY 1, 2), " +
+      "us AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS uf, " +
+      "round(count(*) * 1.0 / sum(c), 6) AS dr FROM uc GROUP BY 1), " +
+      "bc AS (SELECT doc_id, t, count(*) AS c FROM " +
+      "(SELECT doc_id, unnest([array_to_string(toks[i+1:i+2], ' ') " +
+      "for i in range(len(toks)-1)]) AS t FROM tok) GROUP BY 1, 2), " +
+      "bs AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS bf FROM bc GROUP BY 1), " +
+      "r AS (SELECT d.doc_id, coalesce(uf, 0.0) AS top_unigram_frac, " +
+      "coalesce(bf, 0.0) AS top_bigram_frac, coalesce(dr, 1.0) AS distinct_ratio " +
+      "FROM documents d LEFT JOIN us ON d.doc_id = us.doc_id " +
+      "LEFT JOIN bs ON d.doc_id = bs.doc_id) " +
+      "SELECT doc_id, top_unigram_frac, top_bigram_frac, distinct_ratio, " +
+      "(CASE WHEN top_unigram_frac <= 0.1 AND top_bigram_frac <= 0.05 " +
+      "AND distinct_ratio >= 0.35 THEN 1 ELSE 0 END)::INT AS keep " +
+      "FROM r ORDER BY doc_id"
+
   val sessionWindow: String =
     "WITH g AS (SELECT user_id, ts, value, " +
       "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +

@@ -669,6 +669,27 @@ object SparkEntry {
           min("l_partkey").as("p_min"), max("l_partkey").as("p_max"),
           min("l_suppkey").as("s_min"), max("l_suppkey").as("s_max"))
         .orderBy("zbucket")
+    },
+
+    // ───── Decontamination: corpus minus benchmark 4-gram overlap ─────
+    "q59_decontam" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 4)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    // ───── Repetition filters: Gopher-style corpus-quality signals ─────
+    // keep rule thresholds the 6dp-rounded stats (oracle decides identically)
+    "q60_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionStats(tb(s, dir, "documents"), "doc_id", "text")
+        .withColumn("keep",
+          (col("top_unigram_frac") <= 0.1 && col("top_bigram_frac") <= 0.05 &&
+            col("distinct_ratio") >= 0.35).cast("int"))
+        .orderBy("doc_id")
     }
   )
 
@@ -884,6 +905,8 @@ object SparkEntry {
     "q41_asof_join" -> OraclesExt.asofJoin,
     "q42_range_join" -> OraclesExt.rangeJoin,
     "q43_dedup_clusters" -> OraclesExt.dedupClusters,
+    "q59_decontam" -> OraclesExt.decontam,
+    "q60_repetition" -> OraclesExt.repetition,
 
     "q44_pivot" -> {
       val cases = Reshape.weekdays.map { case (_, label, _) =>

@@ -296,6 +296,45 @@ object Dedup {
         concat_ws(";", transform(array_sort(collect_list(col("id"))),
           _.cast("string"))).as("member_ids"))
 
+  /** Benchmark decontamination, step 1: which corpus docs share at least
+    * one word `n`-gram with the held-out evaluation set. Returns
+    * (`idCol`, n_shared = number of distinct corpus-doc n-grams that also
+    * occur anywhere in `bench`).
+    *
+    * Scale shape: the benchmark n-gram set is built once, deduped, and
+    * **broadcast** — eval suites are tiny next to a training corpus, so
+    * the corpus side pays one map-side hash probe per exploded n-gram and
+    * the corpus text never shuffles. (For an unusually large `bench`,
+    * drop the broadcast hint and the same plan becomes a shuffle-by-ngram
+    * equi-join.) */
+  def contamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    def ngrams(df: DataFrame) =
+      array_distinct(shingles(TextAnalysis.words(col(textCol)), n))
+    val cng = corpus.select(col(idCol), explode(ngrams(corpus)).as("s"))
+    val bng = bench.select(explode(ngrams(bench)).as("s")).distinct()
+    cng.join(broadcast(bng), "s")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Benchmark decontamination, step 2: the corpus minus every doc
+    * [[contamination]] flags — the standard "remove training documents
+    * that overlap the eval set" pass. The anti-join keys on ids only
+    * (AQE broadcasts the flagged-id side when it is small). */
+  def decontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame =
+    corpus.join(
+      contamination(corpus, bench, idCol, textCol, n).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** Embedding-cosine near-dup pairs within coarse blocks: `blockCol`
     * (e.g. a cluster/label id — the IVF-style coarse quantizer) bounds the
     * pair space so the join shuffles by block instead of exploding n².

@@ -215,6 +215,37 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("freq").desc, col("token"))) - 1)
   }
 
+  /** Gopher-style repetition filters: per-doc top-unigram fraction,
+    * top-bigram fraction, and distinct-token ratio — the standard
+    * "repetitious document" signals a corpus-quality pass thresholds on.
+    * All three are 6dp-rounded (oracle parity); token-free docs get
+    * (0, 0, 1), single-token docs a 0 bigram fraction.
+    *
+    * Scale shape: two explode → two-level hash-aggregate pipelines. The
+    * first level groups by (doc, token) with map-side combine, so the
+    * shuffle carries per-partition partial counts, not the token stream;
+    * the second level is one row per distinct token per doc. No windows,
+    * no per-doc state beyond the aggregation buffers. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = words(col(textCol))
+    def topFrac(grams: Column) = df
+      .select(col(idCol), explode(grams).as("t"))
+      .groupBy(idCol, "t").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+    val uni = topFrac(toks).agg(
+      (max("c") * 1.0 / sum("c")).as("uf"),
+      (count(lit(1)) * 1.0 / sum("c")).as("dr"))
+    val bi = topFrac(Dedup.shingles(toks, 2)).agg(
+      (max("c") * 1.0 / sum("c")).as("bf"))
+    df.select(col(idCol))
+      .join(uni, Seq(idCol), "left")
+      .join(bi, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("uf"), lit(0.0)), 6).as("top_unigram_frac"),
+        round(coalesce(col("bf"), lit(0.0)), 6).as("top_bigram_frac"),
+        round(coalesce(col("dr"), lit(1.0)), 6).as("distinct_ratio"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * hash60(id) % 1000 < rate(stratum)·1000. Same engine-independence as
     * [[splitAssign]]; `rates` maps stratum value → keep fraction. */

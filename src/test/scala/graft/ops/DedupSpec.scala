@@ -93,6 +93,21 @@ class DedupSpec extends SparkSpec {
       20L -> ((2L, "20;21"))))
   }
 
+  test("decontaminate: docs sharing a 4-gram with the bench set are removed") {
+    val corpus = docs.filter(col("doc_id").isin(1L, 4L, 5L))
+    val bench = docs.filter(col("doc_id").isin(2L, 3L)) // 2 ≡ 1 verbatim; 3 is scrambled
+    val contam = Dedup.contamination(corpus, bench, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc1: all 6 of its 4-grams occur in doc2; doc5 shares the 5 not
+    // containing "cat"; doc4 shares none (and doc3's scrambled grams hit nothing)
+    assert(contam == Map(1L -> 6L, 5L -> 5L))
+    val clean = Dedup.decontaminate(corpus, bench, "doc_id", "text", 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(4L))
+    // survivors and flagged docs partition the corpus
+    assert(clean ++ contam.keySet == Set(1L, 4L, 5L))
+  }
+
   test("embeddingPairs: parallel vectors ~1.0, blocked by label, orthogonal excluded") {
     val e = Seq(
       (1L, Array(1f, 0f, 0f), 0),

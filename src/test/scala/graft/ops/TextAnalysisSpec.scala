@@ -117,6 +117,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got.head._2 - 1.139434) < 1e-6)
   }
 
+  test("repetitionStats: hand-computed fractions; empty and single-token edge cases") {
+    val df = Seq(
+      (1L, "a a a b"),   // top uni 3/4, 2 distinct of 4; bigrams: "a a"×2,"a b" → 2/3
+      (2L, "x"),         // one token: uf=1, dr=1, no bigrams → bf=0
+      (3L, ""),          // no tokens: uf=0, bf=0, dr=1
+      (4L, "p q r s")    // all distinct: uf=1/4, dr=1, bf=1/3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((0.75, 0.666667, 0.5)))
+    assert(got(2L) == ((1.0, 0.0, 1.0)))
+    assert(got(3L) == ((0.0, 0.0, 1.0)))
+    assert(got(4L) == ((0.25, 0.333333, 1.0)))
+  }
+
   test("hash60 matches the DuckDB construction on a known value") {
     // md5('abc') = 900150983cd24fb0...; first 15 hex = 0x900150983cd24fb
     val got = Seq("abc").toDF("s").select(Hashing.hash60(col("s")))
