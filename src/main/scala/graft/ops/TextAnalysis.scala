@@ -227,19 +227,33 @@ object TextAnalysis {
     * the second level is one row per distinct token per doc. No windows,
     * no per-doc state beyond the aggregation buffers. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = words(col(textCol))
-    def topFrac(grams: Column) = df
-      .select(col(idCol), explode(grams).as("t"))
-      .groupBy(idCol, "t").agg(count(lit(1)).as("c"))
-      .groupBy(idCol)
-    val uni = topFrac(toks).agg(
-      (max("c") * 1.0 / sum("c")).as("uf"),
-      (count(lit(1)) * 1.0 / sum("c")).as("dr"))
-    val bi = topFrac(Dedup.shingles(toks, 2)).agg(
-      (max("c") * 1.0 / sum("c")).as("bf"))
+    // tokenize ONCE: a single posexplode Generate, then one hash(id)
+    // exchange shared (ReusedExchange) by the unigram and bigram branches.
+    // Bigrams come from a lead() window over (id, pos) — plain codegen'd
+    // expressions end to end, where an n-gram HOF would re-run the regexp
+    // tokenizer per reference and evaluate interpreted lambdas per token.
+    val ex = df
+      .select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "t")))
+      .repartition(col(idCol))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    // kind 0 = unigram, 1 = bigram; both stats come out of ONE
+    // (id, kind, gram) count and one conditional per-doc aggregate,
+    // so the whole op is a single aggregation pipeline + one join-back
+    // (for token-free docs) instead of parallel branches joined twice.
+    val grams = ex.select(col(idCol), col("t"), lit(0).as("kind"))
+      .unionAll(ex
+        .select(col(idCol),
+          concat(col("t"), lit(" "), lead("t", 1).over(w)).as("t"),
+          lit(1).as("kind"))
+        .filter(col("t").isNotNull))
+    val k0 = col("kind") === 0
+    val stats = grams.groupBy(idCol, "kind", "t").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(
+        (max(when(k0, col("c"))) * 1.0 / sum(when(k0, col("c")))).as("uf"),
+        (count(when(k0, lit(1))) * 1.0 / sum(when(k0, col("c")))).as("dr"),
+        (max(when(!k0, col("c"))) * 1.0 / sum(when(!k0, col("c")))).as("bf"))
     df.select(col(idCol))
-      .join(uni, Seq(idCol), "left")
-      .join(bi, Seq(idCol), "left")
+      .join(stats, Seq(idCol), "left")
       .select(col(idCol),
         round(coalesce(col("uf"), lit(0.0)), 6).as("top_unigram_frac"),
         round(coalesce(col("bf"), lit(0.0)), 6).as("top_bigram_frac"),
