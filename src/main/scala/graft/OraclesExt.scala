@@ -278,6 +278,26 @@ object OraclesExt {
       "AND distinct_ratio >= 0.35 THEN 1 ELSE 0 END)::INT AS keep " +
       "FROM r ORDER BY doc_id"
 
+  /** Mirrors TextAnalysis.bigramLmScore at vocabSize=20: add-1-smoothed
+    * self-trained bigram LM over a top-20 vocab (rest → <unk>),
+    * avg_nll = −mean ln (c(w1,w2)+1)/(c(w1)+|vocab|+1). */
+  val lmScore: String =
+    s"WITH $tokCte, " +
+      "u AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS pos FROM tok), " +
+      "vc AS (SELECT t AS token, count(*) AS freq FROM u GROUP BY 1), " +
+      "vocab AS (SELECT token FROM vc ORDER BY freq DESC, token LIMIT 20), " +
+      "m AS (SELECT doc_id, pos, CASE WHEN t IN (SELECT token FROM vocab) " +
+      "THEN t ELSE '<unk>' END AS t FROM u), " +
+      "bg AS (SELECT doc_id, t AS w1, lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM m), " +
+      "b AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL), " +
+      "lm AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2), " +
+      "ctx AS (SELECT w1, sum(cb) AS cw FROM lm GROUP BY 1), " +
+      "nv AS (SELECT count(*) AS nv FROM vocab), " +
+      "sc AS (SELECT doc_id, avg(-ln((cb + 1.0) / (cw + nv + 1.0))) AS nll " +
+      "FROM b JOIN lm USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN nv GROUP BY doc_id) " +
+      "SELECT d.doc_id, round(coalesce(nll, 0.0), 6) AS avg_nll " +
+      "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id"
+
   val sessionWindow: String =
     "WITH g AS (SELECT user_id, ts, value, " +
       "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL " +

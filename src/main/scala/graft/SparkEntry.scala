@@ -682,6 +682,13 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ───── Bigram-LM perplexity scoring (self-trained, vocab-capped) ─────
+    "q61_lm_score" -> { (s, dir) =>
+      TextAnalysis.bigramLmScore(tb(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 20)
+        .orderBy("doc_id")
+    },
+
     // ───── Repetition filters: Gopher-style corpus-quality signals ─────
     // keep rule thresholds the 6dp-rounded stats (oracle decides identically)
     "q60_repetition" -> { (s, dir) =>
@@ -907,6 +914,7 @@ object SparkEntry {
     "q43_dedup_clusters" -> OraclesExt.dedupClusters,
     "q59_decontam" -> OraclesExt.decontam,
     "q60_repetition" -> OraclesExt.repetition,
+    "q61_lm_score" -> OraclesExt.lmScore,
 
     "q44_pivot" -> {
       val cases = Reshape.weekdays.map { case (_, label, _) =>

@@ -260,6 +260,52 @@ object TextAnalysis {
         round(coalesce(col("dr"), lit(1.0)), 6).as("distinct_ratio"))
   }
 
+  /** Bigram-LM perplexity scoring (the KenLM-style corpus-quality
+    * filter): train an add-1-smoothed bigram model over the corpus itself
+    * on a top-`vocabSize` vocabulary (everything else → "<unk>"), then
+    * score each doc by its average negative log-likelihood
+    * avg_nll = −mean ln (c(w1,w2)+1)/(c(w1)+V), 6dp-rounded; docs with
+    * fewer than 2 tokens score 0. Lower = more fluent under the corpus LM.
+    *
+    * Scale shape: the vocab cap is what makes this distributable — the
+    * vocab (≤ V rows) and the LM (≤ V² bigram types, counts only) are
+    * both broadcast, so the corpus pays one tokenize pass, one hash(id)
+    * exchange for the lead() bigram window, and map-side hash probes for
+    * unk-mapping and scoring; the token stream itself never joins by
+    * content. c(w1) is the bigram-context total (Σ_w2 c(w1,w2)), so the
+    * conditional distribution normalizes over the vocab. */
+  def bigramLmScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    val vocab = buildVocab(df, textCol, vocabSize).select("token")
+    val ex = df
+      .select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "t")))
+      .join(broadcast(vocab), col("t") === col("token"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("token"), lit("<unk>")).as("t"))
+      .repartition(col(idCol))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val bg = ex
+      .select(col(idCol), col("t").as("w1"), lead("t", 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+    val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = lm.groupBy("w1").agg(sum("cb").as("cw"))
+    // conditional-distribution support = |vocab| + 1 ("<unk>")
+    val nVocab = vocab.agg(count(lit(1)).as("nv"))
+    val scored = bg
+      .join(broadcast(lm), Seq("w1", "w2"))
+      .join(broadcast(ctx), Seq("w1"))
+      .crossJoin(broadcast(nVocab))
+      .groupBy(idCol)
+      .agg(avg(-log((col("cb") + 1.0) / (col("cw") + col("nv") + 1.0)))
+        .as("nll"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), round(coalesce(col("nll"), lit(0.0)), 6).as("avg_nll"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * hash60(id) % 1000 < rate(stratum)·1000. Same engine-independence as
     * [[splitAssign]]; `rates` maps stratum value → keep fraction. */

@@ -133,6 +133,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == ((0.25, 0.333333, 1.0)))
   }
 
+  test("bigramLmScore: hand-computed add-1 bigram NLL; short docs score 0") {
+    val df = Seq(
+      (1L, "a b a b"), // bigrams (a,b)x2, (b,a)
+      (2L, "a a a"),   // bigrams (a,a)x2
+      (3L, "z")        // no bigrams
+    ).toDF("doc_id", "text")
+    // vocab top-2 = {a(5), b(2)}; V = 2+1. lm: (a,b)=2,(b,a)=1,(a,a)=2;
+    // ctx: a=4, b=1. P(a,b)=3/7, P(b,a)=2/4, P(a,a)=3/7.
+    val got = TextAnalysis.bigramLmScore(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nll1 = -(math.log(3.0 / 7) * 2 + math.log(0.5)) / 3
+    assert(got(1L) == math.rint(nll1 * 1e6) / 1e6)
+    assert(got(2L) == math.rint(-math.log(3.0 / 7) * 1e6) / 1e6)
+    assert(got(3L) == 0.0)
+  }
+
   test("hash60 matches the DuckDB construction on a known value") {
     // md5('abc') = 900150983cd24fb0...; first 15 hex = 0x900150983cd24fb
     val got = Seq("abc").toDF("s").select(Hashing.hash60(col("s")))
