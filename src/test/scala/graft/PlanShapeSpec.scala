@@ -67,6 +67,30 @@ class PlanShapeSpec extends SparkSpec {
       s"expected broadcast join in:\n$plan")
   }
 
+  test("decontaminate: bench n-gram set broadcasts; corpus text never shuffles by gram") {
+    import org.apache.spark.sql.functions.col
+    val docs = ops.Sources.table(spark, dir, "documents")
+    val df = ops.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", 4)
+    val plan = executed(df)
+    val bhj = collectAll(plan) { case j: BroadcastHashJoinExec => j }
+    // the gram-probe join AND the flagged-id anti join both broadcast
+    assert(bhj.size >= 2, s"expected 2 broadcast joins in:\n$plan")
+    assert(bhj.exists(_.joinType.sql == "LEFT ANTI"),
+      s"expected a broadcast anti join in:\n$plan")
+  }
+
+  test("lm score: vocab, LM, and context tables all broadcast to the corpus side") {
+    val df = ops.TextAnalysis.bigramLmScore(
+      ops.Sources.table(spark, dir, "documents"), "doc_id", "text", 20)
+    val plan = executed(df)
+    // unk-mapping (vocab), lm, ctx, and the scored join-back: ≥4 broadcasts
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size >= 4,
+      s"expected ≥4 broadcast joins in:\n$plan")
+  }
+
   test("merge-update: no driver-side collect — single equi-join plan") {
     import org.apache.spark.sql.functions.col
     val target = ops.Sources.table(spark, dir, "orders")
