@@ -162,4 +162,33 @@ object InvariantProps extends Properties("graft.invariants") {
         got == ccReference(edges)
       }
     }
+
+  // random "documents" over a 6-word alphabet so 2-gram collisions are common
+  private val genDoc: Gen[String] =
+    Gen.listOf(Gen.oneOf("ga", "bu", "zo", "meu", "pim", "pam"))
+      .map(_.mkString(" "))
+
+  property("decontaminate = brute-force n-gram-overlap filter; idempotent") =
+    forAll(
+      Gen.nonEmptyListOf(genDoc).map(_.take(12)),
+      Gen.nonEmptyListOf(genDoc).map(_.take(4))) { (corpusDocs, benchDocs) =>
+      import spark.implicits._
+      val n = 2
+      def grams(t: String): Set[String] =
+        t.split("\\s+").filter(_.nonEmpty).sliding(n).filter(_.size == n)
+          .map(_.mkString(" ")).toSet
+      val corpus = corpusDocs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val bench = benchDocs.zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+      val benchGrams = benchDocs.flatMap(grams).toSet
+      val want = corpusDocs.zipWithIndex
+        .filter { case (t, _) => grams(t).intersect(benchGrams).isEmpty }
+        .map(_._2.toLong).toSet
+      val clean = Dedup.decontaminate(corpus, bench, "doc_id", "text", n)
+      val got = clean.select("doc_id").as[Long].collect().toSet
+      val twice = Dedup.decontaminate(clean, bench, "doc_id", "text", n)
+        .select("doc_id").as[Long].collect().toSet
+      got == want && twice == got
+    }
 }
