@@ -200,6 +200,19 @@ object SparkEntry {
         .orderBy("s_nationkey")
     },
 
+    "q62_orc_roundtrip" -> { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .write.mode("overwrite").orc(out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "p_partkey BIGINT, p_brand STRING, p_retailprice DOUBLE")
+      Sources.orcTable(s, out, schema)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 2).as("sum_price"))
+        .orderBy("p_brand")
+    },
+
     // ───── Dedup: exact (normalized bag-of-words content key) ─────
     "q12_dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(tb(s, dir, "documents"), "doc_id",
@@ -798,6 +811,9 @@ object SparkEntry {
     "q54_json_roundtrip" ->
       ("SELECT s_nationkey, count(*)::BIGINT AS n, " +
         "round(sum(s_acctbal), 2) AS sum_bal FROM supplier GROUP BY 1 ORDER BY 1"),
+    "q62_orc_roundtrip" ->
+      ("SELECT p_brand, count(*)::BIGINT AS n, " +
+        "round(sum(p_retailprice), 2) AS sum_price FROM part GROUP BY 1 ORDER BY 1"),
 
     "q12_dedup_exact" -> OraclesExt.dedupExact,
     "q13_dedup_jaccard" -> OraclesExt.dedupJaccard,

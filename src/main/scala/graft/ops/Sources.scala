@@ -77,6 +77,15 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .json(path)
 
+  /** S1 (ORC container): columnar alternative to parquet — same
+    * schema-first posture; ORC support is native to Spark SQL (predicate
+    * pushdown + column pruning apply as with parquet). */
+  def orcTable(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** S2: union heterogeneous sheets; a sheet lacking `defaultCol` gets it
     * filled with the sheet name (timesheet_transform.py:23-26); sheets with
     * different column sets union by name with null fill

@@ -23,6 +23,21 @@ class SourcesSpec extends SparkSpec {
     assert(got(2).isNullAt(1) && got(2).isNullAt(2))
   }
 
+  test("orcTable: typed round trip preserves values, nulls, and timestamps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("x"), Some(1.5)),
+      (2L, None, None),
+      (3L, Some(""), Some(-0.0))).toDF("k", "s", "v")
+    df.write.mode("overwrite").orc(dir)
+    val got = Sources.orcTable(spark, dir, df.schema).orderBy("k").collect()
+    assert(got.length == 3)
+    assert(got(0).getString(1) == "x" && got(0).getDouble(2) == 1.5)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+    assert(got(2).getString(1) == "" && got(2).getDouble(2) == -0.0)
+  }
+
   test("csv round trip: wide fixture survives CSV container semantics") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csvrt_").toString
     val wide = graft.fixtures.TimesheetFixture.wide(spark, "/root/testdata/sf0.001")
