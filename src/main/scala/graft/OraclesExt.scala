@@ -93,6 +93,28 @@ object OraclesExt {
       "string_agg(id::VARCHAR, ';' ORDER BY id) AS member_ids " +
       "FROM labels GROUP BY 1 ORDER BY 1"
 
+  /** Mirrors Dedup.canonicalPerCluster over the simhash clusters + the
+    * q20 quality score: per cluster, keeper = max 6dp quality, tie → min
+    * id. */
+  val canonical: String =
+    "WITH RECURSIVE " + simhashPairsCte + ", " +
+      "np AS (SELECT id_a, id_b FROM pairs WHERE hdist <= 6), " +
+      "edges AS (SELECT id_a AS a, id_b AS b FROM np " +
+      "UNION SELECT id_b, id_a FROM np), " +
+      "reach(a, b) AS (SELECT DISTINCT a, a FROM edges " +
+      "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+      "labels AS (SELECT a AS id, min(b) AS rep FROM reach GROUP BY 1), " +
+      s"ql AS (SELECT doc_id, round(${hitRatioSql(langList("en"))} * 0.5 + " +
+      "least(len(toks) / 100.0, 1.0) * 0.5 - " +
+      "len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) * 0.25, 6) " +
+      "AS keeper_q FROM tok), " +
+      "r AS (SELECT rep, id, keeper_q, " +
+      "row_number() OVER (PARTITION BY rep ORDER BY keeper_q DESC, id) AS rn, " +
+      "count(*) OVER (PARTITION BY rep) AS nm " +
+      "FROM labels JOIN ql ON labels.id = ql.doc_id) " +
+      "SELECT rep, id AS keeper_id, keeper_q, nm::BIGINT AS n_members " +
+      "FROM r WHERE rn = 1 ORDER BY rep"
+
   /** Backward as-of join: clicks pick up the latest prior (or equal-time)
     * purchase value per user; DuckDB's native ASOF LEFT JOIN is the
     * oracle for the Spark union+running-window formulation. */

@@ -641,6 +641,19 @@ object SparkEntry {
         .orderBy("rep")
     },
 
+    // ───── Canonical selection: best-quality member per near-dup cluster ─────
+    "q63_canonical" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      val d = docs.select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+      val labels = Dedup.connectedComponents(
+        Dedup.simhashPairs(d, "doc_id", col("toks"), maxDist = 6),
+        "id_a", "id_b")
+      val quality = docs.select(col("doc_id"),
+        round(TextAnalysis.qualityScoreText(col("text")), 6).as("keeper_q"))
+      Dedup.canonicalPerCluster(labels, quality, "doc_id", "keeper_q")
+        .orderBy("rep")
+    },
+
     // ───── Deterministic split + stratified sampling (reproducible corpus ops) ─────
     "q38_split_sample" -> { (s, dir) =>
       val rates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 0.25)
@@ -931,6 +944,7 @@ object SparkEntry {
     "q59_decontam" -> OraclesExt.decontam,
     "q60_repetition" -> OraclesExt.repetition,
     "q61_lm_score" -> OraclesExt.lmScore,
+    "q63_canonical" -> OraclesExt.canonical,
 
     "q44_pivot" -> {
       val cases = Reshape.weekdays.map { case (_, label, _) =>

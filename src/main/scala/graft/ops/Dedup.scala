@@ -335,6 +335,33 @@ object Dedup {
       contamination(corpus, bench, idCol, textCol, n).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Canonical-document selection (the "which copy survives" step after
+    * clustering): join [[connectedComponents]] labels (id, rep) with a
+    * per-doc quality score and keep each cluster's best member — max
+    * quality, ties broken by min id, so selection is deterministic in any
+    * engine. Output (rep, keeper_id, keeper_q, n_members).
+    *
+    * Scale shape: one equi-join on doc id plus a rank window partitioned
+    * by cluster rep — window state is bounded by cluster size, and
+    * clusters parallelize across partitions. */
+  def canonicalPerCluster(
+      labels: DataFrame,
+      quality: DataFrame,
+      idCol: String,
+      qCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = labels.join(quality, labels("id") === quality(idCol))
+      .select(col("rep"), col("id"), col(qCol))
+    j.withColumn("rn",
+        row_number().over(Window.partitionBy("rep")
+          .orderBy(col(qCol).desc, col("id"))))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("rep")))
+      .filter(col("rn") === 1)
+      .select(col("rep"), col("id").as("keeper_id"), col(qCol),
+        col("n_members"))
+  }
+
   /** Embedding-cosine near-dup pairs within coarse blocks: `blockCol`
     * (e.g. a cluster/label id — the IVF-style coarse quantizer) bounds the
     * pair space so the join shuffles by block instead of exploding n².

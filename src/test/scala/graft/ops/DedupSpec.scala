@@ -108,6 +108,20 @@ class DedupSpec extends SparkSpec {
     assert(clean ++ contam.keySet == Set(1L, 4L, 5L))
   }
 
+  test("canonicalPerCluster: max quality wins, ties break to min id") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "rep")
+    val quality = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (10L, 0.5), (11L, 0.5))
+      .toDF("doc_id", "q")
+    val got = Dedup.canonicalPerCluster(labels, quality, "doc_id", "q")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 0.9, 3L)),   // 2 and 3 tie on 0.9 -> min id 2
+      10L -> ((10L, 0.5, 2L))))
+  }
+
   test("embeddingPairs: parallel vectors ~1.0, blocked by label, orthogonal excluded") {
     val e = Seq(
       (1L, Array(1f, 0f, 0f), 0),
