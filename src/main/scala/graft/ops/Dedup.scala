@@ -313,10 +313,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int): DataFrame = {
-    def ngrams(df: DataFrame) =
-      array_distinct(shingles(TextAnalysis.words(col(textCol)), n))
-    val cng = corpus.select(col(idCol), explode(ngrams(corpus)).as("s"))
-    val bng = bench.select(explode(ngrams(bench)).as("s")).distinct()
+    val ngrams = array_distinct(shingles(TextAnalysis.words(col(textCol)), n))
+    val cng = corpus.select(col(idCol), explode(ngrams).as("s"))
+    val bng = bench.select(explode(ngrams).as("s")).distinct()
     cng.join(broadcast(bng), "s")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
   }
@@ -350,8 +349,11 @@ object Dedup {
       idCol: String,
       qCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // frame-qualified selects: quality's id column may itself be named
+    // "id" (connectedComponents' own output name), which an unqualified
+    // col("id") would make ambiguous
     val j = labels.join(quality, labels("id") === quality(idCol))
-      .select(col("rep"), col("id"), col(qCol))
+      .select(labels("rep"), labels("id"), quality(qCol))
     j.withColumn("rn",
         row_number().over(Window.partitionBy("rep")
           .orderBy(col(qCol).desc, col("id"))))

@@ -120,6 +120,12 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(
       1L -> ((2L, 0.9, 3L)),   // 2 and 3 tie on 0.9 -> min id 2
       10L -> ((10L, 0.5, 2L))))
+    // quality keyed by a column literally named "id" (the labels frame's
+    // own id name) must not trip an ambiguous-reference error
+    val qid = quality.withColumnRenamed("doc_id", "id")
+    val got2 = Dedup.canonicalPerCluster(labels, qid, "id", "q")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 2L, 10L -> 10L))
   }
 
   test("embeddingPairs: parallel vectors ~1.0, blocked by label, orthogonal excluded") {
