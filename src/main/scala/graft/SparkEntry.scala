@@ -530,13 +530,17 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
-    // ───── Multimodal: binary frame sampling (expression-only slicing;
-    // binary output → rows-only check like q23) ─────
+    // ───── Multimodal: binary frame sampling (expression-only slicing) ─────
+    // frame content checked as a string: payloads are UTF-8 text bytes in
+    // the synthetic media table, so the byte slices round-trip losslessly
+    // and the DuckDB oracle can reproduce them with char substrings
     "q40_frame_sample" -> { (s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.mediaTable(s, dir).toDF().filter(col("kind") === "video"),
           n = 4, frameBytes = 32)
-        .select(col("id"), col("frame_no"), length(col("frame")).as("frame_len"))
+        .select(col("id"), col("frame_no"),
+          length(col("frame")).as("frame_len"),
+          col("frame").cast("string").as("frame_str"))
         .orderBy("id", "frame_no")
     },
 
@@ -945,6 +949,19 @@ object SparkEntry {
     "q60_repetition" -> OraclesExt.repetition,
     "q61_lm_score" -> OraclesExt.lmScore,
     "q63_canonical" -> OraclesExt.canonical,
+    // frame sampling: payload = UTF-8 text bytes (ASCII corpus), so byte
+    // offsets/slices equal char offsets/slices and substring reproduces
+    // the binary substr exactly; floor() matches Spark's int-cast truncation
+    "q40_frame_sample" ->
+      ("WITH v AS (SELECT doc_id AS id, text, length(text) AS len " +
+        "FROM documents WHERE doc_id % 3 = 2), " +
+        "f AS (SELECT id, text, len, unnest([0, 1, 2, 3]) AS frame_no FROM v), " +
+        "o AS (SELECT id, frame_no, " +
+        "floor(frame_no * greatest(len - 32, 0) / 3)::INT AS off, text FROM f) " +
+        "SELECT id, frame_no, " +
+        "length(substring(text, off + 1, 32))::INT AS frame_len, " +
+        "substring(text, off + 1, 32) AS frame_str " +
+        "FROM o ORDER BY id, frame_no"),
 
     "q44_pivot" -> {
       val cases = Reshape.weekdays.map { case (_, label, _) =>
