@@ -550,7 +550,10 @@ object SparkEntry {
         .toDF()
         .select(col("id"), col("kind"),
           col("nBytesIn").cast("long").as("n_in"),
-          col("nBytesOut").cast("long").as("n_out"))
+          col("nBytesOut").cast("long").as("n_out"),
+          // ASCII corpus: the stride-sampled bytes round-trip as chars,
+          // so the oracle verifies the resized CONTENT, not just sizes
+          col("payload").cast("string").as("out_str"))
         .orderBy("id")
     },
 
@@ -936,10 +939,12 @@ object SparkEntry {
     "q51_resize" ->
       ("WITH m AS (SELECT doc_id AS id, " +
         "['image','audio','video'][(doc_id % 3 + 1)] AS kind, " +
-        "strlen(text)::BIGINT AS n_in FROM documents), " +
-        "s AS (SELECT id, kind, n_in, (n_in + 511) // 512 AS stride FROM m) " +
+        "strlen(text)::BIGINT AS n_in, text FROM documents), " +
+        "s AS (SELECT id, kind, n_in, text, (n_in + 511) // 512 AS stride FROM m) " +
         "SELECT id, kind, n_in, " +
-        "CASE WHEN n_in <= 512 THEN n_in ELSE (n_in + stride - 1) // stride END AS n_out " +
+        "CASE WHEN n_in <= 512 THEN n_in ELSE (n_in + stride - 1) // stride END AS n_out, " +
+        "CASE WHEN n_in <= 512 THEN text ELSE array_to_string(" +
+        "[text[i * stride + 1] for i in range((n_in + stride - 1) // stride)], '') END AS out_str " +
         "FROM s ORDER BY id"),
 
     "q41_asof_join" -> OraclesExt.asofJoin,
