@@ -51,6 +51,29 @@ class NullSafetySpec extends SparkSpec {
     assert(r(5L)._1 == "und") // no stopwords in the synthetic words
   }
 
+  test("repetitionStats and bigramLmScore are total on degenerate docs") {
+    val rep = TextAnalysis.repetitionStats(degenerate, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rep.keySet == Set(1L, 2L, 3L, 4L, 5L)) // every doc present
+    assert(rep(1L) == ((0.0, 0.0, 1.0)))          // null text -> empty stats
+    assert(rep(2L) == ((0.0, 0.0, 1.0)))
+    assert(rep(5L) == ((0.25, 0.333333, 1.0)))    // all-distinct doc, 6dp
+    val lm = TextAnalysis.bigramLmScore(degenerate, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lm.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(lm(1L) == 0.0 && lm(2L) == 0.0 && lm(3L) == 0.0) // no bigrams
+    assert(lm(4L) > 0.0 && lm(5L) > 0.0)
+  }
+
+  test("decontaminate: null/empty docs have no n-grams, so they always survive") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val clean = Dedup.decontaminate(degenerate, bench, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    // doc 5 shares its 3-grams with the bench doc; 1-4 have no 3-grams
+    assert(clean == Set(1L, 2L, 3L, 4L))
+  }
+
   test("exactGroups groups all empty-normalized docs together (documented)") {
     val key = md5(concat_ws(" ", array_sort(array_distinct(col("toks")))))
     val g = Dedup.exactGroups(degenerate, "doc_id", key).collect()
