@@ -648,6 +648,27 @@ object SparkEntry {
         .orderBy("rep")
     },
 
+    // ───── Point-in-time join: facts pick up the SCD2 version valid at the fact date ─────
+    "q64_pit_join" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val dim0 = cust.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("attr"),
+        to_date(lit("1992-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val upd = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"),
+          concat(lit("SEG-"), col("c_mktsegment")).as("attr"))
+      val dim = MergeUpdate.scd2(dim0, upd, Seq("k"), "attr",
+        "valid_from", "valid_to", to_date(lit("1995-06-01")))
+      val facts = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("odate"))
+      Temporal.pointInTimeJoin(facts, dim, "o_custkey", "k",
+          "odate", "valid_from", "valid_to")
+        .groupBy("attr")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("attr")
+    },
+
     // ───── Canonical selection: best-quality member per near-dup cluster ─────
     "q63_canonical" -> { (s, dir) =>
       val docs = tb(s, dir, "documents")
@@ -954,6 +975,20 @@ object SparkEntry {
     "q60_repetition" -> OraclesExt.repetition,
     "q61_lm_score" -> OraclesExt.lmScore,
     "q63_canonical" -> OraclesExt.canonical,
+    // scd2 over the %3 update set: every updated key closes its 1992 row
+    // at 1995-06-01 and opens a SEG- row; facts then join the version
+    // whose [valid_from, valid_to) covers the order date
+    "q64_pit_join" ->
+      ("WITH dim AS (" +
+        "SELECT c_custkey AS k, c_mktsegment AS attr, DATE '1992-01-01' AS vf, " +
+        "CASE WHEN c_custkey % 3 = 0 THEN DATE '1995-06-01' END AS vt FROM customer " +
+        "UNION ALL SELECT c_custkey, 'SEG-' || c_mktsegment, DATE '1995-06-01', NULL " +
+        "FROM customer WHERE c_custkey % 3 = 0), " +
+        "j AS (SELECT o.o_totalprice, d.attr FROM orders o LEFT JOIN dim d " +
+        "ON o.o_custkey = d.k AND CAST(o.o_orderdate AS DATE) >= d.vf " +
+        "AND (d.vt IS NULL OR CAST(o.o_orderdate AS DATE) < d.vt)) " +
+        "SELECT attr, count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS sum_price " +
+        "FROM j GROUP BY 1 ORDER BY 1"),
     // frame sampling: payload = UTF-8 text bytes (ASCII corpus), so byte
     // offsets/slices equal char offsets/slices and substring reproduces
     // the binary substr exactly; floor() matches Spark's int-cast truncation

@@ -88,4 +88,29 @@ object Temporal {
       .filter(col(pTime) >= col(startCol) && col(pTime) < col(endCol))
       .drop("_bin")
   }
+
+  /** Point-in-time join: each fact picks up the dimension version valid
+    * at its timestamp — the standard read side of an SCD-type-2 dimension
+    * ([[MergeUpdate.scd2]]'s dual): key equality plus
+    * `from ≤ ts < to` (open rows have null `to`). Left join keeps facts
+    * that predate every version (null dim columns).
+    *
+    * Scale shape: an equi-join on the dimension key with the validity
+    * check as a residual filter — each key has few versions, so the
+    * residual rejects a bounded number of rows per fact and the planner
+    * is free to broadcast the dimension or shuffle both sides by key;
+    * no interval explosion, no theta join. */
+  def pointInTimeJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      tsCol: String,
+      fromCol: String,
+      toCol: String): DataFrame =
+    facts.join(dim,
+      facts(factKey) === dim(dimKey) &&
+        facts(tsCol) >= dim(fromCol) &&
+        (dim(toCol).isNull || facts(tsCol) < dim(toCol)),
+      "left")
 }

@@ -66,4 +66,25 @@ class TemporalSpec extends SparkSpec {
       .select("pid").as[Long].collect().toSeq
     assert(hits == Seq(1L))
   }
+
+  test("pointInTimeJoin: facts pick the version covering their date; pre-validity -> null") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dim = Seq(
+      (1L, "old", d("2020-01-01"), d("2021-01-01")),
+      (1L, "new", d("2021-01-01"), null.asInstanceOf[java.sql.Date]),
+      (2L, "only", d("2020-06-01"), null.asInstanceOf[java.sql.Date])
+    ).toDF("k", "attr", "vf", "vt")
+    val facts = Seq(
+      (10L, 1L, d("2020-05-05")), // in [2020, 2021) -> old
+      (11L, 1L, d("2021-01-01")), // boundary: from is inclusive -> new
+      (12L, 1L, d("2019-12-31")), // before every version -> null
+      (13L, 2L, d("2022-02-02"))  // open row -> only
+    ).toDF("fid", "fk", "ts")
+    val got = Temporal.pointInTimeJoin(facts, dim, "fk", "k", "ts", "vf", "vt")
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("attr"))).toMap
+    assert(got == Map(10L -> Some("old"), 11L -> Some("new"),
+      12L -> None, 13L -> Some("only")))
+    // every fact survives exactly once (validity intervals don't overlap)
+    assert(Temporal.pointInTimeJoin(facts, dim, "fk", "k", "ts", "vf", "vt").count() == 4)
+  }
 }
