@@ -91,6 +91,25 @@ class PlanShapeSpec extends SparkSpec {
       s"expected ≥4 broadcast joins in:\n$plan")
   }
 
+  test("point-in-time join: dim broadcasts, validity check stays a residual (no theta join)") {
+    import org.apache.spark.sql.functions._
+    val cust = ops.Sources.table(spark, dir, "customer")
+    val dim = cust.select(col("c_custkey").as("k"),
+      col("c_mktsegment").as("attr"),
+      to_date(lit("1992-01-01")).as("vf"), lit(null).cast("date").as("vt"))
+    val facts = ops.Sources.table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("odate"))
+    val plan = executed(
+      ops.Temporal.pointInTimeJoin(facts, dim, "o_custkey", "k", "odate", "vf", "vt"))
+    // must plan as a hash join on the key equality — a nested-loop theta
+    // join here would be quadratic at scale
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"expected broadcast hash join in:\n$plan")
+    assert(collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"nested-loop join planned:\n$plan")
+  }
+
   test("merge-update: no driver-side collect — single equi-join plan") {
     import org.apache.spark.sql.functions.col
     val target = ops.Sources.table(spark, dir, "orders")
