@@ -648,6 +648,14 @@ object SparkEntry {
         .orderBy("rep")
     },
 
+    // ───── Exact-quota per-source sampling (data mixing) ─────
+    "q65_quota_sample" -> { (s, dir) =>
+      TextAnalysis.quotaSample(tb(s, dir, "documents"), "doc_id", "source",
+          defaultQuota = 10, overrides = Map("src0" -> 25, "src1" -> 0))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // ───── Point-in-time join: facts pick up the SCD2 version valid at the fact date ─────
     "q64_pit_join" -> { (s, dir) =>
       val cust = t(s, dir, "customer")
@@ -975,6 +983,15 @@ object SparkEntry {
     "q60_repetition" -> OraclesExt.repetition,
     "q61_lm_score" -> OraclesExt.lmScore,
     "q63_canonical" -> OraclesExt.canonical,
+    "q65_quota_sample" ->
+      ("WITH h AS (SELECT doc_id, source, " +
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hh FROM documents), " +
+        "r AS (SELECT doc_id, source, " +
+        "row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h) " +
+        "SELECT doc_id, source FROM r WHERE rn <= " +
+        "CASE source WHEN 'src0' THEN 25 WHEN 'src1' THEN 0 ELSE 10 END " +
+        "ORDER BY doc_id"),
+
     // scd2 over the %3 update set: every updated key closes its 1992 row
     // at 1995-06-01 and opens a SEG- row; facts then join the version
     // whose [valid_from, valid_to) covers the order date

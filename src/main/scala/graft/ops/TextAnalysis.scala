@@ -306,6 +306,31 @@ object TextAnalysis {
       .select(col(idCol), round(coalesce(col("nll"), lit(0.0)), 6).as("avg_nll"))
   }
 
+  /** Exact-quota deterministic sampling per stratum (the data-mixing
+    * step: "take N docs from each source"): rows rank by hash60(id)
+    * within their stratum and the first `quota` survive — same rows on
+    * every run, any engine, any partition count. Quotas are `default`
+    * with per-stratum `overrides` (0 drops a stratum entirely).
+    *
+    * Scale shape: one rank window per stratum — a sorted shuffle bounded
+    * by stratum sizes, right when strata are balanced shards (sources).
+    * For unbounded strata or when approximate counts suffice, the
+    * rate-based [[stratifiedKeep]] is the narrow no-shuffle path. */
+  def quotaSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      defaultQuota: Int,
+      overrides: Map[String, Int] = Map.empty): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(Hashing.hash60(col(idCol).cast("string")), col(idCol))
+    val quota = overrides.toSeq.sortBy(_._1).foldLeft(lit(defaultQuota)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= quota).drop("_rn")
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * hash60(id) % 1000 < rate(stratum)·1000. Same engine-independence as
     * [[splitAssign]]; `rates` maps stratum value → keep fraction. */

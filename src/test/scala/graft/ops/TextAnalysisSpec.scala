@@ -149,6 +149,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == 0.0)
   }
 
+  test("quotaSample: exact per-stratum counts, deterministic, 0 drops a stratum") {
+    val df = (1L to 20L).map(i => (i, if (i <= 10) "a" else if (i <= 15) "b" else "c"))
+      .toDF("doc_id", "src")
+    val got = TextAnalysis.quotaSample(df, "doc_id", "src", 3, Map("b" -> 1, "c" -> 0))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.count(_._2 == "a") == 3)
+    assert(got.count(_._2 == "b") == 1)
+    assert(got.count(_._2 == "c") == 0)
+    // deterministic: a second run selects the identical rows
+    val again = TextAnalysis.quotaSample(df, "doc_id", "src", 3, Map("b" -> 1, "c" -> 0))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+    // quota above stratum size keeps the whole stratum
+    val all = TextAnalysis.quotaSample(df, "doc_id", "src", 100)
+    assert(all.count() == 20)
+  }
+
   test("hash60 matches the DuckDB construction on a known value") {
     // md5('abc') = 900150983cd24fb0...; first 15 hex = 0x900150983cd24fb
     val got = Seq("abc").toDF("s").select(Hashing.hash60(col("s")))
