@@ -34,16 +34,24 @@ object Bench {
     val warmDir = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.001")
       .find(d => new java.io.File(d).isDirectory)
       .getOrElse(sfDir)
+    // timed runs per query: min-of-N absorbs box contention and codegen
+    // cache eviction across a long multi-query run (one slow outlier run
+    // otherwise inflates a query 8-15x vs an isolated re-run of the same
+    // plan). min (not mean/median) because noise is strictly additive.
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
     val results = selected.map { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"WARMUP FAIL $name: $e") }
-      val t0 = System.nanoTime()
       // noop sink: fully executes every output column (count() would let
       // Catalyst prune per-row expression work away), writes nothing.
       val elapsed =
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val times = (1 to timedRuns).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          times.min
         } catch {
           case e: Throwable =>
             // negative sentinel keeps the failure visible in BENCH output
@@ -51,6 +59,9 @@ object Bench {
             System.err.println(s"BENCH FAIL $name: $e")
             -1.0
         }
+      // settle the JVM between queries so one query's garbage doesn't
+      // charge a GC pause to the next query's timed run
+      System.gc()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

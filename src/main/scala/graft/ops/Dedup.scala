@@ -48,18 +48,38 @@ object Dedup {
     * self-join on shingle, count intersections, filter by
     * |A∩B| / (|A|+|B|-|A∩B|) ≥ `minJaccard`. Output (id_a, id_b, jac)
     * with id_a < id_b, jac rounded to 6dp (threshold applied on the
-    * rounded value so the DuckDB oracle decides identically). */
+    * rounded value so the DuckDB oracle decides identically).
+    *
+    * `maxShingleDf` caps shingle document frequency: the shuffle-by-shingle
+    * self-join is O(Σ df²), so ONE stop-shingle shared by a million docs
+    * melts a single reducer at corpus scale. Shingles with df above the
+    * cap carry ~0 discrimination (they are corpus boilerplate, near-certain
+    * to co-occur by chance) and are dropped from BOTH the intersection and
+    * the set sizes — i.e. Jaccard is computed over the rare-shingle
+    * subsets, the standard stop-shingle treatment. `None` = exact,
+    * uncapped (verify path on bounded corpora only). */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
       shingleCol: Column,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double,
+      maxShingleDf: Option[Int] = None): DataFrame = {
     // materialize the exploded shingle frame once: it feeds three plan
     // branches (both self-join sides + the size agg) which would otherwise
     // each recompute the scan+tokenize+explode
-    val sh = df
+    val shAll = df
       .select(col(idCol).as("id"), explode(array_distinct(shingleCol)).as("s"))
       .localCheckpoint()
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        // df per shingle is one hash-agg over the already-materialized
+        // frame; the semi-join keeps only sub-cap shingles so the worst
+        // reducer in the pair join is bounded by cap²
+        val rare = shAll.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("s")
+        shAll.join(rare, Seq("s"), "left_semi").localCheckpoint()
+      case None => shAll
+    }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
@@ -221,19 +241,35 @@ object Dedup {
     * O(diameter) — the standard MapReduce CC acceleration (cf. Kiveris
     * et al., "Connected Components in MapReduce and Beyond"). Labels are
     * monotone non-increasing, so the label SUM strictly decreases until
-    * the fixpoint: convergence is one cheap aggregate per round (exact
-    * decimal sum — no overflow ambiguity), never a data-sized driver
-    * collect. Per-round frames are localCheckpoint'ed to truncate
-    * lineage; every shuffle is bounded by |edges|.
+    * the fixpoint: convergence is one cheap aggregate (exact decimal
+    * sum — no overflow ambiguity), never a data-sized driver collect.
+    * Labels being monotone, equal sums `probeEvery` rounds apart prove
+    * NOTHING changed in between — so probing every 2 rounds halves the
+    * job count with no correctness loss. Per-round frames are
+    * checkpointed to truncate lineage; every shuffle is bounded by
+    * |edges|.
+    *
+    * Durability: `localCheckpoint` stores blocks on executors — fine in
+    * local mode, but on a real cluster an executor loss makes the
+    * lineage non-replayable and kills the job. For long chains at scale
+    * set `spark.sparkContext.setCheckpointDir(...)` and pass
+    * `reliableEvery = k` to write a RELIABLE (replayable-from-storage)
+    * checkpoint every k rounds; intermediate rounds stay local.
     *
     * Returns (id, rep) with rep = min id in the component. Deterministic
-    * regardless of partitioning or iteration count.
+    * regardless of partitioning or iteration count. Non-convergence at
+    * `maxIter` (possible only on adversarially deep graphs given pointer
+    * jumping's O(log d) rounds) is loudly signaled on stderr — the
+    * partially-merged labels are a valid coarsening but NOT components.
     */
   def connectedComponents(
       edges: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      probeEvery: Int = 2,
+      reliableEvery: Int = 0): DataFrame = {
+    require(probeEvery >= 1, "probeEvery must be >= 1")
     // materialize the (possibly expensive) edge derivation ONCE: the
     // symmetrizing union references it twice and would recompute it
     val e0 = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -254,16 +290,22 @@ object Dedup {
     // LAZY local checkpoints (eager=false): each round's frame still
     // truncates lineage — next's plan references labels 3× and would
     // otherwise grow exponentially across rounds — but materializes
-    // inside the round's ONE job, the convergence probe below, instead
-    // of an eager checkpoint job plus the probe.
+    // inside the next probe's job instead of an eager checkpoint job
+    // plus the probe. Every `reliableEvery`-th round is promoted to a
+    // reliable checkpoint when a checkpoint dir is configured.
+    val sc = edges.sparkSession.sparkContext
+    def save(df: DataFrame, round: Int): DataFrame =
+      if (reliableEvery > 0 && round % reliableEvery == 0 &&
+        sc.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(false)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v
     }
-    var prevSum: java.math.BigDecimal = null
-    var curSum = labelSum(labels)
+    var prevSum: java.math.BigDecimal = labelSum(labels)
     var iter = 0
-    while (curSum != prevSum && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       // per-round edges = base ∪ label links both ways: v -> rep(v)
       // contributes rep(rep(v)) (a pointer jump, for free, inside the
       // same join) and rep(v) -> v spreads a low label back up. Labels
@@ -277,12 +319,18 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(min("rep").as("rep"))
         .select(col("src").as("id"), col("rep"))
-        .localCheckpoint(false)
-      prevSum = curSum
-      curSum = labelSum(next) // materializes the lazy checkpoint
-      labels = next
       iter += 1
+      labels = save(next, iter)
+      if (iter % probeEvery == 0 || iter == maxIter) {
+        val curSum = labelSum(labels) // materializes the lazy checkpoint
+        converged = curSum == prevSum
+        prevSum = curSum
+      }
     }
+    if (!converged)
+      System.err.println(s"WARN graft.Dedup.connectedComponents: NOT " +
+        s"converged after maxIter=$maxIter rounds — returned labels are a " +
+        "partial coarsening, not connected components")
     labels
   }
 

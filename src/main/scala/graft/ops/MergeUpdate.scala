@@ -59,19 +59,28 @@ object MergeUpdate {
       validTo: String,
       batch: Column): DataFrame = {
     val hist = dim.filter(col(validTo).isNotNull)
-    val cur = dim.filter(col(validTo).isNull)
+    // explicit existence markers: attr nullability cannot mark row presence
+    // (a current row whose attr is legitimately NULL must not read as "key
+    // absent" — it would be dropped from keptOrClosed and its history
+    // rewritten via `opened`)
+    val cur = dim.filter(col(validTo).isNull).withColumn("_in_dim", lit(true))
     val u = updates.select(
       (keys.map(col) :+ col(attrCol).as("_new_attr")): _*)
+      .withColumn("_in_upd", lit(true))
     val j = cur.join(u, keys, "full")
-    val changed = col("_new_attr").isNotNull && col(attrCol).isNotNull &&
-      col("_new_attr") =!= col(attrCol)
-    val isNewKey = col(attrCol).isNull // full-join: no current row for the key
-    val keptOrClosed = j.filter(col(attrCol).isNotNull).select(
+    val inDim = coalesce(col("_in_dim"), lit(false))
+    val inUpd = coalesce(col("_in_upd"), lit(false))
+    // null-safe: NULL→value, value→NULL, and value→different-value all
+    // count as changed; NULL→NULL and value→same-value do not
+    val changed = inDim && inUpd && !(col("_new_attr") <=> col(attrCol))
+    val isNewKey = !inDim
+    val keptOrClosed = j.filter(inDim).select(
       (keys.map(col) :+ col(attrCol) :+ col(validFrom) :+
         when(changed, batch).otherwise(col(validTo)).as(validTo)): _*)
     val opened = j.filter(changed || isNewKey).select(
       (keys.map(col) :+ col("_new_attr").as(attrCol) :+
-        batch.as(validFrom) :+ lit(null).cast("date").as(validTo)): _*)
+        batch.as(validFrom) :+
+        lit(null).cast(dim.schema(validTo).dataType).as(validTo)): _*)
     hist.select((keys.map(col) :+ col(attrCol) :+ col(validFrom) :+ col(validTo)): _*)
       .unionByName(keptOrClosed)
       .unionByName(opened)

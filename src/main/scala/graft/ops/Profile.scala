@@ -24,7 +24,9 @@ object Profile {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"),
+        // sum over zero rows is NULL; a count must read 0 on an empty table
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"${c}__nnull"),
         count_distinct(col(c)).as(s"${c}__ndist"),
         round(min(col(c)).cast("double"), 6).as(s"${c}__min"),
         round(max(col(c)).cast("double"), 6).as(s"${c}__max"),

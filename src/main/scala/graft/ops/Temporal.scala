@@ -42,6 +42,15 @@ object Temporal {
       rTime: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the union routes right-side payload values through columns of these
+    // names: a left column sharing a payload name would feed left values
+    // into the running last(), and _t/_side would be silently clobbered
+    val collide = (payload ++ Seq("_t", "_side")).filter(leftCols.contains)
+    require(collide.isEmpty,
+      s"asofJoinBackward: left columns ${collide.mkString(", ")} collide " +
+        "with payload/_t/_side; rename them before the join")
+    require(!payload.exists(Set("_t", "_side")),
+      "asofJoinBackward: payload may not be named _t or _side")
     val l = left
       .withColumn("_t", col(lTime))
       .withColumn("_side", lit(1))

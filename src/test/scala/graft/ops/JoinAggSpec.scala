@@ -84,6 +84,41 @@ class JoinAggSpec extends SparkSpec {
       (9L, "NEW", "2024-06-01", null)))       // new key
   }
 
+  test("SCD2: null attrs — presence is tracked by markers, not attr nullability") {
+    val d = java.sql.Date.valueOf(_: String)
+    val dim = Seq(
+      (1L, null.asInstanceOf[String], d("2024-01-01"), null.asInstanceOf[java.sql.Date]), // null attr, no update
+      (2L, null.asInstanceOf[String], d("2024-01-01"), null.asInstanceOf[java.sql.Date]), // null -> "V"
+      (3L, "C", d("2024-01-01"), null.asInstanceOf[java.sql.Date]),                       // "C" -> null
+      (4L, null.asInstanceOf[String], d("2024-01-01"), null.asInstanceOf[java.sql.Date])) // null -> null (unchanged)
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val updates = Seq((2L, "V"), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])).toDF("k", "attr")
+    val got = MergeUpdate.scd2(dim, updates, Seq("k"), "attr",
+        "valid_from", "valid_to", lit(d("2024-06-01")))
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString).orNull))
+    assert(got.toSeq == Seq(
+      (1L, null, "2024-01-01", null),        // untouched, NOT dropped/rewritten
+      (2L, null, "2024-01-01", "2024-06-01"), // closed
+      (2L, "V", "2024-06-01", null),          // reopened with value
+      (3L, "C", "2024-01-01", "2024-06-01"),  // closed
+      (3L, null, "2024-06-01", null),         // reopened with null
+      (4L, null, "2024-01-01", null)))        // null -> null is unchanged
+  }
+
+  test("SCD2: timestamp validity columns keep their type (null literal derived from schema)") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val dim = Seq((1L, "A", ts("2024-01-01 00:00:00"), null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val updates = Seq((1L, "B")).toDF("k", "attr")
+    val got = MergeUpdate.scd2(dim, updates, Seq("k"), "attr",
+      "valid_from", "valid_to", lit(ts("2024-06-01 00:00:00")))
+    assert(got.schema("valid_to").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(got.count() == 2)
+  }
+
   test("S2: union sheets defaults missing column to sheet name, fills absent cols with null") {
     val s1 = Seq((1L, "X", 5.0)).toDF("id", "commessa", "v")
     val s2 = Seq((2L, 6.0)).toDF("id", "v")        // missing commessa -> sheet name

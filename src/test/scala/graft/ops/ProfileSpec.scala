@@ -16,4 +16,13 @@ class ProfileSpec extends SparkSpec {
     assert(p("k") == ((3L, 1L, 2L, 1.0, 2.0, 1.67)))
     assert(p("v") == ((4L, 0L, 4L, 10.0, 40.0, 25.0)))
   }
+
+  test("numericProfile: empty frame yields zero counts, not nulls") {
+    val df = Seq.empty[(Long, Double)].toDF("k", "v")
+    val p = Profile.numericProfile(df, Seq("k", "v")).collect()
+    assert(p.length == 2)
+    p.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+    }
+  }
 }

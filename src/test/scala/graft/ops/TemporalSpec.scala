@@ -40,6 +40,19 @@ class TemporalSpec extends SparkSpec {
     assert(got.filter(col("pay") === 1.0).count() == 2)
   }
 
+  test("asofJoinBackward rejects left columns colliding with payload or internal tags") {
+    val left = Seq((1L, "u1", ts("2024-01-01 10:00:00"), 0.0)).toDF("id", "k", "t", "pay")
+    val right = Seq(("u1", ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "rt", "pay")
+    val e = intercept[IllegalArgumentException] {
+      Temporal.asofJoinBackward(left, right, Seq("k"), "t", "rt", Seq("pay"))
+    }
+    assert(e.getMessage.contains("pay"))
+    val left2 = Seq((1L, "u1", ts("2024-01-01 10:00:00"), 0)).toDF("id", "k", "t", "_side")
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoinBackward(left2, right, Seq("k"), "t", "rt", Seq("pay"))
+    }
+  }
+
   test("rangeJoinBinned equals the naive theta join on half-open intervals") {
     // deterministic pseudo-random points/intervals spanning many bins
     val points = (1 to 400).map { i =>
