@@ -18,13 +18,23 @@ object Oracles {
       s"ELSE $v END AS h_${dayNames(d)}"
   }
 
+  /** Lenient day-first parse — mirrors Cleansing.parseDateLenient
+    * (day-first slash, day-first dash, ISO; first success wins). */
+  def dateLenientSql(x: String): String =
+    s"CAST(coalesce(try_strptime($x, '%d/%m/%Y'), " +
+      s"try_strptime($x, '%d-%m-%Y'), try_strptime($x, '%Y-%m-%d')) AS DATE)"
+
   /** Mirrors TimesheetFixture.wide. */
   val wideCte: String = {
     val hours = (0 until 7).map(hourSql).mkString(", ")
+    def range(fmt: String): String =
+      s"strftime(date_trunc('week', CAST(o_orderdate AS DATE)), '$fmt') || ' al ' || " +
+        s"strftime(date_trunc('week', CAST(o_orderdate AS DATE)) + INTERVAL 6 DAY, '$fmt')"
     "wide AS (SELECT o_orderkey AS rid, o_orderstatus AS sheet, " +
       "CASE WHEN o_orderkey % 97 = 0 THEN 'garbage' " +
-      "ELSE strftime(date_trunc('week', CAST(o_orderdate AS DATE)), '%d/%m/%Y') || ' al ' || " +
-      "strftime(date_trunc('week', CAST(o_orderdate AS DATE)) + INTERVAL 6 DAY, '%d/%m/%Y') END AS weekrange, " +
+      s"WHEN o_orderkey % 7 = 1 THEN ${range("%d-%m-%Y")} " +
+      s"WHEN o_orderkey % 7 = 2 THEN ${range("%Y-%m-%d")} " +
+      s"ELSE ${range("%d/%m/%Y")} END AS weekrange, " +
       "CASE WHEN o_orderkey % 89 = 0 THEN '  ' ELSE 'Mario ROSSI' || lpad(CAST(o_custkey % 50 AS VARCHAR), 2, '0') END AS autore, " +
       "CASE WHEN o_orderstatus = 'O' THEN 'SHEET-O' ELSE o_orderpriority END AS commessa, " +
       hours + " FROM orders)"
@@ -41,7 +51,7 @@ object Oracles {
   /** Mirrors TimesheetPipeline.cleansedRecords (P1,P2,P4,P5,P6,P7,P8). */
   val cleanCte: String =
     "clean AS (SELECT rid, commessa, " +
-      "CAST(try_strptime(trim(split_part(weekrange, ' al ', 1)), '%d/%m/%Y') AS DATE) + doff AS data, " +
+      s"${dateLenientSql("trim(split_part(weekrange, ' al ', 1))")} + doff AS data, " +
       "CASE WHEN trim(autore) = '' THEN 'unknown' ELSE lower(regexp_split_to_array(trim(autore), '\\s+')[-1]) END AS surname, " +
       "coalesce(try_cast(trim(replace(ore_raw, chr(160), '')) AS DOUBLE), 0.0) AS ore, ore_raw " +
       "FROM melt WHERE weekrange LIKE '% al %') , " +

@@ -168,6 +168,88 @@ object OraclesExt {
       "r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM s) " +
       "SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
 
+  /** Mirrors Similarity.topKIvfSampled at nCells=16, nProbe=4: centroids
+    * are the first 16 corpus vectors by id (`ORDER BY vec_id LIMIT 16` ≡
+    * the Spark side's bounded ordered collect); assignment/probing rank
+    * by −2·v·c + ‖c‖² with a cell-ascending tie-break — exactly the
+    * struct sort inside Similarity.probeCells. ‖c‖² is a DuckDB
+    * list_dot_product here and a Scala `map(sq).sum` literal on the Spark
+    * side: both are the same sequential IEEE fold over the same doubles. */
+  val simTopKIvfSampled: String = {
+    val nCells = 16; val nProbe = 4
+    s"WITH $embCte, " +
+      s"cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv, " +
+      "list_dot_product(v, v) AS cn2 " +
+      s"FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $nCells)), " +
+      "scored AS (SELECT e.vec_id, e.v, cent.cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_dot_product(e.v, cent.cv) * -2.0 + cent.cn2, cent.cell) AS rn " +
+      "FROM e CROSS JOIN cent), " +
+      "corp AS (SELECT vec_id AS cid, v AS cv, cell FROM scored WHERE rn = 1), " +
+      s"q AS (SELECT vec_id AS qid, v AS qv, cell FROM scored WHERE vec_id % 100 = 0 AND rn <= $nProbe), " +
+      s"s AS (SELECT qid, cid, round(${cosSql("qv", "cv")}, 6) AS cos " +
+      "FROM q JOIN corp USING (cell) WHERE cid <> qid), " +
+      "r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM s) " +
+      "SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
+  }
+
+  /** Mirrors Similarity.topKPqSeeded at dim=64, m=8, ksub=16, candMult=8,
+    * k=5. The hash-seeded codebooks are embedded as the SAME doubles the
+    * Spark side builds (shortest round-trip repr → identical bits), so
+    * encoding (argmin with first-match tie-break ≡ the struct sort in
+    * pqAssign), the ADC sum (explicit left-associated chain ≡
+    * `reduce(_+_)`), the candMult·k cut, and the exact re-rank all decide
+    * identically in both engines. */
+  val simTopKPqSeeded: String = {
+    val dim = 64; val m = 8; val ksub = 16; val k = 5; val candMult = 8
+    val dsub = dim / m
+    val books = graft.ops.Similarity.pqSeededBooks(m, ksub, dim)
+    def sub(v: String, s: Int) = s"$v[${s * dsub + 1}:${(s + 1) * dsub}]"
+    // per-subspace code: first position of the min ADC-score over the 16
+    // literal entries (1-based) minus 1 — ties resolve to the lowest j,
+    // matching pqAssign's (score, code) struct sort
+    def codeExpr(s: Int): String = {
+      val scores = books(s).map { c =>
+        val lits = c.mkString("[", ", ", "]")
+        val cn2 = c.map(x => x * x).sum
+        s"list_dot_product(${sub("v", s)}, $lits) * -2.0 + $cn2"
+      }.mkString("[", ", ", "]")
+      s"list_position($scores, list_min($scores)) - 1"
+    }
+    val codes = (0 until m).map(codeExpr).mkString("[", ", ", "]")
+    // ADC: left-associated + chain over subspaces, codebook entry looked
+    // up by the candidate's code (codes/list literals are 1-based)
+    val adc = (0 until m).map { s =>
+      val book = books(s).map(_.mkString("[", ", ", "]")).mkString("([", ", ", "])")
+      s"list_dot_product(${sub("qv", s)}, $book[codes[${s + 1}] + 1])"
+    }.mkString(" + ")
+    s"WITH $embCte, " +
+      "nrm AS (SELECT vec_id, [x / sqrt(list_dot_product(v, v)) for x in v] AS v FROM e), " +
+      s"enc AS (SELECT vec_id AS cid, v AS cv, $codes AS codes FROM nrm), " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM nrm WHERE vec_id % 100 = 0), " +
+      s"a AS (SELECT qid, cid, qv, cv, ($adc) AS adc FROM q CROSS JOIN enc WHERE cid <> qid), " +
+      "cand AS (SELECT qid, cid, qv, cv, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS r FROM a), " +
+      s"s AS (SELECT qid, cid, round(list_dot_product(qv, cv), 6) AS cos FROM cand WHERE r <= ${candMult * k}), " +
+      "r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM s) " +
+      s"SELECT qid, rnk, cid, cos FROM r WHERE rnk <= $k ORDER BY qid, rnk"
+  }
+
+  /** Mirrors Multimodal.decodeStub + the q23 aggregation: feature 8
+    * (1-based) = the L1-normalized count of bytes with high nibble 7
+    * (0x70–0x7F). The corpus is ASCII (bytes ≡ chars), so char arithmetic
+    * reproduces the byte histogram; the division runs in REAL to match
+    * the stub's Float arithmetic bit-for-bit before the double widening. */
+  val multimodal: String =
+    "WITH f AS (SELECT doc_id, " +
+      "['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind, " +
+      "length(text) AS nb, " +
+      "(coalesce(list_sum([CASE WHEN ascii(text[i+1]) BETWEEN 112 AND 127 THEN 1 ELSE 0 END " +
+      "for i in range(length(text))]), 0)::REAL / greatest(1, length(text))::REAL) AS f7 " +
+      "FROM documents) " +
+      "SELECT kind, count(*) AS n, round(avg(nb), 3) AS avg_bytes, " +
+      "round(sum(f7::DOUBLE), 3) AS f7_sum FROM f GROUP BY kind ORDER BY kind"
+
   /** Mirrors Similarity.lshBucket: hyperplane components are the same
     * deterministic doubles (shortest round-trip repr -> identical bits). */
   val simTopKLsh: String = {
@@ -258,7 +340,7 @@ object OraclesExt {
   val pipelineV1: String =
     s"WITH ${Oracles.wideCte}, ${Oracles.meltCte}, " +
       "cleanv1 AS (SELECT rid, commessa, " +
-      "CAST(try_strptime(trim(split_part(weekrange, ' al ', 1)), '%d/%m/%Y') AS DATE) + doff AS data, " +
+      s"${Oracles.dateLenientSql("trim(split_part(weekrange, ' al ', 1))")} + doff AS data, " +
       "CASE WHEN trim(autore) = '' THEN 'UNKNOWN' ELSE regexp_split_to_array(trim(autore), '\\s+')[-1] END AS surname, " +
       "coalesce(try_cast(trim(replace(ore_raw, chr(160), '')) AS DOUBLE), 0.0) AS ore, ore_raw " +
       "FROM melt WHERE weekrange LIKE '% al %'), " +

@@ -505,12 +505,12 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
-    // ───── Similarity: k-means IVF top-k (trained quantizer, multi-cell probe;
-    // k-means isn't SQL-reproducible → rows-only check, exactness proven in
-    // SimilaritySpec via the nProbe=nCells ≡ brute-force property) ─────
-    "q39_sim_topk_ivf_kmeans" -> { (s, dir) =>
+    // ───── Similarity: IVF top-k over a deterministic sampled codebook
+    // (multi-cell probe; full SQL oracle — the trained k-means variant
+    // topKIvfKmeans keeps its exactness property in SimilaritySpec) ─────
+    "q39_sim_topk_ivf_sampled" -> { (s, dir) =>
       val e = tb(s, dir, "embeddings")
-      Similarity.topKIvfKmeans(
+      Similarity.topKIvfSampled(
           e.filter(col("vec_id") % 100 === 0)
             .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
           e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
@@ -518,15 +518,16 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     },
 
-    // ───── Similarity: product-quantized ADC top-k + exact re-rank
-    // (k-means codebooks not SQL-reproducible → rows-only check like q39) ─────
+    // ───── Similarity: product-quantized ADC top-k + exact re-rank over
+    // hash-seeded codebooks (full SQL oracle — the lloyd-trained variant
+    // topKPq keeps its recall/exactness specs in SimilaritySpec) ─────
     "q55_sim_topk_pq" -> { (s, dir) =>
       val e = tb(s, dir, "embeddings")
-      Similarity.topKPq(
+      Similarity.topKPqSeeded(
           e.filter(col("vec_id") % 100 === 0)
             .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
           e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
-          k = 5, m = 8, ksub = 16, candMult = 8)
+          k = 5, dim = 64, m = 8, ksub = 16, candMult = 8)
         .orderBy("qid", "rnk")
     },
 
@@ -759,6 +760,37 @@ object SparkEntry {
           (col("top_unigram_frac") <= 0.1 && col("top_bigram_frac") <= 0.05 &&
             col("distinct_ratio") >= 0.35).cast("int"))
         .orderBy("doc_id")
+    },
+
+    // ───── Structured Streaming end-to-end: file source → session windows
+    // → memory sink. AvailableNow drains the source then stops; complete
+    // mode emits every session regardless of the final watermark (append
+    // would strand in-watermark sessions in state when the source ends).
+    // Same oracle as q24 — the batch/stream parity the Structured
+    // Streaming contract promises, made a driver-visible row. ─────
+    "q66_stream_sessionize" -> { (s, dir) =>
+      // the file streaming source lists a DIRECTORY; expose the single
+      // events parquet through a temp dir (hard link — same fs, no copy)
+      val streamDir = java.nio.file.Files.createTempDirectory("g66_events_")
+      val link = streamDir.resolve("events.parquet")
+      val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+      try java.nio.file.Files.createLink(link, target)
+      catch { case _: Exception => java.nio.file.Files.copy(target, link) }
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(schema).parquet(streamDir.toString)
+      // same TIMESTAMP(NANOS)-as-long normalization as Sources.table
+      val events =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else src
+      s.catalog.dropTempView("g66_sessions") // bench re-runs the query
+      val q = graft.streaming.StreamingOps.sessionize(events)
+        .writeStream.format("memory").queryName("g66_sessions")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("g66_sessions").orderBy("user_id", "session_start")
     }
   )
 
@@ -773,7 +805,7 @@ object SparkEntry {
 
     "q03_cleanse_scalars" ->
       (s"WITH ${Oracles.wideCte} SELECT rid, " +
-        "CAST(try_strptime(trim(split_part(weekrange, ' al ', 1)), '%d/%m/%Y') AS DATE) AS week_start, " +
+        s"${Oracles.dateLenientSql("trim(split_part(weekrange, ' al ', 1))")} AS week_start, " +
         "CASE WHEN trim(autore) = '' THEN 'unknown' ELSE lower(regexp_split_to_array(trim(autore), '\\s+')[-1]) END AS surname, " +
         "coalesce(try_cast(trim(replace(h_giovedi, chr(160), '')) AS DOUBLE), 0.0) AS ore_gio " +
         "FROM wide ORDER BY rid"),
@@ -871,15 +903,20 @@ object SparkEntry {
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,
+    "q39_sim_topk_ivf_sampled" -> OraclesExt.simTopKIvfSampled,
+    "q55_sim_topk_pq" -> OraclesExt.simTopKPqSeeded,
     "q19_text_langid" -> OraclesExt.textLangId,
     "q20_text_quality" -> OraclesExt.textQuality,
     "q21_text_tokens" -> OraclesExt.textTokens,
     "q22_text_fingerprint" -> OraclesExt.textFingerprint,
-    // q23_multimodal: mapPartitions feature extraction — not SQL-expressible,
-    // driver records the weaker rows-only check.
+    // q23: the stub decode is pure byte arithmetic over an ASCII corpus,
+    // so the per-partition feature extraction IS SQL-expressible
+    "q23_multimodal" -> OraclesExt.multimodal,
     "q24_session_window" -> OraclesExt.sessionWindow,
     // identical sessions from the typed path — same oracle as q24
     "q52_sessionize_typed" -> OraclesExt.sessionWindow,
+    // identical sessions from the true streaming path (q66) — same oracle
+    "q66_stream_sessionize" -> OraclesExt.sessionWindow,
     "q25_e2_pipeline" -> OraclesExt.pipelineV1,
     "q26_sim_topk_lsh" -> OraclesExt.simTopKLsh,
 

@@ -23,10 +23,15 @@ object TimesheetFixture {
   def wide(spark: SparkSession, sfDir: String): DataFrame = {
     val o = graft.ops.Sources.balanced(spark.read.parquet(s"$sfDir/orders.parquet"))
     val ws = date_trunc("week", col("o_orderdate").cast("date")).cast("date")
+    // mixed separators (dash / ISO rows) exercise the pandas-style
+    // dayfirst leniency of Cleansing.parseDateLenient — the reference's
+    // pd.to_datetime(dayfirst=True) accepts all three
+    def range(fmt: String): Column = concat(
+      date_format(ws, fmt), lit(" al "), date_format(date_add(ws, 6), fmt))
     val weekrange = when(col("o_orderkey") % 97 === 0, lit("garbage"))
-      .otherwise(concat(
-        date_format(ws, "dd/MM/yyyy"), lit(" al "),
-        date_format(date_add(ws, 6), "dd/MM/yyyy")))
+      .when(col("o_orderkey") % 7 === 1, range("dd-MM-yyyy"))
+      .when(col("o_orderkey") % 7 === 2, range("yyyy-MM-dd"))
+      .otherwise(range("dd/MM/yyyy"))
     val autore = when(col("o_orderkey") % 89 === 0, lit("  "))
       .otherwise(concat(lit("Mario ROSSI"),
         lpad((col("o_custkey") % 50).cast("string"), 2, "0")))

@@ -18,11 +18,25 @@ object Cleansing {
     * (reference: timesheet_transform.py:44-46). */
   def hasWeekRange(c: Column): Column = c.isNotNull && c.contains(" al ")
 
+  /** Lenient day-first date parse — the pandas
+    * `to_datetime(dayfirst=True)` tolerance the reference relies on
+    * (timesheet_transform.py:49,121) over the separators it actually
+    * sees: slash, dash, and ISO. Day-first formats take precedence
+    * (mirrors `dayfirst=True`); ISO strings fail both day-first parses
+    * (a 4-digit day never parses) so the cascade is unambiguous. Null on
+    * total failure — the callers' row-skip contract. */
+  def parseDateLenient(c: Column): Column =
+    coalesce(
+      try_to_date(c, "d/M/yyyy"),
+      try_to_date(c, "d-M-yyyy"),
+      try_to_date(c, "yyyy-M-d"))
+
   /** P2: parse "DD/MM/YYYY al DD/MM/YYYY" → week-start date, day-first;
     * returns null on malformed input, which callers filter (≙ the
-    * reference's row-skip, timesheet_transform.py:47-52). */
+    * reference's row-skip, timesheet_transform.py:47-52). Separator
+    * tolerance via [[parseDateLenient]]. */
   def weekStart(c: Column): Column =
-    try_to_date(trim(split(c, " al ").getItem(0)), "d/M/yyyy")
+    parseDateLenient(trim(split(c, " al ").getItem(0)))
 
   /** P4: surname = lower-cased last whitespace-separated token of the author
     * full name; blank/null → "unknown" (timesheet_transform.py:59-60). */
@@ -49,9 +63,16 @@ object Cleansing {
   def keepHours(raw: Column, cleaned: Column): Column =
     raw.isNotNull && cleaned =!= 0.0
 
-  /** P9: date-granularity normalization; accepts string/timestamp/date cells
-    * (timesheet_transform.py:118-125). */
-  def asDate(c: Column): Column = c.try_cast("date")
+  /** P9: date-granularity normalization; accepts string/timestamp/date
+    * cells (timesheet_transform.py:118-125). The cast handles
+    * date/timestamp/ISO-string cells; day-first string cells fall through
+    * to the lenient parse — the reference's free-form target-cell
+    * coercion accepts both. */
+  def asDate(c: Column): Column =
+    coalesce(
+      c.try_cast("date"),
+      try_to_date(c.cast("string"), "d/M/yyyy"),
+      try_to_date(c.cast("string"), "d-M-yyyy"))
 
   /** P11: partition/sheet-name truncation (timesheet_transform_v1.py:99). */
   def truncName(c: Column, n: Int = 31): Column = substring(c, 1, n)

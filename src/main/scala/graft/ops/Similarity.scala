@@ -129,6 +129,30 @@ object Similarity {
     topKIvf(q, indexed, k)
   }
 
+  /** IVF top-k with a deterministic *sampled* codebook: centroids = the
+    * first `nCells` corpus vectors by id. The only driver materialization
+    * is that bounded `nCells`-row collect (the [[pqTrain]] posture);
+    * serving is identical to [[topKIvfKmeans]] — centroids are plan-time
+    * literals, the corpus joins only by cell. The sample rule is trivially
+    * reproducible in SQL (`ORDER BY id LIMIT nCells`), which makes this
+    * the oracle-checkable path; k-means ([[ivfIndex]]) remains the
+    * recall-quality path. */
+  def topKIvfSampled(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = corpus.orderBy(col("cid")).limit(nCells)
+      .select(col("cvec").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val indexed = corpus.withColumn("cell",
+      element_at(probeCells(col("cvec"), centroids, 1), 1))
+    val q = queries
+      .withColumn("cell", explode(probeCells(col("qvec"), centroids, nProbe)))
+    topKIvf(q, indexed, k)
+  }
+
   // ── Product quantization (IVF-PQ's compression half) ────────────────
 
   /** Deterministic local Lloyd's over a (sorted) point sample:
@@ -255,12 +279,65 @@ object Similarity {
       m: Int = 8,
       ksub: Int = 16,
       candMult: Int = 4): DataFrame = {
-    val normC = corpus
-      .withColumn("_n", l2norm(col("cvec"))) // norm once, not per element
-      .select(col("cid"), transform(col("cvec"), x => x / col("_n")).as("cvec"))
+    val normC = normalized(corpus, "cvec")
       .localCheckpoint() // feeds training, encoding, and the re-rank join
     val books = pqTrain(normC, m, ksub)
-    val dim = books.length * books.head.head.length
+    topKPqServe(queries, normC, books, k, candMult)
+  }
+
+  /** PQ top-k with *hash-seeded* codebooks: entry (s, j) component d is
+    * hash60("pq:s:j:d") mapped into [-1, 1) — the [[planeComponents]]
+    * pattern. Zero training cost and engine-reproducible (the SQL oracle
+    * embeds the identical literals); corpus vectors are L2-normalized so
+    * the unit cube is the right scale. Candidate recall sits below trained
+    * codebooks ([[pqTrain]]) — the exact re-rank makes that a
+    * candidate-quality knob, never a score error. */
+  def topKPqSeeded(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      k: Int,
+      dim: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      candMult: Int = 4): DataFrame = {
+    val normC = normalized(corpus, "cvec")
+      .localCheckpoint() // feeds encoding and the re-rank join
+    topKPqServe(queries, normC, pqSeededBooks(m, ksub, dim), k, candMult)
+  }
+
+  /** Deterministic hash-seeded PQ codebooks: entry (s, j) starts as
+    * hash-uniform components in [-1, 1) ([[planeComponents]] pattern),
+    * then is rescaled to norm 1/√m — the expected subvector norm of an
+    * L2-normalized vector with energy spread across subspaces. Without
+    * the rescale the entries sit ~4× farther from the origin than the
+    * data and assignment barely discriminates. */
+  def pqSeededBooks(m: Int, ksub: Int, dim: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    Array.tabulate(m, ksub) { (s, j) =>
+      val raw = Array.tabulate(dsub)(d =>
+        (Hashing.longHash60(s"pq:$s:$j:$d") % 2000001L) / 1000000.0 - 1.0)
+      val scale = math.sqrt(raw.map(x => x * x).sum) * math.sqrt(m.toDouble)
+      raw.map(_ / scale)
+    }
+  }
+
+  /** L2-normalize an embedding column (norm computed once per row). */
+  private def normalized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("_n", l2norm(col(vecCol)))
+      .select(col("cid"), transform(col(vecCol), x => x / col("_n")).as(vecCol))
+
+  /** The PQ serving path shared by [[topKPq]] and [[topKPqSeeded]]:
+    * encode, ADC-score, cut to candMult·k, exact re-rank. `normC` must be
+    * L2-normalized. */
+  private def topKPqServe(
+      queries: DataFrame,
+      normC: DataFrame,
+      books: Array[Array[Array[Double]]],
+      k: Int,
+      candMult: Int): DataFrame = {
+    val m = books.length
+    val dim = m * books.head.head.length
     val dsub = dim / m
     val encoded = normC.select(col("cid"),
       array((0 until m).map(s => pqAssign(col("cvec"), s, dsub, books(s))): _*)

@@ -110,6 +110,29 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, s"nested-loop join planned:\n$plan")
   }
 
+  test("lookup: mapping broadcasts under the row threshold, shuffles above it") {
+    import org.apache.spark.sql.functions.col
+    val facts = ops.Sources.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val mapping = ops.Sources.table(spark, dir, "nation")
+      .select(col("n_name"), col("n_regionkey").cast("string"))
+    val smallPlan = executed(
+      ops.Lookup.mapWithDefault(facts, "c_mktsegment", mapping))
+    assert(collectAll(smallPlan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"small mapping must broadcast:\n$smallPlan")
+    // force the over-threshold regime: guard must NOT broadcast-hint; the
+    // unhinted plan shuffles both sides (AQE may still re-broadcast a side
+    // it measures as tiny, so disable its threshold for the assertion)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bigPlan = executed(
+        ops.Lookup.mapWithDefault(facts, "c_mktsegment", mapping, broadcastRows = 2L))
+      assert(collectAll(bigPlan) { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"over-threshold mapping must not be broadcast-hinted:\n$bigPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("merge-update: no driver-side collect — single equi-join plan") {
     import org.apache.spark.sql.functions.col
     val target = ops.Sources.table(spark, dir, "orders")

@@ -24,6 +24,25 @@ class CleansingSpec extends SparkSpec {
     assert(out(3).getBoolean(1) && out(3).getDate(2).toString == "2025-03-03")
   }
 
+  test("P2/P9: lenient parse — dash + ISO separators, day-first precedence") {
+    val df = Seq(
+      "05/03/2025", // slash day-first
+      "05-03-2025", // dash day-first -> 5 March, NOT 3 May
+      "2025-03-05", // ISO (4-digit day never parses day-first)
+      "5-3-2025",   // non-padded dash
+      "03.05.2025"  // unsupported separator -> null
+    ).toDF("c")
+    val got = df.select(Cleansing.parseDateLenient($"c").as("d")).collect()
+    assert(got(0).getDate(0).toString == "2025-03-05")
+    assert(got(1).getDate(0).toString == "2025-03-05")
+    assert(got(2).getDate(0).toString == "2025-03-05")
+    assert(got(3).getDate(0).toString == "2025-03-05")
+    assert(got(4).isNullAt(0))
+    // asDate: day-first strings coerce like the reference's free-form cells
+    val d2 = Seq("05-03-2025").toDF("c").select(Cleansing.asDate($"c")).collect()
+    assert(d2(0).getDate(0).toString == "2025-03-05")
+  }
+
   test("P4: surname — last token, lowercased; empty/blank/null -> unknown") {
     val df = Seq(
       Some("Pietro Fava"), Some("  Anna Maria DE LUCA  "), Some("Single"),

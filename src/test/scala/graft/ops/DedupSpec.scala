@@ -41,6 +41,35 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("jaccardPairs: df cap — parity on rare-shingle data, stop-shingles dropped") {
+    // the test corpus has no shingle shared by >3 docs: any cap >= 3 must
+    // reproduce the exact (uncapped) pairs bit-for-bit
+    val exact = Dedup.jaccardPairs(docs, "doc_id",
+        Dedup.shingles(col("toks"), 3), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.jaccardPairs(docs, "doc_id",
+        Dedup.shingles(col("toks"), 3), 0.3, maxShingleDf = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped == exact)
+
+    // docs related ONLY through a corpus-wide stop-shingle: the cap drops
+    // it from both intersections and set sizes, so no pair survives and
+    // the worst join reducer is bounded by cap^2
+    val stop = Seq(
+      (1L, "in the course of alpha beta gamma"),
+      (2L, "in the course of delta epsilon zeta"),
+      (3L, "in the course of eta theta iota"),
+      (4L, "in the course of kappa lambda mu")
+    ).toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.words(col("text")))
+    val uncapped = Dedup.jaccardPairs(stop, "doc_id",
+      Dedup.shingles(col("toks"), 3), 0.1).count()
+    assert(uncapped == 6L) // all C(4,2) pairs meet 0.1 via the stop-shingles
+    val cappedStop = Dedup.jaccardPairs(stop, "doc_id",
+      Dedup.shingles(col("toks"), 3), 0.1, maxShingleDf = Some(3)).count()
+    assert(cappedStop == 0L)
+  }
+
   test("minhashPairs: identical shingle sets agree on every minhash (est 1.0)") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", Dedup.shingles(col("toks"), 3))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -100,6 +100,42 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 > 0.2, s"recall@5 nProbe=2: $r2")
   }
 
+  test("topKIvfSampled: subset of brute with exact scores; full probe == brute") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val p2 = hits(Similarity.topKIvfSampled(q, c, 5, nCells = 8, nProbe = 2))
+    val brute = hits(Similarity.topKBrute(q, c, 10000))
+    p2.foreach { case (k, v) => assert(brute.get(k).contains(v), s"$k") }
+    // probing every cell IS brute force (cells partition the corpus)
+    val p8 = hits(Similarity.topKIvfSampled(q, c, 5, nCells = 8, nProbe = 8))
+    assert(p8 == hits(Similarity.topKBrute(q, c, 5)))
+    // deterministic: no RNG/training state — identical reruns
+    assert(p2 == hits(Similarity.topKIvfSampled(q, c, 5, nCells = 8, nProbe = 2)))
+  }
+
+  test("topKPqSeeded: deterministic, decent recall, all-candidates == brute set") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q2 = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val pq = Similarity.topKPqSeeded(q2, c, k = 5, dim = 64, candMult = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = Similarity.topKBrute(q2, c, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq.size == brute.size)
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    info(f"seeded-PQ recall@5 vs brute: $recall%.3f")
+    assert(recall >= 0.4) // seeded codebooks trail trained ones; re-rank is exact
+    // candMult large enough to keep every candidate -> exact == brute ids
+    val all = Similarity.topKPqSeeded(q2, c, k = 5, dim = 64, candMult = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(all == brute)
+  }
+
   test("VecDot: native expression is bit-identical to the HOF fold on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(100)
