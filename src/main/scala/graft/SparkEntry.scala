@@ -769,30 +769,89 @@ object SparkEntry {
     // Same oracle as q24 — the batch/stream parity the Structured
     // Streaming contract promises, made a driver-visible row. ─────
     "q66_stream_sessionize" -> { (s, dir) =>
-      // the file streaming source lists a DIRECTORY; expose the single
-      // events parquet through a temp dir (hard link — same fs, no copy)
-      val streamDir = java.nio.file.Files.createTempDirectory("g66_events_")
-      val link = streamDir.resolve("events.parquet")
-      val target = java.nio.file.Paths.get(s"$dir/events.parquet")
-      try java.nio.file.Files.createLink(link, target)
-      catch { case _: Exception => java.nio.file.Files.copy(target, link) }
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val src = s.readStream.schema(schema).parquet(streamDir.toString)
-      // same TIMESTAMP(NANOS)-as-long normalization as Sources.table
-      val events =
-        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else src
-      s.catalog.dropTempView("g66_sessions") // bench re-runs the query
-      val q = graft.streaming.StreamingOps.sessionize(events)
-        .writeStream.format("memory").queryName("g66_sessions")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("g66_sessions").orderBy("user_id", "session_start")
+      drainToTable(s,
+        graft.streaming.StreamingOps.sessionize(eventsStream(s, dir)),
+        "g66_sessions", "complete")
+        .orderBy("user_id", "session_start")
+    },
+
+    // ───── Structured Streaming: tumbling hourly aggregate end-to-end —
+    // the q10 batch window as a true stream, same oracle ─────
+    "q67_stream_tumbling" -> { (s, dir) =>
+      drainToTable(s,
+        graft.streaming.StreamingOps.hourlyByType(eventsStream(s, dir))
+          .withColumn("sum_value", round(col("sum_value"), 2)),
+        "g67_hourly", "complete")
+        .orderBy("win_start", "event_type")
+    },
+
+    // ───── Structured Streaming: exact dedup with bounded state — the
+    // same events stream twice (every id arrives as a duplicate), the
+    // dedup operator keeps exactly one; oracle = the plain events table ─────
+    "q68_stream_dedup" -> { (s, dir) =>
+      val doubled = eventsStream(s, dir).unionByName(eventsStream(s, dir))
+      drainToTable(s,
+        graft.streaming.StreamingOps.streamingDedup(doubled, Seq("event_id")),
+        "g68_dedup", "append")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
+    // ───── PII scrubbing: emails/IPs/phone-runs → typed placeholders.
+    // The synthetic corpus is digit-free, so deterministic PII derived
+    // from doc_id is appended first (mirrored verbatim in the oracle);
+    // the scrubbed text is checked by 60-bit fingerprint ─────
+    "q69_pii_scrub" -> { (s, dir) =>
+      val dirty = tb(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"),
+          lit(" tel "), (lit(5550000000L) + col("doc_id")).cast("string"))
+          .as("text"))
+      TextAnalysis.piiScrub(dirty, "doc_id", "text")
+        .select(col("doc_id"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_ip").cast("long").as("n_ip"),
+          col("n_num").cast("long").as("n_num"),
+          Hashing.hash60(col("scrubbed")).as("fp_scrubbed"),
+          length(col("scrubbed")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
     }
   )
+
+  /** A fresh finite stream over the events parquet. The file streaming
+    * source lists a DIRECTORY, so the single parquet is exposed through a
+    * temp dir (hard link — same fs, no copy); TIMESTAMP(NANOS)-as-long is
+    * normalized exactly like Sources.table. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    val link = streamDir.resolve("events.parquet")
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+    try java.nio.file.Files.createLink(link, target)
+    catch { case _: Exception => java.nio.file.Files.copy(target, link) }
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val src = s.readStream.schema(schema).parquet(streamDir.toString)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else src
+  }
+
+  /** Drain a finite streaming frame into a fresh memory-sink table and
+    * return it. AvailableNow processes everything then stops; `complete`
+    * emits every window/session regardless of the final watermark (append
+    * would strand in-watermark state when the source ends) — stateless
+    * operators (dedup) use `append`. */
+  private def drainToTable(
+      s: SparkSession, out: DataFrame, view: String, mode: String): DataFrame = {
+    s.catalog.dropTempView(view) // bench re-runs the query in one session
+    val q = out.writeStream.format("memory").queryName(view)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(view)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_e1_flagship" -> Oracles.flagship,
@@ -917,6 +976,29 @@ object SparkEntry {
     "q52_sessionize_typed" -> OraclesExt.sessionWindow,
     // identical sessions from the true streaming path (q66) — same oracle
     "q66_stream_sessionize" -> OraclesExt.sessionWindow,
+    // identical hourly windows from the true streaming path — q10's oracle
+    "q67_stream_tumbling" ->
+      ("SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n, " +
+        "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    // streaming dedup of the doubled stream ≡ the original events table
+    "q68_stream_dedup" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+    // identical regex cascade (RE2-compatible patterns) + hash60 fingerprint
+    "q69_pii_scrub" -> {
+      import graft.ops.TextAnalysis.{emailRe, ipv4Re, longNumRe}
+      "WITH dirty AS (SELECT doc_id, text || ' contact user' || doc_id::VARCHAR || " +
+        "'@example.com via 10.' || (doc_id % 256)::VARCHAR || '.0.' || " +
+        "(doc_id % 100)::VARCHAR || ' tel ' || (5550000000 + doc_id)::VARCHAR AS t FROM documents), " +
+        s"s1 AS (SELECT doc_id, len(regexp_extract_all(t, '$emailRe'))::BIGINT AS n_email, " +
+        s"regexp_replace(t, '$emailRe', '<EMAIL>', 'g') AS t FROM dirty), " +
+        s"s2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t, '$ipv4Re'))::BIGINT AS n_ip, " +
+        s"regexp_replace(t, '$ipv4Re', '<IP>', 'g') AS t FROM s1), " +
+        s"s3 AS (SELECT doc_id, n_email, n_ip, len(regexp_extract_all(t, '$longNumRe'))::BIGINT AS n_num, " +
+        s"regexp_replace(t, '$longNumRe', '<NUM>', 'g') AS t FROM s2) " +
+        "SELECT doc_id, n_email, n_ip, n_num, " +
+        "('0x' || substr(md5(t), 1, 15))::BIGINT AS fp_scrubbed, " +
+        "length(t)::BIGINT AS n_chars FROM s3 ORDER BY doc_id"
+    },
     "q25_e2_pipeline" -> OraclesExt.pipelineV1,
     "q26_sim_topk_lsh" -> OraclesExt.simTopKLsh,
 

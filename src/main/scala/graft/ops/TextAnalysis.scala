@@ -140,6 +140,33 @@ object TextAnalysis {
   def contentFingerprint(c: Column): Column =
     Hashing.hash60(concat_ws(" ", words(c)))
 
+  /** PII masking regexes (emails, IPv4 addresses, 7+-digit phone-ish
+    * runs). RE2-compatible syntax only (no lookarounds), so the DuckDB
+    * oracle applies the literally identical patterns. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val longNumRe = "\\d{7,}"
+
+  /** PII scrubbing — the pre-training hygiene pass every public-corpus
+    * pipeline runs (emails / IPs / phone-ish numbers → typed
+    * placeholders). Masks apply in a fixed sequence (email → IPv4 →
+    * digit-runs) and each kind is counted on the text the PREVIOUS stage
+    * produced, so an IPv4 never double-counts as a long number. Pure
+    * codegen'd regexp projections: one pass, no shuffle, scales linearly
+    * with corpus bytes. Returns (idCol, n_email, n_ip, n_num, scrubbed). */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, emailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, longNumRe, "<NUM>")
+    df.select(
+      col(idCol),
+      regexp_count(t0, lit(emailRe)).as("n_email"),
+      regexp_count(t1, lit(ipv4Re)).as("n_ip"),
+      regexp_count(t2, lit(longNumRe)).as("n_num"),
+      t3.as("scrubbed"))
+  }
+
   /** Deterministic train/val/test assignment from a stable id: the same
     * row lands in the same split on every run, any engine, any partition
     * count — the reproducibility contract RNG-based splits can't give.

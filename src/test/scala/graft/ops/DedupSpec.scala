@@ -122,6 +122,27 @@ class DedupSpec extends SparkSpec {
       20L -> ((2L, "20;21"))))
   }
 
+  test("connectedComponents: reliable-checkpoint path yields identical labels") {
+    // the durability mode a real cluster needs (localCheckpoint lineage
+    // dies with an executor): reliable checkpoints every round must not
+    // change a single label
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
+        (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L)).toDF("a", "b")
+      val default = Dedup.connectedComponents(edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reliable = Dedup.connectedComponents(edges, "a", "b", reliableEvery = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == default)
+      // the checkpoint dir was actually used (RDD checkpoint files exist)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable checkpoint wrote nothing")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("decontaminate: docs sharing a 4-gram with the bench set are removed") {
     val corpus = docs.filter(col("doc_id").isin(1L, 4L, 5L))
     val bench = docs.filter(col("doc_id").isin(2L, 3L)) // 2 ≡ 1 verbatim; 3 is scrambled

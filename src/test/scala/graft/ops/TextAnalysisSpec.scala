@@ -166,6 +166,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all.count() == 20)
   }
 
+  test("piiScrub: email -> IP -> digit-run masking in sequence, staged counts") {
+    val df = Seq(
+      (1L, "mail a.b+c@x-y.org and ip 192.168.0.1 and tel 5551234567"),
+      (2L, "no pii here"),
+      (3L, "1.2.3.4 twice 10.0.0.255 short 123456") // 6 digits: below the run cap
+    ).toDF("id", "text")
+    val got = TextAnalysis.piiScrub(df, "id", "text")
+      .select(col("id"), col("n_email").cast("int"), col("n_ip").cast("int"),
+        col("n_num").cast("int"), col("scrubbed"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got(1L) == ((1, 1, 1, "mail <EMAIL> and ip <IP> and tel <NUM>")))
+    assert(got(2L) == ((0, 0, 0, "no pii here")))
+    assert(got(3L) == ((0, 2, 0, "<IP> twice <IP> short 123456")))
+  }
+
   test("hash60 matches the DuckDB construction on a known value") {
     // md5('abc') = 900150983cd24fb0...; first 15 hex = 0x900150983cd24fb
     val got = Seq("abc").toDF("s").select(Hashing.hash60(col("s")))
