@@ -133,6 +133,37 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("pii scrub: one codegen'd projection over the scan — no shuffle, no join") {
+    import org.apache.spark.sql.functions.col
+    val df = ops.TextAnalysis.piiScrub(
+      ops.Sources.table(spark, dir, "documents"), "doc_id", "text")
+    val plan = executed(df)
+    assert(collectAll(plan) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"pii scrub must not shuffle:\n$plan")
+    // the *(N) prefix marks whole-stage-codegen'd operators
+    assert(plan.toString.contains("*(1) Project"),
+      s"pii scrub fell out of codegen:\n$plan")
+  }
+
+  test("sampled IVF: query side broadcasts; centroid scoring adds no join or shuffle") {
+    import org.apache.spark.sql.functions.col
+    val e = ops.Sources.table(spark, dir, "embeddings")
+    val df = ops.Similarity.topKIvfSampled(
+      e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+      k = 5, nCells = 8, nProbe = 2)
+    val plan = executed(df)
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"expected broadcast join in:\n$plan")
+    // centroids are plan-time literals: the ONLY join is the cell
+    // equi-join (assignment/probing never join the centroid table)
+    val joins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size == 1, s"expected exactly 1 join, got ${joins.size}:\n$plan")
+  }
+
   test("merge-update: no driver-side collect — single equi-join plan") {
     import org.apache.spark.sql.functions.col
     val target = ops.Sources.table(spark, dir, "orders")
