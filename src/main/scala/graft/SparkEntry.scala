@@ -817,6 +817,13 @@ object SparkEntry {
           Hashing.hash60(col("scrubbed")).as("fp_scrubbed"),
           length(col("scrubbed")).cast("long").as("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // ───── Token chunking with overlap: context-window preparation ─────
+    "q70_chunk_docs" -> { (s, dir) =>
+      TextAnalysis.chunkDocs(tb(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_no")
     }
   )
 
@@ -999,6 +1006,16 @@ object SparkEntry {
         "('0x' || substr(md5(t), 1, 15))::BIGINT AS fp_scrubbed, " +
         "length(t)::BIGINT AS n_chars FROM s3 ORDER BY doc_id"
     },
+    // same start grid (multiples of stride while a start adds tokens past
+    // the previous overlap), same clamping list slice; chunk_no = start/stride
+    "q70_chunk_docs" ->
+      (s"WITH ${OraclesExt.tokCte}, " +
+        "c AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0), " +
+        "s AS (SELECT doc_id, toks, unnest(range(0, greatest(n - 16, 1), 48)) AS st FROM c) " +
+        "SELECT doc_id, (st // 48)::BIGINT AS chunk_no, " +
+        "len(toks[st+1:st+64])::BIGINT AS n_tok, " +
+        "array_to_string(toks[st+1:st+64], ' ') AS chunk " +
+        "FROM s ORDER BY doc_id, chunk_no"),
     "q25_e2_pipeline" -> OraclesExt.pipelineV1,
     "q26_sim_topk_lsh" -> OraclesExt.simTopKLsh,
 

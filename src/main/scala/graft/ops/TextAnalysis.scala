@@ -140,6 +140,37 @@ object TextAnalysis {
   def contentFingerprint(c: Column): Column =
     Hashing.hash60(concat_ws(" ", words(c)))
 
+  /** Fixed-size token chunking with overlap — context-window preparation
+    * (RAG / pretraining chunking; the within-document dual of
+    * [[packBins]], which packs whole docs). Chunk c starts at token
+    * c·(chunkTokens−overlap); starts run while they still contribute at
+    * least one token past the previous chunk's overlap, so the trailing
+    * chunk may be short but never redundant. Empty docs emit nothing.
+    * Pure expressions — tokenize, `sequence`, one `posexplode`,
+    * `slice` — a single Generate over the scan, no shuffle; chunk count
+    * scales with corpus tokens, never with document count alone. */
+  def chunkDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 128,
+      overlap: Int = 32): DataFrame = {
+    require(0 <= overlap && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol), words(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") > 0)
+      .select(col(idCol), col("_toks"),
+        posexplode(sequence(lit(0),
+          greatest(col("_n") - overlap - 1, lit(0)), lit(stride))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_no"),
+        slice(col("_toks"), col("col") + 1, lit(chunkTokens)).as("_chunk"))
+      .select(col(idCol), col("chunk_no"),
+        size(col("_chunk")).cast("long").as("n_tok"),
+        concat_ws(" ", col("_chunk")).as("chunk"))
+  }
+
   /** PII masking regexes (emails, IPv4 addresses, 7+-digit phone-ish
     * runs). RE2-compatible syntax only (no lookarounds), so the DuckDB
     * oracle applies the literally identical patterns. */

@@ -166,6 +166,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all.count() == 20)
   }
 
+  test("chunkDocs: overlap grid, clamped tail, no redundant trailing chunk") {
+    // chunkTokens=4, overlap=1 -> stride=3; starts while start < n-1
+    val df = Seq(
+      (1L, "a b c d e f g h"), // n=8: starts 0,3,6 -> [a..d],[d..g],[g h]
+      (2L, "a b"),             // n=2: one (short) chunk
+      (3L, "")                 // empty: no chunks
+    ).toDF("id", "text")
+    val got = TextAnalysis.chunkDocs(df, "id", "text", chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == Map(
+      (1L, 0L) -> ((4L, "a b c d")),
+      (1L, 1L) -> ((4L, "d e f g")),
+      (1L, 2L) -> ((2L, "g h")),
+      (2L, 0L) -> ((2L, "a b"))))
+    // every consecutive pair of full chunks shares exactly `overlap` tokens
+    val c0 = got((1L, 0L))._2.split(" ")
+    val c1 = got((1L, 1L))._2.split(" ")
+    assert(c0.takeRight(1).sameElements(c1.take(1)))
+  }
+
   test("piiScrub: email -> IP -> digit-run masking in sequence, staged counts") {
     val df = Seq(
       (1L, "mail a.b+c@x-y.org and ip 192.168.0.1 and tel 5551234567"),
