@@ -66,6 +66,23 @@ class NullSafetySpec extends SparkSpec {
     assert(lm(4L) > 0.0 && lm(5L) > 0.0)
   }
 
+  test("piiScrub: null text propagates null counts/output; blank passes through") {
+    val got = TextAnalysis.piiScrub(degenerate, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.isNullAt(1), r.isNullAt(4), Option(r.getString(4))))).toMap
+    assert(got(1L) == ((true, true, None)))        // null in, null out — never invented text
+    assert(got(2L) == ((false, false, Some("")))) // empty in, empty out
+    assert(got(3L)._3.contains("   "))            // whitespace untouched
+  }
+
+  test("chunkDocs: null/empty/blank docs emit no chunks") {
+    val chunks = TextAnalysis.chunkDocs(degenerate, "doc_id", "text",
+      chunkTokens = 4, overlap = 1)
+    assert(chunks.filter(col("doc_id").isin(1L, 2L, 3L)).count() == 0)
+    // and a doc shorter than one chunk still emits its single chunk
+    assert(chunks.filter(col("doc_id") === 4L).count() == 1)
+  }
+
   test("decontaminate: null/empty docs have no n-grams, so they always survive") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val clean = Dedup.decontaminate(degenerate, bench, "doc_id", "text", 3)
