@@ -42,11 +42,20 @@ object OraclesExt {
       "FROM inter JOIN sz x ON ida = x.doc_id JOIN sz y ON idb = y.doc_id " +
       "WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.8 ORDER BY 1, 2"
 
-  val dedupMinhash: String = {
+  /** MinHash est-Jaccard over the banded candidates (exact multiples of
+    * 1/K — threshold comparisons decide identically in both engines). */
+  private val estJac: String =
+    s"list_sum([CASE WHEN sa[i+1] = sb[i+1] THEN 1 ELSE 0 END " +
+      s"for i in range($K)]) / $K.0"
+
+  /** CTE chain ending in `cand(id_a, id_b, sa, sb)` — the MinHash+LSH
+    * banded candidate derivation, shared by the pair and pipeline
+    * oracles. */
+  private val minhashCandCte: String = {
     val aCoef = s"(37 * j + 11)"
     val bCoef = s"(101 * j + 7)"
     val r = K / BANDS
-    s"WITH $tokCte, $sh3Cte, " +
+    s"$tokCte, $sh3Cte, " +
       "shing AS (SELECT doc_id, unnest(shs) AS s FROM sh3), " +
       s"hsh AS (SELECT doc_id, ${h60("s")} % $P AS h FROM shing), " +
       s"mh AS (SELECT doc_id, j, min(($aCoef * h + $bCoef) % $P) AS m " +
@@ -55,10 +64,27 @@ object OraclesExt {
       s"band AS (SELECT doc_id, sig, b, array_to_string(sig[b*$r+1:b*$r+$r], ',') AS k " +
       s"FROM sig, range($BANDS) t(b)), " +
       "cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sig AS sa, y.sig AS sb " +
-      "FROM band x JOIN band y ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id) " +
-      s"SELECT id_a, id_b, list_sum([CASE WHEN sa[i+1] = sb[i+1] THEN 1 ELSE 0 END " +
-      s"for i in range($K)]) / $K.0 AS est_jac FROM cand ORDER BY 1, 2"
+      "FROM band x JOIN band y ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id)"
   }
+
+  val dedupMinhash: String =
+    s"WITH $minhashCandCte " +
+      s"SELECT id_a, id_b, $estJac AS est_jac FROM cand ORDER BY 1, 2"
+
+  /** The composite near-dup REMOVAL pipeline (mirrors q71): MinHash+LSH
+    * candidates → est-Jaccard ≥ 0.75 edges → transitive closure → drop
+    * every member except its component's min id. */
+  val dedupPipeline: String =
+    "WITH RECURSIVE " + minhashCandCte + ", " +
+      s"np AS (SELECT id_a, id_b FROM cand WHERE $estJac >= 0.75), " +
+      "edges AS (SELECT id_a AS a, id_b AS b FROM np " +
+      "UNION SELECT id_b, id_a FROM np), " +
+      "reach(a, b) AS (SELECT DISTINCT a, a FROM edges " +
+      "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+      "labels AS (SELECT a AS id, min(b) AS rep FROM reach GROUP BY 1), " +
+      "dropped AS (SELECT id FROM labels WHERE id <> rep) " +
+      "SELECT d.doc_id, d.source FROM documents d " +
+      "WHERE d.doc_id NOT IN (SELECT id FROM dropped) ORDER BY d.doc_id"
 
   /** CTE chain ending in `pairs(id_a, id_b, hdist)` — the simhash
     * near-dup pair derivation, shared by the pair and cluster oracles. */

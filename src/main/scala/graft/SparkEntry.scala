@@ -824,6 +824,23 @@ object SparkEntry {
       TextAnalysis.chunkDocs(tb(s, dir, "documents"), "doc_id", "text",
           chunkTokens = 64, overlap = 16)
         .orderBy("doc_id", "chunk_no")
+    },
+
+    // ───── The composite near-dup REMOVAL pipeline a corpus user runs:
+    // MinHash+LSH candidates → thresholded edges → connected components →
+    // keep each component's min-id member (q14 + q43's machinery end to
+    // end, on the minhash edge family) ─────
+    "q71_dedup_pipeline" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      val d = docs.select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+      val edges = Dedup.minhashPairs(d, "doc_id", Dedup.shingles(col("toks"), 3))
+        .filter(col("est_jac") >= 0.75) // exact multiple of 1/16: decides identically in SQL
+      val dupes = Dedup.connectedComponents(edges, "id_a", "id_b")
+        .filter(col("id") =!= col("rep"))
+        .select(col("id").as("doc_id"))
+      docs.join(dupes, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     }
   )
 
@@ -965,6 +982,7 @@ object SparkEntry {
     "q12_dedup_exact" -> OraclesExt.dedupExact,
     "q13_dedup_jaccard" -> OraclesExt.dedupJaccard,
     "q14_dedup_minhash" -> OraclesExt.dedupMinhash,
+    "q71_dedup_pipeline" -> OraclesExt.dedupPipeline,
     "q15_dedup_simhash" -> OraclesExt.dedupSimhash,
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,

@@ -164,6 +164,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(joins.size == 1, s"expected exactly 1 join, got ${joins.size}:\n$plan")
   }
 
+  test("chunking: one Generate over the scan — no shuffle, no join") {
+    val df = ops.TextAnalysis.chunkDocs(
+      ops.Sources.table(spark, dir, "documents"), "doc_id", "text", 64, 16)
+    val plan = executed(df)
+    assert(collectAll(plan) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"chunking must not shuffle:\n$plan")
+    val gens = collectAll(plan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.size == 1, s"expected exactly 1 Generate, got ${gens.size}:\n$plan")
+  }
+
   test("merge-update: no driver-side collect — single equi-join plan") {
     import org.apache.spark.sql.functions.col
     val target = ops.Sources.table(spark, dir, "orders")
