@@ -32,6 +32,35 @@ object OraclesExt {
       "string_agg(doc_id::VARCHAR, ';' ORDER BY doc_id) AS member_ids " +
       "FROM k GROUP BY ck HAVING count(*) >= 2 ORDER BY keeper_id"
 
+  /** 10-word segments with per-doc position, shared by the segment-dedup
+    * oracles. Mirrors Dedup.segmented: consecutive non-overlapping token
+    * windows, trailing remainder kept, empty docs excluded. */
+  private val segCte: String =
+    "c AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0), " +
+      "s AS (SELECT doc_id, toks, unnest(range(0, (n + 9) // 10)) AS i FROM c), " +
+      "seg AS (SELECT doc_id, i AS seg_idx, " +
+      "array_to_string(toks[i*10+1:i*10+10], ' ') AS seg FROM s)"
+
+  /** Reassembly tail over a `k(doc_id, seg_idx, seg, keep)` CTE. */
+  private val reassembleSql: String =
+    "SELECT doc_id, " +
+      "coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep), '') AS text_clean, " +
+      "(count(*) FILTER (WHERE keep))::BIGINT AS n_kept, " +
+      "(count(*) FILTER (WHERE NOT keep))::BIGINT AS n_dropped " +
+      "FROM k GROUP BY doc_id ORDER BY doc_id"
+
+  val segmentDedup: String =
+    s"WITH $tokCte, $segCte, " +
+      "k AS (SELECT doc_id, seg_idx, seg, " +
+      "row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS keep " +
+      "FROM seg) " + reassembleSql
+
+  val boilerplate: String =
+    s"WITH $tokCte, $segCte, " +
+      "f AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM seg GROUP BY 1), " +
+      "k AS (SELECT g.doc_id, g.seg_idx, g.seg, (f.nd <= 2) AS keep " +
+      "FROM seg g JOIN f ON g.seg = f.seg) " + reassembleSql
+
   val dedupJaccard: String =
     s"WITH $tokCte, $sh3Cte, " +
       "shing AS (SELECT doc_id, unnest(shs) AS s FROM sh3), " +

@@ -841,6 +841,25 @@ object SparkEntry {
       docs.join(dupes, Seq("doc_id"), "left_anti")
         .select("doc_id", "source")
         .orderBy("doc_id")
+    },
+
+    // ───── C4-style corpus-wide EXACT SEGMENT dedup: fixed 10-word
+    // segments, first occurrence (smallest (id, seg_idx)) survives, docs
+    // re-assembled from surviving segments — catches partial copies and
+    // page boilerplate that whole-document dedup misses ─────
+    "q72_segment_dedup" -> { (s, dir) =>
+      Dedup.segmentDedup(tb(s, dir, "documents"), "doc_id", "text",
+          segWords = 10)
+        .orderBy("doc_id")
+    },
+
+    // ───── frequent-segment (boilerplate) removal: segments in > 2
+    // distinct docs deleted from EVERY doc (no survivor — nav-bar strings
+    // are noise in all their hosts) ─────
+    "q73_boilerplate" -> { (s, dir) =>
+      Dedup.dropFrequentSegments(tb(s, dir, "documents"), "doc_id", "text",
+          segWords = 10, maxDocFreq = 2)
+        .orderBy("doc_id")
     }
   )
 
@@ -984,6 +1003,8 @@ object SparkEntry {
     "q14_dedup_minhash" -> OraclesExt.dedupMinhash,
     "q71_dedup_pipeline" -> OraclesExt.dedupPipeline,
     "q15_dedup_simhash" -> OraclesExt.dedupSimhash,
+    "q72_segment_dedup" -> OraclesExt.segmentDedup,
+    "q73_boilerplate" -> OraclesExt.boilerplate,
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,

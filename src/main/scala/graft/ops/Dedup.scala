@@ -434,4 +434,95 @@ object Dedup {
           .as("cos"))
       .filter(col("cos") >= minCosine)
   }
+
+  // ── segment-level dedup (C4-style, sub-document granularity) ─────────
+
+  /** Fixed-width word segments of each document: one row per segment,
+    * (idCol, seg_idx, seg). Segments are consecutive `segWords`-token
+    * windows (no overlap); the trailing segment may be short. Empty docs
+    * emit nothing. Pure expressions — tokenize, `sequence`, one
+    * `posexplode` — a single Generate over the scan, no shuffle. */
+  def segmented(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segWords: Int): DataFrame = {
+    require(segWords > 0, s"segWords must be positive, got $segWords")
+    df.select(col(idCol), TextAnalysis.words(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0),
+            ((col("_n") + lit(segWords - 1)) / lit(segWords)).cast("int") - 1),
+          i => array_join(slice(col("_toks"), i * segWords + 1, lit(segWords)), " "))))
+      .select(col(idCol), col("pos").as("seg_idx"), col("col").as("seg"))
+  }
+
+  /** Re-assemble documents from flagged segments: kept segments re-join in
+    * segment order; (n_kept, n_dropped) make the removal auditable. Docs
+    * whose every segment dropped stay present with empty text (the caller
+    * decides whether empties survive — C4 drops them, a provenance audit
+    * keeps them). One hash-aggregate by doc id. */
+  private def reassemble(segs: DataFrame, idCol: String): DataFrame =
+    segs.groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("_keep"), struct(col("seg_idx"), col("seg"))))),
+          _.getField("seg"))).as("text_clean"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_dropped"))
+
+  /** Corpus-wide exact segment dedup — the C4-style sub-document
+    * treatment: any fixed-width word segment that already occurred
+    * anywhere in the corpus (first occurrence = smallest (id, seg_idx))
+    * is dropped; documents are re-assembled from their surviving
+    * segments. Catches page-level boilerplate and partial copies that
+    * whole-document dedup (exact or MinHash) misses.
+    *
+    * Scale shape: one Generate (segmentation, no shuffle), one window
+    * partitioned by segment text (the dedup shuffle — carries each
+    * segment once, bounded by corpus bytes; exactly what a 100 TB C4 run
+    * shuffles), one hash-agg by doc id for re-assembly. Window state per
+    * key = the occurrence list of ONE segment, bounded by its duplication
+    * count, never by corpus size. */
+  def segmentDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("seg").orderBy(col(idCol), col("seg_idx"))
+    val flagged = segmented(df, idCol, textCol, segWords)
+      .withColumn("_keep", row_number().over(w) === 1)
+    reassemble(flagged, idCol)
+  }
+
+  /** Boilerplate removal by segment document-frequency (the CCNet /
+    * RefinedWeb frequent-line filter at fixed word granularity): segments
+    * appearing in more than `maxDocFreq` distinct documents are removed
+    * from EVERY document (unlike [[segmentDedup]], no first-occurrence
+    * survivor — a nav-bar string is noise in all its hosts).
+    *
+    * Scale shape: segment df counts are a map-side-combinable hash-agg on
+    * segment text; the hot-segment list (df > threshold) is tiny by
+    * construction relative to the corpus, so the join back is left
+    * unhinted for AQE to broadcast from its measured size (a pathological
+    * all-boilerplate corpus degrades to a plain shuffle join, not an OOM). */
+  def dropFrequentSegments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segWords: Int = 10,
+      maxDocFreq: Int = 2): DataFrame = {
+    val segs = segmented(df, idCol, textCol, segWords)
+    val hot = segs.groupBy("seg")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select(col("seg"), lit(true).as("_hot"))
+    val flagged = segs.join(hot, Seq("seg"), "left")
+      .withColumn("_keep", col("_hot").isNull)
+    reassemble(flagged, idCol)
+  }
 }

@@ -178,6 +178,51 @@ class DedupSpec extends SparkSpec {
     assert(got2 == Map(1L -> 2L, 10L -> 10L))
   }
 
+  test("segmentDedup: repeated segment survives once, docs reassemble in order") {
+    // segWords=3: doc 1 = [a b c][d e f], doc 2 repeats segment "a b c"
+    // at its head, doc 3 is untouched, doc 4 repeats "a b c" INSIDE one doc
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "p q r"),
+      (4L, "a b c a b c")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(d, "doc_id", "text", segWords = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c d e f", 2L, 0L))) // first occurrence keeps all
+    assert(out(2L) == (("x y z", 1L, 1L)))       // head segment deduped away
+    assert(out(3L) == (("p q r", 1L, 0L)))
+    assert(out(4L) == (("", 0L, 2L)))            // both copies lose to doc 1
+  }
+
+  test("segmentDedup: trailing short segment is its own dedup unit") {
+    val d = Seq((1L, "a b c d"), (2L, "x y z d")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(d, "doc_id", "text", segWords = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // both docs end in remainder segment "d"; doc 1 keeps it, doc 2 loses it
+    assert(out(1L) == "a b c d")
+    assert(out(2L) == "x y z")
+  }
+
+  test("dropFrequentSegments: boilerplate removed from every host, no survivor") {
+    val d = Seq(
+      (1L, "nav bar one two three"),
+      (2L, "nav bar four five six"),
+      (3L, "nav bar seven eight nine"),
+      (4L, "unique text here")
+    ).toDF("doc_id", "text")
+    // segWords=2 -> "nav bar" is a segment in 3 distinct docs; maxDocFreq=2
+    val out = Dedup.dropFrequentSegments(d, "doc_id", "text",
+        segWords = 2, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3)))).toMap
+    assert(out(1L) == (("one two three", 1L)))
+    assert(out(2L) == (("four five six", 1L)))
+    assert(out(3L) == (("seven eight nine", 1L)))
+    assert(out(4L)._2 == 0L)
+  }
+
   test("embeddingPairs: parallel vectors ~1.0, blocked by label, orthogonal excluded") {
     val e = Seq(
       (1L, Array(1f, 0f, 0f), 0),
