@@ -860,6 +860,20 @@ object SparkEntry {
       Dedup.dropFrequentSegments(tb(s, dir, "documents"), "doc_id", "text",
           segWords = 10, maxDocFreq = 2)
         .orderBy("doc_id")
+    },
+
+    // ───── Unicode NFC normalization (native codegen'd expression; DuckDB
+    // nfc_normalize = the same canonical composition). The ASCII corpus is
+    // decorated with combining acutes (a → a+U+0301) first — mirrored
+    // verbatim in the oracle — so normalization genuinely recomposes ─────
+    "q74_nfc_normalize" -> { (s, dir) =>
+      val decorated = tb(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "a", "a\u0301").as("t")) // a + combining acute (decomposed)
+      decorated.select(col("doc_id"),
+          length(col("t")).cast("long").as("len_raw"),
+          length(TextAnalysis.nfcNormalize(col("t"))).cast("long").as("len_nfc"),
+          Hashing.hash60(TextAnalysis.nfcNormalize(col("t"))).as("fp_nfc"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1005,6 +1019,14 @@ object SparkEntry {
     "q15_dedup_simhash" -> OraclesExt.dedupSimhash,
     "q72_segment_dedup" -> OraclesExt.segmentDedup,
     "q73_boilerplate" -> OraclesExt.boilerplate,
+    // chr(769) = U+0301 combining acute; nfc_normalize (utf8proc) applies
+    // the same Unicode canonical composition as java.text.Normalizer
+    "q74_nfc_normalize" ->
+      ("WITH d AS (SELECT doc_id, regexp_replace(text, 'a', 'a' || chr(769), 'g') AS t " +
+        "FROM documents), " +
+        "n AS (SELECT doc_id, t, nfc_normalize(t) AS tn FROM d) " +
+        "SELECT doc_id, length(t)::BIGINT AS len_raw, length(tn)::BIGINT AS len_nfc, " +
+        "('0x' || substr(md5(tn), 1, 15))::BIGINT AS fp_nfc FROM n ORDER BY doc_id"),
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,

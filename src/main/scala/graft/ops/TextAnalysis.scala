@@ -140,6 +140,16 @@ object TextAnalysis {
   def contentFingerprint(c: Column): Column =
     Hashing.hash60(concat_ws(" ", words(c)))
 
+  /** Unicode NFC normalization (native codegen'd expression,
+    * [[graft.expressions.NfcNormalize]]): combining sequences fold into
+    * precomposed code points so dedup keys and tokens see one spelling
+    * per grapheme. Also registered for SQL as `nfc_normalize` via
+    * [[graft.ext.GraftExtensions]]. */
+  def nfcNormalize(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.NfcNormalize(Bridge.expression(c)))
+  }
+
   /** Fixed-size token chunking with overlap — context-window preparation
     * (RAG / pretraining chunking; the within-document dual of
     * [[packBins]], which packs whole docs). Chunk c starts at token

@@ -211,4 +211,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == 648541476951500027L)
     assert(Hashing.longHash60("abc") == 648541476951500027L)
   }
+
+  test("nfcNormalize: decomposed sequences recompose; NFC input unchanged; null-safe") {
+    val df = Seq(
+      (1L, "caffe\u0301 latte"),  // e + combining acute, decomposed
+      (2L, "caff\u00e9 latte"),   // already NFC (precomposed)
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+        TextAnalysis.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "caff\u00e9 latte")
+    assert(got(2L) == "caff\u00e9 latte")
+    assert(got(3L) == "plain ascii")
+    assert(got(4L) == null)
+    // idempotent: a second pass is the identity
+    val twice = df.filter(col("t").isNotNull).select(
+      (TextAnalysis.nfcNormalize(TextAnalysis.nfcNormalize(col("t"))) ===
+        TextAnalysis.nfcNormalize(col("t"))).as("eq"))
+    assert(twice.collect().forall(_.getBoolean(0)))
+  }
+
+  test("nfc_normalize is SQL-callable once GraftExtensions' builder is registered") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.expressions.NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.NfcNormalize(children.head))
+    val got = spark.sql("SELECT nfc_normalize('é') AS n").head().getString(0)
+    assert(got == "\u00e9")
+  }
 }
