@@ -874,6 +874,32 @@ object SparkEntry {
           length(TextAnalysis.nfcNormalize(col("t"))).cast("long").as("len_nfc"),
           Hashing.hash60(TextAnalysis.nfcNormalize(col("t"))).as("fp_nfc"))
         .orderBy("doc_id")
+    },
+
+    // ───── classic upsert MERGE (WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    // INSERT): updates bump every 7th customer's balance + segment and
+    // insert a shifted-key row for every 13th — matched rows take the
+    // batch verbatim, new keys append ─────
+    "q75_upsert_merge" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val target = c.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val updates = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("UPSERTED").as("u_seg"),
+          round(col("c_acctbal") + 100, 2).as("u_bal"))
+        .unionByName(c.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit("NEWSEG").as("u_seg"), lit(0.0).as("u_bal")))
+      MergeUpdate.upsert(target, updates, Seq("c_custkey"),
+          Map("c_mktsegment" -> "u_seg", "c_acctbal" -> "u_bal"))
+        .withColumn("c_acctbal", round(col("c_acctbal"), 2))
+        .orderBy("c_custkey")
+    },
+
+    // ───── int8 scalar quantization of the embedding store: per-vector
+    // (min, scale) + code checksum + reconstruction MSE ─────
+    "q76_embed_quantize" -> { (s, dir) =>
+      Similarity.quantizeInt8(tb(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")
     }
   )
 
@@ -1027,6 +1053,29 @@ object SparkEntry {
         "n AS (SELECT doc_id, t, nfc_normalize(t) AS tn FROM d) " +
         "SELECT doc_id, length(t)::BIGINT AS len_raw, length(tn)::BIGINT AS len_nfc, " +
         "('0x' || substr(md5(tn), 1, 15))::BIGINT AS fp_nfc FROM n ORDER BY doc_id"),
+    "q75_upsert_merge" ->
+      ("WITH upd AS (" +
+        "SELECT c_custkey AS k, 'UPSERTED' AS seg, round(c_acctbal + 100, 2) AS bal " +
+        "FROM customer WHERE c_custkey % 7 = 0 " +
+        "UNION ALL SELECT c_custkey + 1000000, 'NEWSEG', 0.0 " +
+        "FROM customer WHERE c_custkey % 13 = 0), " +
+        "t AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer) " +
+        "SELECT coalesce(t.c_custkey, u.k) AS c_custkey, " +
+        "CASE WHEN u.k IS NOT NULL THEN u.seg ELSE t.c_mktsegment END AS c_mktsegment, " +
+        "round(CASE WHEN u.k IS NOT NULL THEN u.bal ELSE t.c_acctbal END, 2) AS c_acctbal " +
+        "FROM t FULL JOIN upd u ON t.c_custkey = u.k ORDER BY c_custkey"),
+    // identical arithmetic step-for-step (two divisions, floor, fused
+    // square); codes via per-element lambda, mse via index zip
+    "q76_embed_quantize" ->
+      ("WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+        "m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx, " +
+        "(list_max(v) - list_min(v)) / 255.0 AS sc FROM v), " +
+        "c AS (SELECT vec_id, v, mn, mx, sc, list_transform(v, x -> " +
+        "CASE WHEN sc = 0 THEN 0 ELSE least(255, floor((x - mn) / sc)::BIGINT) END) AS codes FROM m) " +
+        "SELECT vec_id, mn, mx, list_sum(codes)::BIGINT AS code_sum, " +
+        "round(list_sum(list_transform(range(len(v)), i -> " +
+        "(v[i+1] - (mn + codes[i+1] * sc)) * (v[i+1] - (mn + codes[i+1] * sc)))) / len(v), 6) AS mse " +
+        "FROM c ORDER BY vec_id"),
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,

@@ -64,19 +64,26 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val xGet = if (elemIsFloat(left)) s"(double) $x.getFloat(i)" else s"$x.getDouble(i)"
-      val yGet = if (elemIsFloat(right)) s"(double) $y.getFloat(i)" else s"$y.getDouble(i)"
+      // fresh local names: two VecDots in one generated function (e.g. the
+      // 128 ADC-table dots of a PQ projection) would otherwise redeclare
+      // the same Java locals — a Janino compile error that silently drops
+      // the WHOLE projection to interpreted mode
+      val acc = ctx.freshName("vdAcc")
+      val n = ctx.freshName("vdN")
+      val i = ctx.freshName("vdI")
+      val xGet = if (elemIsFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val yGet = if (elemIsFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
       s"""
          |if ($x.numElements() != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc = 0.0;
-         |  int n = $x.numElements();
-         |  for (int i = 0; i < n; i++) {
-         |    if ($x.isNullAt(i) || $y.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    acc += $xGet * $yGet;
+         |  double $acc = 0.0;
+         |  int $n = $x.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $xGet * $yGet;
          |  }
-         |  if (!${ev.isNull}) { ${ev.value} = acc; }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

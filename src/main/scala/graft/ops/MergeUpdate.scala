@@ -85,4 +85,30 @@ object MergeUpdate {
       .unionByName(keptOrClosed)
       .unionByName(opened)
   }
+
+  /** Classic upsert MERGE — WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED
+    * THEN INSERT: the insert-capable dual of [[updateOnly]] (and the
+    * history-less sibling of [[scd2]]). Matched target rows take the
+    * update's `setCols` values VERBATIM (a null update value overwrites —
+    * MERGE semantics, unlike [[updateOnly]]'s coalesce); unmatched update
+    * rows insert with target columns outside `setCols`/`keys` left null.
+    *
+    * One full-outer shuffle join on the merge key (broadcast when the
+    * batch is small — Spark picks from stats/AQE); cardinality =
+    * |target| + |new keys|. `updates` must be unique per key. */
+  def upsert(
+      target: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      setCols: Map[String, String]): DataFrame = {
+    val u = updates.select(
+      (keys.map(col) ++ setCols.values.toSeq.map(c => col(c).as(s"_u_$c"))): _*)
+      .withColumn("_in_upd", lit(true))
+    val j = target.join(u, keys, "full")
+    val inUpd = coalesce(col("_in_upd"), lit(false))
+    val applied = setCols.foldLeft(j) { case (acc, (tCol, uCol)) =>
+      acc.withColumn(tCol, when(inUpd, col(s"_u_$uCol")).otherwise(col(tCol)))
+    }
+    applied.select(target.columns.map(col): _*)
+  }
 }

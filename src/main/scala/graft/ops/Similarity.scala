@@ -428,4 +428,38 @@ object Similarity {
       .drop("cell0")
     topKIvf(q, c, k)
   }
+
+  /** Per-vector int8 scalar quantization — the standard 4× memory
+    * reduction for ANN serving (float32 → uint8 codes + per-vector
+    * (min, scale)): code_i = min(255, ⌊(x_i − mn) / ((mx − mn)/255)⌋),
+    * constant vectors (mx = mn) encode as all-zero. Returns the audit
+    * view (id, mn, mx, code_sum, mse): code checksum + reconstruction
+    * error rather than raw code arrays, so the result is compact and
+    * engine-comparable; [[topKPqSeeded]] is the production compressed
+    * SERVING path, this is the compressed STORAGE path.
+    *
+    * One narrow map pass over the scan — no shuffle, no UDF (HOF lambdas
+    * are interpreted but stay per-element and allocation-free; the hot
+    * alternative is a VecDot-style native expression if profiling ever
+    * demands it). Every arithmetic step (two divisions, floor, fused
+    * square) is written identically in the DuckDB oracle so results are
+    * bit-comparable; mse rounds to 6dp to absorb sum-order ulps. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val sq = (d: Column) => d * d
+    df.select(col(idCol), transform(col(vecCol), _.cast("double")).as("_v"))
+      .withColumn("_mn", array_min(col("_v")))
+      .withColumn("_mx", array_max(col("_v")))
+      .withColumn("_sc", (col("_mx") - col("_mn")) / lit(255.0))
+      .withColumn("_codes", transform(col("_v"), x =>
+        when(col("_sc") === 0.0, lit(0L))
+          .otherwise(least(lit(255L), floor((x - col("_mn")) / col("_sc"))))))
+      .select(col(idCol),
+        col("_mn").as("mn"), col("_mx").as("mx"),
+        aggregate(col("_codes"), lit(0L), _ + _).as("code_sum"),
+        round(
+          aggregate(
+            zip_with(col("_v"), col("_codes"),
+              (x, c) => sq(x - (col("_mn") + c * col("_sc")))),
+            lit(0.0), _ + _) / size(col("_v")), 6).as("mse"))
+  }
 }

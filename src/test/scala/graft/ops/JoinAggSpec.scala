@@ -61,6 +61,23 @@ class JoinAggSpec extends SparkSpec {
     assert(got(2).getString(1) == "old3")
   }
 
+  test("upsert: matched rows take update values verbatim (null overwrites), new keys insert") {
+    val target = Seq((1L, "old1", 10.0), (2L, "old2", 20.0), (3L, "old3", 30.0))
+      .toDF("id", "commessa", "ore")
+    val updates = Seq(
+      (2L, "new2", java.lang.Double.valueOf(99.0)),
+      (3L, null.asInstanceOf[String], java.lang.Double.valueOf(5.0)), // null OVERWRITES
+      (9L, "inserted", java.lang.Double.valueOf(1.0)))                // new key
+      .toDF("id", "commessa", "ore")
+    val got = MergeUpdate.upsert(target, updates, Seq("id"),
+      Map("commessa" -> "commessa", "ore" -> "ore")).orderBy("id").collect()
+    assert(got.length == 4) // 3 target + 1 inserted
+    assert(got(0).getString(1) == "old1" && got(0).getDouble(2) == 10.0)   // untouched
+    assert(got(1).getString(1) == "new2" && got(1).getDouble(2) == 99.0)   // updated
+    assert(got(2).isNullAt(1) && got(2).getDouble(2) == 5.0)               // null overwrote
+    assert(got(3).getLong(0) == 9L && got(3).getString(1) == "inserted")   // inserted
+  }
+
   test("SCD2: changed keys close+reopen, unchanged untouched, new keys insert, history passes through") {
     val d = java.sql.Date.valueOf(_: String)
     val dim = Seq(

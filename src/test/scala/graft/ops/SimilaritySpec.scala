@@ -182,6 +182,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pq2 == pq)
   }
 
+  test("quantizeInt8: hand-checked codes, endpoints exact, constant vector all-zero") {
+    val df = Seq(
+      (1L, Array(0f, 1f, 2f)),       // sc = 2/255; codes 0, 127, 255
+      (2L, Array(3f, 3f, 3f))        // constant: sc = 0, codes all 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    // codes: floor(0)=0, floor(127.5)=127, floor(255)=255 (capped) -> sum 382
+    assert(got(1L)._1 == 0.0 && got(1L)._2 == 2.0 && got(1L)._3 == 382L)
+    // err = (1 - 127*(2/255))^2 / 3 = 5.126e-6 -> 6dp
+    assert(got(1L)._4 == 0.000005)
+    assert(got(2L) == ((3.0, 3.0, 0L, 0.0)))
+  }
+
   test("vec_dot is SQL-callable once GraftExtensions' builder is registered") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
