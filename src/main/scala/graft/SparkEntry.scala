@@ -900,6 +900,65 @@ object SparkEntry {
     "q76_embed_quantize" -> { (s, dir) =>
       Similarity.quantizeInt8(tb(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("vec_id")
+    },
+
+    // ───── event-time RANGE frame: per-customer trailing 7-day order
+    // total (RANGE BETWEEN INTERVAL, the frame type q35's ROWS frames
+    // don't cover; peers at the same date aggregate together) ─────
+    "q77_window_range" -> { (s, dir) =>
+      // orderdate is a midnight-aligned timestamp; day numbers make the
+      // RANGE frame's interval arithmetic exact in both engines
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(unix_date(to_date(col("o_orderdate"))))
+        .rangeBetween(-6, 0) // 6 preceding days + current = 7-day window
+      t(s, dir, "orders")
+        .filter(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("sum7", round(sum("o_totalprice").over(w), 2))
+        .withColumn("n7", count(lit(1)).over(w))
+        .drop("o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ───── explicit GROUPING SETS (the general form of q28's ROLLUP /
+    // q49's CUBE): two single-column sets + the pair, no grand total ─────
+    "q78_grouping_sets" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("g78_li")
+      s.sql(
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+          "count(*) AS n, grouping_id(l_returnflag, l_linestatus) AS gid " +
+          "FROM g78_li " +
+          "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus)) " +
+          "ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST")
+    },
+
+    // ───── Structured Streaming: sliding 1h/30m windows end-to-end —
+    // the q46 batch query as a true stream, same oracle ─────
+    "q79_stream_sliding" -> { (s, dir) =>
+      drainToTable(s,
+        graft.streaming.StreamingOps.slidingByType(eventsStream(s, dir)),
+        "g79_sliding", "complete")
+        .orderBy("win_start", "event_type")
+    },
+
+    // ───── Structured Streaming: mapGroupsWithState running per-user
+    // totals end-to-end (update mode; the monotone event count picks each
+    // user's LAST emitted state if the source split into several batches) ─────
+    "q80_stream_running_total" -> { (s, dir) =>
+      import s.implicits._
+      val typed = eventsStream(s, dir)
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          col("value").cast("double").as("value"))
+        .as[graft.streaming.StreamingOps.UserEvent]
+      val drained = drainToTable(s,
+        graft.streaming.StreamingOps.runningUserTotals(typed).toDF(),
+        "g80_totals", "update")
+      val last = Window.partitionBy("user_id").orderBy(col("n").desc)
+      drained.withColumn("_r", row_number().over(last))
+        .filter(col("_r") === 1)
+        .select(col("user_id"), col("n"), round(col("total"), 2).as("total"))
+        .orderBy("user_id")
     }
   )
 
@@ -1076,6 +1135,33 @@ object SparkEntry {
         "round(list_sum(list_transform(range(len(v)), i -> " +
         "(v[i+1] - (mn + codes[i+1] * sc)) * (v[i+1] - (mn + codes[i+1] * sc)))) / len(v), 6) AS mse " +
         "FROM c ORDER BY vec_id"),
+    "q77_window_range" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "round(sum(o_totalprice) OVER w, 2) AS sum7, " +
+        "(count(*) OVER w)::BIGINT AS n7 " +
+        "FROM orders WHERE o_custkey % 10 = 0 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate " +
+        "RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "q78_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "count(*) AS n, grouping_id(l_returnflag, l_linestatus)::BIGINT AS gid " +
+        "FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus)) " +
+        "ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+    // the q46 batch sliding-window oracle, reused by the streaming path
+    "q79_stream_sliding" ->
+      ("WITH w AS (SELECT event_type, value, " +
+        "time_bucket(INTERVAL 30 MINUTE, ts) AS s1 FROM events), " +
+        "x AS (SELECT event_type, value, s1 AS win_start FROM w " +
+        "UNION ALL SELECT event_type, value, s1 - INTERVAL 30 MINUTE FROM w) " +
+        "SELECT win_start, event_type, count(*)::BIGINT AS n, " +
+        "round(sum(value), 2) AS sum_value " +
+        "FROM x GROUP BY 1, 2 ORDER BY 1, 2"),
+    // final mapGroupsWithState state per user ≡ the batch lifetime totals
+    "q80_stream_running_total" ->
+      ("SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 2) AS total " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,

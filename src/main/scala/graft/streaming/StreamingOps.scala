@@ -25,6 +25,17 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding 1h window every 30m per event type — the streaming twin of
+    * the q46 batch query (same columns, same 2dp rounding, so the two
+    * share one oracle). */
+  def slidingByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Sliding 1h window every 15m per user — overlap = 4 panes/event. */
   def slidingUserActivity(events: DataFrame): DataFrame =
     events
