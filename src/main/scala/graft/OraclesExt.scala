@@ -440,8 +440,10 @@ object OraclesExt {
   /** Mirrors TextAnalysis.bigramLmScore at vocabSize=20: add-1-smoothed
     * self-trained bigram LM over a top-20 vocab (rest → <unk>),
     * avg_nll = −mean ln (c(w1,w2)+1)/(c(w1)+|vocab|+1). */
-  val lmScore: String =
-    s"WITH $tokCte, " +
+  /** The q61 bigram-LM CTE chain up to per-doc raw NLL (shared with the
+    * composite curation pipeline). */
+  private val lmCtes: String =
+    s"$tokCte, " +
       "u AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS pos FROM tok), " +
       "vc AS (SELECT t AS token, count(*) AS freq FROM u GROUP BY 1), " +
       "vocab AS (SELECT token FROM vc ORDER BY freq DESC, token LIMIT 20), " +
@@ -453,9 +455,27 @@ object OraclesExt {
       "ctx AS (SELECT w1, sum(cb) AS cw FROM lm GROUP BY 1), " +
       "nv AS (SELECT count(*) AS nv FROM vocab), " +
       "sc AS (SELECT doc_id, avg(-ln((cb + 1.0) / (cw + nv + 1.0))) AS nll " +
-      "FROM b JOIN lm USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN nv GROUP BY doc_id) " +
-      "SELECT d.doc_id, round(coalesce(nll, 0.0), 6) AS avg_nll " +
-      "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id"
+      "FROM b JOIN lm USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN nv GROUP BY doc_id), " +
+      "scored AS (SELECT d.doc_id, round(coalesce(nll, 0.0), 6) AS avg_nll " +
+      "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)"
+
+  val lmScore: String =
+    s"WITH $lmCtes SELECT doc_id, avg_nll FROM scored ORDER BY doc_id"
+
+  /** Composite curation: LM score → tercile bands (cuts = interpolated
+    * quantiles rounded 6dp, same in both engines) → exact per-band hash
+    * quotas (100 default, bad band capped at 20). */
+  val qualityMix: String =
+    s"WITH $lmCtes, " +
+      "cut AS (SELECT round(quantile_cont(avg_nll, 0.3333), 6) AS c1, " +
+      "round(quantile_cont(avg_nll, 0.6667), 6) AS c2 FROM scored), " +
+      "bd AS (SELECT doc_id, CASE WHEN avg_nll <= c1 THEN 'good' " +
+      "WHEN avg_nll <= c2 THEN 'mid' ELSE 'bad' END AS band " +
+      "FROM scored CROSS JOIN cut), " +
+      "r AS (SELECT doc_id, band, row_number() OVER (PARTITION BY band " +
+      s"ORDER BY ${h60("doc_id::VARCHAR")}, doc_id) AS rn FROM bd) " +
+      "SELECT doc_id, band FROM r " +
+      "WHERE rn <= CASE WHEN band = 'bad' THEN 20 ELSE 100 END ORDER BY doc_id"
 
   val sessionWindow: String =
     "WITH g AS (SELECT user_id, ts, value, " +

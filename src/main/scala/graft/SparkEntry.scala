@@ -959,6 +959,33 @@ object SparkEntry {
         .filter(col("_r") === 1)
         .select(col("user_id"), col("n"), round(col("total"), 2).as("total"))
         .orderBy("user_id")
+    },
+
+    // ───── per-label embedding centroids (class prototypes): explode to
+    // (label, pos), map-side-combined avg — vectors never shuffle ─────
+    "q81_label_centroids" -> { (s, dir) =>
+      Similarity.labelCentroids(tb(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "pos")
+    },
+
+    // ───── the composite CURATION pipeline a corpus user runs: LM-score
+    // every doc (q61's model) → band by score terciles (cuts computed
+    // once, broadcast back) → exact per-band quotas, downsampling the
+    // worst band 5× (q65's sampler). Deterministic end to end ─────
+    "q82_quality_mix" -> { (s, dir) =>
+      val scored = TextAnalysis.bigramLmScore(tb(s, dir, "documents"),
+        "doc_id", "text", vocabSize = 20)
+      val cuts = scored.agg(
+        round(expr("percentile(avg_nll, 0.3333)"), 6).as("c1"),
+        round(expr("percentile(avg_nll, 0.6667)"), 6).as("c2"))
+      val banded = scored.crossJoin(broadcast(cuts))
+        .withColumn("band",
+          when(col("avg_nll") <= col("c1"), "good")
+            .when(col("avg_nll") <= col("c2"), "mid")
+            .otherwise("bad"))
+        .select("doc_id", "band")
+      TextAnalysis.quotaSample(banded, "doc_id", "band", 100, Map("bad" -> 20))
+        .orderBy("doc_id")
     }
   )
 
@@ -1162,6 +1189,13 @@ object SparkEntry {
     "q80_stream_running_total" ->
       ("SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 2) AS total " +
         "FROM events GROUP BY 1 ORDER BY 1"),
+    "q81_label_centroids" ->
+      ("WITH v AS (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), " +
+        "e AS (SELECT label, unnest(range(0, len(v))) AS pos, v FROM v), " +
+        "x AS (SELECT label, pos, v[pos+1] AS val FROM e) " +
+        "SELECT label, pos::INT AS pos, round(avg(val), 6) AS mean, " +
+        "count(*)::BIGINT AS n FROM x GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q82_quality_mix" -> OraclesExt.qualityMix,
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,

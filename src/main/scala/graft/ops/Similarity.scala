@@ -444,6 +444,23 @@ object Similarity {
     * demands it). Every arithmetic step (two divisions, floor, fused
     * square) is written identically in the DuckDB oracle so results are
     * bit-comparable; mse rounds to 6dp to absorb sum-order ulps. */
+  /** Per-label element-wise embedding centroids (class prototypes — IVF
+    * codebook seeds, nearest-class-mean classification, drift monitors).
+    * Long output (label, pos, mean, n) rather than re-assembled arrays:
+    * the per-dimension rows are what downstream joins consume, and the
+    * comparison stays scalar.
+    *
+    * Scale shape: one posexplode Generate (dim× fan-out) then a hash-agg
+    * on (label, pos) with map-side partial avg — the shuffle carries
+    * (label, pos, partial sum/count) only, never vectors. The HOF-free
+    * alternative (collect_list per label, fold on the driver) would bound
+    * on executor memory; this shape never does. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol),
+        posexplode(transform(col(vecCol), _.cast("double"))))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(round(avg(col("col")), 6).as("mean"), count(lit(1)).as("n"))
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val sq = (d: Column) => d * d
     df.select(col(idCol), transform(col(vecCol), _.cast("double")).as("_v"))
