@@ -191,4 +191,42 @@ class PlanShapeSpec extends SparkSpec {
     // row-preservation invariant: left join on unique keys
     assert(merged.count() == target.count())
   }
+
+  test("segment dedup: one Generate; shuffles = seg window + doc agg only") {
+    val df = ops.Dedup.segmentDedup(
+      ops.Sources.table(spark, dir, "documents"), "doc_id", "text", 10)
+    val plan = executed(df)
+    val gens = collectAll(plan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.size == 1, s"expected exactly 1 Generate, got ${gens.size}:\n$plan")
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    // window partitioned by segment + reassembly agg by doc id — the two
+    // shuffles a 100 TB C4 pass genuinely pays, and no more
+    assert(shuffles.size <= 2, s"unexpected shuffles (${shuffles.size}):\n$plan")
+  }
+
+  test("int8 quantization: pure projection — no shuffle, no join, no Generate") {
+    val df = ops.Similarity.quantizeInt8(
+      ops.Sources.table(spark, dir, "embeddings"), "vec_id", "embedding")
+    val plan = executed(df)
+    assert(collectAll(plan) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"quantization must not shuffle:\n$plan")
+    assert(collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"quantization must not join:\n$plan")
+  }
+
+  test("label centroids: one partial-agg shuffle carrying (label, pos) partials") {
+    val df = ops.Similarity.labelCentroids(
+      ops.Sources.table(spark, dir, "embeddings"), "label", "embedding")
+    val plan = executed(df)
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 1, s"expected exactly 1 shuffle:\n$plan")
+    // map-side combine: a partial aggregate must sit below the exchange
+    val aggs = collectAll(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size == 2, s"expected partial+final hash aggregates:\n$plan")
+  }
 }
