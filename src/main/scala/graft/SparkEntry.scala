@@ -986,6 +986,23 @@ object SparkEntry {
         .select("doc_id", "band")
       TextAnalysis.quotaSample(banded, "doc_id", "band", 100, Map("bad" -> 20))
         .orderBy("doc_id")
+    },
+
+    // ───── pack-and-assemble: q47's bin assignment MATERIALIZED into
+    // training contexts (docs joined in id order with an <eod> separator
+    // — the text a trainer's data loader actually reads) ─────
+    "q83_pack_assemble" -> { (s, dir) =>
+      val d = tb(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("text"), TextAnalysis.wordCount(col("text")).as("n_tok"))
+      TextAnalysis.packBins(d, "source", "doc_id", "n_tok", ctxTokens = 2048)
+        .groupBy("source", "bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("sum_tokens"),
+          concat_ws(" <eod> ", transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            _.getField("text"))).as("packed"))
+        .orderBy("source", "bin")
     }
   )
 
@@ -1196,6 +1213,16 @@ object SparkEntry {
         "SELECT label, pos::INT AS pos, round(avg(val), 6) AS mean, " +
         "count(*)::BIGINT AS n FROM x GROUP BY 1, 2 ORDER BY 1, 2"),
     "q82_quality_mix" -> OraclesExt.qualityMix,
+    "q83_pack_assemble" ->
+      ("WITH d AS (SELECT doc_id, source, text, " +
+        "len(regexp_extract_all(text, '\\w+')) AS n_tok FROM documents), " +
+        "b AS (SELECT source, doc_id, text, n_tok, floor((sum(n_tok) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) " +
+        "/ 2048)::BIGINT AS bin FROM d) " +
+        "SELECT source, bin, count(*)::BIGINT AS n_docs, " +
+        "sum(n_tok)::BIGINT AS sum_tokens, " +
+        "string_agg(text, ' <eod> ' ORDER BY doc_id) AS packed " +
+        "FROM b GROUP BY 1, 2 ORDER BY 1, 2"),
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,

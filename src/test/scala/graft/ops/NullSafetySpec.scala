@@ -91,6 +91,35 @@ class NullSafetySpec extends SparkSpec {
     assert(clean == Set(1L, 2L, 3L, 4L))
   }
 
+  test("segmentDedup / dropFrequentSegments: null/empty/blank docs drop out, token docs survive") {
+    for (out <- Seq(
+        Dedup.segmentDedup(degenerate, "doc_id", "text", segWords = 3),
+        Dedup.dropFrequentSegments(degenerate, "doc_id", "text", 3, 2))) {
+      val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // docs 1-3 have no tokens: excluded from segmentation (not emitted
+      // as empty rows); 4 and 5 reassemble verbatim (nothing duplicated)
+      assert(m.keySet == Set(4L, 5L))
+      assert(m(4L) == "one two")
+      assert(m(5L) == "alpha beta gamma delta")
+    }
+  }
+
+  test("quantizeInt8 / labelCentroids: null and empty vectors stay null, never crash") {
+    val vecs = Seq(
+      (1L, 0, Array(1f, 2f)),
+      (2L, 0, null.asInstanceOf[Array[Float]]),
+      (3L, 1, Array[Float]())
+    ).toDF("vec_id", "label", "embedding")
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!q(1L) && q(2L) && q(3L)) // null/empty -> null mn, no exception
+    val c = Similarity.labelCentroids(vecs, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // null/empty vectors explode to nothing: label 1 has no rows at all
+    assert(c.keySet == Set((0, 0), (0, 1)))
+    assert(c((0, 0)) == 1.0 && c((0, 1)) == 2.0)
+  }
+
   test("exactGroups groups all empty-normalized docs together (documented)") {
     val key = md5(concat_ws(" ", array_sort(array_distinct(col("toks")))))
     val g = Dedup.exactGroups(degenerate, "doc_id", key).collect()

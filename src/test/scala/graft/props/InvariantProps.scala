@@ -191,4 +191,25 @@ object InvariantProps extends Properties("graft.invariants") {
         .select("doc_id").as[Long].collect().toSet
       got == want && twice == got
     }
+
+  property("segmentDedup conserves segments; one keeper per distinct segment") =
+    forAll(Gen.nonEmptyListOf(genDoc).map(_.take(10))) { docs =>
+      import spark.implicits._
+      val segWords = 2
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Dedup.segmentDedup(df, "doc_id", "text", segWords)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      def segsOf(t: String): Seq[String] =
+        t.split("\\s+").filter(_.nonEmpty).grouped(segWords)
+          .map(_.mkString(" ")).toSeq
+      val allSegs = docs.zipWithIndex
+        .flatMap { case (t, i) => segsOf(t).map(s => (i.toLong, s)) }
+      // kept + dropped = total segments; kept = |distinct segment values|;
+      // the min-id doc never loses anything it said first — which for the
+      // overall-first doc with segments is everything
+      val conserves = out.map(t => t._2 + t._3).sum == allSegs.size
+      val oneKeeper = out.map(_._2).sum == allSegs.map(_._2).distinct.size
+      conserves && oneKeeper
+    }
 }
