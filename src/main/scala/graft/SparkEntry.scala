@@ -1003,6 +1003,64 @@ object SparkEntry {
             array_sort(collect_list(struct(col("doc_id"), col("text")))),
             _.getField("text"))).as("packed"))
         .orderBy("source", "bin")
+    },
+
+    // ───── stream-static join: the streaming events enrich against a
+    // static dimension (type → weight) mid-stream, then window-aggregate
+    // — the standard streaming enrichment shape ─────
+    "q84_stream_static_join" -> { (s, dir) =>
+      import s.implicits._
+      // integral weights: a fractional weight times the 2-decimal values
+      // lands sums on exact .005 halves, where decimal HALF_UP (Spark)
+      // and binary rounding (DuckDB) disagree
+      val weights = Seq(("click", 1.0), ("purchase", 5.0), ("signup", 3.0),
+        ("view", 2.0), ("error", 0.0)).toDF("event_type", "weight")
+      val enriched = eventsStream(s, dir)
+        .join(weights, Seq("event_type")) // stream-static inner join
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") * col("weight")), 2).as("weighted"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("weighted"))
+      drainToTable(s, enriched, "g84_enriched", "complete")
+        .orderBy("win_start", "event_type")
+    },
+
+    // ───── stream-stream interval join: clicks match purchases by the
+    // same user within the following hour — watermarks on BOTH sides plus
+    // the time-range condition bound the join state ─────
+    "q85_stream_stream_join" -> { (s, dir) =>
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+      val joined = clicks.join(purchases,
+        col("p_user_id") === col("user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      drainToTable(s,
+        joined.select("click_id", "purchase_id", "user_id"),
+        "g85_pairs", "append")
+        .orderBy("click_id", "purchase_id")
+    },
+
+    // ───── correlated scalar subquery (Catalyst decorrelates to a
+    // left-outer aggregate join — no per-row re-execution) ─────
+    "q86_correlated_scalar" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("g86_c")
+      t(s, dir, "orders").createOrReplaceTempView("g86_o")
+      s.sql(
+        "SELECT c_custkey, c_mktsegment, " +
+          "(SELECT round(max(o_totalprice), 2) FROM g86_o o " +
+          "WHERE o.o_custkey = c.c_custkey) AS max_price " +
+          "FROM g86_c c ORDER BY c_custkey")
     }
   )
 
@@ -1223,6 +1281,25 @@ object SparkEntry {
         "sum(n_tok)::BIGINT AS sum_tokens, " +
         "string_agg(text, ' <eod> ' ORDER BY doc_id) AS packed " +
         "FROM b GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q84_stream_static_join" ->
+      ("WITH w AS (SELECT event_type, CASE event_type WHEN 'click' THEN 1.0 " +
+        "WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0 WHEN 'view' THEN 2.0 " +
+        "ELSE 0.0 END AS weight FROM (SELECT DISTINCT event_type FROM events)) " +
+        "SELECT date_trunc('hour', e.ts) AS win_start, e.event_type, " +
+        "count(*)::BIGINT AS n, round(sum(e.value * w.weight), 2) AS weighted " +
+        "FROM events e JOIN w ON e.event_type = w.event_type " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q85_stream_stream_join" ->
+      ("SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id " +
+        "FROM events c JOIN events p ON c.event_type = 'click' " +
+        "AND p.event_type = 'purchase' AND p.user_id = c.user_id " +
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR " +
+        "ORDER BY click_id, purchase_id"),
+    "q86_correlated_scalar" ->
+      ("SELECT c_custkey, c_mktsegment, " +
+        "(SELECT round(max(o_totalprice), 2) FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey) AS max_price " +
+        "FROM customer c ORDER BY c_custkey"),
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,
