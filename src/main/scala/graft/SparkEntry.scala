@@ -1061,6 +1061,24 @@ object SparkEntry {
           "(SELECT round(max(o_totalprice), 2) FROM g86_o o " +
           "WHERE o.o_custkey = c.c_custkey) AS max_price " +
           "FROM g86_c c ORDER BY c_custkey")
+    },
+
+    // ───── schema evolution on the lake: two parquet generations with
+    // different columns, one mergeSchema read — the columnar-native form
+    // of S2's heterogeneous-sheet union (absent columns surface as nulls) ─────
+    "q87_schema_evolution" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("g87_").toString
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$tmp/gen1")
+      o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$tmp/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$tmp/gen1", s"$tmp/gen2")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
     }
   )
 
@@ -1089,11 +1107,21 @@ object SparkEntry {
   private def drainToTable(
       s: SparkSession, out: DataFrame, view: String, mode: String): DataFrame = {
     s.catalog.dropTempView(view) // bench re-runs the query in one session
-    val q = out.writeStream.format("memory").queryName(view)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // stateful operators allocate one state store per shuffle partition
+    // per store kind (a stream-stream join keeps four) and checkpoint each
+    // every microbatch — at driver-test scale that fixed cost dwarfs the
+    // data, so the streaming queries run on few partitions. Results are
+    // partitioning-independent (every one is oracle-checked); a real
+    // deployment sizes this to its key cardinality instead.
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = out.writeStream.format("memory").queryName(view)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", before)
     s.table(view)
   }
 
@@ -1300,6 +1328,13 @@ object SparkEntry {
         "(SELECT round(max(o_totalprice), 2) FROM orders o " +
         "WHERE o.o_custkey = c.c_custkey) AS max_price " +
         "FROM customer c ORDER BY c_custkey"),
+    // storage-level evolution never changes the logical content: the
+    // oracle is the plain two-generation union with null-filled columns
+    "q87_schema_evolution" ->
+      ("SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority " +
+        "FROM orders WHERE o_orderstatus = 'F' " +
+        "UNION ALL SELECT o_orderkey, NULL, o_orderpriority " +
+        "FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey"),
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,

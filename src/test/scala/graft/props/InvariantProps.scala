@@ -88,6 +88,29 @@ object InvariantProps extends Properties("graft.invariants") {
         untouched.exceptAll(untouchedIn).count() == 0
     }
 
+  property("upsert: |out| = |target| + |new keys|; untouched rows identical; updates verbatim") =
+    forAll(
+      Gen.nonEmptyListOf(for {
+        k <- Gen.choose(1, 20); v <- Gen.choose(0, 100)
+      } yield (k, v.toDouble)),
+      Gen.listOf(for {
+        k <- Gen.choose(1, 30); v <- Gen.choose(200, 300)
+      } yield (k, v.toDouble))) { (targetRows, updateRows) =>
+      import spark.implicits._
+      val target = targetRows.distinctBy(_._1).toDF("k", "v")
+      val updates = updateRows.distinctBy(_._1).toDF("k", "v")
+      val merged = MergeUpdate.upsert(target, updates, Seq("k"), Map("v" -> "v"))
+      val targetKeys = targetRows.map(_._1).toSet
+      val updateKeys = updateRows.map(_._1).toSet
+      val got = merged.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val updMap = updateRows.distinctBy(_._1).toMap
+      val tgtMap = targetRows.distinctBy(_._1).toMap
+      merged.count() == (targetKeys ++ updateKeys).size &&
+        got.forall { case (k, v) =>
+          if (updateKeys(k)) v == updMap(k) else v == tgtMap(k)
+        }
+    }
+
   property("cleanHours never yields null; null/garbage raw maps to 0") =
     forAll(Gen.listOfN(20, genCell)) { cells =>
       import spark.implicits._
