@@ -1079,6 +1079,27 @@ object SparkEntry {
         .parquet(s"$tmp/gen1", s"$tmp/gen2")
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
         .orderBy("o_orderkey")
+    },
+
+    // ───── incremental dedup — the daily-ingest shape: an incoming batch
+    // (every 5th doc) dedups against the existing store by q12's
+    // normalized-bag content key (anti-join on the digest — the store's
+    // documents never move) and then within itself (min-id window). What
+    // survives is what an append-only corpus actually ingests ─────
+    "q88_incremental_dedup" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      val key = md5(concat_ws(" ",
+        array_sort(array_distinct(TextAnalysis.words(col("text"))))))
+      val store = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(key.as("ck")).distinct()
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("source"), key.as("ck"))
+      val w = Window.partitionBy("ck").orderBy("doc_id")
+      batch.join(store, Seq("ck"), "left_anti")
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     }
   )
 
@@ -1335,6 +1356,17 @@ object SparkEntry {
         "FROM orders WHERE o_orderstatus = 'F' " +
         "UNION ALL SELECT o_orderkey, NULL, o_orderpriority " +
         "FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey"),
+    "q88_incremental_dedup" ->
+      ("WITH k AS (SELECT doc_id, source, md5(array_to_string(list_sort(" +
+        "list_distinct(regexp_extract_all(lower(text), '\\w+'))), ' ')" +
+        ") AS ck FROM documents), " +
+        "b AS (SELECT * FROM k WHERE doc_id % 5 = 0), " +
+        "c AS (SELECT DISTINCT ck FROM k WHERE doc_id % 5 != 0), " +
+        "f AS (SELECT b.doc_id, b.source, b.ck FROM b " +
+        "WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.ck = b.ck)), " +
+        "r AS (SELECT doc_id, source, " +
+        "row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn FROM f) " +
+        "SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id"),
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,
