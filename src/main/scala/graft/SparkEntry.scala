@@ -1100,6 +1100,18 @@ object SparkEntry {
         .filter(col("_rn") === 1)
         .select("doc_id", "source")
         .orderBy("doc_id")
+    },
+
+    // ───── custom whole-operator plan: sort-free top-k per key. The
+    // TopKPerKeyNode logical plan (strategy-injected via
+    // SparkSessionExtensions) replaces exchange→SORT→window→filter with
+    // exchange→bounded-heap — O(n log k), memory keys·k, nothing to
+    // spill. Oracle = the rank-window formulation it is proven equal to ─────
+    "q89_topk_per_key" -> { (s, dir) =>
+      TopK.perKey(t(s, dir, "orders"), Seq("o_custkey"),
+          Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
     }
   )
 
@@ -1367,6 +1379,12 @@ object SparkEntry {
         "r AS (SELECT doc_id, source, " +
         "row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn FROM f) " +
         "SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id"),
+    "q89_topk_per_key" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+        "WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"),
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,

@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    // whole-operator extension: plans graft.plans.TopKPerKeyNode (sort-free
+    // top-k per key) into its bounded-heap physical operator
+    ext.injectPlannerStrategy(_ => new graft.plans.GraftStrategies)
   }
 }
 

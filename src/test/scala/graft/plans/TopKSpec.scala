@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.{Sources, TopK}
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  test("TopK.perKey == rank-window formulation on real data (total order)") {
+    val o = Sources.table(spark, dir, "orders")
+    val custom = TopK.perKey(o,
+        keys = Seq("o_custkey"),
+        order = Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+      .select("o_custkey", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val windowed = o.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 3)
+      .select("o_custkey", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(custom == windowed)
+    assert(custom.nonEmpty)
+  }
+
+  test("TopK.perKey plans as exchange + bounded heap — NO sort anywhere") {
+    val o = Sources.table(spark, dir, "orders")
+    val df = TopK.perKey(o, Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+    val plan = finalPlan(df)
+    assert(plan.collect { case e: TopKPerKeyExec => e }.nonEmpty,
+      s"expected TopKPerKeyExec in:\n$plan")
+    assert(plan.collect { case s: SortExec => s }.isEmpty,
+      s"the whole point is removing the sort:\n$plan")
+    // it still pays the one clustering exchange the window version needs
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.size == 1,
+      s"expected exactly the clustering exchange:\n$plan")
+  }
+
+  test("TopK.perKey: groups smaller than k pass through whole; k=1 is per-key argmax") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0),
+      ("b", 4L, 5.0)
+    ).toDF("k", "id", "v")
+    val top2 = TopK.perKey(df, Seq("k"), Seq("v" -> false, "id" -> true), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(top2 == Set(("a", 2L), ("a", 3L), ("b", 4L)))
+    val top1 = TopK.perKey(df, Seq("k"), Seq("v" -> false, "id" -> true), 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(top1 == Set(("a", 2L), ("b", 4L)))
+  }
+
+  test("TopK.perKey: ties beyond k cut by the tie-breaker, exactly k survive") {
+    val df = Seq(
+      ("a", 1L, 7.0), ("a", 2L, 7.0), ("a", 3L, 7.0)
+    ).toDF("k", "id", "v")
+    val got = TopK.perKey(df, Seq("k"), Seq("v" -> false, "id" -> true), 2)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got == Set(1L, 2L)) // lowest ids win the tie
+  }
+}
