@@ -1112,6 +1112,26 @@ object SparkEntry {
           Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ───── REAL image decode through the mapPartitions boundary: encode
+    // genuine binary PGM (Netpbm P5) images, parse them back byte-level
+    // (header tokens + raw pixels), emit dimension/pixel features. The
+    // oracle recomputes features from the deterministic pixel formula —
+    // the Spark side actually round-trips the bytes ─────
+    "q90_pgm_decode" -> { (s, dir) =>
+      Multimodal.pgmFeatures(Multimodal.pgmTable(s, dir))
+        .orderBy("doc_id")
+    },
+
+    // ───── real image resize: decode → nearest-neighbor ½× → re-encode →
+    // decode again; features of the RESIZED image ─────
+    "q91_pgm_resize" -> { (s, dir) =>
+      import s.implicits._
+      val resized = Multimodal.pgmTable(s, dir).mapPartitions(_.map(img =>
+        Multimodal.PgmImage(img.id, Multimodal.resizePgmHalf(img.payload))))
+      Multimodal.pgmFeatures(resized)
+        .orderBy("doc_id")
     }
   )
 
@@ -1385,6 +1405,23 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY o_custkey " +
         "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
         "WHERE rn <= 3 ORDER BY o_custkey, o_orderkey"),
+    // pixel i of image d = (d*7 + i*13) % 256, dims (8 + d%9, 8 + d%7):
+    // the oracle recomputes what the Spark side parses out of real bytes
+    "q90_pgm_decode" ->
+      ("WITH d AS (SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + (doc_id % 7) AS h FROM documents), " +
+        "p AS (SELECT doc_id, w::INT AS width, h::INT AS height, (w*h)::INT AS n_pix, " +
+        "list_sum(list_transform(range(w*h), i -> (doc_id*7 + i*13) % 256))::BIGINT AS px_sum FROM d) " +
+        "SELECT doc_id, width, height, n_pix, px_sum, " +
+        "px_sum::DOUBLE / n_pix AS px_mean FROM p ORDER BY doc_id"),
+    // resized pixel (x, y) samples source index 2y*w + 2x
+    "q91_pgm_resize" ->
+      ("WITH d AS (SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + (doc_id % 7) AS h FROM documents), " +
+        "r AS (SELECT doc_id, w, (w+1)//2 AS w2, (h+1)//2 AS h2 FROM d), " +
+        "p AS (SELECT doc_id, w2::INT AS width, h2::INT AS height, (w2*h2)::INT AS n_pix, " +
+        "list_sum(list_transform(range(w2*h2), j -> " +
+        "(doc_id*7 + (2*(j//w2)*w + 2*(j%w2))*13) % 256))::BIGINT AS px_sum FROM r) " +
+        "SELECT doc_id, width, height, n_pix, px_sum, " +
+        "px_sum::DOUBLE / n_pix AS px_mean FROM p ORDER BY doc_id"),
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,

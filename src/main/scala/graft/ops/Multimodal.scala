@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * payloads plus typed metadata, with decode / feature-extraction /
   * frame-sampling as per-partition batch operators.
   *
-  * The *decode* step is a clearly-marked deterministic STUB (no codec
-  * libraries exist in this environment); everything Spark-owned — schema,
-  * encoders, partitioning, batch shape, the `mapPartitions` boundary where
-  * a real decoder (JNI/FFmpeg/ImageIO) would slot in — is real and tested.
-  * At scale this is the correct shape: payloads stay columnar binary in
-  * parquet, the decoder runs once per executor-partition batch (amortizing
-  * model/codec init), and only small feature vectors come back.
+  * Two decode tiers. For compressed codecs (JPEG/PCM/H.264) the decode
+  * step is a clearly-marked deterministic STUB (no codec libraries exist
+  * in this environment); everything Spark-owned — schema, encoders,
+  * partitioning, batch shape, the `mapPartitions` boundary where a real
+  * decoder (JNI/FFmpeg/ImageIO) would slot in — is real and tested. For
+  * binary PGM (Netpbm P5, a real uncompressed image format) the decode IS
+  * real: [[encodePgm]]/[[decodePgm]]/[[resizePgmHalf]] round-trip actual
+  * image bytes through the same boundary. At scale this is the correct
+  * shape either way: payloads stay columnar binary in parquet, the
+  * decoder runs once per executor-partition batch (amortizing model/codec
+  * init), and only small feature vectors come back.
   */
 object Multimodal {
 
@@ -98,6 +102,101 @@ object Multimodal {
         MediaResized(r.id, r.kind, r.payload.length, out.length, out)
       }
     }
+  }
+
+  // ── REAL image decode: Netpbm P5 (binary PGM) ───────────────────────
+  // PGM is a genuine on-disk image format (ImageMagick/GIMP/Netpbm write
+  // it) whose binary flavor needs no codec library — so unlike the
+  // JPEG/H.264 stand-ins above, this path exercises the mapPartitions
+  // decode boundary with an ACTUAL byte-level parser: header tokens
+  // (magic / dims / maxval, #-comments skipped), then raw pixel bytes.
+
+  case class PgmImage(id: Long, payload: Array[Byte])
+
+  /** Encode a real P5 image: header + raw 8-bit pixels. Dimensions and
+    * pixels are deterministic functions of `id` (pixel i =
+    * (id·7 + i·13) mod 256) so feature oracles can recompute them in SQL
+    * without parsing binary. */
+  def encodePgm(id: Long): Array[Byte] = {
+    val w = 8 + (id % 9).toInt
+    val h = 8 + (id % 7).toInt
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) {
+      px(i) = (((id * 7 + i * 13) % 256) & 0xff).toByte
+      i += 1
+    }
+    header ++ px
+  }
+
+  /** Parse a binary PGM for real: whitespace-delimited ASCII header
+    * tokens with `#` comment lines, then `w·h` raw bytes. Returns
+    * (width, height, pixels as 0-255 ints). */
+  def decodePgm(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    var pos = 0
+    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\t' || c == '\r'
+    def token(): String = {
+      while (pos < b.length && isWs(b(pos))) pos += 1
+      if (pos < b.length && b(pos) == '#') {
+        while (pos < b.length && b(pos) != '\n') pos += 1
+        return token()
+      }
+      val st = pos
+      while (pos < b.length && !isWs(b(pos))) pos += 1
+      new String(b, st, pos - st, "US-ASCII")
+    }
+    val magic = token()
+    require(magic == "P5", s"not a binary PGM (magic $magic)")
+    val w = token().toInt
+    val h = token().toInt
+    val maxv = token().toInt
+    require(maxv == 255, s"only 8-bit PGM supported, maxval $maxv")
+    pos += 1 // exactly one whitespace byte separates maxval from pixels
+    require(b.length - pos >= w * h, "truncated pixel section")
+    (w, h, Array.tabulate(w * h)(i => b(pos + i) & 0xff))
+  }
+
+  /** Nearest-neighbor ½× downscale: decode, keep every second pixel in
+    * both axes (out dims = ceil(in/2)), re-encode as a valid PGM. */
+  def resizePgmHalf(b: Array[Byte]): Array[Byte] = {
+    val (w, h, px) = decodePgm(b)
+    val w2 = (w + 1) / 2
+    val h2 = (h + 1) / 2
+    val header = s"P5\n$w2 $h2\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](w2 * h2)
+    var j = 0
+    while (j < out.length) {
+      val y = j / w2; val x = j % w2
+      out(j) = (px(2 * y * w + 2 * x) & 0xff).toByte
+      j += 1
+    }
+    header ++ out
+  }
+
+  /** A table of REAL encoded PGM images, one per document id. */
+  def pgmTable(spark: SparkSession, sfDir: String): Dataset[PgmImage] = {
+    import spark.implicits._
+    Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => PgmImage(id, encodePgm(id))))
+  }
+
+  /** Decode features through the per-partition boundary: dimensions,
+    * pixel count/sum/mean straight from the parsed bytes. */
+  def pgmFeatures(images: Dataset[PgmImage]): DataFrame = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { it =>
+      it.map { img =>
+        val (w, h, px) = decodePgm(img.payload)
+        var s = 0L
+        var i = 0
+        while (i < px.length) { s += px(i); i += 1 }
+        // mean left unrounded: both engines divide the same exact
+        // integers, so the doubles are bit-identical without a round step
+        (img.id, w, h, px.length, s, s.toDouble / px.length)
+      }
+    }.toDF("doc_id", "width", "height", "n_pix", "px_sum", "px_mean")
   }
 
   /** Frame sampling: slice `n` evenly-spaced fixed-width "frames" out of a

@@ -41,6 +41,28 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.forall(r => (r.nBytesIn <= 64) == (r.nBytesIn == r.nBytesOut)))
   }
 
+  test("PGM: encode → decode round-trips dims and every pixel; comments skipped") {
+    val b = Multimodal.encodePgm(42L)
+    val (w, h, px) = Multimodal.decodePgm(b)
+    assert(w == 8 + 42 % 9 && h == 8 + 42 % 7)
+    assert(px.length == w * h)
+    assert(px.zipWithIndex.forall { case (p, i) => p == ((42L * 7 + i * 13) % 256) })
+    // a PGM written by another tool: comment line + extra whitespace
+    val weird = ("P5\n# made by netpbm\n 3\t2\n255\n".getBytes("US-ASCII")
+      ++ Array[Byte](0, 1, 2, 3, 4, 5))
+    val (w2, h2, px2) = Multimodal.decodePgm(weird)
+    assert((w2, h2) == ((3, 2)) && px2.toSeq == Seq(0, 1, 2, 3, 4, 5))
+  }
+
+  test("PGM: half resize keeps every second pixel in both axes, stays a valid PGM") {
+    val b = Multimodal.encodePgm(7L) // 15 x 8
+    val (w, h, px) = Multimodal.decodePgm(b)
+    val (w2, h2, px2) = Multimodal.decodePgm(Multimodal.resizePgmHalf(b))
+    assert(w2 == (w + 1) / 2 && h2 == (h + 1) / 2)
+    for (y <- 0 until h2; x <- 0 until w2)
+      assert(px2(y * w2 + x) == px(2 * y * w + 2 * x))
+  }
+
   test("sampleFrames: n frames of fixed width, offsets span the payload") {
     val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001").toDF()
       .limit(3)
