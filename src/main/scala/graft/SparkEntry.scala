@@ -1132,6 +1132,34 @@ object SparkEntry {
         Multimodal.PgmImage(img.id, Multimodal.resizePgmHalf(img.payload))))
       Multimodal.pgmFeatures(resized)
         .orderBy("doc_id")
+    },
+
+    // ───── sessionized funnel: gaps-and-islands sessionization (the
+    // lag+cumsum formulation — q24/q52/q66 cover session_window and typed
+    // state) + per-session conversion attribution (first purchase after
+    // first click). Inactivity split strictly > 30min, matching q24 ─────
+    "q92_session_funnel" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("_prev", lag("ts", 1).over(w))
+        .withColumn("_ns",
+          when(col("_prev").isNull ||
+            col("ts") > col("_prev") + expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+        .withColumn("_sid", sum("_ns").over(run))
+        .groupBy("user_id", "_sid")
+        .agg(
+          min("ts").as("session_start"),
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          coalesce(
+            min(when(col("event_type") === "purchase", col("ts"))) >
+              min(when(col("event_type") === "click", col("ts"))),
+            lit(false)).as("converted"))
+        .drop("_sid")
+        .orderBy("user_id", "session_start")
     }
   )
 
@@ -1422,6 +1450,19 @@ object SparkEntry {
         "(doc_id*7 + (2*(j//w2)*w + 2*(j%w2))*13) % 256))::BIGINT AS px_sum FROM r) " +
         "SELECT doc_id, width, height, n_pix, px_sum, " +
         "px_sum::DOUBLE / n_pix AS px_mean FROM p ORDER BY doc_id"),
+    "q92_session_funnel" ->
+      ("WITH g AS (SELECT user_id, ts, event_type, " +
+        "CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "s AS (SELECT user_id, ts, event_type, sum(ns) OVER " +
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g) " +
+        "SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events, " +
+        "(count(*) FILTER (WHERE event_type = 'click'))::BIGINT AS n_clicks, " +
+        "(count(*) FILTER (WHERE event_type = 'purchase'))::BIGINT AS n_purchases, " +
+        "coalesce(min(ts) FILTER (WHERE event_type = 'purchase') > " +
+        "min(ts) FILTER (WHERE event_type = 'click'), FALSE) AS converted " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,
