@@ -1160,6 +1160,18 @@ object SparkEntry {
             lit(false)).as("converted"))
         .drop("_sid")
         .orderBy("user_id", "session_start")
+    },
+
+    // ───── REAL audio decode: RIFF/WAVE 16-bit PCM chunk-walked for
+    // real (fmt + data), features from the parsed samples ─────
+    "q93_wav_decode" -> { (s, dir) =>
+      Multimodal.wavFeatures(s, dir).orderBy("doc_id")
+    },
+
+    // ───── REAL video decode: YUV4MPEG2 header + FRAME-delimited C420
+    // planes parsed for real, per-clip luma statistics ─────
+    "q94_y4m_decode" -> { (s, dir) =>
+      Multimodal.y4mFeatures(s, dir).orderBy("doc_id")
     }
   )
 
@@ -1463,6 +1475,28 @@ object SparkEntry {
         "coalesce(min(ts) FILTER (WHERE event_type = 'purchase') > " +
         "min(ts) FILTER (WHERE event_type = 'click'), FALSE) AS converted " +
         "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    // sample i = ((id*31 + i*17) % 65536) - 32768, n = 200 + id%100, 8 kHz
+    "q93_wav_decode" ->
+      ("WITH d AS (SELECT doc_id, 200 + (doc_id % 100) AS n FROM documents), " +
+        "p AS (SELECT doc_id, n::INT AS n_samples, 8000 AS sample_rate, " +
+        "list_transform(range(n), i -> ((doc_id*31 + i*17) % 65536) - 32768) AS sm FROM d) " +
+        "SELECT doc_id, n_samples, sample_rate, " +
+        "list_sum(sm)::BIGINT AS amp_sum, " +
+        "list_max(list_transform(sm, x -> abs(x)))::INT AS peak, " +
+        "(n_samples * 1000 // 8000)::BIGINT AS duration_ms " +
+        "FROM p ORDER BY doc_id"),
+    // frame k, byte j: (id*11 + k*7 + j*5) % 256 over w*h luma bytes;
+    // dims (4 + 2*(id%4), 4 + 2*(id%3)), frames 2 + id%3
+    "q94_y4m_decode" ->
+      ("WITH d AS (SELECT doc_id, 4 + (doc_id % 4) * 2 AS w, " +
+        "4 + (doc_id % 3) * 2 AS h, 2 + (doc_id % 3) AS f FROM documents), " +
+        "p AS (SELECT doc_id, w::INT AS width, h::INT AS height, f::INT AS n_frames, " +
+        "list_transform(range(f), k -> list_sum(list_transform(range(w*h), " +
+        "j -> (doc_id*11 + k*7 + j*5) % 256))) AS sums FROM d) " +
+        "SELECT doc_id, width, height, n_frames, " +
+        "list_sum(sums)::BIGINT AS luma_sum, " +
+        "list_min(sums)::BIGINT AS luma_min, list_max(sums)::BIGINT AS luma_max " +
+        "FROM p ORDER BY doc_id"),
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,

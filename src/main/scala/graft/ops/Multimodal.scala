@@ -199,6 +199,160 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "n_pix", "px_sum", "px_mean")
   }
 
+  // ── REAL audio decode: RIFF/WAVE PCM ────────────────────────────────
+
+  /** Encode a real 16-bit mono PCM WAV: RIFF header, fmt chunk, data
+    * chunk. Sample i = ((id·31 + i·17) mod 65536) − 32768, little-endian,
+    * 8 kHz — deterministic so feature oracles recompute without bytes. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = 200 + (id % 100).toInt
+    val rate = 8000
+    val dataSize = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((id * 31 + i * 17) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Parse a RIFF/WAVE container for real: chunk walk to `fmt ` and
+    * `data`, 16-bit LE mono PCM. Returns (sampleRate, samples). */
+  def decodeWav(b: Array[Byte]): (Int, Array[Int]) = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(n: Int): String = {
+      val a = new Array[Byte](n); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(ascii(4) == "RIFF", "not a RIFF container")
+    bb.getInt() // riff size
+    require(ascii(4) == "WAVE", "not a WAVE file")
+    var rate = -1
+    var samples: Array[Int] = null
+    while (bb.remaining() >= 8 && (rate < 0 || samples == null)) {
+      val tag = ascii(4)
+      val size = bb.getInt()
+      tag match {
+        case "fmt " =>
+          val fmt = bb.getShort(); val ch = bb.getShort()
+          rate = bb.getInt()
+          bb.getInt(); bb.getShort()
+          val bits = bb.getShort()
+          require(fmt == 1 && ch == 1 && bits == 16,
+            s"only 16-bit mono PCM supported (fmt=$fmt ch=$ch bits=$bits)")
+          bb.position(bb.position() + (size - 16))
+        case "data" =>
+          samples = Array.fill(size / 2)(bb.getShort().toInt)
+        case _ => // skip unknown chunk (word-aligned)
+          bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    require(rate > 0 && samples != null, "missing fmt/data chunk")
+    (rate, samples)
+  }
+
+  // ── REAL video decode: YUV4MPEG2 (Y4M) ──────────────────────────────
+
+  /** Encode a real Y4M clip: ASCII stream header, then per frame a FRAME
+    * marker + raw C420 planes (w·h luma + w·h/2 chroma). Byte j of frame
+    * k = (id·11 + k·7 + j·5) mod 256. */
+  def encodeY4m(id: Long): Array[Byte] = {
+    val w = 4 + (id % 4).toInt * 2
+    val h = 4 + (id % 3).toInt * 2
+    val frames = 2 + (id % 3).toInt
+    val frameBytes = w * h * 3 / 2
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + frames * (marker.length + frameBytes))
+    out.put(header)
+    var k = 0
+    while (k < frames) {
+      out.put(marker)
+      var j = 0
+      while (j < frameBytes) {
+        out.put((((id * 11 + k * 7 + j * 5) % 256) & 0xff).toByte)
+        j += 1
+      }
+      k += 1
+    }
+    out.array()
+  }
+
+  /** Parse a Y4M stream for real: header parameter tokens (W/H/F/C...),
+    * then FRAME-delimited raw planes. Returns (width, height, per-frame
+    * luma-plane sums). */
+  def decodeY4m(b: Array[Byte]): (Int, Int, Array[Long]) = {
+    var pos = 0
+    def line(): String = {
+      val st = pos
+      while (pos < b.length && b(pos) != '\n') pos += 1
+      val s = new String(b, st, pos - st, "US-ASCII")
+      pos += 1
+      s
+    }
+    val header = line().split(' ')
+    require(header(0) == "YUV4MPEG2", "not a Y4M stream")
+    def param(p: Char): Option[String] =
+      header.tail.find(_.head == p).map(_.tail)
+    val w = param('W').get.toInt
+    val h = param('H').get.toInt
+    require(param('C').forall(_.startsWith("420")), "only C420 supported")
+    val frameBytes = w * h * 3 / 2
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (pos < b.length) {
+      require(line().startsWith("FRAME"), "missing FRAME marker")
+      var s = 0L
+      var j = 0
+      while (j < w * h) { s += (b(pos + j) & 0xff); j += 1 } // luma plane
+      sums += s
+      pos += frameBytes
+    }
+    (w, h, sums.toArray)
+  }
+
+  /** Real WAV audio features through the per-partition boundary:
+    * duration, amplitude sum, peak — straight from parsed PCM. */
+  def wavFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (rate, samples) = decodeWav(encodeWav(id))
+        var s = 0L; var peak = 0
+        var i = 0
+        while (i < samples.length) {
+          s += samples(i)
+          val a = math.abs(samples(i)); if (a > peak) peak = a
+          i += 1
+        }
+        (id, samples.length, rate, s, peak,
+          samples.length * 1000L / rate)
+      })
+      .toDF("doc_id", "n_samples", "sample_rate", "amp_sum", "peak", "duration_ms")
+  }
+
+  /** Real Y4M video features: frame count and per-clip luma statistics
+    * from parsed planes. */
+  def y4mFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, lumaSums) = decodeY4m(encodeY4m(id))
+        (id, w, h, lumaSums.length, lumaSums.sum, lumaSums.min, lumaSums.max)
+      })
+      .toDF("doc_id", "width", "height", "n_frames",
+        "luma_sum", "luma_min", "luma_max")
+  }
+
   /** Frame sampling: slice `n` evenly-spaced fixed-width "frames" out of a
     * video payload — pure binary expressions (substring on binary), no
     * decode needed, stays in codegen. */

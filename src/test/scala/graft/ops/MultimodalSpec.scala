@@ -63,6 +63,36 @@ class MultimodalSpec extends SparkSpec {
       assert(px2(y * w2 + x) == px(2 * y * w + 2 * x))
   }
 
+  test("WAV: RIFF chunk walk recovers rate and every PCM sample; skips unknown chunks") {
+    val b = Multimodal.encodeWav(13L)
+    val (rate, samples) = Multimodal.decodeWav(b)
+    assert(rate == 8000 && samples.length == 200 + 13 % 100)
+    assert(samples.zipWithIndex.forall { case (s, i) =>
+      s == ((13L * 31 + i * 17) % 65536) - 32768
+    })
+    // a LIST chunk (odd-sized, word-aligned) between fmt and data must be skipped
+    val withList = java.nio.ByteBuffer
+      .allocate(b.length + 8 + 4) // "LIST" + size + 3 bytes + pad
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    withList.put(b, 0, 36) // RIFF..WAVE..fmt chunk (12 + 24)
+    withList.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0)) // content + alignment pad
+    withList.put(b, 36, b.length - 36) // data chunk
+    val (rate2, samples2) = Multimodal.decodeWav(withList.array())
+    assert(rate2 == rate && samples2.toSeq == samples.toSeq)
+  }
+
+  test("Y4M: header params + FRAME markers parse; luma sums match the formula") {
+    val id = 5L
+    val (w, h, sums) = Multimodal.decodeY4m(Multimodal.encodeY4m(id))
+    assert(w == 4 + (id % 4) * 2 && h == 4 + (id % 3) * 2)
+    assert(sums.length == 2 + (id % 3))
+    for (k <- sums.indices) {
+      val want = (0 until w * h).map(j => (id * 11 + k * 7 + j * 5) % 256).sum
+      assert(sums(k) == want)
+    }
+  }
+
   test("sampleFrames: n frames of fixed width, offsets span the payload") {
     val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001").toDF()
       .limit(3)
