@@ -215,6 +215,44 @@ object InvariantProps extends Properties("graft.invariants") {
       got == want && twice == got
     }
 
+  property("TopK.perKey == rank-window formulation on random frames") =
+    forAll(
+      Gen.nonEmptyListOf(for {
+        k <- Gen.oneOf("a", "b", "c"); v <- Gen.choose(0, 50)
+      } yield (k, v)),
+      Gen.choose(1, 4)) { (rows, k) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val df = rows.zipWithIndex
+        .map { case ((key, v), i) => (key, i.toLong, v.toDouble) }
+        .toDF("k", "id", "v")
+      val custom = graft.ops.TopK.perKey(df, Seq("k"),
+          Seq("v" -> false, "id" -> true), k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
+      val windowed = df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      custom == windowed
+    }
+
+  property("nfcNormalize: idempotent, and composed/decomposed spellings converge") =
+    forAll(Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaChar.map(_.toString),
+      2 -> Gen.oneOf("e\u0301", "a\u0300", "o\u0302", "u\u0308"), // decomposed
+      2 -> Gen.oneOf("\u00e9", "\u00e0", "\u00f4", "\u00fc"),     // precomposed
+      1 -> Gen.const(" "))).map(_.mkString)) { s =>
+      import spark.implicits._
+      val df = Seq(s).toDF("t")
+      val once = df.select(graft.ops.TextAnalysis.nfcNormalize(col("t")))
+        .as[String].head()
+      val twice = Seq(once).toDF("t")
+        .select(graft.ops.TextAnalysis.nfcNormalize(col("t")))
+        .as[String].head()
+      once == twice &&
+        once == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+
   property("segmentDedup conserves segments; one keeper per distinct segment") =
     forAll(Gen.nonEmptyListOf(genDoc).map(_.take(10))) { docs =>
       import spark.implicits._
