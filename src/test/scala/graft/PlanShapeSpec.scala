@@ -217,6 +217,34 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, s"quantization must not join:\n$plan")
   }
 
+  test("runtime bloom filter from a selective build side prunes the probe scan") {
+    import org.apache.spark.sql.functions.col
+    // thresholds dropped so the tiny test tables qualify; at warehouse
+    // scale the defaults (10MB creation side / 10GB probe scan) gate this
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // force a shuffle join: broadcast joins don't need the bloom filter
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = ops.Sources.table(spark, dir, "orders")
+        .filter(col("o_totalprice") > 500000) // selective build side
+      val l = ops.Sources.table(spark, dir, "lineitem")
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_totalprice")
+      val plan = executed(joined)
+      assert(plan.toString.contains("bloom_filter") ||
+        plan.toString.contains("BloomFilter"),
+        s"expected a runtime bloom filter on the probe side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("label centroids: one partial-agg shuffle carrying (label, pos) partials") {
     val df = ops.Similarity.labelCentroids(
       ops.Sources.table(spark, dir, "embeddings"), "label", "embedding")
