@@ -245,6 +245,55 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("parquet aggregate pushdown: MIN/MAX/COUNT answered from footer stats") {
+    import org.apache.spark.sql.functions.{col, count, max, min}
+    // aggregate pushdown is a DataSource-V2 capability: route parquet
+    // through V2 (empty V1 list) and enable the pushdown, scoped
+    val saved = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val df = spark.read.parquet(s"$dir/orders.parquet")
+        .agg(min(col("o_totalprice")), max(col("o_totalprice")), count(col("*")))
+      val plan = executed(df)
+      assert(plan.toString.contains("PushedAggregation: [MIN(o_totalprice), MAX(o_totalprice), COUNT(*)]"),
+        s"expected the aggregate pushed to the parquet footer:\n$plan")
+      // and the values still match a full scan
+      val pushed = df.head()
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      val scanned = spark.read.parquet(s"$dir/orders.parquet")
+        .agg(min(col("o_totalprice")), max(col("o_totalprice")), count(col("*"))).head()
+      assert(pushed == scanned)
+    } finally {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      spark.conf.set("spark.sql.sources.useV1SourceList", saved)
+    }
+  }
+
+  test("partitioned write: a partition-key filter prunes directories at the scan") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("g_prune_").toString
+    ops.Sources.table(spark, dir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val read = spark.read.parquet(out).filter(col("lang") === "en")
+      .select("doc_id", "lang")
+    val scans = executed(read).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val meta = scans.head.metadata
+    assert(meta("PartitionFilters").contains("lang"),
+      s"expected the lang filter as a PartitionFilter: $meta")
+    // the scan's surviving files are exactly the lang=en directory's
+    val files = scans.head.selectedPartitions.toPartitionArray
+    assert(files.nonEmpty &&
+      files.forall(_.filePath.toString.contains("lang=en")),
+      "scan still reads non-en partition directories")
+    val full = ops.Sources.table(spark, dir, "documents")
+      .filter(col("lang") === "en").count()
+    assert(read.count() == full)
+  }
+
   test("label centroids: one partial-agg shuffle carrying (label, pos) partials") {
     val df = ops.Similarity.labelCentroids(
       ops.Sources.table(spark, dir, "embeddings"), "label", "embedding")
