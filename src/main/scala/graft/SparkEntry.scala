@@ -1172,6 +1172,20 @@ object SparkEntry {
     // planes parsed for real, per-clip luma statistics ─────
     "q94_y4m_decode" -> { (s, dir) =>
       Multimodal.y4mFeatures(s, dir).orderBy("doc_id")
+    },
+
+    // ───── the multimodal dedup journey: decode features through the
+    // batch boundary, then exact-dup groups on the (de-normalized,
+    // integer) feature fingerprint — perceptual dedup's exact baseline.
+    // The L1 normalization inverts exactly: round(f·n) recovers the
+    // integer bin count, so the key is engine-stable ─────
+    "q95_image_dedup" -> { (s, dir) =>
+      val feats = Multimodal.extractFeatures(Multimodal.mediaTable(s, dir)).toDF()
+      val intHist = transform(col("features"), f =>
+        round(f.cast("double") * col("nBytes"), 0).cast("long"))
+      Dedup.exactGroups(feats, "id",
+          md5(concat_ws(",", transform(intHist, _.cast("string")))))
+        .orderBy("keeper_id")
     }
   )
 
@@ -1497,6 +1511,16 @@ object SparkEntry {
         "list_sum(sums)::BIGINT AS luma_sum, " +
         "list_min(sums)::BIGINT AS luma_min, list_max(sums)::BIGINT AS luma_max " +
         "FROM p ORDER BY doc_id"),
+    // integer 16-bin byte histogram = the de-normalized decode features
+    "q95_image_dedup" ->
+      ("WITH h AS (SELECT doc_id, " +
+        "[coalesce(list_sum([CASE WHEN ascii(text[i+1]) // 16 = b THEN 1 ELSE 0 END " +
+        "for i in range(length(text))]), 0) for b in range(16)] AS hist FROM documents), " +
+        "k AS (SELECT doc_id, md5(array_to_string(" +
+        "list_transform(hist, x -> x::VARCHAR), ',')) AS ck FROM h) " +
+        "SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, " +
+        "string_agg(doc_id::VARCHAR, ';' ORDER BY doc_id) AS member_ids " +
+        "FROM k GROUP BY ck HAVING count(*) >= 2 ORDER BY keeper_id"),
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,
