@@ -1186,6 +1186,54 @@ object SparkEntry {
       Dedup.exactGroups(feats, "id",
           md5(concat_ws(",", transform(intHist, _.cast("string")))))
         .orderBy("keeper_id")
+    },
+
+    // ───── the classic TPC-H trio on the driver tables (dates shifted to
+    // the generated 1995-2001 range): the recognizable OLAP shapes.
+    // Q1 — full-scan multi-aggregate with derived measures ─────
+    "q96_tpch_q1" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ───── Q6 — the selective filter-aggregate (predicate pushdown path) ─────
+    "q97_tpch_q6" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-01-01").cast("date") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    },
+
+    // ───── Q3 — 3-way join + agg + top-10 (shippriority column absent
+    // from the generated orders; otherwise the standard shape) ─────
+    "q98_tpch_q3" -> { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") < lit("1998-03-15").cast("date")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+            .filter(col("l_shipdate") > lit("1998-03-15").cast("date")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+        .limit(10)
     }
   )
 
@@ -1521,6 +1569,29 @@ object SparkEntry {
         "SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, " +
         "string_agg(doc_id::VARCHAR, ';' ORDER BY doc_id) AS member_ids " +
         "FROM k GROUP BY ck HAVING count(*) >= 2 ORDER BY keeper_id"),
+    "q96_tpch_q1" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, " +
+        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, " +
+        "round(avg(l_quantity), 6) AS avg_qty, round(avg(l_extendedprice), 6) AS avg_price, " +
+        "round(avg(l_discount), 6) AS avg_disc, count(*)::BIGINT AS n " +
+        "FROM lineitem WHERE l_shipdate <= DATE '2001-09-02' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q97_tpch_q6" ->
+      ("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue " +
+        "FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' " +
+        "AND l_shipdate < DATE '1997-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "q98_tpch_q3" ->
+      ("SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "o_orderdate FROM customer c " +
+        "JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1998-03-15' " +
+        "AND l_shipdate > DATE '1998-03-15' " +
+        "GROUP BY l_orderkey, o_orderdate " +
+        "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"),
     "q16_dedup_embedding" -> OraclesExt.dedupEmbedding,
     "q17_sim_topk" -> OraclesExt.simTopKBrute,
     "q18_sim_topk_ivf" -> OraclesExt.simTopKIvf,
