@@ -70,6 +70,12 @@ object Bench {
     // the headline total rather than letting them subtract from it
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // trailing compact summary: the main line can be thousands of chars and
+    // tail-captured logs have truncated away its leading "total" field
+    // before — repeat the gate numbers in a short final line that any tail
+    // capture keeps
+    val failed = results.filter(_._2 < 0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"bench_total_s":$total,"n_queries":${results.size},"runs_per_query":$timedRuns,"failed":$failed}""")
     spark.stop()
   }
 }

@@ -71,6 +71,22 @@ object OraclesExt {
       "FROM inter JOIN sz x ON ida = x.doc_id JOIN sz y ON idb = y.doc_id " +
       "WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.8 ORDER BY 1, 2"
 
+  /** The df-capped production posture of [[dedupJaccard]] (mirrors
+    * `Dedup.jaccardPairs(maxShingleDf = Some(cap))`): shingles with
+    * document frequency above `cap` are dropped from BOTH the
+    * intersections and the set sizes before pairing. */
+  def dedupJaccardCapped(cap: Int): String =
+    s"WITH $tokCte, $sh3Cte, " +
+      "shing0 AS (SELECT doc_id, unnest(shs) AS s FROM sh3), " +
+      s"rare AS (SELECT s FROM shing0 GROUP BY s HAVING count(*) <= $cap), " +
+      "shing AS (SELECT x.doc_id, x.s FROM shing0 x JOIN rare r ON x.s = r.s), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i " +
+      "FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT ida AS id_a, idb AS id_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jac " +
+      "FROM inter JOIN sz x ON ida = x.doc_id JOIN sz y ON idb = y.doc_id " +
+      "WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.8 ORDER BY 1, 2"
+
   /** MinHash est-Jaccard over the banded candidates (exact multiples of
     * 1/K — threshold comparisons decide identically in both engines). */
   private val estJac: String =
@@ -295,6 +311,36 @@ object OraclesExt {
     * (0x70–0x7F). The corpus is ASCII (bytes ≡ chars), so char arithmetic
     * reproduces the byte histogram; the division runs in REAL to match
     * the stub's Float arithmetic bit-for-bit before the double widening. */
+  /** Mirrors Multimodal.realMediaFeatures + q23's per-kind rollup: the
+    * PGM/WAV/Y4M payloads are deterministic functions of doc_id, so the
+    * oracle recomputes header lengths, unit counts, and value sums from
+    * the same arithmetic the encoders use — the Spark side must decode
+    * actual container bytes back to these exact numbers. */
+  val multimodalReal: String =
+    "WITH img AS (SELECT doc_id, 'image' AS kind, 8 + (doc_id % 9) AS w, " +
+      "8 + (doc_id % 7) AS h FROM documents WHERE doc_id % 3 = 0), " +
+      "imgf AS (SELECT kind, " +
+      "length('P5' || chr(10) || w::VARCHAR || ' ' || h::VARCHAR || chr(10) || '255' || chr(10)) " +
+      "+ w*h AS n_bytes, w*h AS units, " +
+      "list_sum(list_transform(range(w*h), i -> (doc_id*7 + i*13) % 256)) AS val_sum FROM img), " +
+      "aud AS (SELECT doc_id, 'audio' AS kind, 200 + (doc_id % 100) AS n " +
+      "FROM documents WHERE doc_id % 3 = 1), " +
+      "audf AS (SELECT kind, 44 + 2*n AS n_bytes, n AS units, " +
+      "list_sum(list_transform(range(n), i -> ((doc_id*31 + i*17) % 65536) - 32768)) AS val_sum FROM aud), " +
+      "vid AS (SELECT doc_id, 'video' AS kind, 4 + (doc_id % 4)*2 AS w, " +
+      "4 + (doc_id % 3)*2 AS h, 2 + (doc_id % 3) AS fr FROM documents WHERE doc_id % 3 = 2), " +
+      "vidf AS (SELECT kind, " +
+      "length('YUV4MPEG2 W' || w::VARCHAR || ' H' || h::VARCHAR || ' F25:1 Ip A1:1 C420' || chr(10)) " +
+      "+ fr * (6 + (w*h*3)//2) AS n_bytes, fr AS units, " +
+      "list_sum(list_transform(range(fr*w*h), j -> " +
+      "(doc_id*11 + (j // (w*h))*7 + (j % (w*h))*5) % 256)) AS val_sum FROM vid), " +
+      "f AS (SELECT kind, n_bytes, units, val_sum FROM imgf " +
+      "UNION ALL SELECT kind, n_bytes, units, val_sum FROM audf " +
+      "UNION ALL SELECT kind, n_bytes, units, val_sum FROM vidf) " +
+      "SELECT kind, count(*) AS n, sum(n_bytes)::BIGINT AS sum_bytes, " +
+      "sum(units)::BIGINT AS sum_units, sum(val_sum)::BIGINT AS sum_val " +
+      "FROM f GROUP BY kind ORDER BY kind"
+
   val multimodal: String =
     "WITH f AS (SELECT doc_id, " +
       "['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind, " +

@@ -28,6 +28,31 @@ object SparkEntry {
   private def tb(s: SparkSession, dir: String, name: String): DataFrame =
     Sources.table(s, dir, name, balance = true)
 
+  /** Fixed per-JVM scratch dir for queries that write intermediate files
+    * (round trips, schema-evolution generations, stream-source links).
+    * One path per `name`, reused on every invocation — a bench loop that
+    * runs a query dozens of times overwrites the same directory instead of
+    * leaking a fresh temp dir per run — and removed recursively on JVM
+    * exit. */
+  private val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  private def scratch(name: String): String = {
+    val d = scratchRoot.resolve(name)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ───── E1 flagship: scan → unpivot → cleanse → join → agg ─────
     "q01_e1_flagship" -> ((s, dir) => TimesheetPipeline.flagship(s, dir)),
@@ -160,8 +185,7 @@ object SparkEntry {
 
     // ───── S4: partitioned write + read-back round trip ─────
     "q11_part_write" -> { (s, dir) =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_s4_").toString
+      val out = scratch("s4_part_write")
       Sinks.writePartitioned(
         TimesheetPipeline.flagshipUnordered(s, dir), "surname", out)
       s.read.parquet(out)
@@ -175,7 +199,7 @@ object SparkEntry {
     // schema-first, aggregate — proves the non-parquet sources preserve
     // types/nulls end to end (oracle = same aggregate off the original)
     "q53_csv_roundtrip" -> { (s, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      val out = scratch("csv_roundtrip")
       t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
         .write.mode("overwrite").option("header", true).csv(out)
@@ -188,7 +212,7 @@ object SparkEntry {
     },
 
     "q54_json_roundtrip" -> { (s, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft_json_").toString
+      val out = scratch("json_roundtrip")
       t(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
         .write.mode("overwrite").json(out)
@@ -201,7 +225,7 @@ object SparkEntry {
     },
 
     "q62_orc_roundtrip" -> { (s, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      val out = scratch("orc_roundtrip")
       t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
         .write.mode("overwrite").orc(out)
@@ -326,14 +350,18 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
-    // ───── Multimodal: binary payload → per-partition feature extraction
-    // (decode is a deterministic stub; no SQL oracle → rows-only check) ─────
+    // ───── Multimodal: REAL mixed-modality decode — ids route to genuine
+    // PGM / WAV / Y4M containers, parsed byte-level through one
+    // mapPartitions boundary, then per-kind corpus statistics. (The
+    // compressed-codec decodeStub survives only as the documented
+    // JPEG/H.264 stand-in inside Multimodal, not as a driver row.) ─────
     "q23_multimodal" -> { (s, dir) =>
-      Multimodal.extractFeatures(Multimodal.mediaTable(s, dir)).toDF()
+      Multimodal.realMediaFeatures(s, dir)
         .groupBy("kind")
         .agg(count(lit(1)).as("n"),
-          round(avg("nBytes"), 3).as("avg_bytes"),
-          round(sum(element_at(col("features"), 8).cast("double")), 3).as("f7_sum"))
+          sum("n_bytes").as("sum_bytes"),
+          sum("units").as("sum_units"),
+          sum("val_sum").as("sum_val"))
         .orderBy("kind")
     },
 
@@ -1015,12 +1043,16 @@ object SparkEntry {
       // and binary rounding (DuckDB) disagree
       val weights = Seq(("click", 1.0), ("purchase", 5.0), ("signup", 3.0),
         ("view", 2.0), ("error", 0.0)).toDF("event_type", "weight")
+      // LEFT join + weight-0 fallback: event types outside the dimension
+      // keep their counts at weight 0 instead of vanishing — the oracle's
+      // ELSE 0.0 derivation agrees even if the generator adds a type
       val enriched = eventsStream(s, dir)
-        .join(weights, Seq("event_type")) // stream-static inner join
+        .join(weights, Seq("event_type"), "left") // stream-static left join
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value") * col("weight")), 2).as("weighted"))
+          round(sum(col("value") * coalesce(col("weight"), lit(0.0))), 2)
+            .as("weighted"))
         .select(col("window.start").as("win_start"), col("event_type"),
           col("n"), col("weighted"))
       drainToTable(s, enriched, "g84_enriched", "complete")
@@ -1067,7 +1099,7 @@ object SparkEntry {
     // different columns, one mergeSchema read — the columnar-native form
     // of S2's heterogeneous-sheet union (absent columns surface as nulls) ─────
     "q87_schema_evolution" -> { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("g87_").toString
+      val tmp = scratch("g87_schema_evolution")
       val o = t(s, dir, "orders")
       o.filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -1234,6 +1266,84 @@ object SparkEntry {
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
         .limit(10)
+    },
+
+    // ───── the df-capped Jaccard near-dup posture (q13's production
+    // sibling): shingles above document frequency 3 are corpus
+    // boilerplate with ~0 discrimination; dropping them bounds the worst
+    // pair-join reducer by cap² while q13 stays the labeled exact path ─────
+    "q99_dedup_jaccard_capped" -> { (s, dir) =>
+      val d = tb(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+      Dedup.jaccardPairs(d, "doc_id", Dedup.shingles(col("toks"), 3), 0.8,
+          maxShingleDf = Some(3))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ───── TPC-H join-depth trio: Q5/Q9/Q18 shapes exercise 5-6-way
+    // join ordering + the semi-join-through-agg pattern that Q1/Q6/Q3
+    // (q96-q98, 1-3 tables) don't reach.
+    // Q5 — local-supplier revenue: 6-way join, region filter pushed to a
+    // 5-row dim chain that broadcasts; customer and supplier must share a
+    // nation (the extra non-key equi-condition) ─────
+    "q100_tpch_q5" -> { (s, dir) =>
+      val asiaNations = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+              col("o_orderdate") < lit("1997-01-01").cast("date")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ───── Q9 shape — product-line profit by nation and year (no
+    // partsupp table in the driver schema, so supply cost is the part's
+    // retail price; the 5-way join + derived-column agg is the point) ─────
+    "q101_tpch_q9" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_name").contains("red")),
+          col("p_partkey") === col("l_partkey"))
+        .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            col("p_retailprice") * col("l_quantity")).as("amount"))
+        .groupBy("nation", "o_year")
+        .agg(round(sum("amount"), 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // ───── Q18 shape — large-volume customers: the semi-join-through-agg
+    // (orders restricted to those whose lineitems aggregate past a
+    // threshold) feeding a 3-way join + re-aggregation ─────
+    "q102_tpch_q18" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("_sq"))
+        .filter(col("_sq") > 300)
+        .select("l_orderkey")
+      val bigOrders = t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
     }
   )
 
@@ -1242,11 +1352,16 @@ object SparkEntry {
     * temp dir (hard link — same fs, no copy); TIMESTAMP(NANOS)-as-long is
     * normalized exactly like Sources.table. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    // fixed per-(jvm, sf-dir) scratch path: repeated bench invocations
+    // reuse one linked dir instead of leaking a temp dir per run
+    val streamDir = java.nio.file.Paths.get(
+      scratch("stream_events_" + math.abs(dir.hashCode).toString))
     val link = streamDir.resolve("events.parquet")
     val target = java.nio.file.Paths.get(s"$dir/events.parquet")
-    try java.nio.file.Files.createLink(link, target)
-    catch { case _: Exception => java.nio.file.Files.copy(target, link) }
+    if (!java.nio.file.Files.exists(link)) {
+      try java.nio.file.Files.createLink(link, target)
+      catch { case _: Exception => java.nio.file.Files.copy(target, link) }
+    }
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val src = s.readStream.schema(schema).parquet(streamDir.toString)
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -1601,9 +1716,9 @@ object SparkEntry {
     "q20_text_quality" -> OraclesExt.textQuality,
     "q21_text_tokens" -> OraclesExt.textTokens,
     "q22_text_fingerprint" -> OraclesExt.textFingerprint,
-    // q23: the stub decode is pure byte arithmetic over an ASCII corpus,
-    // so the per-partition feature extraction IS SQL-expressible
-    "q23_multimodal" -> OraclesExt.multimodal,
+    // q23: the PGM/WAV/Y4M payloads are deterministic functions of
+    // doc_id, so the real byte-level decode IS SQL-expressible
+    "q23_multimodal" -> OraclesExt.multimodalReal,
     "q24_session_window" -> OraclesExt.sessionWindow,
     // identical sessions from the typed path — same oracle as q24
     "q52_sessionize_typed" -> OraclesExt.sessionWindow,
@@ -1836,6 +1951,38 @@ object SparkEntry {
         s"count(DISTINCT $c)::BIGINT AS n_distinct, " +
         s"round(min($c)::DOUBLE, 6) AS min_v, round(max($c)::DOUBLE, 6) AS max_v, " +
         s"round(avg($c), 2) AS avg_v FROM orders"
-    }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    }.mkString("", " UNION ALL ", " ORDER BY col_name"),
+
+    "q99_dedup_jaccard_capped" -> OraclesExt.dedupJaccardCapped(3),
+
+    "q100_tpch_q5" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM customer, orders, lineitem, supplier, nation, region " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+        "AND r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01' " +
+        "AND o_orderdate < DATE '1997-01-01' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+
+    "q101_tpch_q9" ->
+      ("SELECT nation, o_year, round(sum(amount), 2) AS sum_profit FROM (" +
+        "SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year, " +
+        "l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity AS amount " +
+        "FROM part, supplier, lineitem, orders, nation " +
+        "WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey " +
+        "AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey " +
+        "AND p_name LIKE '%red%') profit " +
+        "GROUP BY nation, o_year ORDER BY nation, o_year DESC"),
+
+    "q102_tpch_q18" ->
+      ("SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, " +
+        "round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM customer, orders, lineitem " +
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem " +
+        "GROUP BY l_orderkey HAVING sum(l_quantity) > 300) " +
+        "AND c_custkey = o_custkey AND o_orderkey = l_orderkey " +
+        "GROUP BY 1, 2, 3, 4, 5 " +
+        "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100")
   )
 }

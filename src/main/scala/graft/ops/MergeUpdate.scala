@@ -101,6 +101,14 @@ object MergeUpdate {
       updates: DataFrame,
       keys: Seq[String],
       setCols: Map[String, String]): DataFrame = {
+    // a key listed in setCols would overwrite the coalesced join key and
+    // silently corrupt inserted rows' keys — fail fast instead
+    val overlap = keys.toSet.intersect(setCols.keySet)
+    require(overlap.isEmpty,
+      s"upsert keys and setCols must be disjoint; both contain: ${overlap.mkString(", ")}")
+    val missing = setCols.values.toSet.diff(updates.columns.toSet)
+    require(missing.isEmpty,
+      s"setCols source columns absent from updates: ${missing.mkString(", ")}")
     val u = updates.select(
       (keys.map(col) ++ setCols.values.toSeq.map(c => col(c).as(s"_u_$c"))): _*)
       .withColumn("_in_upd", lit(true))

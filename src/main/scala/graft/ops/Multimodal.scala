@@ -353,6 +353,42 @@ object Multimodal {
         "luma_sum", "luma_min", "luma_max")
   }
 
+  /** REAL mixed-modality feature extraction: each document id routes to a
+    * genuine container format by `id % 3` (0 → PGM image, 1 → WAV audio,
+    * 2 → Y4M video), is encoded as actual format bytes, and is decoded
+    * back through the byte-level parsers above — all inside one
+    * `mapPartitions` pass, the same decode-boundary shape a JPEG/H.264
+    * pipeline would use. Emits a unified feature row per asset:
+    * `units` = pixels / samples / frames, `val_sum` = pixel sum /
+    * amplitude sum / luma sum. Deterministic payloads keep the whole op
+    * SQL-oracle-checkable. */
+  def realMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id % 3) match {
+          case 0 =>
+            val b = encodePgm(id)
+            val (_, _, px) = decodePgm(b)
+            var s = 0L; var i = 0
+            while (i < px.length) { s += px(i); i += 1 }
+            (id, "image", b.length, px.length, s)
+          case 1 =>
+            val b = encodeWav(id)
+            val (_, samples) = decodeWav(b)
+            var s = 0L; var i = 0
+            while (i < samples.length) { s += samples(i); i += 1 }
+            (id, "audio", b.length, samples.length, s)
+          case _ =>
+            val b = encodeY4m(id)
+            val (_, _, lumaSums) = decodeY4m(b)
+            (id, "video", b.length, lumaSums.length, lumaSums.sum)
+        }
+      })
+      .toDF("doc_id", "kind", "n_bytes", "units", "val_sum")
+  }
+
   /** Frame sampling: slice `n` evenly-spaced fixed-width "frames" out of a
     * video payload — pure binary expressions (substring on binary), no
     * decode needed, stays in codegen. */

@@ -283,17 +283,6 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("freq").desc, col("token"))) - 1)
   }
 
-  /** Gopher-style repetition filters: per-doc top-unigram fraction,
-    * top-bigram fraction, and distinct-token ratio — the standard
-    * "repetitious document" signals a corpus-quality pass thresholds on.
-    * All three are 6dp-rounded (oracle parity); token-free docs get
-    * (0, 0, 1), single-token docs a 0 bigram fraction.
-    *
-    * Scale shape: two explode → two-level hash-aggregate pipelines. The
-    * first level groups by (doc, token) with map-side combine, so the
-    * shuffle carries per-partition partial counts, not the token stream;
-    * the second level is one row per distinct token per doc. No windows,
-    * no per-doc state beyond the aggregation buffers. */
   /** Adjacent-token bigram structs formed INSIDE the token array (empty
     * when < 2 tokens — `sequence` would otherwise count backwards). The
     * array-level formulation is what keeps n-gram stats shuffle-free: the
@@ -309,6 +298,18 @@ object TextAnalysis {
         i => struct(element_at(toks, i).as("w1"),
           element_at(toks, i + 1).as("w2"))))
 
+  /** Gopher-style repetition filters: per-doc top-unigram fraction,
+    * top-bigram fraction, and distinct-token ratio — the standard
+    * "repetitious document" signals a corpus-quality pass thresholds on.
+    * All three are 6dp-rounded (oracle parity); token-free docs get
+    * (0, 0, 1), single-token docs a 0 bigram fraction.
+    *
+    * Scale shape: ONE tokenize + one Generate (unigrams and bigrams
+    * concatenated into a single exploded struct array), then one
+    * (doc, kind, gram) hash-aggregate with map-side combine — the shuffle
+    * carries per-partition partial counts, never the token stream — and a
+    * conditional per-doc re-aggregate. No windows, no per-doc state beyond
+    * the aggregation buffers. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // tokenize ONCE, form unigrams AND bigrams in the array, explode a
     // single combined struct array: one Generate, ZERO pre-aggregation

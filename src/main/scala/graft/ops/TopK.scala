@@ -17,6 +17,12 @@ object TopK {
     * tie-breaker column — with a total order the result set is
     * deterministic and identical to the rank-window formulation.
     *
+    * Memory: the fast path holds up to `keys-per-partition · k` rows per
+    * partition on the JVM heap (the operator's own output). Past
+    * `spark.graft.topKPerKey.maxRowsInMemory` retained rows (default 4M)
+    * a partition degrades gracefully to external sort-based top-k with
+    * bounded memory — see [[graft.plans.TopKPerKeyExec]].
+    *
     * Self-registers the planner strategy on the frame's session (a
     * session-local, idempotent append), so the operator also works on
     * sessions built without [[graft.ext.GraftExtensions]]. */

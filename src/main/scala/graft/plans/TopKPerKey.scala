@@ -1,5 +1,10 @@
 package graft.plans
 
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
@@ -15,9 +20,21 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * partition is sorted even though only k per key survive. This operator
   * keeps the same exchange but replaces sort+window+filter with one pass
   * maintaining a bounded heap per key — O(n log k) comparisons instead of
-  * O(n log n), and memory bounded by keys·k rows instead of the partition
-  * (nothing to spill). At 100 TB "top 5 documents per domain by quality"
-  * is exactly this shape, and the partition sort is the bottleneck.
+  * O(n log n). At 100 TB "top 5 documents per domain by quality" is
+  * exactly this shape, and the partition sort is the bottleneck.
+  *
+  * MEMORY BOUND — the heap pass retains up to `keys-per-partition · k`
+  * rows in plain JVM memory (it is the operator's own output, so it is
+  * irreducible for a hash-based formulation). That bound is fine for the
+  * intended "few survivors per key, many rows per key" shape, but a
+  * pathological input (near-distinct keys, so output ≈ input) would OOM
+  * where the sort+window formulation spills. Guard: when retained rows
+  * exceed `spark.graft.topKPerKey.maxRowsInMemory` (default 4M rows) the
+  * partition FALLS BACK to external sort-based processing — the retained
+  * heaps plus all remaining input are sorted into bounded spill runs on
+  * (key bytes, ordering) and merged streaming, emitting the first k rows
+  * per key with memory O(maxRowsInMemory + #runs). Results are identical
+  * either way.
   *
   * The full custom-operator ladder, as SparkSessionExtensions wires it:
   * [[TopKPerKeyNode]] (logical) is planned by [[GraftStrategies]]
@@ -60,6 +77,11 @@ case class TopKPerKeyExec(
     val keyE = keyExprs
     val ordE = ordering
     val childOutput = child.output
+    // spill threshold in retained rows; resolved on the driver so the
+    // session's runtime conf value ships with the closure
+    val maxInMem = conf
+      .getConfString("spark.graft.topKPerKey.maxRowsInMemory", (1 << 22).toString)
+      .toInt
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyE, childOutput)
       // codegen'd comparator; compare(a, b) < 0 ⇔ a wins over b
@@ -68,27 +90,174 @@ case class TopKPerKeyExec(
       // head, so each losing row costs one comparison and no allocation
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      it.foreach { row =>
+      var retained = 0L
+      var overflow = false
+      while (it.hasNext && !overflow) {
+        val row = it.next()
         val key = keyProj(row)
         heaps.get(key) match {
           case None =>
             val h = new scala.collection.mutable.PriorityQueue[InternalRow]()(ord)
             h.enqueue(row.copy())
             heaps.put(key.copy(), h)
+            retained += 1
           case Some(h) =>
-            if (h.size < kLocal) h.enqueue(row.copy())
+            if (h.size < kLocal) { h.enqueue(row.copy()); retained += 1 }
             else if (ord.compare(row, h.head) < 0) {
               h.dequeue()
               h.enqueue(row.copy())
             }
         }
+        if (retained > maxInMem) overflow = true
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      if (!overflow) heaps.valuesIterator.flatMap(_.iterator)
+      else {
+        // ── sort-based fallback: heap state + remaining input → bounded
+        // sorted spill runs on (key bytes, ordering) → streaming merge
+        // emitting the first k per key. Equal keys have equal UnsafeRow
+        // bytes, so byte order groups exactly like the hash map did.
+        System.err.println(
+          s"TopKPerKeyExec: retained rows exceeded $maxInMem " +
+            "(spark.graft.topKPerKey.maxRowsInMemory); falling back to " +
+            "external sort-based top-k for this partition")
+        TopKSpill.sortBased(
+          it, heaps, keyProj, ord, childOutput, kLocal, maxInMem)
+      }
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
+}
+
+/** External-sort fallback for [[TopKPerKeyExec]] — package-private so the
+  * spec can exercise it directly with a tiny threshold. */
+private[graft] object TopKSpill {
+
+  private final class Entry(val keyBytes: Array[Byte], val row: UnsafeRow)
+
+  def sortBased(
+      rest: Iterator[InternalRow],
+      heaps: scala.collection.mutable.HashMap[
+        UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]],
+      keyProj: UnsafeProjection,
+      ord: Ordering[InternalRow],
+      childOutput: Seq[Attribute],
+      k: Int,
+      chunkRows: Int): Iterator[InternalRow] = {
+    val numFields = childOutput.size
+    val toUnsafe = UnsafeProjection.create(childOutput.map(_.dataType).toArray)
+    val cmp = new java.util.Comparator[Entry] {
+      override def compare(a: Entry, b: Entry): Int = {
+        val c = java.util.Arrays.compareUnsigned(a.keyBytes, b.keyBytes)
+        if (c != 0) c else ord.compare(a.row, b.row)
+      }
+    }
+    val spillFiles = ArrayBuffer.empty[File]
+    val ctx = TaskContext.get()
+    if (ctx != null) {
+      ctx.addTaskCompletionListener[Unit](_ => spillFiles.foreach(_.delete()))
+    }
+
+    def spillRun(buf: ArrayBuffer[Entry]): Unit = {
+      val arr = buf.toArray
+      java.util.Arrays.sort(arr, cmp)
+      val f = File.createTempFile("graft_topk_spill_", ".bin")
+      spillFiles += f
+      val out = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(f), 1 << 16))
+      try {
+        out.writeInt(arr.length)
+        val scratch = new Array[Byte](1 << 12)
+        arr.foreach { e =>
+          out.writeInt(e.keyBytes.length)
+          out.write(e.keyBytes)
+          out.writeInt(e.row.getSizeInBytes)
+          e.row.writeToStream(out, scratch)
+        }
+      } finally out.close()
+      buf.clear()
+    }
+
+    def readRun(f: File): Iterator[Entry] = new Iterator[Entry] {
+      private val in = new DataInputStream(
+        new BufferedInputStream(new FileInputStream(f), 1 << 16))
+      private var remaining = in.readInt()
+      override def hasNext: Boolean = {
+        if (remaining <= 0) in.close()
+        remaining > 0
+      }
+      override def next(): Entry = {
+        val kb = new Array[Byte](in.readInt())
+        in.readFully(kb)
+        val rb = new Array[Byte](in.readInt())
+        in.readFully(rb)
+        val r = new UnsafeRow(numFields)
+        r.pointTo(rb, rb.length)
+        remaining -= 1
+        new Entry(kb, r)
+      }
+    }
+
+    // current heap state becomes the first chunk's seed rows
+    val buf = ArrayBuffer.empty[Entry]
+    heaps.foreach { case (key, h) =>
+      val kb = key.getBytes
+      h.foreach(r => buf += new Entry(kb, toUnsafe(r).copy()))
+    }
+    heaps.clear()
+    if (buf.length >= chunkRows) spillRun(buf)
+    rest.foreach { row =>
+      buf += new Entry(keyProj(row).getBytes, toUnsafe(row).copy())
+      if (buf.length >= chunkRows) spillRun(buf)
+    }
+    val lastChunk = buf.toArray
+    java.util.Arrays.sort(lastChunk, cmp)
+
+    // k-way merge of the sorted runs, then first-k-per-key streaming
+    val runs: Array[scala.collection.BufferedIterator[Entry]] =
+      (spillFiles.map(readRun) :+ lastChunk.iterator).map(_.buffered).toArray
+    val runOrder = new java.util.Comparator[Int] {
+      override def compare(a: Int, b: Int): Int = cmp.compare(runs(a).head, runs(b).head)
+    }
+    val pq = new java.util.PriorityQueue[Int](math.max(1, runs.length), runOrder)
+    runs.indices.foreach(i => if (runs(i).hasNext) pq.add(i))
+    val merged: Iterator[Entry] = new Iterator[Entry] {
+      override def hasNext: Boolean = !pq.isEmpty
+      override def next(): Entry = {
+        val i = pq.poll()
+        val e = runs(i).next()
+        if (runs(i).hasNext) pq.add(i)
+        e
+      }
+    }
+    new Iterator[InternalRow] {
+      private var curKey: Array[Byte] = null
+      private var emitted = 0
+      private var pending: InternalRow = advance()
+      private def advance(): InternalRow = {
+        while (merged.hasNext) {
+          val e = merged.next()
+          if (curKey == null || !java.util.Arrays.equals(curKey, e.keyBytes)) {
+            curKey = e.keyBytes
+            emitted = 1
+            return e.row
+          } else if (emitted < k) {
+            emitted += 1
+            return e.row
+          }
+          // else: beyond top-k for this key — skip
+        }
+        null
+      }
+      override def hasNext: Boolean = pending != null
+      override def next(): InternalRow = {
+        val r = pending
+        pending = advance()
+        r
+      }
+    }
+  }
 }
 
 /** Planner strategy turning [[TopKPerKeyNode]] into [[TopKPerKeyExec]];
