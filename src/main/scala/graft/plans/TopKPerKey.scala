@@ -208,7 +208,10 @@ private[graft] object TopKSpill {
     heaps.clear()
     if (buf.length >= chunkRows) spillRun(buf)
     rest.foreach { row =>
-      buf += new Entry(keyProj(row).getBytes, toUnsafe(row).copy())
+      // keyProj reuses one output buffer, and getBytes on an exactly-sized
+      // UnsafeRow returns that backing array UNCOPIED — copy() first so
+      // each entry owns its key bytes
+      buf += new Entry(keyProj(row).copy().getBytes, toUnsafe(row).copy())
       if (buf.length >= chunkRows) spillRun(buf)
     }
     val lastChunk = buf.toArray

@@ -306,4 +306,73 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(aggs.size == 2, s"expected partial+final hash aggregates:\n$plan")
   }
+
+  // AQE's skew-join split is the runtime complement to Skew.saltedJoin
+  // (q34): for shuffle JOINS, AQE detects an oversized reduce partition
+  // and splits it into parallel sub-reads at runtime, so no manual
+  // salting is needed. Static salting remains necessary where AQE cannot
+  // reach: holistic AGGREGATIONS (collect_set & co. — Skew.setJoinSumSalted)
+  // whose hot-key buffer still concentrates on one reducer, and
+  // pre-partitioned/bucketed layouts that bypass the exchange.
+  // collect through AQE query-stage boundaries (QueryStageExec is a leaf
+  // whose executed subtree hangs off .plan, invisible to plain collect)
+  private def deepCollect[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    p.collect(pf) ++ p.collect {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+    }.flatMap(deepCollect(_)(pf))
+
+  test("AQE skew-join: a hot key's reduce partition is split at runtime") {
+    import org.apache.spark.sql.functions.{col, concat, lit, sha2, when}
+    val set = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = set.map { case (k, _) => k -> spark.conf.getOption(k) }
+    set.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // key 0 owns ~30k rows; keys 1-19 are tiny. The pad must be
+      // INCOMPRESSIBLE (per-row sha2, not a constant) — skew detection
+      // reads lz4-compressed map-output sizes, and a repeated literal
+      // deflates below any threshold
+      val pad = concat((0 until 4).map(i =>
+        sha2(concat(col("id").cast("string"), lit(s"_$i")), 256)): _*)
+      val big = spark.range(0, 31000)
+        .select(when(col("id") < 30000, 0L).otherwise(col("id") % 19 + 1).as("k"),
+          pad.as("pad"))
+      val small = spark.range(0, 20).select(col("id").as("k"),
+        (col("id") * 10).as("w"))
+      // keep pad in the OUTPUT — project it away and column pruning
+      // strips it from the shuffle, deflating the skew below threshold
+      val joined = big.join(small, "k")
+      val out = joined.select("k", "w", "pad")
+      // run through the SAME QueryExecution (collect, not a noop write,
+      // which plans a clone) so the AdaptiveSparkPlanExec we inspect holds
+      // the FINAL re-planned tree, not the initial one
+      assert(out.collect().length === 31000) // correctness unaffected by the split
+      val plan = out.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val smj = deepCollect(plan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n$plan")
+      assert(smj.exists(_.isSkewJoin),
+        s"expected AQE to mark the join skew-handled:\n$plan")
+      // the skew read must actually fan the hot partition out: more
+      // partitions after the AQE shuffle read than the static shuffle had
+      val reads = deepCollect(plan) {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+      }
+      assert(reads.exists(_.partitionSpecs.size >
+        spark.conf.get("spark.sql.shuffle.partitions").toInt),
+        s"expected skew-split sub-partitions in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

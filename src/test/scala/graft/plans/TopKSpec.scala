@@ -74,4 +74,46 @@ class TopKSpec extends SparkSpec {
       .collect().map(r => r.getLong(1)).toSet
     assert(got == Set(1L, 2L)) // lowest ids win the tie
   }
+
+  test("TopK.perKey: external-sort spill fallback returns identical results") {
+    // force the fallback with a tiny in-memory row budget: ~1500 retained
+    // rows (500 keys × k=3) against a 16-row threshold means every
+    // partition overflows into sorted spill runs + streaming merge
+    spark.conf.set("spark.graft.topKPerKey.maxRowsInMemory", "16")
+    try {
+      val o = Sources.table(spark, dir, "orders")
+      val custom = TopK.perKey(o,
+          keys = Seq("o_custkey"),
+          order = Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+        .select("o_custkey", "o_orderkey")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val windowed = o.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 3)
+        .select("o_custkey", "o_orderkey")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(custom == windowed)
+      assert(custom.size > 100) // big enough that the spill path really ran
+    } finally spark.conf.unset("spark.graft.topKPerKey.maxRowsInMemory")
+  }
+
+  test("TopK.perKey spill fallback: mid-stream overflow with multi-chunk merge") {
+    // threshold 8 but 40 keys × k=2 = 80 survivors, plus enough rows that
+    // several spill runs are written and merged per partition
+    spark.conf.set("spark.graft.topKPerKey.maxRowsInMemory", "8")
+    try {
+      val rows = for (i <- 0 until 4000) yield (i % 40, i.toLong, (i * 37 % 101).toDouble)
+      val df = rows.toDF("k", "id", "v").repartition(2)
+      val custom = TopK.perKey(df, Seq("k"), Seq("v" -> false, "id" -> true), 2)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
+      val windowed = df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 2)
+        .select("k", "id")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(custom == windowed)
+      assert(custom.size == 80)
+    } finally spark.conf.unset("spark.graft.topKPerKey.maxRowsInMemory")
+  }
 }

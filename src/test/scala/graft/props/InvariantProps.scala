@@ -186,6 +186,58 @@ object InvariantProps extends Properties("graft.invariants") {
       }
     }
 
+  private def captureStderr[T](f: => T): (T, String) = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(bos, true))
+    try { val r = f; (r, bos.toString("UTF-8")) }
+    finally System.setErr(old)
+  }
+
+  // deep graphs are the stress case for label propagation: a PATH of n
+  // nodes has diameter n-1, so naive propagation needs n rounds. The
+  // pointer-jumping rounds (v→rep(v) link edges) must converge in
+  // O(log d) — well under the maxIter=50 default even for diameters that
+  // would exhaust it naively. Each distinct n costs a full multi-round
+  // distributed CC, so the generator draws from sampled depths and the
+  // result is memoized (ScalaCheck still exercises every sampled depth).
+  private val deepCcCache = scala.collection.mutable.Map.empty[Int, Boolean]
+
+  private def pathEdges(n: Int): Seq[(Long, Long)] =
+    (0L until n.toLong).sliding(2).map(p => (p(0), p(1))).toSeq
+
+  property("connectedComponents: O(log d) rounds on path graphs (d ≈ n)") =
+    forAll(Gen.oneOf(16, 23, 33, 48, 64, 96)) { n =>
+      deepCcCache.getOrElseUpdate(n, {
+        import spark.implicits._
+        val (labels, err) = captureStderr {
+          // log2(96) ≈ 6.6; 12 rounds is comfortable for pointer jumping
+          // (plus the equal-sum confirmation probe) and impossible for
+          // naive O(d) propagation at n > 12
+          Dedup.connectedComponents(pathEdges(n).toDF("a", "b"), "a", "b",
+              maxIter = 12)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        }
+        (0L until n.toLong).forall(i => labels.get(i).contains(0L)) &&
+          !err.contains("NOT converged")
+      })
+    }
+
+  private val warnCcCache = scala.collection.mutable.Map.empty[Int, Boolean]
+
+  property("connectedComponents: warning fires when maxIter is too small") =
+    forAll(Gen.oneOf(16, 32, 48)) { n =>
+      warnCcCache.getOrElseUpdate(n, {
+        import spark.implicits._
+        val (_, err) = captureStderr {
+          Dedup.connectedComponents(pathEdges(n).toDF("a", "b"), "a", "b",
+              maxIter = 1)
+            .collect()
+        }
+        err.contains("NOT converged")
+      })
+    }
+
   // random "documents" over a 6-word alphabet so 2-gram collisions are common
   private val genDoc: Gen[String] =
     Gen.listOf(Gen.oneOf("ga", "bu", "zo", "meu", "pim", "pam"))
