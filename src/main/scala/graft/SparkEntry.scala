@@ -1352,16 +1352,24 @@ object SparkEntry {
     * temp dir (hard link — same fs, no copy); TIMESTAMP(NANOS)-as-long is
     * normalized exactly like Sources.table. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    // fixed per-(jvm, sf-dir) scratch path: repeated bench invocations
-    // reuse one linked dir instead of leaking a temp dir per run
-    val streamDir = java.nio.file.Paths.get(
-      scratch("stream_events_" + math.abs(dir.hashCode).toString))
-    val link = streamDir.resolve("events.parquet")
     val target = java.nio.file.Paths.get(s"$dir/events.parquet")
-    if (!java.nio.file.Files.exists(link)) {
-      try java.nio.file.Files.createLink(link, target)
-      catch { case _: Exception => java.nio.file.Files.copy(target, link) }
-    }
+    // multi-file datasets (e.g. the ScaleGen output) are already the
+    // directory the file streaming source wants; a single driver-written
+    // parquet FILE is exposed through a fixed per-(jvm, sf-dir) scratch
+    // dir (hard link — same fs, no copy), reused across bench invocations
+    // instead of leaking a temp dir per run
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(target)) target
+      else {
+        val d = java.nio.file.Paths.get(
+          scratch("stream_events_" + math.abs(dir.hashCode).toString))
+        val link = d.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link)) {
+          try java.nio.file.Files.createLink(link, target)
+          catch { case _: Exception => java.nio.file.Files.copy(target, link) }
+        }
+        d
+      }
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val src = s.readStream.schema(schema).parquet(streamDir.toString)
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)

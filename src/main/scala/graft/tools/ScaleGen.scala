@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-trend dataset builder: replicates an existing sf directory `k`
+  * times with key shifts so the result behaves like a genuinely larger
+  * corpus, not k stacked copies.
+  *
+  *  - every entity key shifts by `replica · 10M`, consistently across fact
+  *    and dimension references (orders.o_custkey moves with
+  *    customer.c_custkey, lineitem's l_partkey/l_suppkey with part and
+  *    supplier), so joins keep TPC-H-like fan-outs;
+  *  - region/nation stay fixed (dimension tables that do not grow with
+  *    scale factor — exactly TPC-H's rule);
+  *  - document TEXT is made replica-disjoint (every `\w+` token gets a
+  *    replica suffix, token/shingle COUNTS unchanged) — otherwise each doc
+  *    would have k exact copies and every near-dup/pair query would
+  *    measure a pathological duplicate corpus instead of a bigger one:
+  *    shingle document frequencies would triple and pair-join work would
+  *    grow 9×, i.e. a different workload, not a scaled one;
+  *  - events keep their timestamps (same window grid, k× density) and
+  *    shift user/event ids (k× users, same per-user session shape).
+  *
+  * Usage: runMain graft.tools.ScaleGen <srcSfDir> <outDir> [k]
+  * (one-time; bench runs then point SPARK_GRAFT_SF_DIR at <outDir>)
+  */
+object ScaleGen {
+
+  private val Shift = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val k = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(name: String, shiftCols: Seq[String],
+        transform: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val parts = (0 until k).map { i =>
+        val shifted = shiftCols.foldLeft(base)((d, c) =>
+          d.withColumn(c, col(c) + lit(i * Shift)))
+        transform(shifted, i)
+      }
+      parts.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"scaled $name x$k")
+    }
+
+    // fixed dims — do not grow with sf
+    Seq("region", "nation").foreach { n =>
+      spark.read.parquet(s"$src/$n.parquet")
+        .write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
+    replicate("customer", Seq("c_custkey"))
+    replicate("supplier", Seq("s_suppkey"))
+    replicate("part", Seq("p_partkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("events", Seq("event_id", "user_id"))
+    replicate("embeddings", Seq("vec_id"))
+    replicate("documents", Seq("doc_id"), (d, i) =>
+      if (i == 0) d
+      else d
+        .withColumn("text", regexp_replace(col("text"), "(\\w+)", s"$$1z$i"))
+        .withColumn("n_chars", length(col("text"))))
+    spark.stop()
+  }
+}
