@@ -1361,8 +1361,10 @@ object SparkEntry {
     val streamDir =
       if (java.nio.file.Files.isDirectory(target)) target
       else {
+        // keyed by the sanitized FULL path — a hash key could collide
+        // across data dirs and silently stream the wrong scale factor
         val d = java.nio.file.Paths.get(
-          scratch("stream_events_" + math.abs(dir.hashCode).toString))
+          scratch("stream_events_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")))
         val link = d.resolve("events.parquet")
         if (!java.nio.file.Files.exists(link)) {
           try java.nio.file.Files.createLink(link, target)

@@ -154,15 +154,38 @@ private[graft] object TopKSpill {
       }
     }
     val spillFiles = ArrayBuffer.empty[File]
+    // a consumer may stop pulling early (limit above the operator), so the
+    // run readers register here and the completion listener closes them
+    // before deleting — otherwise each partially-read run leaks an fd and
+    // pins its deleted file's disk space until GC
+    val openStreams = ArrayBuffer.empty[java.io.Closeable]
     val ctx = TaskContext.get()
     if (ctx != null) {
-      ctx.addTaskCompletionListener[Unit](_ => spillFiles.foreach(_.delete()))
+      ctx.addTaskCompletionListener[Unit] { _ =>
+        openStreams.foreach(s => try s.close() catch { case _: Exception => })
+        spillFiles.foreach(_.delete())
+      }
+    }
+    // spill where Spark spills: the executor's configured local dirs
+    // (often large scratch disks) rather than java.io.tmpdir (often a
+    // small root volume exactly when the fallback is needed)
+    val spillDir: File = {
+      val dirs = sys.env.get("SPARK_LOCAL_DIRS")
+        .orElse(Option(org.apache.spark.SparkEnv.get)
+          .flatMap(e => Option(e.conf.get("spark.local.dir", null))))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Array.empty[String])
+      val pid = if (ctx != null) ctx.partitionId() else 0
+      val d = if (dirs.isEmpty) new File(System.getProperty("java.io.tmpdir"))
+        else new File(dirs(pid % dirs.length))
+      d.mkdirs()
+      d
     }
 
     def spillRun(buf: ArrayBuffer[Entry]): Unit = {
       val arr = buf.toArray
       java.util.Arrays.sort(arr, cmp)
-      val f = File.createTempFile("graft_topk_spill_", ".bin")
+      val f = File.createTempFile("graft_topk_spill_", ".bin", spillDir)
       spillFiles += f
       val out = new DataOutputStream(
         new BufferedOutputStream(new FileOutputStream(f), 1 << 16))
@@ -182,6 +205,7 @@ private[graft] object TopKSpill {
     def readRun(f: File): Iterator[Entry] = new Iterator[Entry] {
       private val in = new DataInputStream(
         new BufferedInputStream(new FileInputStream(f), 1 << 16))
+      openStreams += in
       private var remaining = in.readInt()
       override def hasNext: Boolean = {
         if (remaining <= 0) in.close()

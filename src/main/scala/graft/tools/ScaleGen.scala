@@ -45,6 +45,15 @@ object ScaleGen {
     def replicate(name: String, shiftCols: Seq[String],
         transform: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
+      // replicas must not collide: every shifted key space is
+      // [i·Shift, (i+1)·Shift) — refuse sources that overflow it (e.g.
+      // running ScaleGen on its own output)
+      val maxCols = shiftCols.map(c => max(col(c).cast("long")))
+      val maxKey = base.agg(
+        if (maxCols.size == 1) maxCols.head else greatest(maxCols: _*)).head.getLong(0)
+      require(maxKey < Shift,
+        s"$name: max(${shiftCols.mkString(",")}) = $maxKey >= shift $Shift — " +
+          "replica key ranges would overlap")
       val parts = (0 until k).map { i =>
         val shifted = shiftCols.foldLeft(base)((d, c) =>
           d.withColumn(c, col(c) + lit(i * Shift)))
@@ -66,7 +75,23 @@ object ScaleGen {
     replicate("orders", Seq("o_orderkey", "o_custkey"))
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     replicate("events", Seq("event_id", "user_id"))
-    replicate("embeddings", Seq("vec_id"))
+    // vectors need the same disjointness treatment as text: exact clones
+    // would put k-1 cosine-1.0 duplicates of every vector in each block
+    // and pair work would grow k², a duplicate corpus rather than a
+    // bigger one. Two measures: (a) labels shift per replica, so block /
+    // cell structure grows with the corpus (new data brings new clusters)
+    // and cross-replica pairing is structurally impossible; (b) a
+    // replica-specific deterministic SIGN-FLIP pattern per component
+    // keeps every norm and every INTRA-replica cosine bit-identical
+    // (s_j² = 1) while scattering replicas to unrelated directions.
+    replicate("embeddings", Seq("vec_id"), (d, i) =>
+      if (i == 0) d
+      else d
+        .withColumn("label", col("label") + lit(i * 100000))
+        .withColumn("embedding",
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, j) => when(pmod(hash(lit(i), j), lit(2)) === 0, x).otherwise(-x))))
     replicate("documents", Seq("doc_id"), (d, i) =>
       if (i == 0) d
       else d
