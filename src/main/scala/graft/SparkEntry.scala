@@ -1344,6 +1344,20 @@ object SparkEntry {
         .agg(round(sum("l_quantity"), 2).as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
         .limit(100)
+    },
+
+    // ───── streaming MERGE into a keyed serving store (foreachBatch
+    // upsert — the production stream-ingest shape). The source is split
+    // into 4 files streamed one per micro-batch so the store really is
+    // built by repeated merges; the merge is batching-independent by
+    // construction, and the oracle is the plain batch aggregate ─────
+    "q103_stream_merge_store" -> { (s, dir) =>
+      graft.streaming.StreamingOps
+        .streamingMergeStore(eventsStreamSplit(s, dir, 4))
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"),
+          col("last_ts"), col("last_type"))
+        .orderBy("user_id")
     }
   )
 
@@ -1374,6 +1388,27 @@ object SparkEntry {
       }
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val src = s.readStream.schema(schema).parquet(streamDir.toString)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else src
+  }
+
+  /** The events stream chopped into `n` range-partitioned files streamed
+    * ONE per micro-batch — forces a real multi-batch run for the
+    * foreachBatch merge (a single-file AvailableNow source would drain in
+    * one batch and never exercise the store merge loop). */
+  private def eventsStreamSplit(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val split = java.nio.file.Paths.get(
+      scratch("stream_split_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")))
+    if (!java.nio.file.Files.exists(split.resolve("_SUCCESS"))) {
+      s.read.parquet(s"$dir/events.parquet")
+        .repartitionByRange(n, col("event_id"))
+        .write.mode("overwrite").parquet(split.toString)
+    }
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(split.toString)
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
       src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else src
@@ -1993,6 +2028,18 @@ object SparkEntry {
         "GROUP BY l_orderkey HAVING sum(l_quantity) > 300) " +
         "AND c_custkey = o_custkey AND o_orderkey = l_orderkey " +
         "GROUP BY 1, 2, 3, 4, 5 " +
-        "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100")
+        "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"),
+
+    // the merged store is batching-independent, so the oracle is the
+    // plain lifetime aggregate + per-user latest event
+    "q103_stream_merge_store" ->
+      ("WITH agg AS (SELECT user_id, count(*)::BIGINT AS n_events, " +
+        "round(sum(value), 2) AS sum_value FROM events GROUP BY 1), " +
+        "l AS (SELECT user_id, ts AS last_ts, event_type AS last_type FROM (" +
+        "SELECT user_id, ts, event_type, row_number() OVER (" +
+        "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1) " +
+        "SELECT a.user_id, a.n_events, a.sum_value, l.last_ts, l.last_type " +
+        "FROM agg a JOIN l ON a.user_id = l.user_id ORDER BY a.user_id")
   )
 }

@@ -196,4 +196,68 @@ object StreamingOps {
           }
       }
   }
+
+  /** Streaming MERGE into a keyed serving store — the `foreachBatch`
+    * upsert shape every production ingest uses (Delta/Iceberg
+    * `MERGE INTO` fed by a stream). Each micro-batch is reduced to one
+    * row per user (count, sum, and the latest event by (ts, event_id))
+    * and merged into the running store: counters add, the newer "last
+    * event" wins. The merged result is INDEPENDENT of how the source was
+    * chopped into micro-batches — counts/sums are associative and
+    * "latest" is a total order — which is exactly what makes the pattern
+    * safe under retries and repartitioned replays.
+    *
+    * Scale shape: the per-batch reduction is a map-side-combined
+    * hash-agg over the batch only; the merge is one full-outer equi-join
+    * on the store key (broadcast while the batch is small, SMJ at
+    * scale). Here the store is an in-JVM lineage-truncated frame; a real
+    * deployment points the same merge at a table and lets the engine's
+    * MERGE do the join. Returns the final store after the stream drains.
+    */
+  def streamingMergeStore(
+      stream: DataFrame,
+      onBatch: Long => Unit = _ => ()): DataFrame = {
+    def reduceBatch(df: DataFrame): DataFrame =
+      df.groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum("value").as("sum_value"),
+          max(struct(col("ts"), col("event_id"), col("event_type"))).as("_m"))
+        .select(col("user_id"), col("n_events"), col("sum_value"),
+          col("_m.ts").as("last_ts"), col("_m.event_id").as("last_eid"),
+          col("_m.event_type").as("last_type"))
+    var store: DataFrame = null
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        onBatch(batchId)
+        val b = reduceBatch(batch.toDF())
+        store = if (store == null) b.localCheckpoint()
+        else {
+          val t = store.as("t")
+          val u = b.as("u")
+          val newer = struct(col("u.last_ts"), col("u.last_eid")) >
+            struct(col("t.last_ts"), col("t.last_eid"))
+          t.join(u, col("t.user_id") === col("u.user_id"), "full")
+            .select(
+              coalesce(col("t.user_id"), col("u.user_id")).as("user_id"),
+              (coalesce(col("t.n_events"), lit(0L)) +
+                coalesce(col("u.n_events"), lit(0L))).as("n_events"),
+              (coalesce(col("t.sum_value"), lit(0.0)) +
+                coalesce(col("u.sum_value"), lit(0.0))).as("sum_value"),
+              when(col("t.user_id").isNull || newer, col("u.last_ts"))
+                .otherwise(col("t.last_ts")).as("last_ts"),
+              when(col("t.user_id").isNull || newer, col("u.last_eid"))
+                .otherwise(col("t.last_eid")).as("last_eid"),
+              when(col("t.user_id").isNull || newer, col("u.last_type"))
+                .otherwise(col("t.last_type")).as("last_type"))
+            // truncate lineage per batch or the plan grows with batch count
+            .localCheckpoint()
+        }
+        (): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store
+  }
 }

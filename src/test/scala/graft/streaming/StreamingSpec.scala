@@ -167,4 +167,34 @@ class StreamingSpec extends SparkSpec {
       (1L, "2026-01-01 12:00:00.0", 1L, 4.0),
       (2L, "2026-01-01 10:00:00.0", 1L, 9.0)))
   }
+
+  test("streamingMergeStore: multi-batch foreachBatch merge == batch aggregate") {
+    // 3 range-partitioned files + maxFilesPerTrigger=1 force 3 REAL
+    // micro-batches; user 1 spans all three, so its row is built by
+    // repeated merges, not one aggregation
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "click", 2.0),
+      (2L, ts("2026-01-01 10:05:00"), 1L, "view", 3.0),
+      (3L, ts("2026-01-01 10:10:00"), 2L, "click", 10.0),
+      (4L, ts("2026-01-01 11:00:00"), 1L, "purchase", 5.0),
+      (5L, ts("2026-01-01 11:30:00"), 3L, "view", 7.0),
+      (6L, ts("2026-01-01 09:00:00"), 1L, "signup", 1.0) // older than batch-1 events
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_test_").toString
+    events.repartitionByRange(3, col("event_id")).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val store = StreamingOps.streamingMergeStore(stream,
+        onBatch = _ => { batches.incrementAndGet(); () })
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"),
+          r.getAs[Timestamp]("last_ts").toString, r.getAs[String]("last_type"))))
+      .toMap
+    assert(batches.get() == 3, s"expected 3 micro-batches, got ${batches.get()}")
+    assert(store(1L) == ((4L, 11.0, "2026-01-01 11:00:00.0", "purchase")))
+    assert(store(2L) == ((1L, 10.0, "2026-01-01 10:10:00.0", "click")))
+    assert(store(3L) == ((1L, 7.0, "2026-01-01 11:30:00.0", "view")))
+  }
 }
