@@ -1346,6 +1346,17 @@ object SparkEntry {
         .limit(100)
     },
 
+    // ───── temperature-based domain mixing (T5-style α-sampling):
+    // per-source quotas ∝ count^0.5 over a 300-doc budget — low-resource
+    // sources up-weighted relative to their natural share; integer
+    // weight/quota arithmetic keeps both engines bit-identical ─────
+    "q104_temperature_mix" -> { (s, dir) =>
+      TextAnalysis.temperatureMix(tb(s, dir, "documents"), "doc_id", "source",
+          budget = 300, alpha = 0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // ───── streaming MERGE into a keyed serving store (foreachBatch
     // upsert — the production stream-ingest shape). The source is split
     // into 4 files streamed one per micro-batch so the store really is
@@ -2029,6 +2040,21 @@ object SparkEntry {
         "AND c_custkey = o_custkey AND o_orderkey = l_orderkey " +
         "GROUP BY 1, 2, 3, 4, 5 " +
         "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"),
+
+    // mirrors temperatureMix(α=0.5): integer weights floor(sqrt(c)·1e6),
+    // integer quota division — sqrt is IEEE-correctly-rounded in both
+    // engines, so the quotas agree exactly
+    "q104_temperature_mix" ->
+      ("WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1), " +
+        "w AS (SELECT source, floor(sqrt(c::DOUBLE) * 1000000)::BIGINT AS w FROM c), " +
+        "z AS (SELECT sum(w)::BIGINT AS z FROM w), " +
+        "q AS (SELECT source, (300 * w) // z AS quota FROM w, z), " +
+        "h AS (SELECT doc_id, source, " +
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hh FROM documents), " +
+        "r AS (SELECT doc_id, source, " +
+        "row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h) " +
+        "SELECT r.doc_id, r.source FROM r JOIN q ON r.source = q.source " +
+        "WHERE r.rn <= q.quota ORDER BY r.doc_id"),
 
     // the merged store is batching-independent, so the oracle is the
     // plain lifetime aggregate + per-user latest event

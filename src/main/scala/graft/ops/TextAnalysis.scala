@@ -427,4 +427,44 @@ object TextAnalysis {
       when(stratum === k, b < (r * 1000).toInt).otherwise(acc)
     }
   }
+
+  /** Temperature-based domain mixing — the T5/mT5/LLaMA "α-sampling"
+    * rule: stratum i receives `budget · c_iᵅ / Σ c_jᵅ` of the output,
+    * where c_i is its row count. α = 1 keeps natural proportions, α = 0
+    * equalizes strata, 0 < α < 1 up-weights low-resource domains.
+    * Selection within a stratum is [[quotaSample]]'s deterministic
+    * hash-rank, so the same rows survive on every run and engine.
+    *
+    * Exactness: weights are the INTEGER `floor(c^α · 10⁶)`, summed and
+    * divided in integer arithmetic, so quotas are bit-reproducible in
+    * any engine whose c^α is correctly rounded — true for α = 0.5
+    * (IEEE sqrt; used explicitly) with counts up to ~2⁴⁰. Other α go
+    * through `pow`, correct to ≤1 ulp — quotas can then differ across
+    * engines only when a weight lands within 1 ulp of an integer.
+    *
+    * Scale shape: one per-stratum count aggregate whose result (#strata
+    * rows — domains, languages, sources: thousands at most) is collected
+    * to the driver to become plan-time quota literals, exactly like the
+    * IVF centroid tables; then quotaSample's one rank window per
+    * stratum. */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      budget: Int,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
+    // bounded driver materialization: one row per stratum
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val weights = counts.map { case (k, c) =>
+      val w = if (alpha == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, alpha)
+      k -> math.floor(w * 1000000d).toLong
+    }
+    val z = weights.map(_._2).sum
+    val quotas = weights.map { case (k, w) =>
+      k -> ((budget.toLong * w) / z).toInt
+    }.toMap
+    quotaSample(df, idCol, stratumCol, 0, quotas)
+  }
 }

@@ -166,6 +166,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all.count() == 20)
   }
 
+  test("temperatureMix: α=1 keeps natural shares, α=0 equalizes, α=0.5 between") {
+    // strata 90/9/1 — extreme imbalance makes the temperature visible
+    val df = (1L to 100L).map(i =>
+        (i, if (i <= 90) "big" else if (i <= 99) "mid" else "tiny"))
+      .toDF("doc_id", "src")
+    def shares(alpha: Double): Map[String, Long] =
+      TextAnalysis.temperatureMix(df, "doc_id", "src", budget = 50, alpha = alpha)
+        .groupBy("src").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nat = shares(1.0) // quotas ∝ counts: 45/4/0 (floor of 50·c/100)
+    assert(nat("big") == 45 && nat("mid") == 4 && nat.getOrElse("tiny", 0L) == 0L)
+    val eq = shares(0.0) // quotas equal: 16 each, capped by stratum size
+    assert(eq("big") == 16 && eq("mid") == 9 && eq("tiny") == 1)
+    val mid = shares(0.5) // ∝ sqrt(c): 9.49/3/1 → 34/10→9(cap)/3→1(cap)
+    assert(mid("big") > nat.getOrElse("tiny", 0L) && mid("big") < 45)
+    assert(mid("mid") > nat("mid")) // low-resource stratum up-weighted
+    // selection is deterministic hash-rank — identical rows both runs
+    val a = TextAnalysis.temperatureMix(df, "doc_id", "src", 50, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = TextAnalysis.temperatureMix(df, "doc_id", "src", 50, 0.5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("chunkDocs: overlap grid, clamped tail, no redundant trailing chunk") {
     // chunkTokens=4, overlap=1 -> stride=3; starts while start < n-1
     val df = Seq(
