@@ -1346,6 +1346,21 @@ object SparkEntry {
         .limit(100)
     },
 
+    // ───── data-quality expectation gate (deequ-shaped): declarative
+    // constraints in ONE aggregate pass, one report row per check; the
+    // o_custkey range check fails by design so the report demonstrably
+    // carries violations, not just green rows ─────
+    "q105_quality_checks" -> { (s, dir) =>
+      Profile.qualityChecks(t(s, dir, "orders"),
+          minRows = 1000,
+          uniqueKeys = Seq("o_orderkey"),
+          notNullCols = Seq("o_custkey", "o_totalprice"),
+          ranges = Map(
+            "o_custkey" -> (0.0, 1000.0),      // violated: custkeys exceed 1000
+            "o_totalprice" -> (0.0, 1000000.0)))
+        .orderBy("chk")
+    },
+
     // ───── temperature-based domain mixing (T5-style α-sampling):
     // per-source quotas ∝ count^0.5 over a 300-doc budget — low-resource
     // sources up-weighted relative to their natural share; integer
@@ -2040,6 +2055,22 @@ object SparkEntry {
         "AND c_custkey = o_custkey AND o_orderkey = l_orderkey " +
         "GROUP BY 1, 2, 3, 4, 5 " +
         "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"),
+
+    "q105_quality_checks" ->
+      ("WITH a AS (SELECT count(*) AS n, count(DISTINCT o_orderkey) AS nd, " +
+        "sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_c, " +
+        "sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_t, " +
+        "sum(CASE WHEN o_custkey < 0 OR o_custkey > 1000 THEN 1 ELSE 0 END) AS rg_c, " +
+        "sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS rg_t " +
+        "FROM orders) " +
+        "SELECT * FROM (" +
+        "SELECT 'min_rows' AS chk, n::DOUBLE AS value, n >= 1000 AS pass FROM a " +
+        "UNION ALL SELECT 'unique:o_orderkey', (n - nd)::DOUBLE, n = nd FROM a " +
+        "UNION ALL SELECT 'not_null:o_custkey', nn_c::DOUBLE, nn_c = 0 FROM a " +
+        "UNION ALL SELECT 'not_null:o_totalprice', nn_t::DOUBLE, nn_t = 0 FROM a " +
+        "UNION ALL SELECT 'range:o_custkey', rg_c::DOUBLE, rg_c = 0 FROM a " +
+        "UNION ALL SELECT 'range:o_totalprice', rg_t::DOUBLE, rg_t = 0 FROM a" +
+        ") ORDER BY chk"),
 
     // mirrors temperatureMix(α=0.5): integer weights floor(sqrt(c)·1e6),
     // integer quota division — sqrt is IEEE-correctly-rounded in both

@@ -45,4 +45,59 @@ object Profile {
     }: _*)
     one.select(explode(rows).as("p")).select("p.*")
   }
+
+  /** Data-quality expectation gate (the deequ / great-expectations
+    * shape): declarative constraints evaluated in ONE aggregate pass,
+    * reported as one row per check — `(check, value, pass)` — so a
+    * pipeline can fail fast on `pass = false` before an expensive
+    * training ingest.
+    *
+    * Checks: `min_rows` (row count ≥ threshold); `unique:<keys>`
+    * (no duplicate key tuples — value = duplicate count);
+    * `not_null:<col>` per column (value = null count); `range:<col>`
+    * per bounded column (value = count of rows outside [lo, hi];
+    * nulls don't violate range — list the column under `notNullCols`
+    * too if they should fail).
+    *
+    * Scale shape: everything folds into a single hash-aggregate over one
+    * scan (the uniqueness check adds one count_distinct Expand), exactly
+    * like [[numericProfile]] — no per-check jobs, no driver loops. */
+  def qualityChecks(
+      df: DataFrame,
+      minRows: Long,
+      uniqueKeys: Seq[String],
+      notNullCols: Seq[String],
+      ranges: Map[String, (Double, Double)]): DataFrame = {
+    val nullAggs = notNullCols.map(c =>
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"__nn_$c"))
+    val rangeAggs = ranges.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+      coalesce(sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L)), lit(0L))
+        .as(s"__rg_$c")
+    }
+    val uniqueAggs =
+      if (uniqueKeys.isEmpty) Nil
+      else Seq(count_distinct(struct(uniqueKeys.map(col): _*)).as("__ndist"))
+    val aggs = Seq(count(lit(1)).as("__n")) ++ uniqueAggs ++ nullAggs ++ rangeAggs
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // "chk", not "check": CHECK is a reserved word downstream (DuckDB)
+    val checks =
+      Seq(struct(lit("min_rows").as("chk"),
+        col("__n").cast("double").as("value"),
+        (col("__n") >= minRows).as("pass"))) ++
+      (if (uniqueKeys.isEmpty) Nil
+       else Seq(struct(lit(s"unique:${uniqueKeys.mkString(",")}").as("chk"),
+         (col("__n") - col("__ndist")).cast("double").as("value"),
+         (col("__n") === col("__ndist")).as("pass")))) ++
+      notNullCols.map(c =>
+        struct(lit(s"not_null:$c").as("chk"),
+          col(s"__nn_$c").cast("double").as("value"),
+          (col(s"__nn_$c") === 0).as("pass"))) ++
+      ranges.toSeq.sortBy(_._1).map { case (c, _) =>
+        struct(lit(s"range:$c").as("chk"),
+          col(s"__rg_$c").cast("double").as("value"),
+          (col(s"__rg_$c") === 0).as("pass"))
+      }
+    one.select(explode(array(checks: _*)).as("p")).select("p.*")
+  }
 }

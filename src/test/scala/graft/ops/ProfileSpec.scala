@@ -25,4 +25,38 @@ class ProfileSpec extends SparkSpec {
       assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L)
     }
   }
+
+  test("qualityChecks: one report row per constraint, violations counted") {
+    val df = Seq(
+      (Some(1L), 10.0), (Some(2L), 20.0), (Some(2L), 500.0), (None, -5.0))
+      .toDF("k", "v")
+    val got = Profile.qualityChecks(df,
+        minRows = 10,                       // fails: only 4 rows
+        uniqueKeys = Seq("k"),              // fails: k=2 twice (nulls count too)
+        notNullCols = Seq("k"),             // fails: one null
+        ranges = Map("v" -> (0.0, 100.0)))  // fails: 500.0 and -5.0 outside
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    assert(got("min_rows") == ((4.0, false)))
+    assert(got("unique:k") == ((1.0, false))) // 4 rows, 3 distinct key tuples
+    assert(got("not_null:k") == ((1.0, false)))
+    assert(got("range:v") == ((2.0, false)))
+    // an all-green frame passes every gate
+    val ok = Profile.qualityChecks(
+        Seq((1L, 5.0), (2L, 6.0)).toDF("k", "v"),
+        minRows = 1, uniqueKeys = Seq("k"), notNullCols = Seq("k"),
+        ranges = Map("v" -> (0.0, 10.0)))
+      .collect()
+    assert(ok.length == 4 && ok.forall(_.getBoolean(2)))
+  }
+
+  test("qualityChecks: single aggregate pass — no joins, one exchange pair") {
+    val df = Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v")
+    val plan = Profile.qualityChecks(df, 1, Seq("k"), Seq("v"),
+        Map("v" -> (0.0, 10.0)))
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"expected a join-free single-pass plan:\n$plan")
+  }
 }
