@@ -1372,6 +1372,17 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ───── token-budget sampling: per source, the longest hash-rank
+    // prefix of documents whose running TOKEN total fits an 800-token
+    // budget — pretraining mixtures are specified in tokens, not docs;
+    // integer running sums keep both engines bit-identical ─────
+    "q106_token_budget_sample" -> { (s, dir) =>
+      TextAnalysis.tokenBudgetSample(tb(s, dir, "documents"), "doc_id",
+          "source", "text", tokenBudget = 800L)
+        .select("doc_id", "source", "n_tok")
+        .orderBy("doc_id")
+    },
+
     // ───── streaming MERGE into a keyed serving store (foreachBatch
     // upsert — the production stream-ingest shape). The source is split
     // into 4 files streamed one per micro-batch so the store really is
@@ -2086,6 +2097,17 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h) " +
         "SELECT r.doc_id, r.source FROM r JOIN q ON r.source = q.source " +
         "WHERE r.rn <= q.quota ORDER BY r.doc_id"),
+
+    // mirrors tokenBudgetSample: same hash-rank order, running token sum,
+    // cumulative filter at 800 tokens per source
+    "q106_token_budget_sample" ->
+      ("WITH h AS (SELECT doc_id, source, " +
+        "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tok, " +
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hh FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tok, sum(n_tok) OVER (" +
+        "PARTITION BY source ORDER BY hh, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h) " +
+        "SELECT doc_id, source, n_tok FROM c WHERE cum <= 800 ORDER BY doc_id"),
 
     // the merged store is batching-independent, so the oracle is the
     // plain lifetime aggregate + per-user latest event

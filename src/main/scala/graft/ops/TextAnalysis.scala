@@ -428,6 +428,34 @@ object TextAnalysis {
     }
   }
 
+  /** Token-budget sampling: per stratum, admit documents in the
+    * deterministic hash-rank order while the running token total fits
+    * the stratum's TOKEN budget (the longest rank-order prefix that
+    * fits — the running sum is monotone, so this is a simple cumulative
+    * filter, exact in any engine). Pretraining mixtures are specified in
+    * tokens, not documents —
+    * [[quotaSample]]/[[temperatureMix]] count docs; this measures the
+    * budget in what the model actually consumes.
+    *
+    * Scale shape: one running-sum window per stratum over (hash, id)
+    * order — the same sorted-shuffle bound as [[packBins]]; token counts
+    * are a codegen'd projection, nothing else is added. */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      textCol: String,
+      tokenBudget: Long): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(Hashing.hash60(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_tok", wsTokenCount(col(textCol)).cast("long"))
+      .withColumn("_cum", sum(col("_tok")).over(w))
+      .filter(col("_cum") <= tokenBudget)
+      .drop("_cum")
+      .withColumnRenamed("_tok", "n_tok")
+  }
+
   /** Temperature-based domain mixing — the T5/mT5/LLaMA "α-sampling"
     * rule: stratum i receives `budget · c_iᵅ / Σ c_jᵅ` of the output,
     * where c_i is its row count. α = 1 keeps natural proportions, α = 0

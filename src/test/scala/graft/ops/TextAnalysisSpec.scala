@@ -190,6 +190,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("tokenBudgetSample: longest hash-rank prefix within the token budget, per stratum") {
+    // doc i carries exactly i whitespace tokens
+    val docs = (1L to 12L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd", ("w " * i.toInt).trim))
+    val df = docs.toDF("doc_id", "src", "text")
+    val budget = 15L
+    val got = TextAnalysis.tokenBudgetSample(df, "doc_id", "src", "text", budget)
+      .select("doc_id", "src", "n_tok")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // n_tok is the whitespace token count (= doc_id by construction)
+    assert(got.forall { case (id, _, n) => n == id })
+    // the driver-side twin of the hash-rank order predicts the exact set:
+    // the longest prefix whose running token total fits the budget
+    def expected(st: String): Seq[Long] = {
+      val order = docs.filter(_._2 == st).map(_._1)
+        .sortBy(id => (Hashing.longHash60(id.toString), id))
+      var cum = 0L
+      order.takeWhile { id => cum += id; cum <= budget }
+    }
+    for (st <- Seq("even", "odd")) {
+      val gotIds = got.filter(_._2 == st).map(_._1).sorted.toSeq
+      assert(gotIds == expected(st).sorted,
+        s"stratum $st: got $gotIds expected ${expected(st).sorted}")
+      assert(got.filter(_._2 == st).map(_._3).sum <= budget)
+    }
+    assert(got.nonEmpty)
+    // budget 0 admits nothing; a huge budget admits everything
+    assert(TextAnalysis.tokenBudgetSample(df, "doc_id", "src", "text", 0L).count() == 0)
+    assert(TextAnalysis.tokenBudgetSample(df, "doc_id", "src", "text", 1000L).count() == 12)
+  }
+
   test("chunkDocs: overlap grid, clamped tail, no redundant trailing chunk") {
     // chunkTokens=4, overlap=1 -> stride=3; starts while start < n-1
     val df = Seq(
