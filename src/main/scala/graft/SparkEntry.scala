@@ -1383,6 +1383,17 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ───── exact substring-span dedup coverage (Lee et al. window form):
+    // per doc, the fraction of 8-token windows whose rolling hash occurs
+    // in ≥2 distinct docs. RollingHash = codegen'd O(n) Rabin–Karp; only
+    // docs with ≥1 window (≥8 tokens) appear, so dup_frac never divides
+    // by zero; docs with no duplicated span report 0.0 ─────
+    "q107_span_dedup_coverage" -> { (s, dir) =>
+      Dedup.spanDedupCoverage(tb(s, dir, "documents"), "doc_id", "text",
+          width = 8, minDf = 2)
+        .orderBy("doc_id")
+    },
+
     // ───── streaming MERGE into a keyed serving store (foreachBatch
     // upsert — the production stream-ingest shape). The source is split
     // into 4 files streamed one per micro-batch so the store really is
@@ -2108,6 +2119,20 @@ object SparkEntry {
         "PARTITION BY source ORDER BY hh, doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h) " +
         "SELECT doc_id, source, n_tok FROM c WHERE cum <= 800 ORDER BY doc_id"),
+
+    // mirrors spanDedupCoverage(width=8, minDf=2): the direct per-window
+    // list_reduce fold equals RollingHash's prefix-difference form mod P
+    "q107_span_dedup_coverage" ->
+      ("WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks FROM documents), " +
+        "th AS (SELECT doc_id, [(('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) for t in toks] AS hs FROM tok), " +
+        "sp AS (SELECT doc_id, unnest([list_reduce(list_prepend(0::BIGINT, hs[i+1:i+8]), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) for i in range(0, greatest(len(hs) - 7, 0))]) AS span FROM th), " +
+        "d AS (SELECT span FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2), " +
+        "nd AS (SELECT sp.doc_id, count(*)::BIGINT AS n_dup FROM sp JOIN d USING(span) GROUP BY 1), " +
+        "tt AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM sp GROUP BY 1) " +
+        "SELECT tt.doc_id, tt.n_spans, coalesce(nd.n_dup, 0)::BIGINT AS n_dup, " +
+        "round(coalesce(nd.n_dup, 0) / tt.n_spans::DOUBLE, 6) AS dup_frac " +
+        "FROM tt LEFT JOIN nd USING(doc_id) ORDER BY tt.doc_id"),
 
     // the merged store is batching-independent, so the oracle is the
     // plain lifetime aggregate + per-user latest event

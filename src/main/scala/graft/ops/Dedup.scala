@@ -525,4 +525,49 @@ object Dedup {
       .withColumn("_keep", col("_hot").isNull)
     reassemble(flagged, idCol)
   }
+
+  /** Exact substring-span duplication coverage (the window form of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models Better"
+    * — suffix-array exact-substring dedup approximated at fixed `width`
+    * tokens): every `width`-token window is hashed with
+    * [[graft.expressions.RollingHash]]; a span value occurring in ≥
+    * `minDf` distinct documents is *duplicated*, and each document
+    * reports how many of its window positions are covered by duplicated
+    * spans. High coverage = the document is largely stitched from text
+    * that exists elsewhere in the corpus — the removal signal the paper
+    * thresholds on.
+    *
+    * Scale shape: span hashes are ONE codegen'd O(n) projection (no
+    * explode-per-window of the text itself — 8-byte hashes are what
+    * shuffles); span df is a map-side-combinable hash-agg; the join back
+    * is an equi-join on span hash against the *duplicated-only* side,
+    * which is small relative to the corpus for natural data (and bounded
+    * by it otherwise). Per-doc totals then re-aggregate by id. The text
+    * column never shuffles. */
+  def spanDedupCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spansCol = Bridge.column(graft.expressions.RollingHash(
+      Bridge.expression(TextAnalysis.words(col(textCol))), width))
+    // the exploded (id, span) frame feeds three plan branches (df agg,
+    // coverage join, per-doc totals); materialize it once — 16 bytes/row
+    val spans = df.select(col(idCol), explode(spansCol).as("span"))
+      .localCheckpoint()
+    val dup = spans.groupBy("span")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select("span")
+    val perDoc = spans.join(dup, Seq("span"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup"))
+    val totals = spans.groupBy(idCol).agg(count(lit(1)).as("n_spans"))
+    totals.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)) / col("n_spans"), 6)
+          .as("dup_frac"))
+  }
 }

@@ -223,6 +223,57 @@ class DedupSpec extends SparkSpec {
     assert(out(4L)._2 == 0L)
   }
 
+  test("RollingHash: windows equal the direct per-slice fold; short arrays empty") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val texts = Seq((1L, "a b c d e"), (2L, "a b"), (3L, ""))
+    val got = texts.toDF("id", "t")
+      .select(col("id"), Bridge.column(graft.expressions.RollingHash(
+        Bridge.expression(TextAnalysis.words(col("t"))), 3)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // driver-side twin: fold ((0·31+h₀)·31+h₁)… mod P over each 3-slice
+    def fold(toks: Seq[String]): Seq[Long] = {
+      val hs = toks.map(t => Hashing.longHash60(t) % Hashing.P)
+      if (hs.length < 3) Seq.empty
+      else hs.sliding(3).map(_.foldLeft(0L)((a, b) =>
+        (a * 31 + b) % Hashing.P)).toSeq
+    }
+    assert(got(1L) == fold(Seq("a", "b", "c", "d", "e")) && got(1L).length == 3)
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+    // rolling (prefix-difference) and direct fold must agree on longer
+    // random-ish content too, and the interpreted eval must match codegen
+    val toks = (1 to 40).map(i => s"tok$i")
+    val df2 = Seq((1L, toks.mkString(" "))).toDF("id", "t")
+    val viaPlan = df2.select(Bridge.column(graft.expressions.RollingHash(
+        Bridge.expression(TextAnalysis.words(col("t"))), 8)))
+      .collect().head.getSeq[Long](0)
+    assert(viaPlan == (toks.map(_.toLowerCase) match { case ts =>
+      ts.map(t => Hashing.longHash60(t) % Hashing.P).sliding(8)
+        .map(_.foldLeft(0L)((a, b) => (a * 31 + b) % Hashing.P)).toSeq }))
+    val interp = graft.expressions.RollingHash.spanHashes(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)), 8)
+    assert(interp.toLongArray().toSeq == viaPlan)
+  }
+
+  test("spanDedupCoverage: shared runs counted per window position, short docs absent") {
+    val run = (1 to 8).map(i => s"w$i").mkString(" ") // one shared 8-token run
+    val d = Seq(
+      (1L, run + " alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "iota kappa " + run),                       // shares exactly the run
+      (3L, "totally unrelated text with enough tokens to have windows here"),
+      (4L, "too short")                                // < 8 tokens: no windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupCoverage(d, "doc_id", "text", width = 8, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 16 tokens -> 9 windows, exactly one (the run) duplicated
+    assert(out(1L) == ((9L, 1L, math.rint(1.0 / 9 * 1e6) / 1e6)))
+    // doc 2: 10 tokens -> 3 windows, the run window duplicated
+    assert(out(2L)._1 == 3L && out(2L)._2 == 1L)
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    assert(!out.contains(4L))
+  }
+
   test("embeddingPairs: parallel vectors ~1.0, blocked by label, orthogonal excluded") {
     val e = Seq(
       (1L, Array(1f, 0f, 0f), 0),
