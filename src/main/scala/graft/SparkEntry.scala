@@ -1394,6 +1394,17 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ───── exact substring-span dedup REMOVAL — the output side of Lee
+    // et al. 2022 that q107 only measures: every token position covered
+    // by a duplicated 8-token window is dropped from ALL occurrences
+    // (aggressive C4-style variant) and the survivors reassembled into
+    // the token-space text downstream tokenizers consume ─────
+    "q108_span_dedup_remove" -> { (s, dir) =>
+      Dedup.spanDedupRemove(tb(s, dir, "documents"), "doc_id", "text",
+          width = 8, minDf = 2)
+        .orderBy("doc_id")
+    },
+
     // ───── streaming MERGE into a keyed serving store (foreachBatch
     // upsert — the production stream-ingest shape). The source is split
     // into 4 files streamed one per micro-batch so the store really is
@@ -2133,6 +2144,28 @@ object SparkEntry {
         "SELECT tt.doc_id, tt.n_spans, coalesce(nd.n_dup, 0)::BIGINT AS n_dup, " +
         "round(coalesce(nd.n_dup, 0) / tt.n_spans::DOUBLE, 6) AS dup_frac " +
         "FROM tt LEFT JOIN nd USING(doc_id) ORDER BY tt.doc_id"),
+
+    // mirrors spanDedupRemove(width=8, minDf=2): duplicated-window
+    // positions expand to covered token positions; kept tokens are
+    // reassembled by ordered string_agg
+    "q108_span_dedup_remove" ->
+      ("WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks FROM documents), " +
+        "th AS (SELECT doc_id, toks, [(('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) for t in toks] AS hs FROM tok), " +
+        "sp AS (SELECT doc_id, u.pos AS pos, u.span AS span FROM (" +
+        "SELECT doc_id, unnest([{'pos': i, 'span': list_reduce(list_prepend(0::BIGINT, hs[i+1:i+8]), " +
+        "(a, b) -> (a * 31 + b) % 1000000007)} for i in range(0, greatest(len(hs) - 7, 0))]) AS u FROM th) z), " +
+        "d AS (SELECT span FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2), " +
+        "rm AS (SELECT DISTINCT sp.doc_id, sp.pos + o.j AS rmpos FROM sp JOIN d USING(span) " +
+        "CROSS JOIN (SELECT unnest(range(0, 8)) AS j) o), " +
+        "rmc AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM rm GROUP BY 1), " +
+        "tp AS (SELECT doc_id, u.i AS i, u.tok AS tok FROM (" +
+        "SELECT doc_id, unnest([{'i': i, 'tok': toks[i+1]} for i in range(0, len(toks))]) AS u FROM tok) z), " +
+        "cl AS (SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.i) AS cleaned " +
+        "FROM tp LEFT JOIN rm ON rm.doc_id = tp.doc_id AND rm.rmpos = tp.i " +
+        "WHERE rm.rmpos IS NULL GROUP BY 1) " +
+        "SELECT tok.doc_id, len(tok.toks)::BIGINT AS n_tok, " +
+        "coalesce(rmc.n_removed, 0)::BIGINT AS n_removed, coalesce(cl.cleaned, '') AS cleaned " +
+        "FROM tok LEFT JOIN rmc USING(doc_id) LEFT JOIN cl USING(doc_id) ORDER BY tok.doc_id"),
 
     // the merged store is batching-independent, so the oracle is the
     // plain lifetime aggregate + per-user latest event

@@ -570,4 +570,61 @@ object Dedup {
         round(coalesce(col("n_dup"), lit(0L)) / col("n_spans"), 6)
           .as("dup_frac"))
   }
+
+  /** Exact substring-span dedup *removal* — the output side of Lee et al.
+    * 2022 that [[spanDedupCoverage]] only measures: every token position
+    * covered by a duplicated `width`-token window (span hash in ≥ `minDf`
+    * distinct docs) is dropped from ALL occurrences, and the surviving
+    * tokens are reassembled. This is the aggressive variant (no canonical
+    * copy is spared — C4-style); pair with [[canonicalPerCluster]] when
+    * one representative must survive.
+    *
+    * Returns one row per input document: `(id, n_tok, n_removed,
+    * cleaned)` — documents shorter than `width` tokens pass through
+    * untouched. `cleaned` is token-space (lower-cased `\w+` joined by
+    * single spaces), the form downstream tokenizers consume.
+    *
+    * Scale shape: the duplicated-span df agg and the coverage join see
+    * only 8-byte hashes; the ×`width` position explode happens on the
+    * *duplicated-only* rows. The removed-position sets ride an id
+    * equi-join back to one final pass over the corpus (AQE broadcasts
+    * them when small); the per-doc token filter is one array lambda per
+    * document — interpreted, but O(doc length) work that never shuffles
+    * text. */
+  def spanDedupRemove(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val toksCol = TextAnalysis.words(col(textCol))
+    val spansCol = Bridge.column(graft.expressions.RollingHash(
+      Bridge.expression(toksCol), width))
+    val spans = df
+      .select(col(idCol), posexplode(spansCol).as(Seq("pos", "span")))
+      .localCheckpoint() // feeds the df agg AND the coverage join
+    val dup = spans.groupBy("span")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select("span")
+    // duplicated window at pos covers token positions pos .. pos+w-1
+    val removed = spans.join(dup, Seq("span"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(width - 1)))
+          .as("rmpos"))
+      .distinct()
+      .groupBy(idCol).agg(sort_array(collect_set(col("rmpos"))).as("_rm"))
+    df.select(col(idCol), toksCol.as("_toks"))
+      .join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tok"),
+        coalesce(size(col("_rm")).cast("long"), lit(0L)).as("n_removed"),
+        array_join(
+          zip_with(col("_toks"),
+            sequence(lit(0), size(col("_toks")) - 1),
+            (t, i) => when(coalesce(array_contains(col("_rm"), i),
+              lit(false)), lit(null: String)).otherwise(t)),
+          " ").as("cleaned"))
+  }
 }

@@ -274,6 +274,27 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("spanDedupRemove: covered positions dropped everywhere, short docs pass through") {
+    val run = (1 to 8).map(i => s"w$i").mkString(" ") // one shared 8-token run
+    val d = Seq(
+      (1L, run + " alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "iota kappa " + run),  // run at positions 2..9
+      (3L, "totally unrelated text with enough tokens to have windows here"),
+      (4L, "too short"),          // < 8 tokens: untouched
+      (5L, run)                   // exactly the run: fully removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupRemove(d, "doc_id", "text", width = 8, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((16L, 8L,
+      "alpha beta gamma delta epsilon zeta eta theta")))
+    assert(out(2L) == ((10L, 8L, "iota kappa")))
+    assert(out(3L)._2 == 0L &&
+      out(3L)._3 == "totally unrelated text with enough tokens to have windows here")
+    assert(out(4L) == ((2L, 0L, "too short")))  // short doc passes through
+    assert(out(5L) == ((8L, 8L, "")))           // everything duplicated
+  }
+
   test("embeddingPairs: parallel vectors ~1.0, blocked by label, orthogonal excluded") {
     val e = Seq(
       (1L, Array(1f, 0f, 0f), 0),
