@@ -1405,6 +1405,55 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ───── TPC-H Q13 shape — customer order-count distribution: the
+    // left-outer join (customers with zero orders MUST survive) into a
+    // double aggregation; the classic skew probe (c_count=0 bucket) ─────
+    "q109_tpch_q13" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .filter(!col("o_orderpriority").startsWith("4-"))
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // ───── content-defined chunking dedup stats (LBFS/restic-style CDC):
+    // rolling-hash boundaries make a shared run chunk identically at ANY
+    // offset — the offset-invariance fixed-width q107 spans lack.
+    // CdcChunks = codegen'd O(n) single pass; only 8-byte chunk hashes
+    // (≈ n/16 per doc) ever explode ─────
+    "q110_cdc_chunks" -> { (s, dir) =>
+      Dedup.cdcChunkStats(tb(s, dir, "documents"), "doc_id", "text",
+          width = 4, modulus = 16, minDf = 2)
+        .orderBy("doc_id")
+    },
+
+    // ───── sequential conversion funnel over the event stream: per user,
+    // earliest view, earliest click AFTER that view, earliest purchase
+    // AFTER that click — each stage is a conditional min that reuses the
+    // user_id partitioning; events reduce 67:1 before any join ─────
+    "q111_funnel" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"), col("t_purchase").isNotNull.as("converted"))
+        .orderBy("user_id")
+    },
+
     // ───── streaming MERGE into a keyed serving store (foreachBatch
     // upsert — the production stream-ingest shape). The source is split
     // into 4 files streamed one per micro-batch so the store really is
@@ -2166,6 +2215,45 @@ object SparkEntry {
         "SELECT tok.doc_id, len(tok.toks)::BIGINT AS n_tok, " +
         "coalesce(rmc.n_removed, 0)::BIGINT AS n_removed, coalesce(cl.cleaned, '') AS cleaned " +
         "FROM tok LEFT JOIN rmc USING(doc_id) LEFT JOIN cl USING(doc_id) ORDER BY tok.doc_id"),
+
+    // mirrors q109's Q13 shape: left join keeps zero-order customers
+    "q109_tpch_q13" ->
+      ("WITH co AS (SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count " +
+        "FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority NOT LIKE '4-%') o " +
+        "ON c.c_custkey = o.o_custkey GROUP BY 1) " +
+        "SELECT c_count, count(*)::BIGINT AS custdist FROM co GROUP BY 1 " +
+        "ORDER BY custdist DESC, c_count DESC"),
+
+    // mirrors cdcChunkStats(width=4, modulus=16, minDf=2): window hashes →
+    // boundary positions (0 < p < m, win % 16 = 0) → chunk id per token =
+    // boundaries ≤ pos → per-chunk ordered fold ≡ CdcChunks' running fold
+    "q110_cdc_chunks" ->
+      ("WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks FROM documents), " +
+        "th AS (SELECT doc_id, [(('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) for t in toks] AS hs FROM tok), " +
+        "win AS (SELECT doc_id, hs, [list_reduce(list_prepend(0::BIGINT, hs[i+1:i+4]), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) for i in range(0, greatest(len(hs) - 3, 0))] AS ws FROM th), " +
+        "bp AS (SELECT doc_id, hs, [i for i in range(1, greatest(len(hs) - 3, 0)) if ws[i+1] % 16 = 0] AS bs FROM win), " +
+        "tp AS (SELECT doc_id, u.j AS j, u.h AS h, len([b for b in bs if b <= u.j]) AS cid FROM (" +
+        "SELECT doc_id, bs, unnest([{'j': i, 'h': hs[i+1]} for i in range(0, len(hs))]) AS u FROM bp) z), " +
+        "ch AS (SELECT doc_id, cid, list_reduce(list_prepend(0::BIGINT, list(h ORDER BY j)), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) AS chunk FROM tp GROUP BY 1, 2), " +
+        "d AS (SELECT chunk FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2), " +
+        "nd AS (SELECT ch.doc_id, count(*)::BIGINT AS n_dup FROM ch JOIN d USING(chunk) GROUP BY 1), " +
+        "tt AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM ch GROUP BY 1) " +
+        "SELECT tt.doc_id, tt.n_chunks, coalesce(nd.n_dup, 0)::BIGINT AS n_dup, " +
+        "round(coalesce(nd.n_dup, 0) / tt.n_chunks::DOUBLE, 6) AS dup_frac " +
+        "FROM tt LEFT JOIN nd USING(doc_id) ORDER BY tt.doc_id"),
+
+    // mirrors q111's staged conditional mins (strictly-after semantics)
+    "q111_funnel" ->
+      ("WITH v AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v ON e.user_id = v.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c ON e.user_id = c.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1) " +
+        "SELECT v.user_id, v.t_view, c.t_click, p.t_purchase, " +
+        "p.t_purchase IS NOT NULL AS converted " +
+        "FROM v LEFT JOIN c USING(user_id) LEFT JOIN p USING(user_id) ORDER BY v.user_id"),
 
     // the merged store is batching-independent, so the oracle is the
     // plain lifetime aggregate + per-user latest event

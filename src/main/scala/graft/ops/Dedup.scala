@@ -627,4 +627,48 @@ object Dedup {
               lit(false)), lit(null: String)).otherwise(t)),
           " ").as("cleaned"))
   }
+
+  /** Content-defined-chunking duplication stats (LBFS/restic-style CDC
+    * applied to corpus near-dup measurement): each document's token
+    * stream is cut into variable-length chunks by
+    * [[graft.expressions.CdcChunks]] (rolling-hash boundaries, expected
+    * `modulus` tokens per chunk), and a chunk whose content hash appears
+    * in ≥ `minDf` distinct documents is *duplicated*. Because boundaries
+    * depend only on local content, a shared run chunks identically at
+    * ANY offset — insertions shift chunk positions but not identities,
+    * the property fixed-width spans (q107) lack.
+    *
+    * Returns `(id, n_chunks, n_dup, dup_frac)` per document.
+    *
+    * Scale shape: chunking is ONE codegen'd O(n) projection; only 8-byte
+    * chunk hashes explode and shuffle (ca. n/modulus rows per doc — an
+    * order less than q107's per-window rows); chunk df is a map-side-
+    * combinable hash-agg; the join back hits the duplicated-only side.
+    * The text column never shuffles. */
+  def cdcChunkStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 4,
+      modulus: Int = 16,
+      minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val chunksCol = Bridge.column(graft.expressions.CdcChunks(
+      Bridge.expression(TextAnalysis.words(col(textCol))), width, modulus))
+    // feeds three plan branches (df agg, dup join, per-doc totals)
+    val chunks = df.select(col(idCol), explode(chunksCol).as("chunk"))
+      .localCheckpoint()
+    val dup = chunks.groupBy("chunk")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select("chunk")
+    val perDoc = chunks.join(dup, Seq("chunk"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup"))
+    val totals = chunks.groupBy(idCol).agg(count(lit(1)).as("n_chunks"))
+    totals.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)) / col("n_chunks"), 6)
+          .as("dup_frac"))
+  }
 }

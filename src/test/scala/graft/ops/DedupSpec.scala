@@ -295,6 +295,51 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((8L, 8L, "")))           // everything duplicated
   }
 
+  test("CdcChunks: short docs fold to one chunk; boundaries are offset-invariant") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    def chunksOf(text: String, width: Int, modulus: Int): Seq[Long] =
+      Seq(Tuple1(text)).toDF("t")
+        .select(Bridge.column(graft.expressions.CdcChunks(
+          Bridge.expression(TextAnalysis.words(col("t"))), width, modulus)))
+        .collect().head.getSeq[Long](0)
+    // < width tokens: single chunk equal to the direct fold of token hashes
+    val short = chunksOf("alpha beta", 4, 16)
+    val expect = Seq("alpha", "beta")
+      .map(t => Hashing.longHash60(t) % Hashing.P)
+      .foldLeft(0L)((a, b) => (a * 31 + b) % Hashing.P)
+    assert(short == Seq(expect))
+    assert(chunksOf("", 4, 16).isEmpty)
+    // offset invariance: after the first boundary shared by both layouts,
+    // every downstream chunk is identical — a run chunks the same at any
+    // offset (the property fixed-width spans lack)
+    val run = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val a = chunksOf(run, 2, 2)
+    val b = chunksOf("pfx1 pfx2 pfx3 " + run, 2, 2)
+    assert(a.length >= 2, s"run must contain an interior boundary, got $a")
+    assert(b.takeRight(a.length - 1) == a.tail)
+    // interpreted eval matches codegen
+    val toks = (1 to 30).map(i => s"tok$i")
+    val interp = graft.expressions.CdcChunks.chunkHashes(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)), 2, 2)
+    assert(interp.toLongArray().toSeq == a)
+  }
+
+  test("cdcChunkStats: shared run duplicated at different offsets, unique text is not") {
+    val run = (1 to 24).map(i => s"r$i").mkString(" ")
+    val d = Seq(
+      (1L, run),
+      (2L, "lead1 lead2 lead3 " + run),   // same run, shifted
+      (3L, "solo text that nobody else repeats anywhere at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkStats(d, "doc_id", "text",
+        width = 2, modulus = 2, minDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // both run-carrying docs share their post-first-boundary chunks
+    assert(out(1L)._2 >= 1L && out(2L)._2 >= 1L)
+    assert(out(3L)._2 == 0L)
+  }
+
   test("embeddingPairs: parallel vectors ~1.0, blocked by label, orthogonal excluded") {
     val e = Seq(
       (1L, Array(1f, 0f, 0f), 0),
