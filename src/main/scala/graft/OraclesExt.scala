@@ -116,6 +116,27 @@ object OraclesExt {
     s"WITH $minhashCandCte " +
       s"SELECT id_a, id_b, $estJac AS est_jac FROM cand ORDER BY 1, 2"
 
+  /** Calibration twin of q14 (mirrors `Dedup.minhashCalibration`): the
+    * banded candidates with BOTH the signature estimate and the exact
+    * Jaccard of the distinct hashed-shingle sets, restricted to
+    * candidate documents. */
+  val minhashCalibration: String = {
+    val exact = "coalesce(i.i, 0) * 1.0 / (x.n + y.n - coalesce(i.i, 0))"
+    s"WITH $minhashCandCte, " +
+      "cd AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM cand " +
+      "UNION ALL SELECT id_b FROM cand)), " +
+      "shd AS (SELECT DISTINCT h.doc_id, h.h FROM hsh h JOIN cd ON h.doc_id = cd.id), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i " +
+      "FROM shd a JOIN shd b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      s"SELECT c.id_a, c.id_b, round($estJac, 6) AS est_jac, " +
+      s"round($exact, 6) AS exact_jac, " +
+      s"round(abs($estJac - $exact), 6) AS abs_err " +
+      "FROM cand c LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b " +
+      "JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id " +
+      "ORDER BY 1, 2"
+  }
+
   /** The composite near-dup REMOVAL pipeline (mirrors q71): MinHash+LSH
     * candidates → est-Jaccard ≥ 0.75 edges → transitive closure → drop
     * every member except its component's min id. */

@@ -1454,6 +1454,25 @@ object SparkEntry {
         .orderBy("user_id")
     },
 
+    // ───── BM25 ranking (Lucene-default k1/b saturating form) — q48
+    // TF-IDF's production sibling; avgdl is an exact integer-valued sum,
+    // so the float stats are bit-identical across engines ─────
+    "q112_bm25" -> { (s, dir) =>
+      TextAnalysis.bm25TopK(tb(s, dir, "documents"), "text", "doc_id",
+        terms = Seq("spark", "query", "join"), k = 10)
+    },
+
+    // ───── MinHash estimator calibration: est-Jaccard vs EXACT Jaccard
+    // + absolute error for every LSH candidate pair — the "is k=16
+    // enough?" report you run before trusting thresholded dedup; exact
+    // side bounded by the candidate doc set via semi-join ─────
+    "q113_minhash_calibration" -> { (s, dir) =>
+      val d = tb(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+      Dedup.minhashCalibration(d, "doc_id", Dedup.shingles(col("toks"), 3))
+        .orderBy("id_a", "id_b")
+    },
+
     // ───── streaming MERGE into a keyed serving store (foreachBatch
     // upsert — the production stream-ingest shape). The source is split
     // into 4 files streamed one per micro-batch so the store really is
@@ -2254,6 +2273,26 @@ object SparkEntry {
         "SELECT v.user_id, v.t_view, c.t_click, p.t_purchase, " +
         "p.t_purchase IS NOT NULL AS converted " +
         "FROM v LEFT JOIN c USING(user_id) LEFT JOIN p USING(user_id) ORDER BY v.user_id"),
+
+    // mirrors bm25TopK(k1=1.2, b=0.75): same stat CTE + saturating form
+    "q112_bm25" -> {
+      val terms = Seq("spark", "query", "join")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(regexp_extract_all(lower(text), '\\b$t\\b'))::DOUBLE AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i").mkString(", ")
+      val score = terms.indices.map { i =>
+        s"ln((s.n - s.df$i + 0.5) / (s.df$i + 0.5) + 1.0) * (tf$i * 2.2) / " +
+          s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / s.avgdl))"
+      }.mkString(" + ")
+      s"WITH d AS (SELECT doc_id, len(regexp_extract_all(lower(text), '\\w+'))::DOUBLE AS dl, $tfs FROM documents), " +
+        s"s AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, $dfs FROM d) " +
+        s"SELECT doc_id, round($score, 6) AS score FROM d, s " +
+        "ORDER BY score DESC, doc_id LIMIT 10"
+    },
+
+    "q113_minhash_calibration" -> OraclesExt.minhashCalibration,
 
     // the merged store is batching-independent, so the oracle is the
     // plain lifetime aggregate + per-user latest event

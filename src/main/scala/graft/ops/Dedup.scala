@@ -155,6 +155,45 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash estimator calibration: for every LSH candidate pair, the
+    * signature estimate next to the EXACT Jaccard of the (hashed)
+    * shingle sets and their absolute error — the report that tells you
+    * whether k signature rows suffice for your corpus before trusting
+    * est-thresholded dedup at scale.
+    *
+    * Scale shape: the exact side is computed ONLY for documents that
+    * appear in some candidate pair (semi-join restriction), so the
+    * shingle equi-join is bounded by the candidate set, never the
+    * corpus; intersections shuffle (id, id, partial count) rows. */
+  def minhashCalibration(
+      df: DataFrame,
+      idCol: String,
+      shingleCol: Column,
+      k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val cand = minhashPairs(df, idCol, shingleCol, k, bands)
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingleHashes(shingleCol)).as("h")).distinct()
+    val docs = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val shc = sh.join(docs, Seq("id"), "left_semi")
+    val sz = shc.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = shc.as("x")
+      .join(shc.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val i0 = coalesce(col("i"), lit(0L))
+    val exact = i0 / (col("na") + col("nb") - i0)
+    cand.join(inter, Seq("id_a", "id_b"), "left")
+      .join(sz.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sz.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("est_jac"), 6).as("est_jac"),
+        round(exact, 6).as("exact_jac"),
+        round(abs(col("est_jac") - exact), 6).as("abs_err"))
+  }
+
   /** SimHash width: all 60 hash bits. More bits = sharper distance
     * separation (fewer false near-pairs on self-similar corpora) and
     * smaller LSH buckets; 60 stays sign-free in a 64-bit long in both

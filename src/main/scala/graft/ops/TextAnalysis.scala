@@ -266,6 +266,51 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 ranking over fixed query terms (Robertson–Spärck Jones, the
+    * k1/b saturating form Lucene defaults to) — [[tfidfTopK]]'s
+    * production sibling: term frequency saturates past k1 and long
+    * documents are penalized toward the corpus mean length.
+    *
+    * Engine-parity note: `dl` and the corpus stats are integer-valued
+    * doubles, so their sums are EXACT (< 2⁵³) and order-independent —
+    * `avgdl` is bit-identical across engines despite float partial
+    * aggregation. Scale shape: identical to tfidfTopK — per-doc regexp
+    * projection, ONE 1-row global stats agg broadcast back (the only
+    * non-equi join is 1×N against a single row), TakeOrderedAndProject
+    * top-k, no sort of the corpus. */
+  def bm25TopK(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      regexp_count(lower(col(textCol)), lit("\\b" + t + "\\b"))
+        .cast("double").as(s"tf$i")
+    }
+    val d = df.select(
+      col(idCol) +: size(words(col(textCol))).cast("double").as("dl") +:
+        tfCols: _*)
+    val statAggs = count(lit(1)).cast("double").as("n") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+    val stats = d.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5)
+        + 1.0)
+      idf * (col(s"tf$i") * lit(k1 + 1.0)) /
+        (col(s"tf$i") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    d.crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Vocabulary construction (the tokenizer-training front half): global
     * word frequencies → top-`size` by (freq desc, token asc) → contiguous
     * ids 0..size-1. Scale shape: one explode + hash-aggregate whose

@@ -79,6 +79,29 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("minhashCalibration: exact Jaccard matches set arithmetic, err = |est - exact|") {
+    val out = Dedup.minhashCalibration(docs, "doc_id",
+        Dedup.shingles(col("toks"), 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // docs 1 and 2 are identical: estimate and exact both 1.0, zero error
+    assert(out((1L, 2L)) == ((1.0, 1.0, 0.0)))
+    // every candidate pair: exact equals the driver-side shingle-set twin
+    val sets = docs.select(col("doc_id"),
+        Dedup.shingles(col("toks"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).map(s => Hashing.longHash60(s) % Hashing.P).toSet)
+      .toMap
+    out.foreach { case ((a, b), (est, exact, err)) =>
+      val i = sets(a).intersect(sets(b)).size.toDouble
+      val u = (sets(a) ++ sets(b)).size.toDouble
+      assert(math.abs(exact - math.rint(i / u * 1e6) / 1e6) < 1e-9,
+        s"pair ($a,$b)")
+      assert(math.abs(err - math.rint(math.abs(est - i / u) * 1e6) / 1e6)
+        <= 1e-6, s"pair ($a,$b)")
+    }
+  }
+
   test("minhash signature is k longs, deterministic") {
     val sig = docs.filter(col("doc_id") === 1)
       .select(Dedup.minhashSignature(Dedup.shingles(col("toks"), 3), 16))

@@ -117,6 +117,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got.head._2 - 1.139434) < 1e-6)
   }
 
+  test("bm25TopK: tf saturates past k1 and long docs are length-penalized") {
+    val spam = ("cat " * 50).trim
+    val df = Seq(
+      (1L, "cat sat"),                         // tf=1, dl=2
+      (2L, spam),                              // tf=50, dl=50
+      (3L, "cat " + ("filler " * 48).trim),    // tf=1, dl=49
+      (4L, "dog dog")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(df, "text", "doc_id", Seq("cat"), 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver-side twin (k1=1.2, b=0.75): idf = ln((4-3+0.5)/(3+0.5)+1)
+    val idf = math.log((4 - 3 + 0.5) / (3 + 0.5) + 1.0)
+    val avgdl = (2 + 50 + 49 + 2) / 4.0
+    def bm25(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(math.abs(got(2L) - math.rint(bm25(50, 50) * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(got(3L) - math.rint(bm25(1, 49) * 1e6) / 1e6) < 1e-9)
+    // saturation: 50x the tf buys ~2.5x the score, not 50x
+    assert(got(2L) < got(1L) * 3)
+    // length penalty: same tf, longer doc scores lower
+    assert(got(3L) < got(1L))
+    assert(got(4L) == 0.0)
+  }
+
   test("repetitionStats: hand-computed fractions; empty and single-token edge cases") {
     val df = Seq(
       (1L, "a a a b"),   // top uni 3/4, 2 distinct of 4; bigrams: "a a"×2,"a b" → 2/3
