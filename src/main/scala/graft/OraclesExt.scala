@@ -285,6 +285,35 @@ object OraclesExt {
       "SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
   }
 
+  /** Mirrors q114: brute-force top-5 (ground truth) vs the sampled-IVF
+    * top-5 (same derivations as [[simTopKBrute]] / [[simTopKIvfSampled]]),
+    * reduced to per-query hit count and recall@5. */
+  val annRecall: String = {
+    val nCells = 16; val nProbe = 4
+    s"WITH $embCte, " +
+      "q0 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0), " +
+      s"bs AS (SELECT qid, vec_id AS cid, round(${cosSql("qv", "v")}, 6) AS cos " +
+      "FROM q0, e WHERE vec_id <> qid), " +
+      "br AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM bs), " +
+      "bt AS (SELECT qid, list(cid) AS gt FROM br WHERE rnk <= 5 GROUP BY 1), " +
+      s"cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv, " +
+      "list_dot_product(v, v) AS cn2 " +
+      s"FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $nCells)), " +
+      "scored AS (SELECT e.vec_id, e.v, cent.cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_dot_product(e.v, cent.cv) * -2.0 + cent.cn2, cent.cell) AS rn " +
+      "FROM e CROSS JOIN cent), " +
+      "corp AS (SELECT vec_id AS cid, v AS cv, cell FROM scored WHERE rn = 1), " +
+      s"qp AS (SELECT vec_id AS qid, v AS qv, cell FROM scored WHERE vec_id % 100 = 0 AND rn <= $nProbe), " +
+      s"as0 AS (SELECT qid, cid, round(${cosSql("qv", "cv")}, 6) AS cos " +
+      "FROM qp JOIN corp USING (cell) WHERE cid <> qid), " +
+      "ar AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM as0), " +
+      "at2 AS (SELECT qid, list(cid) AS got FROM ar WHERE rnk <= 5 GROUP BY 1) " +
+      "SELECT bt.qid, coalesce(len(list_intersect(bt.gt, at2.got)), 0)::BIGINT AS n_hit, " +
+      "round(coalesce(len(list_intersect(bt.gt, at2.got)), 0) / 5.0, 6) AS recall " +
+      "FROM bt LEFT JOIN at2 USING(qid) ORDER BY bt.qid"
+  }
+
   /** Mirrors Similarity.topKPqSeeded at dim=64, m=8, ksub=16, candMult=8,
     * k=5. The hash-seeded codebooks are embedded as the SAME doubles the
     * Spark side builds (shortest round-trip repr → identical bits), so

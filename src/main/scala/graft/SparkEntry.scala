@@ -1473,6 +1473,45 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // ───── ANN recall report: IVF(sampled codebook, nProbe=4) top-5 vs
+    // brute-force ground truth per query — the index-quality pre-flight
+    // before trusting approximate search at scale. The brute side is the
+    // deliberate verify scan (same as q17); production measures recall on
+    // a query SAMPLE exactly like this ─────
+    "q114_ann_recall" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val gt = Similarity.topKBrute(q, c, k = 5)
+        .groupBy("qid").agg(collect_set(col("cid")).as("gt"))
+      val got = Similarity
+        .topKIvfSampled(q, c, k = 5, nCells = 16, nProbe = 4)
+        .groupBy("qid").agg(collect_set(col("cid")).as("got"))
+      val hits = size(array_intersect(col("gt"),
+        coalesce(col("got"), array().cast("array<long>"))))
+      gt.join(got, Seq("qid"), "left")
+        .select(col("qid"), hits.cast("long").as("n_hit"),
+          round(hits / 5.0, 6).as("recall"))
+        .orderBy("qid")
+    },
+
+    // ───── TPC-H Q16 shape — supplier diversity per part group: anti-join
+    // blacklist (negative-balance suppliers stand in for the complaints
+    // filter) feeding a count-DISTINCT aggregate over a selective dim
+    // filter ─────
+    "q115_tpch_q16" -> { (s, dir) =>
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      t(s, dir, "lineitem")
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(t(s, dir, "part").filter(col("p_size").isin(1, 5, 9, 13)),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    },
+
     // ───── streaming MERGE into a keyed serving store (foreachBatch
     // upsert — the production stream-ingest shape). The source is split
     // into 4 files streamed one per micro-batch so the store really is
@@ -2293,6 +2332,15 @@ object SparkEntry {
     },
 
     "q113_minhash_calibration" -> OraclesExt.minhashCalibration,
+
+    "q114_ann_recall" -> OraclesExt.annRecall,
+
+    "q115_tpch_q16" ->
+      ("SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE p_size IN (1, 5, 9, 13) " +
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size"),
 
     // the merged store is batching-independent, so the oracle is the
     // plain lifetime aggregate + per-user latest event
