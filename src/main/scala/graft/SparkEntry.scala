@@ -1496,6 +1496,29 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    // ───── event-transition matrix (first-order Markov counts): per user,
+    // consecutive event pairs by time via ONE lead() window over the
+    // user_id partitioning, then a (from, to) count — the user-journey
+    // fingerprint; transition probability normalizes per from-state with
+    // an exact integer-count division ─────
+    "q116_event_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+      val counts = pairs.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val fromTotals = counts.groupBy("from_type")
+        .agg(sum(col("n")).as("_ft"))
+      counts.join(fromTotals, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n") / col("_ft"), 6).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+
     // ───── TPC-H Q16 shape — supplier diversity per part group: anti-join
     // blacklist (negative-balance suppliers stand in for the complaints
     // filter) feeding a count-DISTINCT aggregate over a selective dim
@@ -2341,6 +2364,18 @@ object SparkEntry {
         "WHERE p_size IN (1, 5, 9, 13) " +
         "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
         "GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_size"),
+
+    // mirrors q116: lead() pairs per user → (from, to) counts → per-from
+    // normalization (exact integer division in both engines)
+    "q116_event_transitions" ->
+      ("WITH pr AS (SELECT user_id, event_type AS from_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type " +
+        "FROM events), " +
+        "c AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM pr " +
+        "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
+        "ft AS (SELECT from_type, sum(n) AS _ft FROM c GROUP BY 1) " +
+        "SELECT c.from_type, c.to_type, c.n, round(c.n * 1.0 / ft._ft, 6) AS p " +
+        "FROM c JOIN ft USING(from_type) ORDER BY c.from_type, c.to_type"),
 
     // the merged store is batching-independent, so the oracle is the
     // plain lifetime aggregate + per-user latest event
