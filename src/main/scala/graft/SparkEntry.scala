@@ -1511,11 +1511,13 @@ object SparkEntry {
         .filter(col("to_type").isNotNull)
       val counts = pairs.groupBy("from_type", "to_type")
         .agg(count(lit(1)).as("n"))
-      val fromTotals = counts.groupBy("from_type")
-        .agg(sum(col("n")).as("_ft"))
-      counts.join(fromTotals, Seq("from_type"))
+      // normalize via a window over the COUNT table (≤ |types|² rows) —
+      // a groupBy+join here would re-plan the event scan + lead window
+      // twice (counts feeds both branches)
+      counts
         .select(col("from_type"), col("to_type"), col("n"),
-          round(col("n") / col("_ft"), 6).as("p"))
+          round(col("n") / sum(col("n"))
+            .over(Window.partitionBy("from_type")), 6).as("p"))
         .orderBy("from_type", "to_type")
     },
 
@@ -2372,10 +2374,10 @@ object SparkEntry {
         "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type " +
         "FROM events), " +
         "c AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM pr " +
-        "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
-        "ft AS (SELECT from_type, sum(n) AS _ft FROM c GROUP BY 1) " +
-        "SELECT c.from_type, c.to_type, c.n, round(c.n * 1.0 / ft._ft, 6) AS p " +
-        "FROM c JOIN ft USING(from_type) ORDER BY c.from_type, c.to_type"),
+        "WHERE to_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT from_type, to_type, n, " +
+        "round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p " +
+        "FROM c ORDER BY from_type, to_type"),
 
     // the merged store is batching-independent, so the oracle is the
     // plain lifetime aggregate + per-user latest event

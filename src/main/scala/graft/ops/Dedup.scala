@@ -171,12 +171,20 @@ object Dedup {
       shingleCol: Column,
       k: Int = 16,
       bands: Int = 4): DataFrame = {
+    // the candidate frame feeds three branches (both doc sides + the final
+    // join) — materialize once or the whole LSH derivation replans 3×
     val cand = minhashPairs(df, idCol, shingleCol, k, bands)
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingleHashes(shingleCol)).as("h")).distinct()
+      .localCheckpoint()
     val docs = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
-    val shc = sh.join(docs, Seq("id"), "left_semi")
+    // semi-join BEFORE distinct: the dedup shuffle then carries only the
+    // candidate documents' shingles, never the full corpus; materialized
+    // because it feeds the size agg and both sides of the intersection join
+    val shc = df.select(col(idCol).as("id"),
+        explode(shingleHashes(shingleCol)).as("h"))
+      .join(docs, Seq("id"), "left_semi")
+      .distinct()
+      .localCheckpoint()
     val sz = shc.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = shc.as("x")
       .join(shc.as("y"),

@@ -375,4 +375,57 @@ class PlanShapeSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("CdcChunks: single codegen'd projection — no shuffle, no Generate") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftbridge.Bridge
+    val df = ops.Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), Bridge.column(expressions.CdcChunks(
+        Bridge.expression(ops.TextAnalysis.words(col("text"))), 4, 16))
+        .as("chunks"))
+    val plan = executed(df)
+    assert(collectAll(plan) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"chunk projection must not shuffle:\n$plan")
+    assert(collectAll(plan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, s"chunking is a projection, not an explode:\n$plan")
+    assert(plan.toString.contains("*(1) Project"),
+      s"CdcChunks fell out of codegen:\n$plan")
+  }
+
+  test("tpch q13: the outer join survives into one join + double agg, no nested loop") {
+    val plan = executed(SparkEntry.queries("q109_tpch_q13")(spark, dir))
+    assert(collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"no BNLJ allowed:\n$plan")
+    val joins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size == 1 && joins.head.joinType.toString == "LeftOuter",
+      s"expected exactly one LeftOuter join:\n$plan")
+    // custkey agg + c_count agg + final range sort — nothing else
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 3, s"unexpected shuffles (${shuffles.size}):\n$plan")
+  }
+
+  test("event transitions: events scanned ONCE; normalization windows the count table") {
+    val plan = executed(SparkEntry.queries("q116_event_transitions")(spark, dir))
+    // the scale property: the event stream is read and lead-windowed once —
+    // a groupBy+join normalization would re-plan the scan per branch
+    val scans = collectAll(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"events must scan once, got ${scans.size}:\n$plan")
+    assert(collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"normalization must not join:\n$plan")
+    // lead window (events by user_id) + sum window (≤ |types|² count rows)
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"expected lead + normalize windows:\n$plan")
+    // user_id exchange + pair-count agg + from_type exchange + final sort
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 4, s"unexpected shuffles (${shuffles.size}):\n$plan")
+  }
 }
