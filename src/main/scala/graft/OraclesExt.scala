@@ -285,6 +285,16 @@ object OraclesExt {
       "SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
   }
 
+  /** Mirrors q117: candidate pairs at est ≥ 0.5 attributed to their
+    * least/greatest-normalized source pair. */
+  val sourceOverlap: String =
+    s"WITH $minhashCandCte " +
+      s"SELECT least(da.source, db.source) AS source_a, " +
+      "greatest(da.source, db.source) AS source_b, count(*)::BIGINT AS n_pairs " +
+      s"FROM cand JOIN documents da ON cand.id_a = da.doc_id " +
+      "JOIN documents db ON cand.id_b = db.doc_id " +
+      s"WHERE $estJac >= 0.5 GROUP BY 1, 2 ORDER BY 1, 2"
+
   /** Mirrors q114: brute-force top-5 (ground truth) vs the sampled-IVF
     * top-5 (same derivations as [[simTopKBrute]] / [[simTopKIvfSampled]]),
     * reduced to per-query hit count and recall@5. */

@@ -1521,6 +1521,40 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     },
 
+    // ───── cross-source near-dup overlap matrix: MinHash candidate pairs
+    // at est ≥ 0.5, attributed to their (source, source) cell — the
+    // corpus-mixing diagnostic that tells you WHICH feeds duplicate each
+    // other before you weight them; source pair normalized by least/
+    // greatest so the matrix is upper-triangular ─────
+    "q117_source_overlap" -> { (s, dir) =>
+      val d = tb(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        TextAnalysis.words(col("text")).as("toks"))
+      val pairs = Dedup
+        .minhashPairs(toks, "doc_id", Dedup.shingles(col("toks"), 3))
+        .filter(col("est_jac") >= 0.5)
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          Seq("id_b"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+
+    // ───── per-source corpus scorecard: doc count, mean token/char
+    // length, language entropy — the feed-quality report behind mixing
+    // weights; entropy folds per-lang counts in sorted order so the float
+    // result is deterministic (no cross-partition double-sum ordering) ─────
+    "q118_source_scorecard" -> { (s, dir) =>
+      Profile.sourceScorecard(tb(s, dir, "documents"),
+          "source", "lang", "text", "n_chars")
+        .orderBy("source")
+    },
+
     // ───── TPC-H Q16 shape — supplier diversity per part group: anti-join
     // blacklist (negative-balance suppliers stand in for the complaints
     // filter) feeding a count-DISTINCT aggregate over a selective dim
@@ -2359,6 +2393,24 @@ object SparkEntry {
     "q113_minhash_calibration" -> OraclesExt.minhashCalibration,
 
     "q114_ann_recall" -> OraclesExt.annRecall,
+
+    "q117_source_overlap" -> OraclesExt.sourceOverlap,
+
+    // mirrors sourceScorecard: exact integer means; entropy folded over
+    // lang-ordered per-language terms (list_reduce ≡ the array fold)
+    "q118_source_scorecard" ->
+      ("WITH b AS (SELECT source, lang, len(regexp_extract_all(lower(text), '\\w+'))::BIGINT AS tok, " +
+        "n_chars FROM documents), " +
+        "sl AS (SELECT source, lang, count(*)::BIGINT AS c, sum(tok)::BIGINT AS t, " +
+        "sum(n_chars)::BIGINT AS ch FROM b GROUP BY 1, 2), " +
+        "s AS (SELECT source, sum(c)::BIGINT AS n_docs, sum(t)::BIGINT AS tok, " +
+        "sum(ch)::BIGINT AS chars, " +
+        "list_reduce(list_prepend(0.0, list(c * ln(c::DOUBLE) ORDER BY lang)), " +
+        "(a, b) -> a + b) AS sclnc FROM sl GROUP BY 1) " +
+        "SELECT source, n_docs, round(tok * 1.0 / n_docs, 6) AS mean_tok, " +
+        "round(chars * 1.0 / n_docs, 6) AS mean_chars, " +
+        "round(ln(n_docs::DOUBLE) - sclnc / n_docs, 6) AS lang_entropy " +
+        "FROM s ORDER BY source"),
 
     "q115_tpch_q16" ->
       ("SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt " +

@@ -100,4 +100,42 @@ object Profile {
       }
     one.select(explode(array(checks: _*)).as("p")).select("p.*")
   }
+
+  /** Per-source corpus scorecard — the "feed quality" report a mixing
+    * decision reads: document count, mean token/char length, and language
+    * entropy (H = ln n − (Σ c·ln c)/n over the per-language counts).
+    *
+    * Engine parity: means divide exact integer sums; the entropy Σ is
+    * folded over the per-language terms in LANGUAGE-SORTED order (a
+    * ≤|langs|-element array fold, not a float aggregation across
+    * partitions), so the result is deterministic and bit-identical in
+    * both engines — the order-dependent double-sum trap numericProfile's
+    * mean dodges with coarse rounding is structurally absent here.
+    *
+    * Scale shape: ONE scan → (source, lang) hash-agg with map-side
+    * combine → per-source re-agg; the fold sees ≤|langs| elements per
+    * source. */
+  def sourceScorecard(
+      df: DataFrame,
+      srcCol: String,
+      langCol: String,
+      textCol: String,
+      charsCol: String): DataFrame = {
+    val base = df.select(col(srcCol), col(langCol),
+      size(TextAnalysis.words(col(textCol))).cast("long").as("_tok"),
+      col(charsCol).as("_ch"))
+    val sl = base.groupBy(srcCol, langCol)
+      .agg(count(lit(1)).as("c"), sum("_tok").as("t"), sum("_ch").as("ch"))
+    val s = sl.groupBy(srcCol)
+      .agg(sum("c").as("n_docs"), sum("t").as("tok"), sum("ch").as("chars"),
+        sort_array(collect_list(struct(col(langCol), col("c")))).as("_lc"))
+    val sumClnC = aggregate(col("_lc"), lit(0.0), (acc, x) =>
+      acc + x.getField("c").cast("double") *
+        log(x.getField("c").cast("double")))
+    s.select(col(srcCol), col("n_docs"),
+      round(col("tok") / col("n_docs"), 6).as("mean_tok"),
+      round(col("chars") / col("n_docs"), 6).as("mean_chars"),
+      round(log(col("n_docs").cast("double")) - sumClnC / col("n_docs"), 6)
+        .as("lang_entropy"))
+  }
 }

@@ -59,4 +59,23 @@ class ProfileSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }.isEmpty, s"expected a join-free single-pass plan:\n$plan")
   }
+
+  test("sourceScorecard: exact integer means, hand-computed language entropy") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("a", "en", "x y z", 30L),
+      ("a", "en", "x y", 20L),
+      ("a", "de", "x", 10L),
+      ("b", "fr", "w", 5L)).toDF("source", "lang", "text", "n_chars")
+    val out = Profile.sourceScorecard(df, "source", "lang", "text", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // a: n=3, mean_tok=(3+2+1)/3=2, mean_chars=20;
+    // H = ln 3 − (2·ln 2 + 1·ln 1)/3  (en:2, de:1)
+    val ha = math.log(3.0) - (2 * math.log(2.0)) / 3
+    assert(out("a") == ((3L, 2.0, 20.0, math.rint(ha * 1e6) / 1e6)))
+    // single-doc source: entropy exactly 0
+    assert(out("b") == ((1L, 1.0, 5.0, 0.0)))
+  }
 }
