@@ -1545,6 +1545,22 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     },
 
+    // ───── TPC-H Q4 shape — order-priority checking: LEFT SEMI join with
+    // a NON-EQUI residual (l_shipdate > o_orderdate) — the EXISTS
+    // subquery shape; the semi stops probing an order at its first late
+    // lineitem ─────
+    "q119_tpch_q4" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate") < lit("1996-04-01").cast("date"))
+      o.join(t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
     // ───── per-source corpus scorecard: doc count, mean token/char
     // length, language entropy — the feed-quality report behind mixing
     // weights; entropy folds per-lang counts in sorted order so the float
@@ -2395,6 +2411,13 @@ object SparkEntry {
     "q114_ann_recall" -> OraclesExt.annRecall,
 
     "q117_source_overlap" -> OraclesExt.sourceOverlap,
+
+    "q119_tpch_q4" ->
+      ("SELECT o_orderpriority, count(*)::BIGINT AS order_count FROM orders " +
+        "WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
+        "GROUP BY 1 ORDER BY 1"),
 
     // mirrors sourceScorecard: exact integer means; entropy folded over
     // lang-ordered per-language terms (list_reduce ≡ the array fold)

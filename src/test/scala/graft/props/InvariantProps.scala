@@ -305,6 +305,28 @@ object InvariantProps extends Properties("graft.invariants") {
         once == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
     }
 
+  property("CdcChunks: boundaries are offset-invariant — suffix chunks survive any prefix") =
+    forAll(for {
+      n <- Gen.choose(8, 40)
+      run <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+      np <- Gen.choose(0, 5)
+      pfx <- Gen.listOfN(np, Gen.oneOf("p", "q", "r"))
+    } yield (run, pfx)) { case (run, pfx) =>
+      // pure driver-side eval of the expression kernel — no Spark job per
+      // case (a distributed op per ScalaCheck case costs minutes)
+      def chunks(toks: Seq[String]): Seq[Long] =
+        graft.expressions.CdcChunks.chunkHashes(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)),
+          2, 2).toLongArray().toSeq
+      val a = chunks(run)
+      val b = chunks(pfx ++ run)
+      // every interior boundary of `run` recurs at the shifted offset and
+      // no new boundary can appear after the first shared one, so B's tail
+      // chunks equal A's — the CDC property fixed-width spans lack
+      a.size < 2 || b.takeRight(a.size - 1) == a.tail
+    }
+
   property("segmentDedup conserves segments; one keeper per distinct segment") =
     forAll(Gen.nonEmptyListOf(genDoc).map(_.take(10))) { docs =>
       import spark.implicits._
