@@ -1599,6 +1599,225 @@ object SparkEntry {
           round(col("sum_value"), 2).as("sum_value"),
           col("last_ts"), col("last_type"))
         .orderBy("user_id")
+    },
+
+    // ───── TPC-H Q7 — volume shipping between a nation pair, by year.
+    // Both nation dims pre-filtered to the pair and broadcast; the
+    // pair-direction disambiguation is a residual `supp =!= cust` after
+    // the two BHJs (equivalent to the spec's OR once each side is
+    // restricted to the two nations) ─────
+    "q120_tpch_q7" -> { (s, dir) =>
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1998-01-01").cast("date"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // ───── TPC-H Q8 — national market share inside a region/product
+    // slice: the deepest join in the suite (lineitem→part→orders→
+    // customer→nation→region + supplier→nation), with all dims broadcast
+    // so the fact table shuffles only for the final year aggregate ─────
+    "q121_tpch_q8" -> { (s, dir) =>
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("an_key"))
+      val suppNation = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("an_key"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+          col("nation"))
+        .groupBy("o_year")
+        .agg(round(
+          sum(when(col("nation") === "NATION_3", col("volume")).otherwise(0.0)) /
+            sum(col("volume")), 6).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // ───── TPC-H Q10 — returned-item reporting: top 20 customers by
+    // revenue lost to returns in a quarter; the agg keys carry the
+    // customer attributes so no second join is needed after the
+    // aggregate ─────
+    "q122_tpch_q10" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+              col("o_orderdate") < lit("1996-04-01").cast("date")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        // per-row cent quantization BEFORE the sum: each product is the
+        // same binary double in any engine, integer cent sums are exact
+        // in any order — the rounded per-customer sum can otherwise land
+        // on a half-cent whose HALF_UP (Spark, decimal-string) and
+        // binary (DuckDB) roundings disagree
+        .agg(round(sum(round(
+            col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)) / 100,
+          2).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // ───── TPC-H Q12 shape — shipping-mode priority audit (no
+    // l_shipmode/commitdate in the driver schema: "slow" is shipdate
+    // more than 30 days past the order date): per-linestatus counts of
+    // critical vs non-critical order priorities among slow shipments ─────
+    "q123_tpch_q12" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-01-01").cast("date") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // ───── TPC-H Q14 — promo revenue share for one ship-month: the
+    // conditional-over-total ratio computed in ONE aggregate over the
+    // BHJ'd part type ─────
+    "q124_tpch_q14" -> { (s, dir) =>
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("date") &&
+          col("l_shipdate") < lit("1996-10-01").cast("date"))
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", vol).otherwise(0.0)) / sum(vol),
+          6).as("promo_revenue"))
+    },
+
+    // ───── TPC-H Q15 — top supplier: quarterly revenue per supplier,
+    // equality against the 1-row max (broadcast — the "view + scalar
+    // subquery" of the spec). Revenue is 2dp-rounded BEFORE the max so
+    // the equality compares identical values in any engine ─────
+    "q125_tpch_q15" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1996-04-01").cast("date"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("_max_rev"))
+      rev.join(broadcast(top), col("total_revenue") === col("_max_rev"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    },
+
+    // ───── TPC-H Q17 shape — small-quantity-order revenue: per-part
+    // 20%-of-average quantity threshold (correlated agg subquery) joined
+    // back against the same brand slice; the threshold is 6dp-rounded so
+    // the boundary predicate is engine-stable ─────
+    "q126_tpch_q17" -> { (s, dir) =>
+      val brandParts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select("p_partkey")
+      val rel = t(s, dir, "lineitem")
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      val thr = rel.groupBy(col("p_partkey").as("t_partkey"))
+        .agg(round(avg(col("l_quantity")) * 0.2, 6).as("qty_thr"))
+      rel.join(broadcast(thr), col("p_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_thr"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    },
+
+    // ───── TPC-H Q19 — disjunctive brand/size/quantity predicates: one
+    // equi-join on partkey with the three-arm OR as a residual filter
+    // (Catalyst keeps the BHJ; no cross product) ─────
+    "q127_tpch_q19" -> { (s, dir) =>
+      val arm = (brand: String, sizeHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand &&
+          col("p_size").between(1, sizeHi) &&
+          col("l_quantity").between(qLo, qHi)
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(arm("Brand#12", 5, 1, 11) || arm("Brand#23", 10, 10, 20) ||
+          arm("Brand#20", 15, 20, 30))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    },
+
+    // ───── TPC-H Q21 shape — suppliers who kept orders waiting ("late" =
+    // shipped >60 days after the order date; no receipt/commit dates in
+    // the driver schema). The double EXISTS/NOT-EXISTS is ONE per-order
+    // aggregate (distinct suppliers, distinct LATE suppliers) joined back:
+    // a late row qualifies iff the order is multi-supplier and this is
+    // the only late supplier ─────
+    "q128_tpch_q21" -> { (s, dir) =>
+      val flagged = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .as("late"))
+      val perOrder = flagged.groupBy(col("l_orderkey").as("po_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .select("po_orderkey")
+      flagged.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("po_orderkey"), "left_semi")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+
+    // ───── TPC-H Q22 shape — rich inactive customers: global
+    // positive-balance average (1-row broadcast threshold) + anti-join
+    // against orders, grouped by market segment (the driver schema's
+    // stand-in for the phone country code) ─────
+    "q129_tpch_q22" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg(round(avg(col("c_acctbal")), 6).as("bal_thr"))
+      cust.join(broadcast(thr)).filter(col("c_acctbal") > col("bal_thr"))
+        // "inactive" = no orders in the trailing years of the generated
+        // range (every driver customer has SOME lifetime order)
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1999-01-01").cast("date"))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy("segment")
     }
   )
 
@@ -1629,9 +1848,10 @@ object SparkEntry {
       }
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val src = s.readStream.schema(schema).parquet(streamDir.toString)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else src
+    ops.Sources.normalizeTimestamps(
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else src)
   }
 
   /** The events stream chopped into `n` range-partitioned files streamed
@@ -1650,9 +1870,10 @@ object SparkEntry {
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(split.toString)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else src
+    ops.Sources.normalizeTimestamps(
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else src)
   }
 
   /** Drain a finite streaming frame into a fresh memory-sink table and
@@ -2464,6 +2685,112 @@ object SparkEntry {
         "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
         "FROM events) WHERE rn = 1) " +
         "SELECT a.user_id, a.n_events, a.sum_value, l.last_ts, l.last_type " +
-        "FROM agg a JOIN l ON a.user_id = l.user_id ORDER BY a.user_id")
+        "FROM agg a JOIN l ON a.user_id = l.user_id ORDER BY a.user_id"),
+
+    "q120_tpch_q7" ->
+      ("SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue " +
+        "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "year(l_shipdate)::BIGINT AS l_year, " +
+        "l_extendedprice * (1 - l_discount) AS volume " +
+        "FROM supplier, lineitem, orders, customer, nation n1, nation n2 " +
+        "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey " +
+        "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey " +
+        "AND c_nationkey = n2.n_nationkey " +
+        "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) " +
+        "AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01') " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+
+    "q121_tpch_q8" ->
+      ("SELECT o_year, round(sum(CASE WHEN nation = 'NATION_3' THEN volume " +
+        "ELSE 0 END) / sum(volume), 6) AS mkt_share " +
+        "FROM (SELECT year(o_orderdate)::BIGINT AS o_year, " +
+        "l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation " +
+        "FROM part, lineitem, supplier, orders, customer, nation n1, nation n2, region " +
+        "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey " +
+        "AND l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+        "AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey " +
+        "AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey " +
+        "AND p_type = 'PROMO') " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    "q122_tpch_q10" ->
+      ("SELECT c_custkey, c_name, " +
+        "round(sum(round(l_extendedprice * (1 - l_discount) * 100)) / 100, 2) AS revenue, " +
+        "c_acctbal, n_name " +
+        "FROM customer, orders, lineitem, nation " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01' " +
+        "AND l_returnflag = 'R' AND c_nationkey = n_nationkey " +
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+
+    "q123_tpch_q12" ->
+      ("SELECT l_linestatus, " +
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 " +
+        "ELSE 0 END)::BIGINT AS high_line_count, " +
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 " +
+        "ELSE 1 END)::BIGINT AS low_line_count " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' " +
+        "AND l_shipdate > o_orderdate + INTERVAL 30 DAY " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    "q124_tpch_q14" ->
+      ("SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' " +
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / " +
+        "sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'"),
+
+    "q125_tpch_q15" ->
+      ("WITH revenue AS (SELECT l_suppkey, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue " +
+        "FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' " +
+        "AND l_shipdate < DATE '1996-04-01' GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, total_revenue " +
+        "FROM supplier JOIN revenue ON s_suppkey = l_suppkey " +
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue) " +
+        "ORDER BY s_suppkey"),
+
+    "q126_tpch_q17" ->
+      ("SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE p_brand = 'Brand#23' " +
+        "AND l_quantity < (SELECT round(avg(l2.l_quantity) * 0.2, 6) " +
+        "FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"),
+
+    "q127_tpch_q19" ->
+      ("SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 " +
+        "AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 " +
+        "AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 " +
+        "AND l_quantity BETWEEN 20 AND 30)"),
+
+    "q128_tpch_q21" ->
+      ("SELECT s_name, count(*)::BIGINT AS numwait " +
+        "FROM supplier, lineitem l1, orders " +
+        "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey " +
+        "AND o_orderstatus = 'F' " +
+        "AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 " +
+        "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 " +
+        "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
+        "AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"),
+
+    "q129_tpch_q22" ->
+      ("SELECT c_mktsegment AS segment, count(*)::BIGINT AS numcust, " +
+        "round(sum(c_acctbal), 2) AS totacctbal " +
+        "FROM customer " +
+        "WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer " +
+        "WHERE c_acctbal > 0) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= DATE '1999-01-01') " +
+        "GROUP BY 1 ORDER BY 1")
   )
 }

@@ -18,6 +18,11 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
       // (Sources.table converts back to a microsecond timestamp).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // driver parquet is written tz-naive (isAdjustedToUTC=false); read
+      // it as an instant (session tz = UTC), not TIMESTAMP_NTZ — NTZ
+      // breaks streaming watermarks and diverges from the DuckDB oracle's
+      // naive-as-UTC comparison semantics
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -45,9 +45,23 @@ object Sources {
       balance: Boolean = false): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     val df = if (balance) balanced(raw) else raw
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integer div: ns are > 2^53, double math would lose precision
-    else df
+    normalizeTimestamps(
+      if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integer div: ns are > 2^53, double math would lose precision
+      else df)
+  }
+
+  /** Driver parquet is written tz-naive; if a session reads it with NTZ
+    * inference on (the Spark 4 default), re-cast every TIMESTAMP_NTZ
+    * column to a plain instant — session tz is UTC everywhere here, so
+    * the wall-clock values are unchanged. NTZ event-time columns would
+    * otherwise fail streaming watermark analysis. */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.filter(
+      _.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    if (ntz.isEmpty) df
+    else ntz.foldLeft(df)((d, f) =>
+      d.withColumn(f.name, col(f.name).cast("timestamp")))
   }
 
   /** S1 (CSV container): schema-first CSV scan, header row, PERMISSIVE

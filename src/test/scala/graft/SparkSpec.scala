@@ -12,6 +12,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // tz-naive driver parquet reads as an instant, not TIMESTAMP_NTZ
+    // (NTZ breaks streaming watermarks; UTC session tz keeps values equal)
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_wh_").toString)
     .getOrCreate()

@@ -66,9 +66,10 @@ class StreamingSpec extends SparkSpec {
     val path = dir.toString
     val raw = spark.read.parquet(path)
     def normalize(df: org.apache.spark.sql.DataFrame) =
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
+      graft.ops.Sources.normalizeTimestamps(
+        if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else df)
     val stream = spark.readStream.schema(raw.schema).parquet(path)
     val q = StreamingOps.hourlyByType(normalize(stream))
       .writeStream.format("memory").queryName("parity")
