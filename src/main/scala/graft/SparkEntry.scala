@@ -1778,23 +1778,31 @@ object SparkEntry {
     // a late row qualifies iff the order is multi-supplier and this is
     // the only late supplier ─────
     "q128_tpch_q21" -> { (s, dir) =>
-      val flagged = t(s, dir, "lineitem")
+      // ONE lineitem scan + ONE wide shuffle on (order, supplier); the
+      // double EXISTS/NOT-EXISTS becomes a per-pair aggregate (late flag
+      // + late-row count) and a per-order WINDOW over those pairs — no
+      // Expand-based distinct rewrite, no join-back, no second fact
+      // scan; the window partition is bounded by suppliers-per-order
+      val perSupp = t(s, dir, "lineitem")
         .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
             .as("late"))
-      val perOrder = flagged.groupBy(col("l_orderkey").as("po_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
-        .filter(col("n_supp") > 1 && col("n_late") === 1)
-        .select("po_orderkey")
-      flagged.filter(col("late"))
-        .join(perOrder, col("l_orderkey") === col("po_orderkey"), "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(col("late")).as("supp_late"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late_rows"))
+      val w = Window.partitionBy("l_orderkey")
+      perSupp
+        // both window aggs in ONE select → a single Window node (an
+        // intermediate projection would block CollapseWindow)
+        .select(col("*"), count(lit(1)).over(w).as("n_supp"),
+          sum(when(col("supp_late"), 1L).otherwise(0L)).over(w).as("n_late"))
+        .filter(col("supp_late") && col("n_supp") > 1 && col("n_late") === 1)
         .join(broadcast(t(s, dir, "supplier")),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
-        .agg(count(lit(1)).as("numwait"))
+        .agg(sum(col("n_late_rows")).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     },
@@ -1818,6 +1826,91 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"),
           round(sum(col("c_acctbal")), 2).as("totacctbal"))
         .orderBy("segment")
+    },
+
+    // ───── TPC-H Q2 shape — min-cost supplier per part (no partsupp
+    // table: the observed per-(part, supplier) mean unit price from
+    // lineitem stands in for ps_supplycost). The correlated MIN subquery
+    // is a per-part aggregate joined back on (part, cost); unit costs are
+    // 2dp-rounded BEFORE the min so the equality is engine-stable ─────
+    "q130_tpch_q2" -> { (s, dir) =>
+      val cost = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_size") === 15).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(round(avg(col("l_extendedprice") / col("l_quantity")), 2)
+          .as("unit_cost"))
+      val minCost = cost.groupBy(col("p_partkey").as("m_partkey"))
+        .agg(min(col("unit_cost")).as("min_cost"))
+      val euroSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .join(broadcast(t(s, dir, "region")
+              .filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+      cost.join(minCost, col("p_partkey") === col("m_partkey") &&
+          col("unit_cost") === col("min_cost"))
+        .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+          "unit_cost")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // ───── TPC-H Q11 shape — important stock: per-part inventory value
+    // (lineitem revenue of one nation's suppliers stands in for
+    // supplycost×availqty), kept where the part's share exceeds a fixed
+    // fraction of the 1-row global total (broadcast scalar — the spec's
+    // HAVING > SELECT sum(...)*fraction) ─────
+    "q131_tpch_q11" -> { (s, dir) =>
+      val natSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val value = t(s, dir, "lineitem")
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+          "left_semi")
+        .groupBy("l_partkey")
+        .agg(round(sum(col("l_extendedprice")), 2).as("part_value"))
+      val thr = value.agg(round(sum(col("part_value")) * 0.001, 6)
+        .as("value_thr"))
+      value.join(broadcast(thr)).filter(col("part_value") > col("value_thr"))
+        .select("l_partkey", "part_value")
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+
+    // ───── TPC-H Q20 shape — suppliers with excess shipments: the
+    // double-nested IN: parts named like '%red%' → per-(supplier, part)
+    // 1996 volume vs half the part's total 1996 volume → suppliers with
+    // any excess pair, restricted to one nation. Semi-join chain end to
+    // end; the half-total threshold is a per-part aggregate broadcast
+    // back (6dp-rounded, engine-stable) ─────
+    "q132_tpch_q20" -> { (s, dir) =>
+      val li96 = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-01-01").cast("date"))
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").contains("red")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+      val perSupp = li96.groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity")).as("supp_qty"))
+      val half = li96.groupBy(col("l_partkey").as("h_partkey"))
+        .agg(round(sum(col("l_quantity")) * 0.5, 6).as("half_qty"))
+      val excess = perSupp
+        .join(half, col("l_partkey") === col("h_partkey"))
+        .filter(col("supp_qty") > col("half_qty"))
+        .select("l_suppkey")
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     }
   )
 
@@ -2791,6 +2884,43 @@ object SparkEntry {
         "WHERE c_acctbal > 0) " +
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
         "AND o_orderdate >= DATE '1999-01-01') " +
-        "GROUP BY 1 ORDER BY 1")
+        "GROUP BY 1 ORDER BY 1"),
+
+    "q130_tpch_q2" ->
+      ("WITH cost AS (SELECT p_partkey, p_brand, l_suppkey, " +
+        "round(avg(l_extendedprice / l_quantity), 2) AS unit_cost " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE p_size = 15 GROUP BY 1, 2, 3) " +
+        "SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost " +
+        "FROM cost, supplier, nation, region " +
+        "WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey " +
+        "AND n_regionkey = r_regionkey AND r_name = 'EUROPE' " +
+        "AND unit_cost = (SELECT min(c2.unit_cost) FROM cost c2 " +
+        "WHERE c2.p_partkey = cost.p_partkey) " +
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"),
+
+    "q131_tpch_q11" ->
+      ("WITH value AS (SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value " +
+        "FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_5') " +
+        "GROUP BY 1) " +
+        "SELECT l_partkey, part_value FROM value " +
+        "WHERE part_value > (SELECT round(sum(part_value) * 0.001, 6) FROM value) " +
+        "ORDER BY part_value DESC, l_partkey"),
+
+    "q132_tpch_q20" ->
+      ("WITH li96 AS (SELECT l_partkey, l_suppkey, l_quantity FROM lineitem " +
+        "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' " +
+        "AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')), " +
+        "ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty " +
+        "FROM li96 GROUP BY 1, 2), " +
+        "h AS (SELECT l_partkey, round(sum(l_quantity) * 0.5, 6) AS half_qty " +
+        "FROM li96 GROUP BY 1) " +
+        "SELECT s_name, s_acctbal FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_7' " +
+        "AND s_suppkey IN (SELECT ps.l_suppkey FROM ps JOIN h " +
+        "ON ps.l_partkey = h.l_partkey WHERE ps.supp_qty > h.half_qty) " +
+        "ORDER BY s_name")
   )
 }

@@ -428,4 +428,74 @@ class PlanShapeSpec extends SparkSpec {
     val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
     assert(shuffles.size <= 4, s"unexpected shuffles (${shuffles.size}):\n$plan")
   }
+
+  test("tpch q8: the 8-way join runs as broadcast joins on the fact — no nested loop") {
+    val plan = executed(SparkEntry.queries("q121_tpch_q8")(spark, dir))
+    assert(collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no BNLJ/cartesian allowed:\n$plan")
+    // at sf0.001 every dim (part slice, orders, customer, nations,
+    // supplier) is stats-broadcastable: the lineitem side must never
+    // shuffle for a join — its only exchange is the final year aggregate
+    val bhj = collectAll(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 5, s"expected >=5 broadcast joins, got ${bhj.size}:\n$plan")
+    val smj = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, s"fact-side sort-merge join at this scale:\n$plan")
+  }
+
+  test("tpch q21 shape: double EXISTS folds to one fact scan + pair agg + order window") {
+    val plan = executed(SparkEntry.queries("q128_tpch_q21")(spark, dir))
+    assert(collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"no BNLJ allowed:\n$plan")
+    // the scale property: lineitem is scanned ONCE — the naive EXISTS /
+    // NOT-EXISTS formulation scans it three times, and a groupBy +
+    // join-back twice (column pruning defeats exchange reuse)
+    val factScans = collectAll(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => s
+    }
+    assert(factScans.size == 1, s"lineitem must scan once, got ${factScans.size}:\n$plan")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1, s"expected the per-order stats window:\n$plan")
+    // pair exchange + order window exchange + final s_name agg — bounded
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 3, s"unexpected shuffles (${shuffles.size}):\n$plan")
+  }
+
+  test("tpch q2 shape: per-part min joins back as an equi join, dims broadcast") {
+    val plan = executed(SparkEntry.queries("q130_tpch_q2")(spark, dir))
+    assert(collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no BNLJ/cartesian allowed:\n$plan")
+    // the (partkey, min_cost) join-back is an equi join on both columns —
+    // a non-equi formulation would degrade to a nested loop at scale
+    val joins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty && joins.forall(j =>
+      j.isInstanceOf[BroadcastHashJoinExec] ||
+        j.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        j.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      s"all joins must be hash/merge equi joins:\n$plan")
+  }
+
+  test("tpch q20 shape: nested INs stay semi joins end to end") {
+    val plan = executed(SparkEntry.queries("q132_tpch_q20")(spark, dir))
+    val semi = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType.toString == "LeftSemi" => j
+    }
+    // part-name IN + excess-supplier IN: both must plan as semi joins
+    assert(semi.size >= 2, s"expected two semi joins, got ${semi.size}:\n$plan")
+    assert(collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"no BNLJ allowed:\n$plan")
+  }
 }
