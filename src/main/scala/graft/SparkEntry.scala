@@ -1911,6 +1911,25 @@ object SparkEntry {
         .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
+    },
+
+    // ───── PageRank over the bipartite customer↔supplier trade graph
+    // (who-buys-from-whom, symmetric): 5 fixed iterations of
+    // Graph.pageRank — the weighted-propagation sibling of the CC
+    // iteration; per-iteration 9dp rounding keeps the float fold
+    // engine-identical so the full iterative computation hash-matches ─────
+    "q133_pagerank" -> { (s, dir) =>
+      val rel = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+      val edges = rel.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(rel.select(col("supp").as("src"), col("cust").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .select(col("id").as("node_id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node_id"))
+        .limit(100)
     }
   )
 
@@ -2921,6 +2940,26 @@ object SparkEntry {
         "WHERE n_name = 'NATION_7' " +
         "AND s_suppkey IN (SELECT ps.l_suppkey FROM ps JOIN h " +
         "ON ps.l_partkey = h.l_partkey WHERE ps.supp_qty > h.half_qty) " +
-        "ORDER BY s_name")
+        "ORDER BY s_name"),
+
+    // the 5 PageRank iterations unrolled as CTEs (recursive CTEs can't
+    // re-aggregate per level); per-level round(…, 9) mirrors the Spark side
+    "q133_pagerank" -> {
+      val step = (k: Int) =>
+        s"r$k AS (SELECT e.dst AS id, round(0.15 + 0.85 * " +
+          s"sum(r.rank / d.outdeg), 9) AS rank FROM e " +
+          s"JOIN r${k - 1} r ON r.id = e.src JOIN d ON d.src = e.src " +
+          "GROUP BY 1), "
+      "WITH rel AS (SELECT DISTINCT o_custkey AS cust, " +
+        "1000000 + l_suppkey AS supp FROM orders " +
+        "JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS (SELECT cust AS src, supp AS dst FROM rel " +
+        "UNION ALL SELECT supp, cust FROM rel), " +
+        "d AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1), " +
+        "r0 AS (SELECT DISTINCT src AS id, 1.0 AS rank FROM e), " +
+        (1 to 5).map(step).mkString.stripSuffix(", ") + " " +
+        "SELECT id AS node_id, round(rank, 6) AS rank FROM r5 " +
+        "ORDER BY rank DESC, node_id LIMIT 100"
+    }
   )
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sym(pairs: (Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("pageRank: regular graphs stay uniform (rank 1.0 is the fixed point)") {
+    // a symmetric cycle: every node has in = out = 2, so rank 1.0 maps to
+    // 0.15 + 0.85 * (1.0/2 + 1.0/2) = 1.0 exactly, every iteration
+    val cycle = sym((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val got = Graph.pageRank(cycle, "src", "dst", iterations = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 4 && got.values.forall(_ == 1.0), got.toString)
+  }
+
+  test("pageRank: star center accumulates rank; mass is conserved") {
+    val star = sym((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val got = Graph.pageRank(star, "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val leaves = (1L to 4L).map(got)
+    assert(leaves.distinct.size == 1, s"leaves must tie: $got")
+    assert(got(0L) > leaves.head * 2, s"center must dominate: $got")
+    // no dangling nodes → total mass N is invariant (up to the 9dp rounds)
+    assert(math.abs(got.values.sum - 5.0) < 1e-6, got.values.sum.toString)
+  }
+
+  test("pageRank: matches a hand-rolled reference iteration on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.tabulate(30)(_ =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = sym(pairs: _*)
+    val es = pairs ++ pairs.map(p => (p._2, p._1))
+    val outdeg = es.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    var ranks = es.map(_._1).distinct.map(_ -> 1.0).toMap
+    for (_ <- 1 to 5) {
+      val contrib = es.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (s, _) => ranks(s) / outdeg(s) }.sum
+      }
+      ranks = contrib.map { case (id, c) =>
+        id -> BigDecimal(0.15 + 0.85 * c)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val got = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == ranks.keySet)
+    got.foreach { case (id, r) =>
+      assert(math.abs(r - ranks(id)) < 1e-8, s"node $id: $r vs ${ranks(id)}")
+    }
+  }
+}
