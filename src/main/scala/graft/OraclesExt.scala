@@ -207,6 +207,32 @@ object OraclesExt {
       "SELECT rep, id AS keeper_id, keeper_q, nm::BIGINT AS n_members " +
       "FROM r WHERE rn = 1 ORDER BY rep"
 
+  /** Mirrors q134: leakage-safe split — every doc is assigned by the
+    * hash of its near-dup cluster representative (own id when
+    * unclustered), so a cluster can never straddle train/val/test. The
+    * leak audit recomputes the invariant from the assignment rather than
+    * asserting the constant. */
+  val clusterSafeSplit: String =
+    "WITH RECURSIVE " + simhashPairsCte + ", " +
+      "np AS (SELECT id_a, id_b FROM pairs WHERE hdist <= 6), " +
+      "edges AS (SELECT id_a AS a, id_b AS b FROM np " +
+      "UNION SELECT id_b, id_a FROM np), " +
+      "reach(a, b) AS (SELECT DISTINCT a, a FROM edges " +
+      "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+      "labels AS (SELECT a AS id, min(b) AS rep FROM reach GROUP BY 1), " +
+      "asg AS (SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS grp " +
+      "FROM documents d LEFT JOIN labels l ON l.id = d.doc_id), " +
+      "s AS (SELECT doc_id, grp, CASE " +
+      "WHEN ('0x' || substr(md5(grp::VARCHAR), 1, 15))::BIGINT % 100 < 80 THEN 'train' " +
+      "WHEN ('0x' || substr(md5(grp::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'val' " +
+      "ELSE 'test' END AS split FROM asg), " +
+      "lk AS (SELECT count(*)::BIGINT AS leaked FROM (" +
+      "SELECT grp FROM s GROUP BY grp HAVING count(DISTINCT split) > 1)) " +
+      "SELECT split, count(*)::BIGINT AS n_docs, " +
+      "count(DISTINCT grp)::BIGINT AS n_groups, " +
+      "(SELECT leaked FROM lk) AS leaked " +
+      "FROM s GROUP BY 1 ORDER BY 1"
+
   /** Backward as-of join: clicks pick up the latest prior (or equal-time)
     * purchase value per user; DuckDB's native ASOF LEFT JOIN is the
     * oracle for the Spark union+running-window formulation. */

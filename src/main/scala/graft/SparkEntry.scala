@@ -1930,6 +1930,46 @@ object SparkEntry {
         .select(col("id").as("node_id"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("node_id"))
         .limit(100)
+    },
+
+    // ───── leakage-safe train/val/test split: every doc is assigned by
+    // the hash of its near-dup cluster REPRESENTATIVE (own id when
+    // unclustered), so near-duplicates can never straddle the split —
+    // the eval-contamination failure a per-doc hash split invites. The
+    // leak audit recomputes the invariant from the assignment ─────
+    "q134_cluster_safe_split" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      val d = docs.select(col("doc_id"),
+        TextAnalysis.words(col("text")).as("toks"))
+      val labels = Dedup.connectedComponents(
+        Dedup.simhashPairs(d, "doc_id", col("toks"), maxDist = 6),
+        "id_a", "id_b")
+      val assigned = docs.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .withColumn("grp", coalesce(col("rep"), col("doc_id")))
+        .withColumn("split", TextAnalysis.splitAssign(col("grp")))
+      val leaks = assigned.groupBy("grp")
+        .agg(countDistinct(col("split")).as("n_splits"))
+        .filter(col("n_splits") > 1)
+        .agg(count(lit(1)).as("leaked"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("grp")).as("n_groups"))
+        .crossJoin(broadcast(leaks))
+        .select("split", "n_docs", "n_groups", "leaked")
+        .orderBy("split")
+    },
+
+    // ───── weighted sampling without replacement (Efraimidis–Spirakis):
+    // per-language top-k by ln(u)/w with the RNG replaced by the id hash
+    // — longer documents (weight = n_chars) win proportionally more
+    // often, and the draw reproduces on any engine/partitioning; ranking
+    // via the sort-free TopKPerKey operator ─────
+    "q135_weighted_sample" -> { (s, dir) =>
+      TextAnalysis.weightedSample(
+          tb(s, dir, "documents"), "doc_id", "lang", "n_chars", k = 20)
+        .select(col("lang"), col("doc_id"), col("es_key"))
+        .orderBy("lang", "doc_id")
     }
   )
 
@@ -2960,6 +3000,20 @@ object SparkEntry {
         (1 to 5).map(step).mkString.stripSuffix(", ") + " " +
         "SELECT id AS node_id, round(rank, 6) AS rank FROM r5 " +
         "ORDER BY rank DESC, node_id LIMIT 100"
-    }
+    },
+
+    "q134_cluster_safe_split" -> OraclesExt.clusterSafeSplit,
+
+    // same Efraimidis–Spirakis key: hash-derived u ∈ (0,1], ln(u)/weight,
+    // 9dp-rounded before the rank so libm ulp differences can't reorder
+    "q135_weighted_sample" ->
+      ("WITH d AS (SELECT lang, doc_id, " +
+        "round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT " +
+        "% 1000000000 + 1) / 1000000000.0) / n_chars, 9) AS es_key " +
+        "FROM documents), " +
+        "r AS (SELECT lang, doc_id, es_key, row_number() OVER (" +
+        "PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rn FROM d) " +
+        "SELECT lang, doc_id, es_key FROM r WHERE rn <= 20 " +
+        "ORDER BY lang, doc_id")
   )
 }

@@ -219,6 +219,31 @@ object TextAnalysis {
       .otherwise(lit("test"))
   }
 
+  /** Weighted sampling without replacement, Efraimidis–Spirakis form:
+    * each row draws a deterministic uniform u ∈ (0, 1] from its id hash
+    * and ranks by key = ln(u)/w (equivalently u^(1/w)) — the classic
+    * distributed one-pass reservoir, here with the RNG replaced by the
+    * id hash so the same corpus samples identically on any engine, any
+    * partitioning, any run. Top-`k` keys per stratum win.
+    *
+    * Scale shape: one codegen'd projection for the key, then
+    * [[TopK.perKey]] — per-partition bounded heaps, merge by key, no
+    * stratum-wide sort; the key is 9dp-rounded so the float ranking is
+    * bit-stable across engines (libm `ln` may differ in the last ulp). */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    val u = (Hashing.hash60(col(idCol).cast("string")) % 1000000000L + 1) /
+      lit(1.0e9)
+    val keyed = df.withColumn("es_key",
+      round(log(u) / col(weightCol).cast("double"), 9))
+    TopK.perKey(keyed, Seq(strataCol),
+      Seq(("es_key", false), (idCol, true)), k)
+  }
+
   /** Greedy sequence packing for training-context assembly: docs are
     * packed in `orderCol` order into fixed-`ctxTokens` bins — doc d goes
     * to bin floor(tokens-before-d / ctx). One running-sum window per

@@ -323,4 +323,52 @@ class TextAnalysisSpec extends SparkSpec {
     val got = spark.sql("SELECT nfc_normalize('é') AS n").head().getString(0)
     assert(got == "\u00e9")
   }
+
+  test("weightedSample: matches the reference Efraimidis-Spirakis draw exactly") {
+    val rows = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      if (i % 10 == 0) 5000L else 50L))
+    val df = rows.toDF("doc_id", "lang", "n_chars")
+    val got = TextAnalysis.weightedSample(df, "doc_id", "lang", "n_chars", k = 10)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    // reference draw with the same hash-derived uniform
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (lang, rs) =>
+      rs.map { case (id, _, w) =>
+        val u = (h60(id.toString) % 1000000000L + 1) / 1.0e9
+        val key = BigDecimal(math.log(u) / w)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (lang, id, key)
+      }.sortBy { case (_, id, key) => (-key, id) }.take(10)
+        .map { case (l, id, _) => (l, id) }
+    }.toSet
+    assert(got == want)
+    // heavy rows (100x weight, 10% of the population) must dominate
+    val heavy = got.count(_._2 % 10 == 0)
+    assert(heavy >= 10, s"expected heavy rows to dominate, got $heavy/20")
+  }
+
+  test("cluster-safe split: near-dup cluster members always share a split") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val docs = (1L to 40L).map(i =>
+      // ids 1-10 are one near-dup cluster (identical text); rest unique
+      (i, if (i <= 10) text else s"unique document number $i with words " * 3))
+      .toDF("doc_id", "text")
+    val d = docs.select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+    val labels = Dedup.connectedComponents(
+      Dedup.simhashPairs(d, "doc_id", col("toks"), maxDist = 6), "id_a", "id_b")
+    val splits = docs.select(col("doc_id"))
+      .join(labels, docs("doc_id") === labels("id"), "left")
+      .withColumn("grp", coalesce(col("rep"), docs("doc_id")))
+      .withColumn("split", TextAnalysis.splitAssign(col("grp")))
+    val clusterSplits = splits.filter(col("doc_id") <= 10)
+      .select("split").distinct().count()
+    assert(clusterSplits == 1, "the near-dup cluster straddles splits")
+    val leaked = splits.groupBy("grp")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
+    assert(leaked == 0)
+  }
 }
