@@ -1970,6 +1970,78 @@ object SparkEntry {
           tb(s, dir, "documents"), "doc_id", "lang", "n_chars", k = 20)
         .select(col("lang"), col("doc_id"), col("es_key"))
         .orderBy("lang", "doc_id")
+    },
+
+    // ───── deterministic HyperLogLog: per-type distinct user-days,
+    // estimate vs exact — the mergeable-sketch path approx_count_distinct
+    // can't oracle (its register encoding is engine-private); hash-derived
+    // registers + a bucket-ordered finalization fold make this one
+    // bit-reproducible on any engine ─────
+    "q136_hll_distinct" -> { (s, dir) =>
+      val ev = t(s, dir, "events").withColumn("val",
+        concat_ws(":", col("user_id"), date_format(col("ts"), "yyyy-MM-dd")))
+      val est = Sketches.hllDistinct(ev, "event_type", col("val"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("val")).as("n_exact"))
+      exact.join(est, Seq("event_type"))
+        .withColumn("rel_err",
+          round(abs(col("hll_est") - col("n_exact")) / col("n_exact"), 6))
+        .orderBy("event_type")
+    },
+
+    // ───── multi-touch attribution: purchases credit the clicks of the
+    // prior 7 days (same user) under first-touch / last-touch / linear
+    // models — user-equi join with a time-range residual (never a BNLJ),
+    // per-purchase windows bounded by clicks-per-user-week ─────
+    "q137_attribution" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"),
+          concat(lit("c"),
+            get_json_object(col("props"), "$.k").cast("long") % 5)
+            .as("campaign"))
+      val w = Window.partitionBy("p_id")
+      purchases.join(clicks,
+          col("user_id") === col("c_user") && col("c_ts") <= col("p_ts") &&
+            col("c_ts") > col("p_ts") - expr("INTERVAL 7 DAYS"))
+        .select(col("p_id"), col("value"), col("campaign"),
+          row_number().over(w.orderBy(col("c_ts"), col("c_id"))).as("rn_f"),
+          row_number().over(w.orderBy(col("c_ts").desc, col("c_id").desc))
+            .as("rn_l"),
+          count(lit(1)).over(w).as("n_clicks"))
+        .groupBy("campaign")
+        .agg(sum(when(col("rn_f") === 1, 1L).otherwise(0L)).as("n_first"),
+          round(sum(when(col("rn_f") === 1, col("value")).otherwise(0.0)), 2)
+            .as("first_touch_value"),
+          round(sum(when(col("rn_l") === 1, col("value")).otherwise(0.0)), 2)
+            .as("last_touch_value"),
+          round(sum(col("value") / col("n_clicks")), 2).as("linear_value"))
+        .orderBy("campaign")
+    },
+
+    // ───── retention cohorts: users bucketed by first-activity week,
+    // per-(cohort, week-offset) active-user counts + retention vs the
+    // cohort's week-0 size — two hash-aggregates and one bounded window ─────
+    "q138_retention" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      val firstWk = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      val joined = ev.distinct().join(firstWk, "user_id")
+        .select(col("cohort"),
+          floor(datediff(col("wk"), col("cohort")) / 7).as("week_offset"))
+      val w0 = Window.partitionBy("cohort")
+      joined.groupBy("cohort", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("cohort_size",
+          max(when(col("week_offset") === 0, col("n_users"))).over(w0))
+        .withColumn("retention",
+          round(col("n_users") * lit(1.0) / col("cohort_size"), 6))
+        .select("cohort", "week_offset", "n_users", "retention")
+        .orderBy("cohort", "week_offset")
     }
   )
 
@@ -3014,6 +3086,64 @@ object SparkEntry {
         "r AS (SELECT lang, doc_id, es_key, row_number() OVER (" +
         "PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rn FROM d) " +
         "SELECT lang, doc_id, es_key FROM r WHERE rn <= 20 " +
-        "ORDER BY lang, doc_id")
+        "ORDER BY lang, doc_id"),
+
+    // same 60-bit-hash registers, same bucket-ordered fold, same
+    // small-range correction; 2^-r terms are exact doubles so the only
+    // float care is the fold order (list() ORDER BY bucket)
+    "q136_hll_distinct" ->
+      ("WITH v AS (SELECT event_type, user_id::VARCHAR || ':' || " +
+        "strftime(ts, '%Y-%m-%d') AS val FROM events), " +
+        "d AS (SELECT DISTINCT event_type, val FROM v), " +
+        "h AS (SELECT event_type, ('0x' || substr(md5(val), 1, 15))::BIGINT AS hh FROM d), " +
+        "b AS (SELECT event_type, hh % 256 AS bucket, " +
+        "CASE WHEN hh // 256 = 0 THEN 53 ELSE 53 - length(bin(hh // 256)) END AS rho FROM h), " +
+        "r AS (SELECT event_type, bucket, max(rho) AS mr FROM b GROUP BY 1, 2), " +
+        "s AS (SELECT event_type, count(*) AS n_present, " +
+        "list_reduce(list_prepend(0.0, list(pow(2.0, -mr) ORDER BY bucket)), " +
+        "(a, b) -> a + b) AS sum_present FROM r GROUP BY 1), " +
+        "e AS (SELECT event_type, 256 - n_present AS v_zero, " +
+        "(0.7213 / (1 + 1.079 / 256)) * 65536 / (sum_present + (256 - n_present)) AS e_raw FROM s), " +
+        "x AS (SELECT event_type, count(DISTINCT val)::BIGINT AS n_exact FROM v GROUP BY 1) " +
+        "SELECT x.event_type, x.n_exact, " +
+        "round(CASE WHEN e_raw <= 640 AND v_zero > 0 " +
+        "THEN 256 * ln(256.0 / v_zero) ELSE e_raw END, 6) AS hll_est, " +
+        "round(abs(round(CASE WHEN e_raw <= 640 AND v_zero > 0 " +
+        "THEN 256 * ln(256.0 / v_zero) ELSE e_raw END, 6) - n_exact) / n_exact, 6) AS rel_err " +
+        "FROM x JOIN e ON x.event_type = e.event_type ORDER BY 1"),
+
+    "q137_attribution" ->
+      ("WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts, value " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id, " +
+        "'c' || (json_extract(props, '$.k')::BIGINT % 5) AS campaign " +
+        "FROM events WHERE event_type = 'click'), " +
+        "pr AS (SELECT p.p_id, p.value, c.campaign, " +
+        "row_number() OVER (PARTITION BY p.p_id ORDER BY c.c_ts, c.c_id) AS rn_f, " +
+        "row_number() OVER (PARTITION BY p.p_id ORDER BY c.c_ts DESC, c.c_id DESC) AS rn_l, " +
+        "count(*) OVER (PARTITION BY p.p_id) AS n_clicks " +
+        "FROM p JOIN c ON p.user_id = c.c_user AND c.c_ts <= p.p_ts " +
+        "AND c.c_ts > p.p_ts - INTERVAL 7 DAY) " +
+        "SELECT campaign, " +
+        "sum(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END)::BIGINT AS n_first, " +
+        "round(sum(CASE WHEN rn_f = 1 THEN value ELSE 0 END), 2) AS first_touch_value, " +
+        "round(sum(CASE WHEN rn_l = 1 THEN value ELSE 0 END), 2) AS last_touch_value, " +
+        "round(sum(value / n_clicks), 2) AS linear_value " +
+        "FROM pr GROUP BY 1 ORDER BY 1"),
+
+    "q138_retention" ->
+      ("WITH ev AS (SELECT user_id, date_trunc('week', ts)::DATE AS wk FROM events), " +
+        "f AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1), " +
+        "a AS (SELECT DISTINCT user_id, wk FROM ev), " +
+        "j AS (SELECT f.cohort, date_diff('day', f.cohort, a.wk) // 7 AS week_offset " +
+        "FROM a JOIN f ON a.user_id = f.user_id), " +
+        "cnt AS (SELECT cohort, week_offset, count(*)::BIGINT AS n_users " +
+        "FROM j GROUP BY 1, 2), " +
+        "sz AS (SELECT cohort, week_offset, n_users, " +
+        "max(CASE WHEN week_offset = 0 THEN n_users END) " +
+        "OVER (PARTITION BY cohort) AS cohort_size FROM cnt) " +
+        "SELECT cohort, week_offset, n_users, " +
+        "round(n_users * 1.0 / cohort_size, 6) AS retention " +
+        "FROM sz ORDER BY cohort, week_offset")
   )
 }

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hllDistinct: estimates track exact counts across cardinality regimes") {
+    // three groups spanning the small-range (linear counting) and raw
+    // estimator regimes for m = 256
+    val rows =
+      (1 to 40).map(i => ("small", s"v$i")) ++
+        (1 to 800).map(i => ("mid", s"v$i")) ++
+        (1 to 20000).map(i => ("large", s"v$i"))
+    val df = rows.toDF("g", "v")
+    val got = Sketches.hllDistinct(df, "g", col("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Map("small" -> 40.0, "mid" -> 800.0, "large" -> 20000.0)
+    exact.foreach { case (g, n) =>
+      val err = math.abs(got(g) - n) / n
+      // 256 registers → ~6.5% standard error; 4 sigma guard
+      assert(err < 0.26, s"$g: est ${got(g)} vs $n (err $err)")
+    }
+  }
+
+  test("hllDistinct: partitioning-invariant (mergeable-sketch property)") {
+    val df = (1 to 3000).map(i => ("g", s"item$i")).toDF("g", "v")
+    val one = Sketches.hllDistinct(df.coalesce(1), "g", col("v"))
+      .head().getDouble(1)
+    val many = Sketches.hllDistinct(df.repartition(7), "g", col("v"))
+      .head().getDouble(1)
+    assert(one == many, s"$one vs $many")
+  }
+
+  test("hllDistinct: duplicates don't move the estimate") {
+    val base = (1 to 500).map(i => ("g", s"x$i"))
+    val dups = base ++ base ++ base
+    val a = Sketches.hllDistinct(base.toDF("g", "v"), "g", col("v"))
+      .head().getDouble(1)
+    val b = Sketches.hllDistinct(dups.toDF("g", "v"), "g", col("v"))
+      .head().getDouble(1)
+    assert(a == b)
+  }
+}
