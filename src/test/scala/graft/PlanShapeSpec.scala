@@ -486,6 +486,41 @@ class PlanShapeSpec extends SparkSpec {
       s"all joins must be hash/merge equi joins:\n$plan")
   }
 
+  test("pagerank: iteration body reads the checkpointed edges — no fact re-scan") {
+    val plan = executed(SparkEntry.queries("q133_pagerank")(spark, dir))
+    // the scale property: the orders⋈lineitem edge derivation ran ONCE
+    // (inside the eager checkpoint); the 5-iteration body must contain
+    // zero parquet scans and only the per-round rank exchanges
+    val fileScans = collectAll(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(fileScans.isEmpty, s"iterations must not re-scan parquet:\n$plan")
+    val rddScans = collectAll(plan) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rddScans.nonEmpty, s"expected the checkpointed edge scan:\n$plan")
+    // one dst-aggregate exchange per iteration (5) + nothing else: the
+    // preserved hashpartitioning(src) means the edge side never moves
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 5, s"unexpected shuffles (${shuffles.size}):\n$plan")
+  }
+
+  test("attribution: time-range join keeps its user equi key — no nested loop") {
+    val plan = executed(SparkEntry.queries("q137_attribution")(spark, dir))
+    assert(collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no BNLJ/cartesian allowed:\n$plan")
+    val joins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty && joins.forall(j =>
+      j.isInstanceOf[BroadcastHashJoinExec] ||
+        j.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        j.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      s"the range condition must ride the user equi join as a residual:\n$plan")
+  }
+
   test("tpch q20 shape: nested INs stay semi joins end to end") {
     val plan = executed(SparkEntry.queries("q132_tpch_q20")(spark, dir))
     val semi = collectAll(plan) {
