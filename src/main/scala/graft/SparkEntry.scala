@@ -211,6 +211,24 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     },
 
+    // ───── S1 (XML container): Spark 4's native XML source — the
+    // schema-first scan posture of q53/q54 extended to the last
+    // first-class semi-structured container; storage round trip is
+    // content-identity, so the oracle is the plain parquet aggregate ─────
+    "q139_xml_roundtrip" -> { (s, dir) =>
+      val out = scratch("xml_roundtrip")
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .write.mode("overwrite").option("rootTag", "parts")
+        .option("rowTag", "part").xml(out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "p_partkey BIGINT, p_brand STRING, p_retailprice DOUBLE")
+      s.read.schema(schema).option("rowTag", "part").xml(out)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 2).as("sum_price"))
+        .orderBy("p_brand")
+    },
+
     "q54_json_roundtrip" -> { (s, dir) =>
       val out = scratch("json_roundtrip")
       t(s, dir, "supplier")
@@ -3144,6 +3162,13 @@ object SparkEntry {
         "OVER (PARTITION BY cohort) AS cohort_size FROM cnt) " +
         "SELECT cohort, week_offset, n_users, " +
         "round(n_users * 1.0 / cohort_size, 6) AS retention " +
-        "FROM sz ORDER BY cohort, week_offset")
+        "FROM sz ORDER BY cohort, week_offset"),
+
+    // XML round trip is storage-level identity: the oracle aggregates the
+    // source parquet directly
+    "q139_xml_roundtrip" ->
+      ("SELECT p_brand, count(*)::BIGINT AS n, " +
+        "round(sum(p_retailprice), 2) AS sum_price " +
+        "FROM part GROUP BY 1 ORDER BY 1")
   )
 }

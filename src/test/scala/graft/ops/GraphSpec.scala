@@ -29,6 +29,21 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 5.0) < 1e-6, got.values.sum.toString)
   }
 
+  test("pageRank: degenerate graphs — empty edges, self-loop, single pair") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(empty, "src", "dst", iterations = 2).count() == 0)
+    // a single symmetric pair is 1-regular: fixed point rank 1.0
+    val pair = sym((1L, 2L))
+    val got = Graph.pageRank(pair, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 1.0))
+    // self-loops keep mass in place and don't crash the outdeg math
+    val loop = Seq((5L, 5L)).toDF("src", "dst")
+    val l = Graph.pageRank(loop, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(l == Map(5L -> 1.0))
+  }
+
   test("pageRank: matches a hand-rolled reference iteration on a random graph") {
     val rnd = new scala.util.Random(42)
     val pairs = Seq.tabulate(30)(_ =>

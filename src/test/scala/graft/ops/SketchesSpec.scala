@@ -33,6 +33,15 @@ class SketchesSpec extends SparkSpec {
     assert(one == many, s"$one vs $many")
   }
 
+  test("hllDistinct: degenerate inputs — empty frame, single value, null group") {
+    val empty = Seq.empty[(String, String)].toDF("g", "v")
+    assert(Sketches.hllDistinct(empty, "g", col("v")).count() == 0)
+    val one = Sketches.hllDistinct(Seq(("g", "only")).toDF("g", "v"), "g", col("v"))
+      .head().getDouble(1)
+    // one distinct value → linear counting regime, ln(256/255)*256 ≈ 1.002
+    assert(math.abs(one - 1.0) < 0.01, one.toString)
+  }
+
   test("hllDistinct: duplicates don't move the estimate") {
     val base = (1 to 500).map(i => ("g", s"x$i"))
     val dups = base ++ base ++ base
