@@ -2041,6 +2041,17 @@ object SparkEntry {
         .orderBy("campaign")
     },
 
+    // ───── join-key skew pre-flight (`Profile.skewProfile`): per-key
+    // count distribution + skew factor + named heavy hitters for three
+    // representative keys — what an operator reads before choosing a
+    // salting factor or trusting AQE's skew split ─────
+    "q140_skew_profile" -> { (s, dir) =>
+      Profile.skewProfile(t(s, dir, "events"), "user_id")
+        .unionByName(Profile.skewProfile(t(s, dir, "lineitem"), "l_orderkey"))
+        .unionByName(Profile.skewProfile(t(s, dir, "documents"), "source"))
+        .orderBy("key_col")
+    },
+
     // ───── retention cohorts: users bucketed by first-activity week,
     // per-(cohort, week-offset) active-user counts + retention vs the
     // cohort's week-0 size — two hash-aggregates and one bounded window ─────
@@ -3169,6 +3180,25 @@ object SparkEntry {
     "q139_xml_roundtrip" ->
       ("SELECT p_brand, count(*)::BIGINT AS n, " +
         "round(sum(p_retailprice), 2) AS sum_price " +
-        "FROM part GROUP BY 1 ORDER BY 1")
+        "FROM part GROUP BY 1 ORDER BY 1"),
+
+    // per key column: stats over the per-key count table + ordered
+    // heavy-hitter agg (quantile_cont ≡ Spark's interpolating percentile)
+    "q140_skew_profile" -> {
+      val prof = (label: String, table: String, key: String) =>
+        s"(WITH c AS (SELECT $key::VARCHAR AS k, count(*) AS cnt " +
+          s"FROM $table GROUP BY 1), " +
+          "s AS (SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows, " +
+          "max(cnt)::BIGINT AS max_cnt, round(quantile_cont(cnt, 0.99), 6) AS p99_cnt, " +
+          "round(sum(cnt) * 1.0 / count(*), 6) AS mean_cnt, " +
+          "round(max(cnt) / (sum(cnt) * 1.0 / count(*)), 6) AS skew_factor FROM c), " +
+          "t AS (SELECT string_agg(k || ':' || cnt, ';' ORDER BY cnt DESC, k) AS top_keys " +
+          "FROM (SELECT k, cnt FROM c ORDER BY cnt DESC, k LIMIT 5)) " +
+          s"SELECT '$label' AS key_col, s.n_keys, s.n_rows, s.max_cnt, " +
+          "s.p99_cnt, s.mean_cnt, s.skew_factor, t.top_keys FROM s, t)"
+      prof("user_id", "events", "user_id") + " UNION ALL " +
+        prof("l_orderkey", "lineitem", "l_orderkey") + " UNION ALL " +
+        prof("source", "documents", "source") + " ORDER BY key_col"
+    }
   )
 }

@@ -138,4 +138,40 @@ object Profile {
       round(log(col("n_docs").cast("double")) - sumClnC / col("n_docs"), 6)
         .as("lang_entropy"))
   }
+
+  /** Join/aggregation-key skew diagnostic — the pre-flight a 100 TB
+    * operator runs before picking salting factors or trusting AQE's
+    * skew-join split: per-key count distribution (max / mean / exact
+    * p99), the skew factor (max over mean — >10 usually means the
+    * hottest key's reduce task dominates the stage), and the named
+    * heavy hitters.
+    *
+    * Scale shape: one hash-aggregate to per-key counts (map-side
+    * combined), then ONE aggregate over the (much smaller) count table
+    * for the stats and a TakeOrderedAndProject for the heavy hitters —
+    * a collect_list-then-slice would buffer every key in one aggregate
+    * row, which is exactly the failure mode this report diagnoses. */
+  def skewProfile(df: DataFrame, keyCol: String, topN: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum("cnt").as("n_rows"),
+      max("cnt").as("max_cnt"),
+      expr("percentile(cnt, 0.99)").as("_p99"))
+    // bounded: limit plans as TakeOrderedAndProject, never a global sort
+    val top = counts.orderBy(col("cnt").desc, col("k")).limit(topN)
+      .agg(concat_ws(";", transform(
+        sort_array(collect_list(struct((-col("cnt")).as("neg"), col("k")))),
+        x => concat_ws(":", x.getField("k"),
+          (-x.getField("neg")).cast("string")))).as("top_keys"))
+    stats.crossJoin(broadcast(top))
+      .select(lit(keyCol).as("key_col"), col("n_keys"), col("n_rows"),
+        col("max_cnt"),
+        round(col("_p99"), 6).as("p99_cnt"),
+        round(col("n_rows") / col("n_keys"), 6).as("mean_cnt"),
+        round(col("max_cnt") / (col("n_rows") / col("n_keys")), 6)
+          .as("skew_factor"),
+        col("top_keys"))
+  }
 }

@@ -78,4 +78,19 @@ class ProfileSpec extends SparkSpec {
     // single-doc source: entropy exactly 0
     assert(out("b") == ((1L, 1.0, 5.0, 0.0)))
   }
+
+  test("skewProfile: skew factor, exact p99, heaviest-first top keys") {
+    // key "hot" 90 rows, "warm" 8, "a"/"b" 1 each: mean 25, skew 3.6
+    val rows = Seq.fill(90)("hot") ++ Seq.fill(8)("warm") ++ Seq("a", "b")
+    val df = rows.toDF("k2")
+    val r = Profile.skewProfile(df, "k2", topN = 3).head()
+    assert(r.getAs[Long]("n_keys") == 4 && r.getAs[Long]("n_rows") == 100)
+    assert(r.getAs[Long]("max_cnt") == 90)
+    assert(r.getAs[Double]("mean_cnt") == 25.0)
+    assert(r.getAs[Double]("skew_factor") == 3.6)
+    // counts sorted: 1,1,8,90 → p99 at pos 0.99*3 = 2.97 → 8 + 0.97*82
+    // (compared at the op's 6dp rounding, not raw float arithmetic)
+    assert(r.getAs[Double]("p99_cnt") == 87.54)
+    assert(r.getAs[String]("top_keys") == "hot:90;warm:8;a:1")
+  }
 }
