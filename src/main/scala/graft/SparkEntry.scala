@@ -2041,6 +2041,21 @@ object SparkEntry {
         .orderBy("campaign")
     },
 
+    // ───── STREAMING HyperLogLog: the sketch's (group, bucket)→max(rho)
+    // half runs unchanged as a streaming aggregate (max is monotone, so
+    // complete-mode state IS the running sketch); the batch finalizer
+    // folds the drained registers — mergeable-sketch streaming without a
+    // custom stateful operator, and the estimate matches the batch path
+    // bit for bit ─────
+    "q141_stream_hll" -> { (s, dir) =>
+      val ev = eventsStream(s, dir).withColumn("val",
+        concat_ws(":", col("user_id"), date_format(col("ts"), "yyyy-MM-dd")))
+      val regs = Sketches.registers(ev, "event_type", col("val"))
+      Sketches.finalizeRegisters(
+          drainToTable(s, regs, "g141_regs", "complete"), "event_type")
+        .orderBy("event_type")
+    },
+
     // ───── join-key skew pre-flight (`Profile.skewProfile`): per-key
     // count distribution + skew factor + named heavy hitters for three
     // representative keys — what an operator reads before choosing a
@@ -3199,6 +3214,25 @@ object SparkEntry {
       prof("user_id", "events", "user_id") + " UNION ALL " +
         prof("l_orderkey", "lineitem", "l_orderkey") + " UNION ALL " +
         prof("source", "documents", "source") + " ORDER BY key_col"
-    }
+    },
+
+    // streaming registers ≡ batch registers (max is merge-order-free), so
+    // the oracle is the q136 estimator without the exact/error columns
+    "q141_stream_hll" ->
+      ("WITH v AS (SELECT event_type, user_id::VARCHAR || ':' || " +
+        "strftime(ts, '%Y-%m-%d') AS val FROM events), " +
+        "d AS (SELECT DISTINCT event_type, val FROM v), " +
+        "h AS (SELECT event_type, ('0x' || substr(md5(val), 1, 15))::BIGINT AS hh FROM d), " +
+        "b AS (SELECT event_type, hh % 256 AS bucket, " +
+        "CASE WHEN hh // 256 = 0 THEN 53 ELSE 53 - length(bin(hh // 256)) END AS rho FROM h), " +
+        "r AS (SELECT event_type, bucket, max(rho) AS mr FROM b GROUP BY 1, 2), " +
+        "s AS (SELECT event_type, count(*) AS n_present, " +
+        "list_reduce(list_prepend(0.0, list(pow(2.0, -mr) ORDER BY bucket)), " +
+        "(a, b) -> a + b) AS sum_present FROM r GROUP BY 1), " +
+        "e AS (SELECT event_type, 256 - n_present AS v_zero, " +
+        "(0.7213 / (1 + 1.079 / 256)) * 65536 / (sum_present + (256 - n_present)) AS e_raw FROM s) " +
+        "SELECT event_type, round(CASE WHEN e_raw <= 640 AND v_zero > 0 " +
+        "THEN 256 * ln(256.0 / v_zero) ELSE e_raw END, 6) AS hll_est " +
+        "FROM e ORDER BY 1")
   )
 }

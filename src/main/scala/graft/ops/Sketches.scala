@@ -31,19 +31,37 @@ object Sketches {
       df: DataFrame,
       groupCol: String,
       value: Column,
+      p: Int = 8): DataFrame =
+    finalizeRegisters(registers(df, groupCol, value, p), groupCol, p)
+
+  /** The mergeable half: (group, bucket) → max(rho). Works unchanged as a
+    * STREAMING aggregate (max is monotone, so complete-mode state is the
+    * running sketch) — merging sketches from any partitioning of the data
+    * gives identical registers. */
+  def registers(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
       p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, "p in [4, 16]")
     val m = 1 << p
     val wordBits = 60 - p
-    val alpha = 0.7213 / (1 + 1.079 / m)
     val h = Hashing.hash60(value.cast("string"))
     val w = shiftright(h, p)
     val rho = when(w === 0, lit(wordBits + 1))
       .otherwise(lit(wordBits + 1) - length(bin(w)))
-    val regs = df
-      .select(col(groupCol), (h % m).as("bucket"), rho.as("rho"))
+    df.select(col(groupCol), (h % m).as("bucket"), rho.as("rho"))
       .groupBy(groupCol, "bucket")
       .agg(max(col("rho")).as("mr"))
+  }
+
+  /** The finalization half over (group, bucket, mr) registers. */
+  def finalizeRegisters(
+      regs: DataFrame,
+      groupCol: String,
+      p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1 + 1.079 / m)
     // fold the ≤ m registers in bucket order; absent buckets are rho=0
     // (contributing 2^0 = 1 each) and count toward the zero-register V
     regs.groupBy(groupCol)

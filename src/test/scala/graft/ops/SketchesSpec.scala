@@ -42,6 +42,28 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(one - 1.0) < 0.01, one.toString)
   }
 
+  test("registers: streaming micro-batches converge to the batch sketch") {
+    implicit val sq = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val q = Sketches.registers(ms.toDF().toDF("g", "v"), "g", col("v"))
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("complete").start()
+    try {
+      ms.addData(("g", "a"), ("g", "b"), ("g", "c"))
+      q.processAllAvailable()
+      ms.addData(("g", "c"), ("g", "d"), ("g", "e"))
+      q.processAllAvailable()
+      val streamed = spark.table("hllregs")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = Sketches.registers(
+          Seq("a", "b", "c", "c", "d", "e").map(("g", _)).toDF("g", "v"),
+          "g", col("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("hllDistinct: duplicates don't move the estimate") {
     val base = (1 to 500).map(i => ("g", s"x$i"))
     val dups = base ++ base ++ base
