@@ -347,4 +347,54 @@ object InvariantProps extends Properties("graft.invariants") {
       val oneKeeper = out.map(_._2).sum == allSegs.map(_._2).distinct.size
       conserves && oneKeeper
     }
+
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L) if a != b
+    } yield (a, b)).map(_.distinct.take(20))
+
+  property("pageRank conserves total mass on symmetric graphs") =
+    forAll(genEdges) { pairs =>
+      import spark.implicits._
+      val edges = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+        .toDF("src", "dst")
+      val n = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.size
+      val ranks = graft.ops.Graph.pageRank(edges, "src", "dst",
+        iterations = 4).collect().map(_.getDouble(1))
+      // symmetric → no dangling mass: Σ rank stays N (up to 9dp rounds)
+      ranks.size == n && math.abs(ranks.sum - n) < 1e-5
+    }
+
+  property("hllDistinct is partitioning-invariant and duplicate-blind") =
+    forAll(Gen.choose(1, 400), Gen.choose(1, 8)) { (card, parts) =>
+      import spark.implicits._
+      val base = (1 to card).map(i => ("g", s"v$i"))
+      val dup = base ++ base.take(card / 2)
+      val a = graft.ops.Sketches.hllDistinct(
+        base.toDF("g", "v").repartition(parts), "g", col("v"))
+        .head().getDouble(1)
+      val b = graft.ops.Sketches.hllDistinct(
+        dup.toDF("g", "v").coalesce(1), "g", col("v"))
+        .head().getDouble(1)
+      a == b && math.abs(a - card) / card < 0.3 // ~4.6σ at m=256
+    }
+
+  property("weightedSample draws min(k, |stratum|) rows, stable under repartition") =
+    forAll(Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 500L); g <- Gen.oneOf("x", "y")
+      w <- Gen.choose(1L, 9999L)
+    } yield (id, g, w)).map(_.distinctBy(_._1)), Gen.choose(1, 6)) { (rows, k) =>
+      import spark.implicits._
+      val df = rows.toDF("id", "g", "w")
+      val got = graft.ops.TextAnalysis.weightedSample(df, "id", "g", "w", k)
+        .select("g", "id").as[(String, Long)].collect().toSet
+      val again = graft.ops.TextAnalysis.weightedSample(
+          df.repartition(5), "id", "g", "w", k)
+        .select("g", "id").as[(String, Long)].collect().toSet
+      val sizesOk = rows.groupBy(_._2).forall { case (g, rs) =>
+        got.count(_._1 == g) == math.min(k, rs.size)
+      }
+      val subset = got.forall { case (g, id) => rows.exists(r => r._1 == id && r._2 == g) }
+      sizesOk && subset && got == again
+    }
 }
