@@ -233,6 +233,44 @@ object OraclesExt {
       "(SELECT leaked FROM lk) AS leaked " +
       "FROM s GROUP BY 1 ORDER BY 1"
 
+  /** Mirrors q142 — the full corpus-construction journey in one
+    * statement: near-dup clusters → best-quality canonical per cluster
+    * (plus unclustered survivors) → quality floor → leakage-safe train
+    * split by cluster-rep hash → per-source token budget → per-source
+    * scorecard. Every stage reuses a fragment already proven by its own
+    * standalone oracle (q43/q63/q134/q106). */
+  val corpusPipeline: String =
+    "WITH RECURSIVE " + simhashPairsCte + ", " +
+      "np AS (SELECT id_a, id_b FROM pairs WHERE hdist <= 6), " +
+      "edges AS (SELECT id_a AS a, id_b AS b FROM np " +
+      "UNION SELECT id_b, id_a FROM np), " +
+      "reach(a, b) AS (SELECT DISTINCT a, a FROM edges " +
+      "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+      "labels AS (SELECT a AS id, min(b) AS rep FROM reach GROUP BY 1), " +
+      s"ql AS (SELECT doc_id, round(${hitRatioSql(langList("en"))} * 0.5 + " +
+      "least(len(toks) / 100.0, 1.0) * 0.5 - " +
+      "len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) * 0.25, 6) " +
+      "AS q FROM tok), " +
+      "rk AS (SELECT l.rep, l.id, " +
+      "row_number() OVER (PARTITION BY l.rep ORDER BY ql.q DESC, l.id) AS rn " +
+      "FROM labels l JOIN ql ON l.id = ql.doc_id), " +
+      "keep AS (SELECT rep, id AS doc_id FROM rk WHERE rn = 1 " +
+      "UNION ALL SELECT d.doc_id AS rep, d.doc_id FROM documents d " +
+      "LEFT JOIN labels l ON l.id = d.doc_id WHERE l.id IS NULL), " +
+      "f AS (SELECT k.doc_id, k.rep, d.source, d.text FROM keep k " +
+      "JOIN documents d ON d.doc_id = k.doc_id " +
+      "JOIN ql ON ql.doc_id = k.doc_id WHERE ql.q >= 0.2), " +
+      "tr AS (SELECT doc_id, source, text FROM f " +
+      "WHERE ('0x' || substr(md5(rep::VARCHAR), 1, 15))::BIGINT % 100 < 80), " +
+      "tb AS (SELECT doc_id, source, " +
+      "len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tok, " +
+      "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hh FROM tr), " +
+      "c AS (SELECT doc_id, source, n_tok, sum(n_tok) OVER (" +
+      "PARTITION BY source ORDER BY hh, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tb) " +
+      "SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS sum_tokens " +
+      "FROM c WHERE cum <= 4096 GROUP BY 1 ORDER BY 1"
+
   /** Backward as-of join: clicks pick up the latest prior (or equal-time)
     * purchase value per user; DuckDB's native ASOF LEFT JOIN is the
     * oracle for the Spark union+running-window formulation. */

@@ -2041,6 +2041,38 @@ object SparkEntry {
         .orderBy("campaign")
     },
 
+    // ───── the full corpus-construction journey as ONE plan: near-dup
+    // clusters → best-quality canonical per cluster (unclustered docs
+    // survive as their own keepers) → quality floor → leakage-safe train
+    // split by cluster-rep hash → per-source token budget → scorecard.
+    // Six operators composing into a single Catalyst plan is the point:
+    // no intermediate materialization, every stage's pushdown/broadcast
+    // decisions made globally ─────
+    "q142_corpus_pipeline" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      val d = docs.select(col("doc_id"),
+        TextAnalysis.words(col("text")).as("toks"))
+      val labels = Dedup.connectedComponents(
+        Dedup.simhashPairs(d, "doc_id", col("toks"), maxDist = 6),
+        "id_a", "id_b")
+      val quality = docs.select(col("doc_id"),
+        round(TextAnalysis.qualityScoreText(col("text")), 6).as("q"))
+      val keepers = Dedup.canonicalPerCluster(labels, quality, "doc_id", "q")
+        .select(col("keeper_id").as("doc_id"), col("rep"))
+      val unclustered = docs.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left_anti")
+        .withColumn("rep", col("doc_id"))
+      val kept = keepers.unionByName(unclustered)
+        .join(docs.select("doc_id", "source", "text"), "doc_id")
+        .join(quality, "doc_id")
+        .filter(col("q") >= 0.2)
+        .filter(TextAnalysis.splitAssign(col("rep")) === "train")
+      TextAnalysis.tokenBudgetSample(kept, "doc_id", "source", "text", 4096L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+        .orderBy("source")
+    },
+
     // ───── STREAMING HyperLogLog: the sketch's (group, bucket)→max(rho)
     // half runs unchanged as a streaming aggregate (max is monotone, so
     // complete-mode state IS the running sketch); the batch finalizer
@@ -3233,6 +3265,8 @@ object SparkEntry {
         "(0.7213 / (1 + 1.079 / 256)) * 65536 / (sum_present + (256 - n_present)) AS e_raw FROM s) " +
         "SELECT event_type, round(CASE WHEN e_raw <= 640 AND v_zero > 0 " +
         "THEN 256 * ln(256.0 / v_zero) ELSE e_raw END, 6) AS hll_est " +
-        "FROM e ORDER BY 1")
+        "FROM e ORDER BY 1"),
+
+    "q142_corpus_pipeline" -> OraclesExt.corpusPipeline
   )
 }
