@@ -2041,6 +2041,24 @@ object SparkEntry {
         .orderBy("campaign")
     },
 
+    // ───── label-propagation communities over the trade graph: the
+    // third member of the iterative-graph family (CC = reachability,
+    // PageRank = centrality, LPA = community structure); deterministic
+    // min-label tie-break makes the fixed-iteration run reproducible ─────
+    "q143_label_propagation" -> { (s, dir) =>
+      val rel = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+      val edges = rel.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(rel.select(col("supp").as("src"), col("cust").as("dst")))
+      Graph.labelPropagation(edges, "src", "dst", iterations = 4)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("label")
+    },
+
     // ───── the full corpus-construction journey as ONE plan: near-dup
     // clusters → best-quality canonical per cluster (unclustered docs
     // survive as their own keepers) → quality floor → leakage-safe train
@@ -3267,6 +3285,27 @@ object SparkEntry {
         "THEN 256 * ln(256.0 / v_zero) ELSE e_raw END, 6) AS hll_est " +
         "FROM e ORDER BY 1"),
 
-    "q142_corpus_pipeline" -> OraclesExt.corpusPipeline
+    "q142_corpus_pipeline" -> OraclesExt.corpusPipeline,
+
+    // 4 unrolled LPA rounds; the (count DESC, label) tie-break mirrors
+    // the Spark window exactly
+    "q143_label_propagation" -> {
+      val step = (k: Int) =>
+        s"l$k AS (SELECT dst AS id, label FROM (" +
+          "SELECT e.dst, l.label, count(*) AS n, " +
+          "row_number() OVER (PARTITION BY e.dst " +
+          "ORDER BY count(*) DESC, l.label) AS rn " +
+          s"FROM e JOIN l${k - 1} l ON l.id = e.src GROUP BY e.dst, l.label) " +
+          "WHERE rn = 1), "
+      "WITH rel AS (SELECT DISTINCT o_custkey AS cust, " +
+        "1000000 + l_suppkey AS supp FROM orders " +
+        "JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS (SELECT cust AS src, supp AS dst FROM rel " +
+        "UNION ALL SELECT supp, cust FROM rel), " +
+        "l0 AS (SELECT DISTINCT src AS id, src AS label FROM e), " +
+        (1 to 4).map(step).mkString.stripSuffix(", ") + " " +
+        "SELECT label, count(*)::BIGINT AS n_members FROM l4 " +
+        "GROUP BY 1 ORDER BY 1"
+    }
   )
 }

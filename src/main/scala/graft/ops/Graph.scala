@@ -78,4 +78,46 @@ object Graph {
     }
     ranks
   }
+
+  /** Synchronous label propagation (community detection): every node
+    * adopts the label with the highest neighbor count each round, ties
+    * broken by the SMALLER label — the deterministic tie-break is what
+    * makes a fixed-iteration run engine-reproducible (textbook LPA
+    * breaks ties randomly and is therefore untestable). Labels start as
+    * the node ids; `iterations` is fixed, as in [[pageRank]].
+    *
+    * Scale shape: same skeleton as [[pageRank]] — edges materialized once
+    * pre-partitioned on src; per round, one (dst, label) hash-aggregate
+    * with map-side combine and one per-dst window bounded by the node's
+    * distinct neighbor-label count. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sess = edges.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val edgeP =
+      try {
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        e.repartition(col("src")).sortWithinPartitions("src")
+          .localCheckpoint(true)
+      } finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    var labels = edgeP.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst").orderBy(col("n").desc, col("label"))
+    for (_ <- 1 to iterations) {
+      labels = edgeP
+        .join(labels, col("src") === col("id"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("id"), col("label"))
+    }
+    labels
+  }
 }

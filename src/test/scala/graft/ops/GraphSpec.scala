@@ -44,6 +44,20 @@ class GraphSpec extends SparkSpec {
     assert(l == Map(5L -> 1.0))
   }
 
+  test("labelPropagation: labels stay inside their component; runs are deterministic") {
+    // two disjoint triangles — labels can never cross components
+    val g = sym((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val run1 = Graph.labelPropagation(g, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val run2 = Graph.labelPropagation(g.repartition(5), "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run1 == run2, s"$run1 vs $run2")
+    assert(run1.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    val a = Set(1L, 2L, 3L); val b = Set(10L, 11L, 12L)
+    assert(a.forall(n => a.contains(run1(n))), run1.toString)
+    assert(b.forall(n => b.contains(run1(n))), run1.toString)
+  }
+
   test("pageRank: matches a hand-rolled reference iteration on a random graph") {
     val rnd = new scala.util.Random(42)
     val pairs = Seq.tabulate(30)(_ =>
