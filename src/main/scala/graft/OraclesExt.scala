@@ -587,6 +587,45 @@ object OraclesExt {
       "WHERE d.doc_id % 20 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad) " +
       "ORDER BY d.doc_id"
 
+  /** Mirrors Dedup.bloomContamination (m=2^17, k=3, n=4) over the same
+    * doc_id%20 split, labeled against the exact contamination check. */
+  val bloomDecontam: String =
+    s"WITH $tokCte, " +
+      "ng AS (SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+4], ' ') " +
+      "for i in range(len(toks)-3)]) AS shs FROM tok), " +
+      "c AS (SELECT doc_id, unnest(shs) AS g FROM ng WHERE doc_id % 20 <> 0), " +
+      "b AS (SELECT DISTINCT unnest(shs) AS g FROM ng WHERE doc_id % 20 = 0), " +
+      "sp AS (SELECT DISTINCT ((37*i+11)*h + (101*i+7)) % 1000000007 % 131072 AS pos " +
+      "FROM (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000007 AS h FROM b), " +
+      "range(3) t(i)), " +
+      "cp AS (SELECT doc_id, g, ((37*i+11)*h + (101*i+7)) % 1000000007 % 131072 AS pos " +
+      "FROM (SELECT doc_id, g, ('0x' || substr(md5(g), 1, 15))::BIGINT % 1000000007 AS h " +
+      "FROM c), range(3) t(i)), " +
+      "hit AS (SELECT doc_id, g FROM cp JOIN sp USING (pos) " +
+      "GROUP BY doc_id, g HAVING count(*) = 3), " +
+      "fl AS (SELECT doc_id, count(*)::BIGINT AS n_flagged FROM hit GROUP BY 1), " +
+      "ex AS (SELECT DISTINCT c.doc_id FROM c JOIN b USING (g)) " +
+      "SELECT f.doc_id, f.n_flagged, (ex.doc_id IS NULL) AS is_fp " +
+      "FROM fl f LEFT JOIN ex ON f.doc_id = ex.doc_id ORDER BY f.doc_id"
+
+  /** Mirrors TextAnalysis.invertedIndex at n=3, df ∈ [3, 7]. */
+  val invertedIndex: String =
+    s"WITH $tokCte, " +
+      "ng AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i+1:i+3], ' ') " +
+      "for i in range(len(toks)-2)])) AS term FROM tok), " +
+      "d AS (SELECT term, count(*)::BIGINT AS df FROM ng GROUP BY 1 " +
+      "HAVING count(*) BETWEEN 3 AND 7) " +
+      "SELECT d.term, d.df, string_agg(ng.doc_id::VARCHAR, ';' ORDER BY ng.doc_id) " +
+      "AS postings FROM d JOIN ng USING (term) GROUP BY 1, 2 ORDER BY term"
+
+  /** Mirrors TextAnalysis.phraseSearch for the fixed 4-token phrase. */
+  val phraseSearch: String =
+    s"WITH $tokCte, " +
+      "m AS (SELECT doc_id, len([i for i in range(len(toks)-3) " +
+      "if toks[i+1:i+4] = ['filter', 'value', 'small', 'value']])::BIGINT " +
+      "AS n_occurrences FROM tok) " +
+      "SELECT doc_id, n_occurrences FROM m WHERE n_occurrences > 0 ORDER BY doc_id"
+
   /** Mirrors TextAnalysis.repetitionStats + the q60 keep rule. */
   val repetition: String =
     s"WITH $tokCte, " +

@@ -2045,6 +2045,155 @@ object SparkEntry {
     // third member of the iterative-graph family (CC = reachability,
     // PageRank = centrality, LPA = community structure); deterministic
     // min-label tie-break makes the fixed-iteration run reproducible ─────
+    // ───── MERGE with change-data-feed output: the upsert's changes as
+    // a Delta/Debezium-shaped feed — insert rows, update pre/post image
+    // pairs, and NOTHING for no-op updates (replay-safe); one full-outer
+    // join prices the feed at the cost of the merge itself ─────
+    "q152_cdc_merge" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 5 =!= 0)
+      val noop = col("o_orderkey") % 4 === 0
+      val updates = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          when(noop, col("o_totalprice"))
+            .otherwise(col("o_totalprice") + 1000.0).as("new_price"),
+          when(noop, col("o_orderstatus")).otherwise(lit("U")).as("new_status"))
+      MergeUpdate.upsertWithCdf(target, updates, Seq("o_orderkey"),
+          Map("o_totalprice" -> "new_price", "o_orderstatus" -> "new_status"))
+        .orderBy("o_orderkey", "_change_type")
+    },
+
+    // ───── STREAMING count-min sketch: like q141's HLL, the counter
+    // grid is a plain streaming aggregate (sums merge across
+    // micro-batches; complete-mode state IS the running sketch); the
+    // batch probe estimates the same top-20 keys off the drained grid ─────
+    "q153_stream_cms" -> { (s, dir) =>
+      val counters = Sketches.cmsCounters(eventsStream(s, dir), col("user_id"))
+      val drained = drainToTable(s, counters, "g153_cms", "complete")
+      val top = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id")).limit(20)
+      Sketches.cmsEstimate(drained, top, "user_id")
+        .withColumn("overest", col("cms_est") - col("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+    },
+
+    // ───── time-series resample: daily per-user activity with calendar
+    // gaps restored (per-key spine, never the global range) and values
+    // forward-filled by ONE running window per key ─────
+    "q149_gapfill_ffill" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      Temporal.gapFillDaily(daily, "user_id", "day", "v")
+        .orderBy("user_id", "day")
+    },
+
+    // ───── inverted index over word 3-grams: df-bounded postings — the
+    // [minDf, maxDf] gate runs BEFORE collection, so no posting list can
+    // exceed maxDf entries (stop-term lists are the classic OOM) ─────
+    "q150_inverted_index" -> { (s, dir) =>
+      TextAnalysis.invertedIndex(tb(s, dir, "documents"), "doc_id", "text",
+          n = 3, minDf = 3, maxDf = 7)
+        .orderBy("term")
+    },
+
+    // ───── exact phrase search: positional-index intersection — each
+    // term contributes its (doc, aligned-position) postings and k−1
+    // equi-joins close the phrase; occurrence counts per matching doc ─────
+    "q151_phrase_search" -> { (s, dir) =>
+      TextAnalysis.phraseSearch(tb(s, dir, "documents"), "doc_id", "text",
+          Seq("filter", "value", "small", "value"))
+        .orderBy("doc_id")
+    },
+
+    // ───── multi-source BFS over the bipartite trade graph: hop
+    // distance from the seed suppliers, frontier capped at 3 rounds —
+    // fourth member of the iterative-graph family (reachability =
+    // CC, centrality = PR, structure = LPA, distance = BFS) ─────
+    "q147_bfs_distances" -> { (s, dir) =>
+      val rel = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+      val edges = rel.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(rel.select(col("supp").as("src"), col("cust").as("dst")))
+      val seeds = t(s, dir, "supplier").filter(col("s_suppkey") % 10 === 0)
+        .select((col("s_suppkey") + 1000000L).as("id"))
+      Graph.bfsDistances(edges, "src", "dst", seeds, "id", maxHops = 3)
+        .orderBy("id")
+    },
+
+    // ───── triangle scorecard over the part co-purchase graph (parts
+    // co-ordered ≥2 times): degree-ordered orientation keeps wedge
+    // fan-out off the hot keys — the power-law survival trick ─────
+    "q148_triangles" -> { (s, dir) =>
+      val pr = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pr.as("x").join(pr.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graph.triangleStats(pairs, "a", "b")
+    },
+
+    // ───── Bloom-filter decontamination pre-flight: the eval set folded
+    // to an m-bit filter whose broadcast is bounded at m rows no matter
+    // how large the eval suite grows (the exact q59 path broadcasts every
+    // gram string); flagged docs are a one-sided SUPERSET of the exact
+    // hits — is_fp labels any filter collisions against the exact check ─────
+    "q146_bloom_decontam" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val bloom = Dedup.bloomContamination(corpus, bench, "doc_id", "text",
+        n = 4)
+      val exact = Dedup.contamination(corpus, bench, "doc_id", "text", n = 4)
+        .select(col("doc_id"), lit(true).as("hit"))
+      bloom.join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_flagged"),
+          col("hit").isNull.as("is_fp"))
+        .orderBy("doc_id")
+    },
+
+    // ───── count-min sketch heavy-hitter report: depth×width counter
+    // grid (a ≤256-row hash-aggregate regardless of stream size, the
+    // mergeable-sketch shape again), probed for the exact top-20 keys —
+    // the one-sided estimator's overestimate is visible because width 64
+    // < 150 distinct users forces collisions ─────
+    "q144_cms_heavy_hitters" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val counters = Sketches.cmsCounters(ev, col("user_id"))
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id")).limit(20)
+      Sketches.cmsEstimate(counters, top, "user_id")
+        .withColumn("overest", col("cms_est") - col("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+    },
+
+    // ───── KMV (k-minimum-values) distinct sketch per event type plus
+    // the merged '__all__' sketch — bottom-k per group runs on the
+    // sort-free TopKPerKey operator (ascending = min-k, state k rows per
+    // group); estimates land within ~1/√k of exact, reported as rel_err ─────
+    "q145_kmv_distinct" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_type"),
+        concat_ws(":", col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd")).as("val"))
+      val tagged = ev.unionByName(
+        ev.select(lit("__all__").as("event_type"), col("val")))
+      val sk = Sketches.kmvDistinct(tagged, "event_type", col("val"))
+      val exact = tagged.groupBy("event_type")
+        .agg(count_distinct(col("val")).as("exact_distinct"))
+      sk.join(exact, "event_type")
+        .withColumn("rel_err", round(
+          abs(col("kmv_est") - col("exact_distinct")) /
+            col("exact_distinct"), 6))
+        .orderBy("event_type")
+    },
+
     "q143_label_propagation" -> { (s, dir) =>
       val rel = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
@@ -2219,6 +2368,26 @@ object SparkEntry {
     } finally s.conf.set("spark.sql.shuffle.partitions", before)
     s.table(view)
   }
+
+  /** Shared by q144 (batch) and q153 (streaming): the drained streaming
+    * counter grid is bit-identical to the batch grid, so one oracle
+    * serves both. Same permute constants as [[graft.ops.Hashing.permute]]. */
+  private val cmsOracle: String =
+    "WITH hp AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT " +
+      "% 1000000007 AS h FROM events), " +
+      "cells AS (SELECT i AS r, ((37*i+11)*h + (101*i+7)) % 1000000007 % 64 AS b " +
+      "FROM hp, range(4) t(i)), " +
+      "c AS (SELECT r, b, count(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2), " +
+      "e AS (SELECT user_id, count(*)::BIGINT AS exact_cnt FROM events " +
+      "GROUP BY 1 ORDER BY exact_cnt DESC, user_id LIMIT 20), " +
+      "probe AS (SELECT e.user_id, e.exact_cnt, i AS r, " +
+      "((37*i+11)*(('0x' || substr(md5(e.user_id::VARCHAR), 1, 15))::BIGINT " +
+      "% 1000000007) + (101*i+7)) % 1000000007 % 64 AS b " +
+      "FROM e, range(4) t(i)) " +
+      "SELECT p.user_id, p.exact_cnt, min(coalesce(c.cnt, 0))::BIGINT AS cms_est, " +
+      "(min(coalesce(c.cnt, 0)) - p.exact_cnt)::BIGINT AS overest " +
+      "FROM probe p LEFT JOIN c USING (r, b) GROUP BY 1, 2 " +
+      "ORDER BY exact_cnt DESC, user_id"
 
   def oracleSql: Map[String, String] = Map(
     "q01_e1_flagship" -> Oracles.flagship,
@@ -3306,6 +3475,110 @@ object SparkEntry {
         (1 to 4).map(step).mkString.stripSuffix(", ") + " " +
         "SELECT label, count(*)::BIGINT AS n_members FROM l4 " +
         "GROUP BY 1 ORDER BY 1"
-    }
+    },
+
+    "q146_bloom_decontam" -> OraclesExt.bloomDecontam,
+
+    // per-key generate_series spine + IGNORE NULLS running last
+    "q149_gapfill_ffill" ->
+      ("WITH o AS (SELECT user_id, ts::DATE AS day, round(sum(value), 2) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "sp AS (SELECT user_id, unnest(generate_series(min(day), max(day), " +
+        "INTERVAL 1 DAY))::DATE AS day FROM o GROUP BY user_id), " +
+        "j AS (SELECT sp.user_id, sp.day, o.v FROM sp " +
+        "LEFT JOIN o USING (user_id, day)) " +
+        "SELECT user_id, day, v, last_value(v IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS v_filled, (v IS NULL) AS is_gap " +
+        "FROM j ORDER BY 1, 2"),
+
+    "q150_inverted_index" -> OraclesExt.invertedIndex,
+    "q151_phrase_search" -> OraclesExt.phraseSearch,
+
+    // 3 unrolled min-merge rounds from the seed suppliers
+    "q147_bfs_distances" -> {
+      val step = (k: Int) =>
+        s"d$k AS (SELECT id, min(dist) AS dist FROM (" +
+          s"SELECT * FROM d${k - 1} UNION ALL " +
+          s"SELECT e.dst, d.dist + 1 FROM e JOIN d${k - 1} d ON d.id = e.src) " +
+          "GROUP BY 1), "
+      "WITH rel AS (SELECT DISTINCT o_custkey AS cust, " +
+        "1000000 + l_suppkey AS supp FROM orders " +
+        "JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS (SELECT cust AS src, supp AS dst FROM rel " +
+        "UNION ALL SELECT supp, cust FROM rel), " +
+        "d0 AS (SELECT 1000000 + s_suppkey AS id, 0 AS dist FROM supplier " +
+        "WHERE s_suppkey % 10 = 0), " +
+        (1 to 3).map(step).mkString.stripSuffix(", ") + " " +
+        "SELECT id, dist::BIGINT AS dist FROM d3 ORDER BY id"
+    },
+
+    // id-ordered triangle enumeration ≡ the degree-oriented count (both
+    // enumerate each triangle exactly once)
+    "q148_triangles" ->
+      ("WITH pr AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem " +
+        "GROUP BY 1, 2), " +
+        "e0 AS (SELECT a.p AS a, b.p AS b FROM pr a JOIN pr b " +
+        "ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "d AS (SELECT n, count(*) AS deg FROM (SELECT a AS n FROM e0 " +
+        "UNION ALL SELECT b FROM e0) GROUP BY 1), " +
+        "tri AS (SELECT count(*)::BIGINT AS n_triangles FROM e0 x " +
+        "JOIN e0 y ON x.a = y.a AND x.b < y.b " +
+        "JOIN e0 z ON z.a = x.b AND z.b = y.b), " +
+        "ns AS (SELECT count(*)::BIGINT AS n_nodes, " +
+        "sum(deg * (deg - 1) // 2)::BIGINT AS n_wedges FROM d), " +
+        "es AS (SELECT count(*)::BIGINT AS n_edges FROM e0) " +
+        "SELECT ns.n_nodes, es.n_edges, ns.n_wedges, tri.n_triangles, " +
+        "round(3.0 * tri.n_triangles / ns.n_wedges, 6) AS global_clustering " +
+        "FROM ns, es, tri"),
+
+    // same permute constants as Hashing.permute; counters then probes
+    "q144_cms_heavy_hitters" -> cmsOracle,
+    // streaming counters ≡ batch counters (sums merge across batches)
+    "q153_stream_cms" -> cmsOracle,
+
+    // the upsert's change feed: pre/post pairs for real changes, insert
+    // rows for unseen keys, silence for no-op updates
+    "q152_cdc_merge" ->
+      ("WITH t AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0), " +
+        "u AS (SELECT o_orderkey, CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice " +
+        "ELSE o_totalprice + 1000.0 END AS new_price, " +
+        "CASE WHEN o_orderkey % 4 = 0 THEN o_orderstatus ELSE 'U' END AS new_status " +
+        "FROM orders WHERE o_orderkey % 2 = 0), " +
+        "m AS (SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice, " +
+        "t.o_orderdate, t.o_orderpriority, u.new_price, u.new_status " +
+        "FROM t JOIN u USING (o_orderkey) " +
+        "WHERE u.new_price IS DISTINCT FROM t.o_totalprice " +
+        "OR u.new_status IS DISTINCT FROM t.o_orderstatus) " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+        "o_orderpriority, 'update_preimage' AS _change_type FROM m " +
+        "UNION ALL SELECT o_orderkey, o_custkey, new_status, new_price, " +
+        "o_orderdate, o_orderpriority, 'update_postimage' FROM m " +
+        "UNION ALL SELECT u.o_orderkey, NULL, u.new_status, u.new_price, " +
+        "NULL, NULL, 'insert' FROM u " +
+        "WHERE u.o_orderkey NOT IN (SELECT o_orderkey FROM t) " +
+        "ORDER BY o_orderkey, _change_type"),
+
+    // bottom-64 distinct hashes per group; (k-1)*2^60/h_(k) estimator
+    "q145_kmv_distinct" ->
+      ("WITH v AS (SELECT event_type, user_id::VARCHAR || ':' || " +
+        "strftime(ts, '%Y-%m-%d') AS val FROM events), " +
+        "a AS (SELECT * FROM v UNION ALL SELECT '__all__', val FROM v), " +
+        "d AS (SELECT DISTINCT event_type, " +
+        "('0x' || substr(md5(val), 1, 15))::BIGINT AS h FROM a), " +
+        "r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY h) AS rn FROM d), " +
+        "s AS (SELECT event_type, count(*)::BIGINT AS n_kept, max(h) AS kth " +
+        "FROM r WHERE rn <= 64 GROUP BY 1), " +
+        "x AS (SELECT event_type, count(DISTINCT val)::BIGINT AS exact_distinct " +
+        "FROM a GROUP BY 1) " +
+        "SELECT s.event_type, s.n_kept, " +
+        "CASE WHEN s.n_kept < 64 THEN s.n_kept::DOUBLE " +
+        "ELSE round(63 * 1152921504606846976::DOUBLE / kth::DOUBLE, 6) END AS kmv_est, " +
+        "x.exact_distinct, " +
+        "round(abs(CASE WHEN s.n_kept < 64 THEN s.n_kept::DOUBLE " +
+        "ELSE round(63 * 1152921504606846976::DOUBLE / kth::DOUBLE, 6) END " +
+        "- x.exact_distinct) / x.exact_distinct, 6) AS rel_err " +
+        "FROM s JOIN x USING (event_type) ORDER BY event_type")
   )
 }

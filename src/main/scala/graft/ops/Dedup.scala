@@ -429,6 +429,48 @@ object Dedup {
       contamination(corpus, bench, idCol, textCol, n).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Bloom-filter contamination check — [[contamination]]'s
+    * constant-memory scale path. The eval set is folded into an
+    * `mBits`-position / `kHashes`-probe Bloom filter: every eval n-gram
+    * sets k deterministic positions ([[Hashing.permute]] over the md5
+    * domain, so the filter bits are engine-reproducible), and a corpus
+    * n-gram counts as a (possible) hit iff ALL k of its positions are
+    * set. Returns (`idCol`, n_flagged = distinct grams whose probes all
+    * hit) — a SUPERSET of the exact [[contamination]] hits: one-sided,
+    * false positives possible at rate ≈ fill^k, false negatives never.
+    *
+    * Scale shape: the broadcast is the distinct SET-POSITION table —
+    * bounded at `mBits` rows (~1 MB at 2¹⁷) no matter how large the eval
+    * suite grows, where the exact path broadcasts every eval gram string.
+    * The corpus side pays one gram explode ×k probe rows, all consumed by
+    * a map-side broadcast-hash probe + two partial-aggregated groupings
+    * keyed by doc id; corpus text never shuffles. */
+  def bloomContamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      mBits: Int = 1 << 17,
+      kHashes: Int = 3): DataFrame = {
+    require(kHashes >= 1 && kHashes <= 8, "kHashes in [1, 8]")
+    val ngrams = array_distinct(shingles(TextAnalysis.words(col(textCol)), n))
+    def positions(gram: Column): Column = array(
+      (0 until kHashes).map(i =>
+        Hashing.permute(i, Hashing.hashP(gram)) % mBits): _*)
+    val setPos = bench.select(explode(ngrams).as("g"))
+      .select(explode(positions(col("g"))).as("pos"))
+      .distinct()
+    corpus.select(col(idCol), explode(ngrams).as("g"))
+      .select(col(idCol), col("g"), explode(positions(col("g"))).as("pos"))
+      .join(broadcast(setPos), "pos")
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") === kHashes)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_flagged"))
+  }
+
   /** Canonical-document selection (the "which copy survives" step after
     * clustering): join [[connectedComponents]] labels (id, rep) with a
     * per-doc quality score and keep each cluster's best member — max

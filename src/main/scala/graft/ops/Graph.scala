@@ -90,6 +90,102 @@ object Graph {
     * pre-partitioned on src; per round, one (dst, label) hash-aggregate
     * with map-side combine and one per-dst window bounded by the node's
     * distinct neighbor-label count. */
+  /** Multi-source BFS: unit-weight shortest hop count from any seed,
+    * capped at `maxHops` rounds (nodes farther than the cap are absent
+    * from the output — the fixed-frontier form production link-graphs
+    * use, since diameter-length runs are unbounded). Returns (id, dist).
+    *
+    * Scale shape: the [[pageRank]] skeleton — edges materialized ONCE
+    * pre-partitioned on src, each round joins only the (id, dist) frontier
+    * against them and min-merges into the running distance table; the
+    * shuffle carries (id, dist) pairs with map-side combine. Distances
+    * only ever decrease, so the merge is a plain min hash-aggregate.
+    * Unlike pageRank's rebuild-from-join rounds, the merge references the
+    * running table TWICE per round (union + join) — without a per-round
+    * lazy checkpoint the logical plan doubles every hop (2^rounds source
+    * scans), so the distance table is truncated each round. */
+  def bfsDistances(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      idCol: String,
+      maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sess = edges.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val edgeP =
+      try {
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        e.repartition(col("src")).sortWithinPartitions("src")
+          .localCheckpoint(true)
+      } finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    var dist = seeds.select(col(idCol).as("id")).distinct()
+      .withColumn("dist", lit(0L))
+    for (i <- 1 to maxHops) {
+      val expanded = edgeP.join(dist, col("src") === col("id"))
+        .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(expanded)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+      if (i < maxHops) dist = dist.localCheckpoint(false)
+    }
+    dist
+  }
+
+  /** One-row triangle scorecard over an undirected edge list (either
+    * direction, self-loops and duplicates tolerated): node/edge/wedge
+    * counts, exact triangle count, and the global clustering coefficient
+    * 3·triangles / wedges. Triangle enumeration uses DEGREE-ORDERED
+    * orientation (Ortmann & Brandes / the classic compact-forward trick):
+    * each edge points from its lower-(degree, id) endpoint to the higher,
+    * so wedge expansion fans out from the LOW-degree side — a star node
+    * of degree d contributes 0 wedges as a center instead of d², which is
+    * the difference between surviving a power-law graph at 100 TB and a
+    * quadratic blowup on the hottest key. Each triangle is counted
+    * exactly once (its rank-minimal wedge), closed by one semi-join back
+    * against the oriented edges. */
+  def triangleStats(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val orient = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+      when(aFirst, col("b")).otherwise(col("a")).as("hi"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dhi"))
+    val e1 = orient.select(col("lo"), col("hi").as("h1"), col("dhi").as("dh1"))
+    val e2 = orient.select(col("lo"), col("hi").as("h2"), col("dhi").as("dh2"))
+    val wedges = e1.join(e2, Seq("lo")).filter(
+      col("dh1") < col("dh2") ||
+        (col("dh1") === col("dh2") && col("h1") < col("h2")))
+    // the closing edge between h1 and h2 is oriented (h1 → h2): the wedge
+    // condition already ordered them by the orientation rank
+    val closed = wedges.join(
+      orient.select(col("lo").as("h1"), col("hi").as("h2")),
+      Seq("h1", "h2"), "left_semi")
+    val tri = closed.agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum((col("deg") * (col("deg") - 1) / 2).cast("long")).as("n_wedges"))
+    val edgeStats = und.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(edgeStats).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round((lit(3.0) * col("n_triangles")) / col("n_wedges"), 6)
+          .as("global_clustering"))
+  }
+
   def labelPropagation(
       edges: DataFrame,
       srcCol: String,

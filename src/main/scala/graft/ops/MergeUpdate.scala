@@ -119,4 +119,51 @@ object MergeUpdate {
     }
     applied.select(target.columns.map(col): _*)
   }
+
+  /** [[upsert]]'s change-data-feed face: instead of the merged table,
+    * emit the CHANGES the merge would make — the Delta/Debezium row shape
+    * downstream consumers (cache invalidation, incremental materialized
+    * views, audit) subscribe to. Output = target schema + `_change_type`:
+    *  - `insert` — update key absent from the target (post-values);
+    *  - `update_preimage` / `update_postimage` — matched key whose set
+    *    columns actually change (null-safe compare), old and new row;
+    *  - matched no-op updates emit NOTHING (deterministic feed: replaying
+    *    the same batch twice produces an empty second feed).
+    *
+    * Same single full-outer join on the merge key as [[upsert]] — the
+    * feed costs no more than the merge itself; pre/post rows are two
+    * projections of the one joined row, not a second join. `updates`
+    * must be unique per key. */
+  def upsertWithCdf(
+      target: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      setCols: Map[String, String]): DataFrame = {
+    val overlap = keys.toSet.intersect(setCols.keySet)
+    require(overlap.isEmpty,
+      s"upsertWithCdf keys and setCols must be disjoint; both contain: ${overlap.mkString(", ")}")
+    val missing = setCols.values.toSet.diff(updates.columns.toSet)
+    require(missing.isEmpty,
+      s"setCols source columns absent from updates: ${missing.mkString(", ")}")
+    val u = updates.select(
+      (keys.map(col) ++ setCols.values.toSeq.map(c => col(c).as(s"_u_$c"))): _*)
+      .withColumn("_in_upd", lit(true))
+    val t = target.withColumn("_in_tgt", lit(true))
+    val j = t.join(u, keys, "full")
+    val inUpd = coalesce(col("_in_upd"), lit(false))
+    val inTgt = coalesce(col("_in_tgt"), lit(false))
+    val changed = inTgt && inUpd && setCols.map { case (tCol, uCol) =>
+      !(col(s"_u_$uCol") <=> col(tCol))
+    }.reduce(_ || _)
+    val outCols = target.columns.toSeq
+    def project(df: DataFrame, tag: String, applied: Boolean): DataFrame = {
+      val base = if (!applied) df else setCols.foldLeft(df) {
+        case (acc, (tCol, uCol)) => acc.withColumn(tCol, col(s"_u_$uCol"))
+      }
+      base.select(outCols.map(col) :+ lit(tag).as("_change_type"): _*)
+    }
+    project(j.filter(changed), "update_preimage", applied = false)
+      .unionByName(project(j.filter(changed), "update_postimage", applied = true))
+      .unionByName(project(j.filter(!inTgt), "insert", applied = true))
+  }
 }

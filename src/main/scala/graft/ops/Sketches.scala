@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Cardinality sketches with DETERMINISTIC hash-derived randomness — the
   * estimate a given corpus produces is identical on any engine, any
@@ -79,5 +80,86 @@ object Sketches {
         round(when(col("e_raw") <= 2.5 * m && col("v_zero") > 0,
             lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")))
           .otherwise(col("e_raw")), 6).as("hll_est"))
+  }
+
+  /** Count-min sketch counters over `value`: `depth` independent
+    * universal-hash rows × `width` buckets, one count per (row, bucket)
+    * cell. The sketch is a plain hash-aggregate — map-side combine reduces
+    * every partition to ≤ depth·width rows before the shuffle (the same
+    * mergeable property as [[registers]]), and the d-fold explode that
+    * feeds it multiplies the stream by `depth` BEFORE partial aggregation,
+    * never across the wire. Counters use [[Hashing.permute]] over the
+    * md5-derived [[Hashing.hashP]] domain, so the cells (and therefore
+    * every estimate) are bit-identical on any engine or partitioning. */
+  def cmsCounters(
+      df: DataFrame,
+      value: Column,
+      depth: Int = 4,
+      width: Int = 64): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth in [1, 16]")
+    require(width >= 2, "width >= 2")
+    val h = Hashing.hashP(value.cast("string"))
+    val cells = (0 until depth).map { i =>
+      struct(lit(i).as("r"), (Hashing.permute(i, h) % width).as("b"))
+    }
+    df.select(explode(array(cells: _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy("r", "b")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for every key in `keys` (whose columns pass
+    * through): `cms_est` = min over the depth rows of the addressed cell —
+    * the classic one-sided estimator, `cms_est >= true count` always, with
+    * overestimates only from bucket collisions. The counter table is at
+    * most depth·width rows regardless of stream size, so the probe join
+    * broadcasts: estimating any number of keys costs one map-side pass. */
+  def cmsEstimate(
+      counters: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 64): DataFrame = {
+    val h = Hashing.hashP(col(keyCol).cast("string"))
+    val cells = (0 until depth).map { i =>
+      struct(lit(i).as("r"), (Hashing.permute(i, h) % width).as("b"))
+    }
+    val passThrough = keys.columns.map(col).toSeq
+    keys.select(passThrough :+ explode(array(cells: _*)).as("rb"): _*)
+      .select(passThrough :+ col("rb.r").as("r") :+ col("rb.b").as("b"): _*)
+      .join(broadcast(counters), Seq("r", "b"), "left")
+      .groupBy(passThrough: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** KMV (k-minimum-values) distinct estimate per group: keep the k
+    * smallest distinct 60-bit hashes of `value`; with the k-th smallest at
+    * h₍ₖ₎ in a domain of 2⁶⁰, the unbiased estimate is
+    * (k−1)·2⁶⁰ / h₍ₖ₎ (Bar-Yossef et al. 2002). Groups with fewer than k
+    * distinct values report the EXACT count (the sketch holds every hash).
+    * Returns (groupCol, n_kept, kmv_est).
+    *
+    * Scale shape: one distinct-(group, hash) aggregate — shuffle carries
+    * 8-byte hashes, never values — then bottom-k per group via the
+    * sort-free [[graft.plans.TopKPerKeyExec]] operator (ascending order =
+    * min-k; state bounded at k rows per group), then one ≤k-row fold per
+    * group. Sketches from different partitions merge by construction
+    * (min-k of a union = min-k of min-k's). */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "k >= 2")
+    val m = math.pow(2.0, 60) // hash domain size, exact as a double
+    val d = df.select(col(groupCol), Hashing.hash60(value.cast("string")).as("h"))
+      .distinct()
+    val bottomK = TopK.perKey(d, Seq(groupCol), Seq(("h", true)), k)
+    bottomK.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+      .select(col(groupCol), col("n_kept"),
+        when(col("n_kept") < k, col("n_kept").cast(DoubleType))
+          .otherwise(round(lit((k - 1).toDouble * m) / col("kth").cast(DoubleType), 6))
+          .as("kmv_est"))
   }
 }

@@ -122,4 +122,34 @@ object Temporal {
         facts(tsCol) >= dim(fromCol) &&
         (dim(toCol).isNull || facts(tsCol) < dim(toCol)),
       "left")
+
+  /** Time-series resample: fill the daily gaps of a (key, day, value)
+    * series — one row per key per calendar day between that key's first
+    * and last observation — and forward-fill missing values from the most
+    * recent prior day. Input must be pre-aggregated to one row per
+    * (key, day); output adds `<valueCol>_filled` (the carried-forward
+    * value) and `is_gap` (true on spine rows with no observation).
+    *
+    * Scale shape: the spine is one per-key min/max aggregate + a
+    * `sequence` explode bounded by each key's day span (never the global
+    * range), co-partitioned with the observations by (key, day) for the
+    * left join; the forward fill is ONE running `last(ignoreNulls)`
+    * window per key ordered by day — keys parallelize, and no
+    * self-join-per-gap ever happens (the naive "join each gap to its
+    * predecessor" is quadratic in gap length). */
+  def gapFillDaily(
+      df: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String): DataFrame = {
+    val spine = df.groupBy(keyCol)
+      .agg(min(col(dayCol)).as("_d0"), max(col(dayCol)).as("_d1"))
+      .select(col(keyCol), explode(sequence(col("_d0"), col("_d1"))).as(dayCol))
+    val w = Window.partitionBy(keyCol).orderBy(dayCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(df, Seq(keyCol, dayCol), "left")
+      .withColumn(s"${valueCol}_filled",
+        last(col(valueCol), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col(valueCol).isNull)
+  }
 }

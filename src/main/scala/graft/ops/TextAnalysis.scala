@@ -565,4 +565,55 @@ object TextAnalysis {
     }.toMap
     quotaSample(df, idCol, stratumCol, 0, quotas)
   }
+
+  /** Inverted index over word `n`-grams: one row per indexed term —
+    * (term, df, postings = ";"-joined doc ids in id order). Terms outside
+    * [`minDf`, `maxDf`] are dropped BEFORE their postings are collected:
+    * the df pre-aggregate + semi-join is what bounds every collect_list
+    * at `maxDf` entries — without the cap a stop-term's posting list is
+    * the corpus itself, the classic inverted-index OOM. Shuffles carry
+    * (term, id) pairs; document text never moves. */
+  def invertedIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDf: Long = 1L,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val terms = if (n == 1) array_distinct(words(col(textCol)))
+      else array_distinct(Dedup.shingles(words(col(textCol)), n))
+    val posting = df.select(col(idCol), explode(terms).as("term"))
+    val dfs = posting.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    posting.join(dfs, "term")
+      .groupBy("term", "df")
+      .agg(concat_ws(";",
+        transform(array_sort(collect_list(col(idCol))), _.cast("string")))
+        .as("postings"))
+      .select("term", "df", "postings")
+  }
+
+  /** Exact phrase search via a positional token index: documents
+    * containing `phrase` as consecutive tokens, with occurrence counts.
+    * Each phrase term selects its (doc, position−i) posting list and the
+    * lists intersect on (doc, aligned position) — i.e. k−1 equi-joins
+    * whose inputs are each bounded by that term's corpus frequency, the
+    * standard IR positional-intersection; the full token stream is
+    * scanned once and only matching terms' positions ever shuffle. */
+  def phraseSearch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val pos = df.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("p", "tok")))
+    val aligned = phrase.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("tok") === t)
+        .select(col(idCol), (col("p") - i).as("p"))
+    }
+    aligned.reduce(_.join(_, Seq(idCol, "p")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
 }

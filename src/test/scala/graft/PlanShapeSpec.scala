@@ -533,4 +533,50 @@ class PlanShapeSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
     }.isEmpty, s"no BNLJ allowed:\n$plan")
   }
+
+  test("bloom decontam: the position set broadcasts — corpus text never shuffles for the probe") {
+    val plan = executed(SparkEntry.queries("q146_bloom_decontam")(spark, dir))
+    // the probe join must be a broadcast hash join (position set ≤ m rows);
+    // corpus-side exchanges may only carry (doc_id, ...) aggregate partials
+    val bhj = collectAll(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected the broadcast position probe:\n$plan")
+    assert(collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"no BNLJ allowed:\n$plan")
+  }
+
+  test("bfs: iteration body reads the checkpointed edges once — no re-scan per round") {
+    val plan = executed(SparkEntry.queries("q147_bfs_distances")(spark, dir))
+    val fileScans = collectAll(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // one parquet scan is allowed: the SEED selection (supplier table);
+    // the edge derivation (orders⋈lineitem) must live inside the eager
+    // checkpoint, not re-derive per round
+    assert(fileScans.size <= 1, s"iterations must not re-scan the fact tables:\n$plan")
+    val rddScans = collectAll(plan) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rddScans.nonEmpty, s"expected the checkpointed edge scan:\n$plan")
+  }
+
+  test("inverted index: df gate aggregates before postings collect — two exchanges, no sort-collect of the corpus") {
+    val plan = executed(SparkEntry.queries("q150_inverted_index")(spark, dir))
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    // term-df partial agg + posting collect + the final orderBy range
+    // exchange; anything more means the df gate re-shuffled the postings
+    assert(shuffles.size <= 3, s"unexpected shuffles (${shuffles.size}):\n$plan")
+  }
+
+  test("kmv: bottom-k runs on the custom TopKPerKey operator, not a sort+window") {
+    val df = ops.Sketches.kmvDistinct(
+      ops.Sources.table(spark, dir, "events"), "event_type",
+      org.apache.spark.sql.functions.col("user_id"))
+    val plan = executed(df)
+    val topk = collectAll(plan) { case t: plans.TopKPerKeyExec => t }
+    assert(topk.nonEmpty, s"expected TopKPerKeyExec:\n$plan")
+    assert(collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"no rank window expected:\n$plan")
+  }
 }

@@ -181,6 +181,25 @@ class DedupSpec extends SparkSpec {
     assert(clean ++ contam.keySet == Set(1L, 4L, 5L))
   }
 
+  test("bloomContamination: superset of exact hits, never a false negative") {
+    val corpus = docs.filter(col("doc_id").isin(1L, 4L, 5L))
+    val bench = docs.filter(col("doc_id").isin(2L, 3L))
+    val exact = Dedup.contamination(corpus, bench, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a roomy filter reproduces the exact counts (no collisions)
+    val roomy = Dedup.bloomContamination(corpus, bench, "doc_id", "text", 4,
+        mBits = 1 << 17, kHashes = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roomy == exact)
+    // a saturated 8-bit filter still never undercounts any exact hit
+    val tight = Dedup.bloomContamination(corpus, bench, "doc_id", "text", 4,
+        mBits = 8, kHashes = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (id, n) =>
+      assert(tight.getOrElse(id, 0L) >= n, s"doc $id undercounted")
+    }
+  }
+
   test("canonicalPerCluster: max quality wins, ties break to min id") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))

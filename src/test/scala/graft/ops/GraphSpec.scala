@@ -58,6 +58,47 @@ class GraphSpec extends SparkSpec {
     assert(b.forall(n => b.contains(run1(n))), run1.toString)
   }
 
+  test("bfsDistances: path graph distances, hop cap truncates the frontier") {
+    // line 0-1-2-3-4-5, seed at 0
+    val line = sym((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val seeds = Seq(0L).toDF("id")
+    val got = Graph.bfsDistances(line, "src", "dst", seeds, "id", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L),
+      s"nodes past the 3-hop cap must be absent: $got")
+  }
+
+  test("bfsDistances: multi-source takes the nearest seed; revisits never increase") {
+    val line = sym((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val seeds = Seq(0L, 4L).toDF("id")
+    val got = Graph.bfsDistances(line, "src", "dst", seeds, "id", maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L), got.toString)
+  }
+
+  test("triangleStats: triangle + pendant edge, direction/duplicate tolerant") {
+    // triangle 1-2-3 plus pendant 3-4; fed with both directions and a dup
+    val edges = sym((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .unionAll(Seq((2L, 1L)).toDF("src", "dst"))
+    val r = Graph.triangleStats(edges, "src", "dst").head()
+    // degs: 1→2, 2→2, 3→3, 4→1; wedges = 1+1+3+0 = 5; clustering = 3/5
+    assert(r.getLong(0) == 4L, s"n_nodes ${r.getLong(0)}")
+    assert(r.getLong(1) == 4L, s"n_edges ${r.getLong(1)}")
+    assert(r.getLong(2) == 5L, s"n_wedges ${r.getLong(2)}")
+    assert(r.getLong(3) == 1L, s"n_triangles ${r.getLong(3)}")
+    assert(r.getDouble(4) == 0.6, s"clustering ${r.getDouble(4)}")
+  }
+
+  test("triangleStats: K4 has 4 triangles; triangle-free bipartite has 0") {
+    val k4 = sym((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val rk4 = Graph.triangleStats(k4, "src", "dst").head()
+    assert(rk4.getLong(3) == 4L, rk4.toString)
+    assert(rk4.getDouble(4) == 1.0, rk4.toString)
+    val bip = sym((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+    val rb = Graph.triangleStats(bip, "src", "dst").head()
+    assert(rb.getLong(3) == 0L, rb.toString)
+  }
+
   test("pageRank: matches a hand-rolled reference iteration on a random graph") {
     val rnd = new scala.util.Random(42)
     val pairs = Seq.tabulate(30)(_ =>

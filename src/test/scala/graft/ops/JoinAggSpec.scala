@@ -78,6 +78,29 @@ class JoinAggSpec extends SparkSpec {
     assert(got(3).getLong(0) == 9L && got(3).getString(1) == "inserted")   // inserted
   }
 
+  test("upsertWithCdf: pre/post pairs for changes, inserts for new keys, silence for no-ops") {
+    val target = Seq((1L, "old1", 10.0), (2L, "old2", 20.0), (3L, "old3", 30.0))
+      .toDF("id", "commessa", "ore")
+    val updates = Seq(
+      (2L, "new2", 99.0),  // real change → pre + post
+      (3L, "old3", 30.0),  // no-op → NOTHING
+      (9L, "ins", 1.0))    // new key → insert
+      .toDF("id", "commessa", "ore")
+    val got = MergeUpdate.upsertWithCdf(target, updates, Seq("id"),
+        Map("commessa" -> "commessa", "ore" -> "ore"))
+      .orderBy("id", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (2L, "new2", 99.0, "update_postimage"), // 'post' sorts before 'pre'
+      (2L, "old2", 20.0, "update_preimage"),
+      (9L, "ins", 1.0, "insert")), got.toSeq.toString)
+    // replaying the applied state produces an empty feed (replay safety)
+    val applied = MergeUpdate.upsert(target, updates, Seq("id"),
+      Map("commessa" -> "commessa", "ore" -> "ore"))
+    assert(MergeUpdate.upsertWithCdf(applied, updates, Seq("id"),
+      Map("commessa" -> "commessa", "ore" -> "ore")).count() == 0)
+  }
+
   test("SCD2: changed keys close+reopen, unchanged untouched, new keys insert, history passes through") {
     val d = java.sql.Date.valueOf(_: String)
     val dim = Seq(

@@ -73,4 +73,65 @@ class SketchesSpec extends SparkSpec {
       .head().getDouble(1)
     assert(a == b)
   }
+
+  test("cms: one-sided — estimate >= exact count for every key") {
+    // 40 keys with zipf-ish frequencies into a width-16 sketch: collisions
+    // guaranteed, so some estimates overshoot; none may undershoot
+    val rows = (1 to 40).flatMap(k => (1 to (41 - k)).map(_ => s"key$k"))
+    val df = rows.toDF("v")
+    val counters = Sketches.cmsCounters(df, col("v"), depth = 4, width = 16)
+    val exact = df.groupBy("v").agg(count(lit(1)).as("exact"))
+    val got = Sketches.cmsEstimate(counters, exact, "v", depth = 4, width = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 40)
+    got.foreach { case (k, ex, est) =>
+      assert(est >= ex, s"$k: est $est < exact $ex")
+    }
+    assert(got.exists { case (_, ex, est) => est > ex },
+      "width 16 over 40 keys should collide somewhere")
+  }
+
+  test("cms: exact when the grid is collision-free, absent keys probe 0") {
+    val df = (1 to 5).flatMap(k => (1 to k).map(_ => s"k$k")).toDF("v")
+    val counters = Sketches.cmsCounters(df, col("v"), depth = 4, width = 4096)
+    val keys = ((1 to 5).map(k => s"k$k") :+ "never-seen").toDF("v")
+    val got = Sketches.cmsEstimate(counters, keys, "v", depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (1 to 5).foreach(k => assert(got(s"k$k") == k))
+    assert(got("never-seen") == 0L)
+  }
+
+  test("cms: counters are partitioning-invariant (mergeable)") {
+    val df = (1 to 2000).map(i => s"v${i % 97}").toDF("v")
+    val one = Sketches.cmsCounters(df.coalesce(1), col("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val many = Sketches.cmsCounters(df.repartition(7), col("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(one == many)
+  }
+
+  test("kmv: exact below k, within 3/sqrt(k) above, partitioning-invariant") {
+    val rows = (1 to 30).map(i => ("small", s"s$i")) ++
+      (1 to 5000).map(i => ("big", s"b$i"))
+    val df = rows.toDF("g", "v")
+    val got = Sketches.kmvDistinct(df, "g", col("v"), k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("small") == ((30L, 30.0)), "below k the sketch is exact")
+    val (kept, est) = got("big")
+    assert(kept == 64L)
+    val err = math.abs(est - 5000.0) / 5000.0
+    assert(err < 3.0 / math.sqrt(64.0), s"est $est err $err")
+    val shuffled = Sketches.kmvDistinct(df.repartition(7), "g", col("v"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(shuffled("big") == est, "min-k of a union merges deterministically")
+  }
+
+  test("kmv: duplicates don't move the estimate") {
+    val base = (1 to 300).map(i => ("g", s"x$i"))
+    val a = Sketches.kmvDistinct(base.toDF("g", "v"), "g", col("v"))
+      .head().getDouble(2)
+    val b = Sketches.kmvDistinct((base ++ base).toDF("g", "v"), "g", col("v"))
+      .head().getDouble(2)
+    assert(a == b)
+  }
 }

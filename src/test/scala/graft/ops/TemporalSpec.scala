@@ -100,4 +100,27 @@ class TemporalSpec extends SparkSpec {
     // every fact survives exactly once (validity intervals don't overlap)
     assert(Temporal.pointInTimeJoin(facts, dim, "fk", "k", "ts", "vf", "vt").count() == 4)
   }
+
+  test("gapFillDaily: per-key spine, forward fill, leading gap stays null") {
+    import java.sql.Date
+    val d = (s: String) => Date.valueOf(s)
+    val obs = Seq(
+      ("a", d("2024-01-01"), 1.0),
+      ("a", d("2024-01-04"), 4.0), // 2 gap days between
+      ("b", d("2024-01-10"), 9.0)  // single-day key: no spine growth
+    ).toDF("k", "day", "v")
+    val got = Temporal.gapFillDaily(obs, "k", "day", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((Option(r.get(2)), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got.size == 5, s"a spans 4 days + b spans 1: $got")
+    assert(got(("a", "2024-01-01")) == ((Some(1.0), 1.0, false)))
+    assert(got(("a", "2024-01-02")) == ((None, 1.0, true)))
+    assert(got(("a", "2024-01-03")) == ((None, 1.0, true)))
+    assert(got(("a", "2024-01-04")) == ((Some(4.0), 4.0, false)))
+    assert(got(("b", "2024-01-10")) == ((Some(9.0), 9.0, false)))
+    // keys never bleed into each other's date ranges
+    assert(!got.contains(("b", "2024-01-01")))
+  }
 }

@@ -371,4 +371,36 @@ class TextAnalysisSpec extends SparkSpec {
       .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
     assert(leaked == 0)
   }
+
+  test("invertedIndex: df bounds applied before collection, postings id-ordered") {
+    val docs = Seq(
+      (3L, "red fish blue fish"),
+      (1L, "red fish swims"),
+      (2L, "blue sky")
+    ).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", "text", n = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(idx("fish") == ((2L, "1;3")), "numeric id order, distinct per doc")
+    assert(idx("red") == ((2L, "1;3")))
+    assert(idx("blue") == ((2L, "2;3")))
+    assert(idx("sky") == ((1L, "2")))
+    val capped = TextAnalysis.invertedIndex(docs, "doc_id", "text", n = 1,
+        minDf = 2, maxDf = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(capped == Set("fish", "red", "blue"), capped.toString)
+  }
+
+  test("phraseSearch: consecutive-token matches only, overlaps counted") {
+    val docs = Seq(
+      (1L, "a b a b a"), // "a b a" occurs twice (overlapping)
+      (2L, "a x b a"),   // tokens present but never consecutive
+      (3L, "b a b")      // contains "a b" once, not "a b a"
+    ).toDF("doc_id", "text")
+    val hits = TextAnalysis.phraseSearch(docs, "doc_id", "text", Seq("a", "b", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 2L), hits.toString)
+    val pair = TextAnalysis.phraseSearch(docs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pair == Map(1L -> 2L, 3L -> 1L), pair.toString)
+  }
 }
