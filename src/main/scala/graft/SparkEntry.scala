@@ -2045,6 +2045,34 @@ object SparkEntry {
     // third member of the iterative-graph family (CC = reachability,
     // PageRank = centrality, LPA = community structure); deterministic
     // min-label tie-break makes the fixed-iteration run reproducible ─────
+    // ───── trailing z-score anomaly detection: each daily point scored
+    // against its own trailing-7 window (leave-current-out, so a spike
+    // can't dilute its own baseline); ONE bounded-frame window per key —
+    // never a history self-join ─────
+    "q154_anomaly_zscore" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      Temporal.anomalyZScores(daily, "user_id", "day", "v")
+        .orderBy("user_id", "day")
+    },
+
+    // ───── k-core peel over the part co-purchase graph: 3 delete-rounds
+    // of degree-<4 nodes — dense-community extraction, the fifth member
+    // of the iterative-graph family ─────
+    "q155_kcore" -> { (s, dir) =>
+      val pr = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pr.as("x").join(pr.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graph.kCore(pairs, "a", "b", k = 4, rounds = 3)
+        .orderBy("node")
+    },
+
     // ───── MERGE with change-data-feed output: the upsert's changes as
     // a Delta/Debezium-shaped feed — insert rows, update pre/post image
     // pairs, and NOTHING for no-op updates (replay-safe); one full-outer
@@ -3536,6 +3564,36 @@ object SparkEntry {
     "q144_cms_heavy_hitters" -> cmsOracle,
     // streaming counters ≡ batch counters (sums merge across batches)
     "q153_stream_cms" -> cmsOracle,
+
+    // leave-current-out trailing window; μ/σ rounded before the division
+    "q154_anomaly_zscore" ->
+      ("WITH o AS (SELECT user_id, ts::DATE AS day, round(sum(value), 2) AS v " +
+        "FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT user_id, day, v, round(avg(v) OVER win, 6) AS mu, " +
+        "round(stddev_samp(v) OVER win, 6) AS sigma, count(v) OVER win AS n " +
+        "FROM o WINDOW win AS (PARTITION BY user_id ORDER BY day " +
+        "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT user_id, day, v, mu, sigma, CASE WHEN sigma > 0 " +
+        "THEN round((v - mu) / sigma, 6) END AS zscore " +
+        "FROM w WHERE n >= 4 AND ((sigma > 0 " +
+        "AND abs(round((v - mu) / sigma, 6)) >= 2) " +
+        "OR (sigma = 0 AND v <> mu)) ORDER BY 1, 2"),
+
+    // 3 unrolled peel rounds (degree < 4 deleted with its edges)
+    "q155_kcore" -> {
+      val peel = (r: Int) =>
+        s"k$r AS (SELECT src FROM s${r - 1} GROUP BY src HAVING count(*) >= 4), " +
+          s"s$r AS (SELECT s.src, s.dst FROM s${r - 1} s " +
+          s"JOIN k$r x ON s.src = x.src JOIN k$r y ON s.dst = y.src), "
+      "WITH pr AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem " +
+        "GROUP BY 1, 2), " +
+        "e0 AS (SELECT a.p AS a, b.p AS b FROM pr a JOIN pr b " +
+        "ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "s0 AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
+        (1 to 3).map(peel).mkString.stripSuffix(", ") + " " +
+        "SELECT src AS node, count(*)::BIGINT AS deg FROM s3 " +
+        "GROUP BY 1 ORDER BY 1"
+    },
 
     // the upsert's change feed: pre/post pairs for real changes, insert
     // rows for unseen keys, silence for no-op updates

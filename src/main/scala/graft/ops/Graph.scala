@@ -186,6 +186,45 @@ object Graph {
           .as("global_clustering"))
   }
 
+  /** k-core peel: repeatedly delete nodes of degree < `k` (with their
+    * edges) for `rounds` fixed iterations, then report the surviving
+    * nodes with their in-subgraph degree. After enough rounds this is
+    * the k-core (the maximal subgraph of min-degree ≥ k) — the standard
+    * dense-community / spam-farm extraction; fixed rounds keep the run
+    * engine-reproducible and bounded, like the rest of the iterative
+    * family (a converged peel is reached when a round deletes nothing).
+    *
+    * Scale shape: per round ONE degree hash-aggregate (map-side combined)
+    * and two semi-joins of the edge list against the surviving-node set —
+    * all keyed on node id; the edge list shrinks monotonically. The edge
+    * table is referenced three times per round, so it is lazily
+    * checkpointed each round (same lineage-doubling hazard as
+    * [[bfsDistances]]). */
+  def kCore(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      rounds: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      sym = sym
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(false)
+    }
+    sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   def labelPropagation(
       edges: DataFrame,
       srcCol: String,

@@ -152,4 +152,45 @@ object Temporal {
         last(col(valueCol), ignoreNulls = true).over(w))
       .withColumn("is_gap", col(valueCol).isNull)
   }
+
+  /** Trailing z-score anomaly detection over a (key, order, value)
+    * series: each point is scored against the mean/stddev of its own
+    * trailing `lookback` points (EXCLUDING itself — the classic
+    * leave-current-out control chart, so a spike can't dilute its own
+    * baseline). Emits only flagged rows: |z| ≥ `zThreshold` with at least
+    * `minPrior` prior points — plus the σ = 0 degenerate case (a FLAT
+    * baseline followed by any deviation is the most obvious anomaly, yet
+    * its z is undefined: those rows flag with a null `zscore` instead of
+    * silently passing). μ/σ are 6dp-rounded BEFORE the z division and the
+    * threshold tests the rounded z — the cross-engine float contract used
+    * throughout (both engines fold the ≤`lookback`-row frame in frame
+    * order).
+    *
+    * Scale shape: ONE bounded-frame window per key — state is `lookback`
+    * rows however long the series; keys parallelize. No self-join of the
+    * series against its own history (the O(n·lookback) join formulation
+    * this replaces). */
+  def anomalyZScores(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      lookback: Int = 7,
+      minPrior: Int = 4,
+      zThreshold: Double = 2.0): DataFrame = {
+    val win = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(-lookback, -1)
+    val v = col(valueCol)
+    val scored = df.select(col(keyCol), col(orderCol), v,
+      round(avg(v).over(win), 6).as("mu"),
+      round(stddev_samp(v).over(win), 6).as("sigma"),
+      count(v).over(win).as("_n"))
+    scored
+      .withColumn("zscore",
+        when(col("sigma") > 0, round((v - col("mu")) / col("sigma"), 6)))
+      .filter(col("_n") >= minPrior &&
+        ((col("sigma") > 0 && abs(col("zscore")) >= zThreshold) ||
+          (col("sigma") === 0 && v =!= col("mu"))))
+      .drop("_n")
+  }
 }

@@ -99,6 +99,25 @@ class GraphSpec extends SparkSpec {
     assert(rb.getLong(3) == 0L, rb.toString)
   }
 
+  test("kCore: pendant chain peels away, the dense core survives with in-core degrees") {
+    // K4 core (1,2,3,4) with a pendant path 4-5-6: k=3 peel removes 6,
+    // then 5; node 4's degree drops back to 3 (in-core only)
+    val edges = sym((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = Graph.kCore(edges, "src", "dst", k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+    // k above the max core → empty
+    assert(Graph.kCore(edges, "src", "dst", k = 4, rounds = 3).count() == 0)
+  }
+
+  test("kCore: cascade — each round's deletions can drop the next node under k") {
+    // path 1-2-3-4-5: k=2 peels endpoints each round until nothing is left
+    val path = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(Graph.kCore(path, "src", "dst", k = 2, rounds = 1).count() == 3)
+    assert(Graph.kCore(path, "src", "dst", k = 2, rounds = 2).count() == 0)
+  }
+
   test("pageRank: matches a hand-rolled reference iteration on a random graph") {
     val rnd = new scala.util.Random(42)
     val pairs = Seq.tabulate(30)(_ =>

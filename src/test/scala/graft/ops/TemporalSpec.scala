@@ -123,4 +123,33 @@ class TemporalSpec extends SparkSpec {
     // keys never bleed into each other's date ranges
     assert(!got.contains(("b", "2024-01-01")))
   }
+
+  test("anomalyZScores: spike flagged against its own trailing baseline only") {
+    import java.sql.Date
+    val d = (i: Int) => Date.valueOf(f"2024-01-$i%02d")
+    // key a: flat 10s then a spike; key b: flat — never flagged
+    val rows = (1 to 8).map(i => ("a", d(i), 10.0)) ++
+      Seq(("a", d(9), 100.0)) ++
+      (10 to 12).map(i => ("a", d(i), 10.0)) ++
+      (1 to 9).map(i => ("b", d(i), 5.0))
+    val df = rows.toDF("k", "day", "v")
+    val got = Temporal.anomalyZScores(df, "k", "day", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    // the spike over a FLAT baseline is the σ = 0 degenerate flag (null
+    // z); post-spike 10s are NOT flagged — one spike in the trailing
+    // window inflates σ so much that |z| < 2 (the control-chart blind
+    // spot, deliberate). Key b is flat (v == μ) and never flags.
+    assert(got.toSeq == Seq(("a", "2024-01-09", None)), got.mkString(","))
+  }
+
+  test("anomalyZScores: fewer than minPrior points never flags") {
+    import java.sql.Date
+    val df = Seq(
+      ("k", Date.valueOf("2024-01-01"), 1.0),
+      ("k", Date.valueOf("2024-01-02"), 1.0),
+      ("k", Date.valueOf("2024-01-03"), 100.0)).toDF("k", "day", "v")
+    assert(Temporal.anomalyZScores(df, "k", "day", "v").count() == 0)
+  }
 }
