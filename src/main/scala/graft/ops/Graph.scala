@@ -88,8 +88,10 @@ object Graph {
     *
     * Scale shape: same skeleton as [[pageRank]] — edges materialized once
     * pre-partitioned on src; per round, one (dst, label) hash-aggregate
-    * with map-side combine and one per-dst window bounded by the node's
-    * distinct neighbor-label count. */
+    * with map-side combine, then the winning label per dst via a
+    * `max_by(label, (n, −label))` hash-aggregate — a sort-free argmax
+    * with one (n, label) pair of state per node, replacing a rank window
+    * that sorted every node's neighbor-label list. */
   /** Multi-source BFS: unit-weight shortest hop count from any seed,
     * capped at `maxHops` rounds (nodes farther than the cap are absent
     * from the output — the fixed-frontier form production link-graphs
@@ -242,15 +244,18 @@ object Graph {
       } finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
     var labels = edgeP.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("dst").orderBy(col("n").desc, col("label"))
     for (_ <- 1 to iterations) {
       labels = edgeP
         .join(labels, col("src") === col("id"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        // argmax by (count DESC, label ASC): lexicographic struct max on
+        // (n, -label) — a sort-free hash-aggregate whose state is one
+        // (n, label) pair per node, where the rank-window formulation it
+        // replaces sorted every node's neighbor-label list
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"),
+          struct(col("n"), (-col("label")).as("nl"))).as("label"))
         .select(col("dst").as("id"), col("label"))
     }
     labels

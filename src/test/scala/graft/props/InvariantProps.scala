@@ -397,4 +397,35 @@ object InvariantProps extends Properties("graft.invariants") {
       val subset = got.forall { case (g, id) => rows.exists(r => r._1 == id && r._2 == g) }
       sizesOk && subset && got == again
     }
+
+  property("cms is one-sided (est >= exact) and partitioning-invariant") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1, 40)), Gen.choose(1, 6)) { (keys, parts) =>
+      import spark.implicits._
+      val df = keys.map(k => s"key$k").toDF("v")
+      val counters = graft.ops.Sketches.cmsCounters(
+        df.repartition(parts), col("v"), depth = 3, width = 8)
+      val exact = df.groupBy("v").agg(count(lit(1)).as("exact"))
+      val got = graft.ops.Sketches.cmsEstimate(
+          counters, exact, "v", depth = 3, width = 8)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val oneSided = got.forall { case (ex, est) => est >= ex }
+      val again = graft.ops.Sketches.cmsCounters(
+          df.coalesce(1), col("v"), depth = 3, width = 8)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val stable = counters.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet == again
+      oneSided && stable
+    }
+
+  property("kmv: exact below k, estimate within 4/sqrt(k) above, merge-stable") =
+    forAll(Gen.choose(1, 600), Gen.choose(1, 6)) { (card, parts) =>
+      import spark.implicits._
+      val k = 32
+      val df = (1 to card).map(i => ("g", s"item$i")).toDF("g", "v")
+      val r = graft.ops.Sketches.kmvDistinct(df.repartition(parts), "g", col("v"), k)
+        .head()
+      val (kept, est) = (r.getLong(1), r.getDouble(2))
+      if (card < k) kept == card && est == card.toDouble
+      else kept == k && math.abs(est - card) / card < 4.0 / math.sqrt(k)
+    }
 }
