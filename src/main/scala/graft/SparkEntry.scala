@@ -2045,6 +2045,50 @@ object SparkEntry {
     // third member of the iterative-graph family (CC = reachability,
     // PageRank = centrality, LPA = community structure); deterministic
     // min-label tie-break makes the fixed-iteration run reproducible ─────
+    // ───── histogram quantile sketch: 1024 equal-width bins between the
+    // global min/max, quantiles interpolated off the cumulative counts —
+    // the fourth mergeable sketch (HLL, CMS, KMV, histogram), oracle-able
+    // where percentile_approx's state is engine-private; reported beside
+    // the exact interpolated percentile with abs_err ─────
+    "q156_histogram_quantiles" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val ps = Seq(0.5, 0.9, 0.99)
+      val est = Sketches.histogramQuantiles(li, col("l_extendedprice"), ps)
+      val exact = li
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))")
+          .as("exs"))
+        .select(posexplode(col("exs")).as(Seq("i", "ex")))
+        .select(element_at(lit(ps.toArray), col("i") + 1).as("p"),
+          round(col("ex"), 6).as("exact"))
+      est.join(exact, "p")
+        .withColumn("abs_err", round(abs(col("hq_est") - col("exact")), 6))
+        .orderBy("p")
+    },
+
+    // ───── blocked fuzzy record linkage: customer pairs within a nation
+    // block whose names are ≤2 edits apart — entity resolution's near-dup
+    // shape: the pair space is the block equi-join, the edit distance a
+    // codegen'd residual, never n² over the table ─────
+    "q157_fuzzy_link" -> { (s, dir) =>
+      Dedup.fuzzyPairs(t(s, dir, "customer"), "c_custkey", "c_name",
+          "c_nationkey", maxDist = 2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ───── distribution window functions: ntile / percent_rank /
+    // cume_dist over per-segment balance order — completes the window
+    // surface (ranking + analytic + frame + distribution) ─────
+    "q158_window_distribution" -> { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("c_custkey")
+    },
+
     // ───── trailing z-score anomaly detection: each daily point scored
     // against its own trailing-7 window (leave-current-out, so a spike
     // can't dilute its own baseline); ONE bounded-frame window per key —
@@ -3564,6 +3608,49 @@ object SparkEntry {
     "q144_cms_heavy_hitters" -> cmsOracle,
     // streaming counters ≡ batch counters (sums merge across batches)
     "q153_stream_cms" -> cmsOracle,
+
+    // same 1024-bin grid + cumulative fold + interpolation arithmetic;
+    // exact side is quantile_cont ≡ Spark's interpolated percentile()
+    "q156_histogram_quantiles" ->
+      ("WITH b AS (SELECT min(l_extendedprice)::DOUBLE AS lo, " +
+        "max(l_extendedprice)::DOUBLE AS hi, count(*)::BIGINT AS n FROM lineitem), " +
+        "bb AS (SELECT CASE WHEN b.hi = b.lo THEN 0 ELSE least(1023, " +
+        "floor((l_extendedprice - b.lo) / ((b.hi - b.lo) / 1024))::INT) END AS bin " +
+        "FROM lineitem, b), " +
+        "c AS (SELECT bin, count(*)::BIGINT AS cnt FROM bb GROUP BY 1), " +
+        "cc AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM c), " +
+        "p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p), " +
+        "sel AS (SELECT p.p, b.lo, b.hi, b.n, min(cc.bin) AS bin " +
+        "FROM p CROSS JOIN b CROSS JOIN cc " +
+        "WHERE cc.cum >= p.p * b.n GROUP BY 1, 2, 3, 4), " +
+        "f AS (SELECT s.p, round(CASE WHEN s.hi = s.lo THEN s.lo ELSE s.lo + " +
+        "((s.hi - s.lo) / 1024) * (s.bin + (s.p * s.n - (cc.cum - cc.cnt)) / cc.cnt) " +
+        "END, 6) AS hq_est FROM sel s JOIN cc ON cc.bin = s.bin), " +
+        "x0 AS (SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS q1, " +
+        "round(quantile_cont(l_extendedprice, 0.9), 6) AS q2, " +
+        "round(quantile_cont(l_extendedprice, 0.99), 6) AS q3 FROM lineitem), " +
+        "x AS (SELECT unnest([0.5, 0.9, 0.99]) AS p, " +
+        "unnest([q1, q2, q3]) AS exact FROM x0) " +
+        "SELECT f.p, f.hq_est, x.exact, round(abs(f.hq_est - x.exact), 6) " +
+        "AS abs_err FROM f JOIN x USING (p) ORDER BY p"),
+
+    // block equi-join + levenshtein residual, identical semantics
+    "q157_fuzzy_link" ->
+      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "levenshtein(a.c_name, b.c_name)::INT AS dist " +
+        "FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey " +
+        "AND a.c_custkey < b.c_custkey " +
+        "WHERE levenshtein(a.c_name, b.c_name) <= 2 ORDER BY 1, 2"),
+
+    // same total order inside each segment
+    "q158_window_distribution" ->
+      ("SELECT c_custkey, c_mktsegment, c_acctbal, " +
+        "ntile(4) OVER w AS quartile, " +
+        "round(percent_rank() OVER w, 6) AS pct_rank, " +
+        "round(cume_dist() OVER w, 6) AS cume " +
+        "FROM customer WINDOW w AS (PARTITION BY c_mktsegment " +
+        "ORDER BY c_acctbal, c_custkey) ORDER BY c_custkey"),
 
     // leave-current-out trailing window; μ/σ rounded before the division
     "q154_anomaly_zscore" ->

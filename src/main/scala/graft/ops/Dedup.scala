@@ -471,6 +471,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_flagged"))
   }
 
+  /** Blocked fuzzy record linkage: candidate pairs within a blocking key
+    * whose `nameCol` edit distance is ≤ `maxDist` — the classic entity-
+    * resolution shape (near-dup for RECORDS rather than documents).
+    * Returns (id_a, id_b, dist) with id_a < id_b.
+    *
+    * Scale shape: the pair space is an equi-join on the blocking key —
+    * only same-block rows ever meet, exactly like the MinHash bands /
+    * IVF cells elsewhere in this file; the edit distance is a codegen'd
+    * residual on the joined pairs, never a driver loop. Blocking quality
+    * is the caller's lever: a block of size b costs b² candidate pairs
+    * (use [[graft.ops.Profile.skewProfile]] on the block key first). */
+  def fuzzyPairs(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockCol: String,
+      maxDist: Int = 2): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
+      col(nameCol).as("name_a"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
+      col(nameCol).as("name_b"))
+    a.join(b, "blk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Canonical-document selection (the "which copy survives" step after
     * clustering): join [[connectedComponents]] labels (id, rep) with a
     * per-doc quality score and keep each cluster's best member — max

@@ -132,6 +132,56 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** Fixed-width histogram quantile sketch: `bins` equal-width buckets
+    * between the column's min and max, quantiles read off the cumulative
+    * histogram with linear interpolation inside the landing bin. Returns
+    * one row per requested probability — (p, hq_est). Like every sketch
+    * here the estimate is deterministic on any engine/partitioning: the
+    * bin arithmetic is plain double math on values both engines read
+    * identically, and the cumulative fold runs in bin order.
+    *
+    * Scale shape: TWO aggregate passes (global min/max, then per-bin
+    * counts — ≤ `bins` rows out of the partial aggregation regardless of
+    * input size; the classic mergeable histogram), a cumulative window
+    * over the ≤`bins`-row count table (bounded by the sketch width, not
+    * the data), and a probs×bins threshold join. Where
+    * `percentile_approx`'s state is engine-private, this sketch is
+    * oracle-able bit for bit. */
+  def histogramQuantiles(
+      df: DataFrame,
+      value: Column,
+      probs: Seq[Double],
+      bins: Int = 1024): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      "probs in (0, 1)")
+    require(bins >= 2, "bins >= 2")
+    val bounds = df.agg(min(value).cast(DoubleType).as("lo"),
+      max(value).cast(DoubleType).as("hi"), count(value).as("n"))
+    val binned = df.select(value.cast(DoubleType).as("v"))
+      .crossJoin(broadcast(bounds))
+      .select(when(col("hi") === col("lo"), lit(0)) // degenerate: one bin
+        .otherwise(least(lit(bins - 1), floor((col("v") - col("lo")) /
+          ((col("hi") - col("lo")) / bins)).cast("int"))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = binned.withColumn("cum", sum(col("cnt")).over(w))
+    val ps = probs.map(p => lit(p))
+    val probDf = df.sparkSession.range(1).select(
+      explode(array(ps: _*)).as("p"))
+    probDf.crossJoin(broadcast(bounds))
+      .join(broadcast(cum), col("cum") >= col("p") * col("n"))
+      .groupBy("p", "lo", "hi", "n")
+      .agg(min_by(struct(col("bin"), col("cnt"), col("cum")), col("bin"))
+        .as("b"))
+      .select(col("p"), round(when(col("hi") === col("lo"), col("lo"))
+        .otherwise(col("lo") +
+          ((col("hi") - col("lo")) / bins) * (col("b.bin") +
+            (col("p") * col("n") - (col("b.cum") - col("b.cnt"))) /
+              col("b.cnt"))),
+        6).as("hq_est"))
+  }
+
   /** KMV (k-minimum-values) distinct estimate per group: keep the k
     * smallest distinct 60-bit hashes of `value`; with the k-th smallest at
     * h₍ₖ₎ in a domain of 2⁶⁰, the unbiased estimate is

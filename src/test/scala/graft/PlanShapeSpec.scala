@@ -568,6 +568,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.size <= 3, s"unexpected shuffles (${shuffles.size}):\n$plan")
   }
 
+  test("fuzzy link: pairs ride the block equi join — edit distance is a residual, no nested loop") {
+    val plan = executed(SparkEntry.queries("q157_fuzzy_link")(spark, dir))
+    assert(collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no BNLJ/cartesian allowed:\n$plan")
+    val joins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected the block equi join:\n$plan")
+  }
+
   test("kmv: bottom-k runs on the custom TopKPerKey operator, not a sort+window") {
     val df = ops.Sketches.kmvDistinct(
       ops.Sources.table(spark, dir, "events"), "event_type",

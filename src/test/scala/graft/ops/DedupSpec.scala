@@ -200,6 +200,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyPairs: blocked edit-distance linkage, cross-block pairs never meet") {
+    val recs = Seq(
+      (1L, "smith john", "A"),
+      (2L, "smith jonh", "A"), // transposition: dist 2
+      (3L, "smith joan", "A"), // one substitution from 1
+      (4L, "wholly different", "A"),
+      (5L, "smith john", "B")  // identical to 1 but other block
+    ).toDF("id", "name", "blk")
+    val got = Dedup.fuzzyPairs(recs, "id", "name", "blk", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), got.toString)
+    assert(got((1L, 2L)) == 2 && got((1L, 3L)) == 1, got.toString)
+    assert(!got.contains((1L, 5L)), "blocking must prevent cross-block pairs")
+  }
+
   test("canonicalPerCluster: max quality wins, ties break to min id") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))

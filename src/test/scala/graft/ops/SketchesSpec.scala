@@ -126,6 +126,29 @@ class SketchesSpec extends SparkSpec {
     assert(shuffled("big") == est, "min-k of a union merges deterministically")
   }
 
+  test("histogramQuantiles: tracks exact quantiles on a uniform column") {
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+    val got = Sketches.histogramQuantiles(df, col("v"), Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // uniform 1..10000 → true quantile ≈ p * 10000; bin width ~9.77 bounds
+    // the interpolation error well under one bin
+    Seq(0.5 -> 5000.0, 0.9 -> 9000.0, 0.99 -> 9900.0).foreach { case (p, want) =>
+      assert(math.abs(got(p) - want) < 10.0, s"p=$p: ${got(p)} vs $want")
+    }
+    // partitioning-invariant (mergeable histogram)
+    val again = Sketches.histogramQuantiles(
+        df.repartition(7), col("v"), Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got == again)
+  }
+
+  test("histogramQuantiles: constant column collapses to that value") {
+    val df = Seq.fill(50)(42.0).toDF("v")
+    val got = Sketches.histogramQuantiles(df, col("v"), Seq(0.5, 0.9))
+      .collect().map(_.getDouble(1))
+    assert(got.forall(_ == 42.0), got.mkString(","))
+  }
+
   test("kmv: duplicates don't move the estimate") {
     val base = (1 to 300).map(i => ("g", s"x$i"))
     val a = Sketches.kmvDistinct(base.toDF("g", "v"), "g", col("v"))
