@@ -2045,6 +2045,80 @@ object SparkEntry {
     // third member of the iterative-graph family (CC = reachability,
     // PageRank = centrality, LPA = community structure); deterministic
     // min-label tie-break makes the fixed-iteration run reproducible ─────
+    // ───── Hilbert vs Morton layout quality: fifth codegen'd expression
+    // (HilbertIndex — per-bit frame rotation carries state no when-chain
+    // expresses without exponential blowup). Buckets are UNALIGNED
+    // curve-range cuts (half-bucket offset), the shape real file splits
+    // take: aligned power-of-4 blocks are identical squares for both
+    // curves, but at unaligned cuts Morton's seam jumps splice far-apart
+    // rectangles into one file while Hilbert's runs stay connected —
+    // measured here as ~2× smaller avg x-extent per bucket ─────
+    "q161_hilbert_layout" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select((col("l_partkey") % 2048).as("x"),
+          (col("l_orderkey") % 2048).as("y"))
+      def stats(name: String, idx: org.apache.spark.sql.Column): DataFrame =
+        li.withColumn("b", shiftright(idx + 32768L, 16))
+          .groupBy("b")
+          .agg((max("x") - min("x")).as("xe"), (max("y") - min("y")).as("ye"))
+          .agg(count(lit(1)).as("n_buckets"),
+            round(avg("xe"), 6).as("avg_x_extent"),
+            round(avg("ye"), 6).as("avg_y_extent"),
+            max("xe").as("max_x_extent"), max("ye").as("max_y_extent"))
+          .select(lit(name).as("curve"), col("n_buckets"),
+            col("avg_x_extent"), col("avg_y_extent"),
+            col("max_x_extent"), col("max_y_extent"))
+      stats("hilbert", Layout.hilbertValue(col("x"), col("y"), bits = 11))
+        .unionByName(stats("morton", Layout.zValue(col("x"), col("y"), bits = 11)))
+        .orderBy("curve")
+    },
+
+    // ───── additive MERGE (incremental view maintenance): a per-customer
+    // sales store materialized from pre-cutoff history, the post-cutoff
+    // batch merged in as partial-aggregate ADDs — nightly-incremental ≡
+    // full-recompute for distributive aggregates, without rescanning
+    // history ─────
+    "q159_additive_merge" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val cut = lit("1999-01-01").cast("timestamp")
+      def agg(df: DataFrame) = df.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+      val store = agg(orders.filter(col("o_orderdate") < cut))
+      val delta = agg(orders.filter(col("o_orderdate") >= cut))
+      MergeUpdate.mergeAdditive(store, delta, Seq("o_custkey"),
+          Map("n_orders" -> "n_orders", "sum_price" -> "sum_price"))
+        .orderBy("o_custkey")
+    },
+
+    // ───── referential-integrity audit: orphan counts for every foreign
+    // key in the star schema — four anti-joins, each a bounded (fk, key)
+    // shuffle; the pre-flight a 100 TB join pipeline runs before trusting
+    // inner joins not to silently drop rows ─────
+    "q160_fk_audit" -> { (s, dir) =>
+      def audit(name: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame = {
+        val c = child.select(col(key).as("k"))
+        val orphans = c.join(parent.select(col(pkey).as("k")), Seq("k"),
+          "left_anti")
+        c.agg(count(lit(1)).as("n_rows"),
+            count_distinct(col("k")).as("n_keys"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_rows"),
+            count_distinct(col("k")).as("n_orphan_keys")))
+          .select(lit(name).as("fk"), col("n_rows"), col("n_keys"),
+            col("n_orphan_rows"), col("n_orphan_keys"))
+      }
+      val li = t(s, dir, "lineitem")
+      audit("lineitem.orderkey", li, "l_orderkey", t(s, dir, "orders"), "o_orderkey")
+        .unionByName(audit("lineitem.partkey", li, "l_partkey",
+          t(s, dir, "part"), "p_partkey"))
+        .unionByName(audit("lineitem.suppkey", li, "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(audit("orders.custkey", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"))
+        .orderBy("fk")
+    },
+
     // ───── histogram quantile sketch: 1024 equal-width bins between the
     // global min/max, quantiles interpolated off the cumulative counts —
     // the fourth mergeable sketch (HLL, CMS, KMV, histogram), oracle-able
@@ -3608,6 +3682,74 @@ object SparkEntry {
     "q144_cms_heavy_hitters" -> cmsOracle,
     // streaming counters ≡ batch counters (sums merge across batches)
     "q153_stream_cms" -> cmsOracle,
+
+    // 11 unrolled Hilbert steps (rotate/reflect state per bit) + the
+    // Morton interleave; identical half-bucket-offset cuts and extent
+    // aggregates (x0/y0 = the original point, x/y = the rotating frame)
+    "q161_hilbert_layout" -> {
+      val z = (0 until 11).map(i =>
+        s"(((x0 >> $i) & 1) << ${2 * i}) + (((y0 >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      val steps = (0 until 11).map { k =>
+        val s = 1L << (10 - k)
+        s"h${k + 1} AS (SELECT x0, y0, " +
+          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END) " +
+          "ELSE x END AS x, " +
+          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END) " +
+          "ELSE y END AS y, " +
+          s"d + ${s * s} * xor(3 * rx, ry) AS d " +
+          s"FROM (SELECT *, CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx, " +
+          s"CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry FROM h$k)), "
+      }.mkString
+      "WITH pts AS (SELECT (l_partkey % 2048)::BIGINT AS x0, " +
+        "(l_orderkey % 2048)::BIGINT AS y0 FROM lineitem), " +
+        "h0 AS (SELECT x0, y0, x0 AS x, y0 AS y, 0::BIGINT AS d FROM pts), " +
+        steps +
+        "hb AS (SELECT ((d + 32768) >> 16) AS b, x0, y0 FROM h11), " +
+        s"zb AS (SELECT ((($z) + 32768) >> 16) AS b, x0, y0 FROM pts), " +
+        "he AS (SELECT b, max(x0) - min(x0) AS xe, max(y0) - min(y0) AS ye " +
+        "FROM hb GROUP BY 1), " +
+        "ze AS (SELECT b, max(x0) - min(x0) AS xe, max(y0) - min(y0) AS ye " +
+        "FROM zb GROUP BY 1) " +
+        "SELECT 'hilbert' AS curve, count(*)::BIGINT AS n_buckets, " +
+        "round(avg(xe), 6) AS avg_x_extent, round(avg(ye), 6) AS avg_y_extent, " +
+        "max(xe)::BIGINT AS max_x_extent, max(ye)::BIGINT AS max_y_extent FROM he " +
+        "UNION ALL SELECT 'morton', count(*)::BIGINT, round(avg(xe), 6), " +
+        "round(avg(ye), 6), max(xe)::BIGINT, max(ye)::BIGINT FROM ze " +
+        "ORDER BY curve"
+    },
+
+    // two-stage partials (each 2dp-rounded) added without re-rounding —
+    // mirrored exactly, so the float add is bit-identical
+    "q159_additive_merge" ->
+      ("WITH s AS (SELECT o_custkey, count(*)::BIGINT AS n_orders, " +
+        "round(sum(o_totalprice), 2) AS sum_price FROM orders " +
+        "WHERE o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1), " +
+        "d AS (SELECT o_custkey, count(*)::BIGINT AS n_orders, " +
+        "round(sum(o_totalprice), 2) AS sum_price FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1999-01-01' GROUP BY 1) " +
+        "SELECT coalesce(s.o_custkey, d.o_custkey) AS o_custkey, " +
+        "coalesce(s.n_orders, 0) + coalesce(d.n_orders, 0) AS n_orders, " +
+        "coalesce(s.sum_price, 0) + coalesce(d.sum_price, 0) AS sum_price " +
+        "FROM s FULL JOIN d ON s.o_custkey = d.o_custkey ORDER BY 1"),
+
+    "q160_fk_audit" -> {
+      val audit = (name: String, child: String, key: String,
+          parent: String, pkey: String) =>
+        s"(SELECT '$name' AS fk, count(*)::BIGINT AS n_rows, " +
+          s"count(DISTINCT $key)::BIGINT AS n_keys, " +
+          s"count(*) FILTER (WHERE $pkey IS NULL)::BIGINT AS n_orphan_rows, " +
+          s"count(DISTINCT $key) FILTER (WHERE $pkey IS NULL)::BIGINT " +
+          s"AS n_orphan_keys FROM $child LEFT JOIN $parent ON $key = $pkey)"
+      audit("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey") +
+        " UNION ALL " +
+        audit("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey") +
+        " UNION ALL " +
+        audit("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey") +
+        " UNION ALL " +
+        audit("orders.custkey", "orders", "o_custkey", "customer", "c_custkey") +
+        " ORDER BY fk"
+    },
 
     // same 1024-bin grid + cumulative fold + interpolation arithmetic;
     // exact side is quantile_cont ≡ Spark's interpolated percentile()

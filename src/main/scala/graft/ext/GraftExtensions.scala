@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{NfcNormalize, VecDot}
+import graft.expressions.{HilbertIndex, NfcNormalize, VecDot}
 
 /** SparkSessionExtensions hook registering graft's native expressions for
   * SQL use (`SELECT vec_dot(a.embedding, b.embedding) ...`).
@@ -26,6 +26,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    // hilbert_index(x, y[, bits]) — bits must be a foldable int literal
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (children: Seq[Expression]) => {
+        val bits = children.lift(2) match {
+          case Some(b) => b.eval().asInstanceOf[Number].intValue()
+          case None => 16
+        }
+        HilbertIndex(children.head, children(1), bits)
+      }))
     // whole-operator extension: plans graft.plans.TopKPerKeyNode (sort-free
     // top-k per key) into its bounded-heap physical operator
     ext.injectPlannerStrategy(_ => new graft.plans.GraftStrategies)

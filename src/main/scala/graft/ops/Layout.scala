@@ -30,6 +30,33 @@ object Layout {
     }.reduce(_ + _) // disjoint bit positions: + ≡ bitwise OR
   }
 
+  /** Hilbert-curve index of two non-negative integer columns — the
+    * better-locality sibling of [[zValue]] (every contiguous index range
+    * is one connected plane region; Z-ranges jump at power-of-two seams).
+    * Backed by the codegen'd [[graft.expressions.HilbertIndex]]
+    * expression: the per-bit frame rotation carries state across
+    * iterations, which composed `when`-chains can only express with
+    * exponential blowup. */
+  def hilbertValue(x: Column, y: Column, bits: Int = 16): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.HilbertIndex(
+        org.apache.spark.sql.graftbridge.Bridge.expression(x.cast("long")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(y.cast("long")),
+        bits))
+
+  /** [[zOrdered]]'s Hilbert twin: range-partition + local sort by the
+    * Hilbert index — same one-shuffle cost, tighter per-file rectangles. */
+  def hilbertOrdered(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      numParts: Int,
+      bits: Int = 16): DataFrame =
+    df.withColumn("_h", hilbertValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numParts, col("_h"))
+      .sortWithinPartitions("_h")
+      .drop("_h")
+
   /** Z-ordered layout: range-partition by z-value, then sort within
     * partitions. Each partition (→ output file on write) covers one
     * compact, non-overlapping z-range, i.e. a small rectangle in both

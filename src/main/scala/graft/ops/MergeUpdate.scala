@@ -120,6 +120,37 @@ object MergeUpdate {
     applied.select(target.columns.map(col): _*)
   }
 
+  /** Additive MERGE — incremental view maintenance for distributive
+    * aggregates: `store` holds materialized partials (sums/counts) per
+    * key, `delta` holds the new batch's partials, and matched keys ADD
+    * (`UPDATE SET n = n + delta.n`) while unseen keys insert. Applying
+    * batches one at a time or all at once yields identical stores
+    * (associativity is the whole point — the spec asserts it), which is
+    * what makes nightly-incremental equal to full-recompute at 100 TB
+    * without rescanning history.
+    *
+    * One full-outer join on the merge key per batch; `addCols` maps
+    * store column → delta column, both sides' nulls read as zero.
+    * `delta` must be unique per key (it is an aggregate output). */
+  def mergeAdditive(
+      store: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      addCols: Map[String, String]): DataFrame = {
+    val overlap = keys.toSet.intersect(addCols.keySet)
+    require(overlap.isEmpty,
+      s"mergeAdditive keys and addCols must be disjoint; both contain: ${overlap.mkString(", ")}")
+    val d = delta.select(
+      (keys.map(col) ++ addCols.values.toSeq.map(c => col(c).as(s"_d_$c"))): _*)
+    val j = store.join(d, keys, "full")
+    val applied = addCols.foldLeft(j) { case (acc, (sCol, dCol)) =>
+      acc.withColumn(sCol,
+        coalesce(col(sCol), lit(0L).cast(acc.schema(sCol).dataType)) +
+          coalesce(col(s"_d_$dCol"), lit(0L).cast(acc.schema(sCol).dataType)))
+    }
+    applied.select(store.columns.map(col): _*)
+  }
+
   /** [[upsert]]'s change-data-feed face: instead of the merged table,
     * emit the CHANGES the merge would make — the Delta/Debezium row shape
     * downstream consumers (cache invalidation, incremental materialized

@@ -101,6 +101,22 @@ class JoinAggSpec extends SparkSpec {
       Map("commessa" -> "commessa", "ore" -> "ore")).count() == 0)
   }
 
+  test("mergeAdditive: batch-at-a-time equals all-at-once equals full recompute") {
+    val all = Seq((1L, 1L, 10.0), (1L, 2L, 5.0), (2L, 1L, 7.0),
+      (3L, 3L, 1.0), (3L, 1L, 2.0))
+      .toDF("k", "batch", "v")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val full = agg(all).orderBy("k").collect().toSeq
+    // batches 1..3 merged incrementally into an empty store
+    val empty = agg(all.filter(lit(false)))
+    val incremental = (1L to 3L).foldLeft(empty) { (store, b) =>
+      MergeUpdate.mergeAdditive(store, agg(all.filter(col("batch") === b)),
+        Seq("k"), Map("n" -> "n", "s" -> "s"))
+    }.orderBy("k").collect().toSeq
+    assert(incremental == full, s"$incremental vs $full")
+  }
+
   test("SCD2: changed keys close+reopen, unchanged untouched, new keys insert, history passes through") {
     val d = java.sql.Date.valueOf(_: String)
     val dim = Seq(

@@ -53,6 +53,52 @@ class LayoutSpec extends SparkSpec {
     assert(avgX < 700 && avgY < 700, s"avg spans $avgX / $avgY")
   }
 
+  test("hilbertValue: bijective on the grid, codegen == interpreted, neighbors adjacent") {
+    import graft.expressions.HilbertIndex
+    // order-3 curve: all 64 cells of the 8x8 grid, indexes are a
+    // permutation of 0..63 and consecutive indexes are grid neighbors
+    val pts = for (x <- 0 until 8; y <- 0 until 8) yield (x, y)
+    val byD = pts.map { case (x, y) =>
+      HilbertIndex.xy2d(x, y, 3) -> ((x, y))
+    }.sortBy(_._1)
+    assert(byD.map(_._1) == (0L until 64L), "must be a bijection onto 0..63")
+    byD.sliding(2).foreach { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve must step to a grid neighbor: ($x1,$y1)->($x2,$y2)")
+    case _ =>
+    }
+    // the codegen'd column path agrees with the interpreted walk
+    val df = pts.toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), bits = 3).as("d"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == HilbertIndex.xy2d(x, y, 3))
+    }
+  }
+
+  test("hilbert locality beats morton at the seam") {
+    // the Z curve's worst seam: crossing the half-grid boundary jumps
+    // diagonally; Hilbert stays connected. Measure avg extent per
+    // 16-index bucket over the full order-4 grid (16x16)
+    import graft.expressions.HilbertIndex
+    val pts = for (x <- 0 until 16; y <- 0 until 16) yield (x, y)
+    def avgExtent(index: (Int, Int) => Long): Double = {
+      val buckets = pts.groupBy { case (x, y) => index(x, y) / 16 }
+      val spans = buckets.values.map { cell =>
+        (cell.map(_._1).max - cell.map(_._1).min) +
+          (cell.map(_._2).max - cell.map(_._2).min)
+      }
+      spans.sum.toDouble / spans.size
+    }
+    val h = avgExtent((x, y) => HilbertIndex.xy2d(x, y, 4))
+    val z = avgExtent((x, y) =>
+      (0 until 4).map(i => (((x >> i) & 1) << (2 * i)) |
+        (((y >> i) & 1) << (2 * i + 1))).sum.toLong)
+    assert(h <= z, s"hilbert $h should not exceed morton $z")
+    assert(h == 6.0, s"every 16-cell hilbert bucket is a 3+3-extent square: $h")
+  }
+
   test("buildVocab: frequency-ranked contiguous ids, token tie-break") {
     val docs = Seq("b b b a a c", "a b d", "e a b").toDF("text")
     val got = TextAnalysis.buildVocab(docs, "text", size = 4)
