@@ -34,4 +34,51 @@ class GraphXParitySpec extends SparkSpec {
         s"node $id: ours $r vs graphx ${theirs(id)}")
     }
   }
+
+  test("bfsDistances matches GraphX ShortestPaths on a random symmetric graph") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.tabulate(80)(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val sym = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    val seeds = Seq(0L, 7L, 13L)
+
+    // hop cap larger than any diameter here → full distances
+    val ours = Graph.bfsDistances(sym.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("id"), "id", maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val xg = XGraph.fromEdges(
+      spark.sparkContext.parallelize(sym.map { case (a, b) => Edge(a, b, 1) }),
+      defaultValue = 1.0)
+    val theirs = org.apache.spark.graphx.lib.ShortestPaths
+      .run(xg, seeds.filter(s => sym.exists(e => e._1 == s || e._2 == s)))
+      .vertices.collect().toMap
+      .map { case (id, m) => id -> m.values.reduceOption(math.min) }
+      .collect { case (id, Some(d)) => id.toLong -> d.toLong }
+
+    // GraphX reports every vertex (unreachable = no map entry, dropped
+    // above); ours reports only seeds-reachable nodes — same key set
+    assert(ours == theirs, s"ours $ours vs graphx $theirs")
+  }
+
+  test("triangleStats matches GraphX TriangleCount's total on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val pairs = Seq.tabulate(120)(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2).distinct
+
+    val ours = Graph.triangleStats(pairs.toDF("a", "b"), "a", "b")
+      .head().getLong(3)
+
+    // GraphX triangleCount counts per vertex; each triangle is counted at
+    // all 3 corners → total = sum / 3. Requires canonical src < dst edges
+    val canon = pairs.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+    val xg = XGraph.fromEdges(
+      spark.sparkContext.parallelize(canon.map { case (a, b) => Edge(a, b, 1) }),
+      defaultValue = 1.0)
+    val theirs = xg.triangleCount().vertices.map(_._2.toLong).sum() / 3
+    assert(ours == theirs, s"ours $ours vs graphx $theirs")
+  }
 }
