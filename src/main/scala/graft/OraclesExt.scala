@@ -696,4 +696,48 @@ object OraclesExt {
       "SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, " +
       "user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value " +
       "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"
+
+  /** Logistic-regression quality classifier (mirrors
+    * `Models.logregFit(iters = 3, lr = 5.0)` + `logregScore`): the three
+    * full-batch GD steps unrolled as CTEs, each one average over the
+    * feature CTE with the previous 1-row weights cross-joined in — the
+    * same min()-over-constant trick and the same left-associated z so
+    * both engines walk the identical float path. */
+  val logregQuality: String = {
+    val z = "b + w1*x1 + w2*x2 + w3*x3"
+    val sig = s"1.0/(1.0+exp(-($z)))"
+    def step(prev: String): String =
+      s"(SELECT min(b) - 5.0*avg($sig - y) AS b, " +
+        s"min(w1) - 5.0*avg(($sig - y)*x1) AS w1, " +
+        s"min(w2) - 5.0*avg(($sig - y)*x2) AS w2, " +
+        s"min(w3) - 5.0*avg(($sig - y)*x3) AS w3 FROM f, $prev)"
+    "WITH lt AS (SELECT doc_id, lang, text, " +
+      "regexp_extract_all(lower(text), '\\w+') AS toks FROM documents), " +
+      "f AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
+      s"${hitRatioSql(langList("en"))} AS x1, " +
+      "len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) AS x2, " +
+      "least(len(toks) / 100.0, 1.0) AS x3 FROM lt), " +
+      // step 1 from w = 0: σ(0) = 0.5 exactly, closed form
+      "g1 AS (SELECT 0.0 - 5.0*avg(0.5 - y) AS b, " +
+      "0.0 - 5.0*avg((0.5 - y)*x1) AS w1, " +
+      "0.0 - 5.0*avg((0.5 - y)*x2) AS w2, " +
+      "0.0 - 5.0*avg((0.5 - y)*x3) AS w3 FROM f), " +
+      s"g2 AS ${step("g1")}, g3 AS ${step("g2")} " +
+      s"SELECT doc_id, y, round($sig, 6) AS prob, " +
+      s"round($sig, 6) >= 0.5 AS pred FROM f, g3 ORDER BY doc_id"
+  }
+
+  /** Per-event-type OLS trend (mirrors `Models.linearTrend`): the same
+    * covar_pop/var_pop/corr moment formulation over x re-based to days
+    * since the window start; DuckDB's epoch() keeps microseconds as a
+    * fractional double exactly like Spark's timestamp→double cast. */
+  val eventTrend: String =
+    "WITH p AS (SELECT event_type, " +
+      "(epoch(ts) - 1704067200.0)/86400.0 AS x, value AS v FROM events " +
+      "WHERE ts IS NOT NULL AND value IS NOT NULL) " +
+      "SELECT event_type, count(*)::BIGINT AS n, " +
+      "round(covar_pop(x, v)/var_pop(x), 6) AS slope, " +
+      "round(avg(v) - (covar_pop(x, v)/var_pop(x))*avg(x), 6) AS intercept, " +
+      "round(covar_pop(x, v)/sqrt(var_pop(x)*var_pop(v)), 6) AS r " +
+      "FROM p GROUP BY 1 ORDER BY 1"
 }

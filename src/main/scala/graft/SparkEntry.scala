@@ -2073,6 +2073,56 @@ object SparkEntry {
         .orderBy("curve")
     },
 
+    // ───── prefix-filtered similarity join (AllPairs/PPJoin): the THIRD
+    // Jaccard posture beside exact-uncapped (q13) and df-capped (q99) —
+    // same pairs as q13, exactly (shared oracle), but only each doc's
+    // (1−θ)·|x|+1 RAREST shingles enter the candidate join, so the worst
+    // reducer is bounded by rare-shingle df without changing the measure
+    // the way q99's cap does ─────
+    "q162_dedup_prefix_filter" -> { (s, dir) =>
+      val d = tb(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+      Dedup.prefixFilterPairs(d, "doc_id", Dedup.shingles(col("toks"), 3), 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ───── trained quality classifier: logistic regression fit on the
+    // corpus by 3 lazily-unrolled full-batch GD steps (each step = one
+    // map-side-combinable average + a 1-row broadcast re-entry; no
+    // driver collect), then every doc scored — the model-based corpus
+    // filter slot (fastText-classifier shape) beside the heuristic q20.
+    // Label: lang='en'; features: en-stopword ratio, punct ratio,
+    // saturating length ─────
+    "q163_logreg_quality" -> { (s, dir) =>
+      val toks = TextAnalysis.words(col("text"))
+      val xs = Seq("x1", "x2", "x3")
+      // feature frame feeds 3 gradient passes + the score pass:
+      // materialize the regex work once
+      val f = tb(s, dir, "documents").select(
+          col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+          TextAnalysis.hitRatio(toks, TextAnalysis.stopwords.toMap.apply("en"))
+            .as("x1"),
+          TextAnalysis.punctRatio(col("text")).as("x2"),
+          least(size(toks).cast("double") / 100.0, lit(1.0)).as("x3"))
+        .localCheckpoint()
+      Models.logregScore(f, Models.logregFit(f, "y", xs), xs)
+        .select(col("doc_id"), col("y"), col("prob"), col("pred"))
+        .orderBy("doc_id")
+    },
+
+    // ───── per-key OLS trend: slope/intercept/corr of event value over
+    // time per event type — drift detection as one hash-aggregate whose
+    // shuffle carries (key, moments) only. x is re-based to days since
+    // the window start: centering keeps var_pop cancellation-free at
+    // 100 TB row counts ─────
+    "q164_trend" -> { (s, dir) =>
+      val x = (col("ts").cast("double") - lit(1704067200.0)) / lit(86400.0)
+      Models.linearTrend(t(s, dir, "events"), Seq("event_type"),
+          x, col("value"))
+        .orderBy("event_type")
+    },
+
     // ───── additive MERGE (incremental view maintenance): a per-customer
     // sales store materialized from pre-cutoff history, the post-cutoff
     // batch merged in as partial-aggregate ADDs — nightly-incremental ≡
@@ -3718,6 +3768,22 @@ object SparkEntry {
         "round(avg(ye), 6), max(xe)::BIGINT, max(ye)::BIGINT FROM ze " +
         "ORDER BY curve"
     },
+
+    // prefix filtering is EXACT (no false negatives at the threshold), so
+    // the oracle is literally q13's all-pairs formulation — the strongest
+    // possible check that the candidate pruning drops nothing
+    "q162_dedup_prefix_filter" -> OraclesExt.dedupJaccard,
+
+    // the 3 GD steps unrolled as CTEs g1→g2→g3, each re-reading the
+    // feature CTE with the previous 1-row weights cross-joined — the
+    // identical formulation (min() over the constant weight columns, the
+    // same left-assoc z), so both engines walk the same float path
+    "q163_logreg_quality" -> OraclesExt.logregQuality,
+
+    // same moment formulation verbatim (covar_pop/var_pop/corr), x
+    // re-based identically; epoch() keeps microseconds as a fractional
+    // double exactly like Spark's timestamp→double cast
+    "q164_trend" -> OraclesExt.eventTrend,
 
     // two-stage partials (each 2dp-rounded) added without re-rounding —
     // mirrored exactly, so the float add is bit-identical

@@ -788,4 +788,85 @@ object Dedup {
         round(coalesce(col("n_dup"), lit(0L)) / col("n_chunks"), 6)
           .as("dup_frac"))
   }
+
+  /** Prefix-filtered exact Jaccard pairs (AllPairs / PPJoin candidate
+    * generation; Bayardo et al. "Scaling Up All Pairs Similarity Search",
+    * Xiao et al. "Efficient Similarity Joins for Near Duplicate
+    * Detection") — same output contract as [[jaccardPairs]] (id_a < id_b,
+    * jac rounded to 6dp, threshold on the rounded value) but a
+    * fundamentally cheaper join:
+    *
+    *  - each document's distinct shingles are ordered by GLOBAL RARITY
+    *    (document frequency asc, shingle asc — one hash-agg + one
+    *    re-assembly agg);
+    *  - only the PREFIX — the first `|x| − ⌈θ·|x|⌉ + 1` rarest
+    *    shingles — is exploded into the candidate join. Any pair with
+    *    J ≥ θ must share ≥ ⌈θ·|x|⌉ shingles, so its smallest common
+    *    shingle (in the global order) sits inside BOTH prefixes: no
+    *    false negatives, exactly;
+    *  - candidates additionally pass the length filter
+    *    `θ·max(|x|,|y|) ≤ min(|x|,|y|)` inside the join condition;
+    *  - surviving candidate pairs are verified exactly by an id
+    *    equi-join back to the full shingle sets (`array_intersect`).
+    *
+    * Scale posture vs [[jaccardPairs]]: the shuffle-by-shingle self-join
+    * is O(Σ df²) over ALL shingles — one boilerplate shingle shared by a
+    * million docs melts a reducer. Here only ~(1−θ)·|x|+1 of the RAREST
+    * shingles per doc enter the join, and rare-by-definition shingles
+    * have small df, so the worst reducer is bounded without dropping any
+    * pair (the df cap in [[jaccardPairs]] buys its bound by changing the
+    * measure; prefix filtering buys a bound at θ-high thresholds for
+    * free). Verification joins move candidate rows only.
+    *
+    * Candidate-stage bounds use `θ − 1e−6` so pairs whose TRUE Jaccard
+    * sits just under θ but ROUNDS to ≥ θ (the output contract) are never
+    * pruned early; the float-vs-rational ceiling is likewise guarded by
+    * the 1e−9 slack inside `ceil`. */
+  def prefixFilterPairs(
+      df: DataFrame,
+      idCol: String,
+      shingleCol: Column,
+      minJaccard: Double): DataFrame = {
+    // rounded-threshold + float-ceiling slack (see scaladoc)
+    val theta = minJaccard - 1e-6
+    // distinct shingle sets, materialized once: feeds the df count, the
+    // ordered re-assembly, and both sides of the verify join
+    val sets = df
+      .select(col(idCol).as("id"), array_distinct(shingleCol).as("ss"))
+      .filter(size(col("ss")) > 0)
+      .localCheckpoint()
+    val ex = sets.select(col("id"), explode(col("ss")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // per-doc shingles in global-rarity order; array_sort on (df, s)
+    // structs gives the canonical total order with no window
+    val ordered = ex.join(dfreq, "s")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("os"))
+      .select(col("id"),
+        transform(col("os"), x => x.getField("s")).as("toks"),
+        size(col("os")).as("n"))
+    // prefix = |x| − ⌈θ|x|⌉ + 1 rarest shingles
+    val prefLen = (col("n") - ceil(col("n") * theta - lit(1e-9)) + 1)
+      .cast("int")
+    val pref = ordered.select(col("id"), col("n"),
+      explode(slice(col("toks"), lit(1), prefLen)).as("s"))
+    // candidate pairs: shared prefix shingle + length filter, then
+    // distinct (a pair can collide on several prefix shingles)
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id") &&
+          col("y.n") * theta <= col("x.n") &&
+          col("x.n") * theta <= col("y.n"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // exact verification: id equi-joins move candidate rows only
+    cand
+      .join(sets.select(col("id").as("id_a"), col("ss").as("sa"),
+        size(col("ss")).as("na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("ss").as("sb"),
+        size(col("ss")).as("nb")), "id_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("id_a"), col("id_b"),
+        round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jac"))
+      .filter(col("jac") >= minJaccard)
+  }
 }

@@ -580,6 +580,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(joins.nonEmpty, s"expected the block equi join:\n$plan")
   }
 
+  test("prefix filter: candidate + verify stages are equi joins — no nested loop; the prefix prunes") {
+    import org.apache.spark.sql.functions._
+    val d = ops.Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), ops.TextAnalysis.words(col("text")).as("toks"))
+    val pairs = ops.Dedup.prefixFilterPairs(d, "doc_id",
+      ops.Dedup.shingles(col("toks"), 3), 0.8)
+    val plan = executed(pairs)
+    assert(collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no BNLJ/cartesian allowed:\n$plan")
+    // the pruning is real, not aspirational: the candidate join sees only
+    // each doc's prefix shingles, a strict subset of the full explode the
+    // all-pairs formulation shuffles
+    val sets = d.select(col("doc_id"),
+      array_distinct(ops.Dedup.shingles(col("toks"), 3)).as("ss"))
+    val full = sets.select(explode(col("ss"))).count()
+    val theta = 0.8 - 1e-6
+    val prefix = sets
+      .select(explode(slice(col("ss"), lit(1),
+        (size(col("ss")) - ceil(size(col("ss")) * theta - lit(1e-9)) + 1)
+          .cast("int"))))
+      .count()
+    assert(prefix < full / 3,
+      s"prefix explode ($prefix) should be well under the full explode ($full)")
+  }
+
+  test("logreg score: one broadcast 1-row re-entry, zero shuffles — a map-only pass") {
+    import org.apache.spark.sql.functions._
+    val f = ops.Sources.table(spark, dir, "documents").select(
+      col("doc_id"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      ops.TextAnalysis.punctRatio(col("text")).as("x1"))
+    val w = ops.Models.logregFit(f, "y", Seq("x1"), iters = 1)
+    val plan = executed(ops.Models.logregScore(f, w, Seq("x1")))
+    // the 1-row weight frame re-enters as a broadcast nested-loop (the
+    // TF-IDF corpus-stats pattern — scale-safe because the build side is
+    // exactly one row); the scored side itself never shuffles
+    assert(collectAll(plan) {
+      case s: ShuffleExchangeExec => s
+    }.forall(_.outputPartitioning.numPartitions == 1),
+      s"only the weight agg's single-partition exchange is allowed:\n$plan")
+  }
+
   test("kmv: bottom-k runs on the custom TopKPerKey operator, not a sort+window") {
     val df = ops.Sketches.kmvDistinct(
       ops.Sources.table(spark, dir, "events"), "event_type",

@@ -70,6 +70,30 @@ class DedupSpec extends SparkSpec {
     assert(cappedStop == 0L)
   }
 
+  test("prefixFilterPairs: bit-identical to the all-pairs join (exactness)") {
+    // prefix filtering claims zero false negatives: every threshold must
+    // reproduce jaccardPairs exactly, including the 1.0 exact-dup pair
+    // and the mid-range near-dup
+    for (theta <- Seq(0.3, 0.5, 0.8)) {
+      val exact = Dedup.jaccardPairs(docs, "doc_id",
+          Dedup.shingles(col("toks"), 3), theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val pref = Dedup.prefixFilterPairs(docs, "doc_id",
+          Dedup.shingles(col("toks"), 3), theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(pref == exact, s"theta=$theta")
+    }
+  }
+
+  test("prefixFilterPairs: exact-threshold boundary pair survives the length filter") {
+    // |x|=4 ⊂ |y|=5 → J = 4/5 = 0.8 exactly; a float-naive length filter
+    // (4 >= 0.8*5 with binary 0.8 > 4/5) would prune it
+    val b = Seq((1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "d", "e"))).toDF("doc_id", "ss")
+    val got = Dedup.prefixFilterPairs(b, "doc_id", col("ss"), 0.8).collect()
+    assert(got.length == 1 && got.head.getDouble(2) == 0.8)
+  }
+
   test("minhashPairs: identical shingle sets agree on every minhash (est 1.0)") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", Dedup.shingles(col("toks"), 3))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

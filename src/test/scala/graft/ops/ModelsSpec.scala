@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("logregFit/Score: separable data — positives above 0.5, negatives below") {
+    // y = 1 iff x1 is large; 3 GD steps from zero must already order the
+    // classes correctly on a linearly-separable set
+    val f = Seq(
+      (1L, 1.0, 0.9), (2L, 1.0, 0.8), (3L, 1.0, 0.95), (4L, 1.0, 0.7),
+      (5L, 0.0, 0.1), (6L, 0.0, 0.2), (7L, 0.0, 0.05), (8L, 0.0, 0.3)
+    ).toDF("id", "y", "x1")
+    val w = Models.logregFit(f, "y", Seq("x1"))
+    val scored = Models.logregScore(f, w, Seq("x1"))
+      .select("id", "y", "prob", "pred").collect()
+    scored.foreach { r =>
+      val (y, prob, pred) = (r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+      assert((y == 1.0) == pred, s"id=${r.getLong(0)} prob=$prob")
+      if (y == 1.0) assert(prob > 0.5) else assert(prob < 0.5)
+    }
+    // weights frame is exactly one row (b, w1)
+    val wr = w.collect()
+    assert(wr.length == 1 && wr.head.schema.fieldNames.toSeq == Seq("b", "w1"))
+  }
+
+  test("logregFit: step count changes weights (iters is honored)") {
+    val f = Seq((1L, 1.0, 0.9), (2L, 0.0, 0.1)).toDF("id", "y", "x1")
+    val w1 = Models.logregFit(f, "y", Seq("x1"), iters = 1).collect().head
+    val w3 = Models.logregFit(f, "y", Seq("x1"), iters = 3).collect().head
+    assert(w1.getDouble(1) != w3.getDouble(1))
+  }
+
+  test("linearTrend: recovers exact slope/intercept on noiseless lines") {
+    val pts = (0 until 20).flatMap { i =>
+      Seq(("up", i.toDouble, 2.0 * i + 1.0), ("flat", i.toDouble, 5.0))
+    }.toDF("k", "x", "y")
+    val got = Models.linearTrend(pts, Seq("k"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("up") == ((20L, 2.0, 1.0)))
+    assert(got("flat")._2 == 0.0 && got("flat")._3 == 5.0)
+  }
+
+  test("linearTrend: null pairs excluded from n and moments") {
+    val pts = Seq(("a", Some(1.0), Some(3.0)), ("a", Some(2.0), Some(5.0)),
+      ("a", None, Some(9.0)), ("a", Some(9.0), None))
+      .toDF("k", "x", "y")
+    val r = Models.linearTrend(pts, Seq("k"), col("x"), col("y")).collect().head
+    assert(r.getLong(1) == 2L && r.getDouble(2) == 2.0 && r.getDouble(3) == 1.0)
+  }
+}
