@@ -2481,6 +2481,91 @@ object SparkEntry {
           round(col("n_users") * lit(1.0) / col("cohort_size"), 6))
         .select("cohort", "week_offset", "n_users", "retention")
         .orderBy("cohort", "week_offset")
+    },
+
+    // ───── market-basket association: part pairs co-occurring in ≥2
+    // orders with support/confidence/lift — the pair space is a
+    // self-equi-join on the order key (never n² over parts), mega-baskets
+    // dropped by the size cap BEFORE pairing ─────
+    "q165_copurchase_lift" -> { (s, dir) =>
+      Association.copurchaseStats(t(s, dir, "lineitem"), "l_orderkey",
+          "l_partkey", minPairCount = 2, maxBasketSize = Some(12))
+        .orderBy("item_a", "item_b")
+    },
+
+    // ───── sweep-line interval concurrency: each event opens a
+    // (300 + ⌊value⌋)-second interval; peak simultaneous open intervals
+    // per type and the earliest instant it is reached — 2 delta rows per
+    // interval + one running-sum window, never a self-theta-join ─────
+    "q166_interval_concurrency" -> { (s, dir) =>
+      val iv = t(s, dir, "events")
+        .select(col("event_type"), col("ts"),
+          expr("ts + make_interval(0, 0, 0, 0, 0, 0, 300 + floor(value))")
+            .as("te"))
+      Temporal.maxConcurrency(iv, "event_type", "ts", "te")
+        .orderBy("event_type")
+    },
+
+    // ───── windowed EWMA: hourly mean value per type smoothed with
+    // α=0.3 over the trailing 12 hours — one bounded-frame window plus a
+    // single fold over the collected frame, no history self-join ─────
+    "q167_ewma" -> { (s, dir) =>
+      val hourly = t(s, dir, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(avg(col("value")).as("v"))
+      Temporal.ewma(hourly, "event_type", "hr", "v", alpha = 0.3,
+          lookback = 12)
+        .select(col("event_type"), col("hr"), round(col("v"), 6).as("v"),
+          col("ewma"))
+        .orderBy("event_type", "hr")
+    },
+
+    // ───── χ² independence test: is document language independent of
+    // source? One hash-agg collapses the corpus to the contingency table;
+    // margins/totals are windows over that ≤|A|·|B|-row frame ─────
+    "q168_chisq" -> { (s, dir) =>
+      Models.chiSquareIndependence(t(s, dir, "documents"), "lang", "source")
+        .orderBy("a", "b")
+    },
+
+    // ───── weight-of-evidence / information value: account balance
+    // binned equal-width ×10 against the has-any-order label — the
+    // feature-screening transform of a training pipeline; smoothing keeps
+    // empty bin sides finite on both engines ─────
+    "q169_woe_iv" -> { (s, dir) =>
+      val buyers = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+        .distinct().withColumn("_has", lit(true))
+      val f = t(s, dir, "customer").join(buyers, Seq("c_custkey"), "left")
+        .withColumn("label", coalesce(col("_has"), lit(false)))
+      Models.woeIv(f, "c_acctbal", "label", nBins = 10)
+        .orderBy("bin")
+    },
+
+    // ───── daily OHLC bars: first/last value in (ts, event_id) order —
+    // the unique tie column makes open/close deterministic — plus
+    // min/max/count, one window + one hash-agg per (type, day) ─────
+    "q170_ohlc" -> { (s, dir) =>
+      Temporal.ohlcDaily(t(s, dir, "events"), "event_type", "ts", "value",
+          tieCol = "event_id")
+        .orderBy("event_type", "day")
+    },
+
+    // ───── rolling correlation: click-vs-view hourly mean value, Pearson
+    // r over the trailing 24 hours once ≥12 aligned pairs exist — the
+    // raw-event collapse parallelizes; the unpartitioned window runs over
+    // the calendar-bounded hourly grain only ─────
+    "q171_rolling_corr" -> { (s, dir) =>
+      val hourly = t(s, dir, "events")
+        .filter(col("ts").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(avg(when(col("event_type") === "click", col("value"))).as("x"),
+          avg(when(col("event_type") === "view", col("value"))).as("y"))
+      Temporal.rollingCorr(hourly, "hr", "x", "y", lookback = 24,
+          minPeriods = 12)
+        .select(col("hr"), round(col("x"), 6).as("x"),
+          round(col("y"), 6).as("y"), col("n_pairs"), col("roll_corr"))
+        .orderBy("hr")
     }
   )
 
@@ -3932,6 +4017,129 @@ object SparkEntry {
         "round(abs(CASE WHEN s.n_kept < 64 THEN s.n_kept::DOUBLE " +
         "ELSE round(63 * 1152921504606846976::DOUBLE / kth::DOUBLE, 6) END " +
         "- x.exact_distinct) / x.exact_distinct, 6) AS rel_err " +
-        "FROM s JOIN x USING (event_type) ORDER BY event_type")
+        "FROM s JOIN x USING (event_type) ORDER BY event_type"),
+
+    // same basket-key self-join pair space, ≤12-item baskets, margins and
+    // totals over the SAME kept universe
+    "q165_copurchase_lift" ->
+      ("WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it " +
+        "FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), " +
+        "sz AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 12), " +
+        "k AS (SELECT b.bk, b.it FROM b JOIN sz USING (bk)), " +
+        "n AS (SELECT count(DISTINCT bk)::BIGINT AS nb FROM k), " +
+        "ic AS (SELECT it, count(*)::BIGINT AS ni FROM k GROUP BY 1), " +
+        "pc AS (SELECT x.it AS item_a, y.it AS item_b, count(*)::BIGINT AS n_ab " +
+        "FROM k x JOIN k y ON x.bk = y.bk AND x.it < y.it " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT item_a, item_b, n_ab, a.ni AS n_a, c.ni AS n_b, " +
+        "round(n_ab::DOUBLE / nb, 6) AS support, " +
+        "round(n_ab::DOUBLE / a.ni, 6) AS conf_a_b, " +
+        "round((n_ab * nb)::DOUBLE / (a.ni * c.ni), 6) AS lift " +
+        "FROM pc CROSS JOIN n " +
+        "JOIN ic a ON pc.item_a = a.it JOIN ic c ON pc.item_b = c.it " +
+        "ORDER BY item_a, item_b"),
+
+    // ±1 deltas summed per unique instant, then one running sum per key;
+    // peak_at = earliest instant attaining the per-key max
+    "q166_interval_concurrency" ->
+      ("WITH iv AS (SELECT event_type AS k, ts AS s, " +
+        "ts + to_seconds((300 + floor(value))::BIGINT) AS e FROM events " +
+        "WHERE ts IS NOT NULL AND value IS NOT NULL), " +
+        "d AS (SELECT k, s AS t, 1 AS d FROM iv " +
+        "UNION ALL SELECT k, e, -1 FROM iv), " +
+        "g AS (SELECT k, t, sum(d)::BIGINT AS d FROM d GROUP BY 1, 2), " +
+        "r AS (SELECT k, t, sum(d) OVER (PARTITION BY k ORDER BY t " +
+        "ROWS UNBOUNDED PRECEDING)::BIGINT AS open FROM g), " +
+        "p AS (SELECT k, t, open, max(open) OVER (PARTITION BY k) AS mx FROM r) " +
+        "SELECT k AS event_type, mx AS peak, min(t) AS peak_at " +
+        "FROM p WHERE open = mx GROUP BY 1, 2 ORDER BY 1"),
+
+    // trailing-12 decay dot product via a bounded rn-range self-join —
+    // the independent formulation of the window-fold; closed-form
+    // geometric denominator
+    "q167_ewma" ->
+      ("WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, " +
+        "avg(value) AS v FROM events " +
+        "WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, hr, v, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY hr) AS rn FROM h) " +
+        "SELECT a.event_type, a.hr, round(a.v, 6) AS v, " +
+        "round(sum(b.v * power(0.7, a.rn - b.rn)) * 0.3 " +
+        "/ (1 - power(0.7, count(*))), 6) AS ewma " +
+        "FROM r a JOIN r b ON a.event_type = b.event_type " +
+        "AND b.rn BETWEEN a.rn - 11 AND a.rn " +
+        "GROUP BY a.event_type, a.hr, a.rn, a.v ORDER BY 1, 2"),
+
+    // full margin cross grid (zero-observed cells carry χ² mass too);
+    // expected = exact integer margin product cast to DOUBLE before the
+    // divide (matches Spark's long·long/long); dof via scalar subqueries
+    "q168_chisq" ->
+      ("WITH c AS (SELECT lang AS a, source AS b, count(*)::BIGINT AS observed " +
+        "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL " +
+        "GROUP BY 1, 2), " +
+        "rm AS (SELECT a, sum(observed)::BIGINT AS ra FROM c GROUP BY 1), " +
+        "cm AS (SELECT b, sum(observed)::BIGINT AS cb FROM c GROUP BY 1), " +
+        "g AS (SELECT rm.a, cm.b, coalesce(c.observed, 0)::BIGINT AS observed, " +
+        "round((ra * cb)::DOUBLE / (SELECT sum(observed) FROM c)::DOUBLE, 6) " +
+        "AS expected FROM rm CROSS JOIN cm " +
+        "LEFT JOIN c ON c.a = rm.a AND c.b = cm.b), " +
+        "f AS (SELECT a, b, observed, expected, " +
+        "round(power(observed - expected, 2) / expected, 6) AS contrib FROM g) " +
+        "SELECT a, b, observed, expected, contrib, " +
+        "round(sum(contrib) OVER (), 6) AS chi2, " +
+        "(((SELECT count(DISTINCT a) FROM c) - 1) " +
+        "* ((SELECT count(DISTINCT b) FROM c) - 1))::BIGINT AS dof " +
+        "FROM f ORDER BY a, b"),
+
+    // equal-width 10-bin WOE with Laplace ½-smoothing; label = customer
+    // placed ≥1 order
+    "q169_woe_iv" ->
+      ("WITH f AS (SELECT c_acctbal::DOUBLE AS f, " +
+        "(o.ck IS NOT NULL) AS y FROM customer LEFT JOIN " +
+        "(SELECT DISTINCT o_custkey AS ck FROM orders) o ON c_custkey = o.ck " +
+        "WHERE c_acctbal IS NOT NULL), " +
+        "b AS (SELECT min(f) AS lo, max(f) AS hi FROM f), " +
+        "bn AS (SELECT CASE WHEN hi = lo THEN 0 ELSE least(9, " +
+        "floor((f - lo) / ((hi - lo) / 10)))::INT END AS bin, " +
+        "lo, (hi - lo) / 10 AS w, y FROM f CROSS JOIN b), " +
+        "p AS (SELECT bin, round(lo + bin * w, 6) AS bin_lo, " +
+        "count(*)::BIGINT AS n, " +
+        "sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos, " +
+        "sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n_neg " +
+        "FROM bn GROUP BY 1, 2), " +
+        "q AS (SELECT bin, bin_lo, n, n_pos, n_neg, " +
+        "(n_pos + 0.5) / (sum(n_pos) OVER () + 0.5 * count(*) OVER ()) AS pr, " +
+        "(n_neg + 0.5) / (sum(n_neg) OVER () + 0.5 * count(*) OVER ()) AS nr " +
+        "FROM p) " +
+        "SELECT bin, bin_lo, n, n_pos, n_neg, round(ln(pr / nr), 6) AS woe, " +
+        "round((pr - nr) * ln(pr / nr), 6) AS iv_contrib, " +
+        "round(sum(round((pr - nr) * ln(pr / nr), 6)) OVER (), 6) AS iv " +
+        "FROM q ORDER BY bin"),
+
+    // full-frame first/last in (ts, event_id) order, then one hash-agg
+    "q170_ohlc" ->
+      ("WITH e AS (SELECT event_type, ts::DATE AS day, value AS v, ts, " +
+        "event_id FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), " +
+        "w AS (SELECT event_type, day, v, first_value(v) OVER win AS o, " +
+        "last_value(v) OVER win AS c FROM e WINDOW win AS " +
+        "(PARTITION BY event_type, day ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) " +
+        "SELECT event_type, day, min(o) AS open, max(v) AS high, " +
+        "min(v) AS low, min(c) AS close, count(*)::BIGINT AS n " +
+        "FROM w GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // trailing-24 Pearson r over the aligned hourly pair, ≥12 pairs
+    "q171_rolling_corr" ->
+      ("WITH h AS (SELECT date_trunc('hour', ts) AS hr, " +
+        "avg(CASE WHEN event_type = 'click' THEN value END) AS x, " +
+        "avg(CASE WHEN event_type = 'view' THEN value END) AS y " +
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1), " +
+        "r AS (SELECT hr, x, y, count(CASE WHEN x IS NOT NULL " +
+        "AND y IS NOT NULL THEN 1 END) OVER win AS n_pairs, " +
+        "round(corr(x, y) OVER win, 6) AS rc FROM h WINDOW win AS " +
+        "(ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) " +
+        "SELECT hr, round(x, 6) AS x, round(y, 6) AS y, n_pairs, " +
+        "CASE WHEN n_pairs >= 12 THEN rc END AS roll_corr " +
+        "FROM r WHERE n_pairs >= 12 ORDER BY hr")
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-based corpus analytics: a trained quality classifier (the
@@ -106,5 +107,93 @@ object Models {
         safe(vx === 0, slope).as("slope"),
         safe(vx === 0, avg(col("_y")) - slope * avg(col("_x"))).as("intercept"),
         safe(vx === 0 || vy === 0, cv / sqrt(vx * vy)).as("r"))
+  }
+
+  /** Pearson χ² test of independence between two categorical columns:
+    * one row per (a, b) cell of the FULL margin grid — including cells
+    * never observed together (O = 0, E > 0), which carry real χ² mass —
+    * with the expected count under independence
+    * (`row_total · col_total / N`), the cell's contribution `(O−E)²/E`,
+    * and the test totals (`chi2` = Σ contributions, `dof` =
+    * (|A|−1)·(|B|−1)) repeated on every row so the result is a single
+    * self-contained frame.
+    *
+    * Scale shape: ONE hash-aggregate collapses the data to the observed
+    * contingency table (the only pass that sees the 100 TB input); the
+    * margins, their |A|·|B| cross grid, and the totals are joins/windows
+    * over that tiny table. Nulls in either column are excluded (they
+    * form no hypothesis). Zero-EXPECTED cells cannot arise: both margins
+    * of every grid cell are positive by construction. */
+  def chiSquareIndependence(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("observed"))
+    val rowm = cells.groupBy("a").agg(sum(col("observed")).as("_ra"))
+    val colm = cells.groupBy("b").agg(sum(col("observed")).as("_cb"))
+    val grid = rowm.crossJoin(broadcast(colm))
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+    val wAll = Window.partitionBy()
+    val expected = col("_ra") * col("_cb") / sum(col("observed")).over(wAll)
+    grid
+      .withColumn("expected", round(expected, 6))
+      .withColumn("contrib",
+        round(pow(col("observed") - col("expected"), 2) / col("expected"), 6))
+      .withColumn("chi2", round(sum(col("contrib")).over(wAll), 6))
+      .withColumn("dof",
+        (size(collect_set(col("a")).over(wAll)) - 1).cast("long") *
+          (size(collect_set(col("b")).over(wAll)) - 1))
+      .drop("_ra", "_cb")
+  }
+
+  /** Weight-of-evidence / information-value binning — the standard
+    * feature-screening transform of a training pipeline: bucket a
+    * numeric feature into `nBins` equal-width bins over its observed
+    * [min, max], then per bin
+    * `woe = ln((pos_i + ½)/(pos_tot + ½·k) ÷ (neg_i + ½)/(neg_tot + ½·k))`
+    * (Laplace-smoothed so empty sides stay finite and BOTH engines agree
+    * on edge bins) and `iv_contrib = (pos% − neg%)·woe`; the total IV is
+    * the sum over bins, repeated per row.
+    *
+    * Equal-width (not quantile) bins on purpose: quantile binning via
+    * ntile() is tie-order nondeterministic — equal-width is a pure map
+    * off the broadcast 1-row (min, max), bit-reproducible everywhere.
+    * Scale: one (min, max) agg, one map pass, one ≤nBins-row agg. */
+  def woeIv(
+      df: DataFrame,
+      featureCol: String,
+      labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val in = df.where(col(featureCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(featureCol).cast("double").as("_f"),
+        col(labelCol).cast("boolean").as("_y"))
+    val bounds = in.agg(min(col("_f")).as("_lo"), max(col("_f")).as("_hi"))
+    val width = (col("_hi") - col("_lo")) / lit(nBins)
+    val bin = when(col("_hi") === col("_lo"), lit(0))
+      .otherwise(least(lit(nBins - 1),
+        floor((col("_f") - col("_lo")) / width).cast("int")))
+    val binned = in.crossJoin(broadcast(bounds))
+      .select(bin.as("bin"),
+        col("_y"),
+        round(col("_lo") + bin * width, 6).as("bin_lo"))
+    val perBin = binned.groupBy("bin", "bin_lo")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("_y"), 1L).otherwise(0L)).as("n_neg"))
+    val wAll = Window.partitionBy()
+    val k = count(lit(1)).over(wAll).cast("double")
+    val posRate = (col("n_pos") + lit(0.5)) /
+      (sum(col("n_pos")).over(wAll) + lit(0.5) * k)
+    val negRate = (col("n_neg") + lit(0.5)) /
+      (sum(col("n_neg")).over(wAll) + lit(0.5) * k)
+    perBin
+      .withColumn("woe", round(log(posRate / negRate), 6))
+      .withColumn("iv_contrib",
+        round((posRate - negRate) * log(posRate / negRate), 6))
+      .withColumn("iv", round(sum(col("iv_contrib")).over(wAll), 6))
   }
 }

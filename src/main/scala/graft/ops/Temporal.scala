@@ -193,4 +193,135 @@ object Temporal {
           (col("sigma") === 0 && v =!= col("mu"))))
       .drop("_n")
   }
+
+  /** Sweep-line interval concurrency: given per-key intervals
+    * `[startCol, endCol)` (half-open — an interval ending exactly when
+    * another starts does NOT overlap it), the peak number of
+    * simultaneously-open intervals per key and the earliest instant it is
+    * reached: `(key, peak, peak_at)`.
+    *
+    * Implementation: each interval becomes a +1 delta at its start and a
+    * −1 at its end; deltas are SUMMED PER (key, instant) first (so the
+    * running sum advances on unique instants — no tie-order ambiguity),
+    * then one running-sum window per key gives the open count just after
+    * each instant, and one aggregate takes the max and its earliest time.
+    *
+    * Scale shape: 2 rows per interval, one shuffle on the key for the
+    * window, one hash-agg — the O(n·n) "count overlapping rows via
+    * self-theta-join" formulation never appears. Keys parallelize; a
+    * single key's series is its event count, sorted once. */
+  def maxConcurrency(
+      df: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val in = df.where(col(startCol).isNotNull && col(endCol).isNotNull &&
+      col(endCol) > col(startCol))
+    val deltas = in.select(col(keyCol).as("_k"), col(startCol).as("_t"),
+        lit(1L).as("_d"))
+      .unionByName(in.select(col(keyCol).as("_k"), col(endCol).as("_t"),
+        lit(-1L).as("_d")))
+      .groupBy("_k", "_t").agg(sum(col("_d")).as("_d"))
+    val w = Window.partitionBy("_k").orderBy("_t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("_open", sum(col("_d")).over(w))
+      .groupBy(col("_k").as(keyCol))
+      .agg(max(col("_open")).as("peak"),
+        min_by(col("_t"), struct(-col("_open"), col("_t"))).as("peak_at"))
+  }
+
+  /** Windowed exponentially-weighted moving average over a (key, order,
+    * value) series: each point's EWMA is the decay-weighted average of
+    * its trailing `lookback` points (inclusive),
+    * `Σᵢ (1−α)ⁱ·x_{t−i} / Σᵢ (1−α)ⁱ` for i = 0 … min(lookback, t) − 1 —
+    * pandas `ewm(alpha, adjust=True)` truncated to a bounded window, so
+    * per-row state is `lookback` values, not the whole series.
+    *
+    * Implementation: ONE bounded-frame window collects the trailing
+    * values in frame order; a single `aggregate` higher-order expression
+    * folds the decay dot product — no self-join of the series against
+    * its own history (the O(n·lookback) join formulation), no driver
+    * iteration. The geometric denominator folds to the closed form
+    * (1−(1−α)ⁿ)/α. */
+  def ewma(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      alpha: Double,
+      lookback: Int = 10): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(lookback >= 1, "lookback must be >= 1")
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(-(lookback - 1), 0)
+    val decay = 1.0 - alpha
+    // frame order is oldest→current; reverse so index 0 carries weight 1
+    val num = expr(
+      s"""aggregate(reverse(_vals), struct(0 AS i, CAST(0.0 AS DOUBLE) AS s),
+         |  (acc, x) -> struct(acc.i + 1, acc.s + x * power($decay, acc.i)),
+         |  acc -> acc.s)""".stripMargin)
+    val den = (lit(1.0) - pow(lit(decay), size(col("_vals")))) / lit(alpha)
+    df.withColumn("_vals",
+        collect_list(col(valueCol).cast("double")).over(w))
+      .withColumn("ewma", round(num / den, 6))
+      .drop("_vals")
+  }
+
+  /** Daily OHLC (open/high/low/close) bars per key: for each (key, day),
+    * the first and last value in (tsCol, tieCol) order plus min/max/count.
+    * `tieCol` MUST be a per-row unique id — it makes first/last
+    * deterministic when two rows share a timestamp (the contract
+    * `asofJoinBackward` leaves to the caller, made explicit here).
+    *
+    * One window shuffle on (key, day) computes open (running first) and
+    * close (full-frame last) in the same pass, then one hash-agg folds
+    * the bar — the per-group sort is bounded by the day's row count. */
+  def ohlcDaily(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      tieCol: String): DataFrame = {
+    val day = to_date(col(tsCol)).as("day")
+    val wAll = Window.partitionBy(col(keyCol), to_date(col(tsCol)))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.where(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), day, col(valueCol).as("_v"),
+        first(col(valueCol)).over(wAll).as("_open"),
+        last(col(valueCol)).over(wAll).as("_close"))
+      .groupBy(keyCol, "day")
+      .agg(min(col("_open")).as("open"), max(col("_v")).as("high"),
+        min(col("_v")).as("low"), min(col("_close")).as("close"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Rolling Pearson correlation between two aligned series: `df` holds
+    * one row per `orderCol` tick with both series as columns; each row
+    * gets `corr` over the trailing `lookback` ticks (inclusive), emitted
+    * only once ≥ `minPeriods` pairs are in frame.
+    *
+    * The series is ONE logical sequence, so the window is unpartitioned —
+    * correct only because the input is an AGGREGATED grain (e.g. one row
+    * per hour), whose cardinality is calendar-bounded (10 years of hours
+    * = 87k rows), not data-bounded; the heavy lifting (collapsing raw
+    * events to the grain) must happen upstream where it parallelizes.
+    * For per-entity rolling correlation, partition the window by the
+    * entity key instead. */
+  def rollingCorr(
+      df: DataFrame,
+      orderCol: String,
+      xCol: String,
+      yCol: String,
+      lookback: Int = 24,
+      minPeriods: Int = 12): DataFrame = {
+    val w = Window.orderBy(orderCol).rowsBetween(-(lookback - 1), 0)
+    val both = col(xCol).isNotNull && col(yCol).isNotNull
+    df.withColumn("n_pairs",
+        count(when(both, lit(1))).over(w))
+      .withColumn("roll_corr",
+        when(col("n_pairs") >= minPeriods,
+          round(corr(col(xCol), col(yCol)).over(w), 6)))
+      .where(col("n_pairs") >= minPeriods)
+  }
 }
