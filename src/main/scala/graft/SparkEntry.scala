@@ -2566,6 +2566,63 @@ object SparkEntry {
         .select(col("hr"), round(col("x"), 6).as("x"),
           round(col("y"), 6).as("y"), col("n_pairs"), col("roll_corr"))
         .orderBy("hr")
+    },
+
+    // ───── Kaplan–Meier survival: user churn over first→last activity
+    // span, right-censored at the corpus horizon (active within the last
+    // 7 days = still alive, "survived ≥ t" not "churned at t") — one
+    // hash-agg to the duration grid, suffix-sum at-risk window, running
+    // exp-sum-ln product ─────
+    "q172_survival" -> { (s, dir) =>
+      // subject = (user, event_type) activity stream — the per-user span
+      // collapses to 3 distinct durations (everyone is active all month);
+      // the per-stream grain spreads the curve over ~19 steps
+      val u = t(s, dir, "events").groupBy("user_id", "event_type")
+        .agg(min(to_date(col("ts"))).as("f"), max(to_date(col("ts"))).as("l"))
+      val horizon = u.agg(max(col("l")).as("m"))
+      val subjects = u.crossJoin(broadcast(horizon))
+        .select(datediff(col("l"), col("f")).as("dur"),
+          (col("l") < date_sub(col("m"), 7)).as("churned"))
+      Models.kaplanMeier(subjects, "dur", "churned")
+        .orderBy("t")
+    },
+
+    // ───── cross-correlation lag scan: does click value lead view value?
+    // Pearson r at every hourly lag in [−6, +6] — the broadcast lag
+    // dimension × ONE shifted-instant equi-join, one moment agg per lag ─────
+    "q173_lag_corr" -> { (s, dir) =>
+      val hourly = t(s, dir, "events")
+        .filter(col("ts").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(avg(when(col("event_type") === "click", col("value"))).as("x"),
+          avg(when(col("event_type") === "view", col("value"))).as("y"))
+      Temporal.crossCorrLags(hourly, "hr", "x", "y", maxLag = 6,
+          stepSeconds = 3600L)
+        .orderBy("lag")
+    },
+
+    // ───── Benford first-digit audit: leading significant digit of
+    // extended price vs log10(1+1/d) — digit from the STRING rendering
+    // (float log10 of exact powers of ten misbuckets whole decades);
+    // one codegen'd regexp projection + one ≤9-row agg ─────
+    "q174_benford" -> { (s, dir) =>
+      Profile.benfordAudit(t(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy("digit")
+    },
+
+    // ───── robust outliers via modified z-score (Iglewicz–Hoaglin):
+    // |0.6745·(v−median)/MAD| ≥ 3.5 per event type — median-based, so a
+    // heavy tail can't dilute its own baseline the way μ/σ lets it;
+    // exact-median formulation (oracle-checkable); swap in the histogram
+    // sketch at 100 TB ─────
+    "q175_mad_outliers" -> { (s, dir) =>
+      Temporal.madOutliers(
+          t(s, dir, "events").select(col("event_id"), col("event_type"),
+            col("value")),
+          "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"), col("mz"))
+        .orderBy("event_id")
     }
   )
 
@@ -4140,6 +4197,76 @@ object SparkEntry {
         "(ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) " +
         "SELECT hr, round(x, 6) AS x, round(y, 6) AS y, n_pairs, " +
         "CASE WHEN n_pairs >= 12 THEN rc END AS roll_corr " +
-        "FROM r WHERE n_pairs >= 12 ORDER BY hr")
+        "FROM r WHERE n_pairs >= 12 ORDER BY hr"),
+
+    // duration grid + suffix-sum at-risk + exp-sum-ln running product;
+    // the d = n_risk arm pinned to exactly 0 on both engines
+    "q172_survival" ->
+      ("WITH u AS (SELECT user_id, event_type, min(ts::DATE) AS f, " +
+        "max(ts::DATE) AS l FROM events GROUP BY 1, 2), " +
+        "mx AS (SELECT max(l) AS m FROM u), " +
+        "s AS (SELECT date_diff('day', f, l) AS t, (l < m - 7) AS e " +
+        "FROM u CROSS JOIN mx), " +
+        "g AS (SELECT t, count(*)::BIGINT AS n_subjects, " +
+        "sum(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT AS d FROM s GROUP BY 1), " +
+        "r AS (SELECT t, n_subjects, d, sum(n_subjects) OVER " +
+        "(ORDER BY t DESC ROWS UNBOUNDED PRECEDING)::BIGINT AS n_risk FROM g) " +
+        "SELECT t, n_subjects, d, n_risk, " +
+        "CASE WHEN min(n_risk - d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) > 0 " +
+        "THEN round(exp(sum(CASE WHEN d < n_risk " +
+        "THEN ln(1 - d::DOUBLE / n_risk) END) OVER " +
+        "(ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) ELSE 0.0 END AS survival " +
+        "FROM r ORDER BY t"),
+
+    // broadcast lag dimension × shifted-instant equi-join (interval
+    // shift vs Spark's epoch arithmetic — independent alignments)
+    "q173_lag_corr" ->
+      ("WITH h AS (SELECT date_trunc('hour', ts) AS hr, " +
+        "avg(CASE WHEN event_type = 'click' THEN value END) AS x, " +
+        "avg(CASE WHEN event_type = 'view' THEN value END) AS y " +
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1), " +
+        "l AS (SELECT unnest(range(-6, 7))::INT AS lag), " +
+        "j AS (SELECT l.lag, a.x AS x, b.y AS y FROM h a CROSS JOIN l " +
+        "JOIN h b ON b.hr = a.hr + to_hours(l.lag::BIGINT) " +
+        "WHERE a.x IS NOT NULL AND b.y IS NOT NULL) " +
+        "SELECT lag, count(*)::BIGINT AS n, " +
+        "CASE WHEN var_pop(x) > 0 AND var_pop(y) > 0 THEN " +
+        "round(covar_pop(x, y) / sqrt(var_pop(x) * var_pop(y)), 6) END AS r " +
+        "FROM j GROUP BY 1 ORDER BY 1"),
+
+    // leading digit from the string rendering on both engines (the
+    // scientific-notation mantissa digit IS the significant digit)
+    "q174_benford" ->
+      ("WITH d AS (SELECT regexp_extract(l_extendedprice::VARCHAR, '[1-9]') " +
+        "AS ds FROM lineitem " +
+        "WHERE l_extendedprice IS NOT NULL AND l_extendedprice <> 0), " +
+        "c AS (SELECT ds::INT AS digit, count(*)::BIGINT AS n FROM d " +
+        "WHERE ds <> '' GROUP BY 1), " +
+        "e AS (SELECT digit, n, " +
+        "round(n::DOUBLE / sum(n) OVER (), 6) AS obs_share, " +
+        "round(log10(1 + 1.0 / digit), 6) AS benford_share FROM c), " +
+        "f AS (SELECT digit, n, obs_share, benford_share, " +
+        "round(abs(obs_share - benford_share), 6) AS abs_dev FROM e) " +
+        "SELECT digit, n, obs_share, benford_share, abs_dev, " +
+        "round(avg(abs_dev) OVER (), 6) AS mad_total FROM f ORDER BY digit"),
+
+    // exact interpolated medians (quantile_cont ≡ Spark percentile),
+    // 6dp-rounded before the division; MAD = 0 flags any deviation
+    "q175_mad_outliers" ->
+      ("WITH m AS (SELECT event_type, " +
+        "round(quantile_cont(value, 0.5), 6) AS med FROM events " +
+        "WHERE value IS NOT NULL GROUP BY 1), " +
+        "j AS (SELECT e.event_id, e.event_type, e.value, m.med FROM events e " +
+        "JOIN m USING (event_type) WHERE e.value IS NOT NULL), " +
+        "md AS (SELECT event_type, " +
+        "round(quantile_cont(abs(value - med), 0.5), 6) AS mad FROM j " +
+        "GROUP BY 1), " +
+        "x AS (SELECT j.event_id, j.event_type, j.value, j.med, md.mad, " +
+        "CASE WHEN md.mad > 0 THEN " +
+        "round(0.6745 * (j.value - j.med) / md.mad, 6) END AS mz " +
+        "FROM j JOIN md USING (event_type)) " +
+        "SELECT event_id, event_type, value, med, mad, mz FROM x " +
+        "WHERE (mad > 0 AND abs(mz) >= 3.5) OR (mad = 0 AND value <> med) " +
+        "ORDER BY event_id")
   )
 }

@@ -196,4 +196,46 @@ object Models {
         round((posRate - negRate) * log(posRate / negRate), 6))
       .withColumn("iv", round(sum(col("iv_contrib")).over(wAll), 6))
   }
+
+  /** Kaplan–Meier survival estimator over (duration, event) subjects —
+    * the churn/time-to-event curve with right-censoring done correctly
+    * (a still-active subject says "survived ≥ t", never "churned at t"):
+    * per distinct duration t, the at-risk count
+    * `n_risk(t) = Σ_{t' ≥ t} subjects(t')` (a suffix-sum window), the
+    * observed event count `d(t)`, and
+    * `survival(t) = Π_{t' ≤ t} (1 − d/n_risk)` — the running product
+    * folded as `exp(Σ ln(1 − d/n))` so both engines accumulate in frame
+    * order and the product is order-independent.
+    *
+    * Scale shape: ONE hash-aggregate collapses subjects to the distinct
+    * duration grid (the only pass at data scale); both windows run over
+    * that grid, whose size is bounded by the observation span, not the
+    * population. The grid windows are unpartitioned — sound for a
+    * calendar-bounded duration grain (the rollingCorr contract). */
+  def kaplanMeier(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String): DataFrame = {
+    val grid = df
+      .where(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(col(durationCol).as("t"))
+      .agg(count(lit(1)).as("n_subjects"),
+        sum(when(col(eventCol).cast("boolean"), 1L).otherwise(0L))
+          .as("d"))
+    val wSuffix = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrefix = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // d = n_risk (everyone at risk churns) sends the product to exactly
+    // 0 — but Spark's log(0) is null (the term would silently VANISH
+    // from the sum), so that arm is an explicit running-min guard
+    val lnTerm = when(col("d") < col("n_risk"),
+      log(lit(1.0) - col("d") / col("n_risk")))
+    grid
+      .withColumn("n_risk", sum(col("n_subjects")).over(wSuffix))
+      .withColumn("survival",
+        when(min(col("n_risk") - col("d")).over(wPrefix) > 0,
+          round(exp(sum(lnTerm).over(wPrefix)), 6))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -324,4 +324,74 @@ object Temporal {
           round(corr(col(xCol), col(yCol)).over(w), 6)))
       .where(col("n_pairs") >= minPeriods)
   }
+
+  /** Cross-correlation lag scan: Pearson r between `x(t)` and
+    * `y(t + lag · stepSeconds)` for every lag in [−maxLag, maxLag] —
+    * "does x lead y, and by how much?" over an aligned time grid
+    * (`orderCol` must be a timestamp on that grid).
+    *
+    * Implementation: the 2·maxLag+1 lag dimension cross-joins the grid
+    * (broadcast — it is lag-count rows), then ONE equi-join realigns y
+    * by shifted instant and one hash-agg per lag folds the correlation
+    * moments. The join is on exact shifted timestamps, so missing grid
+    * points simply drop pairs (n reports how many aligned). Series
+    * grain is calendar-bounded (the rollingCorr contract); the shuffle
+    * carries (instant, value) pairs only. */
+  def crossCorrLags(
+      df: DataFrame,
+      orderCol: String,
+      xCol: String,
+      yCol: String,
+      maxLag: Int,
+      stepSeconds: Long): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val lags = df.sparkSession.range(-maxLag, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    val xs = df.select(unix_timestamp(col(orderCol)).as("_tx"),
+      col(xCol).as("_x"))
+    val ys = df.select(unix_timestamp(col(orderCol)).as("_ty"),
+      col(yCol).as("_y"))
+    xs.crossJoin(broadcast(lags))
+      .join(ys, col("_ty") === col("_tx") + col("lag") * lit(stepSeconds))
+      .where(col("_x").isNotNull && col("_y").isNotNull)
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        when(var_pop(col("_x")) > 0 && var_pop(col("_y")) > 0,
+          round(covar_pop(col("_x"), col("_y")) /
+            sqrt(var_pop(col("_x")) * var_pop(col("_y"))), 6)).as("r"))
+  }
+
+  /** Robust outlier flags via the modified z-score (Iglewicz–Hoaglin):
+    * per key, `Mz = 0.6745 · (v − median) / MAD` with
+    * `MAD = median(|v − median|)`; rows with |Mz| ≥ `threshold`
+    * (default 3.5) flag — plus the MAD = 0 degenerate case (over half
+    * the group identical: ANY deviation flags, with null `mz`), the
+    * same contract as `anomalyZScores`' σ = 0 arm. Median/MAD are
+    * 6dp-rounded BEFORE the division (the cross-engine float contract).
+    *
+    * Scale note: this is the EXACT interpolated-median formulation — two
+    * grouped percentile aggregates, each buffering its group's values —
+    * kept because it is oracle-checkable bit-for-bit. At 100 TB swap the
+    * exact medians for `Sketches.histogramQuantiles` (mergeable, bounded
+    * state) or `percentile_approx`; the flagging arithmetic is unchanged. */
+  def madOutliers(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.where(v.isNotNull)
+      .groupBy(col(keyCol))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("med"))
+    val withMed = df.where(v.isNotNull).join(med, keyCol)
+    val mad = withMed.groupBy(col(keyCol))
+      .agg(round(expr("percentile(abs(cast(" + valueCol +
+        " as double) - med), 0.5)"), 6).as("mad"))
+    withMed.join(mad, keyCol)
+      .withColumn("mz",
+        when(col("mad") > 0,
+          round(lit(0.6745) * (v - col("med")) / col("mad"), 6)))
+      .filter((col("mad") > 0 && abs(col("mz")) >= threshold) ||
+        (col("mad") === 0 && v =!= col("med")))
+  }
 }
