@@ -703,7 +703,11 @@ object OraclesExt {
     * feature CTE with the previous 1-row weights cross-joined in — the
     * same min()-over-constant trick and the same left-associated z so
     * both engines walk the identical float path. */
-  val logregQuality: String = {
+  /** Shared CTE prefix ending in `scored(doc_id, y, prob)` — the
+    * 3-step logreg fit + 6dp-rounded sigmoid scores; consumed by the
+    * quality row (q163) and the model-governance rows (q177 calibration,
+    * q179 AUC), so all three govern the SAME model. */
+  private val logregScoredCte: String = {
     val z = "b + w1*x1 + w2*x2 + w3*x3"
     val sig = s"1.0/(1.0+exp(-($z)))"
     def step(prev: String): String =
@@ -722,10 +726,46 @@ object OraclesExt {
       "0.0 - 5.0*avg((0.5 - y)*x1) AS w1, " +
       "0.0 - 5.0*avg((0.5 - y)*x2) AS w2, " +
       "0.0 - 5.0*avg((0.5 - y)*x3) AS w3 FROM f), " +
-      s"g2 AS ${step("g1")}, g3 AS ${step("g2")} " +
-      s"SELECT doc_id, y, round($sig, 6) AS prob, " +
-      s"round($sig, 6) >= 0.5 AS pred FROM f, g3 ORDER BY doc_id"
+      s"g2 AS ${step("g1")}, g3 AS ${step("g2")}, " +
+      s"scored AS (SELECT doc_id, y, round($sig, 6) AS prob FROM f, g3)"
   }
+
+  val logregQuality: String =
+    logregScoredCte + " SELECT doc_id, y, prob, prob >= 0.5 AS pred " +
+      "FROM scored ORDER BY doc_id"
+
+  /** Score-quantile calibration deciles over the shared scored frame:
+    * bin = number of 6dp-rounded quantile cuts strictly below the score
+    * (quantile_cont ≡ Spark's interpolated percentile); Brier = global
+    * Σ(p−y)²/N off the same per-bin partials. */
+  val logregCalibration: String = {
+    val qs = (1 until 10).map(i => s"0.${i}").mkString(", ")
+    logregScoredCte + s", k AS (SELECT list_transform(" +
+      s"quantile_cont(prob, [$qs]), c -> round(c, 6)) AS cuts FROM scored), " +
+      "c AS (SELECT len(list_filter(k.cuts, c -> prob > c))::INT AS bin, " +
+      "prob, y FROM scored CROSS JOIN k), " +
+      "b AS (SELECT bin, count(*)::BIGINT AS n, " +
+      "round(avg(prob), 6) AS mean_prob, round(avg(y), 6) AS pos_rate, " +
+      "sum(power(prob - y, 2)) AS se FROM c GROUP BY 1) " +
+      "SELECT bin, n, mean_prob, pos_rate, " +
+      "round(sum(se) OVER () / sum(n) OVER (), 6) AS brier " +
+      "FROM b ORDER BY bin"
+  }
+
+  /** Mann–Whitney midrank AUC over the distinct-score grid of the
+    * shared scored frame. */
+  val logregAuc: String =
+    logregScoredCte + ", g AS (SELECT prob AS s, count(*)::BIGINT AS cnt, " +
+      "sum(y) AS pos FROM scored GROUP BY 1), " +
+      "r AS (SELECT s, cnt, pos, coalesce(sum(cnt) OVER (ORDER BY s " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM g), " +
+      "a AS (SELECT sum(pos)::BIGINT AS n_pos, " +
+      "(sum(cnt) - sum(pos))::BIGINT AS n_neg, " +
+      "sum(pos * (cumb + (cnt + 1.0) / 2.0)) AS rpos FROM r), " +
+      "o AS (SELECT n_pos, n_neg, CASE WHEN n_pos > 0 AND n_neg > 0 THEN " +
+      "round((rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) END " +
+      "AS auc FROM a) " +
+      "SELECT n_pos, n_neg, auc, round(auc * 2 - 1, 6) AS gini FROM o"
 
   /** Per-event-type OLS trend (mirrors `Models.linearTrend`): the same
     * covar_pop/var_pop/corr moment formulation over x re-based to days

@@ -28,6 +28,26 @@ object SparkEntry {
   private def tb(s: SparkSession, dir: String, name: String): DataFrame =
     Sources.table(s, dir, name, balance = true)
 
+  /** The trained quality classifier's scored corpus (q163's pipeline) —
+    * shared by the model-governance rows (q177 calibration, q179 AUC):
+    * engineered features checkpointed once, 3-step logreg fit, scored
+    * frame with (doc_id, y, prob, pred). */
+  private def scoredDocsQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.words(col("text"))
+    val xs = Seq("x1", "x2", "x3")
+    // feature frame feeds 3 gradient passes + the score pass:
+    // materialize the regex work once
+    val f = tb(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        TextAnalysis.hitRatio(toks, TextAnalysis.stopwords.toMap.apply("en"))
+          .as("x1"),
+        TextAnalysis.punctRatio(col("text")).as("x2"),
+        least(size(toks).cast("double") / 100.0, lit(1.0)).as("x3"))
+      .localCheckpoint()
+    Models.logregScore(f, Models.logregFit(f, "y", xs), xs)
+  }
+
   /** Fixed per-JVM scratch dir for queries that write intermediate files
     * (round trips, schema-evolution generations, stream-source links).
     * One path per `name`, reused on every invocation — a bench loop that
@@ -2094,19 +2114,7 @@ object SparkEntry {
     // Label: lang='en'; features: en-stopword ratio, punct ratio,
     // saturating length ─────
     "q163_logreg_quality" -> { (s, dir) =>
-      val toks = TextAnalysis.words(col("text"))
-      val xs = Seq("x1", "x2", "x3")
-      // feature frame feeds 3 gradient passes + the score pass:
-      // materialize the regex work once
-      val f = tb(s, dir, "documents").select(
-          col("doc_id"),
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
-          TextAnalysis.hitRatio(toks, TextAnalysis.stopwords.toMap.apply("en"))
-            .as("x1"),
-          TextAnalysis.punctRatio(col("text")).as("x2"),
-          least(size(toks).cast("double") / 100.0, lit(1.0)).as("x3"))
-        .localCheckpoint()
-      Models.logregScore(f, Models.logregFit(f, "y", xs), xs)
+      scoredDocsQuality(s, dir)
         .select(col("doc_id"), col("y"), col("prob"), col("pred"))
         .orderBy("doc_id")
     },
@@ -2623,6 +2631,46 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           col("med"), col("mad"), col("mz"))
         .orderBy("event_id")
+    },
+
+    // ───── Welch two-sample t-test: deterministic hash-split A/B arms
+    // over event value — ONE conditional-moment hash-agg, six doubles
+    // cross the wire at any scale ─────
+    "q176_ab_test" -> { (s, dir) =>
+      val arm = pmod(Hashing.hash60(col("user_id").cast("string")), lit(2L))
+        .cast("int").as("arm")
+      Models.welchTTest(t(s, dir, "events").select(arm, col("value")),
+        "arm", "value")
+    },
+
+    // ───── calibration report for the trained quality classifier:
+    // SCORE-QUANTILE deciles (the 3-step model's probs span ~0.03 —
+    // fixed [0,1] bins would collapse to one row), per-bin mean prob vs
+    // observed positive rate + global Brier — pos_rate tracking
+    // mean_prob is what "trust the score as a probability" means ─────
+    "q177_calibration" -> { (s, dir) =>
+      Models.calibrationByQuantile(scoredDocsQuality(s, dir), "prob", "y",
+          nBins = 10)
+        .orderBy("bin")
+    },
+
+    // ───── PSI feature drift: event value distribution, first half of
+    // the month (reference) vs second half (current) — equal-width bins
+    // over the REFERENCE range, out-of-range current values clamp into
+    // the edge bins, smoothed shares keep empty bins finite ─────
+    "q178_psi_drift" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val cut = lit("2024-01-16").cast("timestamp")
+      Models.psiDrift(ev.filter(col("ts") < cut),
+          ev.filter(col("ts") >= cut), "value", nBins = 10)
+        .orderBy("bin")
+    },
+
+    // ───── ROC AUC via Mann–Whitney midranks over the DISTINCT-SCORE
+    // grid (6dp-rounded probs bound the grid at ~10⁶ rows at any corpus
+    // size) — no threshold sweep, ties count ½ ─────
+    "q179_auc" -> { (s, dir) =>
+      Models.aucRank(scoredDocsQuality(s, dir), "prob", "y")
     }
   )
 
@@ -4267,6 +4315,57 @@ object SparkEntry {
         "FROM j JOIN md USING (event_type)) " +
         "SELECT event_id, event_type, value, med, mad, mz FROM x " +
         "WHERE (mad > 0 AND abs(mz) >= 3.5) OR (mad = 0 AND value <> med) " +
-        "ORDER BY event_id")
+        "ORDER BY event_id"),
+
+    // hash60 % 2 arm split (bit-identical to Spark's pmod(hash60, 2));
+    // one conditional-moment aggregate, Welch–Satterthwaite df
+    "q176_ab_test" ->
+      ("WITH e AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))" +
+        "::BIGINT % 2 AS arm, value AS v FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "a AS (SELECT count(CASE WHEN arm = 0 THEN 1 END)::BIGINT AS n_a, " +
+        "count(CASE WHEN arm = 1 THEN 1 END)::BIGINT AS n_b, " +
+        "avg(CASE WHEN arm = 0 THEN v END) AS ma, " +
+        "avg(CASE WHEN arm = 1 THEN v END) AS mb, " +
+        "var_samp(CASE WHEN arm = 0 THEN v END) AS va, " +
+        "var_samp(CASE WHEN arm = 1 THEN v END) AS vb FROM e) " +
+        "SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, " +
+        "round(va, 6) AS var_a, round(vb, 6) AS var_b, " +
+        "round((ma - mb) / sqrt(va/n_a + vb/n_b), 6) AS t_stat, " +
+        "round(power(va/n_a + vb/n_b, 2) / " +
+        "(power(va/n_a, 2)/(n_a - 1) + power(vb/n_b, 2)/(n_b - 1)), 6) " +
+        "AS df_welch, " +
+        "(round(abs((ma - mb) / sqrt(va/n_a + vb/n_b)), 6) >= 1.96) " +
+        "AS significant FROM a"),
+
+    "q177_calibration" -> OraclesExt.logregCalibration,
+
+    // reference-range bins, clamped current, ½-smoothed shares, bin spine
+    "q178_psi_drift" ->
+      ("WITH r0 AS (SELECT value::DOUBLE AS v FROM events " +
+        "WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16'), " +
+        "c0 AS (SELECT value::DOUBLE AS v FROM events " +
+        "WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'), " +
+        "b AS (SELECT min(v) AS lo, max(v) AS hi FROM r0), " +
+        "rb AS (SELECT CASE WHEN hi = lo THEN 0 ELSE least(9, greatest(0, " +
+        "floor((v - lo) / ((hi - lo) / 10))))::INT END AS bin, " +
+        "count(*)::BIGINT AS n_ref FROM r0 CROSS JOIN b GROUP BY 1), " +
+        "cb AS (SELECT CASE WHEN hi = lo THEN 0 ELSE least(9, greatest(0, " +
+        "floor((v - lo) / ((hi - lo) / 10))))::INT END AS bin, " +
+        "count(*)::BIGINT AS n_cur FROM c0 CROSS JOIN b GROUP BY 1), " +
+        "s AS (SELECT unnest(range(10))::INT AS bin), " +
+        "j AS (SELECT s.bin, coalesce(rb.n_ref, 0) AS n_ref, " +
+        "coalesce(cb.n_cur, 0) AS n_cur FROM s " +
+        "LEFT JOIN rb ON s.bin = rb.bin LEFT JOIN cb ON s.bin = cb.bin), " +
+        "q AS (SELECT bin, n_ref, n_cur, " +
+        "(n_ref + 0.5) / (sum(n_ref) OVER () + 0.5 * 10) AS p, " +
+        "(n_cur + 0.5) / (sum(n_cur) OVER () + 0.5 * 10) AS q FROM j) " +
+        "SELECT bin, n_ref, n_cur, round(p, 6) AS p_ref, " +
+        "round(q, 6) AS p_cur, " +
+        "round((p - q) * ln(p / q), 6) AS psi_contrib, " +
+        "round(sum(round((p - q) * ln(p / q), 6)) OVER (), 6) AS psi " +
+        "FROM q ORDER BY bin"),
+
+    "q179_auc" -> OraclesExt.logregAuc
   )
 }

@@ -238,4 +238,189 @@ object Models {
           round(exp(sum(lnTerm).over(wPrefix)), 6))
           .otherwise(lit(0.0)))
   }
+
+  /** Welch's two-sample t-test (unequal variances) between the two arms
+    * of `armCol` (values `0` and `1` — assign upstream with a
+    * deterministic hash so the split is reproducible): one row with per-
+    * arm n/mean/variance, the t statistic, the Welch–Satterthwaite
+    * degrees of freedom, and a 95 % two-sided significance flag
+    * (|t| ≥ 1.96 — the normal-approximation critical value; at the df
+    * this test runs with at any real scale the t and normal quantiles
+    * agree to 3 decimals).
+    *
+    * Scale shape: ONE hash-aggregate with conditional moments — six
+    * doubles cross the wire regardless of input size. Null metrics are
+    * excluded from their arm's moments. */
+  def welchTTest(
+      df: DataFrame,
+      armCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def arm(a: Int, f: Column => Column): Column =
+      f(when(col(armCol) === a, v))
+    val agg = df.where(v.isNotNull).agg(
+      arm(0, count).as("n_a"), arm(1, count).as("n_b"),
+      arm(0, avg).as("_ma"), arm(1, avg).as("_mb"),
+      arm(0, var_samp).as("_va"), arm(1, var_samp).as("_vb"))
+    val sea = col("_va") / col("n_a")
+    val seb = col("_vb") / col("n_b")
+    val tStat = (col("_ma") - col("_mb")) / sqrt(sea + seb)
+    val dfW = pow(sea + seb, 2) /
+      (pow(sea, 2) / (col("n_a") - 1) + pow(seb, 2) / (col("n_b") - 1))
+    agg.select(col("n_a"), col("n_b"),
+      round(col("_ma"), 6).as("mean_a"), round(col("_mb"), 6).as("mean_b"),
+      round(col("_va"), 6).as("var_a"), round(col("_vb"), 6).as("var_b"),
+      round(tStat, 6).as("t_stat"), round(dfW, 6).as("df_welch"),
+      (round(abs(tStat), 6) >= 1.96).as("significant"))
+  }
+
+  /** Population Stability Index between a reference and a current
+    * sample of the same numeric feature — the drift monitor a serving
+    * pipeline runs between training and inference snapshots: `nBins`
+    * equal-width bins over the REFERENCE range (current values outside
+    * it clamp into the edge bins — drift concentrates there, it must
+    * not vanish), Laplace-½-smoothed shares on both sides, per-bin
+    * `psi_contrib = (p_ref − p_cur) · ln(p_ref/p_cur)` and the total
+    * repeated per row. Rule of thumb: < 0.1 stable, > 0.25 drifted.
+    *
+    * Scale: one (min, max) agg on ref, one map + ≤nBins-row agg per
+    * side, a bin-spine outer join so EMPTY bins still contribute. */
+  def psiDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val v = col(valueCol).cast("double")
+    val bounds = ref.where(v.isNotNull)
+      .agg(min(v).as("_lo"), max(v).as("_hi"))
+    val width = (col("_hi") - col("_lo")) / lit(nBins)
+    val bin = when(col("_hi") === col("_lo"), lit(0)).otherwise(
+      least(lit(nBins - 1), greatest(lit(0),
+        floor((v - col("_lo")) / width).cast("int"))))
+    def binned(df: DataFrame, out: String): DataFrame =
+      df.where(v.isNotNull).crossJoin(broadcast(bounds))
+        .groupBy(bin.as("bin")).agg(count(lit(1)).as(out))
+    val spine = ref.sparkSession.range(nBins)
+      .select(col("id").cast("int").as("bin"))
+    val counts = spine
+      .join(binned(ref, "n_ref"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val wAll = Window.partitionBy()
+    def share(c: String): Column = (col(c) + lit(0.5)) /
+      (sum(col(c)).over(wAll) + lit(0.5) * lit(nBins))
+    val p = share("n_ref")
+    val q = share("n_cur")
+    counts
+      .withColumn("p_ref", round(p, 6))
+      .withColumn("p_cur", round(q, 6))
+      .withColumn("psi_contrib", round((p - q) * log(p / q), 6))
+      .withColumn("psi", round(sum(col("psi_contrib")).over(wAll), 6))
+  }
+
+  /** Calibration report for a probabilistic classifier: `nBins`
+    * equal-width probability bins over [0, 1] — fixed bounds, not
+    * data-derived, so bins mean the same thing across models — with per-
+    * bin count, mean predicted probability, observed positive rate, and
+    * the global Brier score `avg((prob − y)²)` repeated per row. A
+    * well-calibrated model has `pos_rate ≈ mean_prob` per bin.
+    *
+    * One map pass + one ≤nBins-row hash-agg; the Brier moment rides the
+    * same aggregate. */
+  def calibrationReport(
+      scored: DataFrame,
+      probCol: String,
+      labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val bin = least(lit(nBins - 1), floor(p * nBins).cast("int"))
+    val wAll = Window.partitionBy()
+    scored.where(p.isNotNull && y.isNotNull)
+      .select(bin.as("bin"), p.as("_p"), y.as("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("_p")), 6).as("mean_prob"),
+        round(avg(col("_y")), 6).as("pos_rate"),
+        sum(pow(col("_p") - col("_y"), 2)).as("_se"))
+      .withColumn("brier",
+        round(sum(col("_se")).over(wAll) / sum(col("n")).over(wAll), 6))
+      .drop("_se")
+  }
+
+  /** Calibration by SCORE QUANTILE — the report to reach for when the
+    * model's scores occupy a narrow band (a weakly-trained scorer can
+    * put every document in one fixed [0,1] decile and
+    * [[calibrationReport]] degenerates to one row): bin edges are the
+    * nBins-quantile cuts of the score itself (6dp-rounded, `bin` =
+    * number of cuts strictly below the score — a pure comparison, so
+    * ties land identically on every engine), then the same per-bin
+    * mean-prob / pos-rate / Brier columns.
+    *
+    * Exact interpolated percentiles for the oracle contract — at 100 TB
+    * swap the cuts for `percentile_approx`/`Sketches.histogramQuantiles`
+    * (broadcast 1-row either way; the madOutliers note). */
+  def calibrationByQuantile(
+      scored: DataFrame,
+      probCol: String,
+      labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    val cuts = scored.where(p.isNotNull && y.isNotNull).agg(
+      expr(s"transform(percentile($probCol, array(${qs.mkString(", ")}))," +
+        " c -> round(c, 6))").as("_cuts"))
+    val bin = size(filter(col("_cuts"), c => p > c))
+    val wAll = Window.partitionBy()
+    scored.where(p.isNotNull && y.isNotNull)
+      .crossJoin(broadcast(cuts))
+      .select(bin.as("bin"), p.as("_p"), y.as("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("_p")), 6).as("mean_prob"),
+        round(avg(col("_y")), 6).as("pos_rate"),
+        sum(pow(col("_p") - col("_y"), 2)).as("_se"))
+      .withColumn("brier",
+        round(sum(col("_se")).over(wAll) / sum(col("n")).over(wAll), 6))
+      .drop("_se")
+  }
+
+  /** ROC AUC via the rank statistic (Mann–Whitney U with midranks for
+    * ties): `AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)` where R⁺ is the sum of
+    * positive midranks — exactly the probability a random positive
+    * outscores a random negative (ties count ½), with no threshold
+    * sweep. Returns one row `(n_pos, n_neg, auc, gini)`.
+    *
+    * Scale shape: ONE hash-agg collapses scores to the distinct-score
+    * grid (scores should be ROUNDED upstream — 6dp bounds the grid at
+    * ~10⁶ rows however big the corpus); one running window over that
+    * grid assigns midranks; one 1-row agg folds U. The grid window is
+    * unpartitioned — sound because the rounded-score grain is bounded,
+    * the rollingCorr contract. */
+  def aucRank(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val y = col(labelCol).cast("double")
+    val grid = scored.where(col(scoreCol).isNotNull && y.isNotNull)
+      .groupBy(col(scoreCol).as("_s"))
+      .agg(count(lit(1)).as("_cnt"), sum(y).as("_pos"))
+    val cumBefore = coalesce(
+      sum(col("_cnt")).over(Window.orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val midrank = cumBefore + (col("_cnt") + lit(1.0)) / lit(2.0)
+    grid
+      .withColumn("_rsum", col("_pos") * midrank)
+      .agg(sum(col("_pos")).cast("long").as("n_pos"),
+        (sum(col("_cnt")) - sum(col("_pos"))).cast("long").as("n_neg"),
+        sum(col("_rsum")).as("_rpos"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("_rpos") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
+            (col("n_pos") * col("n_neg")), 6)).as("auc"))
+      .withColumn("gini", round(col("auc") * 2 - 1, 6))
+  }
 }
