@@ -2202,7 +2202,10 @@ object SparkEntry {
     // shape: the pair space is the block equi-join, the edit distance a
     // codegen'd residual, never n² over the table ─────
     "q157_fuzzy_link" -> { (s, dir) =>
-      Dedup.fuzzyPairs(t(s, dir, "customer"), "c_custkey", "c_name",
+      // balanced scan: the block join's probe side carries the O(block²)
+      // edit-distance residual — a single-split local parquet would run
+      // it on one core
+      Dedup.fuzzyPairs(tb(s, dir, "customer"), "c_custkey", "c_name",
           "c_nationkey", maxDist = 2)
         .orderBy("id_a", "id_b")
     },
@@ -2671,8 +2674,92 @@ object SparkEntry {
     // size) — no threshold sweep, ties count ½ ─────
     "q179_auc" -> { (s, dir) =>
       Models.aucRank(scoredDocsQuality(s, dir), "prob", "y")
+    },
+
+    // ───── mutual information lang ↔ source: χ²'s information-theoretic
+    // sibling — per-cell PMI + corpus MI/entropies/NMI, all windows over
+    // the one-hash-agg contingency table ─────
+    "q180_mutual_info" -> { (s, dir) =>
+      Models.mutualInformation(t(s, dir, "documents"), "lang", "source")
+        .orderBy("a", "b")
+    },
+
+    // ───── Jensen–Shannon divergence of each source's language mix from
+    // the corpus-wide mix — which feeds deviate before they're weighted;
+    // margin-grid so never-emitted languages still carry their mass ─────
+    "q181_jsd_sources" -> { (s, dir) =>
+      Models.jsdByGroup(t(s, dir, "documents"), "source", "lang")
+        .orderBy("source")
+    },
+
+    // ───── RFM segmentation: recency/frequency/monetary quintile scores
+    // off strict comparisons against 6dp-rounded percentile cuts (the
+    // calibration tie rule), recency inverted ─────
+    "q182_rfm" -> { (s, dir) =>
+      Models.rfmSegments(t(s, dir, "orders"), "o_custkey", "o_orderdate",
+          "o_totalprice")
+        .orderBy("o_custkey")
+    },
+
+    // ───── STREAMING PSI: the second half of the month streams in, bin
+    // counts accumulate as a complete-mode aggregate (reference bounds
+    // baked in as literals from a bounded 2-double batch agg), drift
+    // priced against the static reference with q178's exact math ─────
+    "q183_stream_psi" -> { (s, dir) =>
+      val cut = lit("2024-01-16").cast("timestamp")
+      val ref = t(s, dir, "events")
+        .filter(col("ts") < cut && col("value").isNotNull)
+        .select(col("value").cast("double").as("v"))
+      val row = ref.agg(min(col("v")), max(col("v"))).head()
+      val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+      def binOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        if (hi == lo) lit(0)
+        else least(lit(9), greatest(lit(0),
+          floor((c - lit(lo)) / lit((hi - lo) / 10)).cast("int")))
+      val curStream = eventsStream(s, dir)
+        .filter(col("ts") >= cut && col("value").isNotNull)
+        .groupBy(binOf(col("value").cast("double")).as("bin"))
+        .agg(count(lit(1)).as("n_cur"))
+      val cur = drainToTable(s, curStream, "g183_cur", "complete")
+      val refCounts = ref.groupBy(binOf(col("v")).as("bin"))
+        .agg(count(lit(1)).as("n_ref"))
+      val spine = s.range(10).select(col("id").cast("int").as("bin"))
+      val counts = spine
+        .join(refCounts, Seq("bin"), "left")
+        .join(cur, Seq("bin"), "left")
+        .na.fill(0L, Seq("n_ref", "n_cur"))
+      Models.psiFromCounts(counts, nBins = 10)
+        .orderBy("bin")
     }
   )
+
+  /** q178's PSI oracle, shared verbatim by q183 (the streaming current
+    * side accumulates the same bin counts a batch scan produces —
+    * complete-mode sums merge across micro-batches). */
+  private val psiDriftOracle: String =
+    "WITH r0 AS (SELECT value::DOUBLE AS v FROM events " +
+      "WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16'), " +
+      "c0 AS (SELECT value::DOUBLE AS v FROM events " +
+      "WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'), " +
+      "b AS (SELECT min(v) AS lo, max(v) AS hi FROM r0), " +
+      "rb AS (SELECT CASE WHEN hi = lo THEN 0 ELSE least(9, greatest(0, " +
+      "floor((v - lo) / ((hi - lo) / 10))))::INT END AS bin, " +
+      "count(*)::BIGINT AS n_ref FROM r0 CROSS JOIN b GROUP BY 1), " +
+      "cb AS (SELECT CASE WHEN hi = lo THEN 0 ELSE least(9, greatest(0, " +
+      "floor((v - lo) / ((hi - lo) / 10))))::INT END AS bin, " +
+      "count(*)::BIGINT AS n_cur FROM c0 CROSS JOIN b GROUP BY 1), " +
+      "s AS (SELECT unnest(range(10))::INT AS bin), " +
+      "j AS (SELECT s.bin, coalesce(rb.n_ref, 0) AS n_ref, " +
+      "coalesce(cb.n_cur, 0) AS n_cur FROM s " +
+      "LEFT JOIN rb ON s.bin = rb.bin LEFT JOIN cb ON s.bin = cb.bin), " +
+      "q AS (SELECT bin, n_ref, n_cur, " +
+      "(n_ref + 0.5) / (sum(n_ref) OVER () + 0.5 * 10) AS p, " +
+      "(n_cur + 0.5) / (sum(n_cur) OVER () + 0.5 * 10) AS q FROM j) " +
+      "SELECT bin, n_ref, n_cur, round(p, 6) AS p_ref, " +
+      "round(q, 6) AS p_cur, " +
+      "round((p - q) * ln(p / q), 6) AS psi_contrib, " +
+      "round(sum(round((p - q) * ln(p / q), 6)) OVER (), 6) AS psi " +
+      "FROM q ORDER BY bin"
 
   /** A fresh finite stream over the events parquet. The file streaming
     * source lists a DIRECTORY, so the single parquet is exposed through a
@@ -4341,31 +4428,86 @@ object SparkEntry {
     "q177_calibration" -> OraclesExt.logregCalibration,
 
     // reference-range bins, clamped current, ½-smoothed shares, bin spine
-    "q178_psi_drift" ->
-      ("WITH r0 AS (SELECT value::DOUBLE AS v FROM events " +
-        "WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16'), " +
-        "c0 AS (SELECT value::DOUBLE AS v FROM events " +
-        "WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'), " +
-        "b AS (SELECT min(v) AS lo, max(v) AS hi FROM r0), " +
-        "rb AS (SELECT CASE WHEN hi = lo THEN 0 ELSE least(9, greatest(0, " +
-        "floor((v - lo) / ((hi - lo) / 10))))::INT END AS bin, " +
-        "count(*)::BIGINT AS n_ref FROM r0 CROSS JOIN b GROUP BY 1), " +
-        "cb AS (SELECT CASE WHEN hi = lo THEN 0 ELSE least(9, greatest(0, " +
-        "floor((v - lo) / ((hi - lo) / 10))))::INT END AS bin, " +
-        "count(*)::BIGINT AS n_cur FROM c0 CROSS JOIN b GROUP BY 1), " +
-        "s AS (SELECT unnest(range(10))::INT AS bin), " +
-        "j AS (SELECT s.bin, coalesce(rb.n_ref, 0) AS n_ref, " +
-        "coalesce(cb.n_cur, 0) AS n_cur FROM s " +
-        "LEFT JOIN rb ON s.bin = rb.bin LEFT JOIN cb ON s.bin = cb.bin), " +
-        "q AS (SELECT bin, n_ref, n_cur, " +
-        "(n_ref + 0.5) / (sum(n_ref) OVER () + 0.5 * 10) AS p, " +
-        "(n_cur + 0.5) / (sum(n_cur) OVER () + 0.5 * 10) AS q FROM j) " +
-        "SELECT bin, n_ref, n_cur, round(p, 6) AS p_ref, " +
-        "round(q, 6) AS p_cur, " +
-        "round((p - q) * ln(p / q), 6) AS psi_contrib, " +
-        "round(sum(round((p - q) * ln(p / q), 6)) OVER (), 6) AS psi " +
-        "FROM q ORDER BY bin"),
+    "q178_psi_drift" -> psiDriftOracle,
 
-    "q179_auc" -> OraclesExt.logregAuc
+    "q179_auc" -> OraclesExt.logregAuc,
+
+    // contingency windows; ln of the exact integer ratio cast once;
+    // NMI from the already-rounded totals (matches Spark's column reuse)
+    "q180_mutual_info" ->
+      ("WITH c AS (SELECT lang AS a, source AS b, count(*)::BIGINT AS n " +
+        "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL " +
+        "GROUP BY 1, 2), " +
+        "w AS (SELECT a, b, n, sum(n) OVER (PARTITION BY a) AS na, " +
+        "sum(n) OVER (PARTITION BY b) AS nb, sum(n) OVER () AS nt FROM c), " +
+        "e AS (SELECT a, b, n, " +
+        "round(ln((n * nt)::DOUBLE / (na * nb)), 6) AS pmi, " +
+        "(n::DOUBLE / nt) * ln((n * nt)::DOUBLE / (na * nb)) AS mi_term, " +
+        "(n::DOUBLE / na) * (na::DOUBLE / nt) * ln(na::DOUBLE / nt) AS ha_term, " +
+        "(n::DOUBLE / nb) * (nb::DOUBLE / nt) * ln(nb::DOUBLE / nt) AS hb_term " +
+        "FROM w), " +
+        "f AS (SELECT a, b, n, pmi, round(sum(mi_term) OVER (), 6) AS mi, " +
+        "round(-sum(ha_term) OVER (), 6) AS h_a, " +
+        "round(-sum(hb_term) OVER (), 6) AS h_b FROM e) " +
+        "SELECT a, b, n, pmi, mi, h_a, h_b, " +
+        "CASE WHEN h_a > 0 AND h_b > 0 THEN " +
+        "round(mi / sqrt(h_a * h_b), 6) END AS nmi " +
+        "FROM f ORDER BY a, b"),
+
+    // margin grid (never-emitted categories carry their ½·q·ln(q/m)
+    // mass), zero-safe p·ln p arm, per-group fold
+    "q181_jsd_sources" ->
+      ("WITH cc AS (SELECT source AS g, lang AS c, count(*)::BIGINT AS n " +
+        "FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL " +
+        "GROUP BY 1, 2), " +
+        "gm AS (SELECT g, sum(n)::BIGINT AS ng FROM cc GROUP BY 1), " +
+        "cm AS (SELECT c, sum(n)::BIGINT AS nc FROM cc GROUP BY 1), " +
+        "nt AS (SELECT sum(n)::BIGINT AS total FROM cc), " +
+        "grid AS (SELECT gm.g, cm.c, gm.ng, cm.nc, " +
+        "coalesce(cc.n, 0)::BIGINT AS gn FROM gm CROSS JOIN cm " +
+        "LEFT JOIN cc ON cc.g = gm.g AND cc.c = cm.c), " +
+        "tm AS (SELECT g, ng, " +
+        "(CASE WHEN gn > 0 THEN (gn::DOUBLE / ng) * " +
+        "ln((gn::DOUBLE / ng) / ((gn::DOUBLE / ng + nc::DOUBLE / total) / 2)) " +
+        "ELSE 0.0 END) / 2 + (nc::DOUBLE / total) * " +
+        "ln((nc::DOUBLE / total) / ((gn::DOUBLE / ng + nc::DOUBLE / total) / 2)) " +
+        "/ 2 AS term FROM grid CROSS JOIN nt), " +
+        "agg AS (SELECT g AS source, max(ng) AS n_rows, " +
+        "round(sum(term), 6) AS jsd FROM tm GROUP BY 1) " +
+        "SELECT source, n_rows, jsd, " +
+        "round(n_rows::DOUBLE / sum(n_rows) OVER (), 6) AS corpus_share " +
+        "FROM agg ORDER BY source"),
+
+    // per-customer RFM + strict comparisons against 6dp quintile cuts;
+    // recency inverted (recent = 5)
+    "q182_rfm" ->
+      ("WITH pc AS (SELECT o_custkey, max(o_orderdate) AS lastd, " +
+        "count(*)::BIGINT AS frequency, " +
+        "round(sum(o_totalprice), 2) AS monetary FROM orders " +
+        "WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL " +
+        "GROUP BY 1), " +
+        "h AS (SELECT max(lastd) AS hz FROM pc), " +
+        "b AS (SELECT o_custkey, " +
+        "date_diff('day', lastd, hz)::DOUBLE AS recency_days, " +
+        "frequency, monetary FROM pc CROSS JOIN h), " +
+        "k AS (SELECT list_transform(quantile_cont(recency_days, " +
+        "[0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS cr, " +
+        "list_transform(quantile_cont(frequency, " +
+        "[0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS cf, " +
+        "list_transform(quantile_cont(monetary, " +
+        "[0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS cm FROM b), " +
+        "sc AS (SELECT o_custkey, recency_days, frequency, monetary, " +
+        "5 - len(list_filter(cr, x -> recency_days > x))::INT AS r_score, " +
+        "len(list_filter(cf, x -> frequency > x))::INT + 1 AS f_score, " +
+        "len(list_filter(cm, x -> monetary > x))::INT + 1 AS m_score " +
+        "FROM b CROSS JOIN k) " +
+        "SELECT o_custkey, recency_days, frequency, monetary, " +
+        "r_score, f_score, m_score, " +
+        "r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS rfm " +
+        "FROM sc ORDER BY o_custkey"),
+
+    // the streaming current side accumulates q178's exact bin counts —
+    // same oracle, stream ≡ batch
+    "q183_stream_psi" -> psiDriftOracle
   )
 }

@@ -494,8 +494,14 @@ object Dedup {
       col(nameCol).as("name_b"))
     a.join(b, "blk")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+      // |len(a) − len(b)| > maxDist can never be within maxDist edits —
+      // a codegen'd length compare prunes before any DP runs
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      // the THRESHOLDED levenshtein runs the banded O(n·maxDist) DP and
+      // bails at maxDist+1 (returned as -1) instead of the full O(n·m)
+      // matrix; within the threshold the value is the exact distance
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
 

@@ -307,6 +307,14 @@ object Models {
       .join(binned(ref, "n_ref"), Seq("bin"), "left")
       .join(binned(cur, "n_cur"), Seq("bin"), "left")
       .na.fill(0L, Seq("n_ref", "n_cur"))
+    psiFromCounts(counts, nBins)
+  }
+
+  /** The PSI share/total arithmetic over a pre-binned
+    * `(bin, n_ref, n_cur)` frame — split out so a STREAMING current
+    * side (bin counts as a streaming aggregate) prices drift against a
+    * static reference with the identical math as [[psiDrift]]. */
+  def psiFromCounts(counts: DataFrame, nBins: Int): DataFrame = {
     val wAll = Window.partitionBy()
     def share(c: String): Column = (col(c) + lit(0.5)) /
       (sum(col(c)).over(wAll) + lit(0.5) * lit(nBins))
@@ -386,6 +394,136 @@ object Models {
       .withColumn("brier",
         round(sum(col("_se")).over(wAll) / sum(col("n")).over(wAll), 6))
       .drop("_se")
+  }
+
+  /** Mutual information between two categorical columns — χ²'s
+    * information-theoretic sibling (how many nats knowing A tells you
+    * about B): one row per OBSERVED (a, b) cell with its pointwise
+    * mutual information `pmi = ln(p_ab / (p_a·p_b))`, plus the corpus
+    * totals repeated per row — `mi` (Σ p_ab·pmi), the marginal entropies
+    * `h_a`/`h_b`, and the normalized `nmi = mi / √(h_a·h_b)`.
+    * Zero-observed cells contribute exactly 0 to MI (p·ln p → 0), so
+    * unlike [[chiSquareIndependence]] no margin grid is needed.
+    *
+    * Scale shape: ONE hash-aggregate to the contingency table; margins,
+    * entropies, and totals are windows over that ≤|A|·|B|-row frame.
+    * The ln argument is the exact integer ratio `n_ab·N / (n_a·n_b)`
+    * cast once to double — both engines walk the identical float path. */
+  def mutualInformation(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val wa = Window.partitionBy("a")
+    val wb = Window.partitionBy("b")
+    val wAll = Window.partitionBy()
+    val na = sum(col("n")).over(wa)
+    val nb = sum(col("n")).over(wb)
+    val nTot = sum(col("n")).over(wAll)
+    val pmi = log((col("n") * nTot).cast("double") / (na * nb))
+    val pab = col("n") / nTot
+    // marginal entropies: each cell carries its margin's share of the
+    // -p·ln p term divided by the margin's cell count in that window —
+    // summed over the window this folds to Σ_margins -p·ln p exactly
+    def entropy(margin: Column) = {
+      val p = margin / nTot
+      -sum((col("n") / margin) * p * log(p)).over(wAll)
+    }
+    cells
+      .withColumn("pmi", round(pmi, 6))
+      .withColumn("mi", round(sum(pab * pmi).over(wAll), 6))
+      .withColumn("h_a", round(entropy(na), 6))
+      .withColumn("h_b", round(entropy(nb), 6))
+      .withColumn("nmi",
+        when(col("h_a") > 0 && col("h_b") > 0,
+          round(col("mi") / sqrt(col("h_a") * col("h_b")), 6)))
+  }
+
+  /** Jensen–Shannon divergence of each group's categorical distribution
+    * from the corpus-wide distribution — the curation question "which
+    * source deviates most from the overall language mix": for each
+    * group g, `JSD(P_g ‖ P_all) = ½·KL(P_g ‖ M) + ½·KL(P_all ‖ M)` with
+    * `M = ½(P_g + P_all)`; symmetric, bounded by ln 2, zero-safe
+    * (0·ln 0 terms drop; M > 0 wherever either side is).
+    *
+    * Scale: ONE hash-agg to the (group, category) table; the corpus
+    * margin is a window over it; the group×category grid (margins cross
+    * join, chi2-style — a category the group never emits still carries
+    * ½·p_all·ln(p_all/m) mass) stays ≤|G|·|C| rows. Output: one row per
+    * group with its jsd and share of corpus rows. */
+  def jsdByGroup(
+      df: DataFrame,
+      groupCol: String,
+      catCol: String): DataFrame = {
+    // the (group, category) table feeds three branches (both margins +
+    // the grid join): materialize it once
+    val cells = df.where(col(groupCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(catCol).as("c"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val gm = cells.groupBy("g").agg(sum(col("n")).as("_ng"))
+    val cm = cells.groupBy("c").agg(sum(col("n")).as("_nc"))
+    val nt = cells.agg(sum(col("n")).as("_nt"))
+    val grid = gm.crossJoin(broadcast(cm)).crossJoin(broadcast(nt))
+      .join(cells, Seq("g", "c"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val wAll = Window.partitionBy()
+    val p = col("n") / col("_ng")       // group share
+    val q = col("_nc") / col("_nt")     // corpus share
+    val m = (p + q) / lit(2.0)
+    val term = when(p > 0, p * log(p / m)).otherwise(lit(0.0)) / 2.0 +
+      q * log(q / m) / 2.0              // q > 0 by construction of cm
+    grid
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("_ng")).as("n_rows"),
+        round(sum(term), 6).as("jsd"))
+      .withColumn("corpus_share",
+        round(col("n_rows") / sum(col("n_rows")).over(wAll), 6))
+  }
+
+  /** RFM (recency / frequency / monetary) customer segmentation: each
+    * dimension scored 1–5 by quintile cuts of its own distribution
+    * (6dp-rounded interpolated percentiles compared STRICTLY — ties land
+    * identically on every engine, the calibrationByQuantile rule);
+    * recency is inverted (recent = good). Emits the raw dimensions, the
+    * three scores, and the concatenated `rfm` segment key.
+    *
+    * One per-customer hash-agg, one 1-row percentile agg (exact for the
+    * oracle; swap approx at 100 TB — the madOutliers note), broadcast
+    * cuts, pure map scoring. */
+  def rfmSegments(
+      orders: DataFrame,
+      custCol: String,
+      dateCol: String,
+      amountCol: String): DataFrame = {
+    val perCust = orders
+      .where(col(custCol).isNotNull && col(dateCol).isNotNull)
+      .groupBy(col(custCol))
+      .agg(max(col(dateCol)).as("_last"),
+        count(lit(1)).as("frequency"),
+        round(sum(col(amountCol)), 2).as("monetary"))
+    val horizon = perCust.agg(max(col("_last")).as("_h"))
+    val base = perCust.crossJoin(broadcast(horizon))
+      .withColumn("recency_days",
+        datediff(col("_h"), col("_last")).cast("double"))
+      .drop("_last", "_h")
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    def cutsOf(c: String) =
+      expr(s"transform(percentile($c, array(${qs.mkString(", ")}))," +
+        " c -> round(c, 6))").as(s"_cuts_$c")
+    val cuts = base.agg(cutsOf("recency_days"), cutsOf("frequency"),
+      cutsOf("monetary"))
+    def below(c: String): Column =
+      size(filter(col(s"_cuts_$c"), x => col(c).cast("double") > x))
+    base.crossJoin(broadcast(cuts))
+      .withColumn("r_score", lit(5) - below("recency_days")) // recent = 5
+      .withColumn("f_score", below("frequency") + 1)
+      .withColumn("m_score", below("monetary") + 1)
+      .withColumn("rfm", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+      .drop("_cuts_recency_days", "_cuts_frequency", "_cuts_monetary")
   }
 
   /** ROC AUC via the rank statistic (Mann–Whitney U with midranks for
