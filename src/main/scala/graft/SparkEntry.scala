@@ -2730,6 +2730,46 @@ object SparkEntry {
         .na.fill(0L, Seq("n_ref", "n_cur"))
       Models.psiFromCounts(counts, nBins = 10)
         .orderBy("bin")
+    },
+
+    // ───── CUSUM change-point detection: daily mean value per type vs
+    // its first-week baseline — the recursive max-reset statistic
+    // re-expressed as running-sum minus running-extremum (two window
+    // layers, no recursion); catches sustained small shifts a per-point
+    // z-score never flags ─────
+    "q184_cusum" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(avg(col("value")).as("v"))
+      Temporal.cusumChangePoints(daily, "event_type", "day", "v",
+          baselineN = 7, slack = 0.5, threshold = 4.0)
+        .select(col("event_type"), col("day"), round(col("v"), 6).as("v"),
+          col("zscore"), col("s_pos"), col("s_neg"), col("change_flag"))
+        .orderBy("event_type", "day")
+    },
+
+    // ───── seasonal-naive backtest: the baseline a forecaster must
+    // beat — weekly-seasonal vs yesterday's-value forecasts scored on
+    // the SAME evaluation rows, MAE each + improvement ratio ─────
+    "q185_backtest" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(avg(col("value")).as("v"))
+      Temporal.seasonalNaiveBacktest(daily, "event_type", "day", "v",
+          season = 7)
+        .orderBy("event_type")
+    },
+
+    // ───── Zipf-law fit: ln(freq) over ln(rank) OLS across the top-500
+    // vocabulary — q57's vocab composed straight into q164's trend op;
+    // a natural corpus follows slope ≈ −1 ─────
+    "q186_zipf" -> { (s, dir) =>
+      val vocab = TextAnalysis.buildVocab(tb(s, dir, "documents"), "text",
+        size = 500)
+      Models.linearTrend(vocab, Seq.empty,
+        log(col("token_id") + lit(1.0)), log(col("freq")))
     }
   )
 
@@ -4508,6 +4548,62 @@ object SparkEntry {
 
     // the streaming current side accumulates q178's exact bin counts —
     // same oracle, stream ≡ batch
-    "q183_stream_psi" -> psiDriftOracle
+    "q183_stream_psi" -> psiDriftOracle,
+
+    // running-sum-minus-running-extremum CUSUM over 6dp z; baseline =
+    // first 7 rows per key, rounded σ > 0 gate matches the Spark side
+    "q184_cusum" ->
+      ("WITH d AS (SELECT event_type AS k, ts::DATE AS day, avg(value) AS v " +
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT k, day, v, row_number() OVER " +
+        "(PARTITION BY k ORDER BY day) AS rn FROM d), " +
+        "b AS (SELECT k, round(avg(v), 6) AS mu, " +
+        "round(stddev_samp(v), 6) AS sigma FROM r WHERE rn <= 7 GROUP BY 1), " +
+        "z AS (SELECT r.k, day, v, round((v - mu) / sigma, 6) AS z " +
+        "FROM r JOIN b ON r.k = b.k WHERE sigma > 0), " +
+        "c AS (SELECT k, day, v, z, sum(z - 0.5) OVER w AS cpos, " +
+        "sum(z + 0.5) OVER w AS cneg FROM z WINDOW w AS " +
+        "(PARTITION BY k ORDER BY day ROWS UNBOUNDED PRECEDING)), " +
+        "s AS (SELECT k, day, v, z, " +
+        "round(cpos - least(0.0, min(cpos) OVER w), 6) AS s_pos, " +
+        "round(greatest(0.0, max(cneg) OVER w) - cneg, 6) AS s_neg FROM c " +
+        "WINDOW w AS (PARTITION BY k ORDER BY day ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT k AS event_type, day, round(v, 6) AS v, z AS zscore, " +
+        "s_pos, s_neg, (s_pos >= 4.0 OR s_neg >= 4.0) AS change_flag " +
+        "FROM s ORDER BY 1, 2"),
+
+    // both forecasts lag off one ordered pass; scored on the SAME rows
+    "q185_backtest" ->
+      ("WITH d AS (SELECT event_type AS k, ts::DATE AS day, avg(value) AS v " +
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL " +
+        "GROUP BY 1, 2), " +
+        "l AS (SELECT k, v, lag(v, 1) OVER w AS f1, lag(v, 7) OVER w AS fs " +
+        "FROM d WINDOW w AS (PARTITION BY k ORDER BY day)), " +
+        "e AS (SELECT k, v, f1, fs FROM l " +
+        "WHERE f1 IS NOT NULL AND fs IS NOT NULL), " +
+        "a AS (SELECT k AS event_type, count(*)::BIGINT AS n, " +
+        "round(avg(abs(v - f1)), 6) AS mae_naive1, " +
+        "round(avg(abs(v - fs)), 6) AS mae_seasonal FROM e GROUP BY 1) " +
+        "SELECT event_type, n, mae_naive1, mae_seasonal, " +
+        "CASE WHEN mae_seasonal > 0 THEN " +
+        "round(mae_naive1 / mae_seasonal, 6) END AS improvement " +
+        "FROM a ORDER BY event_type"),
+
+    // q57's vocab CTE composed into the OLS moment formulation
+    "q186_zipf" ->
+      ("WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) " +
+        "AS token FROM documents), " +
+        "c AS (SELECT token, count(*) AS freq FROM tok GROUP BY token), " +
+        "v0 AS (SELECT token, freq, (row_number() OVER " +
+        "(ORDER BY freq DESC, token) - 1)::INT AS token_id FROM c), " +
+        "v AS (SELECT * FROM v0 WHERE token_id < 500), " +
+        "p AS (SELECT ln(token_id + 1.0) AS x, ln(freq::DOUBLE) AS y FROM v) " +
+        "SELECT count(*)::BIGINT AS n, " +
+        "round(covar_pop(x, y) / var_pop(x), 6) AS slope, " +
+        "round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6) " +
+        "AS intercept, " +
+        "round(covar_pop(x, y) / sqrt(var_pop(x) * var_pop(y)), 6) AS r " +
+        "FROM p")
   )
 }

@@ -361,6 +361,90 @@ object Temporal {
             sqrt(var_pop(col("_x")) * var_pop(col("_y"))), 6)).as("r"))
   }
 
+  /** CUSUM change-point detection over a (key, order, value) series —
+    * the control chart that catches SUSTAINED small shifts a per-point
+    * z-score never flags: standardize against the per-key baseline (the
+    * first `baselineN` points), then the one-sided statistics
+    * `S⁺ₜ = max(0, S⁺ₜ₋₁ + zₜ − slack)` / `S⁻ₜ = max(0, S⁻ₜ₋₁ − zₜ − slack)`,
+    * flagged when either crosses `threshold`.
+    *
+    * The textbook recursion (a max-reset per step) looks
+    * window-inexpressible; it is not: with `Cₜ = Σᵢ≤ₜ(zᵢ − slack)`,
+    * `S⁺ₜ = Cₜ − min(0, minⱼ≤ₜ Cⱼ)` — a running sum and a running min,
+    * i.e. TWO ordered window passes per key, no recursion, no UDF
+    * (ditto S⁻ with running max of `Σ(zᵢ + slack)`). Both engines fold
+    * the windows in frame order over identical 6dp-rounded z inputs, so
+    * the float paths agree. Keys with a zero-σ baseline are excluded
+    * (their z is undefined — use [[anomalyZScores]]' σ = 0 contract for
+    * flat-baseline deviation alarms). */
+  def cusumChangePoints(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      baselineN: Int = 7,
+      slack: Double = 0.5,
+      threshold: Double = 4.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val wOrd = Window.partitionBy(keyCol).orderBy(orderCol)
+    val rn = row_number().over(wOrd)
+    val numbered = df.where(v.isNotNull).withColumn("_rn", rn)
+    val base = numbered.where(col("_rn") <= baselineN)
+      .groupBy(col(keyCol))
+      .agg(round(avg(v), 6).as("_mu"),
+        round(stddev_samp(v), 6).as("_sigma"))
+      .where(col("_sigma") > 0)
+    val prefix = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val z = round((v - col("_mu")) / col("_sigma"), 6)
+    // running sums materialize as columns FIRST — a running-min OF a
+    // running-sum is two window layers, not one nested expression
+    val sums = numbered.join(base, keyCol)
+      .withColumn("_z", z)
+      .withColumn("_cpos", sum(col("_z") - lit(slack)).over(prefix))
+      .withColumn("_cneg", sum(col("_z") + lit(slack)).over(prefix))
+    sums
+      .withColumn("s_pos", round(
+        col("_cpos") - least(lit(0.0), min(col("_cpos")).over(prefix)), 6))
+      .withColumn("s_neg", round(
+        greatest(lit(0.0), max(col("_cneg")).over(prefix)) - col("_cneg"), 6))
+      .withColumn("zscore", col("_z"))
+      .withColumn("change_flag",
+        col("s_pos") >= threshold || col("s_neg") >= threshold)
+      .drop("_rn", "_mu", "_sigma", "_z", "_cpos", "_cneg")
+  }
+
+  /** Seasonal-naive forecast backtest — the baseline every forecasting
+    * pipeline must beat before shipping a model: per key, forecast each
+    * point with the value one `season` back and with yesterday's value
+    * (naive-1), score both on the SAME evaluation rows (those where both
+    * forecasts exist — comparing on different row sets is the classic
+    * backtest bug), and report MAE for each plus the improvement ratio.
+    *
+    * Two `lag` reads off ONE ordered window pass per key, one hash-agg.
+    * `orderCol` rows are assumed consecutive at the series grain (gaps
+    * make lag(k) reach further back in time — run
+    * [[gapFillDaily]] first if that matters). */
+  def seasonalNaiveBacktest(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      season: Int = 7): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    val scored = df.where(v.isNotNull)
+      .withColumn("_f1", lag(v, 1).over(w))
+      .withColumn("_fs", lag(v, season).over(w))
+      .where(col("_f1").isNotNull && col("_fs").isNotNull)
+    scored.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        round(avg(abs(v - col("_f1"))), 6).as("mae_naive1"),
+        round(avg(abs(v - col("_fs"))), 6).as("mae_seasonal"))
+      .withColumn("improvement",
+        when(col("mae_seasonal") > 0,
+          round(col("mae_naive1") / col("mae_seasonal"), 6)))
+  }
+
   /** Robust outlier flags via the modified z-score (Iglewicz–Hoaglin):
     * per key, `Mz = 0.6745 · (v − median) / MAD` with
     * `MAD = median(|v − median|)`; rows with |Mz| ≥ `threshold`

@@ -106,4 +106,60 @@ class RobustStatsSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getAs[Double]("v") == 7.0)
     assert(got(0).isNullAt(got(0).fieldIndex("mz")))
   }
+
+  // ───── cusumChangePoints ─────
+
+  test("cusum: sustained small shift accumulates to a flag a z-test misses") {
+    // baseline ~N(10, 1)-ish deterministic wiggle, then a +1.5σ step:
+    // each post-shift z is ~1.5 (never anomalous alone), CUSUM piles up
+    val vals = (1 to 10).map(i => 10.0 + (i % 3) - 1) ++ // 9,10,11 wiggle
+      (11 to 20).map(_ => 12.5)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i, v) }
+      .toDF("k", "t", "v")
+    val got = Temporal.cusumChangePoints(df, "k", "t", "v", baselineN = 10,
+      slack = 0.5, threshold = 4.0).orderBy("t").collect()
+    assert(got.length == 20)
+    // pre-shift rows never flag; the shift flags within a few points
+    assert(got.take(10).forall(!_.getAs[Boolean]("change_flag")))
+    assert(got.drop(12).exists(_.getAs[Boolean]("change_flag")))
+    // s_pos is monotone nondecreasing through the sustained shift
+    val sPos = got.drop(10).map(_.getAs[Double]("s_pos"))
+    assert(sPos.zip(sPos.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("cusum: downward shifts drive s_neg, zero-sigma baselines drop out") {
+    val shifted = ((1 to 6).map(i => ("k", i, 10.0 + (i % 3) - 1)) ++
+      (7 to 14).map(i => ("k", i, 7.0))) ++
+      (1 to 14).map(i => ("flat", i, 5.0)) // σ = 0 baseline
+    val got = Temporal.cusumChangePoints(shifted.toDF("k", "t", "v"),
+      "k", "t", "v", baselineN = 6, slack = 0.5, threshold = 4.0)
+    assert(got.filter(col("k") === "flat").count() == 0)
+    val last = got.filter(col("k") === "k").orderBy(col("t").desc).head()
+    assert(last.getAs[Double]("s_neg") > 4.0)
+    assert(last.getAs[Boolean]("change_flag"))
+  }
+
+  // ───── seasonalNaiveBacktest ─────
+
+  test("backtest: a perfectly weekly series gives seasonal MAE 0, naive-1 > 0") {
+    val df = (0 until 28).map(i => ("k", i, (i % 7).toDouble + 1))
+      .toDF("k", "t", "v")
+    val r = Temporal.seasonalNaiveBacktest(df, "k", "t", "v", season = 7).head()
+    assert(r.getAs[Double]("mae_seasonal") == 0.0)
+    assert(r.getAs[Double]("mae_naive1") > 0)
+    assert(r.isNullAt(r.fieldIndex("improvement"))) // 0 denominator → null
+    assert(r.getAs[Long]("n") == 21L) // both lags defined from row 8 on
+  }
+
+  test("backtest: both forecasts score on the same evaluation rows") {
+    // 10 points: lag7 defined for rows 8..10 only — n must be 3, and
+    // mae_naive1 must be computed over those SAME 3 rows
+    val df = (0 until 10).map(i => ("k", i, if (i == 1) 100.0 else 1.0))
+      .toDF("k", "t", "v")
+    val r = Temporal.seasonalNaiveBacktest(df, "k", "t", "v", season = 7).head()
+    assert(r.getAs[Long]("n") == 3L)
+    // the i=1 spike affects lag1 at i=2 ONLY — outside the eval rows, so
+    // naive-1 MAE stays 0 (all constant in the eval window)
+    assert(r.getAs[Double]("mae_naive1") == 0.0)
+  }
 }
