@@ -2770,6 +2770,38 @@ object SparkEntry {
         size = 500)
       Models.linearTrend(vocab, Seq.empty,
         log(col("token_id") + lit(1.0)), log(col("freq")))
+    },
+
+    // ───── KMV set algebra: distinct-user union/intersection estimates
+    // between every event-type pair FROM THE SKETCHES ALONE (merged
+    // bottom-k = the union's sketch; both-membership fraction = Jaccard)
+    // beside the exact verify join — the mergeable-sketch payoff ─────
+    "q187_kmv_setops" -> { (s, dir) =>
+      Sketches.kmvSetOps(t(s, dir, "events"), "event_type", col("user_id"),
+          k = 64)
+        .orderBy("group_a", "group_b")
+    },
+
+    // ───── profile drift: the data-contract diff between the month's
+    // halves — null-rate delta, distinct ratio, min/max/avg drift per
+    // column; one aggregate pass per side ─────
+    "q188_profile_diff" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val cut = lit("2024-01-16").cast("timestamp")
+      Profile.profileDiff(ev.filter(col("ts") < cut),
+          ev.filter(col("ts") >= cut), Seq("value", "user_id"))
+        .orderBy("col_name")
+    },
+
+    // ───── end-to-end entity resolution: fuzzy name links (q157's
+    // blocked edit-distance pairs) → connected components → one row per
+    // resolved entity — linkage, clustering, and canonicalization as
+    // plain operator composition ─────
+    "q189_entity_resolution" -> { (s, dir) =>
+      val pairs = Dedup.fuzzyPairs(tb(s, dir, "customer"), "c_custkey",
+        "c_name", "c_nationkey", maxDist = 2)
+      Dedup.clusters(pairs, "id_a", "id_b")
+        .orderBy("rep")
     }
   )
 
@@ -4589,6 +4621,90 @@ object SparkEntry {
         "CASE WHEN mae_seasonal > 0 THEN " +
         "round(mae_naive1 / mae_seasonal, 6) END AS improvement " +
         "FROM a ORDER BY event_type"),
+
+    // bottom-64 per group, merged bottom-64 per pair, both-membership
+    // fraction × the union estimate; exact side = one hash self-join
+    "q187_kmv_setops" ->
+      ("WITH d AS (SELECT DISTINCT event_type AS g, " +
+        "('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h " +
+        "FROM events), " +
+        "r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) " +
+        "AS rn FROM d), " +
+        "sk AS (SELECT g, h FROM r WHERE rn <= 64), " +
+        "gp AS (SELECT a.g AS ga, b.g AS gb FROM (SELECT DISTINCT g FROM sk) a " +
+        "JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g), " +
+        "mg AS (SELECT DISTINCT ga, gb, h FROM (" +
+        "SELECT gp.ga, gp.gb, sk.h FROM gp JOIN sk ON sk.g = gp.ga " +
+        "UNION ALL SELECT gp.ga, gp.gb, sk.h FROM gp JOIN sk ON sk.g = gp.gb)), " +
+        "mr AS (SELECT ga, gb, h, row_number() OVER " +
+        "(PARTITION BY ga, gb ORDER BY h) AS rn FROM mg), " +
+        "mk AS (SELECT ga, gb, h FROM mr WHERE rn <= 64), " +
+        "ag AS (SELECT mk.ga, mk.gb, count(*)::BIGINT AS n_kept, " +
+        "max(mk.h) AS kth, sum(CASE WHEN sa.h IS NOT NULL " +
+        "AND sb.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_both " +
+        "FROM mk LEFT JOIN sk sa ON sa.g = mk.ga AND sa.h = mk.h " +
+        "LEFT JOIN sk sb ON sb.g = mk.gb AND sb.h = mk.h GROUP BY 1, 2), " +
+        "est AS (SELECT ga, gb, CASE WHEN n_kept < 64 THEN n_kept::DOUBLE " +
+        "ELSE round(63 * 1152921504606846976::DOUBLE / kth::DOUBLE, 6) END " +
+        "AS union_est, CASE WHEN n_kept < 64 THEN n_both::DOUBLE " +
+        "ELSE round(n_both / 64.0 * " +
+        "(63 * 1152921504606846976::DOUBLE / kth::DOUBLE), 6) END " +
+        "AS inter_est FROM ag), " +
+        "nd AS (SELECT g, count(*)::BIGINT AS nd FROM d GROUP BY 1), " +
+        "ix AS (SELECT x.g AS ga, y.g AS gb, count(*)::BIGINT AS exact_inter " +
+        "FROM d x JOIN d y ON x.h = y.h AND x.g < y.g GROUP BY 1, 2) " +
+        "SELECT est.ga AS group_a, est.gb AS group_b, na.nd AS n_a, " +
+        "nb.nd AS n_b, union_est, inter_est, " +
+        "(na.nd + nb.nd - coalesce(ix.exact_inter, 0))::BIGINT AS exact_union, " +
+        "coalesce(ix.exact_inter, 0)::BIGINT AS exact_inter, " +
+        "round(abs(union_est - (na.nd + nb.nd - coalesce(ix.exact_inter, 0))) " +
+        "/ (na.nd + nb.nd - coalesce(ix.exact_inter, 0)), 6) AS union_rel_err, " +
+        "CASE WHEN coalesce(ix.exact_inter, 0) > 0 THEN " +
+        "round(abs(inter_est - coalesce(ix.exact_inter, 0)) " +
+        "/ coalesce(ix.exact_inter, 0), 6) END AS inter_rel_err " +
+        "FROM est JOIN nd na ON na.g = est.ga JOIN nd nb ON nb.g = est.gb " +
+        "LEFT JOIN ix ON ix.ga = est.ga AND ix.gb = est.gb " +
+        "ORDER BY group_a, group_b"),
+
+    // per-column stats per half, joined on column name
+    "q188_profile_diff" -> {
+      def side(src: String, sfx: String) =
+        Seq("value", "user_id").map { c =>
+          s"SELECT '$c' AS col_name, count($c)::BIGINT AS n_$sfx, " +
+            s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_$sfx, " +
+            s"count(DISTINCT $c)::BIGINT AS nd_$sfx, " +
+            s"round(min($c)::DOUBLE, 6) AS min_$sfx, " +
+            s"round(max($c)::DOUBLE, 6) AS max_$sfx, " +
+            s"round(avg($c), 2) AS avg_$sfx FROM $src"
+        }.mkString("(", " UNION ALL ", ")")
+      "WITH r0 AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16'), " +
+        "c0 AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16'), " +
+        s"pr AS ${side("r0", "ref")}, pc AS ${side("c0", "cur")} " +
+        "SELECT col_name, n_ref, n_cur, " +
+        "round(nn_ref::DOUBLE / (n_ref + nn_ref), 6) AS null_rate_ref, " +
+        "round(nn_cur::DOUBLE / (n_cur + nn_cur), 6) AS null_rate_cur, " +
+        "nd_ref AS n_distinct_ref, nd_cur AS n_distinct_cur, " +
+        "CASE WHEN nd_ref > 0 THEN round(nd_cur::DOUBLE / nd_ref, 6) END " +
+        "AS distinct_ratio, " +
+        "min_ref, min_cur, max_ref, max_cur, avg_ref, avg_cur, " +
+        "round(avg_cur - avg_ref, 2) AS avg_delta " +
+        "FROM pr JOIN pc USING (col_name) ORDER BY col_name"
+    },
+
+    // q157's pair join + recursive closure + the q43 cluster shape
+    "q189_entity_resolution" ->
+      ("WITH RECURSIVE np AS (SELECT a.c_custkey AS id_a, " +
+        "b.c_custkey AS id_b FROM customer a JOIN customer b " +
+        "ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey " +
+        "WHERE levenshtein(a.c_name, b.c_name) <= 2), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM np " +
+        "UNION SELECT id_b, id_a FROM np), " +
+        "reach(a, b) AS (SELECT DISTINCT a, a FROM edges " +
+        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+        "labels AS (SELECT a AS id, min(b) AS rep FROM reach GROUP BY 1) " +
+        "SELECT rep, count(*)::BIGINT AS n_members, " +
+        "string_agg(id::VARCHAR, ';' ORDER BY id) AS member_ids " +
+        "FROM labels GROUP BY 1 ORDER BY 1"),
 
     // q57's vocab CTE composed into the OLS moment formulation
     "q186_zipf" ->

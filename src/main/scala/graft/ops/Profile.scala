@@ -176,6 +176,40 @@ object Profile {
         col("top_keys"))
   }
 
+  /** Column-level profile drift between two snapshots of the same
+    * schema — the data-contract diff a serving pipeline runs between
+    * training-time and inference-time data: [[numericProfile]] on each
+    * side joined per column, with null-rate delta, distinct-count
+    * ratio, and min/max/avg drift. One aggregate pass per side.
+    *
+    * Interpretation contract: a null-rate jump or a distinct-ratio far
+    * from the row-count ratio is schema/ingestion drift (upstream broke
+    * something); min/max moves are distribution drift (route to
+    * [[Models.psiDrift]] for magnitude). */
+  def profileDiff(ref: DataFrame, cur: DataFrame, cols: Seq[String]): DataFrame = {
+    def nullRate(n: String, nn: String) =
+      round(col(nn) / (col(n) + col(nn)), 6)
+    val pa = numericProfile(ref, cols)
+    val pb0 = numericProfile(cur, cols)
+    val pb = pb0.columns.foldLeft(pb0) { (d, c) =>
+      if (c == "col_name") d else d.withColumnRenamed(c, c + "_cur")
+    }
+    pa.join(pb, "col_name")
+      .select(col("col_name"),
+        col("n_non_null").as("n_ref"), col("n_non_null_cur").as("n_cur"),
+        nullRate("n_non_null", "n_null").as("null_rate_ref"),
+        nullRate("n_non_null_cur", "n_null_cur").as("null_rate_cur"),
+        col("n_distinct").as("n_distinct_ref"),
+        col("n_distinct_cur"),
+        when(col("n_distinct") > 0,
+          round(col("n_distinct_cur") / col("n_distinct"), 6))
+          .as("distinct_ratio"),
+        col("min_v").as("min_ref"), col("min_v_cur").as("min_cur"),
+        col("max_v").as("max_ref"), col("max_v_cur").as("max_cur"),
+        col("avg_v").as("avg_ref"), col("avg_v_cur").as("avg_cur"),
+        round(col("avg_v_cur") - col("avg_v"), 2).as("avg_delta"))
+  }
+
   /** Benford first-digit audit — the fraud/corruption screen for a
     * numeric measure: observed share of each leading significant digit
     * 1–9 vs Benford's law `log10(1 + 1/d)`, with per-digit deviation and

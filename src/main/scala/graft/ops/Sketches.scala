@@ -195,6 +195,83 @@ object Sketches {
     * min-k; state bounded at k rows per group), then one ≤k-row fold per
     * group. Sketches from different partitions merge by construction
     * (min-k of a union = min-k of min-k's). */
+  /** KMV set algebra between every pair of groups — THE payoff of a
+    * mergeable sketch: |A∪B| and |A∩B| estimated from the two bottom-k
+    * sketches alone, no second scan of the data. Union: the merged
+    * bottom-k of the two sketches is itself a valid KMV sketch of A∪B
+    * (min-k of a union = min-k of min-k's). Intersection: of the merged
+    * k minimum hashes, the fraction present in BOTH sketches estimates
+    * the Jaccard similarity ρ, and `|A∩B| ≈ ρ·|A∪B|` (Beyer et al.
+    * 2007). When the merged sketch holds fewer than k hashes both
+    * sketches are complete and the estimates are EXACT counts.
+    *
+    * Exact union/intersection ride along (one hash self-join, the
+    * verify path) with relative errors — the same est-vs-exact report
+    * shape as [[kmvDistinct]] / the MinHash calibration. Scale: the
+    * pair algebra runs entirely on sketch rows (≤ |groups|·k); only the
+    * distinct-(group, hash) pass and the exact verify see data scale. */
+  def kmvSetOps(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "k >= 2")
+    val m = math.pow(2.0, 60)
+    // one distinct pass feeds the sketches AND the exact verify side
+    val d = df.select(col(groupCol).as("g"),
+        Hashing.hash60(value.cast("string")).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val sk = TopK.perKey(d, Seq("g"), Seq(("h", true)), k).localCheckpoint()
+    val gs = sk.select("g").distinct()
+    val gp = gs.select(col("g").as("ga"))
+      .crossJoin(gs.select(col("g").as("gb")))
+      .where(col("ga") < col("gb"))
+    // merged candidates per pair: two equi joins + union, sketch-sized
+    val merged = gp.join(sk.select(col("g").as("ga"), col("h")), "ga")
+      .select("ga", "gb", "h")
+      .unionByName(gp.join(sk.select(col("g").as("gb"), col("h")), "gb")
+        .select("ga", "gb", "h"))
+      .distinct()
+    val mk = TopK.perKey(merged, Seq("ga", "gb"), Seq(("h", true)), k)
+    val agg = mk
+      .join(sk.select(col("g").as("ga"), col("h"), lit(1).as("_ina")),
+        Seq("ga", "h"), "left")
+      .join(sk.select(col("g").as("gb"), col("h"), lit(1).as("_inb")),
+        Seq("gb", "h"), "left")
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"),
+        sum(when(col("_ina") === 1 && col("_inb") === 1, 1L).otherwise(0L))
+          .as("n_both"))
+    val unionEstRaw = lit((k - 1).toDouble * m) / col("kth").cast(DoubleType)
+    val est = agg.select(col("ga"), col("gb"),
+      when(col("n_kept") < k, col("n_kept").cast(DoubleType))
+        .otherwise(round(unionEstRaw, 6)).as("union_est"),
+      when(col("n_kept") < k, col("n_both").cast(DoubleType))
+        .otherwise(round(col("n_both") / lit(k.toDouble) * unionEstRaw, 6))
+        .as("inter_est"))
+    // exact verify: one hash equi self-join, pairs with no overlap kept
+    val nd = d.groupBy("g").agg(count(lit(1)).as("nd"))
+    val interExact = d.as("x").join(d.as("y"),
+        col("x.h") === col("y.h") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("ga"), col("y.g").as("gb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    est
+      .join(nd.select(col("g").as("ga"), col("nd").as("n_a")), "ga")
+      .join(nd.select(col("g").as("gb"), col("nd").as("n_b")), "gb")
+      .join(interExact, Seq("ga", "gb"), "left")
+      .na.fill(0L, Seq("exact_inter"))
+      .withColumn("exact_union", col("n_a") + col("n_b") - col("exact_inter"))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("n_a"), col("n_b"), col("union_est"), col("inter_est"),
+        col("exact_union"), col("exact_inter"),
+        round(abs(col("union_est") - col("exact_union")) / col("exact_union"), 6)
+          .as("union_rel_err"),
+        when(col("exact_inter") > 0,
+          round(abs(col("inter_est") - col("exact_inter")) / col("exact_inter"), 6))
+          .as("inter_rel_err"))
+  }
+
   def kmvDistinct(
       df: DataFrame,
       groupCol: String,

@@ -635,4 +635,64 @@ class PlanShapeSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty, s"no rank window expected:\n$plan")
   }
+
+  test("copurchase: pairs ride the basket equi join; the only BNLJ is the 1-row total") {
+    val plan = executed(SparkEntry.queries("q165_copurchase_lift")(spark, dir))
+    val bnlj = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    // the broadcast basket-total re-entry is a 1-row cross join — the
+    // TF-IDF corpus-stats pattern; nothing else may nested-loop
+    assert(bnlj.size <= 1, s"only the 1-row total cross join allowed:\n$plan")
+    assert(collectAll(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"no cartesian allowed:\n$plan")
+  }
+
+  test("cusum: both window layers share one sort — single exchange per key partitioning") {
+    import org.apache.spark.sql.functions._
+    val daily = ops.Sources.table(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg(col("value")).as("v"))
+    val plan = executed(ops.Temporal.cusumChangePoints(
+      daily, "event_type", "day", "v"))
+    // rn window + running-sum layer + running-extremum layer all
+    // partition by the key and order by day: ONE key exchange feeds
+    // every window (plus the daily agg's own exchange and the baseline
+    // branch) — a re-sort per layer would show up as extra exchanges
+    val keyShuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+      .filter(_.outputPartitioning.numPartitions > 1)
+    assert(keyShuffles.size <= 3,
+      s"window layers must reuse the key partitioning (got ${keyShuffles.size}):\n$plan")
+    val sorts = collectAll(plan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.size <= 3, s"each extra window layer must not re-sort:\n$plan")
+  }
+
+  test("mutual information / chi-square: ONE data-scale pass — windows touch only the cell table") {
+    val plan = executed(SparkEntry.queries("q180_mutual_info")(spark, dir))
+    val scans = collectAll(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // the corpus is scanned exactly once; margins/totals are windows
+    // over the ≤|A|·|B|-row aggregate, not re-aggregations of the data
+    assert(scans.size == 1, s"expected one documents scan:\n$plan")
+  }
+
+  test("welch t-test: one conditional-moment aggregate — no join, no window") {
+    val plan = executed(SparkEntry.queries("q176_ab_test")(spark, dir))
+    assert(collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"no join expected:\n$plan")
+    assert(collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"no window expected:\n$plan")
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    // the global moment agg folds to a single-partition exchange of six
+    // doubles — nothing else moves
+    assert(shuffles.forall(_.outputPartitioning.numPartitions == 1),
+      s"only the 1-partition moment exchange allowed:\n$plan")
+  }
 }

@@ -86,4 +86,64 @@ class InfoTheorySpec extends SparkSpec {
       .toDF("bin", "n_ref", "n_cur")
     assert(Models.psiFromCounts(moved, 10).head().getAs[Double]("psi") > 0.25)
   }
+
+  // ───── kmvSetOps ─────
+
+  test("kmvSetOps: small groups (under k) report exact union/intersection") {
+    // |A|=30, |B|=40, |A∩B|=20 — well under k=64, so the sketches are
+    // complete and the "estimates" must equal the exact counts
+    val rows = (1 to 30).map(i => ("a", i)) ++ (11 to 50).map(i => ("b", i))
+    val r = Sketches.kmvSetOps(rows.toDF("g", "v"), "g", col("v"), k = 64)
+      .head()
+    assert(r.getAs[Double]("union_est") == 50.0)
+    assert(r.getAs[Double]("inter_est") == 20.0)
+    assert(r.getAs[Long]("exact_union") == 50L && r.getAs[Long]("exact_inter") == 20L)
+    assert(r.getAs[Double]("union_rel_err") == 0.0)
+  }
+
+  test("kmvSetOps: large overlapping groups estimate within ~25% at k=64") {
+    val rows = (1 to 2000).map(i => ("a", i)) ++ (1001 to 3000).map(i => ("b", i))
+    val r = Sketches.kmvSetOps(rows.toDF("g", "v"), "g", col("v"), k = 64)
+      .head()
+    assert(r.getAs[Long]("exact_union") == 3000L)
+    assert(r.getAs[Long]("exact_inter") == 1000L)
+    assert(r.getAs[Double]("union_rel_err") < 0.25,
+      s"union err ${r.getAs[Double]("union_rel_err")}")
+    assert(r.getAs[Double]("inter_rel_err") < 0.5,
+      s"inter err ${r.getAs[Double]("inter_rel_err")}") // ρ adds variance
+  }
+
+  test("kmvSetOps: disjoint groups — zero intersection estimate, null rel err") {
+    val rows = (1 to 500).map(i => ("a", i)) ++ (1001 to 1500).map(i => ("b", i))
+    val r = Sketches.kmvSetOps(rows.toDF("g", "v"), "g", col("v"), k = 32)
+      .head()
+    assert(r.getAs[Long]("exact_inter") == 0L)
+    assert(r.isNullAt(r.fieldIndex("inter_rel_err")))
+    // the Jaccard numerator CAN only count shared hashes — none exist
+    assert(r.getAs[Double]("inter_est") == 0.0)
+  }
+
+  // ───── profileDiff ─────
+
+  test("profileDiff: identical snapshots diff to zero deltas") {
+    val df = (1 to 100).map(i => (i.toDouble, i.toLong)).toDF("v", "u")
+    val rows = Profile.profileDiff(df, df, Seq("v", "u")).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("distinct_ratio") == 1.0)
+      assert(r.getAs[Double]("avg_delta") == 0.0)
+      assert(r.getAs[Double]("null_rate_ref") == r.getAs[Double]("null_rate_cur"))
+    }
+  }
+
+  test("profileDiff: null-rate jump and range shift surface per column") {
+    val ref = (1 to 100).map(i => (Some(i.toDouble), i.toLong)).toDF("v", "u")
+    val cur = (1 to 100).map(i =>
+      (if (i % 2 == 0) None else Some(i + 1000.0), i.toLong)).toDF("v", "u")
+    val v = Profile.profileDiff(ref, cur, Seq("v", "u"))
+      .filter(col("col_name") === "v").head()
+    assert(v.getAs[Double]("null_rate_ref") == 0.0)
+    assert(v.getAs[Double]("null_rate_cur") == 0.5)
+    assert(v.getAs[Double]("min_cur") > v.getAs[Double]("max_ref"))
+  }
 }
