@@ -2802,6 +2802,105 @@ object SparkEntry {
         "c_name", "c_nationkey", maxDist = 2)
       Dedup.clusters(pairs, "id_a", "id_b")
         .orderBy("rep")
+    },
+
+    // ───── row-level snapshot reconciliation: two derived orders
+    // snapshots (dropped rows, inserted rows, price/status edits)
+    // full-outer joined on the key → added/removed/changed/unchanged per
+    // row with the differing columns named — q188's column-grain profile
+    // diff at row grain ─────
+    "q190_table_diff" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val ref = o.filter(col("o_orderkey") % 5 =!= 0)
+      val cur = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 11 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      MergeUpdate.tableDiff(ref, cur, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    },
+
+    // ───── two-sample KS drift test between the month's halves — the
+    // nonparametric sibling of q178's PSI: sup-CDF gap on the exact
+    // distinct-value grid, α=0.05 critical value, reject decision ─────
+    "q191_ks_drift" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val cut = lit("2024-01-16").cast("timestamp")
+      Models.ksTest(ev.filter(col("ts") < cut),
+        ev.filter(col("ts") >= cut), "value")
+    },
+
+    // ───── first-order Markov transitions over per-user event
+    // sequences: P(next | current) per event-type pair — one key shuffle
+    // for the lead window, normalization on the ≤|types|² grid ─────
+    "q192_markov_transitions" -> { (s, dir) =>
+      Temporal.transitionMatrix(t(s, dir, "events"), "user_id", "ts",
+          "event_type", "event_id")
+        .orderBy("from_type", "to_type")
+    },
+
+    // ───── fingerprint screen in front of q190's row diff: per-group
+    // (count, XOR-of-row-hash) on both snapshots, 8 bytes per group
+    // compared instead of any row — floats ride as decimal(18,2) per the
+    // documented recipe (float→string rendering is engine-specific) ─────
+    "q193_fingerprint_screen" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val ref = o
+        .withColumn("price_d", col("o_totalprice").cast("decimal(18,2)"))
+      // edits touch ONLY status-'O' rows: the screen must flag O and
+      // clear F/P with equal (count, fingerprint) — 8 bytes per group
+      // decide which groups need q190's row-level diff
+      val cur = o
+        .withColumn("price_d",
+          when(col("o_orderstatus") === "O" && col("o_orderkey") % 3 === 0,
+            col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).cast("decimal(18,2)"))
+      val cols = Seq("o_orderkey", "o_custkey", "price_d", "o_orderpriority")
+      val fr = Profile.tableFingerprint(ref, cols, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("n_rows").as("n_ref"),
+          col("fingerprint").as("fp_ref"))
+      val fc = Profile.tableFingerprint(cur, cols, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("n_rows").as("n_cur"),
+          col("fingerprint").as("fp_cur"))
+      fr.join(fc, Seq("o_orderstatus"), "full")
+        .withColumn("equal", coalesce(
+          col("n_ref") === col("n_cur") && col("fp_ref") === col("fp_cur"),
+          lit(false)))
+        .orderBy("o_orderstatus")
+    },
+
+    // ───── referentially-coherent 10% sample: customer and orders each
+    // filter on the SAME custkey hash predicate — no join needed for
+    // integrity; the left join here just reports the per-segment yield ─────
+    "q194_coherent_sample" -> { (s, dir) =>
+      val c = Sampling.consistentSample(t(s, dir, "customer"), "c_custkey", 10)
+      val o = Sampling.consistentSample(t(s, dir, "orders"), "o_custkey", 10)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count_distinct(col("c_custkey")).as("n_customers"),
+          count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ───── the NAIVE top-k-per-key window idiom, left for the optimizer:
+    // RewriteRankFilterToTopK (injectOptimizerRule) plans this into the
+    // sort-free bounded-heap TopKPerKeyExec — q89 is the same physical
+    // operator reached through the explicit API; this row proves the
+    // automatic path end-to-end (PlanShapeSpec locks the plan shape) ─────
+    "q195_auto_topk" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .drop("rn")
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id", "event_id")
     }
   )
 
@@ -4705,6 +4804,107 @@ object SparkEntry {
         "SELECT rep, count(*)::BIGINT AS n_members, " +
         "string_agg(id::VARCHAR, ';' ORDER BY id) AS member_ids " +
         "FROM labels GROUP BY 1 ORDER BY 1"),
+
+    // same derived snapshots, full-outer joined; IS DISTINCT FROM is the
+    // null-safe compare, concat_ws drops the NULL (unchanged) arms
+    "q190_table_diff" ->
+      ("WITH r AS (SELECT o_orderkey, o_totalprice, o_orderstatus " +
+        "FROM orders WHERE o_orderkey % 5 != 0), " +
+        "c AS (SELECT o_orderkey, CASE WHEN o_orderkey % 3 = 0 " +
+        "THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice, " +
+        "CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END " +
+        "AS o_orderstatus FROM orders WHERE o_orderkey % 7 != 0), " +
+        "j AS (SELECT coalesce(r.o_orderkey, c.o_orderkey) AS o_orderkey, " +
+        "r.o_orderkey IS NOT NULL AS in_ref, c.o_orderkey IS NOT NULL AS in_cur, " +
+        "concat_ws(';', CASE WHEN r.o_totalprice IS DISTINCT FROM c.o_totalprice " +
+        "THEN 'o_totalprice' END, CASE WHEN r.o_orderstatus IS DISTINCT FROM " +
+        "c.o_orderstatus THEN 'o_orderstatus' END) AS cc " +
+        "FROM r FULL JOIN c ON r.o_orderkey = c.o_orderkey) " +
+        "SELECT o_orderkey, CASE WHEN NOT in_ref THEN 'added' " +
+        "WHEN NOT in_cur THEN 'removed' WHEN cc != '' THEN 'changed' " +
+        "ELSE 'unchanged' END AS diff_status, " +
+        "CASE WHEN in_ref AND in_cur AND cc != '' THEN cc END AS changed_cols " +
+        "FROM j ORDER BY o_orderkey"),
+
+    // per-side value counts full-joined into the distinct-value grid,
+    // running CDFs, rounded sup gap; d_at = min v among argmax ties
+    "q191_ks_drift" ->
+      ("WITH r AS (SELECT value::DOUBLE AS v, count(*)::BIGINT AS n_ref " +
+        "FROM events WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL " +
+        "GROUP BY 1), " +
+        "c AS (SELECT value::DOUBLE AS v, count(*)::BIGINT AS n_cur " +
+        "FROM events WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL " +
+        "GROUP BY 1), " +
+        "g AS (SELECT coalesce(r.v, c.v) AS v, coalesce(n_ref, 0) AS n_ref, " +
+        "coalesce(n_cur, 0) AS n_cur FROM r FULL JOIN c ON r.v = c.v), " +
+        "cdf AS (SELECT v, sum(n_ref) OVER () AS nr, sum(n_cur) OVER () AS nc, " +
+        "round(abs(sum(n_ref) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW)::DOUBLE / sum(n_ref) OVER () " +
+        "- sum(n_cur) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW)::DOUBLE / sum(n_cur) OVER ()), 6) AS d FROM g), " +
+        "top AS (SELECT max(d) AS d_stat, max(nr) AS n_ref, max(nc) AS n_cur " +
+        "FROM cdf), " +
+        "at AS (SELECT min(v) AS d_at FROM cdf, top WHERE cdf.d = top.d_stat) " +
+        "SELECT d_stat, d_at, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur, " +
+        "round(1.358 * sqrt((n_ref + n_cur)::DOUBLE / (n_ref * n_cur)), 6) " +
+        "AS crit_05, d_stat > round(1.358 * sqrt((n_ref + n_cur)::DOUBLE " +
+        "/ (n_ref * n_cur)), 6) AS drifted FROM top, at"),
+
+    // lead over (user, ts, id), (from, to) counts, row-normalized
+    "q192_markov_transitions" ->
+      ("WITH s AS (SELECT event_type AS from_type, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS to_type " +
+        "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL), " +
+        "p AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM s " +
+        "WHERE to_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT from_type, to_type, n, round(n::DOUBLE / " +
+        "(sum(n) OVER (PARTITION BY from_type))::DOUBLE, 6) AS p " +
+        "FROM p ORDER BY from_type, to_type"),
+
+    // same snapshot derivations; row hash = md5 over chr(31)-joined
+    // strings with chr(1) null markers, XOR-folded per group
+    "q193_fingerprint_screen" -> {
+      def fp(src: String, n: String, f: String) =
+        s"SELECT o_orderstatus, count(*)::BIGINT AS $n, " +
+          "bit_xor(('0x' || substr(md5(concat_ws(chr(31), " +
+          "coalesce(o_orderkey::VARCHAR, chr(1)), " +
+          "coalesce(o_custkey::VARCHAR, chr(1)), " +
+          "coalesce(price_d::VARCHAR, chr(1)), " +
+          "coalesce(o_orderpriority, chr(1)))), 1, 15))::BIGINT) " +
+          s"AS $f FROM $src GROUP BY 1"
+      "WITH r AS (SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "o_totalprice::DECIMAL(18,2) AS price_d, o_orderpriority " +
+        "FROM orders), " +
+        "c AS (SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "(CASE WHEN o_orderstatus = 'O' AND o_orderkey % 3 = 0 " +
+        "THEN o_totalprice + 10.0 ELSE o_totalprice END)::DECIMAL(18,2) " +
+        "AS price_d, o_orderpriority FROM orders), " +
+        s"fr AS (${fp("r", "n_ref", "fp_ref")}), " +
+        s"fc AS (${fp("c", "n_cur", "fp_cur")}) " +
+        "SELECT coalesce(fr.o_orderstatus, fc.o_orderstatus) AS o_orderstatus, " +
+        "n_ref, fp_ref, n_cur, fp_cur, " +
+        "coalesce(n_ref = n_cur AND fp_ref = fp_cur, FALSE) AS equal " +
+        "FROM fr FULL JOIN fc ON fr.o_orderstatus = fc.o_orderstatus " +
+        "ORDER BY 1"
+    },
+
+    // the same hash predicate on both tables — integrity with no join
+    "q194_coherent_sample" ->
+      ("WITH sc AS (SELECT * FROM customer WHERE " +
+        "('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT % 100 < 10), " +
+        "so AS (SELECT * FROM orders WHERE " +
+        "('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT % 100 < 10) " +
+        "SELECT c_mktsegment, count(DISTINCT c_custkey)::BIGINT AS n_customers, " +
+        "count(o_orderkey)::BIGINT AS n_orders FROM sc " +
+        "LEFT JOIN so ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
+
+    // the same rank formulation the rule removes on the Spark side
+    "q195_auto_topk" ->
+      ("SELECT user_id, event_id, value FROM (" +
+        "SELECT user_id, event_id, value, row_number() OVER (" +
+        "PARTITION BY user_id ORDER BY value DESC, event_id) AS rn " +
+        "FROM events WHERE value IS NOT NULL) " +
+        "WHERE rn <= 2 ORDER BY user_id, event_id"),
 
     // q57's vocab CTE composed into the OLS moment formulation
     "q186_zipf" ->

@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: plans graft.plans.TopKPerKeyNode (sort-free
     // top-k per key) into its bounded-heap physical operator
     ext.injectPlannerStrategy(_ => new graft.plans.GraftStrategies)
+    // optimizer extension: the row_number + rank-filter + drop(rn) idiom
+    // rewrites to TopKPerKeyNode automatically — users write the naive
+    // window formulation and get the sort-free plan
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }
 }
 

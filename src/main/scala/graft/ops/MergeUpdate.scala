@@ -197,4 +197,47 @@ object MergeUpdate {
       .unionByName(project(j.filter(changed), "update_postimage", applied = true))
       .unionByName(project(j.filter(!inTgt), "insert", applied = true))
   }
+
+  /** Row-level snapshot reconciliation — the row-grain sibling of
+    * [[Profile.profileDiff]] (which diffs column statistics): a
+    * full-outer join on the key classifies every row of two snapshots as
+    * `added` (current only), `removed` (reference only), `changed` (in
+    * both with at least one compare column differing null-safely), or
+    * `unchanged`, and names the differing columns per changed row
+    * (`;`-joined in `compareCols` declaration order).
+    *
+    * Null-safe `<=>` comparison: NULL→value and value→NULL count as
+    * changes; NULL↔NULL does not.
+    *
+    * Scale: one hash shuffle per side on the key and one sort-merge
+    * full-outer join — the canonical 100 TB reconciliation shape. Both
+    * sides co-partition on the same key; no broadcast, no window, no
+    * driver state. Output cardinality = |keys(ref) ∪ keys(cur)|. */
+  def tableDiff(
+      ref: DataFrame,
+      cur: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val overlap = keys.toSet.intersect(compareCols.toSet)
+    require(overlap.isEmpty,
+      s"tableDiff keys and compareCols must be disjoint; both contain: ${overlap.mkString(", ")}")
+    require(compareCols.nonEmpty, "tableDiff needs at least one compare column")
+    val r = ref.select((keys ++ compareCols).map(col): _*)
+      .withColumn("_in_ref", lit(true))
+    val c = cur.select(
+        keys.map(col) ++ compareCols.map(x => col(x).as(s"_c_$x")): _*)
+      .withColumn("_in_cur", lit(true))
+    val j = r.join(c, keys, "full")
+    val inRef = coalesce(col("_in_ref"), lit(false))
+    val inCur = coalesce(col("_in_cur"), lit(false))
+    // concat_ws drops the NULL arms, leaving only the differing names
+    val changedCols = concat_ws(";",
+      compareCols.map(x => when(!(col(x) <=> col(s"_c_$x")), lit(x))): _*)
+    val status = when(!inRef, lit("added"))
+      .when(!inCur, lit("removed"))
+      .when(changedCols =!= "", lit("changed"))
+      .otherwise(lit("unchanged"))
+    j.select(keys.map(col) :+ status.as("diff_status") :+
+      when(status === "changed", changedCols).as("changed_cols"): _*)
+  }
 }

@@ -327,6 +327,47 @@ object Models {
       .withColumn("psi", round(sum(col("psi_contrib")).over(wAll), 6))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test — the nonparametric
+    * sibling of [[psiDrift]] (no binning choice, no smoothing):
+    * `D = sup_x |F_ref(x) − F_cur(x)|`, evaluated EXACTLY on the merged
+    * distinct-value grid, with the α=0.05 critical value
+    * `1.358·√((n+m)/(n·m))` and the reject decision. Returns one row
+    * `(d_stat, d_at, n_ref, n_cur, crit_05, drifted)`; `d_at` is the
+    * smallest value achieving the sup (deterministic tie-break).
+    *
+    * Scale: per-side value counts are map-side-combined hash aggregates
+    * (one shuffle each, carrying (value, count) only); the running-CDF
+    * window then runs over the DISTINCT-VALUE GRID, not the data —
+    * exact and cheap for discrete or rounded measures. For genuinely
+    * continuous high-cardinality measures, quantize first
+    * (`round(v, p)`) so the grid stays bounded; the grid window is the
+    * deliberate single-partition step, sized by |grid| alone. */
+  def ksTest(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.where(v.isNotNull).groupBy(v.as("v")).agg(count(lit(1)).as(out))
+    val grid = counts(ref, "n_ref")
+      .join(counts(cur, "n_cur"), Seq("v"), "full")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val wAll = Window.partitionBy()
+    val wCdf = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = grid
+      .withColumn("nr", sum(col("n_ref")).over(wAll))
+      .withColumn("nc", sum(col("n_cur")).over(wAll))
+      .withColumn("d", round(abs(
+        sum(col("n_ref")).over(wCdf) / col("nr")
+          - sum(col("n_cur")).over(wCdf) / col("nc")), 6))
+      .withColumn("d_stat", max(col("d")).over(wAll))
+    val crit = round(lit(1.358) *
+      sqrt((col("n_ref") + col("n_cur")) / (col("n_ref") * col("n_cur"))), 6)
+    cdf.where(col("d") === col("d_stat"))
+      .agg(max(col("d_stat")).as("d_stat"), min(col("v")).as("d_at"),
+        max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"))
+      .select(col("d_stat"), col("d_at"), col("n_ref"), col("n_cur"),
+        crit.as("crit_05"), (col("d_stat") > crit).as("drifted"))
+  }
+
   /** Calibration report for a probabilistic classifier: `nBins`
     * equal-width probability bins over [0, 1] — fixed bounds, not
     * data-derived, so bins mean the same thing across models — with per-

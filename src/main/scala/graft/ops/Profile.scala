@@ -210,6 +210,36 @@ object Profile {
         round(col("avg_v_cur") - col("avg_v"), 2).as("avg_delta"))
   }
 
+  /** Order-independent table fingerprint — the O(1)-output equality
+    * screen in front of [[MergeUpdate.tableDiff]]: per group, the row
+    * count and the XOR-fold of a 60-bit per-row content hash. XOR is
+    * commutative and associative with no overflow, so the fingerprint is
+    * invariant to row order, partitioning, and merge order — two
+    * snapshot runs can each fingerprint their own output and compare 8
+    * bytes per group instead of re-reading either table; only groups
+    * whose (count, fingerprint) differ need the row-level diff.
+    *
+    * Rows hash as md5 over the `chr(31)`-joined column strings with an
+    * explicit `chr(1)` null marker (concat_ws would silently DROP nulls,
+    * colliding ("a", NULL) with (NULL, "a")). Pass integer/string/date
+    * columns; cast floats to decimal or round first — float→string
+    * rendering is engine-specific. Collision odds per group pair: 2⁻⁶⁰
+    * (content screen, not cryptographic).
+    *
+    * Scale: one codegen'd map pass + one map-side-combined hash agg;
+    * only (group, count, 8-byte fingerprint) ever shuffles. */
+  def tableFingerprint(
+      df: DataFrame,
+      cols: Seq[String],
+      groupCols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableFingerprint needs at least one content column")
+    val rowHash = Hashing.hash60(concat_ws("\u001f",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*))
+    df.withColumn("_rh", rowHash)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_rh)").as("fingerprint"))
+  }
+
   /** Benford first-digit audit — the fraud/corruption screen for a
     * numeric measure: observed share of each leading significant digit
     * 1–9 vs Benford's law `log10(1 + 1/d)`, with per-digit deviation and

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Referentially-coherent sampling — the development-scale-down story
+  * for an entity-keyed warehouse: every table that carries the entity
+  * key applies the SAME deterministic hash predicate on that key, so a
+  * kept customer keeps ALL their orders (and lineitems, and events)
+  * across tables with NO join, no shuffle, and no coordination — the
+  * predicate is pushed into each table's scan independently, and
+  * referential integrity holds by construction.
+  *
+  * Contrast with `df.sample()`: row-level Bernoulli sampling breaks
+  * every foreign key (a sampled order's customer is probably gone), and
+  * making it coherent after the fact costs a semi-join per child table.
+  * Hash-bucket sampling on the shared key is the 100 TB idiom: filter
+  * first at the scan, join never. Determinism also means two pipeline
+  * runs — or two TABLES sampled in different jobs months apart — agree
+  * on the kept entities.
+  */
+object Sampling {
+
+  /** The shared predicate: keep the row iff its entity key falls in the
+    * first `pct` of 100 deterministic hash buckets. */
+  def coherentKeep(key: Column, pct: Int): Column = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0, 100], got $pct")
+    Hashing.hash60(key.cast("string")) % 100 < pct
+  }
+
+  /** `df` filtered to the coherent `pct`% sample by `keyCol` — apply to
+    * every table carrying the same entity key (parent on its primary
+    * key, children on the foreign key) for a consistent cross-table
+    * subset. One codegen'd filter; no join, no shuffle. */
+  def consistentSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(coherentKeep(col(keyCol), pct))
+}

@@ -478,4 +478,38 @@ object Temporal {
       .filter((col("mad") > 0 && abs(col("mz")) >= threshold) ||
         (col("mad") === 0 && v =!= col("med")))
   }
+
+  /** First-order Markov transition matrix over per-key event sequences:
+    * for every ordered pair of adjacent events within a key,
+    * `P(next = b | current = a)` with the supporting count — the
+    * behavioral model behind next-action prediction, funnel synthesis,
+    * and bot detection (a near-deterministic row is a script).
+    *
+    * Ordering within a key is (`tsCol`, `tieCol`) — the tie column makes
+    * the sequence deterministic when timestamps collide; null timestamps
+    * are excluded on both engines (ASC-null placement differs between
+    * engines, so they must not reach the window).
+    *
+    * Scale: the only data-scale move is ONE hash shuffle by key for the
+    * `lead` window; adjacent pairs then collapse through a map-side-
+    * combined (from, to) hash aggregate, and row-normalization runs on
+    * the ≤|types|² cell grid, never the data. */
+  def transitionMatrix(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .where(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    val cells = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy("from_type")
+    cells.withColumn("p", round(col("n") / sum(col("n")).over(wFrom), 6))
+  }
 }

@@ -695,4 +695,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles.forall(_.outputPartitioning.numPartitions == 1),
       s"only the 1-partition moment exchange allowed:\n$plan")
   }
+
+  test("rank-filter rewrite: the naive window idiom plans into TopKPerKeyExec; rank consumers don't") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.{Window => W}
+    // register the optimizer rule + strategy the way GraftExtensions
+    // would; restore after so other plan locks see the stock optimizer
+    val savedOpt = spark.experimental.extraOptimizations
+    val savedStrat = spark.experimental.extraStrategies
+    spark.experimental.extraOptimizations =
+      savedOpt :+ plans.RewriteRankFilterToTopK
+    if (!savedStrat.exists(_.isInstanceOf[plans.GraftStrategies]))
+      spark.experimental.extraStrategies = savedStrat :+ new plans.GraftStrategies
+    try {
+      val w = W.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val naive = ops.Sources.table(spark, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val plan = executed(naive)
+      assert(collectAll(plan) { case t: plans.TopKPerKeyExec => t }.nonEmpty,
+        s"naive rank idiom should plan into TopKPerKeyExec:\n$plan")
+      assert(collectAll(plan) {
+        case we: org.apache.spark.sql.execution.window.WindowExec => we
+      }.isEmpty, s"the rank window should be gone:\n$plan")
+      // identical rows to the explicit API path
+      val viaApi = ops.TopK.perKey(ops.Sources.table(spark, dir, "orders"),
+          Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      assert(naive.exceptAll(viaApi).isEmpty && viaApi.exceptAll(naive).isEmpty)
+
+      // a query that KEEPS the rank column must not rewrite
+      val keepsRank = ops.Sources.table(spark, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      val kept = executed(keepsRank)
+      assert(collectAll(kept) { case t: plans.TopKPerKeyExec => t }.isEmpty,
+        s"rank consumer must keep the window:\n$kept")
+    } finally {
+      spark.experimental.extraOptimizations = savedOpt
+      spark.experimental.extraStrategies = savedStrat
+    }
+  }
 }

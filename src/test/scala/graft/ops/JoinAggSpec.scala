@@ -185,4 +185,31 @@ class JoinAggSpec extends SparkSpec {
     assert(got.map(_.getAs[String]("_sheet")).toSeq == Seq("A", "B", "C"))
     assert(got(2).isNullAt(got(2).fieldIndex("v")))
   }
+
+  test("tableDiff: added/removed/changed/unchanged with per-row changed column names") {
+    val ref = Seq((1L, Some(10.0), "a"), (2L, Some(20.0), "b"),
+      (3L, Some(30.0), "c"), (4L, None, "d"))
+      .toDF("k", "v", "s")
+    val cur = Seq((1L, Some(10.0), "a"),      // unchanged
+      (2L, Some(21.0), "B"),                  // both compare cols changed
+      (4L, Some(40.0), "d"),                  // null -> value counts as change
+      (5L, Some(50.0), "e"))                  // added; 3 removed
+      .toDF("k", "v", "s")
+    val got = MergeUpdate.tableDiff(ref, cur, Seq("k"), Seq("v", "s"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(got.toSeq == Seq(
+      (1L, "unchanged", None),
+      (2L, "changed", Some("v;s")),
+      (3L, "removed", None),
+      (4L, "changed", Some("v")),
+      (5L, "added", None)))
+  }
+
+  test("tableDiff: a key listed in compareCols fails fast") {
+    val df = Seq((1L, 1.0)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      MergeUpdate.tableDiff(df, df, Seq("k"), Seq("k", "v"))
+    }
+  }
 }

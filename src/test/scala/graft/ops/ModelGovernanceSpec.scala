@@ -103,4 +103,33 @@ class ModelGovernanceSpec extends SparkSpec {
     val r = Models.aucRank(df, "s", "y").head()
     assert(r.isNullAt(r.fieldIndex("auc")))
   }
+
+  // ───── ksTest ─────
+
+  test("ksTest: identical samples give D = 0 and no drift") {
+    val df = (1 to 200).map(i => (i % 17).toDouble).toDF("v")
+    val r = Models.ksTest(df, df, "v").head()
+    assert(r.getAs[Double]("d_stat") == 0.0)
+    assert(!r.getAs[Boolean]("drifted"))
+    assert(r.getAs[Long]("n_ref") == 200L && r.getAs[Long]("n_cur") == 200L)
+  }
+
+  test("ksTest: disjoint supports give D = 1 at the reference max") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val cur = (101 to 200).map(_.toDouble).toDF("v")
+    val r = Models.ksTest(ref, cur, "v").head()
+    assert(r.getAs[Double]("d_stat") == 1.0)
+    assert(r.getAs[Double]("d_at") == 100.0)
+    assert(r.getAs[Boolean]("drifted"))
+  }
+
+  test("ksTest: a median shift drifts; the critical value scales as sqrt((n+m)/nm)") {
+    val ref = (1 to 500).map(_.toDouble).toDF("v")
+    val cur = (251 to 750).map(_.toDouble).toDF("v")
+    val r = Models.ksTest(ref, cur, "v").head()
+    assert(math.abs(r.getAs[Double]("d_stat") - 0.5) < 0.01)
+    val expect = 1.358 * math.sqrt(1000.0 / (500.0 * 500.0))
+    assert(math.abs(r.getAs[Double]("crit_05") - expect) < 1e-6)
+    assert(r.getAs[Boolean]("drifted"))
+  }
 }

@@ -93,4 +93,34 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Double]("p99_cnt") == 87.54)
     assert(r.getAs[String]("top_keys") == "hot:90;warm:8;a:1")
   }
+
+  test("tableFingerprint: invariant to row order, sensitive to content") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, "x", "g"), (2L, "y", "g"), (3L, "z", "h"))
+      .toDF("k", "s", "grp")
+    val shuffled = Seq((3L, "z", "h"), (2L, "y", "g"), (1L, "x", "g"))
+      .toDF("k", "s", "grp")
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      Profile.tableFingerprint(df.repartition(7), Seq("k", "s"), Seq("grp"))
+        .orderBy("grp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fps(a) == fps(shuffled))
+    val edited = Seq((1L, "x", "g"), (2L, "Y", "g"), (3L, "z", "h"))
+      .toDF("k", "s", "grp")
+    val byGrp = fps(edited).map(t => t._1 -> t._3).toMap
+    val orig = fps(a).map(t => t._1 -> t._3).toMap
+    assert(byGrp("g") != orig("g") && byGrp("h") == orig("h"))
+  }
+
+  test("tableFingerprint: null placement is not ambiguous (explicit null marker)") {
+    val ab = Seq((Some("a"), None: Option[String])).toDF("x", "y")
+      .withColumn("grp", org.apache.spark.sql.functions.lit("g"))
+    val ba = Seq((None: Option[String], Some("a"))).toDF("x", "y")
+      .withColumn("grp", org.apache.spark.sql.functions.lit("g"))
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Profile.tableFingerprint(df, Seq("x", "y"), Seq("grp"))
+        .head().getLong(2)
+    // concat_ws alone would DROP the nulls and collide these two rows
+    assert(fp(ab) != fp(ba))
+  }
 }

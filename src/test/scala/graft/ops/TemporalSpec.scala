@@ -152,4 +152,33 @@ class TemporalSpec extends SparkSpec {
       ("k", Date.valueOf("2024-01-03"), 100.0)).toDF("k", "day", "v")
     assert(Temporal.anomalyZScores(df, "k", "day", "v").count() == 0)
   }
+
+  test("transitionMatrix: adjacent-pair counts and row-normalized probabilities") {
+    val df = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), "A", 1L),
+      ("u1", ts("2024-01-01 10:01:00"), "B", 2L),
+      ("u1", ts("2024-01-01 10:02:00"), "A", 3L),
+      ("u1", ts("2024-01-01 10:03:00"), "B", 4L),
+      ("u2", ts("2024-01-01 09:00:00"), "A", 5L),
+      ("u2", ts("2024-01-01 09:05:00"), "A", 6L))
+      .toDF("u", "t", "e", "id")
+    val got = Temporal.transitionMatrix(df, "u", "t", "e", "id")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      ("A", "A") -> ((1L, 0.333333)),
+      ("A", "B") -> ((2L, 0.666667)),
+      ("B", "A") -> ((1L, 1.0))))
+  }
+
+  test("transitionMatrix: equal timestamps order by the tie column, deterministically") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val df = Seq(("u", t0, "X", 2L), ("u", t0, "Y", 1L), ("u", t0, "Z", 3L))
+      .toDF("u", "t", "e", "id")
+    // tie order by id: Y -> X -> Z
+    val got = Temporal.transitionMatrix(df, "u", "t", "e", "id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("Y", "X"), ("X", "Z")))
+  }
 }
