@@ -2202,10 +2202,11 @@ object SparkEntry {
     // shape: the pair space is the block equi-join, the edit distance a
     // codegen'd residual, never n² over the table ─────
     "q157_fuzzy_link" -> { (s, dir) =>
-      // balanced scan: the block join's probe side carries the O(block²)
-      // edit-distance residual — a single-split local parquet would run
-      // it on one core
-      Dedup.fuzzyPairs(tb(s, dir, "customer"), "c_custkey", "c_name",
+      // symmetric-delete candidate generation: content-keyed variant
+      // join scales linearly where the fixed-25-nation block join's
+      // Σ block² residual went quadratic (measured 7.3x for 3x rows);
+      // Dedup.fuzzyPairs stays as the spec-proven exact twin
+      Dedup.fuzzyPairsSymDel(tb(s, dir, "customer"), "c_custkey", "c_name",
           "c_nationkey", maxDist = 2)
         .orderBy("id_a", "id_b")
     },
@@ -2797,8 +2798,11 @@ object SparkEntry {
     // blocked edit-distance pairs) → connected components → one row per
     // resolved entity — linkage, clustering, and canonicalization as
     // plain operator composition ─────
+    // pairs via symmetric-delete blocking (content-keyed, linear scale)
+    // rather than the fixed-25-block quadratic path — same result set,
+    // measured ~3x time for 3x rows where nation blocking gave 7.3x
     "q189_entity_resolution" -> { (s, dir) =>
-      val pairs = Dedup.fuzzyPairs(tb(s, dir, "customer"), "c_custkey",
+      val pairs = Dedup.fuzzyPairsSymDel(tb(s, dir, "customer"), "c_custkey",
         "c_name", "c_nationkey", maxDist = 2)
       Dedup.clusters(pairs, "id_a", "id_b")
         .orderBy("rep")

@@ -70,7 +70,18 @@ object ScaleGen {
       spark.read.parquet(s"$src/$n.parquet")
         .write.mode("overwrite").parquet(s"$out/$n.parquet")
     }
-    replicate("customer", Seq("c_custkey"))
+    // entity NAMES need the document-text treatment: exact clones of
+    // every c_name per replica would multiply fuzzy-linkage true pairs
+    // k² (a duplicate corpus, not a bigger one — measured 5.8× time for
+    // 3× rows, all of it real pair growth). A replica-unique 3-letter
+    // suffix puts replicas ≥ 3 edits apart (outside any maxDist ≤ 2
+    // linkage) while keeping every INTRA-replica edit distance exactly
+    // as in the source — per-capita near-dup density is preserved, so
+    // true pairs scale linearly, like a real 3× customer base.
+    replicate("customer", Seq("c_custkey"), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("c_name",
+        concat(col("c_name"), lit(('a' + i).toChar.toString * 3))))
     replicate("supplier", Seq("s_suppkey"))
     replicate("part", Seq("p_partkey"))
     replicate("orders", Seq("o_orderkey", "o_custkey"))

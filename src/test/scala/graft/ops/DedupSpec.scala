@@ -239,6 +239,31 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((1L, 5L)), "blocking must prevent cross-block pairs")
   }
 
+  test("fuzzyPairsSymDel: identical result set to the blocked-quadratic path") {
+    // adversarial edit mix: substitutions, insertion+deletion (shifts),
+    // short strings, an empty string, same-name different-block
+    val names = Seq(
+      "smith john", "smith jonh", "smith joan", "smiths john", "mith john",
+      "smith", "smth", "s", "", "wholly different", "smith john")
+    val recs = names.zipWithIndex.map { case (n, i) =>
+      (i.toLong, n, if (i == 10) "B" else "A")
+    }.toDF("id", "name", "blk")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val exact = pairs(Dedup.fuzzyPairs(recs, "id", "name", "blk", maxDist = 2))
+    val symdel = pairs(Dedup.fuzzyPairsSymDel(recs, "id", "name", "blk", maxDist = 2))
+    assert(symdel == exact, s"symdel=$symdel\nexact=$exact")
+    assert(exact.nonEmpty)
+  }
+
+  test("fuzzyPairsSymDel: maxDist 0 reduces to exact duplicates within a block") {
+    val recs = Seq((1L, "abc", "A"), (2L, "abc", "A"), (3L, "abd", "A"),
+      (4L, "abc", "B")).toDF("id", "name", "blk")
+    val got = Dedup.fuzzyPairsSymDel(recs, "id", "name", "blk", maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("canonicalPerCluster: max quality wins, ties break to min id") {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
