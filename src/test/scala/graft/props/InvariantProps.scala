@@ -428,4 +428,26 @@ object InvariantProps extends Properties("graft.invariants") {
       if (card < k) kept == card && est == card.toDouble
       else kept == k && math.abs(est - card) / card < 4.0 / math.sqrt(k)
     }
+
+  // short names over a 3-letter alphabet: maximal edit-space density, so
+  // every completeness hole in the deletion-variant candidate generation
+  // would surface as a missing pair vs the exhaustive quadratic path
+  private val genShortName: Gen[String] = for {
+    len <- Gen.choose(0, 6)
+    cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+  } yield cs.mkString
+
+  property("fuzzyPairsSymDel ≡ blocked-quadratic fuzzyPairs (complete and exact)") =
+    forAll(
+      Gen.listOfN(12, genShortName),
+      Gen.listOfN(12, Gen.oneOf("A", "B"))) { (names, blks) =>
+      import spark.implicits._
+      val recs = names.zip(blks).zipWithIndex
+        .map { case ((n, b), i) => (i.toLong, n, b) }
+        .toDF("id", "name", "blk")
+      def m(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      m(Dedup.fuzzyPairsSymDel(recs, "id", "name", "blk", maxDist = 2)) ==
+        m(Dedup.fuzzyPairs(recs, "id", "name", "blk", maxDist = 2))
+    }
 }
