@@ -2905,6 +2905,22 @@ object SparkEntry {
         .drop("rn")
         .select("user_id", "event_id", "value")
         .orderBy("user_id", "event_id")
+    },
+
+    // ───── FIXED-bin calibration report (q177's quantile sibling): a
+    // hash-uniform score genuinely spans [0,1), so the fixed deciles all
+    // populate — the report shape model registries expect when scores
+    // really are probabilities; same per-bin mean-prob / pos-rate /
+    // global Brier columns ─────
+    "q196_calibration_fixed" -> { (s, dir) =>
+      val scored = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(
+          (pmod(Hashing.hash60(col("event_id").cast("string")), lit(1000000L))
+            .cast("double") / 1000000d).as("prob"),
+          when(col("value") > 0, 1.0).otherwise(0.0).as("y"))
+      Models.calibrationReport(scored, "prob", "y", nBins = 10)
+        .orderBy("bin")
     }
   )
 
@@ -4411,7 +4427,10 @@ object SparkEntry {
     "q166_interval_concurrency" ->
       ("WITH iv AS (SELECT event_type AS k, ts AS s, " +
         "ts + to_seconds((300 + floor(value))::BIGINT) AS e FROM events " +
-        "WHERE ts IS NOT NULL AND value IS NOT NULL), " +
+        "WHERE ts IS NOT NULL AND value IS NOT NULL " +
+        // e > s: Temporal.maxConcurrency drops non-positive-duration
+        // intervals; both sides must share the degenerate-interval contract
+        "AND (300 + floor(value)) > 0), " +
         "d AS (SELECT k, s AS t, 1 AS d FROM iv " +
         "UNION ALL SELECT k, e, -1 FROM iv), " +
         "g AS (SELECT k, t, sum(d)::BIGINT AS d FROM d GROUP BY 1, 2), " +
@@ -4924,6 +4943,21 @@ object SparkEntry {
         "round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6) " +
         "AS intercept, " +
         "round(covar_pop(x, y) / sqrt(var_pop(x) * var_pop(y)), 6) AS r " +
-        "FROM p")
+        "FROM p"),
+
+    // fixed [0,1] deciles over a hash-uniform score; per-bin stats +
+    // windowed global Brier — the q177 shape without the quantile cuts
+    "q196_calibration_fixed" ->
+      ("WITH s AS (SELECT (('0x' || substr(md5(event_id::VARCHAR), 1, 15))" +
+        "::BIGINT % 1000000)::DOUBLE / 1000000 AS prob, " +
+        "CASE WHEN value > 0 THEN 1.0 ELSE 0.0 END AS y FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "b AS (SELECT least(9, floor(prob * 10))::INT AS bin, " +
+        "count(*)::BIGINT AS n, round(avg(prob), 6) AS mean_prob, " +
+        "round(avg(y), 6) AS pos_rate, sum(power(prob - y, 2)) AS se " +
+        "FROM s GROUP BY 1) " +
+        "SELECT bin, n, mean_prob, pos_rate, " +
+        "round(sum(se) OVER () / sum(n) OVER (), 6) AS brier " +
+        "FROM b ORDER BY bin")
   )
 }

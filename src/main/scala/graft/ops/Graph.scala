@@ -227,12 +227,26 @@ object Graph {
     sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** `checkpointEvery`: truncate the logical plan every k rounds with a
+    * lazy localCheckpoint (the [[pageRank]] knob) — without it plan depth
+    * grows linearly with `iterations` and analysis cost superlinearly
+    * past ~10 rounds. `probeEvery` > 0 adds a stability probe every k
+    * rounds: synchronous LPA is a deterministic function of the previous
+    * labeling, so an unchanged round is a FIXPOINT and every later round
+    * is identical — stopping early returns exactly the fixed-iteration
+    * result (the [[graft.ops.Dedup.connectedComponents]] convergence
+    * posture; LPA labels are not monotone, so the probe compares the
+    * labelings directly instead of their sum). Default 0 keeps the
+    * fixed-iteration contract bit-for-bit. */
   def labelPropagation(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iterations: Int = 4): DataFrame = {
+      iterations: Int = 4,
+      checkpointEvery: Int = 8,
+      probeEvery: Int = 0): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val sess = edges.sparkSession
     val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
@@ -244,9 +258,13 @@ object Graph {
       } finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
     var labels = edgeP.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-    for (_ <- 1 to iterations) {
-      labels = edgeP
-        .join(labels, col("src") === col("id"))
+    var i = 0
+    var converged = false
+    while (!converged && i < iterations) {
+      i += 1
+      val prev = labels
+      val next = edgeP
+        .join(prev, col("src") === col("id"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("n"))
         // argmax by (count DESC, label ASC): lexicographic struct max on
@@ -257,6 +275,14 @@ object Graph {
         .agg(max_by(col("label"),
           struct(col("n"), (-col("label")).as("nl"))).as("label"))
         .select(col("dst").as("id"), col("label"))
+      labels =
+        if (i % checkpointEvery == 0 && i < iterations) next.localCheckpoint(false)
+        else next
+      if (probeEvery > 0 && i % probeEvery == 0 && i < iterations)
+        converged = labels
+          .join(prev.withColumnRenamed("label", "_prev"), "id")
+          .where(col("label") =!= col("_prev"))
+          .isEmpty
     }
     labels
   }

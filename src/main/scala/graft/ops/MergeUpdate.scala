@@ -222,6 +222,13 @@ object MergeUpdate {
     require(overlap.isEmpty,
       s"tableDiff keys and compareCols must be disjoint; both contain: ${overlap.mkString(", ")}")
     require(compareCols.nonEmpty, "tableDiff needs at least one compare column")
+    // the join reserves _in_ref/_in_cur and _c_<compareCol> working names;
+    // a user column colliding with one would silently compare the wrong
+    // pair (same non-collision contract as Temporal.asofJoinBackward)
+    val reserved = Set("_in_ref", "_in_cur") ++ compareCols.map(x => s"_c_$x")
+    val clash = (keys ++ compareCols).filter(reserved)
+    require(clash.isEmpty,
+      s"tableDiff key/compare columns collide with reserved working names: ${clash.mkString(", ")}")
     val r = ref.select((keys ++ compareCols).map(col): _*)
       .withColumn("_in_ref", lit(true))
     val c = cur.select(

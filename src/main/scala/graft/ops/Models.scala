@@ -419,9 +419,10 @@ object Models {
     val p = col(probCol).cast("double")
     val y = col(labelCol).cast("double")
     val qs = (1 until nBins).map(i => i.toDouble / nBins)
+    // Column-API percentile so prob column names needing backticks work
     val cuts = scored.where(p.isNotNull && y.isNotNull).agg(
-      expr(s"transform(percentile($probCol, array(${qs.mkString(", ")}))," +
-        " c -> round(c, 6))").as("_cuts"))
+      transform(percentile(col(probCol), lit(qs.toArray)),
+        c => round(c, 6)).as("_cuts"))
     val bin = size(filter(col("_cuts"), c => p > c))
     val wAll = Window.partitionBy()
     scored.where(p.isNotNull && y.isNotNull)
@@ -551,9 +552,10 @@ object Models {
         datediff(col("_h"), col("_last")).cast("double"))
       .drop("_last", "_h")
     val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    // Column-API percentile: the madOutliers backtick-safety contract
     def cutsOf(c: String) =
-      expr(s"transform(percentile($c, array(${qs.mkString(", ")}))," +
-        " c -> round(c, 6))").as(s"_cuts_$c")
+      transform(percentile(col(c), lit(qs.toArray)),
+        x => round(x, 6)).as(s"_cuts_$c")
     val cuts = base.agg(cutsOf("recency_days"), cutsOf("frequency"),
       cutsOf("monetary"))
     def below(c: String): Column =

@@ -464,13 +464,15 @@ object Temporal {
       valueCol: String,
       threshold: Double = 3.5): DataFrame = {
     val v = col(valueCol).cast("double")
+    // Column-API percentile (not a SQL-string interpolation) so column
+    // names needing backticks — dots, spaces, hyphens — work like they do
+    // in the rest of the DataFrame API
     val med = df.where(v.isNotNull)
       .groupBy(col(keyCol))
-      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("med"))
+      .agg(round(percentile(col(valueCol), lit(0.5)), 6).as("med"))
     val withMed = df.where(v.isNotNull).join(med, keyCol)
     val mad = withMed.groupBy(col(keyCol))
-      .agg(round(expr("percentile(abs(cast(" + valueCol +
-        " as double) - med), 0.5)"), 6).as("mad"))
+      .agg(round(percentile(abs(v - col("med")), lit(0.5)), 6).as("mad"))
     withMed.join(mad, keyCol)
       .withColumn("mz",
         when(col("mad") > 0,

@@ -540,11 +540,16 @@ object TextAnalysis {
     * through `pow`, correct to ≤1 ulp — quotas can then differ across
     * engines only when a weight lands within 1 ulp of an integer.
     *
-    * Scale shape: one per-stratum count aggregate whose result (#strata
-    * rows — domains, languages, sources: thousands at most) is collected
-    * to the driver to become plan-time quota literals, exactly like the
-    * IVF centroid tables; then quotaSample's one rank window per
-    * stratum. */
+    * Scale shape: FULLY DISTRIBUTED — no driver materialization at any
+    * stratum cardinality (the stratum column may be a web domain: 10⁸
+    * values). One per-stratum count hash-aggregate becomes the quota
+    * table (weight = floor(c^α·10⁶), normalizer Z = its 1-row sum joined
+    * back as a broadcast scalar, quota = budget·w div Z in integer
+    * arithmetic — the identical float/integer path the driver-side
+    * formulation walked); quotas ride an equi-join back onto the data
+    * (AQE broadcasts it when small), then quotaSample's one rank window
+    * per stratum. Null strata never match the quota join and are
+    * dropped, matching the map formulation's quota-0 fall-through. */
   def temperatureMix(
       df: DataFrame,
       idCol: String,
@@ -552,18 +557,23 @@ object TextAnalysis {
       budget: Int,
       alpha: Double): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
-    // bounded driver materialization: one row per stratum
-    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val weights = counts.map { case (k, c) =>
-      val w = if (alpha == 0.5) math.sqrt(c.toDouble) else math.pow(c.toDouble, alpha)
-      k -> math.floor(w * 1000000d).toLong
-    }
-    val z = weights.map(_._2).sum
-    val quotas = weights.map { case (k, w) =>
-      k -> ((budget.toLong * w) / z).toInt
-    }.toMap
-    quotaSample(df, idCol, stratumCol, 0, quotas)
+    val c = col("_c").cast("double")
+    val wExpr = if (alpha == 0.5) sqrt(c) else pow(c, lit(alpha))
+    val cw = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_w", floor(wExpr * lit(1000000d)).cast("long"))
+    val z = cw.agg(sum(col("_w")).as("_z"))
+    val quotas = cw.crossJoin(broadcast(z))
+      .withColumn("_n", lit(budget.toLong) * col("_w"))
+      // integral division, as the Long/Long driver arithmetic had
+      .withColumn("_q", expr("_n div _z").cast("int"))
+      .select(col(stratumCol), col("_q"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(Hashing.hash60(col(idCol).cast("string")), col(idCol))
+    df.join(quotas, Seq(stratumCol))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= col("_q"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Inverted index over word `n`-grams: one row per indexed term —

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, SortOrder, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -58,20 +58,42 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The group-limit pre-filter is subsumed by the heap ONLY when it
+    * limits the same groups in the same order to at least k rows — stock
+    * `InferWindowGroupLimit` always inserts a matching node, but another
+    * rule/extension could insert a stricter one whose filtering is part
+    * of the plan's semantics and must not be discarded. */
+  private def subsumed(
+      wgl: WindowGroupLimit,
+      part: Seq[Expression],
+      order: Seq[SortOrder],
+      k: Int): Boolean =
+    wgl.limit >= k &&
+      wgl.rankLikeFunction.isInstanceOf[RowNumber] &&
+      wgl.partitionSpec.length == part.length &&
+      wgl.partitionSpec.zip(part).forall { case (a, b) => a.semanticEquals(b) } &&
+      wgl.orderSpec.length == order.length &&
+      wgl.orderSpec.zip(order).forall { case (a, b) => a.semanticEquals(b) }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projList, Filter(cond,
         Window(Seq(al @ Alias(WindowExpression(RowNumber(), _), _)),
           part, order, wchild, _))) if part.nonEmpty && order.nonEmpty =>
-      // Spark's InferWindowGroupLimit may already have slid a group-limit
-      // under the window; the heap subsumes it
-      val child = wchild match {
-        case WindowGroupLimit(_, _, _, _, inner) => inner
-        case other => other
-      }
       limitOf(cond, al.toAttribute) match {
-        case Some(k) if k > 0 &&
-            projList.forall(_.references.subsetOf(child.outputSet)) =>
-          Project(projList, TopKPerKeyNode(k, part, order, child))
+        case Some(k) if k > 0 =>
+          // Spark's InferWindowGroupLimit may already have slid a
+          // group-limit under the window; strip it only when its fields
+          // prove the heap subsumes it — a non-matching one stays as the
+          // heap's child (it was in the original plan, so keeping it
+          // preserves semantics either way)
+          val child = wchild match {
+            case wgl: WindowGroupLimit if subsumed(wgl, part, order, k) =>
+              wgl.child
+            case other => other
+          }
+          if (projList.forall(_.references.subsetOf(child.outputSet)))
+            Project(projList, TopKPerKeyNode(k, part, order, child))
+          else p
         case _ => p
       }
   }

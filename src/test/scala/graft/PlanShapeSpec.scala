@@ -739,4 +739,89 @@ class PlanShapeSpec extends SparkSpec {
       spark.experimental.extraStrategies = savedStrat
     }
   }
+
+  test("TopKPerKeyExec under AQE: the induced exchange still coalesces at runtime") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+    // the clustering exchange EnsureRequirements inserts for
+    // requiredChildDistribution must stay eligible for AQE's partition
+    // coalescing — a custom operator that pinned the partition count
+    // would force 200 tiny reducers on every small stage at scale.
+    // (AQE skew-SPLITTING is join-scoped by design — OptimizeSkewedJoin
+    // rewrites SortMergeJoin/ShuffledHashJoin only — so coalescing is
+    // the applicable AQE interaction for this operator.)
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
+    val thrWas = spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    try {
+      val tiny = spark.range(0, 1000)
+        .select((col("id") % 10).as("k"), col("id"),
+          (col("id") % 97).cast("double").as("v"))
+      val df = ops.TopK.perKey(tiny, Seq("k"), Seq("v" -> false, "id" -> true), 2)
+      // execute THIS QueryExecution (collect, not a side write) so the
+      // adaptive plan finalizes with its runtime shuffle reads in place
+      assert(df.collect().length == 20)
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // a finalized adaptive plan nests operators inside QueryStageExec
+      // leaves — descend into the stages' plans too
+      def deep[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+        p.collect(pf) ++ p.collect {
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s
+        }.flatMap(s => deep(s.plan)(pf))
+      val topk = deep(plan) { case t: plans.TopKPerKeyExec => t }
+      assert(topk.nonEmpty, s"expected TopKPerKeyExec:\n$plan")
+      val reads = deep(plan) { case r: AQEShuffleReadExec => r }
+      assert(reads.nonEmpty,
+        s"AQE must insert a coalesced shuffle read under the operator:\n$plan")
+      assert(reads.forall(_.partitionSpecs.size < 64),
+        s"1000 tiny rows must coalesce below the configured 64 partitions:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", thrWas)
+    }
+  }
+
+  test("rank-filter rewrite: rank consumed through a correlated SUBQUERY keeps the window") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.{Window => W}
+    val savedOpt = spark.experimental.extraOptimizations
+    val savedStrat = spark.experimental.extraStrategies
+    val w = W.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ops.Sources.table(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .createOrReplaceTempView("ranked_subq")
+    // the top-level projection drops rn, but the correlated subquery
+    // consumes it (b.rn = a.rn) — the rewrite must not fire on either
+    // expansion of the view, or the join keys lose their source
+    val sql = "SELECT o_custkey, o_orderkey FROM ranked_subq a " +
+      "WHERE o_totalprice > (SELECT avg(o_totalprice) " +
+      "FROM ranked_subq b WHERE b.rn = a.rn)"
+    val expected = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.experimental.extraOptimizations =
+      savedOpt :+ plans.RewriteRankFilterToTopK
+    if (!savedStrat.exists(_.isInstanceOf[plans.GraftStrategies]))
+      spark.experimental.extraStrategies = savedStrat :+ new plans.GraftStrategies
+    try {
+      val q = spark.sql(sql)
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected && got.nonEmpty,
+        "subquery rank consumption must not change results")
+      val plan = executed(q)
+      assert(collectAll(plan) { case t: plans.TopKPerKeyExec => t }.isEmpty,
+        s"rank consumed via subquery correlation — the window must stay:\n$plan")
+    } finally {
+      spark.experimental.extraOptimizations = savedOpt
+      spark.experimental.extraStrategies = savedStrat
+      spark.catalog.dropTempView("ranked_subq")
+    }
+  }
 }

@@ -58,6 +58,44 @@ class GraphSpec extends SparkSpec {
     assert(b.forall(n => b.contains(run1(n))), run1.toString)
   }
 
+  test("labelPropagation: checkpointEvery bounds plan depth at iterations=20; result unchanged") {
+    val g = sym((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    // plan-size probe: count of nodes in the analyzed logical plan — with
+    // per-2-round truncation the depth must stay bounded (a checkpointed
+    // frame restarts the lineage at a leaf) instead of growing with the
+    // 20 rounds
+    val deep = Graph.labelPropagation(g, "src", "dst",
+      iterations = 20, checkpointEvery = 2)
+    val planNodes = deep.queryExecution.analyzed.collect { case p => p }.size
+    val two = Graph.labelPropagation(g, "src", "dst",
+      iterations = 2, checkpointEvery = 100)
+    val twoNodes = two.queryExecution.analyzed.collect { case p => p }.size
+    // ≤ 2 un-truncated rounds of lineage on top of the last checkpoint
+    assert(planNodes <= twoNodes + 4,
+      s"plan depth must stay bounded: 20-round plan has $planNodes nodes " +
+        s"vs $twoNodes for a 2-round plan")
+    // checkpoint transparency: same labels as the untruncated run
+    val plain = Graph.labelPropagation(g, "src", "dst",
+      iterations = 6, checkpointEvery = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chk = Graph.labelPropagation(g, "src", "dst",
+      iterations = 6, checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == chk, s"$plain vs $chk")
+  }
+
+  test("labelPropagation: stability probe stops at the fixpoint with the fixed-iteration result") {
+    // two triangles converge in ≤2 synchronous rounds; a fixpoint round is
+    // final (deterministic update), so early stop ≡ running all 10
+    val g = sym((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val full = Graph.labelPropagation(g, "src", "dst", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = Graph.labelPropagation(g, "src", "dst",
+      iterations = 10, probeEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == probed, s"$full vs $probed")
+  }
+
   test("bfsDistances: path graph distances, hop cap truncates the frontier") {
     // line 0-1-2-3-4-5, seed at 0
     val line = sym((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))

@@ -213,6 +213,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("temperatureMix: distributed quotas are exact at high stratum cardinality") {
+    // 400 strata of varying sizes — the shape whose per-stratum counts a
+    // driver-side formulation would materialize; the distributed quota
+    // join must reproduce the reference integer arithmetic exactly
+    val rows = for {
+      s <- 1 to 400
+      i <- 1 to (s % 7) + 1
+    } yield ((s.toLong * 1000) + i, s"stratum_$s")
+    val df = rows.toDF("doc_id", "src")
+    val counts = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    // reference quotas, the documented integer arithmetic
+    val weights = counts.map { case (k, c) =>
+      k -> math.floor(math.sqrt(c.toDouble) * 1000000d).toLong
+    }
+    val z = weights.values.sum
+    val budget = 300
+    val expected = weights.map { case (k, w) =>
+      k -> math.min(counts(k), (budget.toLong * w) / z)
+    }.filter(_._2 > 0)
+    val got = TextAnalysis.temperatureMix(df, "doc_id", "src", budget, 0.5)
+      .groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"diff: ${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
+  }
+
   test("tokenBudgetSample: longest hash-rank prefix within the token budget, per stratum") {
     // doc i carries exactly i whitespace tokens
     val docs = (1L to 12L).map(i =>

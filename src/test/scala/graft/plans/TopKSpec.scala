@@ -98,6 +98,53 @@ class TopKSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topKPerKey.maxRowsInMemory")
   }
 
+  test("TopK.perKey spill fallback at realistic size: >1M retained rows, >=3 spill runs per partition") {
+    // near-distinct keys — the pathological shape the fallback exists for:
+    // output ≈ input, so the heap pass would retain every row. 2.4M rows
+    // over 1.2M keys with k=2 retain ~2.4M rows; a 250k in-memory budget
+    // on 2 shuffle partitions means each partition cuts
+    // ~1.2M/250k ≈ 5 sorted spill runs (>= 3) and stream-merges them.
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.graft.topKPerKey.maxRowsInMemory", "250000")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    // capture the per-partition overflow marker so the test PROVES the
+    // spill path ran (and on how many partitions) instead of assuming it
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val errWas = System.err
+    try {
+      val n = 2400000L
+      val base = spark.range(0, n).select(
+        (col("id") % 1200000L).as("k"),
+        col("id"),
+        ((col("id") * 2654435761L) % 1000003L).cast("double").as("v"))
+      def checksum(df: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(col("k"), col("id")).cast("decimal(38,0)"))).head()
+        (r.getLong(0), r.getDecimal(1))
+      }
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      val custom = TopK.perKey(base, Seq("k"), Seq("v" -> false, "id" -> true), 2)
+      val customSum = checksum(custom)
+      System.setErr(errWas)
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
+      val windowed = base.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 2).drop("_rn")
+      val windowSum = checksum(windowed)
+      // order-independent checksum equality: same rows survive either way
+      assert(customSum == windowSum, s"$customSum vs $windowSum")
+      assert(customSum._1 > 1000000L,
+        s"retained output must exceed 1M rows to exercise the bound: $customSum")
+      val spillMsgs = errBuf.toString.linesIterator
+        .count(_.contains("falling back to external sort-based top-k"))
+      assert(spillMsgs == 2,
+        s"both partitions must overflow into the spill path, saw $spillMsgs:\n$errBuf")
+    } finally {
+      System.setErr(errWas)
+      spark.conf.unset("spark.graft.topKPerKey.maxRowsInMemory")
+      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+    }
+  }
+
   test("TopK.perKey spill fallback: mid-stream overflow with multi-chunk merge") {
     // threshold 8 but 40 keys × k=2 = 80 survivors, plus enough rows that
     // several spill runs are written and merged per partition
