@@ -533,6 +533,66 @@ object OraclesExt {
       "round(s_en, 6) AS s_en FROM m ORDER BY doc_id"
   }
 
+  /** langid-vs-declared-language confusion matrix: q19's prediction CTE
+    * joined back to the declared `lang`, collapsed to the cell grid;
+    * margins and the global accuracy are windows over the grid. */
+  val langConfusion: String = {
+    val scores = Seq("de", "en", "es", "fr")
+      .map(l => s"${hitRatioSql(langList(l))} AS s_$l").mkString(", ")
+    s"WITH $tokCte, " +
+      s"sc AS (SELECT doc_id, $scores FROM tok), " +
+      "m AS (SELECT doc_id, s_de, s_en, s_es, s_fr, " +
+      "greatest(s_de, s_en, s_es, s_fr) AS mx FROM sc), " +
+      "p AS (SELECT doc_id, CASE WHEN mx <= 0.0 THEN 'und' " +
+      "WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en' " +
+      "WHEN s_es = mx THEN 'es' ELSE 'fr' END AS predicted FROM m), " +
+      "j AS (SELECT d.lang AS actual, p.predicted FROM documents d " +
+      "JOIN p USING (doc_id) WHERE d.lang IS NOT NULL), " +
+      "c AS (SELECT actual, predicted, count(*)::BIGINT AS n " +
+      "FROM j GROUP BY 1, 2) " +
+      "SELECT actual, predicted, n, " +
+      "round(n::DOUBLE / sum(n) OVER (PARTITION BY actual), 6) AS row_share, " +
+      "round(n::DOUBLE / sum(n) OVER (PARTITION BY predicted), 6) AS col_share, " +
+      "round(sum(CASE WHEN actual = predicted THEN n ELSE 0 END) OVER ()" +
+      "::DOUBLE / sum(n) OVER (), 6) AS accuracy " +
+      "FROM c ORDER BY actual, predicted"
+  }
+
+  /** HITS over the directed customer→supplier graph, 4 unrolled
+    * max-normalized iterations mirroring `Graph.hits` step for step:
+    * h₁ = outdeg (Σ of the all-ones authority init), every score
+    * round(x/max, 9) per round, 6dp on output. */
+  val hits: String = {
+    val iters = 4
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT DISTINCT o_custkey AS src, " +
+      "l_suppkey + 1000000 AS dst FROM orders " +
+      "JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "h1r AS (SELECT src, count(*)::DOUBLE AS h FROM e GROUP BY 1), " +
+      "h1 AS (SELECT src AS id, round(h / (SELECT max(h) FROM h1r), 9) " +
+      "AS h FROM h1r), " +
+      "a1r AS (SELECT dst, sum(h1.h) AS a FROM e " +
+      "JOIN h1 ON e.src = h1.id GROUP BY 1), " +
+      "a1 AS (SELECT dst AS id, round(a / (SELECT max(a) FROM a1r), 9) " +
+      "AS a FROM a1r)"
+    for (i <- 2 to iters) {
+      sb ++= s", h${i}r AS (SELECT src, sum(a${i - 1}.a) AS h FROM e " +
+        s"JOIN a${i - 1} ON e.dst = a${i - 1}.id GROUP BY 1)"
+      sb ++= s", h$i AS (SELECT src AS id, " +
+        s"round(h / (SELECT max(h) FROM h${i}r), 9) AS h FROM h${i}r)"
+      sb ++= s", a${i}r AS (SELECT dst, sum(h$i.h) AS a FROM e " +
+        s"JOIN h$i ON e.src = h$i.id GROUP BY 1)"
+      sb ++= s", a$i AS (SELECT dst AS id, " +
+        s"round(a / (SELECT max(a) FROM a${i}r), 9) AS a FROM a${i}r)"
+    }
+    sb ++= s" SELECT coalesce(h$iters.id, a$iters.id) AS node_id, " +
+      s"round(coalesce(h$iters.h, 0), 6) AS hub, " +
+      s"round(coalesce(a$iters.a, 0), 6) AS authority " +
+      s"FROM h$iters FULL JOIN a$iters ON h$iters.id = a$iters.id " +
+      "ORDER BY node_id"
+    sb.toString
+  }
+
   val textQuality: String =
     s"WITH $tokCte, " +
       "q AS (SELECT doc_id, len(toks) AS n_words, " +

@@ -2921,6 +2921,60 @@ object SparkEntry {
           when(col("value") > 0, 1.0).otherwise(0.0).as("y"))
       Models.calibrationReport(scored, "prob", "y", nBins = 10)
         .orderBy("bin")
+    },
+
+    // ───── HITS hubs/authorities over the DIRECTED customer→supplier
+    // trade graph — PageRank's dual-score sibling (q133 ranks the
+    // symmetrized graph; HITS separates "buys broadly" from "supplies
+    // broadly"); 4 max-normalized iterations, 9dp-rounded per round ─────
+    "q197_hits" -> { (s, dir) =>
+      val rel = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      Graph.hits(rel, "src", "dst", iterations = 4)
+        .select(col("id").as("node_id"),
+          round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))
+        .orderBy("node_id")
+    },
+
+    // ───── reciprocal-rank fusion of two retrievers over the same
+    // query: lexical TF-IDF ⊕ BM25 top-20 lists fused at kConst=60 —
+    // the standard hybrid-retrieval combiner; both ranks exposed ─────
+    "q198_rrf_fusion" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      val terms = Seq("spark", "query", "join")
+      TextAnalysis.rrfFuse(
+          TextAnalysis.tfidfTopK(docs, "text", "doc_id", terms, k = 20),
+          TextAnalysis.bm25TopK(docs, "text", "doc_id", terms, k = 20),
+          "doc_id", "score", kConst = 60, topK = 15)
+        .orderBy(col("rrf").desc, col("doc_id"))
+    },
+
+    // ───── confusion matrix of the heuristic langid vs the declared
+    // lang column — the labeler audit before trusting it to route data;
+    // cell grid + margin shares + global accuracy, all windows over the
+    // ≤|langs|² grid ─────
+    "q199_confusion" -> { (s, dir) =>
+      Models.confusionMatrix(
+          tb(s, dir, "documents").select(
+            col("lang").as("actual"),
+            TextAnalysis.langIdText(col("text")).as("predicted")),
+          "actual", "predicted")
+        .orderBy("actual", "predicted")
+    },
+
+    // ───── per-document keyphrases: top-3 TF-IDF terms per doc with a
+    // stop-term df gate, ranked on the sort-free TopKPerKey heap
+    // operator — tfidfTopK's transpose (terms per document). Gate at 0.9
+    // here: the synthetic corpus has a ~31-term vocabulary with median
+    // df 388/500, so the real-corpus default 0.5 would gate everything ─────
+    "q200_keyphrases" -> { (s, dir) =>
+      TextAnalysis.keyphrases(tb(s, dir, "documents"), "doc_id", "text",
+          k = 3, maxDfFrac = 0.9)
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
     }
   )
 
@@ -4958,6 +5012,70 @@ object SparkEntry {
         "FROM s GROUP BY 1) " +
         "SELECT bin, n, mean_prob, pos_rate, " +
         "round(sum(se) OVER () / sum(n) OVER (), 6) AS brier " +
-        "FROM b ORDER BY bin")
+        "FROM b ORDER BY bin"),
+
+    // 4 unrolled max-normalized HITS iterations, Graph.hits step for step
+    "q197_hits" -> OraclesExt.hits,
+
+    // both retriever CTE chains (q48's TF-IDF, q112's BM25) ranked, full
+    // join, 1/(60+rank) arms, 9dp fused score
+    "q198_rrf_fusion" -> {
+      val terms = Seq("spark", "query", "join")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(regexp_extract_all(lower(text), '\\b$t\\b')) AS tf$i"
+      }.mkString(", ")
+      val tfsD = terms.zipWithIndex.map { case (t, i) =>
+        s"len(regexp_extract_all(lower(text), '\\b$t\\b'))::DOUBLE AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i").mkString(", ")
+      val scoreA = terms.indices.map(i =>
+        s"tf$i * ln((s.n + 1.0) / (s.df$i + 1.0))").mkString(" + ")
+      val scoreB = terms.indices.map { i =>
+        s"ln((s2.n - s2.df$i + 0.5) / (s2.df$i + 0.5) + 1.0) * (tf$i * 2.2) / " +
+          s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / s2.avgdl))"
+      }.mkString(" + ")
+      s"WITH d AS (SELECT doc_id, $tfs FROM documents), " +
+        s"s AS (SELECT count(*)::DOUBLE AS n, $dfs FROM d), " +
+        s"la AS (SELECT doc_id, round($scoreA, 6) AS sc FROM d, s " +
+        "ORDER BY sc DESC, doc_id LIMIT 20), " +
+        "ra AS (SELECT doc_id, row_number() OVER " +
+        "(ORDER BY sc DESC, doc_id)::INT AS rank_a FROM la), " +
+        "d2 AS (SELECT doc_id, " +
+        s"len(regexp_extract_all(lower(text), '\\w+'))::DOUBLE AS dl, $tfsD " +
+        "FROM documents), " +
+        s"s2 AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, $dfs FROM d2), " +
+        s"lb AS (SELECT doc_id, round($scoreB, 6) AS sc FROM d2, s2 " +
+        "ORDER BY sc DESC, doc_id LIMIT 20), " +
+        "rb AS (SELECT doc_id, row_number() OVER " +
+        "(ORDER BY sc DESC, doc_id)::INT AS rank_b FROM lb) " +
+        "SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b, " +
+        "round(coalesce(1.0::DOUBLE / (60 + rank_a), 0) + " +
+        "coalesce(1.0::DOUBLE / (60 + rank_b), 0), 9) AS rrf " +
+        "FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id " +
+        "ORDER BY rrf DESC, doc_id LIMIT 15"
+    },
+
+    // q19's prediction CTE joined to the declared lang; margins/accuracy
+    // as windows over the cell grid
+    "q199_confusion" -> OraclesExt.langConfusion,
+
+    // per-doc tf·idf over the corpus vocabulary with the df gate, rank
+    // window top-3 per doc (the TopKPerKey heap's window formulation)
+    "q200_keyphrases" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "unnest(regexp_extract_all(lower(text), '\\w+')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf " +
+        "FROM t GROUP BY 1, 2), " +
+        "d AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*)::DOUBLE AS n FROM documents), " +
+        "s AS (SELECT doc_id, term, " +
+        "round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS score " +
+        "FROM tf JOIN d USING (term) CROSS JOIN n WHERE df <= n * 0.9), " +
+        "r AS (SELECT doc_id, term, score, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s) " +
+        "SELECT doc_id, term, score FROM r WHERE rn <= 3 " +
+        "ORDER BY doc_id, score DESC, term")
   )
 }

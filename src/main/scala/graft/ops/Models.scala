@@ -438,6 +438,39 @@ object Models {
       .drop("_se")
   }
 
+  /** Classifier confusion matrix: one row per OBSERVED (actual,
+    * predicted) cell with its count, the cell's share of its actual row
+    * (= recall when actual = predicted) and of its predicted column
+    * (= precision when actual = predicted), and the global accuracy
+    * repeated per row — the audit you run on a heuristic labeler (e.g.
+    * [[TextAnalysis.langId]] vs a declared-language column) before
+    * trusting it to route data. Shares 6dp-rounded (exact integer ratios
+    * cast once — the [[mutualInformation]] float contract).
+    *
+    * Scale shape: ONE hash-aggregate collapses the corpus to the
+    * ≤|A|·|P|-row cell grid; row/column margins and the accuracy are
+    * windows over that grid, never the data. */
+  def confusionMatrix(
+      df: DataFrame,
+      actualCol: String,
+      predCol: String): DataFrame = {
+    val cells = df.where(col(actualCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(actualCol).as("actual"), col(predCol).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val wA = Window.partitionBy("actual")
+    val wP = Window.partitionBy("predicted")
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("row_share",
+        round(col("n").cast("double") / sum(col("n")).over(wA), 6))
+      .withColumn("col_share",
+        round(col("n").cast("double") / sum(col("n")).over(wP), 6))
+      .withColumn("accuracy",
+        round(sum(when(col("actual") === col("predicted"), col("n"))
+          .otherwise(0L)).over(wAll).cast("double") /
+          sum(col("n")).over(wAll), 6))
+  }
+
   /** Mutual information between two categorical columns — χ²'s
     * information-theoretic sibling (how many nats knowing A tells you
     * about B): one row per OBSERVED (a, b) cell with its pointwise

@@ -336,6 +336,78 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion of two ranked candidate lists — the standard
+    * hybrid-retrieval combiner (lexical BM25 ⊕ dense cosine, or any two
+    * retrievers): each arm contributes `1/(kConst + rank)` (rank from 1
+    * by (`scoreCol` desc, `idCol` asc) — the deterministic tie-break both
+    * retrievers here already emit), a document missing from an arm
+    * contributes 0, fused score 9dp-rounded so the two-term float sum is
+    * engine-identical. Returns the top `topK` by (rrf desc, id asc) with
+    * both ranks exposed (null = not retrieved by that arm).
+    *
+    * Scale note: inputs are RANKED CANDIDATE LISTS (top-k outputs of
+    * retrievers like [[bm25TopK]]/[[tfidfTopK]]), bounded at k rows — the
+    * unpartitioned rank windows and the full-outer join run on those
+    * bounded lists, never the corpus (the rollingCorr bounded-grain
+    * contract). Fusing per-query batches = add the query column to both
+    * frames and swap the windows' `partitionBy`. */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      kConst: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(kConst >= 1, "kConst must be >= 1")
+    def ranked(df: DataFrame, out: String) = {
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+      df.select(col(idCol), row_number().over(w).as(out))
+    }
+    ranked(a, "rank_a").join(ranked(b, "rank_b"), Seq(idCol), "full")
+      .select(col(idCol), col("rank_a"), col("rank_b"),
+        round(
+          coalesce(lit(1.0) / (lit(kConst) + col("rank_a")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kConst) + col("rank_b")), lit(0.0)),
+          9).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Per-document keyphrase extraction: the top `k` corpus-weighted
+    * terms of each document by TF-IDF (`tf · ln((N+1)/(df+1))`,
+    * 6dp-rounded), with a stop-term gate — terms in more than
+    * `maxDfFrac` of the corpus carry no signal and are dropped BEFORE
+    * scoring. [[tfidfTopK]] ranks documents for a fixed query; this is
+    * the transpose (terms per document) feeding tagging, routing, and
+    * index summarization.
+    *
+    * Scale shape: one tokenize explode → (doc, term, tf) hash-aggregate
+    * (map-side combined) → term-df aggregate bounded by the vocabulary →
+    * equi-join back by term; N is a 1-row broadcast. The per-doc top-k
+    * runs on the sort-free [[graft.plans.TopKPerKeyExec]] heap operator —
+    * state k rows per document, no partition sort. */
+  def keyphrases(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      maxDfFrac: Double = 0.5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0, 1]")
+    val tf = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfs, "term")
+      .crossJoin(broadcast(n))
+      .filter(col("df") <= col("n") * maxDfFrac)
+      .withColumn("score",
+        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6))
+      .select(col(idCol), col("term"), col("score"))
+    graft.ops.TopK.perKey(scored, Seq(idCol),
+      Seq("score" -> false, "term" -> true), k)
+  }
+
   /** Vocabulary construction (the tokenizer-training front half): global
     * word frequencies → top-`size` by (freq desc, token asc) → contiguous
     * ids 0..size-1. Scale shape: one explode + hash-aggregate whose

@@ -96,6 +96,25 @@ class GraphSpec extends SparkSpec {
     assert(full == probed, s"$full vs $probed")
   }
 
+  test("hits: hubs and authorities separate on a directed bipartite graph") {
+    // h1 points at 3 authorities, h2 at 1; a1 is cited by both hubs
+    val g = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("src", "dst")
+    val got = Graph.hits(g, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // max-normalization pins the best hub and best authority at 1.0
+    assert(got(1L)._1 == 1.0, s"h1 is the best hub: $got")
+    assert(got(10L)._2 == 1.0, s"a1 is the best authority: $got")
+    assert(got(2L)._1 > 0.0 && got(2L)._1 < 1.0, got.toString)
+    assert(got(11L)._2 > 0.0 && got(11L)._2 < got(10L)._2, got.toString)
+    // pure sources have authority 0; pure sinks hub 0
+    assert(got(1L)._2 == 0.0 && got(2L)._2 == 0.0, got.toString)
+    assert(got(10L)._1 == 0.0 && got(11L)._1 == 0.0, got.toString)
+    // deterministic under repartitioning
+    val again = Graph.hits(g.repartition(5), "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == again)
+  }
+
   test("bfsDistances: path graph distances, hop cap truncates the frontier") {
     // line 0-1-2-3-4-5, seed at 0
     val line = sym((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))

@@ -26,6 +26,30 @@ class ModelsSpec extends SparkSpec {
     assert(wr.length == 1 && wr.head.schema.fieldNames.toSeq == Seq("b", "w1"))
   }
 
+  test("confusionMatrix: cell counts, margin shares, accuracy; nulls excluded") {
+    val df = Seq(
+      Some("en") -> Some("en"), Some("en") -> Some("en"),
+      Some("en") -> Some("de"),
+      Some("de") -> Some("de"),
+      Some("de") -> Some("en"),
+      None -> Some("en"), Some("en") -> None // dropped
+    ).map { case (a, p) => (a.orNull, p.orNull) }.toDF("actual", "predicted")
+    val got = Models.confusionMatrix(df, "actual", "predicted")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // 5 labeled rows: en→en 2, en→de 1, de→de 1, de→en 1
+    assert(got(("en", "en"))._1 == 2L && got(("en", "de"))._1 == 1L &&
+      got(("de", "de"))._1 == 1L && got(("de", "en"))._1 == 1L)
+    // row shares: en row total 3, de row total 2
+    assert(got(("en", "en"))._2 == math.rint(2.0 / 3 * 1e6) / 1e6)
+    assert(got(("de", "de"))._2 == 0.5)
+    // col shares: en column total 3, de column total 2
+    assert(got(("en", "en"))._3 == math.rint(2.0 / 3 * 1e6) / 1e6)
+    assert(got(("en", "de"))._3 == 0.5)
+    // accuracy = (2 + 1) / 5 on every row
+    assert(got.values.forall(_._4 == 0.6), got.toString)
+  }
+
   test("logregFit: step count changes weights (iters is honored)") {
     val f = Seq((1L, 1.0, 0.9), (2L, 0.0, 0.1)).toDF("id", "y", "x1")
     val w1 = Models.logregFit(f, "y", Seq("x1"), iters = 1).collect().head

@@ -238,6 +238,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected, s"diff: ${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
   }
 
+  test("rrfFuse: both-arm docs sum reciprocal ranks, single-arm docs keep one term") {
+    val a = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("doc_id", "score")
+    val b = Seq((2L, 5.0), (4L, 4.0)).toDF("doc_id", "score")
+    val got = TextAnalysis.rrfFuse(a, b, "doc_id", "score", kConst = 60, topK = 10)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Int]),
+        Option(r.get(2)).map(_.asInstanceOf[Int]), r.getDouble(3))).toList
+    def rr(r: Int) = 1.0 / (60 + r)
+    def rd(x: Double) = math.rint(x * 1e9) / 1e9
+    // doc 2: rank 2 in a + rank 1 in b — the only both-arm doc wins
+    assert(got.head == ((2L, Some(2), Some(1), rd(rr(2) + rr(1)))), got.toString)
+    val byId = got.map(x => x._1 -> x).toMap
+    assert(byId(1L) == ((1L, Some(1), None, rd(rr(1)))), got.toString)
+    assert(byId(4L) == ((4L, None, Some(2), rd(rr(2)))), got.toString)
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse, s"rrf-desc order: $got")
+  }
+
+  test("keyphrases: per-doc tf-idf top-k with the stop-term df gate") {
+    val df = Seq(
+      (1L, "alpha alpha beta common common"),
+      (2L, "beta gamma common"),
+      (3L, "gamma gamma delta common"),
+      (4L, "common epsilon")
+    ).toDF("doc_id", "text")
+    // 'common' is in 4/4 docs — the 0.5 df gate (df <= 2) must drop it
+    // everywhere while df-2 terms (beta, gamma) survive
+    val got = TextAnalysis.keyphrases(df, "doc_id", "text", k = 2, maxDfFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(!got.exists(_._2 == "common"), got.mkString(", "))
+    val doc1 = got.filter(_._1 == 1L).sortBy(-_._3)
+    // doc 1: alpha tf=2 df=1 beats beta tf=1 df=2
+    assert(doc1.map(_._2).toList == List("alpha", "beta"), doc1.mkString(", "))
+    val n = 4.0
+    def tfidf(tf: Long, dfc: Long) =
+      math.rint(tf * math.log((n + 1.0) / (dfc + 1.0)) * 1e6) / 1e6
+    assert(doc1.head._3 == tfidf(2, 1), doc1.mkString(", "))
+    // every doc keeps at most k terms
+    assert(got.groupBy(_._1).values.forall(_.length <= 2))
+  }
+
   test("tokenBudgetSample: longest hash-rank prefix within the token budget, per stratum") {
     // doc i carries exactly i whitespace tokens
     val docs = (1L to 12L).map(i =>
