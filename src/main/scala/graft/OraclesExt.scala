@@ -87,6 +87,25 @@ object OraclesExt {
       "FROM inter JOIN sz x ON ida = x.doc_id JOIN sz y ON idb = y.doc_id " +
       "WHERE round(i * 1.0 / (x.n + y.n - i), 6) >= 0.8 ORDER BY 1, 2"
 
+  /** Directed containment twin of [[dedupJaccardCapped]] (mirrors
+    * `Dedup.containmentPairs`): each undirected intersection row yields
+    * two directed scores i/|src|; the df cap drops boilerplate shingles
+    * from intersections AND sizes before pairing. */
+  def containmentCapped(cap: Int, thresh: Double): String =
+    s"WITH $tokCte, $sh3Cte, " +
+      "shing0 AS (SELECT doc_id, unnest(shs) AS s FROM sh3), " +
+      s"rare AS (SELECT s FROM shing0 GROUP BY s HAVING count(*) <= $cap), " +
+      "shing AS (SELECT x.doc_id, x.s FROM shing0 x JOIN rare r ON x.s = r.s), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i " +
+      "FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "j AS (SELECT ida, idb, i, x.n AS na, y.n AS nb FROM inter " +
+      "JOIN sz x ON ida = x.doc_id JOIN sz y ON idb = y.doc_id), " +
+      "dir AS (SELECT ida AS src_id, idb AS dst_id, round(i * 1.0 / na, 6) AS containment FROM j " +
+      "UNION ALL SELECT idb, ida, round(i * 1.0 / nb, 6) FROM j) " +
+      s"SELECT src_id, dst_id, containment FROM dir " +
+      s"WHERE containment >= $thresh ORDER BY src_id, dst_id"
+
   /** MinHash est-Jaccard over the banded candidates (exact multiples of
     * 1/K — threshold comparisons decide identically in both engines). */
   private val estJac: String =

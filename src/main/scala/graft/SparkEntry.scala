@@ -2975,6 +2975,107 @@ object SparkEntry {
       TextAnalysis.keyphrases(tb(s, dir, "documents"), "doc_id", "text",
           k = 3, maxDfFrac = 0.9)
         .orderBy(col("doc_id"), col("score").desc, col("term"))
+    },
+
+    // ───── dictionary tagging (blocklist / topic lexicon): per-doc hits
+    // against a 3-category lexicon over the corpus vocabulary — the
+    // brand-safety / topic-router primitive; broadcast term join, corpus
+    // never shuffles ─────
+    "q201_dictionary_tag" -> { (s, dir) =>
+      TextAnalysis.dictionaryTag(tb(s, dir, "documents"), "doc_id", "text",
+          Map(
+            "perf" -> Seq("slow", "fast", "big", "small"),
+            "exec" -> Seq("join", "scan", "filter", "sort", "merge", "agg"),
+            "storage" -> Seq("table", "column", "row", "batch")))
+        .orderBy("doc_id", "category")
+    },
+
+    // ───── feature hashing (the hashing trick): 64-bucket bag-of-words
+    // with no vocabulary pass — bucket = md5-hash(token) mod 64, sparse
+    // (doc, bucket, cnt) rows; the vectorizer that needs no global state ─────
+    "q202_feature_hash" -> { (s, dir) =>
+      TextAnalysis.featureHash(tb(s, dir, "documents"), "doc_id", "text",
+          nBuckets = 64)
+        .orderBy("doc_id", "bucket")
+    },
+
+    // ───── leave-one-out target encoding with m=10 smoothing: encode
+    // order priority against the high-value flag excluding each row's own
+    // label — the leakage-safe categorical encoder; binary y keeps every
+    // partial sum an exact integer ─────
+    "q203_target_encode" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("cat"),
+        when(col("o_totalprice") > 100000, 1.0).otherwise(0.0).as("y"))
+      Models.targetEncode(o, "cat", "y", m = 10.0)
+        .select(col("o_orderkey"), col("cat"), col("y"), col("enc"))
+        .orderBy("o_orderkey")
+    },
+
+    // ───── size-balanced shard assignment: stratify-then-hash — 8 size
+    // strata (1-row broadcast min/max), content-hash spread across 8
+    // shards within each stratum; deterministic, no global sort, no
+    // sequential bin-packing state ─────
+    "q204_shard_balance" -> { (s, dir) =>
+      TextAnalysis.balancedShards(tb(s, dir, "documents"), "doc_id",
+          "n_chars", k = 8, strata = 8)
+        .select(col("doc_id"), col("stratum"), col("shard"))
+        .orderBy("doc_id")
+    },
+
+    // ───── personalized PageRank: restarts pinned to nation-1 customers
+    // — rank measures proximity to the seed cohort through the symmetric
+    // trade graph, not global centrality (q133's complement) ─────
+    "q205_ppr" -> { (s, dir) =>
+      val rel = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+      val edges = rel.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(rel.select(col("supp").as("src"), col("cust").as("dst")))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 1).select(col("c_custkey").as("id"))
+      Graph.personalizedPageRank(edges, "src", "dst", seeds, "id",
+          iterations = 5)
+        .select(col("id").as("node_id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node_id"))
+        .limit(100)
+    },
+
+    // ───── classical multiplicative seasonal decomposition of the daily
+    // event-value series: 7-day centered trend, normalized day-of-week
+    // index, residual — the series is the bounded grain (types × 30 days) ─────
+    "q206_seasonal" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 6).as("v"))
+      Temporal.seasonalDecompose(daily, "event_type", "day", "v")
+        .select(col("event_type"), col("day"), col("dow"), col("v"),
+          col("trend"), col("seasonal"), col("deseason"), col("resid"))
+        .orderBy("event_type", "day")
+    },
+
+    // ───── directed n-gram containment (Broder's asymmetric measure):
+    // catches a short doc quoted near-wholesale inside a long one, which
+    // Jaccard's union denominator hides; same df-cap posture as q99 ─────
+    "q207_containment" -> { (s, dir) =>
+      val d = tb(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+      Dedup.containmentPairs(d, "doc_id", Dedup.shingles(col("toks"), 3),
+          minContainment = 0.9, maxShingleDf = Some(3))
+        .orderBy("src_id", "dst_id")
+    },
+
+    // ───── time-constrained ordered funnel (ClickHouse windowFunnel,
+    // EXISTS semantics): view→click→purchase chains inside 2 h of the
+    // chain's FIRST event, every step-1 event a candidate start — the
+    // min-first-occurrence funnel (q111) misses late-starting chains ─────
+    "q208_window_funnel" -> { (s, dir) =>
+      Temporal.windowFunnel(t(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          expr("INTERVAL 2 HOURS"))
+        .orderBy("step")
     }
   )
 
@@ -5076,6 +5177,123 @@ object SparkEntry {
         "r AS (SELECT doc_id, term, score, row_number() OVER " +
         "(PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s) " +
         "SELECT doc_id, term, score FROM r WHERE rn <= 3 " +
-        "ORDER BY doc_id, score DESC, term")
+        "ORDER BY doc_id, score DESC, term"),
+
+    // token explode joined against the inline lexicon VALUES table
+    "q201_dictionary_tag" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "unnest(regexp_extract_all(lower(text), '\\w+')) AS term " +
+        "FROM documents), " +
+        "d AS (SELECT * FROM (VALUES " +
+        "('slow','perf'),('fast','perf'),('big','perf'),('small','perf')," +
+        "('join','exec'),('scan','exec'),('filter','exec')," +
+        "('sort','exec'),('merge','exec'),('agg','exec')," +
+        "('table','storage'),('column','storage'),('row','storage')," +
+        "('batch','storage')) v(term, category)) " +
+        "SELECT doc_id, category, count(*)::BIGINT AS n_hits, " +
+        "count(DISTINCT term)::BIGINT AS n_terms " +
+        "FROM t JOIN d USING (term) GROUP BY 1, 2 " +
+        "ORDER BY doc_id, category"),
+
+    // same 60-bit md5 hash mod 64 (Hashing parity), per-(doc, bucket) counts
+    "q202_feature_hash" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "unnest(regexp_extract_all(lower(text), '\\w+')) AS term " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "('0x' || substr(md5(term), 1, 15))::BIGINT % 64 AS bucket, " +
+        "count(*)::BIGINT AS cnt FROM t GROUP BY 1, 2 " +
+        "ORDER BY doc_id, bucket"),
+
+    // binary y keeps category sums exact integers; prior is the 1-row
+    // global mean re-entered per row
+    "q203_target_encode" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderpriority AS cat, " +
+        "(CASE WHEN o_totalprice > 100000 THEN 1.0 ELSE 0.0 END)::DOUBLE AS y " +
+        "FROM orders), " +
+        "p AS (SELECT sum(y) / count(y) AS prior FROM o) " +
+        "SELECT o_orderkey, cat, y, " +
+        "round((sum(y) OVER (PARTITION BY cat) - y + 10.0 * p.prior) / " +
+        "(count(y) OVER (PARTITION BY cat) - 1 + 10.0), 6) AS enc " +
+        "FROM o, p ORDER BY o_orderkey"),
+
+    // same fixed-width strata over the 1-row min/max + md5 shard hash
+    "q204_shard_balance" ->
+      ("WITH b AS (SELECT min(n_chars)::DOUBLE AS lo, " +
+        "max(n_chars)::DOUBLE AS hi FROM documents) " +
+        "SELECT doc_id, CASE WHEN hi = lo THEN 0 ELSE " +
+        "least(7, floor((n_chars::DOUBLE - lo) / ((hi - lo) / 8))::INT) END " +
+        "AS stratum, " +
+        "(('0x' || substr(md5(doc_id::VARCHAR || ':shard'), 1, 15))::BIGINT " +
+        "% 8)::INT AS shard " +
+        "FROM documents, b ORDER BY doc_id"),
+
+    // q133's unrolled CTE ladder with restart mass pinned to the seed
+    // table: rank_k = 0.15·1_seed + 0.85·Σ contribs, full join per round
+    "q205_ppr" -> {
+      val step = (k: Int) =>
+        s"c$k AS (SELECT e.dst AS id, sum(r.rank / d.outdeg) AS c FROM e " +
+          s"JOIN r${k - 1} r ON r.id = e.src JOIN d ON d.src = e.src " +
+          "GROUP BY 1), " +
+          s"r$k AS (SELECT coalesce(c$k.id, sb.id) AS id, " +
+          s"round(coalesce(sb.base, 0) + 0.85 * coalesce(c$k.c, 0), 9) AS rank " +
+          s"FROM c$k FULL JOIN sb ON c$k.id = sb.id), "
+      "WITH rel AS (SELECT DISTINCT o_custkey AS cust, " +
+        "1000000 + l_suppkey AS supp FROM orders " +
+        "JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS (SELECT cust AS src, supp AS dst FROM rel " +
+        "UNION ALL SELECT supp, cust FROM rel), " +
+        "d AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1), " +
+        "sb AS (SELECT DISTINCT c_custkey AS id, 0.15 AS base " +
+        "FROM customer WHERE c_nationkey = 1), " +
+        "r0 AS (SELECT id, 1.0 AS rank FROM sb), " +
+        (1 to 5).map(step).mkString.stripSuffix(", ") + " " +
+        "SELECT id AS node_id, round(rank, 6) AS rank FROM r5 " +
+        "ORDER BY rank DESC, node_id LIMIT 100"
+    },
+
+    // daily grain → 7-day centered trend (full frames only) → normalized
+    // dow index → residual; dayofweek(DuckDB)+1 = dayofweek(Spark)
+    "q206_seasonal" ->
+      ("WITH daily AS (SELECT event_type, ts::DATE AS day, " +
+        "round(sum(value), 6) AS v FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT event_type, day, v, (dayofweek(day) + 1)::INT AS dow, " +
+        "CASE WHEN count(v) OVER w7 = 7 THEN round(avg(v) OVER w7, 6) END " +
+        "AS trend FROM daily WINDOW w7 AS (PARTITION BY event_type " +
+        "ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "s AS (SELECT event_type, dow, round(avg(v / trend), 6) AS si_raw " +
+        "FROM b WHERE trend > 0 GROUP BY 1, 2), " +
+        "sn AS (SELECT event_type, dow, round(si_raw * " +
+        "count(*) OVER (PARTITION BY event_type) / " +
+        "sum(si_raw) OVER (PARTITION BY event_type), 6) AS seasonal FROM s) " +
+        "SELECT b.event_type, b.day, b.dow, b.v, b.trend, sn.seasonal, " +
+        "CASE WHEN sn.seasonal > 0 THEN round(b.v / sn.seasonal, 6) END " +
+        "AS deseason, " +
+        "CASE WHEN b.trend > 0 AND sn.seasonal > 0 " +
+        "THEN round(b.v / (b.trend * sn.seasonal), 6) END AS resid " +
+        "FROM b LEFT JOIN sn ON b.event_type = sn.event_type " +
+        "AND b.dow = sn.dow ORDER BY b.event_type, b.day"),
+
+    // the capped-Jaccard CTE chain emitting both directed i/|src| scores
+    "q207_containment" -> OraclesExt.containmentCapped(3, 0.9),
+
+    // exists-chain funnel: every step-1 event is a candidate start; for a
+    // fixed start the min feasible completion per level decides exactly
+    "q208_window_funnel" ->
+      ("WITH s1 AS (SELECT user_id AS u, ts AS t0, ts AS l FROM events " +
+        "WHERE event_type = 'view'), " +
+        "s2 AS (SELECT s1.u, s1.t0, min(e.ts) AS l FROM events e " +
+        "JOIN s1 ON e.user_id = s1.u AND e.ts > s1.l " +
+        "AND e.ts <= s1.t0 + INTERVAL 2 HOUR " +
+        "WHERE e.event_type = 'click' GROUP BY 1, 2), " +
+        "s3 AS (SELECT s2.u, s2.t0, min(e.ts) AS l FROM events e " +
+        "JOIN s2 ON e.user_id = s2.u AND e.ts > s2.l " +
+        "AND e.ts <= s2.t0 + INTERVAL 2 HOUR " +
+        "WHERE e.event_type = 'purchase' GROUP BY 1, 2) " +
+        "SELECT 1 AS step, 'view' AS step_name, " +
+        "count(DISTINCT u)::BIGINT AS n_users FROM s1 " +
+        "UNION ALL SELECT 2, 'click', count(DISTINCT u)::BIGINT FROM s2 " +
+        "UNION ALL SELECT 3, 'purchase', count(DISTINCT u)::BIGINT FROM s3 " +
+        "ORDER BY step")
   )
 }

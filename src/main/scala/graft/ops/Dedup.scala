@@ -93,6 +93,52 @@ object Dedup {
       .filter(col("jac") >= minJaccard)
   }
 
+  /** Directed n-gram CONTAINMENT pairs — Jaccard's asymmetric sibling
+    * `c(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|`: a near-total quote of a short
+    * doc inside a long one scores ~1 here while its Jaccard (÷ the UNION)
+    * vanishes — the inclusion-dedup signal symmetric measures miss
+    * (Broder 1997's "containment"). Emits BOTH directions ≥
+    * `minContainment` as (src_id, dst_id, containment 6dp): src is the
+    * contained side. Same df-cap contract as [[jaccardPairs]] (shingles
+    * above the cap drop from intersections AND sizes; `None` = exact,
+    * bounded-corpora verify path) and the same scale shape — the pair
+    * space comes from the capped posting-list self-join, never all-pairs;
+    * one extra projection turns each undirected intersection row into its
+    * two directed scores, so containment costs exactly one union more
+    * than Jaccard. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      shingleCol: Column,
+      minContainment: Double,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val shAll = df
+      .select(col(idCol).as("id"), explode(array_distinct(shingleCol)).as("s"))
+      .localCheckpoint()
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        val rare = shAll.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("s")
+        shAll.join(rare, Seq("s"), "left_semi").localCheckpoint()
+      case None => shAll
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"), col("i"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"))
+    inter.select(col("id_a").as("src_id"), col("id_b").as("dst_id"),
+        round(col("i") / col("n_a"), 6).as("containment"))
+      .unionByName(
+        inter.select(col("id_b").as("src_id"), col("id_a").as("dst_id"),
+          round(col("i") / col("n_b"), 6).as("containment")))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** md5-based shingle-set hashes (mod P) — compute ONCE per row and alias
     * before deriving the k permutations: Catalyst's CollapseProject keeps
     * an expensive multiply-referenced alias materialized, so the md5 pass

@@ -79,6 +79,63 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: random walks RESTART AT THE SEED SET instead
+    * of everywhere — `r = (1−d)·1_S + d·A·r` — so rank mass measures
+    * proximity to the seeds, not global centrality. THE seed-expansion
+    * primitive: grow a labeled whitelist/blocklist of sources through the
+    * link graph, rank candidates for audit by closeness to known-good or
+    * known-bad nodes. Seeds arrive as a DataFrame (they are data — a
+    * labeled table — not plan-time literals). Nodes the walk never
+    * reaches carry rank 0 and are absent from the output.
+    *
+    * Same scale/determinism contract as [[pageRank]] (once-checkpointed
+    * pre-partitioned degree-annotated edges, per-round rounding,
+    * `checkpointEvery` lineage truncation); the per-round extra over
+    * pageRank is one full-outer join against the seed base table, which
+    * shuffles only (id, rank)-sized rows. */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int = 5,
+      damping: Double = 0.85,
+      roundTo: Int = 9,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val outdeg = e.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    val sess = edges.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val withDeg =
+      try {
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        e.join(outdeg, "src")
+          .repartition(col("src")).sortWithinPartitions("src")
+          .localCheckpoint(true)
+      } finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    val seedBase = seeds.select(col(seedCol).as("id")).distinct()
+      .withColumn("base", lit(1.0 - damping))
+      .localCheckpoint(false)
+    var ranks = seedBase.select(col("id"), lit(1.0).as("rank"))
+    for (i <- 1 to iterations) {
+      val contrib = withDeg
+        .join(ranks, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("c"))
+        .select(col("dst").as("id"), col("c"))
+      ranks = contrib.join(seedBase, Seq("id"), "full")
+        .select(col("id"),
+          round(coalesce(col("base"), lit(0.0)) +
+            lit(damping) * coalesce(col("c"), lit(0.0)), roundTo).as("rank"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(false)
+    }
+    ranks
+  }
+
   /** HITS hubs-and-authorities over a DIRECTED edge list — PageRank's
     * dual-score sibling: a good hub points at good authorities and a
     * good authority is pointed at by good hubs. Each iteration is the

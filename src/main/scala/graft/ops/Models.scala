@@ -637,4 +637,35 @@ object Models {
             (col("n_pos") * col("n_neg")), 6)).as("auc"))
       .withColumn("gini", round(col("auc") * 2 - 1, 6))
   }
+
+  /** Leave-one-out target encoding with m-estimate smoothing: replace a
+    * high-cardinality categorical with the mean target of its category
+    * computed EXCLUDING the row itself —
+    * `enc = (Σ_cat y − y_row + m·prior) / (n_cat − 1 + m)` — the
+    * leakage-safe form (plain mean encoding lets each row see its own
+    * label, the classic target-leak that inflates offline metrics). The
+    * prior is the global target mean; `m` pulls thin categories toward it
+    * (a category seen once encodes exactly to the prior). 6dp-rounded.
+    *
+    * Scale shape: per-category (sum, count) via ONE window over the
+    * category partition (sum/count windows without ORDER BY collapse to a
+    * single hash-style pass — no per-row sort state); the global prior is
+    * a 1-row broadcast re-entry. No driver state, no category table
+    * materialized — exactly why target encoding (not one-hot) is the
+    * 100 TB posture for 10⁸-cardinality keys. */
+  def targetEncode(
+      df: DataFrame,
+      catCol: String,
+      yCol: String,
+      m: Double = 10.0): DataFrame = {
+    require(m >= 0, "m must be >= 0")
+    val wc = Window.partitionBy(col(catCol))
+    val prior = df.agg(
+      (sum(col(yCol)).cast("double") / count(col(yCol))).as("_prior"))
+    df.crossJoin(broadcast(prior))
+      .withColumn("enc",
+        round((sum(col(yCol)).over(wc) - col(yCol) + lit(m) * col("_prior")) /
+          (count(col(yCol)).over(wc) - 1 + lit(m)), 6))
+      .drop("_prior")
+  }
 }

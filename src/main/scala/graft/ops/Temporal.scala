@@ -514,4 +514,102 @@ object Temporal {
     val wFrom = Window.partitionBy("from_type")
     cells.withColumn("p", round(col("n") / sum(col("n")).over(wFrom), 6))
   }
+
+  /** Classical multiplicative seasonal decomposition of a daily series
+    * with weekly seasonality: `value ≈ trend · seasonal(dow) · resid`.
+    * Per (key, day): trend = 7-day CENTERED moving average (null until a
+    * full ±3-day frame exists — partial frames would bias the edges),
+    * seasonal = the day-of-week index — mean(value/trend) per dow,
+    * normalized so the 7 indices average exactly 1 — and
+    * resid = value / (trend · seasonal). Input must be at the daily
+    * grain, gap-free per key ([[gapFillDaily]] is the prep); all outputs
+    * 6dp-rounded at each derivation step (the cross-engine float
+    * contract — both engines fold the 7-row frame in frame order).
+    *
+    * Scale shape: the series IS the bounded grain (keys × days — a
+    * 100 TB event table collapses to it in one hash-agg before this op);
+    * the moving average is a per-key ordered window, the dow index one
+    * ≤ keys·7-row aggregate joined back, the normalizer a 7-row window
+    * over that grid. */
+  def seasonalDecompose(
+      df: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val wT = Window.partitionBy(keyCol).orderBy(dateCol).rowsBetween(-3, 3)
+    val based = df
+      .withColumn("dow", dayofweek(col(dateCol)))
+      .withColumn("trend",
+        when(count(v).over(wT) === 7, round(avg(v).over(wT), 6)))
+    val si = based.where(col("trend") > 0)
+      .groupBy(col(keyCol), col("dow"))
+      .agg(round(avg(v / col("trend")), 6).as("_si_raw"))
+    val wK = Window.partitionBy(keyCol)
+    val siNorm = si.withColumn("seasonal",
+        round(col("_si_raw") * count(lit(1)).over(wK) /
+          sum(col("_si_raw")).over(wK), 6))
+      .drop("_si_raw")
+    based.join(siNorm, Seq(keyCol, "dow"), "left")
+      .withColumn("deseason",
+        when(col("seasonal") > 0, round(v / col("seasonal"), 6)))
+      .withColumn("resid",
+        when(col("trend") > 0 && col("seasonal") > 0,
+          round(v / (col("trend") * col("seasonal")), 6)))
+  }
+
+  /** Time-constrained ordered funnel (ClickHouse `windowFunnel`
+    * semantics, EXISTS form): a user reaches level k when SOME strictly
+    * time-increasing chain of events matches `steps(0..k-1)` with the
+    * whole chain inside `window` of its FIRST event. Unlike the
+    * min-first-occurrence funnel (greedy from the user's earliest step-1
+    * event — which misses chains starting later), every step-1 event is
+    * a candidate chain start. Returns one row per step: (step, step_name,
+    * n_users) with n_users = users reaching ≥ that level — monotone
+    * non-increasing.
+    *
+    * Correctness: for a FIXED start t0, taking the earliest feasible
+    * event at each level is optimal (an earlier prefix completion only
+    * widens later choices), so min-per-(user, t0) frontiers decide
+    * existence exactly. Scale shape: per level, one range join of that
+    * step's events onto the (user, t0, frontier-ts) table — both sides
+    * hash-partition on user, candidates bounded by per-user activity
+    * (events-per-user × starts-per-user, the sessionized-data shape),
+    * then a min-aggregate collapses back to ≤ one row per (user, t0).
+    * Never a k-way self-join. */
+  def windowFunnel(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      window: Column): DataFrame = {
+    require(steps.size >= 2, "need >= 2 steps")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    val ev = df.select(col(userCol).as("u"), col(tsCol).as("ts"),
+      col(typeCol).as("et"))
+    // each frontier feeds TWO consumers (the next level's join and its
+    // own level count): materialize per level or the recompute doubles
+    // per step (the Graph.hits lesson)
+    var frontier = ev.filter(col("et") === steps.head)
+      .select(col("u"), col("ts").as("t0"), col("ts").as("l"))
+      .localCheckpoint(false)
+    // a GLOBAL count-distinct per level (not a grouped one): a level no
+    // user reaches still emits its row with n_users = 0
+    def levelRow(i: Int, st: String, f: DataFrame): DataFrame =
+      f.agg(count_distinct(col("u")).as("n_users"))
+        .select(lit(i).as("step"), lit(st).as("step_name"), col("n_users"))
+    var levels = levelRow(1, steps.head, frontier)
+    for ((st, i) <- steps.zipWithIndex.drop(1)) {
+      frontier = ev.filter(col("et") === st).as("e")
+        .join(frontier.as("f"),
+          col("e.u") === col("f.u") && col("e.ts") > col("f.l") &&
+            col("e.ts") <= col("f.t0") + window)
+        .groupBy(col("f.u").as("u"), col("f.t0").as("t0"))
+        .agg(min(col("e.ts")).as("l"))
+        .localCheckpoint(false)
+      levels = levels.unionByName(levelRow(i + 1, st, frontier))
+    }
+    levels
+  }
 }

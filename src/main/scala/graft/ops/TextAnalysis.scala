@@ -698,4 +698,94 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_occurrences"))
   }
+
+  /** Dictionary tagging (blocklist / topic-lexicon matching): count each
+    * document's token hits against a small category→terms dictionary —
+    * the brand-safety / toxicity-screen / topic-router primitive. One row
+    * per (doc, category) with ≥1 hit: total hit count and distinct
+    * matched terms. Terms are matched lower-cased and whole-token (no
+    * substring false positives — "class" never fires an "ass" entry).
+    *
+    * Scale shape: one tokenize explode → broadcast-join against the
+    * ≤|dict| term table → (doc, category) hash-aggregate, map-side
+    * combined; the corpus never shuffles, only matched (doc, category)
+    * partials do. The dictionary is plan-time data (same posture as the
+    * langid stopword lists): real lexicons are 10²–10⁴ terms, far under
+    * any broadcast threshold. */
+  def dictionaryTag(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dict: Map[String, Seq[String]]): DataFrame = {
+    require(dict.nonEmpty && dict.values.forall(_.nonEmpty),
+      "dict must have >= 1 term per category")
+    val s = df.sparkSession
+    import s.implicits._
+    val terms = dict.toSeq.sortBy(_._1)
+      .flatMap { case (c, ts) => ts.map(t => (t.toLowerCase, c)) }
+      .toDF("term", "category")
+    df.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy(col(idCol), col("category"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("term")).as("n_terms"))
+  }
+
+  /** Feature hashing (the hashing trick): bag-of-words vectorization
+    * into a fixed `nBuckets`-dimensional space with no vocabulary pass —
+    * bucket = content-hash(token) mod nBuckets, value = token count.
+    * Emits sparse rows (id, bucket, cnt); collisions are the accepted
+    * trade (Weinberger et al. 2009) — downstream linear models absorb
+    * them. The hash is [[Hashing.hash60]] (md5-based) so vectors are
+    * reproducible across engines and runs, not tied to a JVM hash seed.
+    *
+    * Scale shape: one tokenize explode → (id, bucket) hash-aggregate,
+    * map-side combined; no vocabulary table, no join, no driver state —
+    * the property that makes the trick THE vectorizer at corpus scale. */
+  def featureHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    df.select(col(idCol), explode(words(col(textCol))).as("_tok"))
+      .groupBy(col(idCol),
+        pmod(Hashing.hash60(col("_tok")), lit(nBuckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Size-balanced shard assignment: distribute documents into `k` output
+    * shards with near-equal total size (training-data shards feed
+    * fixed-capacity workers — count-balanced but size-skewed shards
+    * straggle). Greedy bin packing is inherently sequential; the
+    * distributed posture is STRATIFY-THEN-HASH: bucket docs into
+    * `strata` fixed-width size strata (1-row broadcast min/max, the
+    * histogram pattern), then spread each stratum's docs across shards by
+    * content hash — every shard draws the same size mixture, so totals
+    * concentrate tightly around mean (CLT within strata) with zero
+    * coordination, no global sort, no sequential state. Returns one row
+    * per (doc) with its stratum and shard — deterministic, so re-runs
+    * and incremental appends agree. */
+  def balancedShards(
+      df: DataFrame,
+      idCol: String,
+      sizeCol: String,
+      k: Int,
+      strata: Int = 8): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(strata >= 1, "strata must be >= 1")
+    val bounds = df.agg(
+      min(col(sizeCol)).cast("double").as("_lo"),
+      max(col(sizeCol)).cast("double").as("_hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("stratum",
+        when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(least(lit(strata - 1),
+            floor((col(sizeCol).cast("double") - col("_lo")) /
+              ((col("_hi") - col("_lo")) / strata)).cast("int"))))
+      .withColumn("shard",
+        pmod(Hashing.hash60(concat(col(idCol).cast("string"), lit(":shard"))),
+          lit(k.toLong)).cast("int"))
+      .drop("_lo", "_hi")
+  }
 }

@@ -458,4 +458,45 @@ class DedupSpec extends SparkSpec {
     assert(pairs.keySet == Set((1L, 2L)))
     assert(pairs((1L, 2L)) == 1.0)
   }
+
+  test("containmentPairs: asymmetric — short-in-long scores 1.0 both ways differ") {
+    // doc 2 = doc 1 quoted inside extra framing text: containment(1→2)=1,
+    // Jaccard far below 1 (the case the union denominator hides)
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro words alpha beta gamma delta closing remark trailer"),
+      (3L, "totally unrelated content right here")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+    val got = Dedup.containmentPairs(d, "doc_id",
+        Dedup.shingles(col("toks"), 3), minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc1 has 2 3-gram shingles, both inside doc2 (7 shingles)
+    assert(got((1L, 2L)) == 1.0, got.toString)
+    assert(!got.contains((2L, 1L)), got.toString) // 2/7 < 0.5 drops
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // agreement with jaccardPairs' intersection arithmetic: j = i/(na+nb-i)
+    // => containment(1->2) = i/na with i=2, na=2, nb=7 -> jac = 2/7
+    val jac = Dedup.jaccardPairs(d, "doc_id",
+        Dedup.shingles(col("toks"), 3), 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((1L, 2L)) == math.rint(2.0 / 7 * 1e6) / 1e6, jac.toString)
+  }
+
+  test("containmentPairs: df cap drops boilerplate from sizes and intersections") {
+    // 'x y z' appears in every doc (df=4 > cap=3): with the cap it cannot
+    // hold pairs together on its own
+    val d = Seq(
+      (1L, "x y z alpha beta gamma"),
+      (2L, "x y z alpha beta gamma"),
+      (3L, "x y z other stuff here"),
+      (4L, "x y z more different words")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+    val capped = Dedup.containmentPairs(d, "doc_id",
+        Dedup.shingles(col("toks"), 3), 0.9, maxShingleDf = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the true duplicate pair survives, in both directions
+    assert(capped == Set((1L, 2L), (2L, 1L)), capped.toString)
+  }
 }

@@ -200,4 +200,24 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(r - ranks(id)) < 1e-8, s"node $id: $r vs ${ranks(id)}")
     }
   }
+
+  test("personalizedPageRank: mass concentrates near seeds; unreachable = absent") {
+    // two disconnected stars: 1-{2,3} and 10-{11,12}; seed only node 1
+    val g = sym((1L, 2L), (1L, 3L), (10L, 11L), (10L, 12L))
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val got = Graph.personalizedPageRank(g, "src", "dst", seeds, "id",
+        iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the other component never receives mass — absent or exactly 0
+    assert(!Set(10L, 11L, 12L).exists(n => got.getOrElse(n, 0.0) != 0.0),
+      got.toString)
+    // seed holds the base restart mass plus returned walk mass
+    assert(got(1L) > 0.15 && got(2L) > 0.0 && got(2L) < got(1L), got.toString)
+    // hand-rolled 1-iteration check: r1(2) = 0.85 * (r0(1)/outdeg(1)) = 0.85/2
+    val one = Graph.personalizedPageRank(g, "src", "dst", seeds, "id",
+        iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one(2L) == 0.425 && one(3L) == 0.425, one.toString)
+    assert(one(1L) == 0.15, one.toString) // no in-mass yet, only restart
+  }
 }

@@ -75,4 +75,27 @@ class ModelsSpec extends SparkSpec {
     val r = Models.linearTrend(pts, Seq("k"), col("x"), col("y")).collect().head
     assert(r.getLong(1) == 2L && r.getDouble(2) == 2.0 && r.getDouble(3) == 1.0)
   }
+
+  test("targetEncode: leave-one-out with m-smoothing; singleton = prior") {
+    val df = Seq(
+      ("a", 1.0), ("a", 1.0), ("a", 0.0),
+      ("b", 0.0),
+      ("c", 1.0), ("c", 0.0)
+    ).toDF("cat", "y")
+    val prior = 3.0 / 6
+    def rd(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = Models.targetEncode(df, "cat", "y", m = 2.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    // a, y=1: (2 - 1 + 2*0.5) / (3 - 1 + 2) = 2/4
+    assert(got(("a", 1.0)) == rd((2.0 - 1 + 2 * prior) / 4))
+    assert(got(("a", 0.0)) == rd((2.0 - 0 + 2 * prior) / 4))
+    // singleton b: (0 - 0 + 2*0.5) / (1 - 1 + 2) = exactly the prior
+    assert(got(("b", 0.0)) == prior)
+    // c, y=1: (1 - 1 + 2*0.5) / (2 - 1 + 2) = 1/3
+    assert(got(("c", 1.0)) == rd((1.0 - 1 + 2 * prior) / 3))
+    // the row's own label is excluded: same-cat rows with different y
+    // encode differently (plain mean encoding would give them the same)
+    assert(got(("a", 1.0)) != got(("a", 0.0)))
+  }
 }

@@ -181,4 +181,66 @@ class TemporalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("Y", "X"), ("X", "Z")))
   }
+
+  test("seasonalDecompose: trend needs a full 7-day frame; indices mean 1") {
+    // 21 contiguous days, value = dow-dependent pattern × flat level
+    val days = (0 until 21).map { i =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+      val dow = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+        .getDayOfWeek.getValue % 7 + 1 // Spark convention: 1=Sunday
+      ("k", d, 100.0 * (if (dow == 1) 2.0 else 1.0))
+    }
+    val df = days.toDF("k", "day", "v")
+    val got = Temporal.seasonalDecompose(df, "k", "day", "v")
+      .select("day", "trend", "seasonal", "resid")
+      .collect().map(r => r.getDate(0).toString ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // first/last 3 days: no full centered frame -> null trend and resid
+    assert(got("2024-01-01")._1.isEmpty && got("2024-01-21")._1.isEmpty)
+    // interior: trend = (6*100 + 200)/7 for every full frame
+    val t = math.rint(800.0 / 7 * 1e6) / 1e6
+    assert(got("2024-01-10")._1.contains(t), got("2024-01-10").toString)
+    // seasonal indices present for all rows and average to 1 across dows
+    val sis = Temporal.seasonalDecompose(df, "k", "day", "v")
+      .select("dow", "seasonal").distinct()
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(sis.size == 7)
+    assert(math.abs(sis.values.sum / 7 - 1.0) < 1e-5, sis.toString)
+    // Sunday's index ~2x a weekday's
+    assert(sis(1) / sis(2) > 1.8, sis.toString)
+    // residual of an interior day: v / (trend * seasonal), 6dp
+    val r10 = got("2024-01-10")
+    val expect = math.rint(100.0 / (r10._1.get * r10._2.get) * 1e6) / 1e6
+    assert(r10._3.contains(expect), r10.toString)
+  }
+
+  test("windowFunnel: exists-semantics catches late chains greedy-min misses") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: early view, click 3h later (outside 2h) — but a SECOND view
+      // 10:30 starts a chain that completes: exists-semantics level 3
+      (1L, ts("2024-01-01 08:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 11:30:00"), "purchase"),
+      // u2: full chain but purchase breaches the 2h window of its start
+      (2L, ts("2024-01-01 08:00:00"), "view"),
+      (2L, ts("2024-01-01 08:30:00"), "click"),
+      (2L, ts("2024-01-01 11:00:00"), "purchase"),
+      // u3: click before view only — never reaches level 2
+      (3L, ts("2024-01-01 07:00:00"), "click"),
+      (3L, ts("2024-01-01 08:00:00"), "view"),
+      // u4: no step-1 event at all
+      (4L, ts("2024-01-01 08:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Temporal.windowFunnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"),
+        expr("INTERVAL 2 HOURS"))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1) == (("view", 3L)), got.toString)     // u1, u2, u3
+    assert(got(2) == (("click", 2L)), got.toString)    // u1, u2
+    assert(got(3) == (("purchase", 1L)), got.toString) // u1 only
+  }
 }

@@ -468,4 +468,60 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(pair == Map(1L -> 2L, 3L -> 1L), pair.toString)
   }
+
+  test("dictionaryTag: whole-token category hits, case-folded, no zero rows") {
+    val df = Seq(
+      (1L, "Slow JOIN slow scan"),   // perf: slow×2; exec: join, scan
+      (2L, "classy assertion"),       // substrings must NOT fire 'class'/'ass'
+      (3L, "table batch table")       // storage only
+    ).toDF("doc_id", "text")
+    val dict = Map("perf" -> Seq("slow"), "exec" -> Seq("join", "scan"),
+      "rude" -> Seq("ass", "class"), "storage" -> Seq("table", "batch"))
+    val got = TextAnalysis.dictionaryTag(df, "doc_id", "text", dict)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      (1L, "perf") -> ((2L, 1L)), (1L, "exec") -> ((2L, 2L)),
+      (3L, "storage") -> ((3L, 2L))), got.toString)
+  }
+
+  test("featureHash: buckets are md5-derived mod n, counts are token counts") {
+    val df = Seq((1L, "alpha alpha beta")).toDF("doc_id", "text")
+    val got = TextAnalysis.featureHash(df, "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    def b(t: String) = Hashing.longHash60(t) % 16
+    // collisions SUM (the hashing-trick contract) — build the expectation
+    // by bucket, not by token
+    val expected = Seq("alpha" -> 2L, "beta" -> 1L)
+      .groupMapReduce { case (t, _) => b(t) } { case (_, n) => n }(_ + _)
+    assert(got == expected, s"$got vs $expected")
+    // determinism across runs / engines: same md5, no JVM hash seed
+    val again = TextAnalysis.featureHash(df.repartition(3), "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(got == again)
+  }
+
+  test("balancedShards: strata from min/max, shards balanced within tolerance") {
+    val df = (1L to 400L).map(i => (i, (i % 100) * 10 + 50))
+      .toDF("doc_id", "n_chars")
+    val got = TextAnalysis.balancedShards(df, "doc_id", "n_chars",
+      k = 4, strata = 4).cache()
+    // stratum = fixed-width bin of [50, 1040]
+    val strat = got.select("doc_id", "stratum").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (lo, hi) = (50.0, 1040.0)
+    (1L to 400L).foreach { i =>
+      val v = ((i % 100) * 10 + 50).toDouble
+      val want = if (v == hi) 3 else math.min(3, ((v - lo) / ((hi - lo) / 4)).toInt)
+      assert(strat(i) == want, s"doc $i v=$v got=${strat(i)} want=$want")
+    }
+    // every shard's total size within 30% of the mean (CLT bound, n=400)
+    val totals = got.groupBy("shard").agg(sum("n_chars").as("t"))
+      .collect().map(_.getLong(1))
+    assert(totals.length == 4)
+    val mean = totals.sum.toDouble / 4
+    assert(totals.forall(t => math.abs(t - mean) / mean < 0.3),
+      totals.mkString(","))
+    got.unpersist()
+  }
 }
