@@ -859,4 +859,46 @@ object OraclesExt {
       "round(avg(v) - (covar_pop(x, v)/var_pop(x))*avg(x), 6) AS intercept, " +
       "round(covar_pop(x, v)/sqrt(var_pop(x)*var_pop(v)), 6) AS r " +
       "FROM p GROUP BY 1 ORDER BY 1"
+
+  /** Per-key interpolated histogram median (mirrors
+    * `Temporal.histMedian` / the q156 interpolation): `src` must expose
+    * (k, `$vcol`); appends CTEs `<pfx>b/<pfx>bb/<pfx>c/<pfx>cc/<pfx>m`,
+    * with `<pfx>m` = (k, med). Arithmetic forced to DOUBLE throughout
+    * (`0.5::DOUBLE`) so both engines run identical IEEE ops. */
+  def histMedianCtes(src: String, vcol: String, pfx: String, bins: Int): String =
+    s"${pfx}b AS (SELECT k, min($vcol)::DOUBLE AS lo, max($vcol)::DOUBLE AS hi, " +
+      s"count(*)::BIGINT AS n FROM $src GROUP BY 1), " +
+      s"${pfx}bb AS (SELECT s.k, CASE WHEN b.hi = b.lo THEN 0 ELSE " +
+      s"least(${bins - 1}, floor((s.$vcol::DOUBLE - b.lo) / " +
+      s"((b.hi - b.lo) / $bins))::INT) END AS bin " +
+      s"FROM $src s JOIN ${pfx}b b ON s.k = b.k), " +
+      s"${pfx}c AS (SELECT k, bin, count(*)::BIGINT AS cnt FROM ${pfx}bb " +
+      "GROUP BY 1, 2), " +
+      s"${pfx}cc AS (SELECT k, bin, cnt, sum(cnt) OVER (PARTITION BY k " +
+      s"ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum FROM ${pfx}c), " +
+      s"${pfx}sel AS (SELECT cc.k, min(cc.bin) AS bin FROM ${pfx}cc cc " +
+      s"JOIN ${pfx}b b ON cc.k = b.k WHERE cc.cum >= 0.5::DOUBLE * b.n " +
+      "GROUP BY 1), " +
+      s"${pfx}m AS (SELECT s.k, round(CASE WHEN b.hi = b.lo THEN b.lo ELSE " +
+      s"b.lo + ((b.hi - b.lo) / $bins) * (s.bin + " +
+      "(0.5::DOUBLE * b.n - (cc.cum - cc.cnt)) / cc.cnt) END, 6) AS med " +
+      s"FROM ${pfx}sel s JOIN ${pfx}b b ON s.k = b.k " +
+      s"JOIN ${pfx}cc cc ON cc.k = s.k AND cc.bin = s.bin)"
+
+  /** `Temporal.madOutliersApprox` on events: two histogram-median passes
+    * (value, then residual), then the exact twin's flagging arithmetic. */
+  val madApprox: String =
+    "WITH src AS (SELECT event_type AS k, event_id AS id, value::DOUBLE AS v " +
+      "FROM events WHERE value IS NOT NULL), " +
+      histMedianCtes("src", "v", "h1", 256) + ", " +
+      "r AS (SELECT src.k, src.id, src.v, m.med, abs(src.v - m.med) AS resid " +
+      "FROM src JOIN h1m m ON src.k = m.k), " +
+      histMedianCtes("r", "resid", "h2", 256) + ", " +
+      "f AS (SELECT r.k, r.id, r.v, r.med, d.med AS mad FROM r " +
+      "JOIN h2m d ON r.k = d.k) " +
+      "SELECT id AS event_id, k AS event_type, v AS value, med, mad, " +
+      "CASE WHEN mad > 0 THEN round(0.6745 * (v - med) / mad, 6) END AS mz " +
+      "FROM f WHERE (mad > 0 AND " +
+      "abs(round(0.6745 * (v - med) / mad, 6)) >= 3.5) " +
+      "OR (mad = 0 AND v != med) ORDER BY event_id"
 }

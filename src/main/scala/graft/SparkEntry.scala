@@ -3076,6 +3076,42 @@ object SparkEntry {
           "event_type", Seq("view", "click", "purchase"),
           expr("INTERVAL 2 HOURS"))
         .orderBy("step")
+    },
+
+    // ───── Holt linear smoothing of the daily event-value series:
+    // level+trend state folded sequentially per key (9dp per step), a
+    // 7-day-ahead forecast and the in-sample one-step MAE — the
+    // forecaster rung between EWMA (q167, trendless) and the seasonal
+    // decomposition (q206) ─────
+    "q209_holt" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 6).as("v"))
+      Temporal.holtLinear(daily, "event_type", "day", "v",
+          alpha = 0.5, beta = 0.3, horizon = 7)
+        .orderBy("event_type")
+    },
+
+    // ───── per-document character entropy: the gibberish/template-spam
+    // detector — flat char distributions (mash) score high, repeated-run
+    // spam scores low, natural language sits in a per-script band ─────
+    "q210_char_entropy" -> { (s, dir) =>
+      TextAnalysis.charEntropy(tb(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ───── q175's 100 TB posture, realized: the same Iglewicz–Hoaglin
+    // flags with the exact per-group percentile (buffers every group
+    // value) swapped for two mergeable fixed-width histogram-median
+    // passes — per-key state is 256 counters, not the data ─────
+    "q211_mad_approx" -> { (s, dir) =>
+      Temporal.madOutliersApprox(
+          t(s, dir, "events").select(col("event_id"), col("event_type"),
+            col("value")),
+          "event_type", "value", bins = 256)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"), col("mz"))
+        .orderBy("event_id")
     }
   )
 
@@ -5295,5 +5331,47 @@ object SparkEntry {
         "UNION ALL SELECT 2, 'click', count(DISTINCT u)::BIGINT FROM s2 " +
         "UNION ALL SELECT 3, 'purchase', count(DISTINCT u)::BIGINT FROM s3 " +
         "ORDER BY step")
+  ) ++ Map(
+
+    // the recursive CTE walks the same 9dp-rounded (l, b) recurrence the
+    // Spark fold runs — one row per (key, i), final state at i = n
+    "q209_holt" ->
+      ("WITH RECURSIVE daily AS (SELECT event_type AS k, ts::DATE AS day, " +
+        "round(sum(value), 6) AS v FROM events GROUP BY 1, 2), " +
+        "idx AS (SELECT k, v, row_number() OVER (PARTITION BY k " +
+        "ORDER BY day) AS i FROM daily), " +
+        "nn AS (SELECT k, max(i) AS n FROM idx GROUP BY 1), " +
+        "h AS (SELECT a.k, 1 AS i, a.v::DOUBLE AS l, " +
+        "(b.v - a.v)::DOUBLE AS b, 0.0::DOUBLE AS sae, 0 AS cnt " +
+        "FROM idx a JOIN idx b ON a.k = b.k AND a.i = 1 AND b.i = 2 " +
+        "UNION ALL SELECT h.k, h.i + 1, " +
+        "round(0.5 * x.v + 0.5 * (h.l + h.b), 9), " +
+        "round(0.3 * (round(0.5 * x.v + 0.5 * (h.l + h.b), 9) - h.l) " +
+        "+ 0.7 * h.b, 9), " +
+        "h.sae + abs(x.v - (h.l + h.b)), h.cnt + 1 " +
+        "FROM h JOIN idx x ON x.k = h.k AND x.i = h.i + 1) " +
+        "SELECT h.k AS event_type, nn.n::INT AS n, " +
+        "round(h.l, 6) AS level, round(h.b, 6) AS trend, " +
+        "round(h.l + 7 * h.b, 6) AS forecast, " +
+        "round(h.sae / h.cnt, 6) AS mae " +
+        "FROM h JOIN nn ON h.k = nn.k AND h.i = nn.n " +
+        "ORDER BY event_type"),
+
+    // same char explode, per-doc totals as a window over the alphabet
+    // grid, -sum(p ln p) folded once
+    "q210_char_entropy" ->
+      ("WITH c AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) " +
+        "AS ch FROM documents), " +
+        "g AS (SELECT doc_id, ch, count(*)::BIGINT AS cnt FROM c " +
+        "GROUP BY 1, 2), " +
+        "t AS (SELECT doc_id, cnt, " +
+        "sum(cnt) OVER (PARTITION BY doc_id)::BIGINT AS n FROM g) " +
+        "SELECT doc_id, max(n) AS n_chars, count(*)::BIGINT AS n_distinct, " +
+        "round(0 - sum((cnt::DOUBLE / n) * ln(cnt::DOUBLE / n)), 6) AS entropy " +
+        "FROM t GROUP BY 1 ORDER BY doc_id"),
+
+    // two per-key histogram-median CTE ladders (value, then residual) +
+    // the exact twin's flagging arithmetic
+    "q211_mad_approx" -> OraclesExt.madApprox
   )
 }

@@ -445,6 +445,61 @@ object Temporal {
           round(col("mae_naive1") / col("mae_seasonal"), 6)))
   }
 
+  /** Holt linear (double exponential) smoothing per key — the
+    * level+trend forecaster one rung above [[ewma]] (which cannot follow
+    * a trending series) and below seasonal models ([[seasonalDecompose]]
+    * handles that axis). Textbook recurrence with the standard init
+    * (l₁ = v₁, b₁ = v₂ − v₁):
+    * `l ← α·v + (1−α)(l+b)`, `b ← β(l−l_prev) + (1−β)b`, both
+    * 9dp-rounded per step ([[graft.ops.Graph.pageRank]]'s determinism
+    * contract — the fold is sequential in both engines, rounding pins
+    * the floats). Returns per key: n, final level/trend, the
+    * `horizon`-step-ahead forecast `l + h·b`, and the in-sample
+    * one-step MAE. Keys with < 2 points drop (no init possible).
+    *
+    * Scale shape: the recurrence is inherently sequential PER KEY, so
+    * the series is collected to one array per key and folded in a single
+    * codegen-adjacent `aggregate` HOF — the [[rollingCorr]] bounded-grain
+    * contract (daily grain: years fit in KBs; the 100 TB table collapses
+    * to that grain in one hash-agg before this op). Across keys the fold
+    * is embarrassingly parallel. */
+  def holtLinear(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      alpha: Double = 0.5,
+      beta: Double = 0.3,
+      horizon: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(beta >= 0 && beta <= 1, "beta must be in [0, 1]")
+    require(horizon >= 1, "horizon must be >= 1")
+    val series = df.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("v")))).as("_s"))
+      .filter(size(col("_s")) >= 2)
+    // l' appears inside b's update — duplicated subexpression, same as
+    // the oracle's recursive CTE spells it
+    val lNext = s"round($alpha * x.v + (1 - $alpha) * (acc.l + acc.b), 9)"
+    val folded = expr(
+      s"""aggregate(slice(_s, 2, size(_s) - 1),
+         |  struct(CAST(element_at(_s, 1).v AS DOUBLE) AS l,
+         |         CAST(element_at(_s, 2).v - element_at(_s, 1).v AS DOUBLE) AS b,
+         |         CAST(0.0 AS DOUBLE) AS sae, 0 AS n),
+         |  (acc, x) -> struct(
+         |    $lNext AS l,
+         |    round($beta * ($lNext - acc.l) + (1 - $beta) * acc.b, 9) AS b,
+         |    acc.sae + abs(x.v - (acc.l + acc.b)) AS sae,
+         |    acc.n + 1 AS n),
+         |  acc -> acc)""".stripMargin)
+    series.withColumn("_f", folded)
+      .select(col(keyCol), size(col("_s")).as("n"),
+        round(col("_f.l"), 6).as("level"),
+        round(col("_f.b"), 6).as("trend"),
+        round(col("_f.l") + lit(horizon) * col("_f.b"), 6).as("forecast"),
+        round(col("_f.sae") / col("_f.n"), 6).as("mae"))
+  }
+
   /** Robust outlier flags via the modified z-score (Iglewicz–Hoaglin):
     * per key, `Mz = 0.6745 · (v − median) / MAD` with
     * `MAD = median(|v − median|)`; rows with |Mz| ≥ `threshold`
@@ -473,6 +528,75 @@ object Temporal {
     val withMed = df.where(v.isNotNull).join(med, keyCol)
     val mad = withMed.groupBy(col(keyCol))
       .agg(round(percentile(abs(v - col("med")), lit(0.5)), 6).as("mad"))
+    withMed.join(mad, keyCol)
+      .withColumn("mz",
+        when(col("mad") > 0,
+          round(lit(0.6745) * (v - col("med")) / col("mad"), 6)))
+      .filter((col("mad") > 0 && abs(col("mz")) >= threshold) ||
+        (col("mad") === 0 && v =!= col("med")))
+  }
+
+  /** Interpolated median per key from a fixed-width histogram — the
+    * per-key twin of [[Sketches.histogramQuantiles]] at p = 0.5: per-key
+    * min/max/count, `bins` fixed-width bins, cumulative over the ≤`bins`
+    * grid, linear interpolation inside the selected bin. Mergeable
+    * bounded state (bin counts), never a per-group value buffer. */
+  private def histMedian(
+      df: DataFrame,
+      keyCol: String,
+      v: Column,
+      bins: Int,
+      out: String): DataFrame = {
+    val b = df.groupBy(col(keyCol)).agg(
+      min(v).cast("double").as("_lo"), max(v).cast("double").as("_hi"),
+      count(v).as("_n"))
+    val binned = df.select(col(keyCol), v.cast("double").as("_v"))
+      .join(b, keyCol)
+      .select(col(keyCol), when(col("_hi") === col("_lo"), lit(0))
+        .otherwise(least(lit(bins - 1),
+          floor((col("_v") - col("_lo")) /
+            ((col("_hi") - col("_lo")) / bins)).cast("int"))).as("_bin"))
+      .groupBy(col(keyCol), col("_bin")).agg(count(lit(1)).as("_cnt"))
+    val wc = Window.partitionBy(keyCol).orderBy("_bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sel = binned.withColumn("_cum", sum(col("_cnt")).over(wc))
+      .join(b, keyCol)
+      .filter(col("_cum") >= lit(0.5) * col("_n"))
+      .groupBy(col(keyCol))
+      .agg(min_by(struct(col("_bin"), col("_cnt"), col("_cum"), col("_lo"),
+        col("_hi"), col("_n")), col("_bin")).as("_s"))
+    sel.select(col(keyCol),
+      round(when(col("_s._hi") === col("_s._lo"), col("_s._lo"))
+        .otherwise(col("_s._lo") + ((col("_s._hi") - col("_s._lo")) / bins) *
+          (col("_s._bin") +
+            (lit(0.5) * col("_s._n") - (col("_s._cum") - col("_s._cnt"))) /
+              col("_s._cnt"))), 6).as(out))
+  }
+
+  /** [[madOutliers]]' 100 TB posture, realized (its scaladoc's documented
+    * swap): the same Iglewicz–Hoaglin flagging arithmetic with the exact
+    * per-group percentile — which buffers every group value in one
+    * aggregate — replaced by [[histMedian]]'s fixed-width histogram
+    * median (two passes: value median, then residual median = MAD).
+    * State per key is `bins` counters, mergeable across partitions; no
+    * reducer ever holds a group's raw values. Estimates are
+    * bin-interpolated (within bin-width of exact; `bins` trades accuracy
+    * for state) and 6dp-rounded BEFORE the division, preserving the
+    * exact twin's float contract, degenerate MAD = 0 arm included. */
+  def madOutliersApprox(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      bins: Int = 256,
+      threshold: Double = 3.5): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val v = col(valueCol).cast("double")
+    val base = df.where(v.isNotNull)
+    val med = histMedian(base, keyCol, col(valueCol), bins, "med")
+    val withMed = base.join(med, keyCol)
+    val mad = histMedian(withMed.select(col(keyCol),
+        abs(v - col("med")).as("_resid")),
+      keyCol, col("_resid"), bins, "mad")
     withMed.join(mad, keyCol)
       .withColumn("mz",
         when(col("mad") > 0,

@@ -754,6 +754,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Character-level Shannon entropy per document —
+    * `H = −Σ p(c)·ln p(c)` over the text's character distribution, plus
+    * the char count and distinct-char count. The gibberish/boilerplate
+    * detector heuristic quality filters reach for after
+    * [[repetitionStats]]: random keyboard mash scores HIGH (flat
+    * distribution), single-char runs and template spam score LOW, and
+    * natural language sits in a stable band per script — cheap tails to
+    * cut on at corpus scale. Natural log, 6dp.
+    *
+    * Scale shape: one char explode (rows = corpus chars — the honest
+    * cost; the shuffle carries map-side-combined (doc, char) partials,
+    * bounded per doc by the alphabet) → per-doc totals via a doc-keyed
+    * window over the ≤|alphabet| rows → one hash-agg folds the entropy. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit("."), lit(0))).as("ch"))
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("cnt"))
+    val wD = Window.partitionBy(idCol)
+    val p = col("cnt").cast("double") / col("_n")
+    chars.withColumn("_n", sum(col("cnt")).over(wD))
+      .groupBy(col(idCol))
+      .agg(max(col("_n")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        // 0 − sum, not −sum: a constant doc's sum is +0.0 and bare
+        // negation emits −0.0, which canonical float hashing distinguishes
+        round(lit(0.0) - sum(p * log(p)), 6).as("entropy"))
+  }
+
   /** Size-balanced shard assignment: distribute documents into `k` output
     * shards with near-equal total size (training-data shards feed
     * fixed-capacity workers — count-balanced but size-skewed shards

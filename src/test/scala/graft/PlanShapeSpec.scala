@@ -824,4 +824,48 @@ class PlanShapeSpec extends SparkSpec {
       spark.catalog.dropTempView("ranked_subq")
     }
   }
+
+  test("dictionary tag: the lexicon broadcasts — corpus tokens never shuffle for the join") {
+    val df = ops.TextAnalysis.dictionaryTag(
+      ops.Sources.table(spark, dir, "documents"), "doc_id", "text",
+      Map("perf" -> Seq("slow", "fast"), "exec" -> Seq("join", "scan")))
+    val plan = executed(df)
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"expected the lexicon to broadcast in:\n$plan")
+    // explode → broadcast probe → the count-distinct pair of hash-agg
+    // exchanges ((doc,cat,term) dedup then (doc,cat)) — both carry only
+    // MATCHED lexicon partials, never raw corpus tokens
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2, s"unexpected shuffles (${shuffles.size}):\n$plan")
+    assert(shuffles.forall(_.outputPartitioning.toString.contains("category")),
+      s"every exchange must be post-probe (carry category):\n$plan")
+  }
+
+  test("feature hash: one shuffle total — explode and bucket-hash stay map-side") {
+    val df = ops.TextAnalysis.featureHash(
+      ops.Sources.table(spark, dir, "documents"), "doc_id", "text", 64)
+    val plan = executed(df)
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1, s"expected <= 1 shuffle:\n$plan")
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.isEmpty &&
+      !plan.toString.contains("SortMergeJoin"),
+      s"the hashing trick must need no join at all:\n$plan")
+  }
+
+  test("target encode: category windows sort-merge-free; prior is a broadcast 1-row re-entry") {
+    import org.apache.spark.sql.functions.{col, when}
+    val o = ops.Sources.table(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderpriority").as("cat"),
+      when(col("o_totalprice") > 100000, 1.0).otherwise(0.0).as("y"))
+    val plan = executed(ops.Models.targetEncode(o, "cat", "y"))
+    // one DATA-SCALE shuffle (the category hash partition); the prior's
+    // SinglePartition exchange moves one partial-agg row per partition
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+      .filterNot(_.outputPartitioning.toString.contains("SinglePartition"))
+    assert(shuffles.size <= 1, s"expected <= 1 data shuffle:\n$plan")
+    assert(!plan.toString.contains("rangepartitioning"),
+      s"no global sort expected:\n$plan")
+    assert(!plan.toString.contains("SortMergeJoin"),
+      s"prior must broadcast:\n$plan")
+  }
 }

@@ -216,6 +216,68 @@ class TemporalSpec extends SparkSpec {
     assert(r10._3.contains(expect), r10.toString)
   }
 
+  test("madOutliersApprox: flags agree with the exact twin on separated data") {
+    // per key: 100 values tightly clustered + 2 extreme outliers — any
+    // sane median/MAD estimate flags exactly the outliers
+    val rows = for {
+      k <- Seq("a", "b"); i <- 1 to 102
+    } yield {
+      val base = if (k == "a") 100.0 else 500.0
+      val v = if (i <= 100) base + (i % 10) else base * 50 * i
+      (s"$k$i", k, v)
+    }
+    val df = rows.toDF("id", "k", "v")
+    def flagged(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getString(0)).toSet
+    val exact = flagged(Temporal.madOutliers(df, "k", "v"))
+    val approx = flagged(Temporal.madOutliersApprox(df, "k", "v", bins = 256))
+    assert(exact == approx, s"exact $exact vs approx $approx")
+    assert(exact == Set("a101", "a102", "b101", "b102"), exact.toString)
+    // estimates are within a bin width of the exact median
+    val medEx = Temporal.madOutliers(df, "k", "v")
+      .select("k", "med").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val medAp = Temporal.madOutliersApprox(df, "k", "v", bins = 256)
+      .select("k", "med").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    medEx.foreach { case (k, m) =>
+      val binW = (if (k == "a") 100.0 * 50 * 102 - 100.0
+                  else 500.0 * 50 * 102 - 500.0) / 256
+      assert(math.abs(medAp(k) - m) <= binW, s"$k: ${medAp(k)} vs $m")
+    }
+    // degenerate: all-identical values -> MAD 0, nothing flags
+    val const = Seq(("c1", "c", 7.0), ("c2", "c", 7.0)).toDF("id", "k", "v")
+    assert(Temporal.madOutliersApprox(const, "k", "v").count() == 0)
+  }
+
+  test("holtLinear: textbook recurrence, hand-computed; <2 points drop") {
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-01-${i}%02d")
+    // linear series 10, 12, 14, 16: Holt locks on, trend -> 2, MAE -> 0
+    val lin = (1 to 4).map(i => ("lin", d(i), 8.0 + 2 * i))
+    val single = Seq(("one", d(1), 5.0))
+    val df = (lin ++ single).toDF("k", "day", "v")
+    val got = Temporal.holtLinear(df, "k", "day", "v",
+        alpha = 0.5, beta = 0.3, horizon = 7)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(!got.contains("one")) // no init from a single point
+    // hand-rolled: l1=10 b1=2; each step forecast is exact -> errors 0,
+    // l tracks v exactly, b stays 2
+    val (n, level, trend, fc, mae) = got("lin")
+    assert(n == 4 && level == 16.0 && trend == 2.0, got.toString)
+    assert(fc == 16.0 + 7 * 2.0 && mae == 0.0, got.toString)
+    // a non-trivial fold: deviate one point and check one step by hand
+    val df2 = Seq(("k", d(1), 10.0), ("k", d(2), 12.0), ("k", d(3), 20.0))
+      .toDF("k", "day", "v")
+    val g2 = Temporal.holtLinear(df2, "k", "day", "v", 0.5, 0.3, 1)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(5)))
+      .head
+    // step v2: l=12 b=2 err 0; step v3: f=14, e=6, l'=0.5*20+0.5*14=17,
+    // b'=0.3*(17-12)+0.7*2=2.9; mae=(0+6)/2=3
+    assert(g2 == ((17.0, 2.9, 3.0)), g2.toString)
+  }
+
   test("windowFunnel: exists-semantics catches late chains greedy-min misses") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(

@@ -501,6 +501,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == again)
   }
 
+  test("charEntropy: uniform beats skewed beats constant; counts exact") {
+    val df = Seq(
+      (1L, "abcd"),     // uniform over 4 chars: H = ln 4
+      (2L, "aaab"),     // skewed: H = -(3/4 ln 3/4 + 1/4 ln 1/4)
+      (3L, "aaaa")      // constant: H = 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def rd(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L) == ((4L, 4L, rd(math.log(4)))), got.toString)
+    val h2 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(got(2L) == ((4L, 2L, rd(h2))), got.toString)
+    assert(got(3L) == ((4L, 1L, 0.0)), got.toString)
+    assert(got(1L)._3 > got(2L)._3 && got(2L)._3 > got(3L)._3)
+  }
+
   test("balancedShards: strata from min/max, shards balanced within tolerance") {
     val df = (1L to 400L).map(i => (i, (i % 100) * 10 + 50))
       .toDF("doc_id", "n_chars")
