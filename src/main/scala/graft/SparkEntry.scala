@@ -3112,6 +3112,28 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           col("med"), col("mad"), col("mz"))
         .orderBy("event_id")
+    },
+
+    // ───── DSIR importance resampling: pick the 200 corpus docs that
+    // look most like the English slice under hashed-unigram bag models —
+    // broadcast 64-row distributions, map-side log-weights, Gumbel-top-k
+    // draw keyed by md5 (no RNG state, fully deterministic) ─────
+    "q212_dsir" -> { (s, dir) =>
+      TextAnalysis.importanceResample(tb(s, dir, "documents"), "doc_id",
+          "text", col("lang") === "en", nBuckets = 64, k = 200)
+        .orderBy(col("key").desc, col("doc_id"))
+    },
+
+    // ───── Adamic–Adar link prediction over the supplier side of the
+    // trade graph: supplier pairs sharing low-degree customers, scored
+    // Σ 1/ln(deg) — rare shared customers weigh more; degree cap 15
+    // prunes the dense-hub customers that carry ~0 signal ─────
+    "q213_adamic_adar" -> { (s, dir) =>
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
+      Graph.adamicAdar(e, "supp", "cust", maxDegree = 15, minCommon = 2)
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -5372,6 +5394,49 @@ object SparkEntry {
 
     // two per-key histogram-median CTE ladders (value, then residual) +
     // the exact twin's flagging arithmetic
-    "q211_mad_approx" -> OraclesExt.madApprox
+    "q211_mad_approx" -> OraclesExt.madApprox,
+
+    // hashed-feature distributions over the full 0..63 spine (+1
+    // smoothing), per-doc log-weights, md5-Gumbel keys
+    "q212_dsir" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "unnest(regexp_extract_all(lower(text), '\\w+')) AS term " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, " +
+        "('0x' || substr(md5(term), 1, 15))::BIGINT % 64 AS bucket, " +
+        "count(*)::BIGINT AS cnt FROM t GROUP BY 1, 2), " +
+        "sp AS (SELECT unnest(range(64)) AS bucket), " +
+        "tt AS (SELECT f.bucket, sum(f.cnt)::BIGINT AS c FROM f " +
+        "JOIN documents d ON f.doc_id = d.doc_id WHERE d.lang = 'en' " +
+        "GROUP BY 1), " +
+        "ttot AS (SELECT coalesce(sum(c), 0)::BIGINT AS t FROM tt), " +
+        "pt AS (SELECT sp.bucket, (coalesce(tt.c, 0) + 1)::DOUBLE / " +
+        "(ttot.t + 64) AS p_t FROM sp LEFT JOIN tt USING (bucket) " +
+        "CROSS JOIN ttot), " +
+        "rr AS (SELECT bucket, sum(cnt)::BIGINT AS c FROM f GROUP BY 1), " +
+        "rtot AS (SELECT coalesce(sum(c), 0)::BIGINT AS t FROM rr), " +
+        "pr AS (SELECT sp.bucket, (coalesce(rr.c, 0) + 1)::DOUBLE / " +
+        "(rtot.t + 64) AS p_r FROM sp LEFT JOIN rr USING (bucket) " +
+        "CROSS JOIN rtot), " +
+        "w AS (SELECT f.doc_id, round(sum(f.cnt * (ln(p_t) - ln(p_r))), 6) " +
+        "AS logw FROM f JOIN pt USING (bucket) JOIN pr USING (bucket) " +
+        "GROUP BY 1) " +
+        "SELECT doc_id, logw, round(logw - ln(0 - ln((" +
+        "(('0x' || substr(md5(doc_id::VARCHAR || ':dsir'), 1, 15))::BIGINT " +
+        "% 1000000000) + 1)::DOUBLE / 1000000001.0)), 9) AS key " +
+        "FROM w ORDER BY key DESC, doc_id LIMIT 200"),
+
+    // capped-degree incidence self-join; a shared neighbor implies
+    // deg >= 2 so ln(deg) is never 0
+    "q213_adamic_adar" ->
+      ("WITH e AS (SELECT DISTINCT l_suppkey AS l, o_custkey AS r " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "d AS (SELECT r, count(*)::BIGINT AS deg FROM e GROUP BY 1 " +
+        "HAVING count(*) <= 15), " +
+        "k AS (SELECT e.l, e.r, d.deg FROM e JOIN d USING (r)) " +
+        "SELECT x.l AS id_a, y.l AS id_b, count(*)::BIGINT AS common, " +
+        "round(sum(1.0::DOUBLE / ln(x.deg)), 6) AS aa " +
+        "FROM k x JOIN k y ON x.r = y.r AND x.l < y.l " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b")
   )
 }

@@ -203,6 +203,41 @@ object Graph {
         coalesce(col("a"), lit(0.0)).as("authority"))
   }
 
+  /** Adamic–Adar link-prediction scores over a bipartite incidence list
+    * (`leftCol`, `rightCol`): for every LEFT pair sharing ≥ `minCommon`
+    * right-neighbors, `AA = Σ_z 1/ln(deg z)` over the shared neighbors z
+    * (deg = distinct left nodes of z) plus the raw common count — rare
+    * shared neighbors weigh more than ubiquitous ones, THE classic
+    * collaborative-filtering / who-to-link feature (Adamic & Adar 2003).
+    * A shared neighbor implies deg ≥ 2, so ln(deg) is never 0.
+    *
+    * Scale shape: the pair space comes from the per-neighbor self-join,
+    * which explodes as Σ deg² — `maxDegree` caps it (the [[Dedup
+    * .jaccardPairs]] df-cap contract): neighbors above the cap are
+    * near-universal hubs carrying ~0 AA weight each (1/ln(deg) → small)
+    * and are dropped from scores AND counts; the worst reducer is then
+    * bounded by cap². */
+  def adamicAdar(
+      edges: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxDegree: Int = 100,
+      minCommon: Int = 2): DataFrame = {
+    require(maxDegree >= 2, "maxDegree must be >= 2")
+    require(minCommon >= 1, "minCommon must be >= 1")
+    val e = edges.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .distinct().localCheckpoint()
+    val deg = e.groupBy("r").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDegree)
+    val kept = e.join(deg, "r")
+    kept.as("x").join(kept.as("y"),
+        col("x.r") === col("y.r") && col("x.l") < col("y.l"))
+      .groupBy(col("x.l").as("id_a"), col("y.l").as("id_b"))
+      .agg(count(lit(1)).as("common"),
+        round(sum(lit(1.0) / log(col("x.deg"))), 6).as("aa"))
+      .filter(col("common") >= minCommon)
+  }
+
   /** Synchronous label propagation (community detection): every node
     * adopts the label with the highest neighbor count each round, ties
     * broken by the SMALLER label — the deterministic tie-break is what

@@ -662,10 +662,15 @@ object Models {
     val wc = Window.partitionBy(col(catCol))
     val prior = df.agg(
       (sum(col(yCol)).cast("double") / count(col(yCol))).as("_prior"))
+    // m = 0 + a singleton (or all-null-y) category degenerates the LOO
+    // denominator to 0 — those rows encode to null instead of erroring
+    // under ANSI division
+    val denom = count(col(yCol)).over(wc) - 1 + lit(m)
     df.crossJoin(broadcast(prior))
       .withColumn("enc",
-        round((sum(col(yCol)).over(wc) - col(yCol) + lit(m) * col("_prior")) /
-          (count(col(yCol)).over(wc) - 1 + lit(m)), 6))
+        when(denom > 0,
+          round((sum(col(yCol)).over(wc) - col(yCol) + lit(m) * col("_prior")) /
+            denom, 6)))
       .drop("_prior")
   }
 }

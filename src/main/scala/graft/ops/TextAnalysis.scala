@@ -782,6 +782,62 @@ object TextAnalysis {
         round(lit(0.0) - sum(p * log(p)), 6).as("entropy"))
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): select corpus
+    * documents that LOOK LIKE a small target domain by reweighting with
+    * hashed-feature bag models. Pipeline: [[featureHash]] unigram buckets
+    * → add-1-smoothed bucket distributions for the target slice
+    * (`isTarget`) and the full corpus → per-doc log importance weight
+    * `Σ_b cnt_b·(ln p_t(b) − ln p_r(b))` (6dp) → Gumbel-top-`k` draw:
+    * `key = logw + g` with `g = −ln(−ln u)` from the doc's md5-derived
+    * `u ∈ (0,1)` (the q135 Efraimidis–Spirakis determinism pattern —
+    * sampling ∝ softmax(logw) with no RNG state), key 9dp before the
+    * rank so libm ulp differences cannot reorder.
+    *
+    * Scale shape: both distributions are `nBuckets`-row tables from ONE
+    * hash-agg each (the target's a filtered twin); they broadcast back,
+    * so scoring is map-side over the (doc, bucket) frame; the only
+    * data-scale shuffles are featureHash's hash-agg and the final
+    * top-k. No vocabulary, no driver state — the DSIR property that
+    * makes it tractable where exact LM scoring isn't. */
+  def importanceResample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      nBuckets: Int = 64,
+      k: Int = 200): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val feats = featureHash(df, idCol, textCol, nBuckets).localCheckpoint()
+    val targetIds = df.filter(isTarget).select(col(idCol))
+    // full 0..B-1 spine: a bucket the slice never saw still carries its
+    // add-1 smoothing mass 1/(t + B) — dropping it (a bare left join's
+    // null) would silently zero that bucket's contribution
+    val spine = df.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+    def dist(f: DataFrame, out: String): DataFrame = {
+      val cnts = f.groupBy("bucket").agg(sum(col("cnt")).as("_c"))
+      val tot = f.agg(sum(col("cnt")).as("_t"))
+      spine.join(cnts, Seq("bucket"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          ((coalesce(col("_c"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("_t"), lit(0L)) + nBuckets)).as(out))
+    }
+    val pT = dist(feats.join(targetIds, idCol), "p_t")
+    val pR = dist(feats, "p_r")
+    val logw = feats
+      .join(broadcast(pT), "bucket")
+      .join(broadcast(pR), "bucket")
+      .groupBy(col(idCol))
+      .agg(round(sum(col("cnt") *
+        (log(col("p_t")) - log(col("p_r")))), 6).as("logw"))
+    val u = (pmod(Hashing.hash60(concat(col(idCol).cast("string"),
+      lit(":dsir"))), lit(1000000000L)) + 1).cast("double") / 1000000001.0
+    logw.withColumn("key", round(col("logw") - log(-log(u)), 9))
+      .orderBy(col("key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Size-balanced shard assignment: distribute documents into `k` output
     * shards with near-equal total size (training-data shards feed
     * fixed-capacity workers — count-balanced but size-skewed shards

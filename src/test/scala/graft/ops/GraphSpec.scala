@@ -201,6 +201,34 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("adamicAdar: rare shared neighbors outweigh hubs; cap prunes; hand-checked") {
+    // suppliers 1,2 share customers 10 (deg 2) and 11 (deg 3);
+    // suppliers 1,3 share only customer 11; customer 12 is a deg-4 hub
+    val e = Seq(
+      (1L, 10L), (2L, 10L),
+      (1L, 11L), (2L, 11L), (3L, 11L),
+      (1L, 12L), (2L, 12L), (3L, 12L), (4L, 12L)
+    ).toDF("s", "c")
+    def rd(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = Graph.adamicAdar(e, "s", "c", maxDegree = 10, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // (1,2): common {10, 11, 12} -> 1/ln2 + 1/ln3 + 1/ln4
+    assert(got((1L, 2L)) ==
+      ((3L, rd(1 / math.log(2) + 1 / math.log(3) + 1 / math.log(4)))),
+      got.toString)
+    // (1,3): {11, 12}; (3,4): {12} only
+    assert(got((1L, 3L)) == ((2L, rd(1 / math.log(3) + 1 / math.log(4)))))
+    assert(got((3L, 4L)) == ((1L, rd(1 / math.log(4)))))
+    // cap 3 drops hub 12 from every score and count
+    val capped = Graph.adamicAdar(e, "s", "c", maxDegree = 3, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(capped((1L, 2L)) ==
+      ((2L, rd(1 / math.log(2) + 1 / math.log(3)))), capped.toString)
+    assert(!capped.contains((3L, 4L)), capped.toString)
+  }
+
   test("personalizedPageRank: mass concentrates near seeds; unreachable = absent") {
     // two disconnected stars: 1-{2,3} and 10-{11,12}; seed only node 1
     val g = sym((1L, 2L), (1L, 3L), (10L, 11L), (10L, 12L))

@@ -126,4 +126,56 @@ class NullSafetySpec extends SparkSpec {
     // null/blank docs share the empty normalized stream -> one group
     assert(g.length == 1 && g.head.getAs[String]("member_ids") == "1;2;3")
   }
+
+  test("dictionaryTag / featureHash / charEntropy drop token-less docs, never null-row") {
+    val dict = Map("x" -> Seq("alpha", "beta"))
+    val tag = TextAnalysis.dictionaryTag(degenerate, "doc_id", "text", dict)
+      .collect().map(_.getLong(0)).toSet
+    assert(tag == Set(5L), tag.toString) // only doc 5 hits; no null rows
+    val fh = TextAnalysis.featureHash(degenerate, "doc_id", "text", 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(fh == Set(4L, 5L), fh.toString) // token-less docs emit nothing
+    val ce = TextAnalysis.charEntropy(degenerate, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // null text -> no chars -> absent; whitespace-only still has chars
+    assert(!ce.contains(1L) && !ce.contains(2L), ce.toString)
+    assert(ce(3L) == 0.0, ce.toString) // "   " = one char class, H = 0
+  }
+
+  test("containmentPairs: null/short docs never pair; thresholds are post-round") {
+    val sh = Dedup.shingles(col("toks"), 3)
+    val got = Dedup.containmentPairs(degenerate, "doc_id", sh, 0.0)
+    assert(got.count() == 0) // only doc 5 shingles; no partner
+  }
+
+  test("targetEncode: null y rows keep their row but don't contribute to sums") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(0.0)), ("a", None), ("b", Some(1.0)))
+      .map { case (c, y) => (c, y.map(Double.box).orNull) }
+      .toDF("cat", "y")
+    val got = Models.targetEncode(df, "cat", "y", m = 0.0)
+      .collect().map(r => (r.getString(0), Option(r.get(1))) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // count(y)/sum(y) skip nulls: a's non-null rows see n=2 -> LOO n-1=1
+    assert(got(("a", Some(1.0))).contains(0.0)) // (1 - 1 + 0)/(2 - 1)
+    assert(got(("a", Some(0.0))).contains(1.0)) // (1 - 0)/(1)
+    // the null-y row's own enc is null (y enters the numerator), row kept
+    assert(got.contains(("a", None)) && got(("a", None)).isEmpty)
+    // m = 0 + singleton b: LOO denominator 0 -> null, never an ANSI error
+    assert(got.contains(("b", Some(1.0))) && got(("b", Some(1.0))).isEmpty)
+  }
+
+  test("windowFunnel/holtLinear: empty/degenerate keys vanish, no level rows lost") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq((1L, ts("2024-01-01 08:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val lv = Temporal.windowFunnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click"), expr("INTERVAL 1 HOUR"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // both levels present even though nobody clicks
+    assert(lv == Map(1 -> 1L, 2 -> 0L), lv.toString)
+    val h = Temporal.holtLinear(
+      Seq(("k", java.sql.Date.valueOf("2024-01-01"), 1.0))
+        .toDF("k", "d", "v"), "k", "d", "v")
+    assert(h.count() == 0) // single point: no init, key drops
+  }
 }

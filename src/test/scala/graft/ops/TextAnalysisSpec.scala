@@ -518,6 +518,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L)._3 > got(2L)._3 && got(2L)._3 > got(3L)._3)
   }
 
+  test("importanceResample: target-like docs out-weigh target-unlike; deterministic") {
+    // target slice speaks 'aaa bbb'; the distractor dialect is 'zzz yyy'
+    val docs = (
+      (1L to 10L).map(i => (i, "aaa bbb aaa bbb", true)) ++
+      (11L to 20L).map(i => (i, "zzz yyy zzz yyy", false)) ++
+      Seq((21L, "aaa bbb aaa", false), (22L, "zzz yyy zzz", false))
+    ).toDF("doc_id", "text", "is_t")
+    val got = TextAnalysis.importanceResample(docs, "doc_id", "text",
+      col("is_t"), nBuckets = 32, k = 50)
+    val logw = got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 21 (target dialect) must out-weigh doc 22 (distractor dialect)
+    assert(logw(21L) > logw(22L), logw.toString)
+    assert(logw(1L) > 0 && logw(11L) < 0, logw.toString)
+    // every doc returned (k > corpus), key = logw + gumbel is total
+    assert(logw.size == 22)
+    // deterministic under repartitioning (md5 keys, no RNG state)
+    val again = TextAnalysis.importanceResample(docs.repartition(7), "doc_id",
+      "text", col("is_t"), nBuckets = 32, k = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val keys = got.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(keys == again)
+  }
+
   test("balancedShards: strata from min/max, shards balanced within tolerance") {
     val df = (1L to 400L).map(i => (i, (i % 100) * 10 + 50))
       .toDF("doc_id", "n_chars")
