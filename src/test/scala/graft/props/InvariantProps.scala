@@ -450,4 +450,80 @@ object InvariantProps extends Properties("graft.invariants") {
       m(Dedup.fuzzyPairsSymDel(recs, "id", "name", "blk", maxDist = 2)) ==
         m(Dedup.fuzzyPairs(recs, "id", "name", "blk", maxDist = 2))
     }
+
+  // ── round-5 ops ──
+
+  private val genDocs: Gen[List[(Long, String)]] = Gen.nonEmptyListOf(for {
+    id <- Gen.choose(1L, 1000000L)
+    toks <- Gen.nonEmptyListOf(Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"))
+  } yield (id, toks.mkString(" ")))
+    .map(_.distinctBy(_._1))
+
+  property("containment/jaccard algebra: 1/j = 1/c_ab + 1/c_ba - 1; c >= j") =
+    forAll(genDocs) { docs =>
+      import spark.implicits._
+      val d = docs.toDF("doc_id", "text")
+        .select(col("doc_id"), graft.ops.TextAnalysis.words(col("text")).as("toks"))
+      val sh = Dedup.shingles(col("toks"), 2)
+      val jac = Dedup.jaccardPairs(d, "doc_id", sh, 0.000001).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val con = Dedup.containmentPairs(d, "doc_id", sh, 0.000001).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      jac.forall { case ((a, b), j) =>
+        val (ca, cb) = (con((a, b)), con((b, a)))
+        // 6dp rounding amplifies through 1/x by x² — with j possibly as
+        // small as 1/128 the identity holds only to ~3e-2
+        ca >= j - 1e-6 && cb >= j - 1e-6 &&
+          math.abs(1 / j - (1 / ca + 1 / cb - 1)) < 0.05
+      }
+    }
+
+  property("featureHash conserves per-doc token counts for any bucket width") =
+    forAll(genDocs, Gen.choose(2, 64)) { (docs, b) =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.ops.TextAnalysis.featureHash(df, "doc_id", "text", b)
+        .groupBy("doc_id").agg(sum("cnt").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      docs.forall { case (id, text) =>
+        got(id) == text.split(" ").length.toLong
+      }
+    }
+
+  property("holtLinear is exact on linear series: level = last, trend = slope") =
+    forAll(Gen.choose(2, 40), Gen.choose(-50, 50), Gen.choose(-1000, 1000)) {
+      (n, slope, intercept) =>
+        import spark.implicits._
+        val pts = (1 to n).map(i =>
+          ("k", i, (intercept + slope.toDouble * i)))
+        val r = graft.ops.Temporal.holtLinear(
+          pts.toDF("k", "i", "v"), "k", "i", "v", 0.5, 0.3, 3)
+          .collect().head
+        r.getInt(1) == n &&
+          r.getDouble(2) == intercept + slope.toDouble * n &&
+          r.getDouble(3) == slope.toDouble &&
+          r.getDouble(4) == intercept + slope.toDouble * (n + 3) &&
+          r.getDouble(5) == 0.0
+    }
+
+  private val genEvents: Gen[List[(Long, Int, String)]] =
+    Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 6L)
+      t <- Gen.choose(0, 500)
+      e <- Gen.oneOf("a", "b", "c", "x")
+    } yield (u, t, e)).map(_.distinctBy(r => (r._1, r._2)))
+
+  property("windowFunnel: levels monotone non-increasing, partition-invariant") =
+    forAll(genEvents, Gen.choose(1, 8)) { (evs, parts) =>
+      import spark.implicits._
+      def run(df: DataFrame) = graft.ops.Temporal.windowFunnel(
+        df.withColumn("ts", col("t").cast("timestamp")),
+        "u", "ts", "e", Seq("a", "b", "c"), expr("INTERVAL 100 SECONDS"))
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val df = evs.toDF("u", "t", "e")
+      val lv = run(df)
+      lv.size == 3 && lv(1) >= lv(2) && lv(2) >= lv(3) &&
+        run(df.repartition(parts)) == lv
+    }
 }
