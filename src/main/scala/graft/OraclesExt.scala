@@ -860,12 +860,13 @@ object OraclesExt {
       "round(covar_pop(x, v)/sqrt(var_pop(x)*var_pop(v)), 6) AS r " +
       "FROM p GROUP BY 1 ORDER BY 1"
 
-  /** Per-key interpolated histogram median (mirrors
-    * `Temporal.histMedian` / the q156 interpolation): `src` must expose
+  /** Per-key interpolated histogram quantile (mirrors
+    * `Temporal.histQuantile` / the q156 interpolation): `src` must expose
     * (k, `$vcol`); appends CTEs `<pfx>b/<pfx>bb/<pfx>c/<pfx>cc/<pfx>m`,
     * with `<pfx>m` = (k, med). Arithmetic forced to DOUBLE throughout
-    * (`0.5::DOUBLE`) so both engines run identical IEEE ops. */
-  def histMedianCtes(src: String, vcol: String, pfx: String, bins: Int): String =
+    * (`p::DOUBLE`) so both engines run identical IEEE ops. */
+  def histMedianCtes(src: String, vcol: String, pfx: String, bins: Int,
+      p: Double = 0.5): String =
     s"${pfx}b AS (SELECT k, min($vcol)::DOUBLE AS lo, max($vcol)::DOUBLE AS hi, " +
       s"count(*)::BIGINT AS n FROM $src GROUP BY 1), " +
       s"${pfx}bb AS (SELECT s.k, CASE WHEN b.hi = b.lo THEN 0 ELSE " +
@@ -877,11 +878,11 @@ object OraclesExt {
       s"${pfx}cc AS (SELECT k, bin, cnt, sum(cnt) OVER (PARTITION BY k " +
       s"ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum FROM ${pfx}c), " +
       s"${pfx}sel AS (SELECT cc.k, min(cc.bin) AS bin FROM ${pfx}cc cc " +
-      s"JOIN ${pfx}b b ON cc.k = b.k WHERE cc.cum >= 0.5::DOUBLE * b.n " +
+      s"JOIN ${pfx}b b ON cc.k = b.k WHERE cc.cum >= $p::DOUBLE * b.n " +
       "GROUP BY 1), " +
       s"${pfx}m AS (SELECT s.k, round(CASE WHEN b.hi = b.lo THEN b.lo ELSE " +
       s"b.lo + ((b.hi - b.lo) / $bins) * (s.bin + " +
-      "(0.5::DOUBLE * b.n - (cc.cum - cc.cnt)) / cc.cnt) END, 6) AS med " +
+      s"($p::DOUBLE * b.n - (cc.cum - cc.cnt)) / cc.cnt) END, 6) AS med " +
       s"FROM ${pfx}sel s JOIN ${pfx}b b ON s.k = b.k " +
       s"JOIN ${pfx}cc cc ON cc.k = s.k AND cc.bin = s.bin)"
 

@@ -3134,6 +3134,37 @@ object SparkEntry {
         .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
       Graph.adamicAdar(e, "supp", "cust", maxDegree = 15, minCommon = 2)
         .orderBy("id_a", "id_b")
+    },
+
+    // ───── per-node local clustering coefficient on q148's part
+    // co-purchase graph: 2T(v)/(deg(deg−1)) — tight-community / bot-ring
+    // node feature; triangles credit all three corners via one explode
+    // over the degree-oriented closed wedges ─────
+    "q214_local_clustering" -> { (s, dir) =>
+      val pr = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pr.as("x").join(pr.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graph.localClustering(pairs, "a", "b")
+        .orderBy("node_id")
+    },
+
+    // ───── winsorize-then-standardize the event values per type: clip to
+    // the [p05, p95] histogram-quantile band (mergeable 256-counter state,
+    // never a per-group sort), then z-score the clipped values — the
+    // robust feature-scaling preprocessor ─────
+    "q215_winsorize" -> { (s, dir) =>
+      Temporal.winsorizedStandardize(
+          t(s, dir, "events").select(col("event_id"), col("event_type"),
+            col("value")),
+          "event_type", "value", pLo = 0.05, pHi = 0.95, bins = 256)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("clipped"), col("z"))
+        .orderBy("event_id")
     }
   )
 
@@ -5437,6 +5468,44 @@ object SparkEntry {
         "SELECT x.l AS id_a, y.l AS id_b, count(*)::BIGINT AS common, " +
         "round(sum(1.0::DOUBLE / ln(x.deg)), 6) AS aa " +
         "FROM k x JOIN k y ON x.r = y.r AND x.l < y.l " +
-        "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b")
+        "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b"),
+
+    // q148's co-purchase edges; canonical a<b<c triangle enumeration,
+    // three corner credits each — triangle counts are exact integers so
+    // the oracle need not mirror the degree-oriented generation order
+    "q214_local_clustering" ->
+      ("WITH pr AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem " +
+        "GROUP BY 1, 2), " +
+        "e0 AS (SELECT a.p AS a, b.p AS b FROM pr a JOIN pr b " +
+        "ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "d AS (SELECT n, count(*)::BIGINT AS deg FROM (SELECT a AS n FROM e0 " +
+        "UNION ALL SELECT b FROM e0) GROUP BY 1), " +
+        "tri AS (SELECT x.a AS u, x.b AS v, y.b AS w FROM e0 x " +
+        "JOIN e0 y ON x.a = y.a AND x.b < y.b " +
+        "JOIN e0 z ON z.a = x.b AND z.b = y.b), " +
+        "tn AS (SELECT n, count(*)::BIGINT AS n_tri FROM (" +
+        "SELECT u AS n FROM tri UNION ALL SELECT v FROM tri " +
+        "UNION ALL SELECT w FROM tri) GROUP BY 1) " +
+        "SELECT d.n AS node_id, d.deg, coalesce(tn.n_tri, 0)::BIGINT AS n_tri, " +
+        "CASE WHEN d.deg >= 2 THEN round(2.0 * coalesce(tn.n_tri, 0) / " +
+        "(d.deg * (d.deg - 1)), 6) END AS lcc " +
+        "FROM d LEFT JOIN tn ON d.n = tn.n ORDER BY node_id"),
+
+    // two histogram-quantile ladders (p05/p95) clip the band, then
+    // 6dp-rounded mean/sigma_pop standardize the clipped values
+    "q215_winsorize" ->
+      ("WITH src AS (SELECT event_type AS k, event_id AS id, " +
+        "value::DOUBLE AS v FROM events WHERE value IS NOT NULL), " +
+        OraclesExt.histMedianCtes("src", "v", "h1", 256, p = 0.05) + ", " +
+        OraclesExt.histMedianCtes("src", "v", "h2", 256, p = 0.95) + ", " +
+        "c AS (SELECT src.k, src.id, src.v, " +
+        "least(greatest(src.v, lo.med), hi.med) AS clipped " +
+        "FROM src JOIN h1m lo ON src.k = lo.k JOIN h2m hi ON src.k = hi.k), " +
+        "m AS (SELECT k, round(avg(clipped), 6) AS mean, " +
+        "round(stddev_pop(clipped), 6) AS sd FROM c GROUP BY 1) " +
+        "SELECT c.id AS event_id, c.k AS event_type, c.v AS value, " +
+        "c.clipped, CASE WHEN m.sd > 0 THEN " +
+        "round((c.clipped - m.mean) / m.sd, 6) END AS z " +
+        "FROM c JOIN m ON c.k = m.k ORDER BY event_id")
   )
 }

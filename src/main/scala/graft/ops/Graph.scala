@@ -347,6 +347,59 @@ object Graph {
           .as("global_clustering"))
   }
 
+  /** Per-node local clustering coefficient — [[triangleStats]]' global
+    * ratio, resolved to each node: `lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1))`
+    * with T(v) = triangles through v. THE tight-community / bot-ring
+    * node feature (a spam clique's members sit near 1.0; organic hubs
+    * near 0). Returns every node with (deg, n_tri, lcc); deg < 2 nodes
+    * have no defined coefficient → null lcc, zero-triangle nodes keep
+    * their row with lcc = 0.
+    *
+    * Scale shape: identical to [[triangleStats]] — degree-oriented wedge
+    * join (each wedge generated ONCE, at its lowest-rank vertex, the
+    * Suri–Vassilvitskii bound) closed by a semi... here a plain equi-join
+    * so each triangle can credit its THREE corners via one 3-way explode,
+    * then a node-keyed hash-aggregate. */
+  def localClustering(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val orient = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+      when(aFirst, col("b")).otherwise(col("a")).as("hi"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dhi"))
+      .localCheckpoint()
+    val e1 = orient.select(col("lo"), col("hi").as("h1"), col("dhi").as("dh1"))
+    val e2 = orient.select(col("lo"), col("hi").as("h2"), col("dhi").as("dh2"))
+    val closed = e1.join(e2, Seq("lo")).filter(
+        col("dh1") < col("dh2") ||
+          (col("dh1") === col("dh2") && col("h1") < col("h2")))
+      .join(orient.select(col("lo").as("h1"), col("hi").as("h2")),
+        Seq("h1", "h2"), "left_semi")
+    val triPerNode = closed
+      .select(explode(array(col("lo"), col("h1"), col("h2"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("n"), "left")
+      .select(col("n").as("node_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 6)).as("lcc"))
+  }
+
   /** k-core peel: repeatedly delete nodes of degree < `k` (with their
     * edges) for `rounds` fixed iterations, then report the surviving
     * nodes with their in-subgraph degree. After enough rounds this is

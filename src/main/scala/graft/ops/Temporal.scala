@@ -536,17 +536,19 @@ object Temporal {
         (col("mad") === 0 && v =!= col("med")))
   }
 
-  /** Interpolated median per key from a fixed-width histogram — the
-    * per-key twin of [[Sketches.histogramQuantiles]] at p = 0.5: per-key
+  /** Interpolated quantile per key from a fixed-width histogram — the
+    * per-key twin of [[Sketches.histogramQuantiles]]: per-key
     * min/max/count, `bins` fixed-width bins, cumulative over the ≤`bins`
     * grid, linear interpolation inside the selected bin. Mergeable
     * bounded state (bin counts), never a per-group value buffer. */
-  private def histMedian(
+  private def histQuantile(
       df: DataFrame,
       keyCol: String,
       v: Column,
+      p: Double,
       bins: Int,
       out: String): DataFrame = {
+    require(p > 0 && p < 1, "p must be in (0, 1)")
     val b = df.groupBy(col(keyCol)).agg(
       min(v).cast("double").as("_lo"), max(v).cast("double").as("_hi"),
       count(v).as("_n"))
@@ -561,7 +563,7 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, 0)
     val sel = binned.withColumn("_cum", sum(col("_cnt")).over(wc))
       .join(b, keyCol)
-      .filter(col("_cum") >= lit(0.5) * col("_n"))
+      .filter(col("_cum") >= lit(p) * col("_n"))
       .groupBy(col(keyCol))
       .agg(min_by(struct(col("_bin"), col("_cnt"), col("_cum"), col("_lo"),
         col("_hi"), col("_n")), col("_bin")).as("_s"))
@@ -569,8 +571,62 @@ object Temporal {
       round(when(col("_s._hi") === col("_s._lo"), col("_s._lo"))
         .otherwise(col("_s._lo") + ((col("_s._hi") - col("_s._lo")) / bins) *
           (col("_s._bin") +
-            (lit(0.5) * col("_s._n") - (col("_s._cum") - col("_s._cnt"))) /
+            (lit(p) * col("_s._n") - (col("_s._cum") - col("_s._cnt"))) /
               col("_s._cnt"))), 6).as(out))
+  }
+
+  private def histMedian(
+      df: DataFrame,
+      keyCol: String,
+      v: Column,
+      bins: Int,
+      out: String): DataFrame = histQuantile(df, keyCol, v, 0.5, bins, out)
+
+  /** Winsorize-then-standardize per key — the robust feature-scaling
+    * preprocessor: clip values to the [`pLo`, `pHi`] histogram-quantile
+    * band (tails are measurement junk or whales, and a plain z-score
+    * lets one whale set the scale), then z-score the CLIPPED values
+    * against their own mean/σ_pop. Quantiles come from [[histQuantile]]
+    * (mergeable `bins`-counter state, the 100 TB posture — never a
+    * per-group sort or value buffer); mean and σ are 6dp-rounded BEFORE
+    * the division (the [[madOutliers]] float contract). σ = 0 after
+    * clipping (a degenerate constant band) yields null z. Appends
+    * `clipped` and `z` to every input row.
+    *
+    * Accuracy caveat inherent to fixed-width histograms: the band edges
+    * interpolate inside ONE bin of the full per-key [min, max] range, so
+    * a single extreme whale widens every bin and the estimated quantile
+    * can be off by up to a bin width of THAT range — still a
+    * range/`bins` reduction of the whale, which is what winsorizing
+    * needs, but not a tight tail quantile. Extreme-dynamic-range keys
+    * should pre-clip or move to the log domain first.
+    *
+    * Scale shape: two bounded histogram passes + one moment aggregate,
+    * all joined back BY KEY (broadcastable when keys are few, plain
+    * shuffle joins otherwise); the data-scale passes are hash-aggs. */
+  def winsorizedStandardize(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95,
+      bins: Int = 256): DataFrame = {
+    require(pLo < pHi, "pLo must be < pHi")
+    val v = col(valueCol).cast("double")
+    val base = df.where(v.isNotNull)
+    val qs = histQuantile(base, keyCol, col(valueCol), pLo, bins, "q_lo")
+      .join(histQuantile(base, keyCol, col(valueCol), pHi, bins, "q_hi"),
+        keyCol)
+    val clipped = base.join(qs, keyCol)
+      .withColumn("clipped", least(greatest(v, col("q_lo")), col("q_hi")))
+    val moments = clipped.groupBy(col(keyCol)).agg(
+      round(avg(col("clipped")), 6).as("_mean"),
+      round(stddev_pop(col("clipped")), 6).as("_sd"))
+    clipped.join(moments, keyCol)
+      .withColumn("z",
+        when(col("_sd") > 0,
+          round((col("clipped") - col("_mean")) / col("_sd"), 6)))
+      .drop("q_lo", "q_hi", "_mean", "_sd")
   }
 
   /** [[madOutliers]]' 100 TB posture, realized (its scaladoc's documented

@@ -201,6 +201,25 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("localClustering: triangle corners credited, lcc hand-checked") {
+    // K3 {1,2,3} + pendant 4 on node 1 + isolated edge 5-6
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val got = Graph.localClustering(e, "a", "b")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // node 1: deg 3, 1 triangle, lcc = 2*1/(3*2) = 1/3
+    assert(got(1L) == ((3L, 1L, Some(math.rint(1.0 / 3 * 1e6) / 1e6))))
+    // nodes 2, 3: deg 2, 1 triangle, lcc = 1
+    assert(got(2L) == ((2L, 1L, Some(1.0))) && got(3L) == got(2L))
+    // pendant and isolated-edge nodes: deg 1 -> null lcc, zero triangles
+    assert(got(4L) == ((1L, 0L, None)) && got(5L) == ((1L, 0L, None)))
+    // sanity: per-node triangle credits sum to 3x the global count
+    val stats = Graph.triangleStats(e, "a", "b").collect().head
+    assert(got.values.map(_._2).sum == 3 * stats.getLong(3))
+  }
+
   test("adamicAdar: rare shared neighbors outweigh hubs; cap prunes; hand-checked") {
     // suppliers 1,2 share customers 10 (deg 2) and 11 (deg 3);
     // suppliers 1,3 share only customer 11; customer 12 is a deg-4 hub

@@ -216,6 +216,38 @@ class TemporalSpec extends SparkSpec {
     assert(r10._3.contains(expect), r10.toString)
   }
 
+  test("winsorizedStandardize: tails clip to the quantile band, z-scores the clipped") {
+    // 100 uniform values 1..100 + two 100x whales per key — a range the
+    // 4096-bin histogram resolves (bin width ~5; the scaladoc caveat
+    // covers the extreme-dynamic-range case where it cannot)
+    val rows = (1 to 100).map(i => (i.toLong, "k", i.toDouble)) ++
+      Seq((101L, "k", 1e4), (102L, "k", -1e4))
+    val df = rows.toDF("id", "k", "v")
+    val got = Temporal.winsorizedStandardize(df, "k", "v",
+        pLo = 0.05, pHi = 0.95, bins = 4096)
+      .select("id", "clipped", "z")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    val clips = got.values.map(_._1)
+    // whales are pinned to the band edges; band sits near the true
+    // p05/p95 (within ~2 of the 4.88-unit bin width)
+    assert(got(101L)._1 == clips.max && got(102L)._1 == clips.min)
+    assert(clips.max < 110 && clips.min > -15, s"${clips.min}..${clips.max}")
+    // interior mid-point survives untouched
+    assert(got(50L)._1 == 50.0)
+    // z of the clipped frame is mean-centered and every z is tame (an
+    // unclipped z-score would put the whales at ~±7 and squash the rest)
+    val zs = got.values.flatMap(_._2)
+    assert(math.abs(zs.sum / zs.size) < 1e-3, zs.sum.toString)
+    assert(zs.forall(z => math.abs(z) < 4), s"${zs.min}..${zs.max}")
+    // all-identical values per key: sd = 0 -> null z, clipped = value
+    val const = Seq((1L, "c", 5.0), (2L, "c", 5.0), (3L, "c", 5.0))
+      .toDF("id", "k", "v")
+    val cg = Temporal.winsorizedStandardize(const, "k", "v")
+      .select("clipped", "z").collect()
+    assert(cg.forall(r => r.getDouble(0) == 5.0 && r.get(1) == null))
+  }
+
   test("madOutliersApprox: flags agree with the exact twin on separated data") {
     // per key: 100 values tightly clustered + 2 extreme outliers — any
     // sane median/MAD estimate flags exactly the outliers
