@@ -135,6 +135,29 @@ object OraclesExt {
     s"WITH $minhashCandCte " +
       s"SELECT id_a, id_b, $estJac AS est_jac FROM cand ORDER BY 1, 2"
 
+  /** Contrastive triplets (mirrors `TextAnalysis.contrastiveTriplets`):
+    * LSH positives ≥ 0.5 est-Jaccard + the md5 bucket-representative
+    * negative draw with the next-bucket collision fallback. */
+  val contrastiveTriplets: String =
+    s"WITH $minhashCandCte, " +
+      s"pos AS (SELECT id_a AS anchor, id_b AS positive, $estJac AS est_jac " +
+      s"FROM cand WHERE $estJac >= 0.5), " +
+      s"bk AS (SELECT doc_id, ${h60("doc_id::VARCHAR || ':cp'")} % 64 AS b " +
+      "FROM documents), " +
+      "rep AS (SELECT b, min(doc_id) AS rep FROM bk GROUP BY 1), " +
+      s"tb AS (SELECT p.*, ${h60("p.anchor::VARCHAR || ':cneg'")} % 64 AS t " +
+      "FROM pos p), " +
+      "j AS (SELECT tb.anchor, tb.positive, tb.est_jac, " +
+      "r1.rep AS rep1, r2.rep AS rep2 FROM tb " +
+      "LEFT JOIN rep r1 ON r1.b = tb.t " +
+      "LEFT JOIN rep r2 ON r2.b = (tb.t + 1) % 64), " +
+      "sel AS (SELECT anchor, positive, est_jac, " +
+      "CASE WHEN rep1 IS NOT NULL AND rep1 != anchor AND rep1 != positive " +
+      "THEN rep1 WHEN rep2 IS NOT NULL AND rep2 != anchor " +
+      "AND rep2 != positive THEN rep2 END AS negative FROM j) " +
+      "SELECT anchor, positive, negative, est_jac FROM sel " +
+      "WHERE negative IS NOT NULL ORDER BY anchor, positive"
+
   /** Calibration twin of q14 (mirrors `Dedup.minhashCalibration`): the
     * banded candidates with BOTH the signature estimate and the exact
     * Jaccard of the distinct hashed-shingle sets, restricted to

@@ -3165,6 +3165,26 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           col("clipped"), col("z"))
         .orderBy("event_id")
+    },
+
+    // ───── vocabulary coverage curve: token-mass coverage of the top-k
+    // types at four vocab budgets — the tokenizer-budget sizing signal
+    // (the curve's slope is the marginal value of the next budget step);
+    // the corpus collapses to the vocab before any window runs ─────
+    "q216_vocab_coverage" -> { (s, dir) =>
+      TextAnalysis.vocabCoverage(tb(s, dir, "documents"), "text",
+          Seq(5, 10, 20, 1000))
+        .orderBy("k")
+    },
+
+    // ───── contrastive triplet mining for embedding training: LSH
+    // near-dup positives (est-Jaccard ≥ 0.5) + deterministic md5
+    // bucket-representative negatives with next-bucket fallback — easy
+    // negatives, the standard first epoch; zero RNG state ─────
+    "q217_contrastive" -> { (s, dir) =>
+      TextAnalysis.contrastiveTriplets(tb(s, dir, "documents"), "doc_id",
+          "text", minEstJac = 0.5, nBuckets = 64)
+        .orderBy("anchor", "positive")
     }
   )
 
@@ -5506,6 +5526,26 @@ object SparkEntry {
         "SELECT c.id AS event_id, c.k AS event_type, c.v AS value, " +
         "c.clipped, CASE WHEN m.sd > 0 THEN " +
         "round((c.clipped - m.mean) / m.sd, 6) END AS z " +
-        "FROM c JOIN m ON c.k = m.k ORDER BY event_id")
+        "FROM c JOIN m ON c.k = m.k ORDER BY event_id"),
+
+    // same (freq desc, token) rank + running token mass over the vocab
+    "q216_vocab_coverage" ->
+      ("WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) " +
+        "AS token FROM documents), " +
+        "c AS (SELECT token, count(*)::BIGINT AS freq FROM t GROUP BY 1), " +
+        "r AS (SELECT token, freq, row_number() OVER " +
+        "(ORDER BY freq DESC, token)::INT AS rank, " +
+        "sum(freq) OVER (ORDER BY freq DESC, token " +
+        "ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM c), " +
+        "tt AS (SELECT max(cum)::BIGINT AS t, max(rank)::INT AS v FROM r), " +
+        "s AS (SELECT unnest([5, 10, 20, 1000])::INT AS k) " +
+        "SELECT s.k, least(tt.v, s.k)::INT AS n_types, " +
+        "max(r.cum)::BIGINT AS covered_tokens, " +
+        "round(max(r.cum)::DOUBLE / tt.t, 6) AS coverage " +
+        "FROM s CROSS JOIN tt JOIN r ON r.rank <= s.k " +
+        "GROUP BY s.k, tt.v, tt.t ORDER BY k"),
+
+    // q14's banded-candidate CTE + the md5 bucket-rep negative draw
+    "q217_contrastive" -> OraclesExt.contrastiveTriplets
   )
 }

@@ -425,6 +425,93 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("freq").desc, col("token"))) - 1)
   }
 
+  /** Contrastive training-triplet mining: (anchor, positive, negative)
+    * rows for embedding/retriever training — positives are MinHash+LSH
+    * near-dup pairs ([[Dedup.minhashPairs]], est-Jaccard ≥ `minEstJac`),
+    * negatives are RANDOM-by-hash draws: docs are hashed into `nBuckets`
+    * buckets, each bucket's representative is its min id (a bounded
+    * broadcast table), and the anchor's md5 picks a bucket — falling to
+    * the next bucket when the draw collides with the anchor/positive,
+    * dropping the row if both collide (vanishing probability at corpus
+    * scale). Fully deterministic: same corpus → same triplets, no RNG
+    * state (the q135/q212 md5 posture). These are EASY negatives — the
+    * standard first epoch; hard negatives come from an ANN pass
+    * ([[Similarity]]) instead of this op.
+    *
+    * Scale shape: pair generation is the banded LSH join (never
+    * all-pairs); the negative draw is two broadcast joins against the
+    * ≤`nBuckets`-row rep table — the corpus is never re-shuffled. */
+  def contrastiveTriplets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minEstJac: Double = 0.5,
+      nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    val d = df.select(col(idCol), words(col(textCol)).as("toks"))
+    val pos = Dedup.minhashPairs(d, idCol, Dedup.shingles(col("toks"), 3))
+      .filter(col("est_jac") >= minEstJac)
+      .select(col("id_a").as("anchor"), col("id_b").as("positive"),
+        col("est_jac"))
+    def bucketOf(c: Column, salt: String) =
+      pmod(Hashing.hash60(concat(c.cast("string"), lit(salt))),
+        lit(nBuckets.toLong))
+    val rep = df.select(col(idCol).as("doc"),
+        bucketOf(col(idCol), ":cp").as("b"))
+      .groupBy("b").agg(min(col("doc")).as("rep"))
+    val r1 = rep.select(col("b").as("t"), col("rep").as("rep1"))
+    val r2 = rep.select(col("b").as("t2"), col("rep").as("rep2"))
+    def ok(r: Column) =
+      r.isNotNull && r =!= col("anchor") && r =!= col("positive")
+    pos.withColumn("t", bucketOf(col("anchor"), ":cneg"))
+      .join(broadcast(r1), Seq("t"), "left")
+      .withColumn("t2", (col("t") + 1) % nBuckets)
+      .join(broadcast(r2), Seq("t2"), "left")
+      .withColumn("negative",
+        when(ok(col("rep1")), col("rep1"))
+          .otherwise(when(ok(col("rep2")), col("rep2"))))
+      .filter(col("negative").isNotNull)
+      .select(col("anchor"), col("positive"), col("negative"),
+        col("est_jac"))
+  }
+
+  /** Vocabulary coverage curve — for each candidate vocab budget `k`,
+    * the fraction of the corpus TOKEN MASS the top-`k` types cover
+    * (types ranked freq desc, token asc — [[buildVocab]]'s order): the
+    * tokenizer-budget sizing signal (the marginal value of the next
+    * 10k vocab slots is this curve's slope) and the Zipf sanity check
+    * in one ≤|ks|-row report. Returns (k, n_types, covered_tokens,
+    * coverage 6dp) per requested budget.
+    *
+    * Scale shape: one explode + token hash-aggregate collapses the
+    * corpus to the vocabulary; the rank window and cumulative sum run
+    * over THAT bounded table ([[buildVocab]]'s posture), and the budget
+    * spine joins against ≤|vocab| cum rows. */
+  def vocabCoverage(
+      df: DataFrame,
+      textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
+    val counts = df.select(explode(words(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val wRank = Window.orderBy(col("freq").desc, col("token"))
+    val cum = counts
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("cum", sum(col("freq")).over(
+        wRank.rowsBetween(Window.unboundedPreceding, 0)))
+      .localCheckpoint(false)
+    val tot = cum.agg(max(col("cum")).as("_t"), max(col("rank")).as("_v"))
+    val spine = df.sparkSession.range(1).select(
+      explode(array(ks.distinct.sorted.map(lit): _*)).as("k"))
+    spine.crossJoin(broadcast(tot))
+      .join(cum, col("rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(least(max(col("_v")), max(col("k"))).cast("int").as("n_types"),
+        max(col("cum")).as("covered_tokens"),
+        round(max(col("cum")).cast("double") / max(col("_t")), 6)
+          .as("coverage"))
+  }
+
   /** Adjacent-token bigram structs formed INSIDE the token array (empty
     * when < 2 tokens — `sequence` would otherwise count backwards). The
     * array-level formulation is what keeps n-gram stats shuffle-free: the

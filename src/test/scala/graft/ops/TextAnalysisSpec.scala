@@ -518,6 +518,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L)._3 > got(2L)._3 && got(2L)._3 > got(3L)._3)
   }
 
+  test("contrastiveTriplets: near-dup positives, hash negatives never collide") {
+    val near = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, near), (2L, near), // exact dup pair -> positive
+      (3L, "completely unrelated text about spark queries and joins"),
+      (4L, "another distinct document mentioning tables and columns"),
+      (5L, "yet more filler content to populate negative buckets here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.contrastiveTriplets(docs, "doc_id", "text",
+        minEstJac = 0.5, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.nonEmpty, "expected the dup pair to mine a triplet")
+    got.foreach { case (a, p, n, j) =>
+      assert(a < p && n != a && n != p, got.mkString(", "))
+      assert(j >= 0.5, got.mkString(", "))
+    }
+    // deterministic under repartitioning — no RNG state anywhere
+    val again = TextAnalysis.contrastiveTriplets(docs.repartition(5),
+        "doc_id", "text", minEstJac = 0.5, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("vocabCoverage: cumulative mass at each budget, ties ranked by token") {
+    // freqs: a=4, b=3, c=2, d=1 (10 tokens, 4 types)
+    val df = Seq((1L, "a a b c"), (2L, "a b d"), (3L, "a b c")).toDF("id", "text")
+    val got = TextAnalysis.vocabCoverage(df, "text", Seq(1, 2, 3, 100))
+      .collect().map(r => r.getInt(0) ->
+        (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1) == ((1, 4L, 0.4)), got.toString)
+    assert(got(2) == ((2, 7L, 0.7)), got.toString)
+    assert(got(3) == ((3, 9L, 0.9)), got.toString)
+    // budget beyond the vocab saturates at the full mass and true V
+    assert(got(100) == ((4, 10L, 1.0)), got.toString)
+    // tie-break: equal freqs rank alphabetically — swap c to tie with b
+    val tied = Seq((1L, "a a a b b c c")).toDF("id", "text")
+    val g2 = TextAnalysis.vocabCoverage(tied, "text", Seq(2))
+      .collect().head
+    assert(g2.getLong(2) == 5L, g2.toString) // a(3) + b(2), not c
+  }
+
   test("importanceResample: target-like docs out-weigh target-unlike; deterministic") {
     // target slice speaks 'aaa bbb'; the distractor dialect is 'zzz yyy'
     val docs = (
