@@ -164,6 +164,36 @@ class NullSafetySpec extends SparkSpec {
     assert(got.contains(("b", Some(1.0))) && got(("b", Some(1.0))).isEmpty)
   }
 
+  test("importanceResample/vocabCoverage/contrastive are total on degenerate corpora") {
+    // empty TARGET slice: the smoothed target distribution is uniform
+    // (1/(0+B) per bucket) — weights still compute, nothing errors
+    val ir = TextAnalysis.importanceResample(degenerate, "doc_id", "text",
+      lit(false), nBuckets = 8, k = 10).collect()
+    assert(ir.nonEmpty && ir.forall(r => !r.isNullAt(1)), ir.mkString(", "))
+    // token-less docs carry no buckets -> absent from the ranking
+    assert(!ir.map(_.getLong(0)).toSet.exists(Set(1L, 2L, 3L)), ir.mkString(", "))
+    // vocabCoverage over a corpus with null/blank docs: totals count only
+    // real tokens; budgets beyond the vocab saturate at 1.0
+    val vc = TextAnalysis.vocabCoverage(degenerate, "text", Seq(1, 1000))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(vc(1000) == 1.0, vc.toString)
+    // no near-dup pair anywhere -> zero triplets, not an error
+    assert(TextAnalysis.contrastiveTriplets(degenerate, "doc_id", "text")
+      .count() == 0)
+  }
+
+  test("adamicAdar: cap that drops every neighbor yields empty, never errors") {
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("s", "c")
+    // customer 10 has deg 3 > cap 2 -> no surviving incidence rows
+    assert(Graph.adamicAdar(e, "s", "c", maxDegree = 2, minCommon = 1)
+      .count() == 0)
+    // self-loops and duplicate edges collapse before scoring
+    val dup = Seq((1L, 10L), (1L, 10L), (2L, 10L)).toDF("s", "c")
+    val got = Graph.adamicAdar(dup, "s", "c", maxDegree = 5, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 1L), got.toString)
+  }
+
   test("windowFunnel/holtLinear: empty/degenerate keys vanish, no level rows lost") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq((1L, ts("2024-01-01 08:00:00"), "view"))
