@@ -486,7 +486,10 @@ object TextAnalysis {
     * Scale shape: one explode + token hash-aggregate collapses the
     * corpus to the vocabulary; the rank window and cumulative sum run
     * over THAT bounded table ([[buildVocab]]'s posture), and the budget
-    * spine joins against ≤|vocab| cum rows. */
+    * spine joins against ≤|vocab| cum rows. The plan's
+    * BroadcastNestedLoopJoin is the `rank <= k` theta join of the
+    * |ks|-row broadcast spine onto the vocab table — |ks|·|vocab|
+    * comparisons, bounded by the vocabulary, never the corpus. */
   def vocabCoverage(
       df: DataFrame,
       textCol: String,
@@ -902,7 +905,9 @@ object TextAnalysis {
     // null) would silently zero that bucket's contribution
     val spine = df.sparkSession.range(nBuckets).select(col("id").as("bucket"))
     def dist(f: DataFrame, out: String): DataFrame = {
-      val cnts = f.groupBy("bucket").agg(sum(col("cnt")).as("_c"))
+      // cnts is ≤ nBuckets rows by construction — say so (the aggregate
+      // over checkpointed data has no stats and would sort-merge)
+      val cnts = broadcast(f.groupBy("bucket").agg(sum(col("cnt")).as("_c")))
       val tot = f.agg(sum(col("cnt")).as("_t"))
       spine.join(cnts, Seq("bucket"), "left")
         .crossJoin(broadcast(tot))

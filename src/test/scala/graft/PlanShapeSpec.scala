@@ -868,4 +868,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.toString.contains("SortMergeJoin"),
       s"prior must broadcast:\n$plan")
   }
+
+  test("dsir: both bucket distributions broadcast — scoring is map-side over the feature frame") {
+    import org.apache.spark.sql.functions.col
+    val df = ops.TextAnalysis.importanceResample(
+      ops.Sources.table(spark, dir, "documents"), "doc_id", "text",
+      col("lang") === "en", nBuckets = 32, k = 50)
+    val plan = executed(df)
+    // p_t and p_r enter as broadcast hash joins on bucket; nothing
+    // sort-merges (the corpus-side frame is never re-partitioned to score)
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size >= 2,
+      s"expected both distributions to broadcast:\n$plan")
+    assert(!plan.toString.contains("SortMergeJoin"), s"no SMJ expected:\n$plan")
+  }
+
+  test("contrastive: negative draw is two broadcast rep joins, pairs come banded") {
+    val df = ops.TextAnalysis.contrastiveTriplets(
+      ops.Sources.table(spark, dir, "documents"), "doc_id", "text",
+      minEstJac = 0.5, nBuckets = 16)
+    val plan = executed(df)
+    val bhj = collectAll(plan) { case j: BroadcastHashJoinExec => j }
+    // band-bucket candidate join + two rep-table joins, all hash equi —
+    // the only acceptable non-equi anywhere is none at all
+    assert(bhj.size >= 2, s"expected broadcast rep joins:\n$plan")
+    assert(!plan.toString.contains("NestedLoop") &&
+      !plan.toString.contains("CartesianProduct"),
+      s"no nested-loop/cartesian expected:\n$plan")
+  }
 }

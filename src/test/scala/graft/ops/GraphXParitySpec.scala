@@ -81,4 +81,29 @@ class GraphXParitySpec extends SparkSpec {
     val theirs = xg.triangleCount().vertices.map(_._2.toLong).sum() / 3
     assert(ours == theirs, s"ours $ours vs graphx $theirs")
   }
+
+  test("localClustering per-node triangle counts match GraphX TriangleCount") {
+    val rnd = new scala.util.Random(23)
+    val pairs = Seq.tabulate(120)(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+
+    val ours = Graph.localClustering(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val xg = XGraph.fromEdges(
+      spark.sparkContext.parallelize(pairs.map { case (a, b) => Edge(a, b, 1) }),
+      defaultValue = 1.0)
+    val theirs = xg.triangleCount().vertices.collect().toMap
+    val theirDeg = xg.degrees.collect().toMap
+
+    assert(ours.keySet == theirs.keySet.map(_.toLong), "node sets differ")
+    ours.foreach { case (id, (deg, tri)) =>
+      assert(tri == theirs(id).toLong,
+        s"node $id triangles: ours $tri vs graphx ${theirs(id)}")
+      assert(deg == theirDeg(id).toLong,
+        s"node $id degree: ours $deg vs graphx ${theirDeg(id)}")
+    }
+  }
 }
