@@ -20,16 +20,25 @@ object Cleansing {
 
   /** Lenient day-first date parse — the pandas
     * `to_datetime(dayfirst=True)` tolerance the reference relies on
-    * (timesheet_transform.py:49,121) over the separators it actually
-    * sees: slash, dash, and ISO. Day-first formats take precedence
-    * (mirrors `dayfirst=True`); ISO strings fail both day-first parses
-    * (a 4-digit day never parses) so the cascade is unambiguous. Null on
+    * (timesheet_transform.py:49,121). Day-first numeric formats take
+    * precedence (mirrors `dayfirst=True`), then the unambiguous shapes
+    * dateutil also accepts: ISO with either separator, dotted European,
+    * compact 8-digit, and English month names. Later branches only fire
+    * when every earlier one fails (a 4-digit day never parses; month
+    * names never parse numerically), so widening the cascade cannot
+    * change the meaning of a string an earlier branch accepted. Null on
     * total failure — the callers' row-skip contract. */
   def parseDateLenient(c: Column): Column =
     coalesce(
       try_to_date(c, "d/M/yyyy"),
       try_to_date(c, "d-M-yyyy"),
-      try_to_date(c, "yyyy-M-d"))
+      try_to_date(c, "yyyy-M-d"),
+      try_to_date(c, "d.M.yyyy"),
+      try_to_date(c, "yyyy/M/d"),
+      try_to_date(c, "yyyyMMdd"),
+      try_to_date(c, "d MMM yyyy"),
+      try_to_date(c, "d-MMM-yyyy"),
+      try_to_date(c, "MMMM d, yyyy"))
 
   /** P2: parse "DD/MM/YYYY al DD/MM/YYYY" → week-start date, day-first;
     * returns null on malformed input, which callers filter (≙ the
@@ -65,14 +74,13 @@ object Cleansing {
 
   /** P9: date-granularity normalization; accepts string/timestamp/date
     * cells (timesheet_transform.py:118-125). The cast handles
-    * date/timestamp/ISO-string cells; day-first string cells fall through
-    * to the lenient parse — the reference's free-form target-cell
-    * coercion accepts both. */
+    * date/timestamp/ISO-string cells; string cells fall through to the
+    * full [[parseDateLenient]] cascade — the reference's free-form
+    * target-cell coercion (pandas `to_datetime`) accepts all of these. */
   def asDate(c: Column): Column =
     coalesce(
       c.try_cast("date"),
-      try_to_date(c.cast("string"), "d/M/yyyy"),
-      try_to_date(c.cast("string"), "d-M-yyyy"))
+      parseDateLenient(c.cast("string")))
 
   /** P11: partition/sheet-name truncation (timesheet_transform_v1.py:99). */
   def truncName(c: Column, n: Int = 31): Column = substring(c, 1, n)

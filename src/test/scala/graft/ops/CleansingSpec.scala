@@ -26,21 +26,30 @@ class CleansingSpec extends SparkSpec {
 
   test("P2/P9: lenient parse — dash + ISO separators, day-first precedence") {
     val df = Seq(
-      "05/03/2025", // slash day-first
-      "05-03-2025", // dash day-first -> 5 March, NOT 3 May
-      "2025-03-05", // ISO (4-digit day never parses day-first)
-      "5-3-2025",   // non-padded dash
-      "03.05.2025"  // unsupported separator -> null
+      "05/03/2025",     // slash day-first
+      "05-03-2025",     // dash day-first -> 5 March, NOT 3 May
+      "2025-03-05",     // ISO (4-digit day never parses day-first)
+      "5-3-2025",       // non-padded dash
+      "05.03.2025",     // dotted European, day-first
+      "2025/03/05",     // ISO with slashes — the 4-digit year can only be
+                        // yyyy/M/d (d/M/yyyy fails on a 4-digit day)
+      "20250305",       // compact 8-digit
+      "5 Mar 2025",     // dateutil month-name forms
+      "05-Mar-2025",
+      "March 5, 2025",
+      "not a date"      // total failure -> null
     ).toDF("c")
     val got = df.select(Cleansing.parseDateLenient($"c").as("d")).collect()
-    assert(got(0).getDate(0).toString == "2025-03-05")
-    assert(got(1).getDate(0).toString == "2025-03-05")
-    assert(got(2).getDate(0).toString == "2025-03-05")
-    assert(got(3).getDate(0).toString == "2025-03-05")
-    assert(got(4).isNullAt(0))
-    // asDate: day-first strings coerce like the reference's free-form cells
-    val d2 = Seq("05-03-2025").toDF("c").select(Cleansing.asDate($"c")).collect()
-    assert(d2(0).getDate(0).toString == "2025-03-05")
+    got.dropRight(1).zipWithIndex.foreach { case (r, i) =>
+      assert(!r.isNullAt(0) && r.getDate(0).toString == "2025-03-05",
+        s"row $i: $r")
+    }
+    assert(got.last.isNullAt(0))
+    // asDate: every free-form cell shape coerces like the reference's
+    // pandas to_datetime target-cell coercion
+    val d2 = Seq("05-03-2025", "5 Mar 2025", "20250305").toDF("c")
+      .select(Cleansing.asDate($"c")).collect()
+    d2.foreach(r => assert(r.getDate(0).toString == "2025-03-05", r.toString))
   }
 
   test("P4: surname — last token, lowercased; empty/blank/null -> unknown") {
