@@ -135,6 +135,24 @@ object OraclesExt {
     s"WITH $minhashCandCte " +
       s"SELECT id_a, id_b, $estJac AS est_jac FROM cand ORDER BY 1, 2"
 
+  /** Threshold sweep (mirrors `Dedup.thresholdSweep`): q14's candidates
+    * against the literal cutoff spine; zero levels emit via spine left
+    * joins. Thresholds cast ::DOUBLE (bare list literals are DECIMAL). */
+  val thresholdSweep: String =
+    s"WITH $minhashCandCte, " +
+      s"p AS (SELECT id_a, id_b, $estJac AS est_jac FROM cand), " +
+      "s AS (SELECT unnest([0.5, 0.625, 0.75, 0.875, 1.0])::DOUBLE AS threshold), " +
+      "sw AS (SELECT s.threshold, p.id_a, p.id_b FROM s " +
+      "JOIN p ON p.est_jac >= s.threshold), " +
+      "np AS (SELECT threshold, count(*)::BIGINT AS n_pairs FROM sw GROUP BY 1), " +
+      "nd AS (SELECT threshold, count(DISTINCT id)::BIGINT AS n_docs_affected " +
+      "FROM (SELECT threshold, id_a AS id FROM sw " +
+      "UNION ALL SELECT threshold, id_b FROM sw) GROUP BY 1) " +
+      "SELECT s.threshold, coalesce(np.n_pairs, 0)::BIGINT AS n_pairs, " +
+      "coalesce(nd.n_docs_affected, 0)::BIGINT AS n_docs_affected " +
+      "FROM s LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold) " +
+      "ORDER BY threshold"
+
   /** Contrastive triplets (mirrors `TextAnalysis.contrastiveTriplets`):
     * LSH positives ≥ 0.5 est-Jaccard + the md5 bucket-representative
     * negative draw with the next-bucket collision fallback. */

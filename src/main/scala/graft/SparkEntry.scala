@@ -3185,6 +3185,18 @@ object SparkEntry {
       TextAnalysis.contrastiveTriplets(tb(s, dir, "documents"), "doc_id",
           "text", minEstJac = 0.5, nBuckets = 64)
         .orderBy("anchor", "positive")
+    },
+
+    // ───── dedup threshold sweep: pair count + affected-doc count at
+    // five est-Jaccard cutoffs from ONE LSH candidate pass — the curve
+    // you read before committing a corpus-wide dedup threshold;
+    // thresholds are exact 1/16 multiples so cutoff compares are exact ─────
+    "q218_threshold_sweep" -> { (s, dir) =>
+      val d = tb(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+      Dedup.thresholdSweep(d, "doc_id", Dedup.shingles(col("toks"), 3),
+          Seq(0.5, 0.625, 0.75, 0.875, 1.0))
+        .orderBy("threshold")
     }
   )
 
@@ -5546,6 +5558,10 @@ object SparkEntry {
         "GROUP BY s.k, tt.v, tt.t ORDER BY k"),
 
     // q14's banded-candidate CTE + the md5 bucket-rep negative draw
-    "q217_contrastive" -> OraclesExt.contrastiveTriplets
+    "q217_contrastive" -> OraclesExt.contrastiveTriplets,
+
+    // q14's candidates swept over the literal threshold spine; zero
+    // levels still emit via the spine left joins
+    "q218_threshold_sweep" -> OraclesExt.thresholdSweep
   )
 }

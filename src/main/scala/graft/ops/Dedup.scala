@@ -93,6 +93,49 @@ object Dedup {
       .filter(col("jac") >= minJaccard)
   }
 
+  /** Dedup threshold-sweep curve: for each candidate similarity cutoff,
+    * the pair count and the number of AFFECTED documents (docs touching
+    * ≥ 1 pair at that cutoff) from ONE MinHash+LSH candidate pass — the
+    * report you sweep BEFORE committing a corpus-wide dedup threshold
+    * (too low deletes paraphrases, too high keeps templates; the knee of
+    * this curve is the decision). Returns one row per threshold:
+    * (threshold, n_pairs, n_docs_affected), thresholds descending-
+    * monotone in both counts by construction.
+    *
+    * Scale shape: the banded candidate join runs ONCE ([[minhashPairs]] —
+    * never all-pairs, never re-run per threshold); the sweep is an
+    * explode of the ≤|thresholds| literal spine over the candidate rows
+    * plus one distinct per (threshold, doc) — both bounded by candidate
+    * volume, not the corpus. */
+  def thresholdSweep(
+      df: DataFrame,
+      idCol: String,
+      shingleCol: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(t => t > 0 && t <= 1),
+      "thresholds in (0, 1]")
+    val pairs = minhashPairs(df, idCol, shingleCol).localCheckpoint()
+    val ts = thresholds.distinct.sorted
+    val swept = pairs.select(col("id_a"), col("id_b"), col("est_jac"),
+        explode(array(ts.map(lit): _*)).as("threshold"))
+      .filter(col("est_jac") >= col("threshold"))
+      .localCheckpoint()
+    val nPairs = swept.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = swept
+      .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy("threshold")
+      .agg(count_distinct(col("id")).as("n_docs_affected"))
+    // join FROM the literal spine: a threshold nothing reaches still
+    // emits its zero row (the windowFunnel zero-level contract)
+    df.sparkSession.range(1)
+      .select(explode(array(ts.map(lit): _*)).as("threshold"))
+      .join(broadcast(nPairs), Seq("threshold"), "left")
+      .join(broadcast(nDocs), Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
+  }
+
   /** Directed n-gram CONTAINMENT pairs — Jaccard's asymmetric sibling
     * `c(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|`: a near-total quote of a short
     * doc inside a long one scores ~1 here while its Jaccard (÷ the UNION)

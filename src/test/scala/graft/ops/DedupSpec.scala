@@ -459,6 +459,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 1.0)
   }
 
+  test("thresholdSweep: monotone counts, zero levels emit, matches direct filters") {
+    val d = docs.select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+    val sh = Dedup.shingles(col("toks"), 3)
+    val ts = Seq(0.25, 0.5, 0.75, 1.0)
+    val got = Dedup.thresholdSweep(d, "doc_id", sh, ts)
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == ts.toSet, got.toString) // every level emits
+    // monotone non-increasing in the threshold
+    ts.sliding(2).foreach { case Seq(a, b) =>
+      assert(got(a)._1 >= got(b)._1 && got(a)._2 >= got(b)._2, got.toString)
+    }
+    // each level equals the direct minhashPairs filter
+    val pairs = Dedup.minhashPairs(d, "doc_id", sh).cache()
+    ts.foreach { t =>
+      val n = pairs.filter(col("est_jac") >= t).count()
+      assert(got(t)._1 == n, s"t=$t: ${got(t)._1} vs $n")
+    }
+    // exact dup pair (docs 1, 2) keeps est 1.0 alive at the top level
+    assert(got(1.0)._1 >= 1 && got(1.0)._2 >= 2, got.toString)
+    pairs.unpersist()
+  }
+
   test("containmentPairs: asymmetric — short-in-long scores 1.0 both ways differ") {
     // doc 2 = doc 1 quoted inside extra framing text: containment(1→2)=1,
     // Jaccard far below 1 (the case the union denominator hides)
