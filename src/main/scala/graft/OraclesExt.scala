@@ -409,6 +409,33 @@ object OraclesExt {
       "SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
   }
 
+  /** Mirrors Similarity.topKIvfCentroids over the PINNED Lloyd-trained
+    * index ([[graft.fixtures.PinnedIndex.ivfCentroidsV1]], q220): the 16
+    * centroids and their ‖c‖² enter as literal VALUES rows — the exact
+    * doubles the Spark plan embeds (shortest round-trip repr) — so
+    * assignment, probing, and the tie-breaks decide identically. */
+  val simTopKIvfPinned: String = {
+    val nProbe = 4
+    val cents = graft.fixtures.PinnedIndex.ivfCentroidsV1
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      val lits = c.mkString("[", ", ", "]")
+      val cn2 = c.map(x => x * x).sum
+      s"($i, $lits::DOUBLE[], $cn2)"
+    }.mkString(", ")
+    s"WITH $embCte, " +
+      s"cent AS (SELECT * FROM (VALUES $rows) t(cell, cv, cn2)), " +
+      "scored AS (SELECT e.vec_id, e.v, cent.cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_dot_product(e.v, cent.cv) * -2.0 + cent.cn2, cent.cell) AS rn " +
+      "FROM e CROSS JOIN cent), " +
+      "corp AS (SELECT vec_id AS cid, v AS cv, cell FROM scored WHERE rn = 1), " +
+      s"q AS (SELECT vec_id AS qid, v AS qv, cell FROM scored WHERE vec_id % 100 = 0 AND rn <= $nProbe), " +
+      s"s AS (SELECT qid, cid, round(${cosSql("qv", "cv")}, 6) AS cos " +
+      "FROM q JOIN corp USING (cell) WHERE cid <> qid), " +
+      "r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM s) " +
+      "SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
+  }
+
   /** Mirrors q117: candidate pairs at est ≥ 0.5 attributed to their
     * least/greatest-normalized source pair. */
   val sourceOverlap: String =
@@ -455,10 +482,19 @@ object OraclesExt {
     * pqAssign), the ADC sum (explicit left-associated chain ≡
     * `reduce(_+_)`), the candMult·k cut, and the exact re-rank all decide
     * identically in both engines. */
-  val simTopKPqSeeded: String = {
-    val dim = 64; val m = 8; val ksub = 16; val k = 5; val candMult = 8
+  val simTopKPqSeeded: String =
+    simTopKPqBooks(graft.ops.Similarity.pqSeededBooks(8, 16, 64))
+
+  /** The same chain over the PINNED Lloyd-trained codebooks
+    * ([[graft.fixtures.PinnedIndex.pqBooksV1]], q221). */
+  val simTopKPqPinned: String =
+    simTopKPqBooks(graft.fixtures.PinnedIndex.pqBooksV1)
+
+  private def simTopKPqBooks(books: Array[Array[Array[Double]]]): String = {
+    val m = books.length
+    val dim = m * books.head.head.length
+    val k = 5; val candMult = 8
     val dsub = dim / m
-    val books = graft.ops.Similarity.pqSeededBooks(m, ksub, dim)
     def sub(v: String, s: Int) = s"$v[${s * dsub + 1}:${(s + 1) * dsub}]"
     // per-subspace code: first position of the min ADC-score over the 16
     // literal entries (1-based) minus 1 — ties resolve to the lowest j,

@@ -572,8 +572,8 @@ object SparkEntry {
     },
 
     // ───── Similarity: IVF top-k over a deterministic sampled codebook
-    // (multi-cell probe; full SQL oracle — the trained k-means variant
-    // topKIvfKmeans keeps its exactness property in SimilaritySpec) ─────
+    // (multi-cell probe; full SQL oracle — the Lloyd-TRAINED index is
+    // served by q220 over the pinned fixture) ─────
     "q39_sim_topk_ivf_sampled" -> { (s, dir) =>
       val e = tb(s, dir, "embeddings")
       Similarity.topKIvfSampled(
@@ -585,8 +585,8 @@ object SparkEntry {
     },
 
     // ───── Similarity: product-quantized ADC top-k + exact re-rank over
-    // hash-seeded codebooks (full SQL oracle — the lloyd-trained variant
-    // topKPq keeps its recall/exactness specs in SimilaritySpec) ─────
+    // hash-seeded codebooks (full SQL oracle — the Lloyd-TRAINED books
+    // are served by q221 over the pinned fixture) ─────
     "q55_sim_topk_pq" -> { (s, dir) =>
       val e = tb(s, dir, "embeddings")
       Similarity.topKPqSeeded(
@@ -3197,8 +3197,63 @@ object SparkEntry {
       Dedup.thresholdSweep(d, "doc_id", Dedup.shingles(col("toks"), 3),
           Seq(0.5, 0.625, 0.75, 0.875, 1.0))
         .orderBy("threshold")
+    },
+
+    // ───── batched reciprocal-rank fusion: a three-query hybrid
+    // retrieval workload (TF-IDF ⊕ BM25 top-20 arms per query) fused in
+    // ONE plan — per-query rank windows, (query, doc) full join, the
+    // sort-free TopKPerKey heap truncation; the production multi-query
+    // shape of q198 ─────
+    "q219_rrf_batched" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      val arms = rrfQueries.map { case (qid, ts) =>
+        (TextAnalysis.tfidfTopK(docs, "text", "doc_id", ts, k = 20)
+           .withColumn("query_id", lit(qid)),
+         TextAnalysis.bm25TopK(docs, "text", "doc_id", ts, k = 20)
+           .withColumn("query_id", lit(qid)))
+      }
+      TextAnalysis.rrfFuseBatched(
+          arms.map(_._1).reduce(_ unionByName _),
+          arms.map(_._2).reduce(_ unionByName _),
+          "query_id", "doc_id", "score", kConst = 60, topK = 15)
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+    },
+
+    // ───── Similarity: IVF top-k served from the PINNED Lloyd-trained
+    // index artifact (fixtures.PinnedIndex — trained offline by the
+    // deterministic sampled-Lloyd trainer, shipped as literals the way
+    // real ANN systems version their indexes; both engines embed the
+    // same centroid doubles) ─────
+    "q220_ivf_pinned" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.topKIvfCentroids(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          graft.fixtures.PinnedIndex.ivfCentroidsV1, k = 5, nProbe = 4)
+        .orderBy("qid", "rnk")
+    },
+
+    // ───── Similarity: PQ/ADC top-k + exact re-rank served from the
+    // PINNED Lloyd-trained codebooks (q55's serving path, trained index
+    // instead of hash-seeded) ─────
+    "q221_pq_pinned" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.topKPqWithBooks(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          graft.fixtures.PinnedIndex.pqBooksV1, k = 5, candMult = 8)
+        .orderBy("qid", "rnk")
     }
   )
+
+  /** q219's fixed retrieval workload — shared by the Spark row and its
+    * DuckDB oracle so the two sides stay in lockstep. */
+  private[graft] val rrfQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "query", "join"),
+    2 -> Seq("stream", "window", "batch"),
+    3 -> Seq("sort", "merge", "fast"))
 
   /** q178's PSI oracle, shared verbatim by q183 (the streaming current
     * side accumulates the same bin counts a batch scan produces —
@@ -5241,42 +5296,7 @@ object SparkEntry {
 
     // both retriever CTE chains (q48's TF-IDF, q112's BM25) ranked, full
     // join, 1/(60+rank) arms, 9dp fused score
-    "q198_rrf_fusion" -> {
-      val terms = Seq("spark", "query", "join")
-      val tfs = terms.zipWithIndex.map { case (t, i) =>
-        s"len(regexp_extract_all(lower(text), '\\b$t\\b')) AS tf$i"
-      }.mkString(", ")
-      val tfsD = terms.zipWithIndex.map { case (t, i) =>
-        s"len(regexp_extract_all(lower(text), '\\b$t\\b'))::DOUBLE AS tf$i"
-      }.mkString(", ")
-      val dfs = terms.indices.map(i =>
-        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i").mkString(", ")
-      val scoreA = terms.indices.map(i =>
-        s"tf$i * ln((s.n + 1.0) / (s.df$i + 1.0))").mkString(" + ")
-      val scoreB = terms.indices.map { i =>
-        s"ln((s2.n - s2.df$i + 0.5) / (s2.df$i + 0.5) + 1.0) * (tf$i * 2.2) / " +
-          s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / s2.avgdl))"
-      }.mkString(" + ")
-      s"WITH d AS (SELECT doc_id, $tfs FROM documents), " +
-        s"s AS (SELECT count(*)::DOUBLE AS n, $dfs FROM d), " +
-        s"la AS (SELECT doc_id, round($scoreA, 6) AS sc FROM d, s " +
-        "ORDER BY sc DESC, doc_id LIMIT 20), " +
-        "ra AS (SELECT doc_id, row_number() OVER " +
-        "(ORDER BY sc DESC, doc_id)::INT AS rank_a FROM la), " +
-        "d2 AS (SELECT doc_id, " +
-        s"len(regexp_extract_all(lower(text), '\\w+'))::DOUBLE AS dl, $tfsD " +
-        "FROM documents), " +
-        s"s2 AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, $dfs FROM d2), " +
-        s"lb AS (SELECT doc_id, round($scoreB, 6) AS sc FROM d2, s2 " +
-        "ORDER BY sc DESC, doc_id LIMIT 20), " +
-        "rb AS (SELECT doc_id, row_number() OVER " +
-        "(ORDER BY sc DESC, doc_id)::INT AS rank_b FROM lb) " +
-        "SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b, " +
-        "round(coalesce(1.0::DOUBLE / (60 + rank_a), 0) + " +
-        "coalesce(1.0::DOUBLE / (60 + rank_b), 0), 9) AS rrf " +
-        "FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id " +
-        "ORDER BY rrf DESC, doc_id LIMIT 15"
-    },
+    "q198_rrf_fusion" -> rrfFusedSql(Seq("spark", "query", "join")),
 
     // q19's prediction CTE joined to the declared lang; margins/accuracy
     // as windows over the cell grid
@@ -5562,6 +5582,57 @@ object SparkEntry {
 
     // q14's candidates swept over the literal threshold spine; zero
     // levels still emit via the spine left joins
-    "q218_threshold_sweep" -> OraclesExt.thresholdSweep
+    "q218_threshold_sweep" -> OraclesExt.thresholdSweep,
+
+    // q198's fused CTE chain instantiated once per workload query (same
+    // shared rrfQueries term sets), UNION ALL'd with the query id
+    "q219_rrf_batched" -> rrfQueries.map { case (qid, ts) =>
+      s"SELECT $qid AS query_id, f.* FROM (${rrfFusedSql(ts)}) f"
+    }.mkString("", " UNION ALL ", " ORDER BY query_id, rrf DESC, doc_id"),
+
+    // q39's assignment/probe/score chain with the pinned trained
+    // centroids as literal VALUES rows
+    "q220_ivf_pinned" -> OraclesExt.simTopKIvfPinned,
+
+    // q55's encode/ADC/re-rank chain over the pinned trained codebooks
+    "q221_pq_pinned" -> OraclesExt.simTopKPqPinned
   )
+
+  /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,
+    * parameterized by the term set) — top-20 arms, kConst 60, top-15. */
+  private def rrfFusedSql(terms: Seq[String]): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(regexp_extract_all(lower(text), '\\b$t\\b')) AS tf$i"
+    }.mkString(", ")
+    val tfsD = terms.zipWithIndex.map { case (t, i) =>
+      s"len(regexp_extract_all(lower(text), '\\b$t\\b'))::DOUBLE AS tf$i"
+    }.mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i").mkString(", ")
+    val scoreA = terms.indices.map(i =>
+      s"tf$i * ln((s.n + 1.0) / (s.df$i + 1.0))").mkString(" + ")
+    val scoreB = terms.indices.map { i =>
+      s"ln((s2.n - s2.df$i + 0.5) / (s2.df$i + 0.5) + 1.0) * (tf$i * 2.2) / " +
+        s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / s2.avgdl))"
+    }.mkString(" + ")
+    s"WITH d AS (SELECT doc_id, $tfs FROM documents), " +
+      s"s AS (SELECT count(*)::DOUBLE AS n, $dfs FROM d), " +
+      s"la AS (SELECT doc_id, round($scoreA, 6) AS sc FROM d, s " +
+      "ORDER BY sc DESC, doc_id LIMIT 20), " +
+      "ra AS (SELECT doc_id, row_number() OVER " +
+      "(ORDER BY sc DESC, doc_id)::INT AS rank_a FROM la), " +
+      "d2 AS (SELECT doc_id, " +
+      s"len(regexp_extract_all(lower(text), '\\w+'))::DOUBLE AS dl, $tfsD " +
+      "FROM documents), " +
+      s"s2 AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, $dfs FROM d2), " +
+      s"lb AS (SELECT doc_id, round($scoreB, 6) AS sc FROM d2, s2 " +
+      "ORDER BY sc DESC, doc_id LIMIT 20), " +
+      "rb AS (SELECT doc_id, row_number() OVER " +
+      "(ORDER BY sc DESC, doc_id)::INT AS rank_b FROM lb) " +
+      "SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b, " +
+      "round(coalesce(1.0::DOUBLE / (60 + rank_a), 0) + " +
+      "coalesce(1.0::DOUBLE / (60 + rank_b), 0), 9) AS rrf " +
+      "FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id " +
+      "ORDER BY rrf DESC, doc_id LIMIT 15"
+  }
 }

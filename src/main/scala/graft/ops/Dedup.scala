@@ -614,7 +614,19 @@ object Dedup {
     * CONTENT, so hot keys are bounded by true near-duplicate
     * neighborhoods and cost grows linearly with data — measured ~3× for
     * 3× rows. The block column still rides the join key as an equality
-    * predicate. `maxDist` ≤ 2 enforced: the variant count is O(L^d). */
+    * predicate. `maxDist` ≤ 2 enforced: the variant count is O(L^d).
+    *
+    * ADVERSARIAL SKEW: variant generation runs over ONE REPRESENTATIVE
+    * per distinct (block, name) — n records sharing a name would
+    * otherwise make every one of their ~L²/2 variant buckets n wide
+    * (n²·L²/2 candidate rows before the distinct). Exact-name groups
+    * expand back afterwards: within-group pairs are emitted directly as
+    * dist 0 (no DP), cross-group rep pairs fan out to member pairs via
+    * two (block, name) equi-joins. Candidate width is therefore bounded
+    * by DISTINCT names per variant; the residual worst case — many
+    * distinct names within edit distance of each other — is inherent
+    * (the OUTPUT is quadratic there) and the DP verify runs once per
+    * distinct name pair, never per record pair. */
   def fuzzyPairsSymDel(
       df: DataFrame,
       idCol: String,
@@ -623,8 +635,43 @@ object Dedup {
       maxDist: Int = 2): DataFrame = {
     require(maxDist >= 0 && maxDist <= 2,
       s"maxDist in [0, 2] (variant count is O(len^d)), got $maxDist")
-    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      col(nameCol).as("nm"))
+    // null name/block rows can never pair (the equi-join drops nulls in
+    // the variant formulation) — filter up front so the exact-name
+    // group expansion preserves that contract
+    val members = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col(nameCol).as("nm"))
+      .filter(col("nm").isNotNull && col("blk").isNotNull)
+    val reps = members.groupBy("blk", "nm").agg(min(col("id")).as("id"))
+    val cand = symDelCandidates(reps, maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+    // cross-group: fan each verified distinct-name pair out to members
+    val cross = cand
+      .join(members.select(col("blk"), col("nm").as("name_a"),
+        col("id").as("ia")), Seq("blk", "name_a"))
+      .join(members.select(col("blk"), col("nm").as("name_b"),
+        col("id").as("ib")), Seq("blk", "name_b"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
+    // within-group: identical names are dist-0 pairs by definition —
+    // quadratic only in the true-duplicate group size (= the output)
+    val within = members
+      .join(members.select(col("blk"), col("nm"), col("id").as("ib")),
+        Seq("blk", "nm"))
+      .filter(col("id") < col("ib"))
+      .select(col("id").as("id_a"), col("ib").as("id_b"),
+        lit(0).as("dist"))
+    cross.unionByName(within).select("id_a", "id_b", "dist")
+  }
+
+  /** [[fuzzyPairsSymDel]]'s candidate generator, separated so the skew
+    * bound is spec-testable: input is the (blk, id, nm) REPRESENTATIVE
+    * table (one row per distinct name per block); output is the distinct
+    * candidate name-pair table (blk, name_a, name_b) whose size the
+    * adversarial-skew spec asserts directly. */
+  private[ops] def symDelCandidates(
+      reps: DataFrame,
+      maxDist: Int): DataFrame = {
     // one deletion applied to every position of the previous layer;
     // sequence(1, 0) would generate a DESCENDING [1, 0] — guard len >= 1
     def delOnce(d: DataFrame): DataFrame =
@@ -633,7 +680,8 @@ object Dedup {
         .select(col("blk"), col("id"), col("nm"),
           concat(col("v").substr(lit(1), col("i") - 1),
             col("v").substr(col("i") + 1, length(col("v")))).as("v"))
-    val v0 = base.withColumn("v", col("nm"))
+    val v0 = reps.select(col("blk"), col("id"), col("nm"))
+      .withColumn("v", col("nm"))
     val layers = Iterator.iterate(v0)(delOnce).take(maxDist + 1).toSeq
     val variants = layers.reduce(_ unionByName _)
       .select("blk", "id", "nm", "v").distinct()
@@ -645,10 +693,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       // a pair can meet through many shared variants — dedup before the
       // (comparatively expensive) DP verification runs
-      .select("id_a", "name_a", "id_b", "name_b").distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
-      .select("id_a", "id_b", "dist")
+      .select("blk", "name_a", "name_b").distinct()
   }
 
   /** Canonical-document selection (the "which copy survives" step after

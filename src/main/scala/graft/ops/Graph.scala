@@ -155,7 +155,7 @@ object Graph {
     * BEFORE normalization: the max subquery and the normalized output
     * both re-enter that table, so an un-materialized subtree would be
     * recomputed twice per normalization — 2^(2·iterations) recompute of
-    * the whole history (measured 31 s → 1.4 s at sf0.01). Unlike
+    * the whole history (measured 31 s → 2.5 s at sf0.01). Unlike
     * [[pageRank]] (one linear lineage, truncation optional at
     * `checkpointEvery`), per-round truncation here is load-bearing. */
   def hits(
@@ -487,13 +487,23 @@ object Graph {
         .agg(max_by(col("label"),
           struct(col("n"), (-col("label")).as("nl"))).as("label"))
         .select(col("dst").as("id"), col("label"))
+      val probing = probeEvery > 0 && i % probeEvery == 0 && i < iterations
+      // a probe round materializes the labels once (lazy localCheckpoint)
+      // so the probe job and the next round share the computation instead
+      // of each re-deriving the same lineage
       labels =
-        if (i % checkpointEvery == 0 && i < iterations) next.localCheckpoint(false)
+        if ((i % checkpointEvery == 0 || probing) && i < iterations)
+          next.localCheckpoint(false)
         else next
-      if (probeEvery > 0 && i % probeEvery == 0 && i < iterations)
+      if (probing)
+        // FULL-outer: a node present in only one of the two labelings is
+        // itself a change — an inner join would hide node-set drift (on a
+        // non-symmetrized edge list round 1 shrinks the label table) and
+        // declare a false fixpoint
         converged = labels
-          .join(prev.withColumnRenamed("label", "_prev"), "id")
-          .where(col("label") =!= col("_prev"))
+          .join(prev.withColumnRenamed("label", "_prev"), Seq("id"), "full")
+          .where(col("label").isNull || col("_prev").isNull ||
+            col("label") =!= col("_prev"))
           .isEmpty
     }
     labels

@@ -75,27 +75,52 @@ object Similarity {
       .select("qid", "rnk", "cid", "cos")
   }
 
-  /** Real IVF: train a k-means coarse quantizer over the corpus (fixed
-    * seed → deterministic), assign each corpus vector its nearest
-    * centroid cell, and have each query probe its `nProbe` nearest cells.
-    * Training is one ml-lib job over a sample-sized corpus; at serving
-    * time everything is expressions — centroid scores are literal arrays,
-    * so probing stays inside codegen and the corpus is only ever joined
-    * by cell. */
-  def ivfIndex(
+  /** Real IVF training: a k-means coarse quantizer fit with the
+    * deterministic local [[lloyd]] (farthest-point init + fixed
+    * iterations, no RNG) over the bounded [[pqTrain]]-posture sample
+    * (every `step`-th id, sorted — partitioning-independent). Replaces
+    * the earlier ml-lib KMeans path, whose assignment depended on input
+    * partitioning and could not be reproduced by the SQL oracle; this
+    * trainer is bit-deterministic anywhere, so a trained index can be
+    * PINNED as literals ([[graft.fixtures.PinnedIndex]]) and served by
+    * the fully-oracled [[topKIvfCentroids]]. Components are 6dp-rounded:
+    * an index wants compact reproducible literals, and quantizer quality
+    * is insensitive at 1e-6. */
+  def trainIvfLloyd(
       corpus: DataFrame, // (cid, cvec)
       nCells: Int,
-      seed: Long = 42L): (Array[Array[Double]], DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val withVec = corpus.withColumn("_v", array_to_vector(col("cvec")))
-    // a coarse quantizer doesn't need convergence: a few Lloyd iterations
-    // give cells of equal recall quality at a fraction of the training cost
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("_v").setPredictionCol("cell").fit(withVec)
-    val indexed = model.transform(withVec)
-      .select(col("cid"), col("cvec"), col("cell").cast("long").as("cell"))
-    (model.clusterCenters.map(_.toArray), indexed)
+      sampleCap: Int = 4096,
+      iters: Int = 10): Array[Array[Double]] = {
+    val n = corpus.count()
+    val step = math.max(1L, n / sampleCap)
+    val sample = corpus
+      .filter(pmod(col("cid"), lit(step)) === 0)
+      .select(col("cid"), col("cvec").cast("array<double>"))
+      .collect()
+      .sortBy(_.getLong(0)) // collect order is partition-dependent; sort isn't
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    lloyd(sample, nCells, iters)
+      .map(_.map(x => math.rint(x * 1e6) / 1e6))
+  }
+
+  /** IVF serving against an EXPLICIT centroid array (a trained or pinned
+    * index): corpus rows are assigned their nearest centroid cell, each
+    * query probes its `nProbe` nearest cells, same-cell candidates score
+    * exactly. Centroids are plan-time literals, so assignment and probing
+    * stay inside codegen and the corpus is only ever equi-joined by
+    * cell — never n×m. */
+  def topKIvfCentroids(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      centroids: Array[Array[Double]],
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val indexed = corpus.withColumn("cell",
+      element_at(probeCells(col("cvec"), centroids, 1), 1))
+    val q = queries
+      .withColumn("cell", explode(probeCells(col("qvec"), centroids, nProbe)))
+    topKIvf(q, indexed, k)
   }
 
   /** Cells of the `nProbe` nearest centroids for a query vector, as an
@@ -113,30 +138,14 @@ object Similarity {
       s => s.getField("cell"))
   }
 
-  /** IVF top-k with a k-means quantizer: probe the `nProbe` nearest cells
-    * per query. `nProbe = nCells` is exact (= brute force); small nProbe
-    * trades recall for touching a fraction of the corpus. */
-  def topKIvfKmeans(
-      queries: DataFrame, // (qid, qvec)
-      corpus: DataFrame, // (cid, cvec)
-      k: Int,
-      nCells: Int = 16,
-      nProbe: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val (centroids, indexed) = ivfIndex(corpus, nCells, seed)
-    val q = queries
-      .withColumn("cell", explode(probeCells(col("qvec"), centroids, nProbe)))
-    topKIvf(q, indexed, k)
-  }
-
   /** IVF top-k with a deterministic *sampled* codebook: centroids = the
     * first `nCells` corpus vectors by id. The only driver materialization
     * is that bounded `nCells`-row collect (the [[pqTrain]] posture);
-    * serving is identical to [[topKIvfKmeans]] — centroids are plan-time
-    * literals, the corpus joins only by cell. The sample rule is trivially
+    * serving is [[topKIvfCentroids]] — centroids are plan-time literals,
+    * the corpus joins only by cell. The sample rule is trivially
     * reproducible in SQL (`ORDER BY id LIMIT nCells`), which makes this
-    * the oracle-checkable path; k-means ([[ivfIndex]]) remains the
-    * recall-quality path. */
+    * the in-situ oracle-checkable path; Lloyd training
+    * ([[trainIvfLloyd]] → pinned literals) is the recall-quality path. */
   def topKIvfSampled(
       queries: DataFrame, // (qid, qvec)
       corpus: DataFrame, // (cid, cvec)
@@ -146,11 +155,7 @@ object Similarity {
     val centroids = corpus.orderBy(col("cid")).limit(nCells)
       .select(col("cvec").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
-    val indexed = corpus.withColumn("cell",
-      element_at(probeCells(col("cvec"), centroids, 1), 1))
-    val q = queries
-      .withColumn("cell", explode(probeCells(col("qvec"), centroids, nProbe)))
-    topKIvf(q, indexed, k)
+    topKIvfCentroids(queries, corpus, centroids, k, nProbe)
   }
 
   // ── Product quantization (IVF-PQ's compression half) ────────────────
@@ -258,7 +263,10 @@ object Similarity {
     element_at(array_sort(array(scored: _*)), 1).getField("code")
   }
 
-  /** PQ top-k with asymmetric distance computation (ADC) + exact re-rank:
+  /** PQ top-k with asymmetric distance computation (ADC) + exact re-rank
+    * against an EXPLICIT codebook (a [[pqTrain]]-trained or
+    * [[graft.fixtures.PinnedIndex]]-pinned index — the index-artifact
+    * separation real ANN systems version and ship):
     *
     *  1. corpus vectors are L2-normalized and encoded once as `m` small
     *     integer codes (the 100 TB move: 4·D bytes/vector → m codes, and
@@ -272,16 +280,14 @@ object Similarity {
     *     PQ error only affects candidate selection, never final scores —
     *     output schema/semantics match [[topKBrute]].
     */
-  def topKPq(
+  def topKPqWithBooks(
       queries: DataFrame, // (qid, qvec)
       corpus: DataFrame, // (cid, cvec)
+      books: Array[Array[Array[Double]]],
       k: Int,
-      m: Int = 8,
-      ksub: Int = 16,
       candMult: Int = 4): DataFrame = {
     val normC = normalized(corpus, "cvec")
-      .localCheckpoint() // feeds training, encoding, and the re-rank join
-    val books = pqTrain(normC, m, ksub)
+      .localCheckpoint() // feeds encoding and the re-rank join
     topKPqServe(queries, normC, books, k, candMult)
   }
 
@@ -299,11 +305,8 @@ object Similarity {
       dim: Int,
       m: Int = 8,
       ksub: Int = 16,
-      candMult: Int = 4): DataFrame = {
-    val normC = normalized(corpus, "cvec")
-      .localCheckpoint() // feeds encoding and the re-rank join
-    topKPqServe(queries, normC, pqSeededBooks(m, ksub, dim), k, candMult)
-  }
+      candMult: Int = 4): DataFrame =
+    topKPqWithBooks(queries, corpus, pqSeededBooks(m, ksub, dim), k, candMult)
 
   /** Deterministic hash-seeded PQ codebooks: entry (s, j) starts as
     * hash-uniform components in [-1, 1) ([[planeComponents]] pattern),
@@ -322,7 +325,12 @@ object Similarity {
     }
   }
 
-  /** L2-normalize an embedding column (norm computed once per row). */
+  /** L2-normalize a (cid, `vecCol`) corpus frame (norm computed once per
+    * row) — the pre-step before [[pqTrain]] when the codebooks will serve
+    * cosine search (training and serving must see the same scaling). */
+  def l2normalized(df: DataFrame, vecCol: String): DataFrame =
+    normalized(df, vecCol)
+
   private def normalized(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("_n", l2norm(col(vecCol)))
       .select(col("cid"), transform(col(vecCol), x => x / col("_n")).as(vecCol))

@@ -209,13 +209,24 @@ object Sketches {
     * verify path) with relative errors — the same est-vs-exact report
     * shape as [[kmvDistinct]] / the MinHash calibration. Scale: the
     * pair algebra runs entirely on sketch rows (≤ |groups|·k); only the
-    * distinct-(group, hash) pass and the exact verify see data scale. */
+    * distinct-(group, hash) pass and the exact verify see data scale.
+    *
+    * The pair grid is QUADRATIC IN GROUPS by design — all-pairs set
+    * algebra emits |groups|·(|groups|−1)/2 rows. That is the report's
+    * contract (group counts are report-scale: regions, languages,
+    * sources), not a data-scale join, and `maxGroups` enforces it: a
+    * bounded `LIMIT n+1` probe of the (already-sketched, checkpointed)
+    * group spine fails loud past the cap instead of silently planning a
+    * billion-row grid. The spine side of the grid is broadcast — the
+    * pair expansion never shuffles. */
   def kmvSetOps(
       df: DataFrame,
       groupCol: String,
       value: Column,
-      k: Int = 64): DataFrame = {
+      k: Int = 64,
+      maxGroups: Int = 10000): DataFrame = {
     require(k >= 2, "k >= 2")
+    require(maxGroups >= 2, "maxGroups >= 2")
     val m = math.pow(2.0, 60)
     // one distinct pass feeds the sketches AND the exact verify side
     val d = df.select(col(groupCol).as("g"),
@@ -224,7 +235,14 @@ object Sketches {
       .localCheckpoint()
     val sk = TopK.perKey(d, Seq("g"), Seq(("h", true)), k).localCheckpoint()
     val gs = sk.select("g").distinct()
-    val gp = gs.select(col("g").as("ga"))
+    // cardinality guard (the Lookup.mapWithDefault limit-probe posture):
+    // one bounded job over the sketch spine, never a full count of data
+    val nGroups = gs.limit(maxGroups + 1).count()
+    require(nGroups <= maxGroups,
+      s"kmvSetOps: > $maxGroups groups — the all-pairs grid is " +
+        s"quadratic in groups; raise maxGroups deliberately or " +
+        s"pre-filter the group spine")
+    val gp = broadcast(gs.select(col("g").as("ga")))
       .crossJoin(gs.select(col("g").as("gb")))
       .where(col("ga") < col("gb"))
     // merged candidates per pair: two equi joins + union, sketch-sized

@@ -242,7 +242,13 @@ object Temporal {
     * folds the decay dot product — no self-join of the series against
     * its own history (the O(n·lookback) join formulation), no driver
     * iteration. The geometric denominator folds to the closed form
-    * (1−(1−α)ⁿ)/α. */
+    * (1−(1−α)ⁿ)/α.
+    *
+    * Per-row state is exactly `lookback` doubles — the grain contract is
+    * structural here (unlike [[holtLinear]]'s whole-series fold), so the
+    * only unbounded-buffer risk is a pathological lookback: capped at
+    * 10⁶ (8 MB/row) by a loud `require`. The per-key window SORT handles
+    * any series length (Spark external-sorts the partition). */
   def ewma(
       df: DataFrame,
       keyCol: String,
@@ -251,7 +257,11 @@ object Temporal {
       alpha: Double,
       lookback: Int = 10): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
-    require(lookback >= 1, "lookback must be >= 1")
+    require(lookback >= 1 && lookback <= 1000000,
+      "lookback must be in [1, 1e6] — the trailing frame is buffered " +
+        "per row; a decay window wider than 1e6 points is an unbounded " +
+        "buffer in disguise (at alpha >= 1e-5 the tail weight past 1e6 " +
+        "points is < 2e-5 — truncate)")
     val w = Window.partitionBy(keyCol).orderBy(orderCol)
       .rowsBetween(-(lookback - 1), 0)
     val decay = 1.0 - alpha
@@ -462,7 +472,12 @@ object Temporal {
     * codegen-adjacent `aggregate` HOF — the [[rollingCorr]] bounded-grain
     * contract (daily grain: years fit in KBs; the 100 TB table collapses
     * to that grain in one hash-agg before this op). Across keys the fold
-    * is embarrassingly parallel. */
+    * is embarrassingly parallel. The grain contract is ENFORCED, not
+    * assumed: any key whose series exceeds `seriesCap` points fails the
+    * job loud (executor-side `assert_true`, so it triggers wherever the
+    * oversized group lands) instead of silently buffering an unbounded
+    * array — a raw-event table must be aggregated to its calendar grain
+    * (daily: 36.5k points/century, default cap 100k) upstream. */
   def holtLinear(
       df: DataFrame,
       keyCol: String,
@@ -470,14 +485,23 @@ object Temporal {
       valueCol: String,
       alpha: Double = 0.5,
       beta: Double = 0.3,
-      horizon: Int = 7): DataFrame = {
+      horizon: Int = 7,
+      seriesCap: Int = 100000): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     require(beta >= 0 && beta <= 1, "beta must be in [0, 1]")
     require(horizon >= 1, "horizon must be >= 1")
+    require(seriesCap >= 2, "seriesCap must be >= 2")
     val series = df.groupBy(col(keyCol))
       .agg(array_sort(collect_list(struct(col(orderCol).as("o"),
         col(valueCol).cast("double").as("v")))).as("_s"))
       .filter(size(col("_s")) >= 2)
+      // assert_true yields null when the cap holds — the filter keeps
+      // every row but cannot be pruned, so the guard always evaluates
+      .filter(assert_true(size(col("_s")) <= seriesCap,
+        concat(lit(s"holtLinear: a key holds > $seriesCap points — " +
+          "aggregate the series to a bounded (daily/hourly) grain " +
+          "upstream or raise seriesCap deliberately (key: "),
+          col(keyCol).cast("string"), lit(")"))).isNull)
     // l' appears inside b's update — duplicated subexpression, same as
     // the oracle's recursive CTE spells it
     val lNext = s"round($alpha * x.v + (1 - $alpha) * (acc.l + acc.b), 9)"

@@ -346,31 +346,58 @@ object TextAnalysis {
     * both ranks exposed (null = not retrieved by that arm).
     *
     * Scale note: inputs are RANKED CANDIDATE LISTS (top-k outputs of
-    * retrievers like [[bm25TopK]]/[[tfidfTopK]]), bounded at k rows — the
-    * unpartitioned rank windows and the full-outer join run on those
-    * bounded lists, never the corpus (the rollingCorr bounded-grain
-    * contract). Fusing per-query batches = add the query column to both
-    * frames and swap the windows' `partitionBy`. */
+    * retrievers like [[bm25TopK]]/[[tfidfTopK]]), bounded at k rows per
+    * query. Production hybrid retrieval is always multi-query, so the
+    * BATCHED shape is the op: [[rrfFuseBatched]] partitions every window
+    * and the per-query truncation by `queryCol` and parallelizes across
+    * queries; this single-list form is the one-query special case (a
+    * constant query key, then dropped). */
   def rrfFuse(
       a: DataFrame,
       b: DataFrame,
       idCol: String,
       scoreCol: String,
       kConst: Int = 60,
+      topK: Int = 10): DataFrame =
+    rrfFuseBatched(a.withColumn("_q", lit(1)), b.withColumn("_q", lit(1)),
+      "_q", idCol, scoreCol, kConst, topK).drop("_q")
+
+  /** Batched reciprocal-rank fusion — [[rrfFuse]] over a whole query
+    * workload at once: both frames carry `queryCol`, each query's two
+    * arms are ranked independently (`1/(kConst + rank)`, rank from 1 by
+    * (`scoreCol` desc, `idCol` asc); a document missing from an arm
+    * contributes 0, fused score 9dp-rounded), and each query keeps its
+    * top `topK` by (rrf desc, id asc) with both ranks exposed (null =
+    * not retrieved by that arm).
+    *
+    * Scale shape: rank windows partition by query (state bounded by one
+    * query's candidate list, queries parallelize across partitions); the
+    * full-outer join keys on (query, id); the per-query truncation is
+    * the sort-free [[graft.plans.TopKPerKeyExec]] heap — no global sort,
+    * no driver loop over queries, one plan for the entire workload. */
+  def rrfFuseBatched(
+      a: DataFrame,
+      b: DataFrame,
+      queryCol: String,
+      idCol: String,
+      scoreCol: String,
+      kConst: Int = 60,
       topK: Int = 10): DataFrame = {
     require(kConst >= 1, "kConst must be >= 1")
     def ranked(df: DataFrame, out: String) = {
-      val w = Window.orderBy(col(scoreCol).desc, col(idCol))
-      df.select(col(idCol), row_number().over(w).as(out))
+      val w = Window.partitionBy(col(queryCol))
+        .orderBy(col(scoreCol).desc, col(idCol))
+      df.select(col(queryCol), col(idCol), row_number().over(w).as(out))
     }
-    ranked(a, "rank_a").join(ranked(b, "rank_b"), Seq(idCol), "full")
-      .select(col(idCol), col("rank_a"), col("rank_b"),
+    val fused = ranked(a, "rank_a")
+      .join(ranked(b, "rank_b"), Seq(queryCol, idCol), "full")
+      .select(col(queryCol), col(idCol), col("rank_a"), col("rank_b"),
         round(
           coalesce(lit(1.0) / (lit(kConst) + col("rank_a")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(kConst) + col("rank_b")), lit(0.0)),
           9).as("rrf"))
-      .orderBy(col("rrf").desc, col(idCol))
-      .limit(topK)
+    graft.ops.TopK.perKey(fused, Seq(queryCol),
+      Seq("rrf" -> false, idCol -> true), topK)
   }
 
   /** Per-document keyphrase extraction: the top `k` corpus-weighted
@@ -484,26 +511,34 @@ object TextAnalysis {
     * coverage 6dp) per requested budget.
     *
     * Scale shape: one explode + token hash-aggregate collapses the
-    * corpus to the vocabulary; the rank window and cumulative sum run
-    * over THAT bounded table ([[buildVocab]]'s posture), and the budget
-    * spine joins against ≤|vocab| cum rows. The plan's
-    * BroadcastNestedLoopJoin is the `rank <= k` theta join of the
-    * |ks|-row broadcast spine onto the vocab table — |ks|·|vocab|
-    * comparisons, bounded by the vocabulary, never the corpus. */
+    * corpus to the vocabulary; total token mass and type count come from
+    * a plain hash-aggregate over that table (no window, no sort); the
+    * rank/running-sum window runs ONLY over the top-max(ks) tokens — a
+    * TakeOrderedAndProject truncation ([[buildVocab]]'s posture), so the
+    * single-partition window is bounded by the largest requested budget,
+    * never the vocabulary (10⁸+ types at web scale would otherwise sort
+    * through one reducer). The plan's BroadcastNestedLoopJoin is the
+    * `rank <= k` theta join of the |ks|-row broadcast spine onto the
+    * ≤max(ks) cum rows — |ks|·max(ks) comparisons. */
   def vocabCoverage(
       df: DataFrame,
       textCol: String,
       ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
+    val maxK = ks.max
     val counts = df.select(explode(words(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(false)
+    // totals via hash-agg — the full vocabulary never sorts anywhere
+    val tot = counts.agg(sum(col("freq")).as("_t"),
+      count(lit(1)).as("_v"))
+    // TakeOrderedAndProject: only the top-max(ks) types enter the window
+    val top = counts.orderBy(col("freq").desc, col("token")).limit(maxK)
     val wRank = Window.orderBy(col("freq").desc, col("token"))
-    val cum = counts
+    val cum = top
       .withColumn("rank", row_number().over(wRank))
       .withColumn("cum", sum(col("freq")).over(
         wRank.rowsBetween(Window.unboundedPreceding, 0)))
-      .localCheckpoint(false)
-    val tot = cum.agg(max(col("cum")).as("_t"), max(col("rank")).as("_v"))
     val spine = df.sparkSession.range(1).select(
       explode(array(ks.distinct.sorted.map(lit): _*)).as("k"))
     spine.crossJoin(broadcast(tot))
@@ -851,7 +886,12 @@ object TextAnalysis {
     * [[repetitionStats]]: random keyboard mash scores HIGH (flat
     * distribution), single-char runs and template spam score LOW, and
     * natural language sits in a stable band per script — cheap tails to
-    * cut on at corpus scale. Natural log, 6dp.
+    * cut on at corpus scale. Natural log, 6dp. Characters are extracted
+    * with regex `.`, which skips line terminators — `n_chars` and the
+    * distribution therefore exclude newlines (deliberate: a doc's
+    * line-wrapping style is formatting, not content signal, and DuckDB's
+    * `.` agrees, keeping the oracle bit-identical). Use length(text) for
+    * the raw size.
     *
     * Scale shape: one char explode (rows = corpus chars — the honest
     * cost; the shuffle carries map-side-combined (doc, char) partials,

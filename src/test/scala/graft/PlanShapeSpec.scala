@@ -895,4 +895,27 @@ class PlanShapeSpec extends SparkSpec {
       !plan.toString.contains("CartesianProduct"),
       s"no nested-loop/cartesian expected:\n$plan")
   }
+
+  test("vocabCoverage: rank window bounded by TakeOrderedAndProject, never the full vocabulary") {
+    val df = ops.TextAnalysis.vocabCoverage(
+      ops.Sources.table(spark, dir, "documents"), "text", Seq(10, 100, 1000))
+    val plan = executed(df)
+    val topk = collectAll(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(topk.nonEmpty,
+      s"expected a TakeOrderedAndProject truncation before the window:\n$plan")
+    // every window must sit DOWNSTREAM of the top-max(ks) truncation —
+    // an unpartitioned window whose subtree lacks the limit is the
+    // single-reducer full-vocabulary sort this test exists to forbid
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the bounded rank window:\n$plan")
+    windows.foreach { w =>
+      assert(w.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, s"window input is not limit-bounded:\n$w")
+    }
+  }
 }

@@ -256,6 +256,28 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("fuzzyPairsSymDel: 10³ duplicate names — candidates bounded by distinct names") {
+    // the adversarial skew case: 1000 records share ONE name; naively
+    // every ~L²/2 variant bucket is 1000 wide (≈10⁸ candidate rows).
+    // The rep-dedup posture must generate candidates over the 3 DISTINCT
+    // names only, and expand the exact-name group afterwards.
+    val recs = ((1 to 1000).map(i => (i.toLong, "acme corporation")) ++
+      Seq((2001L, "acme corpration"), (2002L, "zeta industries")))
+      .map { case (i, n) => (i, n, "A") }.toDF("id", "name", "blk")
+    val reps = recs.filter(col("name").isNotNull)
+      .select(col("blk"), col("id"), col("name").as("nm"))
+      .groupBy("blk", "nm").agg(org.apache.spark.sql.functions.min(col("id")).as("id"))
+    // candidate NAME pairs: at most C(3,2) = 3, regardless of the 1000 dupes
+    val cand = Dedup.symDelCandidates(reps, maxDist = 2).count()
+    assert(cand <= 3, s"candidate name pairs must not scale with dupes: $cand")
+    val out = Dedup.fuzzyPairsSymDel(recs, "id", "name", "blk", maxDist = 2)
+    // 1000·999/2 within-group dist-0 pairs + 1000 cross pairs to 2001
+    assert(out.count() === 1000L * 999 / 2 + 1000)
+    val cross = out.filter(col("id_b") === 2001L)
+    assert(cross.count() === 1000L &&
+      cross.select("dist").distinct().head().getInt(0) === 1)
+  }
+
   test("fuzzyPairsSymDel: maxDist 0 reduces to exact duplicates within a block") {
     val recs = Seq((1L, "abc", "A"), (2L, "abc", "A"), (3L, "abd", "A"),
       (4L, "abc", "B")).toDF("id", "name", "blk")

@@ -96,6 +96,21 @@ class GraphSpec extends SparkSpec {
     assert(full == probed, s"$full vs $probed")
   }
 
+  test("labelPropagation: probe sees node-set drift on an asymmetric edge list (no false fixpoint)") {
+    // DIRECTED chain 1→2→3→4 (not symmetrized): labels0 covers the src
+    // set {1,2,3}; round 1 emits per-dst labels {2,3,4}. An inner-join
+    // probe saw only {2,3} (both rounds' intersection) and could declare
+    // a false fixpoint while updates were still flowing. The full-outer
+    // probe must keep iterating and land on the fixed-iteration result.
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val full = Graph.labelPropagation(g, "src", "dst", iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = Graph.labelPropagation(g, "src", "dst",
+      iterations = 6, probeEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == probed, s"$full vs $probed")
+  }
+
   test("hits: hubs and authorities separate on a directed bipartite graph") {
     // h1 points at 3 authorities, h2 at 1; a1 is cited by both hubs
     val g = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("src", "dst")

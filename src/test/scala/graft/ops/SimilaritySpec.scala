@@ -82,15 +82,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rm > 0.3, s"recall@5 multi-probe = $rm")
   }
 
-  test("topKIvfKmeans: subset of brute with exact scores; more probes -> more recall") {
+  test("trainIvfLloyd + topKIvfCentroids: subset of brute, exact scores, full probe == brute, partitioning-invariant") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     def hits(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
-    val p2 = hits(Similarity.topKIvfKmeans(q, c, 5, nCells = 8, nProbe = 2))
-    val p8 = hits(Similarity.topKIvfKmeans(q, c, 5, nCells = 8, nProbe = 8))
+    val cents = Similarity.trainIvfLloyd(c, nCells = 8)
+    // the trainer is bit-deterministic regardless of input partitioning
+    // (the property the retired ml-lib KMeans path could not give)
+    val cents1 = Similarity.trainIvfLloyd(c.repartition(13), nCells = 8)
+    assert(cents.map(_.toSeq).toSeq == cents1.map(_.toSeq).toSeq)
+    val p2 = hits(Similarity.topKIvfCentroids(q, c, cents, 5, nProbe = 2))
+    val p8 = hits(Similarity.topKIvfCentroids(q, c, cents, 5, nProbe = 8))
     val brute = hits(Similarity.topKBrute(q, c, 10000))
     p2.foreach { case (k, v) => assert(brute.get(k).contains(v), s"$k") }
     // probing every cell IS brute force
@@ -98,6 +103,11 @@ class SimilaritySpec extends SparkSpec {
     assert(p8 == bruteTop5)
     val r2 = p2.keySet.count(bruteTop5.keySet) / bruteTop5.size.toDouble
     assert(r2 > 0.2, s"recall@5 nProbe=2: $r2")
+    // the pinned sf0.01-trained index serves this corpus too: exact
+    // scores, subset of brute (correctness is corpus-independent)
+    val pinned = hits(Similarity.topKIvfCentroids(q, c,
+      graft.fixtures.PinnedIndex.ivfCentroidsV1, 5, nProbe = 2))
+    pinned.foreach { case (k, v) => assert(brute.get(k).contains(v), s"$k") }
   }
 
   test("topKIvfSampled: subset of brute with exact scores; full probe == brute") {
@@ -163,12 +173,14 @@ class SimilaritySpec extends SparkSpec {
     assert(nulls(4L) == ((true, true)))
   }
 
-  test("topKPq: ADC candidates + exact re-rank recover most brute-force neighbors") {
+  test("pqTrain + topKPqWithBooks: ADC candidates + exact re-rank recover most brute-force neighbors") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val pq = Similarity.topKPq(q, c, k = 5, m = 8, ksub = 16, candMult = 8)
+    val books = Similarity.pqTrain(Similarity.l2normalized(c, "cvec"),
+      m = 8, ksub = 16)
+    val pq = Similarity.topKPqWithBooks(q, c, books, k = 5, candMult = 8)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val brute = Similarity.topKBrute(q, c, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -176,10 +188,20 @@ class SimilaritySpec extends SparkSpec {
     val recall = pq.intersect(brute).size.toDouble / brute.size
     info(f"PQ recall@5 vs brute: $recall%.3f")
     assert(recall >= 0.6)
-    // deterministic: a second run returns the identical result set
-    val pq2 = Similarity.topKPq(q, c, k = 5, m = 8, ksub = 16, candMult = 8)
+    // deterministic: retraining gives identical books and result set
+    val books2 = Similarity.pqTrain(
+      Similarity.l2normalized(c.repartition(7), "cvec"), m = 8, ksub = 16)
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq ==
+      books2.map(_.map(_.toSeq).toSeq).toSeq)
+    val pq2 = Similarity.topKPqWithBooks(q, c, books2, k = 5, candMult = 8)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(pq2 == pq)
+    // the pinned sf0.01-trained books serve this corpus with the same
+    // exactness contract: candMult -> all keeps every candidate == brute
+    val all = Similarity.topKPqWithBooks(q, c,
+      graft.fixtures.PinnedIndex.pqBooksV1, k = 5, candMult = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(all == brute)
   }
 
   test("quantizeInt8: hand-checked codes, endpoints exact, constant vector all-zero") {

@@ -157,4 +157,28 @@ class SketchesSpec extends SparkSpec {
       .head().getDouble(2)
     assert(a == b)
   }
+
+  test("kmvSetOps: sketch algebra tracks exact set ops; group cap fails loud") {
+    // 3 groups with known overlap: a = 1..200, b = 101..300, c = 1..50
+    val rows = (1 to 200).map(i => ("a", i)) ++
+      (101 to 300).map(i => ("b", i)) ++ (1 to 50).map(i => ("c", i))
+    val df = rows.toDF("g", "v")
+    val got = Sketches.kmvSetOps(df, "g", col("v"), k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size === 3) // all pairs, including the disjoint (b, c)
+    val ab = got(("a", "b"))
+    assert(ab.getAs[Long]("exact_union") === 300L &&
+      ab.getAs[Long]("exact_inter") === 100L)
+    // k=64 → ~12.5% standard error; 4-sigma guard on the estimates
+    assert(math.abs(ab.getAs[Double]("union_est") - 300.0) / 300.0 < 0.5)
+    val bc = got(("b", "c"))
+    assert(bc.getAs[Long]("exact_inter") === 0L)
+    // the |groups|² guard: 11 groups over a cap of 10 must fail loud
+    val many = (1 to 11).flatMap(g => (1 to 5).map(i => (s"g$g", i)))
+      .toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvSetOps(many, "g", col("v"), k = 4, maxGroups = 10)
+    }
+    assert(e.getMessage.contains("quadratic in groups"))
+  }
 }

@@ -310,6 +310,31 @@ class TemporalSpec extends SparkSpec {
     assert(g2 == ((17.0, 2.9, 3.0)), g2.toString)
   }
 
+  test("holtLinear/ewma: bounded-grain contract fails loud past the cap") {
+    def d(i: Int) = java.sql.Date.valueOf("2024-01-01").toLocalDate
+      .plusDays(i.toLong)
+    // 12 points against a cap of 10: the executor-side guard must fire
+    val over = (1 to 12).map(i => ("k", java.sql.Date.valueOf(d(i)), i.toDouble))
+      .toDF("k", "day", "v")
+    val e = intercept[Exception] {
+      Temporal.holtLinear(over, "k", "day", "v", seriesCap = 10).collect()
+    }
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(rootChain(e).exists(_.contains("bounded (daily/hourly) grain")),
+      rootChain(e).mkString(" | "))
+    // at the cap exactly: passes, values identical to the unguarded run
+    val ok = Temporal.holtLinear(over, "k", "day", "v", seriesCap = 12)
+    val base = Temporal.holtLinear(over, "k", "day", "v")
+    assert(ok.collect().toSeq == base.collect().toSeq)
+    // ewma's structural cap is driver-side: a > 1e6 lookback is rejected
+    val e2 = intercept[IllegalArgumentException] {
+      Temporal.ewma(over, "k", "day", "v", alpha = 0.3, lookback = 1000001)
+    }
+    assert(e2.getMessage.contains("unbounded buffer"))
+  }
+
   test("windowFunnel: exists-semantics catches late chains greedy-min misses") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(

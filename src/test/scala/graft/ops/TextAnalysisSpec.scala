@@ -241,18 +241,49 @@ class TextAnalysisSpec extends SparkSpec {
   test("rrfFuse: both-arm docs sum reciprocal ranks, single-arm docs keep one term") {
     val a = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("doc_id", "score")
     val b = Seq((2L, 5.0), (4L, 4.0)).toDF("doc_id", "score")
+    // selection is by (rrf desc, id) but the TopKPerKey heap emits rows
+    // unordered (callers add their ORDER BY) — assert the SET, not order
     val got = TextAnalysis.rrfFuse(a, b, "doc_id", "score", kConst = 60, topK = 10)
       .collect().map(r => (r.getLong(0),
         Option(r.get(1)).map(_.asInstanceOf[Int]),
         Option(r.get(2)).map(_.asInstanceOf[Int]), r.getDouble(3))).toList
     def rr(r: Int) = 1.0 / (60 + r)
     def rd(x: Double) = math.rint(x * 1e9) / 1e9
-    // doc 2: rank 2 in a + rank 1 in b — the only both-arm doc wins
-    assert(got.head == ((2L, Some(2), Some(1), rd(rr(2) + rr(1)))), got.toString)
     val byId = got.map(x => x._1 -> x).toMap
+    // doc 2: rank 2 in a + rank 1 in b — the only both-arm doc wins
+    assert(byId(2L) == ((2L, Some(2), Some(1), rd(rr(2) + rr(1)))), got.toString)
+    assert(got.maxBy(_._4)._1 == 2L, got.toString)
     assert(byId(1L) == ((1L, Some(1), None, rd(rr(1)))), got.toString)
     assert(byId(4L) == ((4L, None, Some(2), rd(rr(2)))), got.toString)
-    assert(got.map(_._4) == got.map(_._4).sorted.reverse, s"rrf-desc order: $got")
+    // topK truncation selects the highest-rrf rows
+    val top2 = TextAnalysis.rrfFuse(a, b, "doc_id", "score", kConst = 60, topK = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top2 == got.sortBy(x => (-x._4, x._1)).take(2).map(_._1).toSet)
+  }
+
+  test("rrfFuseBatched: per-query rank windows and truncation — each query fused independently") {
+    val a = Seq((1, 1L, 9.0), (1, 2L, 8.0), (2, 1L, 3.0), (2, 9L, 2.0))
+      .toDF("q", "doc_id", "score")
+    val b = Seq((1, 2L, 5.0), (2, 9L, 4.0), (2, 8L, 3.0))
+      .toDF("q", "doc_id", "score")
+    def rr(r: Int) = 1.0 / (60 + r)
+    def rd(x: Double) = math.rint(x * 1e9) / 1e9
+    val got = TextAnalysis.rrfFuseBatched(a, b, "q", "doc_id", "score",
+        kConst = 60, topK = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // ranks restart per query: doc 1 is rank 1 in BOTH queries' a-arms
+    assert(got((1, 2L)) == rd(rr(2) + rr(1)), got.toString)
+    assert(got((1, 1L)) == rd(rr(1)), got.toString)
+    assert(got((2, 1L)) == rd(rr(1)), got.toString)
+    assert(got((2, 9L)) == rd(rr(2) + rr(1)), got.toString)
+    assert(got((2, 8L)) == rd(rr(2)), got.toString)
+    assert(got.size == 5)
+    // single-query rrfFuse ≡ batched with a constant query key
+    val single = TextAnalysis.rrfFuse(
+        a.filter(col("q") === 1).drop("q"), b.filter(col("q") === 1).drop("q"),
+        "doc_id", "score", kConst = 60, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(single == got.collect { case ((1, d), v) => d -> v }, single.toString)
   }
 
   test("keyphrases: per-doc tf-idf top-k with the stop-term df gate") {
