@@ -3245,6 +3245,43 @@ object SparkEntry {
           e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
           graft.fixtures.PinnedIndex.pqBooksV1, k = 5, candMult = 8)
         .orderBy("qid", "rnk")
+    },
+
+    // ───── S1, REAL Excel container: typed extract → .xlsx workbook
+    // (pure-JDK zip+XML codec, Xlsx.scala) → read back through the
+    // binaryFile-scan parser → strict re-cast. Dates round-trip through
+    // Excel serials + date styles; the oracle is the same extract off
+    // the original parquet — container round trip is content identity ─────
+    "q222_xlsx_roundtrip" -> { (s, dir) =>
+      val out = scratch("xlsx_roundtrip")
+      Xlsx.writeSheet(
+        t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"), col("o_orderpriority")),
+        s"$out/orders.xlsx")
+      Xlsx.readSheet(s, s"$out/orders.xlsx", Some("Sheet1"))
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+
+    // ───── S2/S4, Excel container: the reference's one-sheet-per-key
+    // workbook (v1:91-100) written for real — per-segment sheets in ONE
+    // workbook, key column dropped per sheet, read back via the
+    // all-sheets scan with the sheet name as lineage ─────
+    "q223_xlsx_sheets" -> { (s, dir) =>
+      val out = scratch("xlsx_sheets")
+      Xlsx.writeSheets(
+        t(s, dir, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal")),
+        "c_mktsegment", s"$out/segments.xlsx")
+      Xlsx.readSheet(s, s"$out/segments.xlsx", sheet = None)
+        .groupBy(col("_sheet").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal").cast("double")), 2).as("sum_bal"))
+        .orderBy("segment")
     }
   )
 
@@ -5595,7 +5632,19 @@ object SparkEntry {
     "q220_ivf_pinned" -> OraclesExt.simTopKIvfPinned,
 
     // q55's encode/ADC/re-rank chain over the pinned trained codebooks
-    "q221_pq_pinned" -> OraclesExt.simTopKPqPinned
+    "q221_pq_pinned" -> OraclesExt.simTopKPqPinned,
+
+    // container round trip is content identity: the oracle is the same
+    // extract straight off the parquet table
+    "q222_xlsx_roundtrip" ->
+      ("SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey"),
+
+    // per-sheet fan-out + union-back ≡ a plain GROUP BY on the source
+    "q223_xlsx_sheets" ->
+      ("SELECT c_mktsegment AS segment, count(*)::BIGINT AS n, " +
+        "round(sum(c_acctbal)::DOUBLE, 2) AS sum_bal " +
+        "FROM customer GROUP BY 1 ORDER BY 1")
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,
