@@ -436,6 +436,26 @@ object OraclesExt {
       "SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
   }
 
+  /** Mirrors Similarity.hardNegatives over q14's LSH positives (q227):
+    * per (anchor, positive) pair, the same-cell corpus vector with the
+    * highest anchor-cosine that is neither member of the pair; ties to
+    * the lower candidate id. */
+  val hardNegatives: String =
+    s"WITH $minhashCandCte, " +
+      s"pos AS (SELECT id_a AS anchor, id_b AS positive FROM cand " +
+      s"WHERE $estJac >= 0.5), " +
+      s"$embCte, " +
+      "a AS (SELECT pos.anchor, pos.positive, e.v AS av, e.label " +
+      "FROM pos JOIN e ON e.vec_id = pos.anchor), " +
+      s"sc AS (SELECT anchor, positive, c.vec_id AS cid, " +
+      s"round(${cosSql("av", "c.v")}, 6) AS cos " +
+      "FROM a JOIN e c ON c.label = a.label " +
+      "AND c.vec_id <> a.anchor AND c.vec_id <> a.positive), " +
+      "r AS (SELECT anchor, positive, cid, cos, row_number() OVER " +
+      "(PARTITION BY anchor, positive ORDER BY cos DESC, cid) AS rn FROM sc) " +
+      "SELECT anchor, positive, cid AS negative, cos AS neg_cos " +
+      "FROM r WHERE rn = 1 ORDER BY anchor, positive"
+
   /** Mirrors q117: candidate pairs at est ≥ 0.5 attributed to their
     * least/greatest-normalized source pair. */
   val sourceOverlap: String =

@@ -3282,6 +3282,111 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("c_acctbal").cast("double")), 2).as("sum_bal"))
         .orderBy("segment")
+    },
+
+    // ───── S5 END TO END through the REAL container — the reference's
+    // final script (timesheet_transform.py:98-138) with actual
+    // workbooks: write a per-surname target workbook, read it back,
+    // update-only merge (case-insensitive key + date granularity, never
+    // insert), write the updated workbook, read it AGAIN. Two full
+    // write→read container cycles around the keyed merge; the oracle is
+    // the pure-SQL merge on the source table ─────
+    "q224_xlsx_merge" -> { (s, dir) =>
+      val out = scratch("xlsx_merge")
+      val orders = t(s, dir, "orders")
+      val target = orders
+        .groupBy(col("o_orderpriority").as("surname"),
+          col("o_orderdate").as("data"))
+        .agg(min(col("o_orderstatus")).as("commessa"),
+          round(sum(col("o_totalprice")), 2).as("ore"))
+      Xlsx.writeSheets(target.select(col("surname"), col("data"),
+        col("commessa"), col("ore")), "surname", s"$out/target.xlsx")
+      val updates = orders.filter(col("o_orderkey") % 3 === 0)
+        .groupBy(lower(col("o_orderpriority")).as("_k"),
+          col("o_orderdate").as("data"))
+        .agg(concat_ws("; ", sort_array(collect_set(col("o_orderstatus"))))
+            .as("u_commessa"),
+          round(sum(col("o_totalprice")), 2).as("u_ore"))
+      val back = Xlsx.readSheet(s, s"$out/target.xlsx", sheet = None)
+        .select(col("_sheet").as("surname"),
+          col("data").cast("date").as("data"),
+          col("commessa"), col("ore").cast("double").as("ore"))
+      val merged = MergeUpdate.updateOnly(
+          back.withColumn("_k", lower(col("surname"))),
+          updates, Seq("_k", "data"),
+          Map("commessa" -> "u_commessa", "ore" -> "u_ore"))
+        .drop("_k")
+      Xlsx.writeSheets(merged.select(col("surname"), col("data"),
+        col("commessa"), col("ore")), "surname", s"$out/updated.xlsx")
+      Xlsx.readSheet(s, s"$out/updated.xlsx", sheet = None)
+        .select(col("_sheet").as("surname"),
+          col("data").cast("date").as("data"),
+          col("commessa"), col("ore").cast("double").as("ore"))
+        .orderBy("surname", "data")
+    },
+
+    // ───── P2 lenient-date cascade, oracle-proven over EVERY branch:
+    // each order date renders into one of ten dirty shapes (slash /
+    // dash / ISO / dotted / compact / short + full month names /
+    // ordinal-suffix days / two-digit years) and parses back through
+    // Cleansing.parseDateLenient. The oracle is the IDENTITY — the
+    // cascade must invert every rendering exactly, including the POSIX
+    // two-digit-year pivot (TPC-H's 199x dates exercise the 19xx arm) ─────
+    "q225_date_cascade" -> { (s, dir) =>
+      val d0 = col("o_orderdate").cast("date")
+      val day = dayofmonth(d0)
+      val suf = when(pmod(day, lit(100)).isin(11, 12, 13), lit("th"))
+        .when(pmod(day, lit(10)) === 1, lit("st"))
+        .when(pmod(day, lit(10)) === 2, lit("nd"))
+        .when(pmod(day, lit(10)) === 3, lit("rd"))
+        .otherwise(lit("th"))
+      val shape = pmod(col("o_orderkey"), lit(10))
+      val rendered = when(shape === 0, date_format(d0, "d/M/yyyy"))
+        .when(shape === 1, date_format(d0, "d-M-yyyy"))
+        .when(shape === 2, date_format(d0, "yyyy-MM-dd"))
+        .when(shape === 3, date_format(d0, "d.M.yyyy"))
+        .when(shape === 4, date_format(d0, "yyyyMMdd"))
+        .when(shape === 5, date_format(d0, "d MMM yyyy"))
+        .when(shape === 6, date_format(d0, "MMMM d, yyyy"))
+        .when(shape === 7, date_format(d0, "d MMMM yyyy"))
+        .when(shape === 8, concat(day.cast("string"), suf, lit(" "),
+          date_format(d0, "MMMM yyyy")))
+        .otherwise(date_format(d0, "d/M/yy"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), shape.as("shape"),
+          Cleansing.parseDateLenient(rendered).as("parsed"))
+        .orderBy("k")
+    },
+
+    // ───── ROUGE-2 generation-eval: clipped bigram overlap P/R/F per
+    // (reference, candidate) pair — candidate = the NEXT doc's text, a
+    // deterministic mismatched-pair fixture that exercises zero-overlap
+    // and partial-overlap arms; two hash-aggs + one (id, gram) equi-join,
+    // no windows ─────
+    "q226_rouge" -> { (s, dir) =>
+      val d = tb(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = d.withColumnRenamed("text", "ref")
+        .join(d.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("cand")), Seq("doc_id"))
+      TextAnalysis.rougeN(pairs, "doc_id", "ref", "cand", n = 2)
+        .orderBy("doc_id")
+    },
+
+    // ───── hard-negative mining: for each LSH near-dup (anchor,
+    // positive) pair (q217's positives), the same-cell corpus vector
+    // most cosine-similar to the anchor that is neither pair member —
+    // the second-epoch contrastive negatives; cell-bounded candidates,
+    // max_by fold, no rank window ─────
+    "q227_hard_negatives" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+      val pos = Dedup.minhashPairs(docs, "doc_id",
+          Dedup.shingles(col("toks"), 3))
+        .filter(col("est_jac") >= 0.5)
+        .select(col("id_a").as("anchor"), col("id_b").as("positive"))
+      val e = tb(s, dir, "embeddings").select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"), col("label").cast("long").as("cell"))
+      Similarity.hardNegatives(pos, e).orderBy("anchor", "positive")
     }
   )
 
@@ -5644,7 +5749,61 @@ object SparkEntry {
     "q223_xlsx_sheets" ->
       ("SELECT c_mktsegment AS segment, count(*)::BIGINT AS n, " +
         "round(sum(c_acctbal)::DOUBLE, 2) AS sum_bal " +
-        "FROM customer GROUP BY 1 ORDER BY 1")
+        "FROM customer GROUP BY 1 ORDER BY 1"),
+
+    // the two container cycles are content identity, so the oracle is
+    // q08's merge shape in pure SQL: grouped target LEFT JOIN grouped
+    // updates on (lower(key), date), coalesce per set column
+    "q224_xlsx_merge" ->
+      ("WITH t AS (SELECT o_orderpriority AS surname, o_orderdate AS data, " +
+        "min(o_orderstatus) AS commessa, " +
+        "round(sum(o_totalprice)::DOUBLE, 2) AS ore " +
+        "FROM orders GROUP BY 1, 2), " +
+        "u AS (SELECT lower(o_orderpriority) AS k, o_orderdate AS data, " +
+        "string_agg(DISTINCT o_orderstatus, '; ' ORDER BY o_orderstatus) AS u_commessa, " +
+        "round(sum(o_totalprice)::DOUBLE, 2) AS u_ore " +
+        "FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1, 2) " +
+        "SELECT t.surname, t.data AS data, " +
+        "coalesce(u.u_commessa, t.commessa) AS commessa, " +
+        "coalesce(u.u_ore, t.ore) AS ore " +
+        "FROM t LEFT JOIN u ON lower(t.surname) = u.k AND t.data = u.data " +
+        "ORDER BY surname, t.data"),
+
+    // the cascade must be the exact inverse of every rendering, so the
+    // oracle needs no date logic at all — it selects the ORIGINAL date
+    "q225_date_cascade" ->
+      ("SELECT o_orderkey AS k, (o_orderkey % 10)::BIGINT AS shape, " +
+        "o_orderdate AS parsed FROM orders ORDER BY k"),
+
+    // clipped bigram overlap via two gram-count CTEs + least(); P/R
+    // round before F (the cross-engine float contract)
+    "q226_rouge" ->
+      ("WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks " +
+        "FROM documents), " +
+        "p AS (SELECT a.doc_id, a.toks AS rt, b.toks AS ct " +
+        "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1), " +
+        "rg AS (SELECT doc_id, unnest(CASE WHEN len(rt) < 2 THEN []::VARCHAR[] " +
+        "ELSE list_transform(range(len(rt) - 1), i -> rt[i+1] || ' ' || rt[i+2]) END) AS g FROM p), " +
+        "cg AS (SELECT doc_id, unnest(CASE WHEN len(ct) < 2 THEN []::VARCHAR[] " +
+        "ELSE list_transform(range(len(ct) - 1), i -> ct[i+1] || ' ' || ct[i+2]) END) AS g FROM p), " +
+        "rc AS (SELECT doc_id, g, count(*)::BIGINT AS nr FROM rg GROUP BY 1, 2), " +
+        "cc AS (SELECT doc_id, g, count(*)::BIGINT AS nc FROM cg GROUP BY 1, 2), " +
+        "ov AS (SELECT doc_id, sum(least(nr, nc))::BIGINT AS overlap " +
+        "FROM rc JOIN cc USING (doc_id, g) GROUP BY 1), " +
+        "tot AS (SELECT doc_id, greatest(len(rt) - 1, 0)::INT AS n_ref, " +
+        "greatest(len(ct) - 1, 0)::INT AS n_cand FROM p), " +
+        "j AS (SELECT t.doc_id, n_ref, n_cand, coalesce(overlap, 0)::BIGINT AS overlap " +
+        "FROM tot t LEFT JOIN ov USING (doc_id)), " +
+        "pr AS (SELECT doc_id, n_ref, n_cand, overlap, " +
+        "CASE WHEN n_cand > 0 THEN round(overlap::DOUBLE / n_cand, 6) END AS rouge_p, " +
+        "CASE WHEN n_ref > 0 THEN round(overlap::DOUBLE / n_ref, 6) END AS rouge_r FROM j) " +
+        "SELECT doc_id, n_ref, n_cand, overlap, rouge_p, rouge_r, " +
+        "CASE WHEN rouge_p + rouge_r > 0 THEN " +
+        "round(2.0::DOUBLE * rouge_p * rouge_r / (rouge_p + rouge_r), 6) END AS rouge_f " +
+        "FROM pr ORDER BY doc_id"),
+
+    // q14's LSH positives + q18's same-cell cosine chain, top-1 per pair
+    "q227_hard_negatives" -> OraclesExt.hardNegatives
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,

@@ -23,12 +23,28 @@ object Cleansing {
     * (timesheet_transform.py:49,121). Day-first numeric formats take
     * precedence (mirrors `dayfirst=True`), then the unambiguous shapes
     * dateutil also accepts: ISO with either separator, dotted European,
-    * compact 8-digit, and English month names. Later branches only fire
-    * when every earlier one fails (a 4-digit day never parses; month
-    * names never parse numerically), so widening the cascade cannot
-    * change the meaning of a string an earlier branch accepted. Null on
-    * total failure — the callers' row-skip contract. */
-  def parseDateLenient(c: Column): Column =
+    * compact 8-digit, English month names (short and full), ordinal
+    * day suffixes ("7th March 2024", "March 7th, 2024" — the suffix is
+    * stripped before the month-name branches), and two-digit years
+    * day-first ("7/3/24"). Two-digit years pivot at the FIXED POSIX
+    * boundary — 00-49 → 20xx, 50-99 → 19xx — where dateutil pivots ±50
+    * years around the CURRENT date; fixed wins here because a parse
+    * that changes meaning with the wall clock can never be
+    * oracle-checked (divergence only for years 2050+, i.e. 24+ years of
+    * margin). Later branches only fire when every earlier one fails (a
+    * 4-digit day never parses; month names never parse numerically), so
+    * widening the cascade cannot change the meaning of a string an
+    * earlier branch accepted. Null on total failure — the callers'
+    * row-skip contract. */
+  def parseDateLenient(c: Column): Column = {
+    // "7th" -> "7" ahead of the month-name branches only: digits glued
+    // to st/nd/rd/th are day ordinals there; the numeric branches never
+    // see the rewrite, so "1st-2nd-3rd" garbage can't leak into them
+    val noOrd = regexp_replace(c, "(?i)\\b(\\d{1,2})(st|nd|rd|th)\\b", "$1")
+    // dateutil-style two-digit-year completion, fixed POSIX pivot
+    def pivot(d: Column): Column =
+      when(year(d) >= 2050,
+        make_date(year(d) - 100, month(d), dayofmonth(d))).otherwise(d)
     coalesce(
       try_to_date(c, "d/M/yyyy"),
       try_to_date(c, "d-M-yyyy"),
@@ -38,7 +54,14 @@ object Cleansing {
       try_to_date(c, "yyyyMMdd"),
       try_to_date(c, "d MMM yyyy"),
       try_to_date(c, "d-MMM-yyyy"),
-      try_to_date(c, "MMMM d, yyyy"))
+      try_to_date(c, "MMMM d, yyyy"),
+      try_to_date(noOrd, "d MMMM yyyy"),
+      try_to_date(noOrd, "d MMM yyyy"),
+      try_to_date(noOrd, "MMMM d, yyyy"),
+      try_to_date(noOrd, "MMMM d yyyy"),
+      pivot(try_to_date(c, "d/M/yy")),
+      pivot(try_to_date(c, "d-M-yy")))
+  }
 
   /** P2: parse "DD/MM/YYYY al DD/MM/YYYY" → week-start date, day-first;
     * returns null on malformed input, which callers filter (≙ the

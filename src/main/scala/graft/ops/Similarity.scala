@@ -437,6 +437,45 @@ object Similarity {
     topKIvf(q, c, k)
   }
 
+  /** Hard-negative mining — the second-epoch complement to
+    * [[graft.ops.TextAnalysis.contrastiveTriplets]]' easy negatives: for
+    * each (anchor, positive) pair, the corpus vector MOST similar to the
+    * anchor that is neither the anchor nor its positive. High-cosine
+    * non-duplicates are exactly the negatives that sharpen a contrastive
+    * embedding model (the easy random draws quickly contribute ~zero
+    * gradient). Candidates come cell-bounded (same coarse cell as the
+    * anchor — the [[topKIvf]] posture), so misses are possible for
+    * anchors whose nearest non-dup lives in another cell: the standard
+    * ANN trade; pairs with no candidate drop. Returns (anchor, positive,
+    * negative, neg_cos) — cosine 6dp, ties to the lower candidate id.
+    *
+    * Scale shape: pairs equi-join embeddings by id (twice — anchor
+    * vector + positive exclusion are carried on the pair row), then ONE
+    * equi-join by cell against the corpus and a per-pair max_by fold —
+    * no window sort, no n×m scoring; shuffle keys are (id) and (cell). */
+  def hardNegatives(
+      pairs: DataFrame, // (anchor, positive)
+      corpus: DataFrame, // (cid, cvec, cell)
+      minCos: Double = -1.0): DataFrame = {
+    val c = corpus.select(col("cid"), col("cvec"), col("cell"),
+      l2norm(col("cvec")).as("cn"))
+    val a = pairs
+      .join(c.select(col("cid").as("anchor"), col("cvec").as("avec"),
+        col("cell"), col("cn").as("an")), Seq("anchor"))
+    a.join(c, Seq("cell"))
+      .filter(col("cid") =!= col("anchor") && col("cid") =!= col("positive"))
+      .select(col("anchor"), col("positive"), col("cid"),
+        round(dot(col("avec"), col("cvec")) / (col("an") * col("cn")), 6)
+          .as("cos"))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("anchor"), col("positive"))
+      // lexicographic struct max on (cos, -cid): highest cosine, ties to
+      // the LOWER candidate id — one hash-agg, no rank window
+      .agg(max(struct(col("cos"), (-col("cid")).as("nid"))).as("_m"))
+      .select(col("anchor"), col("positive"),
+        (-col("_m.nid")).as("negative"), col("_m.cos").as("neg_cos"))
+  }
+
   /** Per-vector int8 scalar quantization — the standard 4× memory
     * reduction for ANN serving (float32 → uint8 codes + per-vector
     * (min, scale)): code_i = min(255, ⌊(x_i − mn) / ((mx − mn)/255)⌋),

@@ -400,6 +400,45 @@ object TextAnalysis {
       Seq("rrf" -> false, idCol -> true), topK)
   }
 
+  /** ROUGE-N overlap between a reference and a candidate text per row —
+    * the standard n-gram generation-eval metric (Lin 2004): clipped
+    * overlap `Σ_g min(count_ref(g), count_cand(g))`, precision =
+    * overlap/|cand grams|, recall = overlap/|ref grams|, F1 from the
+    * 6dp-ROUNDED P/R (the cross-engine float contract). Zero-gram sides
+    * yield null for the affected ratio (ANSI-safe), and F1 is null
+    * whenever P+R is 0 or either side is null.
+    *
+    * Scale shape: two explode → (id, gram) hash-aggregates with map-side
+    * combine, one equi-join on (id, gram) for the clipped overlap, one
+    * per-id fold — no windows, no cross-row state; eval sets of any size
+    * parallelize by id. */
+  def rougeN(
+      df: DataFrame,
+      idCol: String,
+      refCol: String,
+      candCol: String,
+      n: Int = 1): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    def grams(c: Column) = Dedup.shingles(words(c), n)
+    val r = df.select(col(idCol), explode(grams(col(refCol))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("nr"))
+    val cd = df.select(col(idCol), explode(grams(col(candCol))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("nc"))
+    val ov = r.join(cd, Seq(idCol, "g"))
+      .groupBy(idCol).agg(sum(least(col("nr"), col("nc"))).as("overlap"))
+    df.select(col(idCol), size(grams(col(refCol))).as("n_ref"),
+        size(grams(col(candCol))).as("n_cand"))
+      .join(ov, Seq(idCol), "left")
+      .na.fill(0L, Seq("overlap"))
+      .withColumn("rouge_p", when(col("n_cand") > 0,
+        round(col("overlap") / col("n_cand"), 6)))
+      .withColumn("rouge_r", when(col("n_ref") > 0,
+        round(col("overlap") / col("n_ref"), 6)))
+      .withColumn("rouge_f", when(col("rouge_p") + col("rouge_r") > 0,
+        round(lit(2.0) * col("rouge_p") * col("rouge_r") /
+          (col("rouge_p") + col("rouge_r")), 6)))
+  }
+
   /** Per-document keyphrase extraction: the top `k` corpus-weighted
     * terms of each document by TF-IDF (`tf · ln((N+1)/(df+1))`,
     * 6dp-rounded), with a stop-term gate — terms in more than

@@ -37,6 +37,13 @@ class CleansingSpec extends SparkSpec {
       "5 Mar 2025",     // dateutil month-name forms
       "05-Mar-2025",
       "March 5, 2025",
+      "5 March 2025",   // full month name
+      "5th March 2025", // ordinal day suffixes (dateutil strips them)
+      "March 5th, 2025",
+      "5th Mar 2025",
+      "March 5th 2025", // month-first without the comma
+      "5/3/25",         // two-digit year, day-first -> 2025
+      "5-3-25",
       "not a date"      // total failure -> null
     ).toDF("c")
     val got = df.select(Cleansing.parseDateLenient($"c").as("d")).collect()
@@ -45,6 +52,18 @@ class CleansingSpec extends SparkSpec {
         s"row $i: $r")
     }
     assert(got.last.isNullAt(0))
+    // two-digit-year pivot: 00-49 -> 20xx, 50-99 -> 19xx (fixed POSIX
+    // boundary — deterministic, unlike dateutil's moving ±50 window)
+    val piv = Seq("1/2/49", "1/2/50", "31/12/99", "29/2/68").toDF("c")
+      .select(Cleansing.parseDateLenient($"c").as("d"))
+      .collect().map(_.getDate(0).toString).toSeq
+    assert(piv == Seq("2049-02-01", "1950-02-01", "1999-12-31", "1968-02-29"),
+      piv.toString)
+    // ordinal stripping must NOT leak into numeric branches or corrupt
+    // text that merely contains st/nd/rd/th after digits elsewhere
+    val weird = Seq("1st-2nd-3rd", "21st century").toDF("c")
+      .select(Cleansing.parseDateLenient($"c").as("d")).collect()
+    assert(weird.forall(_.isNullAt(0)), weird.mkString(","))
     // asDate: every free-form cell shape coerces like the reference's
     // pandas to_datetime target-cell coercion
     val d2 = Seq("05-03-2025", "5 Mar 2025", "20250305").toDF("c")

@@ -204,6 +204,25 @@ class SimilaritySpec extends SparkSpec {
     assert(all == brute)
   }
 
+  test("hardNegatives: nearest same-cell non-pair member; ties to lower id; cross-cell and pair members excluded") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f), 0L),    // anchor
+      (2L, Array(0.9f, 0.1f), 0L), // positive
+      (3L, Array(0.8f, 0.2f), 0L), // the hard negative
+      (4L, Array(0f, 1f), 0L),     // far
+      (5L, Array(1f, 0f), 1L),     // identical to anchor but other cell
+      (6L, Array(0.8f, 0.2f), 0L)) // same cos as 3 -> tie, 3 wins
+      .toDF("cid", "cvec", "cell")
+    val pairs = Seq((1L, 2L)).toDF("anchor", "positive")
+    val got = Similarity.hardNegatives(pairs, corpus).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 2L, 3L)), r.toString)
+    assert(r.getDouble(3) > 0.96 && r.getDouble(3) < 1.0, r.toString)
+    // minCos floor: no candidate clears 0.999 -> the pair drops
+    assert(Similarity.hardNegatives(pairs, corpus, minCos = 0.999).isEmpty)
+  }
+
   test("quantizeInt8: hand-checked codes, endpoints exact, constant vector all-zero") {
     val df = Seq(
       (1L, Array(0f, 1f, 2f)),       // sc = 2/255; codes 0, 127, 255

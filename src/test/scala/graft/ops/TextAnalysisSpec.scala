@@ -286,6 +286,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(single == got.collect { case ((1, d), v) => d -> v }, single.toString)
   }
 
+  test("rougeN: hand-checked clipped overlap, P/R/F; zero-gram and disjoint arms") {
+    val df = Seq(
+      // ref "the cat sat on the mat", cand "the cat lay on the mat":
+      // unigram clip: the min(2,2)=2, cat 1, on 1, mat 1 -> overlap 5
+      (1L, "the cat sat on the mat", "the cat lay on the mat"),
+      (2L, "alpha beta", "gamma delta"), // disjoint -> overlap 0, F null
+      (3L, "one", ""),                   // empty candidate -> P null
+      (4L, "a b c", "a b c"))            // identical -> P=R=F=1
+      .toDF("id", "ref", "cand")
+    val r1 = TextAnalysis.rougeN(df, "id", "ref", "cand", n = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(r1(1L) == ((6, 6, 5L, Some(0.833333), Some(0.833333), Some(0.833333))), r1(1L).toString)
+    assert(r1(2L) == ((2, 2, 0L, Some(0.0), Some(0.0), None)), r1(2L).toString)
+    assert(r1(3L) == ((1, 0, 0L, None, Some(0.0), None)), r1(3L).toString)
+    assert(r1(4L) == ((3, 3, 3L, Some(1.0), Some(1.0), Some(1.0))), r1(4L).toString)
+    // bigrams: row 1 shares "the cat", "on the", "the mat" -> 3 of 5
+    val r2 = TextAnalysis.rougeN(df, "id", "ref", "cand", n = 2)
+      .filter(col("id") === 1L).head()
+    assert(r2.getLong(3) == 3L && r2.getDouble(4) == 0.6, r2.toString)
+  }
+
   test("keyphrases: per-doc tf-idf top-k with the stop-term df gate") {
     val df = Seq(
       (1L, "alpha alpha beta common common"),
