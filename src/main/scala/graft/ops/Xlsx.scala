@@ -194,11 +194,32 @@ object Xlsx {
     acc - 1
   }
 
-  private def serialToIso(raw: String): String = {
+  private val Xlsx1904Epoch = LocalDate.of(1904, 1, 1)
+
+  /** Mac-Excel workbooks use the 1904 date system
+    * (`<workbookPr date1904="1"/>`): serial 0 = 1904-01-01, no
+    * fictitious leap day. */
+  private def isDate1904(parts: Map[String, Array[Byte]]): Boolean = {
+    var found = false
+    for (bytes <- parts.get("xl/workbook.xml")) {
+      val r = staxReader(bytes)
+      while (!found && r.hasNext) {
+        if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "workbookPr") {
+          val v = Option(r.getAttributeValue(null, "date1904"))
+          found = v.exists(x => x == "1" || x == "true")
+        }
+      }
+      r.close()
+    }
+    found
+  }
+
+  private def serialToIso(raw: String, epoch: LocalDate): String = {
     val d = raw.toDouble
     val days = math.floor(d).toLong
     val frac = d - days
-    val date = XlsxEpoch.plusDays(days)
+    val date = epoch.plusDays(days)
     if (frac == 0.0) date.format(DateFmt)
     else {
       val secs = math.round(frac * 86400.0)
@@ -211,7 +232,8 @@ object Xlsx {
   private def parseSheet(
       bytes: Array[Byte],
       shared: IndexedSeq[String],
-      dateXf: IndexedSeq[Boolean]): Seq[(Long, Seq[(Int, String)])] = {
+      dateXf: IndexedSeq[Boolean],
+      epoch: LocalDate): Seq[(Long, Seq[(Int, String)])] = {
     val r = staxReader(bytes)
     val rows = mutable.ArrayBuffer.empty[(Long, Seq[(Int, String)])]
     var cells = mutable.ArrayBuffer.empty[(Int, String)]
@@ -267,7 +289,7 @@ object Xlsx {
                   if (raw.isEmpty) null
                   else if (cellStyle >= 0 && cellStyle < dateXf.length &&
                     dateXf(cellStyle) && raw.toDoubleOption.isDefined)
-                    serialToIso(raw)
+                    serialToIso(raw, epoch)
                   else raw
               }
               if (value != null) cells += ((cellCol, value))
@@ -291,10 +313,11 @@ object Xlsx {
       .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
     val dateXf = parts.get("xl/styles.xml")
       .map(parseStyles).getOrElse(IndexedSeq.empty)
+    val epoch = if (isDate1904(parts)) Xlsx1904Epoch else XlsxEpoch
     sheetTargets(parts)
       .filter { case (name, _) => wanted.forall(_.contains(name)) }
       .flatMap { case (name, path) =>
-        parts.get(path).toSeq.flatMap(parseSheet(_, shared, dateXf))
+        parts.get(path).toSeq.flatMap(parseSheet(_, shared, dateXf, epoch))
           .map { case (i, cs) => (name, i, cs) }
       }
   }

@@ -896,6 +896,37 @@ class PlanShapeSpec extends SparkSpec {
       s"no nested-loop/cartesian expected:\n$plan")
   }
 
+  test("rougeN: pure equi-join + hash-agg pipeline — no nested loop, no window, no sort") {
+    import org.apache.spark.sql.functions.col
+    val d = ops.Sources.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val pairs = d.withColumnRenamed("text", "ref")
+      .join(d.select((col("doc_id") - 1).as("doc_id"), col("text").as("cand")),
+        Seq("doc_id"))
+    val plan = executed(ops.TextAnalysis.rougeN(pairs, "doc_id", "ref", "cand", 2))
+    val s = plan.toString
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      s"no non-equi join expected:\n$plan")
+    assert(collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"no window expected:\n$plan")
+  }
+
+  test("hardNegatives: cell-bounded equi joins + max_by fold — no rank window, no nested loop") {
+    import org.apache.spark.sql.functions.col
+    val e = ops.Sources.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        col("label").cast("long").as("cell"))
+    val pairs = e.filter(col("cid") % 50 === 0)
+      .select(col("cid").as("anchor"), (col("cid") + 1).as("positive"))
+    val plan = executed(ops.Similarity.hardNegatives(pairs, e))
+    val s = plan.toString
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      s"no non-equi join expected:\n$plan")
+    assert(collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"top-1 must be the max_by hash-agg, not a rank window:\n$plan")
+  }
+
   test("vocabCoverage: rank window bounded by TakeOrderedAndProject, never the full vocabulary") {
     val df = ops.TextAnalysis.vocabCoverage(
       ops.Sources.table(spark, dir, "documents"), "text", Seq(10, 100, 1000))

@@ -87,6 +87,33 @@ class XlsxSpec extends SparkSpec {
     assert(got(1) == (("Verdi", null, "2024-03-07")), got(1).toString)
   }
 
+  test("date1904 workbook: serials anchor at the Mac-Excel epoch") {
+    val dir = tmpDir()
+    def entry(n: String, c: String) = n -> c.getBytes("UTF-8")
+    val parts = Seq(
+      entry("_rels/.rels",
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>"""),
+      entry("xl/workbook.xml",
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><workbookPr date1904="1"/><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>"""),
+      entry("xl/_rels/workbook.xml.rels",
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>"""),
+      entry("xl/styles.xml",
+        """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/></cellXfs></styleSheet>"""),
+      entry("xl/worksheets/sheet1.xml",
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>D</t></is></c></row><row r="2"><c r="A2" s="1"><v>44000</v></c></row></sheetData></worksheet>"""))
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    parts.foreach { case (n, b) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(n)); zos.write(b); zos.closeEntry()
+    }
+    zos.close()
+    val path = s"$dir/mac.xlsx"
+    Files.write(java.nio.file.Paths.get(path), bos.toByteArray)
+    val got = Xlsx.readSheet(spark, path).select("D").head().getString(0)
+    val expected = java.time.LocalDate.of(1904, 1, 1).plusDays(44000).toString
+    assert(got == expected, s"$got vs $expected") // 2024-06-22, not the 1900-system 2020-06-18
+  }
+
   test("writeSheets: one sheet per key in ONE workbook, key column dropped, 31-char cap; readSheet(None) unions them") {
     val dir = tmpDir()
     val longKey = "x" * 40
