@@ -70,9 +70,31 @@ object Xlsx {
     f.createXMLStreamReader(new ByteArrayInputStream(bytes))
   }
 
+  /** OOXML `_xHHHH_` escape decoding (ECMA-376 §22.9.2.19 ST_Xstring):
+    * XML 1.0 cannot carry control characters, so producers encode them
+    * as `_xHHHH_` (and escape a LITERAL such sequence by encoding its
+    * underscore, `_x005F_xHHHH_`). Every conforming reader must decode;
+    * openpyxl does, so the reference sees decoded text. */
+  private val xEscape = java.util.regex.Pattern.compile("_x([0-9A-Fa-f]{4})_")
+
+  private def decodeXstring(s: String): String = {
+    if (!s.contains("_x")) return s
+    val m = xEscape.matcher(s)
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      sb ++= s.substring(last, m.start())
+      sb += Integer.parseInt(m.group(1), 16).toChar
+      last = m.end()
+    }
+    sb ++= s.substring(last)
+    sb.result()
+  }
+
   /** Collect the character content of the current element subtree's `<t>`
     * runs (a shared-string item or inline string may be split into rich
-    * text runs). Positioned ON the container start element. */
+    * text runs), with `_xHHHH_` sequences decoded. Positioned ON the
+    * container start element. */
   private def textRuns(r: javax.xml.stream.XMLStreamReader): String = {
     val sb = new StringBuilder
     var depth = 1
@@ -89,7 +111,7 @@ object Xlsx {
         case _ =>
       }
     }
-    sb.result()
+    decodeXstring(sb.result())
   }
 
   private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
@@ -417,13 +439,19 @@ object Xlsx {
   // ───────────────────────── writing ──────────────────────────────────
 
   private def xmlEscape(s: String): String = {
-    val sb = new StringBuilder(s.length + 8)
-    s.foreach {
+    // a LITERAL _xHHHH_ in the data must survive the reader's ST_Xstring
+    // decode: escape its own underscore first (ECMA-376 §22.9.2.19)
+    val pre = if (s.contains("_x")) xEscape.matcher(s).replaceAll("_x005F_x$1_")
+    else s
+    val sb = new StringBuilder(pre.length + 8)
+    pre.foreach {
       case '&' => sb ++= "&amp;"
       case '<' => sb ++= "&lt;"
       case '>' => sb ++= "&gt;"
       case '"' => sb ++= "&quot;"
-      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
+      // \r included: XML line-ending normalization would silently turn
+      // a literal carriage return into \n on read
+      case c if c < ' ' && c != '\t' && c != '\n' =>
         sb ++= f"_x${c.toInt}%04X_"
       case c => sb += c
     }

@@ -151,6 +151,31 @@ class XlsxSpec extends SparkSpec {
     assert(keys.forall { case (k, id) => k == s"k${id % 7}" })
   }
 
+  test("adversarial strings round-trip exactly: ST_Xstring escapes, controls, CR, unicode") {
+    val dir = tmpDir()
+    val strings = Seq(
+      "_x0041_",            // literal escape-shaped text must NOT decode to 'A'
+      "_x005F_",            // the escape of the escape
+      "__x0000_",           // overlapping underscores
+      "a_xZZZZ_b",          // not a valid escape — passes through
+      "ctl\u0001\u0002end", // raw control chars -> encoded -> decoded
+      "cr\rlf\ntab\t.",     // \r must survive XML newline normalization
+      "emoji 🦊 + CJK 漢字 + RTL שלום",
+      "nbsp pad ",
+      "x" * 10000)
+    val df = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    val path = s"$dir/adv.xlsx"
+    Xlsx.writeSheet(df, path)
+    val back = Xlsx.readSheet(spark, path)
+      .select(col("id").cast("long"), col("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    strings.zipWithIndex.foreach { case (s, i) =>
+      assert(back(i.toLong) == s,
+        s"row $i: ${back(i.toLong).take(60)} != ${s.take(60)}")
+    }
+  }
+
   test("workbookBytes is deterministic; header-only for an empty frame") {
     val rows = Seq(Seq[Any](1L, "a"), Seq[Any](2L, "b"))
     val a = Xlsx.workbookBytes(Seq(("S", Seq("id", "x"), rows)))
