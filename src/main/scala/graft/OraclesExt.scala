@@ -436,6 +436,34 @@ object OraclesExt {
       "SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
   }
 
+  /** Mirrors TextAnalysis.bpeTrain (q228): the word-frequency table in
+    * paren-symbol form, then `merges` chained (pair-count → top-1 →
+    * replace) CTE triples — `replace` on the `(s)(y)(m)` representation
+    * is the same leftmost-first merge in both engines. */
+  def bpeTrain(merges: Int): String = {
+    val chain = (1 to merges).map { i =>
+      s"p$i AS (SELECT unnest(list_transform(range(greatest(len(syms) - 1, 0)), " +
+        "i -> syms[i+1] || '|' || syms[i+2])) AS p, freq " +
+        s"FROM (SELECT regexp_extract_all(w, '\\(([^)]*)\\)', 1) AS syms, freq " +
+        s"FROM w${i - 1})), " +
+        s"a$i AS (SELECT p, f FROM (SELECT p, sum(freq)::BIGINT AS f " +
+        s"FROM p$i GROUP BY 1) ORDER BY f DESC, p LIMIT 1), " +
+        s"w$i AS (SELECT CASE WHEN a.p IS NULL THEN w ELSE " +
+        "replace(w, '(' || split_part(a.p, '|', 1) || ')(' || split_part(a.p, '|', 2) || ')', " +
+        "'(' || split_part(a.p, '|', 1) || split_part(a.p, '|', 2) || ')') END AS w, freq " +
+        s"FROM w${i - 1} LEFT JOIN a$i a ON true)"
+    }.mkString(", ")
+    val out = (1 to merges).map(i =>
+      s"SELECT $i::INT AS step, split_part(p, '|', 1) AS lhs, " +
+        s"split_part(p, '|', 2) AS rhs, f AS pair_freq FROM a$i")
+      .mkString(" UNION ALL ")
+    "WITH wf AS (SELECT word, count(*)::BIGINT AS freq FROM " +
+      "(SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS word " +
+      "FROM documents) GROUP BY 1), " +
+      "w0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS w, freq FROM wf), " +
+      chain + " SELECT * FROM (" + out + ") ORDER BY step"
+  }
+
   /** Mirrors Similarity.hardNegatives over q14's LSH positives (q227):
     * per (anchor, positive) pair, the same-cell corpus vector with the
     * highest anchor-cosine that is neither member of the pair; ties to

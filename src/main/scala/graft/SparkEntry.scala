@@ -3387,8 +3387,34 @@ object SparkEntry {
       val e = tb(s, dir, "embeddings").select(col("vec_id").as("cid"),
         col("embedding").as("cvec"), col("label").cast("long").as("cell"))
       Similarity.hardNegatives(pos, e).orderBy("anchor", "positive")
+    },
+
+    // ───── BPE merge-table training: 8 rounds of count-pairs → merge
+    // the winner, over the word-frequency table (the ONLY corpus-scale
+    // pass is the initial word count) — the trainable tokenizer
+    // artifact, fully hash-oracled via the paren-symbol replace chain ─────
+    "q228_bpe_train" -> { (s, dir) =>
+      TextAnalysis.bpeTrain(tb(s, dir, "documents"), "text", merges = 8)
+        .orderBy("step")
+    },
+
+    // ───── BPE segmentation with a PINNED merge table (the trained
+    // artifact as plan literals — the PinnedIndex posture): per-doc
+    // token counts over the merged symbol vocabulary ─────
+    "q229_bpe_segment" -> { (s, dir) =>
+      TextAnalysis.bpeSegment(tb(s, dir, "documents"), "doc_id", "text",
+          pinnedBpeMerges)
+        .orderBy("doc_id", "token")
     }
   )
+
+  /** q229's pinned merge list — the first 8 merges [[q228_bpe_train]]
+    * learns on the sf0.01 corpus, shipped as literals (both engines
+    * embed them; correctness is corpus-independent, the PinnedIndex
+    * contract). */
+  private[graft] val pinnedBpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+    "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
 
   /** q219's fixed retrieval workload — shared by the Spark row and its
     * DuckDB oracle so the two sides stay in lockstep. */
@@ -5803,7 +5829,26 @@ object SparkEntry {
         "FROM pr ORDER BY doc_id"),
 
     // q14's LSH positives + q18's same-cell cosine chain, top-1 per pair
-    "q227_hard_negatives" -> OraclesExt.hardNegatives
+    "q227_hard_negatives" -> OraclesExt.hardNegatives,
+
+    // 8 chained (pair-count -> top-1 -> replace) CTE triples over the
+    // paren-symbol word table
+    "q228_bpe_train" -> OraclesExt.bpeTrain(8),
+
+    // the same pinned merges applied as a literal replace chain
+    "q229_bpe_segment" -> {
+      val inner = pinnedBpeMerges.foldLeft(
+        "regexp_replace(word, '(.)', '(\\1)', 'g')") { case (acc, (l, r)) =>
+        s"replace($acc, '($l)($r)', '($l$r)')"
+      }
+      "WITH t AS (SELECT doc_id, " +
+        "unnest(regexp_extract_all(lower(text), '\\w+')) AS word FROM documents), " +
+        s"m AS (SELECT doc_id, $inner AS w FROM t), " +
+        "tok AS (SELECT doc_id, " +
+        "unnest(regexp_extract_all(w, '\\(([^)]*)\\)', 1)) AS token FROM m) " +
+        "SELECT doc_id, token, count(*)::BIGINT AS n FROM tok " +
+        "GROUP BY 1, 2 ORDER BY doc_id, token"
+    }
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,

@@ -749,6 +749,50 @@ object Dedup {
       .filter(col("cos") >= minCosine)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication") — semantic dedup through
+    * a LEARNED coarse quantizer: every vector is assigned to its nearest
+    * pinned-centroid cell ([[Similarity.probeCells]] with nProbe = 1, the
+    * IVF assignment; centroids are plan-time literals, the
+    * [[graft.fixtures.PinnedIndex]] artifact contract), and within each
+    * cell a row is a semantic duplicate iff some LOWER-id cell-mate's
+    * 6dp-rounded cosine reaches `minCosine`. Keep-lowest-id replaces the
+    * paper's keep-farthest-from-centroid as the representative rule —
+    * the paper itself reports the choice "does not matter much" (§4.4);
+    * lowest-id is deterministic and engine-reproducible. Returns EVERY
+    * row as (cid, cell, kept) so the decision is auditable.
+    *
+    * Scale shape — exactly why SemDeDup clusters first: assignment is
+    * one codegen'd projection over the scan (k centroid dot products, no
+    * shuffle); the pair space is cell-blocked (Σ|cell|² not n², with k
+    * sized so cells stay ~n/k); the dup set is a semi-join-shaped
+    * distinct on the higher id, never a materialized pair table; the
+    * final flag is one broadcast-size left join per row. Skewed cells
+    * degrade like [[embeddingPairs]] blocks — the fix at 100 TB is more
+    * centroids (k ∝ n), which is a retrain, not a reshape. */
+  def semDedup(
+      df: DataFrame, // (cid, cvec)
+      centroids: Array[Array[Double]],
+      minCosine: Double): DataFrame = {
+    val asg = df.select(col("cid"), col("cvec"),
+      element_at(Similarity.probeCells(col("cvec"), centroids, 1), 1)
+        .as("cell"),
+      Similarity.l2norm(col("cvec")).as("nn"))
+    val a = asg.select(col("cell"), col("cid").as("id_a"),
+      col("cvec").as("va"), col("nn").as("na"))
+    val b = asg.select(col("cell"), col("cid").as("id_b"),
+      col("cvec").as("vb"), col("nn").as("nb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")),
+        6) >= minCosine)
+      .select(col("id_b").as("cid")).distinct()
+      .withColumn("_dup", lit(true))
+    asg.join(dups, Seq("cid"), "left")
+      .select(col("cid"), col("cell"), col("_dup").isNull.as("kept"))
+  }
+
   // ── segment-level dedup (C4-style, sub-document granularity) ─────────
 
   /** Fixed-width word segments of each document: one row per segment,

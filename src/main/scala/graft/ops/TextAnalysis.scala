@@ -400,6 +400,96 @@ object TextAnalysis {
       Seq("rrf" -> false, idCol -> true), topK)
   }
 
+  /** BPE merge-table training (Sennrich et al. 2016) — the pair-merge
+    * half of the tokenizer-training front end ([[buildVocab]] is the
+    * frequency half): `merges` rounds of "count adjacent symbol pairs
+    * over the word-frequency table, merge the most frequent pair
+    * everywhere". Returns the merge table (step, lhs, rhs, pair_freq) —
+    * the artifact a tokenizer ships. Deterministic: ties break on the
+    * pair key (freq desc, "lhs|rhs" asc, binary UTF-8 — identical
+    * collation in both engines).
+    *
+    * Words are carried as `(s)(y)(m)` strings: every symbol is
+    * parenthesis-wrapped (safe — [[words]] emits `\w+`, so the corpus
+    * never contains parens), which makes one `replace()` of
+    * `"(l)(r)" -> "(lr)"` EXACTLY the leftmost-first single-pass merge
+    * (adjacent matches share no characters, so replace-all cannot skip
+    * a legal merge or merge across a symbol boundary) — and `replace`
+    * behaves identically in Spark and DuckDB, giving the training loop
+    * a full hash oracle (q228).
+    *
+    * Scale shape: the ONLY corpus-scale pass is the initial word count
+    * (explode + map-side-combined hash-agg); every round then runs over
+    * the VOCABULARY table — one pair hash-agg, a TakeOrderedAndProject
+    * top-1, and a 1-row broadcast re-entry for the rewrite (the q32
+    * scalar posture), with a lazy localCheckpoint per round bounding
+    * plan depth (the pageRank knob). Rounds are inherently sequential —
+    * that is BPE, not a formulation choice; HF's trainer iterates the
+    * same way over the same word-count table. */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 1024, "merges in [1, 1024]")
+    val sess = df.sparkSession
+    var cur = df.select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("word"), "(.)", "($1)").as("w"), col("freq"))
+      .localCheckpoint(false)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (step <- 1 to merges) {
+      val syms = regexp_extract_all(col("w"), lit("\\(([^)]*)\\)"), lit(1))
+      val pairs = cur
+        .select(col("freq"), explode(
+          when(size(syms) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(syms) - 1),
+              i => concat(element_at(syms, i), lit("|"),
+                element_at(syms, i + 1))))).as("p"))
+        .groupBy("p").agg(sum(col("freq")).as("f"))
+      val top = pairs.orderBy(col("f").desc, col("p")).limit(1)
+        .select(col("p").as("_p"), col("f").as("_f"))
+      steps += top.select(lit(step).as("step"),
+        substring_index(col("_p"), "|", 1).as("lhs"),
+        substring_index(col("_p"), "|", -1).as("rhs"),
+        col("_f").as("pair_freq"))
+      // 1-row left re-entry: an exhausted pair table (fewer distinct
+      // pairs than rounds) leaves the words untouched instead of
+      // annihilating them through an empty cross join
+      cur = cur.join(broadcast(top), lit(true), "left")
+        .withColumn("w", when(col("_p").isNull, col("w")).otherwise(
+          expr("replace(w, '(' || substring_index(_p, '|', 1) || ')(' || " +
+            "substring_index(_p, '|', -1) || ')', " +
+            "'(' || substring_index(_p, '|', 1) || " +
+            "substring_index(_p, '|', -1) || ')')")))
+        .drop("_p", "_f")
+        .localCheckpoint(false)
+    }
+    steps.reduce(_ unionByName _)
+  }
+
+  /** Apply a FIXED merge list to tokenize text — [[bpeTrain]]'s serving
+    * half, the [[graft.fixtures.PinnedIndex]] posture: the merge table
+    * is a shipped artifact (literals in the plan), application is the
+    * same paren-string replace chain, one word at a time, merges in
+    * table order. Returns (idCol, token, n) — per-document token
+    * counts over the merged symbol vocabulary. */
+  def bpeSegment(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "empty merge list")
+    require(merges.forall { case (l, r) =>
+      !(l + r).exists(c => c == '(' || c == ')' || c == '|') },
+      "merge symbols must be paren/pipe-free")
+    val w0 = regexp_replace(col("word"), "(.)", "($1)")
+    val merged = merges.foldLeft(w0) { case (acc, (l, r)) =>
+      call_function("replace", acc, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+    df.select(col(idCol), explode(words(col(textCol))).as("word"))
+      .select(col(idCol),
+        explode(regexp_extract_all(merged, lit("\\(([^)]*)\\)"), lit(1)))
+          .as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("n"))
+  }
+
   /** ROUGE-N overlap between a reference and a candidate text per row —
     * the standard n-gram generation-eval metric (Lin 2004): clipped
     * overlap `Σ_g min(count_ref(g), count_cand(g))`, precision =
@@ -694,6 +784,74 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(avg(-log((col("cb") + 1.0) / (col("cw") + col("nv") + 1.0)))
         .as("nll"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), round(coalesce(col("nll"), lit(0.0)), 6).as("avg_nll"))
+  }
+
+  /** Interpolated Kneser–Ney bigram perplexity scoring — the
+    * production-grade upgrade of [[bigramLmScore]]'s add-1 smoothing and
+    * the LM the CCNet-style quality filters actually ship (Kneser & Ney
+    * 1995; Chen & Goodman 1999's interpolated form):
+    *
+    *   P(w2|w1) = (max(c(w1,w2) − D, 0) + D·N1+(w1,·)·Pcont(w2)) / c(w1)
+    *   Pcont(w2) = N1+(·,w2) / |distinct bigram types|
+    *
+    * with absolute discount `D` (0.75, Chen & Goodman's fixed choice).
+    * The continuation probability ranks words by how many CONTEXTS they
+    * follow, not raw frequency — the "San Francisco" fix: "francisco" is
+    * frequent but follows one context, so its unigram back-off weight is
+    * tiny. Trained over the corpus itself on a top-`vocabSize` vocabulary
+    * (everything else → "<unk>", the [[bigramLmScore]] mapping); every
+    * scored bigram therefore exists in the model, so c(w1) > 0 and
+    * P > 0 always. Docs with < 2 tokens score 0. Returns
+    * (idCol, avg_nll) with avg −ln P 6dp-rounded; lower = more fluent.
+    *
+    * Scale shape: identical to [[bigramLmScore]] — vocab (≤ V rows), LM
+    * (≤ V² bigram-type counts), context totals, and the two continuation
+    * tables (N1+(w1,·), N1+(·,w2): one row per vocab word) are ALL
+    * broadcast; bigrams form inside the token array, the corpus pays one
+    * tokenize Generate plus map-side hash probes, and the token stream
+    * never shuffles before the per-doc aggregate. */
+  def knBigramScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount in (0, 1)")
+    val vocab = buildVocab(df, textCol, vocabSize).select("token")
+    val bg0 = df
+      .select(col(idCol), words(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(bigramPairs(col("_toks"))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1r"), col("bg.w2").as("w2r"))
+    val v1 = vocab.select(col("token").as("w1r"), lit(true).as("_v1"))
+    val v2 = vocab.select(col("token").as("w2r"), lit(true).as("_v2"))
+    val bg = bg0
+      .join(broadcast(v1), Seq("w1r"), "left")
+      .join(broadcast(v2), Seq("w2r"), "left")
+      .select(col(idCol),
+        when(col("_v1").isNotNull, col("w1r")).otherwise(lit("<unk>")).as("w1"),
+        when(col("_v2").isNotNull, col("w2r")).otherwise(lit("<unk>")).as("w2"))
+    // one row per bigram TYPE: counts, and the three KN statistics all
+    // derive from this ≤V²-row table, never from the corpus again
+    val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint(false) // feeds four derived tables below
+    val ctx = lm.groupBy("w1").agg(sum("cb").as("cw"))
+    val n1fwd = lm.groupBy("w1").agg(count(lit(1)).cast("double").as("n1f"))
+    val n1bwd = lm.groupBy("w2").agg(count(lit(1)).cast("double").as("n1b"))
+    val nTypes = lm.agg(count(lit(1)).cast("double").as("nbt"))
+    val p = (greatest(col("cb") - lit(discount), lit(0.0)) +
+      lit(discount) * col("n1f") * (col("n1b") / col("nbt"))) / col("cw")
+    val scored = bg
+      .join(broadcast(lm), Seq("w1", "w2"))
+      .join(broadcast(ctx), Seq("w1"))
+      .join(broadcast(n1fwd), Seq("w1"))
+      .join(broadcast(n1bwd), Seq("w2"))
+      .crossJoin(broadcast(nTypes))
+      .groupBy(idCol)
+      .agg(avg(lit(0.0) - log(p)).as("nll"))
     df.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol), round(coalesce(col("nll"), lit(0.0)), 6).as("avg_nll"))

@@ -106,4 +106,26 @@ class GraphXParitySpec extends SparkSpec {
         s"node $id degree: ours $deg vs graphx ${theirDeg(id)}")
     }
   }
+
+  test("connectedComponents matches GraphX on a random sparse graph (min-id labels both sides)") {
+    // sparse enough to leave several components; both implementations
+    // label every member with the component's MINIMUM vertex id
+    val rnd = new scala.util.Random(31)
+    val pairs = Seq.tabulate(35)(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).distinct
+
+    val ours = Dedup.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val xg = XGraph.fromEdges(
+      spark.sparkContext.parallelize(pairs.map { case (a, b) => Edge(a, b, 1) }),
+      defaultValue = 1.0)
+    val theirs = xg.connectedComponents().vertices.collect().toMap
+      .map { case (id, cc) => id.toLong -> cc.toLong }
+
+    assert(ours == theirs,
+      s"diff: ${(ours.toSet diff theirs.toSet) ++ (theirs.toSet diff ours.toSet)}")
+    assert(ours.values.toSet.size > 1, "fixture should have several components")
+  }
 }

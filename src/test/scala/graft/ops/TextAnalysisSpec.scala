@@ -286,6 +286,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(single == got.collect { case ((1, d), v) => d -> v }, single.toString)
   }
 
+  test("bpeTrain: hand-checked merge sequence; exhausted pairs stop cleanly; bpeSegment applies the table") {
+    // corpus: "ab ab abc" -> word freqs ab:2, abc:1
+    // step 1: pairs a|b f=3, b|c f=1 -> merge (a, b)
+    // step 2: only ab|c f=1 left     -> merge (ab, c)
+    // step 3: no pairs remain        -> no row, words untouched
+    val df = Seq((1L, "ab ab abc")).toDF("id", "text")
+    val got = TextAnalysis.bpeTrain(df, "text", merges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, "a", "b", 3L), (2, "ab", "c", 1L)), got.mkString(","))
+    // tie-break: "aa bb" has a|a f=1 and b|b f=1 -> pair key asc picks a|a
+    val tie = TextAnalysis.bpeTrain(Seq((1L, "aa bb")).toDF("id", "text"), "text", 1)
+      .head()
+    assert((tie.getString(1), tie.getString(2)) == (("a", "a")), tie.toString)
+    // segmentation with the learned table: "abc abd" under merges
+    // [(a,b),(ab,c)] -> tokens abc:1, ab:1, d:1
+    val seg = TextAnalysis.bpeSegment(
+        Seq((9L, "abc abd")).toDF("id", "text"), "id", "text",
+        Seq("a" -> "b", "ab" -> "c"))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(seg == Set(("abc", 1L), ("ab", 1L), ("d", 1L)), seg.toString)
+  }
+
   test("rougeN: hand-checked clipped overlap, P/R/F; zero-gram and disjoint arms") {
     val df = Seq(
       // ref "the cat sat on the mat", cand "the cat lay on the mat":
