@@ -113,13 +113,15 @@ object OraclesExt {
       s"for i in range($K)]) / $K.0"
 
   /** CTE chain ending in `cand(id_a, id_b, sa, sb)` — the MinHash+LSH
-    * banded candidate derivation, shared by the pair and pipeline
-    * oracles. */
-  private val minhashCandCte: String = {
+    * banded candidate derivation over a `(doc_id, toks)` source CTE
+    * (parameterized so pipeline oracles can run it over a filtered
+    * survivor set, q234). */
+  private def minhashCandFrom(tokSrc: String): String = {
     val aCoef = s"(37 * j + 11)"
     val bCoef = s"(101 * j + 7)"
     val r = K / BANDS
-    s"$tokCte, $sh3Cte, " +
+    s"sh3 AS (SELECT doc_id, list_distinct([array_to_string(toks[i+1:i+3], ' ') " +
+      s"for i in range(len(toks)-2)]) AS shs FROM $tokSrc), " +
       "shing AS (SELECT doc_id, unnest(shs) AS s FROM sh3), " +
       s"hsh AS (SELECT doc_id, ${h60("s")} % $P AS h FROM shing), " +
       s"mh AS (SELECT doc_id, j, min(($aCoef * h + $bCoef) % $P) AS m " +
@@ -130,6 +132,9 @@ object OraclesExt {
       "cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.sig AS sa, y.sig AS sb " +
       "FROM band x JOIN band y ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id)"
   }
+
+  /** The whole-corpus instantiation (q14 and friends). */
+  private val minhashCandCte: String = s"$tokCte, ${minhashCandFrom("tok")}"
 
   val dedupMinhash: String =
     s"WITH $minhashCandCte " +
@@ -434,6 +439,148 @@ object OraclesExt {
       "FROM q JOIN corp USING (cell) WHERE cid <> qid), " +
       "r AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM s) " +
       "SELECT qid, rnk, cid, cos FROM r WHERE rnk <= 5 ORDER BY qid, rnk"
+  }
+
+  /** The pinned Lloyd-trained IVF centroids as literal VALUES rows
+    * (cell, vector, ‖c‖²) — shared by the pinned-index oracles; cell is
+    * BIGINT to match the Spark side's long cell ids. */
+  private def pinnedCentRows: String =
+    graft.fixtures.PinnedIndex.ivfCentroidsV1.zipWithIndex.map {
+      case (c, i) =>
+        s"($i::BIGINT, ${c.mkString("[", ", ", "]")}::DOUBLE[], ${c.map(x => x * x).sum})"
+    }.mkString(", ")
+
+  /** Mirrors Dedup.semDedup over the pinned IVF centroids (q230):
+    * nearest-centroid assignment (the q220 scored/rn=1 chain), then a
+    * row is a duplicate iff some LOWER-id cell-mate's 6dp-rounded cosine
+    * reaches the threshold. */
+  def semDedup(minCosine: Double): String =
+    s"WITH $embCte, " +
+      s"cent AS (SELECT * FROM (VALUES $pinnedCentRows) t(cell, cv, cn2)), " +
+      "scored AS (SELECT e.vec_id, e.v, cent.cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_dot_product(e.v, cent.cv) * -2.0 + cent.cn2, cent.cell) AS rn " +
+      "FROM e CROSS JOIN cent), " +
+      "asg AS (SELECT vec_id, v, cell FROM scored WHERE rn = 1), " +
+      "dup AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b " +
+      "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+      s"WHERE round(${cosSql("a.v", "b.v")}, 6) >= $minCosine::DOUBLE) " +
+      "SELECT a.vec_id AS cid, a.cell, d.vec_id IS NULL AS kept " +
+      "FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id ORDER BY cid"
+
+  /** One query's BM25 → NDCG@kEval/MRR chain (q231's per-query oracle
+    * body): the q198/q219 BM25 top-kCand arm, graded relevance = number
+    * of query terms whole-word-present in the doc, DCG/IDCG/MRR in the
+    * exact gain arithmetic of TextAnalysis.rankingMetrics. */
+  def bm25RankEval(terms: Seq[String], kCand: Int, kEval: Int): String = {
+    val tfsD = terms.zipWithIndex.map { case (t, i) =>
+      s"len(regexp_extract_all(lower(text), '\\b$t\\b'))::DOUBLE AS tf$i"
+    }.mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i").mkString(", ")
+    val scoreB = terms.indices.map { i =>
+      s"ln((s2.n - s2.df$i + 0.5) / (s2.df$i + 0.5) + 1.0) * (tf$i * 2.2) / " +
+        s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / s2.avgdl))"
+    }.mkString(" + ")
+    // graded relevance = total term occurrences, uncapped (capped grades
+    // saturate on a term-dense corpus and NDCG degenerates to 1.0)
+    val relSum = terms.indices.map(i => s"tf$i").mkString(" + ")
+    val gain = (rel: String, rnk: String) =>
+      s"(pow(2.0::DOUBLE, $rel) - 1.0::DOUBLE) / log2($rnk + 1.0::DOUBLE)"
+    "WITH d2 AS (SELECT doc_id, " +
+      s"len(regexp_extract_all(lower(text), '\\w+'))::DOUBLE AS dl, $tfsD " +
+      "FROM documents), " +
+      s"s2 AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, $dfs FROM d2), " +
+      s"lb AS (SELECT doc_id, round($scoreB, 6) AS sc FROM d2, s2 " +
+      s"ORDER BY sc DESC, doc_id LIMIT $kCand), " +
+      "top AS (SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id) AS rnk " +
+      s"FROM lb QUALIFY rnk <= $kEval), " +
+      s"judged AS (SELECT doc_id, ($relSum)::DOUBLE AS rel FROM d2 " +
+      s"WHERE $relSum > 0), " +
+      "dcg AS (SELECT coalesce(sum(" +
+      gain("coalesce(j.rel, 0.0::DOUBLE)", "t.rnk") +
+      "), 0.0::DOUBLE) AS dcg, " +
+      "min(CASE WHEN j.rel > 0 THEN t.rnk END) AS frst " +
+      "FROM top t LEFT JOIN judged j USING (doc_id)), " +
+      "ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk " +
+      s"FROM judged QUALIFY rnk <= $kEval), " +
+      s"idcg AS (SELECT sum(${gain("rel", "rnk")}) AS idcg FROM ideal) " +
+      "SELECT round(dcg, 6) AS dcg, round(idcg, 6) AS idcg, " +
+      "CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg, " +
+      "round(coalesce(1.0::DOUBLE / frst, 0.0::DOUBLE), 6) AS mrr " +
+      "FROM dcg, idcg"
+  }
+
+  /** Mirrors TextAnalysis.gopherRules (q233): each published rule as the
+    * identical regexp-count arithmetic, ratios 6dp-rounded before their
+    * threshold compare. */
+  def gopherRules(minStopHits: Int): String = {
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with").map(w =>
+      s"CASE WHEN len(regexp_extract_all(lower(text), '\\b$w\\b')) > 0 " +
+        "THEN 1 ELSE 0 END").mkString(" + ")
+    "WITH f AS (SELECT doc_id, text, " +
+      "len(regexp_extract_all(text, '\\w+')) AS wc, " +
+      "(len(regexp_extract_all(text, '\\n')) + 1)::DOUBLE AS nl FROM documents), " +
+      "r AS (SELECT doc_id, wc::BIGINT AS n_words, " +
+      "wc >= 50 AND wc <= 100000 AS r_wc, " +
+      "round(CASE WHEN wc = 0 THEN 0.0::DOUBLE ELSE " +
+      "len(regexp_extract_all(text, '\\w'))::DOUBLE / wc END, 6) " +
+      "BETWEEN 3.0 AND 10.0 AS r_awl, " +
+      "round(CASE WHEN wc = 0 THEN 0.0::DOUBLE ELSE " +
+      "len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE / wc END, 6) " +
+      "<= 0.1 AS r_sym, " +
+      "round(len(regexp_extract_all(text, '(?m)^\\s*[-•*]'))::DOUBLE / nl, 6) " +
+      "<= 0.9 AS r_bullet, " +
+      "round(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)$'))::DOUBLE / nl, 6) " +
+      "<= 0.3 AS r_ellipsis, " +
+      "round(CASE WHEN wc = 0 THEN 0.0::DOUBLE ELSE " +
+      "len(regexp_extract_all(lower(text), '\\w*[a-z]\\w*'))::DOUBLE / wc END, 6) " +
+      ">= 0.8 AS r_alpha, " +
+      s"($stopHits) >= $minStopHits AS r_stop FROM f) " +
+      "SELECT doc_id, n_words, r_wc, r_awl, r_sym, r_bullet, r_ellipsis, " +
+      "r_alpha, r_stop, " +
+      "r_wc AND r_awl AND r_sym AND r_bullet AND r_ellipsis AND r_alpha " +
+      "AND r_stop AS pass FROM r ORDER BY doc_id"
+  }
+
+  /** Mirrors pipelines.CurationPipeline.curate (q234): language gate
+    * (q19's langid CASE), 6dp quality gate (q20's formula), exact dedup
+    * window over the h60 content fingerprint, the banded MinHash chain
+    * over the SURVIVOR token set ([[minhashCandFrom]]), first-stage
+    * drop attribution, one per-source funnel aggregate. */
+  def curation(minQuality: Double, minJac: Double): String = {
+    val scores = Seq("de", "en", "es", "fr")
+      .map(l => s"${hitRatioSql(langList(l))} AS s_$l").mkString(", ")
+    val mx = "greatest(s_de, s_en, s_es, s_fr)"
+    s"WITH $tokCte, " +
+      s"sc AS (SELECT doc_id, source, text, toks, $scores, " +
+      "len(toks) AS wc, " +
+      "len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) AS pr FROM tok), " +
+      "base AS (SELECT doc_id, source, toks, wc, " +
+      s"(CASE WHEN $mx <= 0.0 THEN 'und' WHEN s_de = $mx THEN 'de' " +
+      s"WHEN s_en = $mx THEN 'en' WHEN s_es = $mx THEN 'es' ELSE 'fr' END) = 'en' AS lang_ok, " +
+      s"round(s_en * 0.5 + least(wc / 100.0, 1.0) * 0.5 - pr * 0.25, 6) >= $minQuality::DOUBLE AS q_ok, " +
+      s"${h60("array_to_string(toks, ' ')")} AS fp FROM sc), " +
+      "gated AS (SELECT doc_id, toks, " +
+      "row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn " +
+      "FROM base WHERE lang_ok AND q_ok), " +
+      "keep AS (SELECT doc_id, toks FROM gated WHERE rn = 1), " +
+      minhashCandFrom("keep") + ", " +
+      s"nd AS (SELECT DISTINCT id_b AS doc_id FROM cand WHERE $estJac >= $minJac::DOUBLE), " +
+      "st AS (SELECT b.source, b.wc, CASE WHEN NOT b.lang_ok THEN 'lang' " +
+      "WHEN NOT b.q_ok THEN 'quality' WHEN g.rn <> 1 THEN 'exact_dup' " +
+      "WHEN nd.doc_id IS NOT NULL THEN 'near_dup' ELSE 'kept' END AS stage " +
+      "FROM base b LEFT JOIN gated g ON b.doc_id = g.doc_id " +
+      "LEFT JOIN nd ON b.doc_id = nd.doc_id) " +
+      "SELECT source, count(*)::BIGINT AS n_raw, " +
+      "(count(*) FILTER (WHERE stage = 'lang'))::BIGINT AS n_lang_dropped, " +
+      "(count(*) FILTER (WHERE stage = 'quality'))::BIGINT AS n_quality_dropped, " +
+      "(count(*) FILTER (WHERE stage = 'exact_dup'))::BIGINT AS n_exact_dropped, " +
+      "(count(*) FILTER (WHERE stage = 'near_dup'))::BIGINT AS n_near_dropped, " +
+      "(count(*) FILTER (WHERE stage = 'kept'))::BIGINT AS n_kept, " +
+      "sum(CASE WHEN stage = 'kept' THEN wc ELSE 0 END)::BIGINT AS tok_kept " +
+      "FROM st GROUP BY source ORDER BY source"
   }
 
   /** Mirrors TextAnalysis.bpeTrain (q228): the word-frequency table in
@@ -853,9 +1000,10 @@ object OraclesExt {
   /** Mirrors TextAnalysis.bigramLmScore at vocabSize=20: add-1-smoothed
     * self-trained bigram LM over a top-20 vocab (rest → <unk>),
     * avg_nll = −mean ln (c(w1,w2)+1)/(c(w1)+|vocab|+1). */
-  /** The q61 bigram-LM CTE chain up to per-doc raw NLL (shared with the
-    * composite curation pipeline). */
-  private val lmCtes: String =
+  /** The shared bigram-LM training chain (top-20 vocab, unk-mapping,
+    * bigram-type counts `lm`, context totals `ctx`) — the model half of
+    * q61's add-1 scorer and q232's Kneser–Ney scorer. */
+  private val lmBaseCtes: String =
     s"$tokCte, " +
       "u AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS pos FROM tok), " +
       "vc AS (SELECT t AS token, count(*) AS freq FROM u GROUP BY 1), " +
@@ -865,7 +1013,12 @@ object OraclesExt {
       "bg AS (SELECT doc_id, t AS w1, lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM m), " +
       "b AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL), " +
       "lm AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2), " +
-      "ctx AS (SELECT w1, sum(cb) AS cw FROM lm GROUP BY 1), " +
+      "ctx AS (SELECT w1, sum(cb) AS cw FROM lm GROUP BY 1)"
+
+  /** The q61 bigram-LM CTE chain up to per-doc raw NLL (shared with the
+    * composite curation pipeline). */
+  private val lmCtes: String =
+    s"$lmBaseCtes, " +
       "nv AS (SELECT count(*) AS nv FROM vocab), " +
       "sc AS (SELECT doc_id, avg(-ln((cb + 1.0) / (cw + nv + 1.0))) AS nll " +
       "FROM b JOIN lm USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN nv GROUP BY doc_id), " +
@@ -874,6 +1027,26 @@ object OraclesExt {
 
   val lmScore: String =
     s"WITH $lmCtes SELECT doc_id, avg_nll FROM scored ORDER BY doc_id"
+
+  /** Mirrors TextAnalysis.knBigramScore at vocabSize=20, D=0.75: the
+    * same training chain as q61 ([[lmBaseCtes]]), interpolated
+    * Kneser–Ney probability — N1+(w1,·)/N1+(·,w2) are row counts of the
+    * bigram-TYPE table, Pcont the backward count over total types, and
+    * the discounted/backoff arithmetic is written in the exact
+    * association order of the Spark expression. */
+  val knScore: String =
+    s"WITH $lmBaseCtes, " +
+      "n1f AS (SELECT w1, count(*)::DOUBLE AS n1f FROM lm GROUP BY 1), " +
+      "n1b AS (SELECT w2, count(*)::DOUBLE AS n1b FROM lm GROUP BY 1), " +
+      "nbt AS (SELECT count(*)::DOUBLE AS nbt FROM lm), " +
+      "sc AS (SELECT doc_id, avg(0.0::DOUBLE - ln(" +
+      "(greatest(cb - 0.75::DOUBLE, 0.0::DOUBLE) + 0.75::DOUBLE * n1f * (n1b / nbt)) / cw" +
+      ")) AS nll " +
+      "FROM b JOIN lm USING (w1, w2) JOIN ctx USING (w1) " +
+      "JOIN n1f USING (w1) JOIN n1b USING (w2) CROSS JOIN nbt GROUP BY doc_id), " +
+      "scored AS (SELECT d.doc_id, round(coalesce(nll, 0.0), 6) AS avg_nll " +
+      "FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id) " +
+      "SELECT doc_id, avg_nll FROM scored ORDER BY doc_id"
 
   /** Composite curation: LM score → tercile bands (cuts = interpolated
     * quantiles rounded 6dp, same in both engines) → exact per-band hash

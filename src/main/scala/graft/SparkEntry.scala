@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.fixtures.TimesheetFixture
 import graft.ops._
-import graft.pipelines.TimesheetPipeline
+import graft.pipelines.{CurationPipeline, TimesheetPipeline}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql`. Every query
@@ -3405,6 +3405,73 @@ object SparkEntry {
       TextAnalysis.bpeSegment(tb(s, dir, "documents"), "doc_id", "text",
           pinnedBpeMerges)
         .orderBy("doc_id", "token")
+    },
+
+    // ───── SemDeDup (Abbas 2023): semantic dedup through the PINNED
+    // learned coarse quantizer — nearest-centroid cells bound the pair
+    // space, keep-lowest-id per similarity star; every row's decision
+    // is emitted (auditable) ─────
+    "q230_semdedup" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Dedup.semDedup(
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          graft.fixtures.PinnedIndex.ivfCentroidsV1, minCosine = 0.4)
+        .orderBy("cid")
+    },
+
+    // ───── Retrieval-quality evaluation: NDCG@10 + MRR of the BM25 arm
+    // over the shared rrfQueries workload, graded relevance = number of
+    // query terms whole-word-present in the doc (build → fuse → EVALUATE
+    // completes the retrieval family) ─────
+    "q231_ranking_eval" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      val ranked = rrfQueries.map { case (qid, ts) =>
+        TextAnalysis.bm25TopK(docs, "text", "doc_id", ts, k = 20)
+          .withColumn("query_id", lit(qid))
+      }.reduce(_ unionByName _)
+      // graded relevance = total whole-word occurrences of the query's
+      // terms (uncapped — saturated grades make every top-10 ideal and
+      // NDCG degenerates to 1.0 on this term-dense corpus). The per-query
+      // corpus scans here SYNTHESIZE qrels for the fixture workload;
+      // production qrels are a bounded human-label table the op consumes
+      // directly.
+      val rels = rrfQueries.map { case (qid, ts) =>
+        docs.select(lit(qid).as("query_id"), col("doc_id"),
+          ts.map(t =>
+            regexp_count(lower(col("text")), lit("\\b" + t + "\\b")))
+            .reduce(_ + _).as("rel"))
+      }.reduce(_ unionByName _)
+      TextAnalysis.rankingMetrics(ranked, rels,
+          "query_id", "doc_id", "score", "rel", k = 10)
+        .orderBy("query_id")
+    },
+
+    // ───── Interpolated Kneser–Ney bigram perplexity (q61's add-1
+    // scorer upgraded to the LM the CCNet-style filters actually ship;
+    // same broadcast-model scale shape) ─────
+    "q232_kneser_ney" -> { (s, dir) =>
+      TextAnalysis.knBigramScore(tb(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 20)
+        .orderBy("doc_id")
+    },
+
+    // ───── Gopher rule battery (Rae 2021 A1.1): per-rule boolean flags
+    // + conjunction, one codegen'd projection. minStopHits calibrated to
+    // 1 on this synthetic vocabulary (only "the" from the published
+    // required list occurs; the published default is 2) ─────
+    "q233_gopher_rules" -> { (s, dir) =>
+      TextAnalysis.gopherRules(tb(s, dir, "documents"), "doc_id", "text",
+          minStopHits = 1)
+        .orderBy("doc_id")
+    },
+
+    // ───── End-to-end curation funnel (the LLM-side E1 flagship):
+    // language gate → quality gate → exact dedup → LSH near-dedup, with
+    // per-source first-drop attribution and surviving token mass ─────
+    "q234_curation_funnel" -> { (s, dir) =>
+      CurationPipeline.curate(tb(s, dir, "documents"),
+          minQuality = 0.25, minJac = 0.5)
+        .orderBy("source")
     }
   )
 
@@ -5848,7 +5915,28 @@ object SparkEntry {
         "unnest(regexp_extract_all(w, '\\(([^)]*)\\)', 1)) AS token FROM m) " +
         "SELECT doc_id, token, count(*)::BIGINT AS n FROM tok " +
         "GROUP BY 1, 2 ORDER BY doc_id, token"
-    }
+    },
+
+    // q220's pinned-centroid assignment chain, then dup iff a lower-id
+    // cell-mate's rounded cosine reaches the threshold
+    "q230_semdedup" -> OraclesExt.semDedup(0.4),
+
+    // per-query BM25 top-20 -> DCG/IDCG/MRR blocks UNION ALL'd with the
+    // query id (the q219 composition pattern)
+    "q231_ranking_eval" -> rrfQueries.map { case (qid, ts) =>
+      s"SELECT $qid AS query_id, f.* FROM (${OraclesExt.bm25RankEval(ts, 20, 10)}) f"
+    }.mkString("", " UNION ALL ", " ORDER BY query_id"),
+
+    // q61's training chain with the interpolated-KN probability
+    "q232_kneser_ney" -> OraclesExt.knScore,
+
+    // each rule as the identical regexp-count arithmetic, 6dp-rounded
+    // ratios before every threshold
+    "q233_gopher_rules" -> OraclesExt.gopherRules(1),
+
+    // q19's langid CASE + q20's quality formula + fingerprint window +
+    // the banded MinHash chain over the survivor set, funnel-aggregated
+    "q234_curation_funnel" -> OraclesExt.curation(0.25, 0.5)
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,

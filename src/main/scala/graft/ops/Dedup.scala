@@ -766,10 +766,11 @@ object Dedup {
     * one codegen'd projection over the scan (k centroid dot products, no
     * shuffle); the pair space is cell-blocked (Σ|cell|² not n², with k
     * sized so cells stay ~n/k); the dup set is a semi-join-shaped
-    * distinct on the higher id, never a materialized pair table; the
-    * final flag is one broadcast-size left join per row. Skewed cells
+    * distinct on the higher id, never a materialized pair table. Skewed cells
     * degrade like [[embeddingPairs]] blocks — the fix at 100 TB is more
-    * centroids (k ∝ n), which is a retrain, not a reshape. */
+    * centroids (k ∝ n), which is a retrain, not a reshape. The final
+    * kept-flag join is (id)-keyed and NARROW — the dup side carries ids
+    * only, bounded by the duplicate count, never vectors. */
   def semDedup(
       df: DataFrame, // (cid, cvec)
       centroids: Array[Array[Double]],

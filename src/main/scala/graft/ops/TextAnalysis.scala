@@ -135,6 +135,61 @@ object TextAnalysis {
       punctRatio(text) * 0.25
   }
 
+  /** The Gopher quality-filter rule battery (Rae et al. 2021, appendix
+    * A1.1) — the published heuristic set most open-corpus pipelines
+    * (MassiveText, RefinedWeb, FineWeb) start from, as EXPLICIT per-rule
+    * boolean flags plus their conjunction, so the drop reason is
+    * auditable (the report a curation run keeps, not just the filter):
+    *
+    *   r_wc       50 ≤ word count ≤ 100,000
+    *   r_awl      3 ≤ mean word length ≤ 10
+    *   r_sym      symbol-to-word ratio (# / … / "...") ≤ 0.1
+    *   r_bullet   ≤ 90% of lines start with a bullet (-, •, *)
+    *   r_ellipsis ≤ 30% of lines end with an ellipsis
+    *   r_alpha    ≥ 80% of words contain an alphabetic character
+    *   r_stop     ≥ `minStopHits` distinct required stop words present
+    *              (published list: the, be, to, of, and, that, have,
+    *              with; published threshold 2)
+    *
+    * All ratios are 6dp-rounded before their threshold compare (oracle
+    * parity); zero-word docs fail r_wc/r_awl/r_alpha/r_stop and pass
+    * the symbol/line rules vacuously (0-ratio). One codegen'd projection over the
+    * scan — per-line rules are `(?m)`-anchored regexp_counts, never a
+    * split-into-array HOF pass — no shuffle, no UDF; at 100 TB this is
+    * a pure map stage that fuses into whatever runs next. */
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val wc = wordCount(t)
+    val r6 = (c: Column) => round(c, 6)
+    val ratio = (num: Column) => when(wc === 0, lit(0.0))
+      .otherwise(num.cast("double") / wc.cast("double"))
+    val nLines = (regexp_count(t, lit("\\n")) + 1).cast("double")
+    val lineRatio = (num: Column) => num.cast("double") / nLines
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with").map(w =>
+      when(regexp_count(lower(t), lit("\\b" + w + "\\b")) > 0, 1)
+        .otherwise(0)).reduce(_ + _)
+    df.select(col(idCol), wc.cast("long").as("n_words"),
+      (wc >= 50 && wc <= 100000).as("r_wc"),
+      (r6(avgWordLenText(t)) >= 3.0 && r6(avgWordLenText(t)) <= 10.0)
+        .as("r_awl"),
+      (r6(ratio(regexp_count(t, lit("#|\\.\\.\\.|…")))) <= 0.1).as("r_sym"),
+      (r6(lineRatio(regexp_count(t, lit("(?m)^\\s*[-•*]")))) <= 0.9)
+        .as("r_bullet"),
+      (r6(lineRatio(regexp_count(t, lit("(?m)(\\.\\.\\.|…)$")))) <= 0.3)
+        .as("r_ellipsis"),
+      (r6(ratio(regexp_count(lower(t), lit("\\w*[a-z]\\w*")))) >= 0.8)
+        .as("r_alpha"),
+      (stopHits >= minStopHits).as("r_stop"))
+      .withColumn("pass",
+        col("r_wc") && col("r_awl") && col("r_sym") && col("r_bullet") &&
+          col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
+
   /** Order-sensitive 60-bit content fingerprint of the normalized
     * (lower-cased, whitespace-collapsed) word stream. */
   def contentFingerprint(c: Column): Column =
@@ -398,6 +453,65 @@ object TextAnalysis {
           9).as("rrf"))
     graft.ops.TopK.perKey(fused, Seq(queryCol),
       Seq("rrf" -> false, idCol -> true), topK)
+  }
+
+  /** Offline ranking-quality metrics for a retrieval workload — NDCG@k
+    * and MRR@k (Järvelin & Kekäläinen 2002), the numbers a retrieval
+    * stack regression-gates on; completes the retrieval family: build
+    * ([[tfidfTopK]]/[[bm25TopK]]), fuse ([[rrfFuseBatched]]), EVALUATE.
+    * `ranked` is a per-query candidate list (queryCol, idCol, scoreCol);
+    * `rels` the graded relevance judgments (queryCol, idCol, relCol ≥ 0
+    * — the qrels table). Per query:
+    *
+    *   DCG@k  = Σ_{r≤k} (2^rel − 1) / log₂(r + 1)   (rank by score desc,
+    *            id asc; unjudged docs rel = 0)
+    *   IDCG@k = the same sum over the k highest judged relevances
+    *   NDCG   = DCG/IDCG (null when the query has no judged positives)
+    *   MRR    = 1/rank of the first judged-positive hit (0 if none)
+    *
+    * Scale shape: rank windows partition by query over BOUNDED inputs —
+    * `ranked` is a top-k candidate list by construction, and the ideal
+    * side cuts qrels to k rows per query with the sort-free
+    * [[graft.ops.TopK.perKey]] heap BEFORE its window; gains are exact
+    * (integer-valued 2^rel), the ≤k-term float sums round to 6dp. One
+    * plan for the whole workload, queries parallelize across partitions. */
+  def rankingMetrics(
+      ranked: DataFrame, // (queryCol, idCol, scoreCol)
+      rels: DataFrame, // (queryCol, idCol, relCol)
+      queryCol: String,
+      idCol: String,
+      scoreCol: String,
+      relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val gain = (rel: Column, rnk: Column) =>
+      (pow(lit(2.0), rel) - 1.0) / log2(rnk.cast("double") + 1.0)
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val top = ranked
+      .select(col(queryCol), col(idCol), row_number().over(w).as("_rnk"))
+      .filter(col("_rnk") <= k)
+    val judged = rels.filter(col(relCol) > 0)
+      .select(col(queryCol), col(idCol), col(relCol).cast("double").as("_rel"))
+    val dcg = top
+      .join(judged, Seq(queryCol, idCol), "left")
+      .withColumn("_rel", coalesce(col("_rel"), lit(0.0)))
+      .groupBy(queryCol)
+      .agg(sum(gain(col("_rel"), col("_rnk"))).as("_dcg"),
+        min(when(col("_rel") > 0, col("_rnk"))).as("_first"))
+    val wi = Window.partitionBy(col(queryCol))
+      .orderBy(col("_rel").desc, col(idCol))
+    val idcg = graft.ops.TopK
+      .perKey(judged, Seq(queryCol), Seq("_rel" -> false, idCol -> true), k)
+      .select(col(queryCol), col("_rel"), row_number().over(wi).as("_rnk"))
+      .groupBy(queryCol)
+      .agg(sum(gain(col("_rel"), col("_rnk"))).as("_idcg"))
+    dcg.join(idcg, Seq(queryCol), "left")
+      .select(col(queryCol),
+        round(col("_dcg"), 6).as("dcg"),
+        round(col("_idcg"), 6).as("idcg"),
+        when(col("_idcg") > 0, round(col("_dcg") / col("_idcg"), 6)).as("ndcg"),
+        round(coalesce(lit(1.0) / col("_first"), lit(0.0)), 6).as("mrr"))
   }
 
   /** BPE merge-table training (Sennrich et al. 2016) — the pair-merge

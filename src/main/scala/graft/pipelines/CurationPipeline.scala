@@ -1,0 +1,80 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextAnalysis}
+
+/** End-to-end corpus curation — the LLM-side counterpart of the
+  * reference's E1 flagship ([[TimesheetPipeline]]): the standard
+  * pretraining funnel (CCNet/RefinedWeb shape) composed from the
+  * engine's own operators, with a per-source FUNNEL REPORT as output so
+  * every drop is attributed to the stage that made it:
+  *
+  *   1. language gate      — [[TextAnalysis.langIdText]] == "en"
+  *   2. quality gate       — 6dp-rounded [[TextAnalysis.qualityScoreText]]
+  *                           ≥ `minQuality`
+  *   3. exact dedup        — keep the lowest doc id per order-sensitive
+  *                           [[TextAnalysis.contentFingerprint]]
+  *   4. near dedup         — MinHash+LSH banded candidates
+  *                           ([[Dedup.minhashPairs]]), est-Jaccard ≥
+  *                           `minJac` drops the higher id
+  *
+  * A document is attributed to the FIRST stage that dropped it
+  * (`lang` → `quality` → `exact_dup` → `near_dup` → `kept`), so the
+  * per-source counts telescope: n_raw = Σ of the four drop columns +
+  * n_kept. `tok_kept` is the surviving token mass — the number that
+  * decides whether the mix still meets its budget.
+  *
+  * Scale shape: both gates are codegen'd projections over the scan (no
+  * shuffle); exact dedup is ONE window partitioned by content key (the
+  * segment-dedup posture — each key's rows meet once); near dedup is
+  * the banded LSH candidate chain (never all-pairs); the stage
+  * attributions come back as narrow id-keyed joins; the report is one
+  * hash-agg by source. Nothing in the funnel materializes on the
+  * driver. */
+object CurationPipeline {
+
+  def curate(
+      docs: DataFrame, // (doc_id, source, text)
+      minQuality: Double,
+      minJac: Double): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
+      .withColumn("_lang_ok", TextAnalysis.langIdText(col("text")) === "en")
+      .withColumn("_q_ok",
+        round(TextAnalysis.qualityScoreText(col("text")), 6) >= minQuality)
+    val w = Window
+      .partitionBy(TextAnalysis.contentFingerprint(col("text")))
+      .orderBy(col("doc_id"))
+    val gated = base.filter(col("_lang_ok") && col("_q_ok"))
+      .withColumn("_rn", row_number().over(w))
+    val keepers = gated.filter(col("_rn") === 1)
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+    val nearDups = Dedup
+      .minhashPairs(keepers, "doc_id", Dedup.shingles(col("toks"), 3))
+      .filter(col("est_jac") >= minJac)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("_near", lit(true))
+    val staged = base
+      .join(gated.select(col("doc_id"), col("_rn")), Seq("doc_id"), "left")
+      .join(nearDups, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(!col("_lang_ok"), "lang")
+          .when(!col("_q_ok"), "quality")
+          .when(col("_rn") =!= 1, "exact_dup")
+          .when(col("_near"), "near_dup")
+          .otherwise("kept"))
+    def n(s: String) = sum(when(col("stage") === s, 1L).otherwise(0L))
+    staged.groupBy("source").agg(
+      count(lit(1)).as("n_raw"),
+      n("lang").as("n_lang_dropped"),
+      n("quality").as("n_quality_dropped"),
+      n("exact_dup").as("n_exact_dropped"),
+      n("near_dup").as("n_near_dropped"),
+      n("kept").as("n_kept"),
+      sum(when(col("stage") === "kept",
+        TextAnalysis.wordCount(col("text")).cast("long"))
+        .otherwise(0L)).as("tok_kept"))
+  }
+}

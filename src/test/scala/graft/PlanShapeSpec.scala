@@ -949,4 +949,52 @@ class PlanShapeSpec extends SparkSpec {
       }.nonEmpty, s"window input is not limit-bounded:\n$w")
     }
   }
+
+  test("semDedup: centroid assignment is a projection; pairs ride the cell equi join — no nested loop") {
+    import org.apache.spark.sql.functions.col
+    val e = ops.Sources.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val plan = executed(ops.Dedup.semDedup(e,
+      graft.fixtures.PinnedIndex.ivfCentroidsV1, 0.4))
+    val s = plan.toString
+    // k centroid dot products are plan literals inside a Project — a
+    // NestedLoop/Cartesian here would mean the quantizer became a join
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      s"no non-equi join expected:\n$plan")
+    assert(collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"no rank window expected:\n$plan")
+  }
+
+  test("rankingMetrics: the ideal-DCG window is TopK-bounded, never the full qrels table") {
+    import org.apache.spark.sql.functions.col
+    val docs = ops.Sources.table(spark, dir, "documents")
+    val ranked = docs.select((col("doc_id") % 3).as("q"), col("doc_id").as("id"),
+      (col("n_chars") % 97).cast("double").as("score")).limit(60)
+    val rels = docs.select((col("doc_id") % 3).as("q"), col("doc_id").as("id"),
+      (col("n_chars") % 5).as("rel"))
+    val plan = executed(ops.TextAnalysis.rankingMetrics(
+      ranked, rels, "q", "id", "score", "rel", 10))
+    // the qrels cut must be the sort-free heap...
+    val topk = collectAll(plan) { case t: plans.TopKPerKeyExec => t }
+    assert(topk.nonEmpty, s"expected TopKPerKeyExec on the ideal side:\n$plan")
+    // ...and the ideal re-rank window must sit DOWNSTREAM of it — a
+    // window over raw qrels is an unbounded per-query sort at web scale
+    val idealWindows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.collect { case t: plans.TopKPerKeyExec => t }.nonEmpty => w
+    }
+    assert(idealWindows.nonEmpty,
+      s"ideal window not bounded by the TopK heap:\n$plan")
+  }
+
+  test("kneser-ney: vocab, LM, context, and both continuation tables all broadcast") {
+    val df = ops.TextAnalysis.knBigramScore(
+      ops.Sources.table(spark, dir, "documents"), "doc_id", "text", 20)
+    val plan = executed(df)
+    // unk-mapping (vocab ×2), lm, ctx, n1f, n1b, and the scored
+    // join-back: ≥6 broadcasts; the type-total is the 1-row re-entry
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size >= 6,
+      s"expected ≥6 broadcast joins in:\n$plan")
+  }
 }

@@ -481,6 +481,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 1.0)
   }
 
+  test("semDedup: pinned-cell assignment, keep-lowest-id per star, cross-cell near-dups survive") {
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)), // cell 0, cos(1,2)≈0.994 -> dropped
+      (3L, Array(0f, 1f, 0f)),
+      (4L, Array(0.1f, 0.9f, 0f)), // cell 1, cos(3,4)≈0.994 -> dropped
+      (5L, Array(0.6f, -0.8f, 0f)), // cell 0, dissimilar -> kept
+      (6L, Array(0.71f, 0.7f, 0f)), // cell 0 ┐ near-identical but split
+      (7L, Array(0.7f, 0.71f, 0f)) //  cell 1 ┘ across cells: BOTH kept
+    ).toDF("cid", "cvec")
+    val out = Dedup.semDedup(e, cents, 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out.view.mapValues(_._2).toMap == Map(1L -> true, 2L -> false,
+      3L -> true, 4L -> false, 5L -> true, 6L -> true, 7L -> true), out.toString)
+    // assignment: ties and nearness land where the quantizer says
+    assert(out(2L)._1 == 0L && out(4L)._1 == 1L)
+    assert(out(6L)._1 == 0L && out(7L)._1 == 1L) // the blocking caveat
+  }
+
   test("thresholdSweep: monotone counts, zero levels emit, matches direct filters") {
     val d = docs.select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
     val sh = Dedup.shingles(col("toks"), 3)

@@ -286,6 +286,77 @@ class TextAnalysisSpec extends SparkSpec {
     assert(single == got.collect { case ((1, d), v) => d -> v }, single.toString)
   }
 
+  test("gopherRules: each rule trips on its own pathology; clean prose passes") {
+    val fifty = (1 to 50).map(_ => "the quick brown fox").mkString(" ")
+    val df = Seq(
+      (1L, fifty), // clean: 200 words, all rules pass
+      (2L, "the tiny doc"), // fails r_wc only
+      (3L, fifty + " ### # ## " + "# " * 30), // symbol soup -> r_sym
+      (4L, (1 to 30).map(_ => "- the bullet line item").mkString("\n")), // r_bullet (and r_wc: 150 words pass)
+      (5L, (1 to 30).map(_ => "the line trails off...").mkString("\n")), // r_ellipsis
+      (6L, ((1 to 120).map(_ => "9464 77821") :+ "the a1").mkString(" ")), // digits -> r_alpha
+      (7L, fifty.replace("the ", "zz ")) // no required stopwords -> r_stop
+    ).toDF("id", "text")
+    val out = TextAnalysis.gopherRules(df, "id", "text", minStopHits = 1)
+      .collect().map(r => r.getLong(0) ->
+        (2 to 8).map(i => r.getBoolean(i))).toMap
+    // flags: (r_wc, r_awl, r_sym, r_bullet, r_ellipsis, r_alpha, r_stop)
+    assert(out(1L) == Seq(true, true, true, true, true, true, true), out(1L).toString)
+    assert(out(1L).last && out.values.forall(_.size == 7))
+    assert(!out(2L)(0) && out(2L)(6), out(2L).toString) // wc fails, stop passes
+    assert(!out(3L)(2), out(3L).toString)
+    assert(!out(4L)(3) && out(4L)(0), out(4L).toString)
+    assert(!out(5L)(4), out(5L).toString)
+    assert(!out(6L)(5), out(6L).toString)
+    assert(!out(7L)(6) && out(7L)(0), out(7L).toString)
+    // published default demands 2 distinct stopwords: doc 1 has only "the"
+    val strict = TextAnalysis.gopherRules(df, "id", "text")
+      .filter(col("id") === 1L).head()
+    assert(!strict.getBoolean(8), strict.toString) // r_stop under default 2
+  }
+
+  test("rankingMetrics: hand-checked NDCG/MRR; miss-everything query; unjudged query -> null ndcg") {
+    val ranked = Seq(
+      (1, 10L, 3.0), (1, 20L, 2.0), (1, 30L, 1.0), // q1: top-2 = d10, d20
+      (2, 10L, 1.0), // q2: retrieves only the unjudged d10
+      (3, 10L, 1.0)  // q3: no judgments at all
+    ).toDF("q", "id", "score")
+    val rels = Seq(
+      (1, 20L, 3), (1, 30L, 1), (1, 90L, 2), // d90 judged, never retrieved
+      (2, 99L, 2)).toDF("q", "id", "rel")
+    val out = TextAnalysis.rankingMetrics(ranked, rels, "q", "id", "score",
+        "rel", k = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.get(1), r.get(2), r.get(3), r.getDouble(4)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // q1: dcg = (2^0−1)/log2(2) + (2^3−1)/log2(3); ideal grades (3, 2)
+    val dcg1 = 7.0 / (math.log(3.0) / math.log(2.0))
+    val idcg1 = 7.0 + 3.0 / (math.log(3.0) / math.log(2.0))
+    assert(out(1) == ((r6(dcg1), r6(idcg1), r6(dcg1 / idcg1), 0.5)), out(1).toString)
+    // q2: judged positive exists (idcg = 3) but top-k misses it
+    assert(out(2) == ((0.0, 3.0, 0.0, 0.0)), out(2).toString)
+    // q3: nothing judged — ndcg undefined (null), mrr 0
+    assert(out(3) == ((0.0, null, null, 0.0)), out(3).toString)
+  }
+
+  test("knBigramScore: hand-checked interpolated Kneser-Ney; short docs score 0") {
+    // corpus: doc1 "a b a b" -> bigrams (a,b)×2, (b,a); doc2 "a c"
+    // lm types: (a,b):2 (b,a):1 (a,c):1; ctx a:3 b:1
+    // N1+(a,·)=2 N1+(b,·)=1; N1+(·,b)=1 N1+(·,a)=1 N1+(·,c)=1; types=3
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("id", "text")
+    val out = TextAnalysis.knBigramScore(df, "id", "text", vocabSize = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pAB = (math.max(2 - 0.75, 0) + 0.75 * 2 * (1.0 / 3)) / 3 // P(b|a)
+    val pBA = (math.max(1 - 0.75, 0) + 0.75 * 1 * (1.0 / 3)) / 1 // P(a|b)
+    val pAC = (math.max(1 - 0.75, 0) + 0.75 * 2 * (1.0 / 3)) / 3 // P(c|a)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(1L) == r6(-(2 * math.log(pAB) + math.log(pBA)) / 3), out.toString)
+    assert(out(2L) == r6(-math.log(pAC)), out.toString)
+    assert(out(3L) == 0.0, out.toString) // single token: no bigrams
+    // the backoff arm discriminates: every conditional is a proper prob
+    assert(Seq(pAB, pBA, pAC).forall(p => p > 0 && p < 1))
+  }
+
   test("bpeTrain: hand-checked merge sequence; exhausted pairs stop cleanly; bpeSegment applies the table") {
     // corpus: "ab ab abc" -> word freqs ab:2, abc:1
     // step 1: pairs a|b f=3, b|c f=1 -> merge (a, b)
