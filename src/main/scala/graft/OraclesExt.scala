@@ -583,6 +583,101 @@ object OraclesExt {
       "FROM st GROUP BY source ORDER BY source"
   }
 
+  /** Mirrors TextAnalysis.bpeFertility over the pinned merges (q235):
+    * the q229 replace chain per word, token counts via one regexp
+    * extract, per-language aggregate. */
+  def bpeFertility(merges: Seq[(String, String)]): String = {
+    val inner = merges.foldLeft(
+      "regexp_replace(word, '(.)', '(\\1)', 'g')") { case (acc, (l, r)) =>
+      s"replace($acc, '($l)($r)', '($l$r)')"
+    }
+    "WITH t AS (SELECT doc_id, lang, " +
+      "unnest(regexp_extract_all(lower(text), '\\w+')) AS word FROM documents), " +
+      s"x AS (SELECT doc_id, lang, length(word) AS wl, " +
+      s"len(regexp_extract_all($inner, '\\(([^)]*)\\)', 1)) AS nt FROM t) " +
+      "SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs, " +
+      "count(*)::BIGINT AS n_words, sum(nt)::BIGINT AS n_tokens, " +
+      "round(sum(nt)::DOUBLE / count(*)::DOUBLE, 6) AS fertility, " +
+      "round(sum(wl)::DOUBLE / sum(nt)::DOUBLE, 6) AS chars_per_token " +
+      "FROM x GROUP BY lang ORDER BY lang"
+  }
+
+  /** Mirrors Similarity.probeRecallCurve over the pinned IVF index
+    * (q236): the q220 assignment chain, brute top-k ground truth (the
+    * q17 chain), candidates per probe level via `rn <= n_probe`, hit
+    * counts against the ground-truth set, spine left join so empty
+    * levels average 0. */
+  def probeRecallCurve(probes: Seq[Int], k: Int): String = {
+    val spine = probes.mkString("[", ", ", "]")
+    s"WITH $embCte, " +
+      s"cent AS (SELECT * FROM (VALUES $pinnedCentRows) t(cell, cv, cn2)), " +
+      "scored AS (SELECT e.vec_id, e.v, cent.cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_dot_product(e.v, cent.cv) * -2.0 + cent.cn2, cent.cell) AS rn " +
+      "FROM e CROSS JOIN cent), " +
+      "corp AS (SELECT vec_id AS cid, v AS cv, cell FROM scored WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS qid, v AS qv, cell, rn FROM scored WHERE vec_id % 100 = 0), " +
+      "q0 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0), " +
+      s"s0 AS (SELECT qid, vec_id AS cid, round(${cosSql("qv", "v")}, 6) AS cos " +
+      "FROM q0, e WHERE vec_id <> qid), " +
+      "g AS (SELECT qid, cid FROM (SELECT qid, cid, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM s0) " +
+      s"WHERE rnk <= $k), " +
+      s"lv AS (SELECT unnest($spine) AS n_probe), " +
+      s"cand AS (SELECT lv.n_probe, q.qid, corp.cid, " +
+      s"round(${cosSql("q.qv", "corp.cv")}, 6) AS cos " +
+      "FROM lv JOIN q ON q.rn <= lv.n_probe " +
+      "JOIN corp ON corp.cell = q.cell WHERE corp.cid <> q.qid), " +
+      "r AS (SELECT n_probe, qid, cid FROM (SELECT n_probe, qid, cid, " +
+      "row_number() OVER (PARTITION BY n_probe, qid ORDER BY cos DESC, cid) AS rnk " +
+      s"FROM cand) WHERE rnk <= $k), " +
+      "h AS (SELECT r.n_probe, r.qid, count(*) AS hits FROM r " +
+      "JOIN g ON r.qid = g.qid AND r.cid = g.cid GROUP BY 1, 2), " +
+      "sp AS (SELECT n_probe, qid FROM lv CROSS JOIN (SELECT DISTINCT qid FROM q0)) " +
+      "SELECT sp.n_probe, count(*)::BIGINT AS n_queries, " +
+      s"round(avg(coalesce(hits, 0)::DOUBLE / $k), 6) AS mean_recall " +
+      "FROM sp LEFT JOIN h ON sp.n_probe = h.n_probe AND sp.qid = h.qid " +
+      "GROUP BY sp.n_probe ORDER BY sp.n_probe"
+  }
+
+  /** Mirrors TextAnalysis.packSweep (q237): q83's running-sum bin
+    * assignment per context length, folded to (bins, mass, max, fill),
+    * UNION ALL over the context spine. */
+  def packSweep(ctxs: Seq[Int]): String = {
+    val arms = ctxs.map { ctx =>
+      s"SELECT $ctx AS ctx_tokens, count(*)::BIGINT AS n_bins, " +
+        "sum(bt)::BIGINT AS total_tokens, max(bt)::BIGINT AS max_bin_tokens, " +
+        s"round(sum(bt)::DOUBLE / (count(*) * $ctx)::DOUBLE, 6) AS fill_rate " +
+        "FROM (SELECT source, bin, sum(n_tok) AS bt FROM " +
+        "(SELECT source, n_tok, floor((sum(n_tok) OVER (PARTITION BY source " +
+        s"ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) / $ctx)::BIGINT AS bin " +
+        "FROM d) GROUP BY 1, 2)"
+    }
+    "WITH d AS (SELECT doc_id, source, " +
+      "len(regexp_extract_all(text, '\\w+')) AS n_tok FROM documents) " +
+      arms.mkString(" UNION ALL ") + " ORDER BY ctx_tokens"
+  }
+
+  /** Mirrors TextAnalysis.zipfFit at the same vocab cap (q238): the
+    * buildVocab ranking, one six-sum aggregate, slope computed once and
+    * reused by the intercept, r2 guarded on both variances. */
+  def zipfFit(v: Int): String =
+    "WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS token " +
+      "FROM documents), " +
+      "vc AS (SELECT token, count(*)::BIGINT AS freq FROM t GROUP BY 1), " +
+      "vr AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rnk " +
+      s"FROM vc QUALIFY rnk <= $v), " +
+      "p AS (SELECT ln(rnk::DOUBLE) AS x, ln(freq::DOUBLE) AS y FROM vr), " +
+      "s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy, " +
+      "sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM p), " +
+      "s2 AS (SELECT *, CASE WHEN n*sxx - sx*sx > 0 THEN " +
+      "(n*sxy - sx*sy)/(n*sxx - sx*sx) END AS sl FROM s) " +
+      "SELECT n::BIGINT AS n_types, round(sl, 6) AS slope, " +
+      "round((sy - sl*sx)/n, 6) AS intercept, " +
+      "CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN " +
+      "round((n*sxy - sx*sy)*(n*sxy - sx*sy)/((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) " +
+      "END AS r2 FROM s2"
+
   /** Mirrors TextAnalysis.bpeTrain (q228): the word-frequency table in
     * paren-symbol form, then `merges` chained (pair-count → top-1 →
     * replace) CTE triples — `replace` on the `(s)(y)(m)` representation

@@ -3472,6 +3472,45 @@ object SparkEntry {
       CurationPipeline.curate(tb(s, dir, "documents"),
           minQuality = 0.25, minJac = 0.5)
         .orderBy("source")
+    },
+
+    // ───── Tokenizer fertility report: tokens/word + chars/token per
+    // declared language under the PINNED merge table — how tokenizer
+    // bias across languages is measured ─────
+    "q235_bpe_fertility" -> { (s, dir) =>
+      TextAnalysis.bpeFertility(tb(s, dir, "documents"), "doc_id", "text",
+          "lang", pinnedBpeMerges)
+        .orderBy("lang")
+    },
+
+    // ───── IVF tuning curve: mean recall@5 vs nProbe over the pinned
+    // index (the ANN sibling of q218's dedup threshold sweep) ─────
+    "q236_probe_curve" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.probeRecallCurve(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          graft.fixtures.PinnedIndex.ivfCentroidsV1, k = 5,
+          probes = Seq(1, 2, 4, 8))
+        .orderBy("n_probe")
+    },
+
+    // ───── Packing-efficiency sweep: fill rate vs context length over
+    // {256, 512, 1024, 2048} — the capacity-planning report before
+    // committing a context length (q83's packer, q218's sweep posture) ─────
+    "q237_pack_sweep" -> { (s, dir) =>
+      val d = tb(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.wordCount(col("text")).as("n_tok"))
+      TextAnalysis.packSweep(d, "source", "doc_id", "n_tok",
+          Seq(256, 512, 1024, 2048))
+        .orderBy("ctx_tokens")
+    },
+
+    // ───── Zipf rank–frequency fit over the top-1000 vocabulary: the
+    // corpus-health number (template-heavy corpora flatten the slope) ─────
+    "q238_zipf_fit" -> { (s, dir) =>
+      TextAnalysis.zipfFit(tb(s, dir, "documents"), "text", vocabSize = 1000)
     }
   )
 
@@ -5936,7 +5975,20 @@ object SparkEntry {
 
     // q19's langid CASE + q20's quality formula + fingerprint window +
     // the banded MinHash chain over the survivor set, funnel-aggregated
-    "q234_curation_funnel" -> OraclesExt.curation(0.25, 0.5)
+    "q234_curation_funnel" -> OraclesExt.curation(0.25, 0.5),
+
+    // the q229 replace chain per word, aggregated per language
+    "q235_bpe_fertility" -> OraclesExt.bpeFertility(pinnedBpeMerges),
+
+    // q220's pinned assignment + q17's brute chain, candidates gated by
+    // rn <= n_probe per spine level, spine left join
+    "q236_probe_curve" -> OraclesExt.probeRecallCurve(Seq(1, 2, 4, 8), 5),
+
+    // q83's bin assignment folded per context level, UNION ALL spine
+    "q237_pack_sweep" -> OraclesExt.packSweep(Seq(256, 512, 1024, 2048)),
+
+    // buildVocab ranking -> one six-sum aggregate -> slope/intercept/r2
+    "q238_zipf_fit" -> OraclesExt.zipfFit(1000)
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,

@@ -476,6 +476,45 @@ object Similarity {
         (-col("_m.nid")).as("negative"), col("_m.cos").as("neg_cos"))
   }
 
+  /** IVF tuning curve — mean recall@k against brute-force ground truth
+    * at each probe width in `probes`: the report read before committing
+    * an nProbe setting, exactly as [[graft.ops.Dedup.thresholdSweep]] is
+    * read before committing a dedup threshold. Returns
+    * (n_probe, n_queries, mean_recall); recall of a query the index
+    * returns nothing for counts as 0 (spine left join), so the curve
+    * never silently drops hard queries.
+    *
+    * Scale shape: ground truth is ONE brute pass (the bounded query-set
+    * × corpus broadcast join of [[topKBrute]] — the expensive arm, paid
+    * once and shared by every level via a lazy localCheckpoint); each
+    * probe level is the [[topKIvfCentroids]] cell-equi-join; levels
+    * union into one plan, one final hash-agg per level. */
+  def probeRecallCurve(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      centroids: Array[Array[Double]],
+      k: Int,
+      probes: Seq[Int]): DataFrame = {
+    require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= centroids.length),
+      s"probes must be in [1, ${centroids.length}]")
+    val gt = topKBrute(queries, corpus, k)
+      .groupBy("qid").agg(collect_set(col("cid")).as("_gt"))
+      .localCheckpoint(false) // one brute pass, shared by every level
+    val levels = probes.map { np =>
+      topKIvfCentroids(queries, corpus, centroids, k, np)
+        .groupBy("qid").agg(collect_set(col("cid")).as("_got"))
+        .withColumn("n_probe", lit(np))
+    }.reduce(_ unionByName _)
+    val spine = probes.map(np => gt.withColumn("n_probe", lit(np)))
+      .reduce(_ unionByName _)
+    val hits = size(array_intersect(col("_gt"),
+      coalesce(col("_got"), array().cast("array<long>"))))
+    spine.join(levels, Seq("n_probe", "qid"), "left")
+      .groupBy("n_probe")
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(hits.cast("double") / lit(k.toDouble)), 6).as("mean_recall"))
+  }
+
   /** Per-vector int8 scalar quantization — the standard 4× memory
     * reduction for ANN serving (float32 → uint8 codes + per-vector
     * (min, scale)): code_i = min(255, ⌊(x_i − mn) / ((mx − mn)/255)⌋),

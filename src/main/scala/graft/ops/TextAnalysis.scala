@@ -318,6 +318,66 @@ object TextAnalysis {
       .drop("_cum")
   }
 
+  /** Packing-efficiency sweep — [[packBins]] evaluated at each context
+    * length in `ctxs`: bins, total token mass, the largest bin, and the
+    * fill rate total/(bins·ctx). The capacity-planning report read
+    * before committing a context length (the [[graft.ops.Dedup.thresholdSweep]]
+    * posture applied to sequence packing): short contexts waste bins on
+    * boundary splits, long contexts strand tail capacity.
+    *
+    * Scale shape: each level is [[packBins]]'s per-group running-sum
+    * window (one sorted shuffle by group) folded twice — (group, bin)
+    * then 1-row — and levels union into one plan; the corpus tokenizes
+    * once per level (a map pass), nothing collects. */
+  def packSweep(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      nTokCol: String,
+      ctxs: Seq[Int]): DataFrame = {
+    require(ctxs.nonEmpty && ctxs.forall(_ >= 1), "ctxs must be positive")
+    ctxs.map { ctx =>
+      packBins(df, groupCol, orderCol, nTokCol, ctx)
+        .groupBy(groupCol, "bin").agg(sum(col(nTokCol)).as("_bt"))
+        .agg(count(lit(1)).as("n_bins"), sum("_bt").as("total_tokens"),
+          max("_bt").as("max_bin_tokens"))
+        .select(lit(ctx).as("ctx_tokens"), col("n_bins"),
+          col("total_tokens"), col("max_bin_tokens"),
+          round(col("total_tokens").cast("double") /
+            (col("n_bins") * lit(ctx)).cast("double"), 6).as("fill_rate"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Zipf rank–frequency fit over the top-`vocabSize` vocabulary: OLS of
+    * ln freq on ln rank, returning (n_types, slope, intercept, r2) —
+    * the corpus-health check (natural language sits near slope ≈ −1;
+    * template/boilerplate-heavy corpora flatten, exact-dup-heavy ones
+    * steepen). All three statistics derive from ONE six-sum aggregate
+    * over the ≤V-row vocabulary; the corpus pays a single token count
+    * (the [[buildVocab]] pass). Degenerate fits (fewer than 2 types, or
+    * zero x-variance) return null slope/intercept/r2 (ANSI-safe). */
+  def zipfFit(df: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 2, "vocabSize must be >= 2")
+    val pts = buildVocab(df, textCol, vocabSize)
+      .select(log((col("token_id") + 1).cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    val s = pts.agg(count(lit(1)).cast("double").as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    s.withColumn("_sl", when(varX > 0, cov / varX))
+      .select(col("n").cast("long").as("n_types"),
+        round(col("_sl"), 6).as("slope"),
+        round((col("sy") - col("_sl") * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        when(varX > 0 && varY > 0, round(cov * cov / (varX * varY), 6))
+          .as("r2"))
+  }
+
   /** TF-IDF top-k retrieval for a fixed term list: tf = whole-word
     * occurrences ([[hitCount]]-style regexp_count, codegen'd), document
     * frequencies + corpus size from ONE aggregate broadcast back over the
@@ -578,6 +638,20 @@ object TextAnalysis {
     steps.reduce(_ unionByName _)
   }
 
+  /** The paren-string merge chain over a `word` column — shared by
+    * [[bpeSegment]] and [[bpeFertility]]; see [[bpeTrain]] for why one
+    * `replace()` per merge is the exact leftmost-first merge. */
+  private def bpeMergedWord(merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty, "empty merge list")
+    require(merges.forall { case (l, r) =>
+      !(l + r).exists(c => c == '(' || c == ')' || c == '|') },
+      "merge symbols must be paren/pipe-free")
+    val w0 = regexp_replace(col("word"), "(.)", "($1)")
+    merges.foldLeft(w0) { case (acc, (l, r)) =>
+      call_function("replace", acc, lit(s"($l)($r)"), lit(s"($l$r)"))
+    }
+  }
+
   /** Apply a FIXED merge list to tokenize text — [[bpeTrain]]'s serving
     * half, the [[graft.fixtures.PinnedIndex]] posture: the merge table
     * is a shipped artifact (literals in the plan), application is the
@@ -588,21 +662,45 @@ object TextAnalysis {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    require(merges.nonEmpty, "empty merge list")
-    require(merges.forall { case (l, r) =>
-      !(l + r).exists(c => c == '(' || c == ')' || c == '|') },
-      "merge symbols must be paren/pipe-free")
-    val w0 = regexp_replace(col("word"), "(.)", "($1)")
-    val merged = merges.foldLeft(w0) { case (acc, (l, r)) =>
-      call_function("replace", acc, lit(s"($l)($r)"), lit(s"($l$r)"))
-    }
+      merges: Seq[(String, String)]): DataFrame =
     df.select(col(idCol), explode(words(col(textCol))).as("word"))
       .select(col(idCol),
-        explode(regexp_extract_all(merged, lit("\\(([^)]*)\\)"), lit(1)))
-          .as("token"))
+        explode(regexp_extract_all(bpeMergedWord(merges),
+          lit("\\(([^)]*)\\)"), lit(1))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("n"))
-  }
+
+  /** Tokenizer fertility report — THE standard tokenizer-quality metric
+    * (tokens per word; chars per token is its inverse view): apply the
+    * pinned merge table and aggregate per group (typically the declared
+    * language — fertility gaps across languages are how tokenizer bias
+    * is measured). Returns (groupCol, n_docs, n_words, n_tokens,
+    * fertility, chars_per_token), ratios 6dp-rounded.
+    *
+    * Scale shape: one tokenize Generate, the per-word merge chain is a
+    * codegen'd scalar projection (token COUNT via one regexp count — the
+    * symbol array is never exploded), then a single hash-agg by group;
+    * no window, no join, no second corpus pass. */
+  def bpeFertility(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.select(col(groupCol), col(idCol),
+        explode(words(col(textCol))).as("word"))
+      .select(col(groupCol), col(idCol), length(col("word")).as("wl"),
+        size(regexp_extract_all(bpeMergedWord(merges),
+          lit("\\(([^)]*)\\)"), lit(1))).as("nt"))
+      .groupBy(groupCol)
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("wl")).as("_chars"))
+      .select(col(groupCol), col("n_docs"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words").cast("double"),
+          6).as("fertility"),
+        round(col("_chars").cast("double") / col("n_tokens").cast("double"),
+          6).as("chars_per_token"))
 
   /** ROUGE-N overlap between a reference and a candidate text per row —
     * the standard n-gram generation-eval metric (Lin 2004): clipped

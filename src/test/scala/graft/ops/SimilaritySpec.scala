@@ -260,4 +260,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) == got(2L))
     assert(got.values.forall(b => b >= 0 && b < 256))
   }
+
+  test("probeRecallCurve: hand-checked recall per level; widening probes never lose recall") {
+    import spark.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val corpus = Seq(
+      (10L, Array(1f, 0f)),    // cell 0
+      (20L, Array(0.6f, 0.8f)),// cell 1 (closer to [0,1])
+      (30L, Array(0f, 1f))     // cell 1
+    ).toDF("cid", "cvec")
+    // q=[0.8,0.6] probes cell 0 first (-2·0.8+1 = -0.6 < -2·0.6+1);
+    // brute top-2 = {20 (cos .96), 10 (cos .8)}; probe 1 sees only cell
+    // 0 -> {10} (recall .5); probe 2 sees both cells -> recall 1.0
+    val queries = Seq((1L, Array(0.8f, 0.6f))).toDF("qid", "qvec")
+    val out = Similarity
+      .probeRecallCurve(queries, corpus, cents, k = 2, probes = Seq(1, 2))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out(1) == ((1L, 0.5)), out.toString)
+    assert(out(2) == ((1L, 1.0)), out.toString)
+    assert(out(1)._2 <= out(2)._2) // monotone in probe width
+  }
 }

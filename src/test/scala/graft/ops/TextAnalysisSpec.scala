@@ -380,6 +380,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(seg == Set(("abc", 1L), ("ab", 1L), ("d", 1L)), seg.toString)
   }
 
+  test("packSweep: hand-checked bins, mass, and fill per context level") {
+    val d = Seq((1L, "g", 3L), (2L, "g", 3L), (3L, "g", 3L))
+      .toDF("id", "grp", "n")
+    val out = TextAnalysis.packSweep(d, "grp", "id", "n", Seq(4, 10))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // ctx 4: bins (start offset / 4) = {0: docs 1+2, 1: doc 3} ->
+    // 2 bins, max 6, fill 9/8; ctx 10: one bin, fill 0.9
+    assert(out(4) == ((2L, 9L, 6L, 1.125)), out.toString)
+    assert(out(10) == ((1L, 9L, 9L, 0.9)), out.toString)
+  }
+
+  test("zipfFit: exact power law recovers slope -1, r2 1; degenerate corpus nulls out") {
+    // freq 12/rank: 12, 6, 4, 3 -> ln f = ln 12 - ln rank exactly
+    val txt = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    val out = TextAnalysis.zipfFit(Seq((1L, txt)).toDF("id", "text"),
+      "text", 10).head()
+    assert(out.getLong(0) == 4L, out.toString)
+    assert(out.getDouble(1) == -1.0, out.toString)
+    assert(math.abs(out.getDouble(2) - math.log(12.0)) < 1e-5, out.toString)
+    assert(out.getDouble(3) == 1.0, out.toString)
+    // single-type corpus: zero rank variance -> null fit, count survives
+    val degen = TextAnalysis.zipfFit(Seq((1L, "zz zz")).toDF("id", "text"),
+      "text", 10).head()
+    assert(degen.getLong(0) == 1L && degen.isNullAt(1) && degen.isNullAt(2)
+      && degen.isNullAt(3), degen.toString)
+  }
+
+  test("bpeFertility: hand-checked tokens/word and chars/token per group") {
+    // merges [(a,b),(ab,c)]: "abc" -> 1 token, "abd" -> 2 (ab, d),
+    // "xy" -> 2 (x, y)
+    val df = Seq(
+      (1L, "g1", "abc abd"), // 3 tokens / 2 words; 6 chars
+      (2L, "g2", "xy xy")    // 4 tokens / 2 words; 4 chars
+    ).toDF("id", "grp", "text")
+    val out = TextAnalysis.bpeFertility(df, "id", "text", "grp",
+        Seq("a" -> "b", "ab" -> "c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out("g1") == ((1L, 2L, 3L, 1.5, 2.0)), out.toString)
+    assert(out("g2") == ((1L, 2L, 4L, 2.0, 1.0)), out.toString)
+  }
+
   test("rougeN: hand-checked clipped overlap, P/R/F; zero-gram and disjoint arms") {
     val df = Seq(
       // ref "the cat sat on the mat", cand "the cat lay on the mat":
