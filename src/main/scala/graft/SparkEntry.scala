@@ -3511,6 +3511,19 @@ object SparkEntry {
     // corpus-health number (template-heavy corpora flatten the slope) ─────
     "q238_zipf_fit" -> { (s, dir) =>
       TextAnalysis.zipfFit(tb(s, dir, "documents"), "text", vocabSize = 1000)
+    },
+
+    // ───── Structured Streaming: the Gopher gate at INGEST time — the
+    // q233 rule battery as a stateless streaming filter over the
+    // documents file stream (corpus filtering before anything lands);
+    // append mode, same oracle arithmetic as the batch row ─────
+    "q239_stream_quality_gate" -> { (s, dir) =>
+      drainToTable(s,
+        TextAnalysis.gopherRules(docsStream(s, dir), "doc_id", "text",
+            minStopHits = 1)
+          .filter(col("pass")),
+        "g239_gate", "append")
+        .orderBy("doc_id")
     }
   )
 
@@ -3588,6 +3601,27 @@ object SparkEntry {
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else src)
+  }
+
+  /** The documents table as a file-source stream (the [[eventsStream]]
+    * hard-link scratch posture; no timestamp column to normalize) —
+    * ingest-time corpus filtering runs on this. */
+  private def docsStream(s: SparkSession, dir: String): DataFrame = {
+    val target = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(target)) target
+      else {
+        val d = java.nio.file.Paths.get(
+          scratch("stream_docs_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")))
+        val link = d.resolve("documents.parquet")
+        if (!java.nio.file.Files.exists(link)) {
+          try java.nio.file.Files.createLink(link, target)
+          catch { case _: Exception => java.nio.file.Files.copy(target, link) }
+        }
+        d
+      }
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    s.readStream.schema(schema).parquet(streamDir.toString)
   }
 
   /** The events stream chopped into `n` range-partitioned files streamed
@@ -5988,7 +6022,14 @@ object SparkEntry {
     "q237_pack_sweep" -> OraclesExt.packSweep(Seq(256, 512, 1024, 2048)),
 
     // buildVocab ranking -> one six-sum aggregate -> slope/intercept/r2
-    "q238_zipf_fit" -> OraclesExt.zipfFit(1000)
+    "q238_zipf_fit" -> OraclesExt.zipfFit(1000),
+
+    // the q233 battery restricted to passing docs — the drained stream
+    // is row-identical to the batch projection (stateless operator)
+    "q239_stream_quality_gate" ->
+      ("SELECT * FROM (" +
+        OraclesExt.gopherRules(1).stripSuffix(" ORDER BY doc_id") +
+        ") WHERE pass ORDER BY doc_id")
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,
