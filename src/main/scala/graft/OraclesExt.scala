@@ -678,6 +678,33 @@ object OraclesExt {
       "round((n*sxy - sx*sy)*(n*sxy - sx*sy)/((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) " +
       "END AS r2 FROM s2"
 
+  /** Mirrors Dedup.decontaminateSpans over the q59 corpus/bench split
+    * (q240): q108's rolling-hash span chain with the duplicated-span set
+    * replaced by the BENCHMARK's distinct span set. */
+  val surgicalDecontam: String =
+    "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks " +
+      "FROM documents WHERE doc_id % 20 <> 0), " +
+      "th AS (SELECT doc_id, toks, [(('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) for t in toks] AS hs FROM tok), " +
+      "sp AS (SELECT doc_id, u.pos AS pos, u.span AS span FROM (" +
+      "SELECT doc_id, unnest([{'pos': i, 'span': list_reduce(list_prepend(0::BIGINT, hs[i+1:i+8]), " +
+      "(a, b) -> (a * 31 + b) % 1000000007)} for i in range(0, greatest(len(hs) - 7, 0))]) AS u FROM th) z), " +
+      "bt AS (SELECT regexp_extract_all(lower(text), '\\w+') AS toks " +
+      "FROM documents WHERE doc_id % 20 = 0), " +
+      "bh AS (SELECT [(('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) for t in toks] AS hs FROM bt), " +
+      "bsp AS (SELECT DISTINCT unnest([list_reduce(list_prepend(0::BIGINT, hs[i+1:i+8]), " +
+      "(a, b) -> (a * 31 + b) % 1000000007) for i in range(0, greatest(len(hs) - 7, 0))]) AS span FROM bh), " +
+      "rm AS (SELECT DISTINCT sp.doc_id, sp.pos + o.j AS rmpos FROM sp JOIN bsp USING(span) " +
+      "CROSS JOIN (SELECT unnest(range(0, 8)) AS j) o), " +
+      "rmc AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM rm GROUP BY 1), " +
+      "tp AS (SELECT doc_id, u.i AS i, u.tok AS tok FROM (" +
+      "SELECT doc_id, unnest([{'i': i, 'tok': toks[i+1]} for i in range(0, len(toks))]) AS u FROM tok) z), " +
+      "cl AS (SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.i) AS cleaned " +
+      "FROM tp LEFT JOIN rm ON rm.doc_id = tp.doc_id AND rm.rmpos = tp.i " +
+      "WHERE rm.rmpos IS NULL GROUP BY 1) " +
+      "SELECT tok.doc_id, len(tok.toks)::BIGINT AS n_tok, " +
+      "coalesce(rmc.n_removed, 0)::BIGINT AS n_removed, coalesce(cl.cleaned, '') AS cleaned " +
+      "FROM tok LEFT JOIN rmc USING(doc_id) LEFT JOIN cl USING(doc_id) ORDER BY tok.doc_id"
+
   /** Mirrors TextAnalysis.bpeTrain (q228): the word-frequency table in
     * paren-symbol form, then `merges` chained (pair-count → top-1 →
     * replace) CTE triples — `replace` on the `(s)(y)(m)` representation

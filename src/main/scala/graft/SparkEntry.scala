@@ -3524,6 +3524,19 @@ object SparkEntry {
           .filter(col("pass")),
         "g239_gate", "append")
         .orderBy("doc_id")
+    },
+
+    // ───── SURGICAL benchmark decontamination: remove only the
+    // benchmark-overlapping spans (q59 drops whole docs; this keeps the
+    // rest of the document) — RollingHash probe against the broadcast
+    // benchmark span set, q108's removal/reassembly tail ─────
+    "q240_surgical_decontam" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      Dedup.decontaminateSpans(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", width = 8)
+        .orderBy("doc_id")
     }
   )
 
@@ -6029,7 +6042,11 @@ object SparkEntry {
     "q239_stream_quality_gate" ->
       ("SELECT * FROM (" +
         OraclesExt.gopherRules(1).stripSuffix(" ORDER BY doc_id") +
-        ") WHERE pass ORDER BY doc_id")
+        ") WHERE pass ORDER BY doc_id"),
+
+    // q108's span chain with the duplicated-span set replaced by the
+    // benchmark's distinct span set
+    "q240_surgical_decontam" -> OraclesExt.surgicalDecontam
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,

@@ -968,7 +968,22 @@ object Dedup {
       .filter(col("_df") >= minDf)
       .select("span")
     // duplicated window at pos covers token positions pos .. pos+w-1
-    val removed = spans.join(dup, Seq("span"))
+    val flagged = spans.join(dup, Seq("span")).select(col(idCol), col("pos"))
+    removeCovered(df, idCol, toksCol, flagged, width)
+  }
+
+  /** The covered-position removal + reassembly tail shared by
+    * [[spanDedupRemove]] and [[decontaminateSpans]]: flagged window
+    * positions expand to covered token positions; covered tokens null
+    * out of the token array and the document reassembles around them.
+    * Returns (id, n_tok, n_removed, cleaned). */
+  private def removeCovered(
+      df: DataFrame,
+      idCol: String,
+      toksCol: Column,
+      flagged: DataFrame, // (idCol, pos)
+      width: Int): DataFrame = {
+    val removed = flagged
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(width - 1)))
           .as("rmpos"))
@@ -985,6 +1000,43 @@ object Dedup {
             (t, i) => when(coalesce(array_contains(col("_rm"), i),
               lit(false)), lit(null: String)).otherwise(t)),
           " ").as("cleaned"))
+  }
+
+  /** SURGICAL benchmark decontamination — [[decontaminate]]'s span-level
+    * sibling: instead of dropping every document that overlaps the
+    * benchmark (doc-level, the q59 posture), remove ONLY the overlapping
+    * spans and keep the rest of the document — the treatment used when
+    * eval text is quoted inside otherwise-good documents and doc-level
+    * removal would cost too much corpus. Every corpus window whose
+    * [[graft.expressions.RollingHash]] appears anywhere in the benchmark
+    * marks its `width` covered token positions; covered tokens are
+    * removed and the document reassembles ([[spanDedupRemove]]'s tail).
+    *
+    * Scale shape: the benchmark gram-hash set is a broadcast DISTINCT
+    * bounded by benchmark size (the [[decontaminate]] contract — for
+    * benchmarks too large to broadcast exactly, [[bloomContamination]]
+    * is the bounded-at-m-bits doc-level fallback); corpus windows are
+    * one codegen'd O(n) RollingHash projection, the probe is a map-side
+    * broadcast join, and only flagged (id, pos) pairs shuffle for the
+    * per-doc removal agg. */
+  def decontaminateSpans(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    def spansOf(df: DataFrame) = {
+      val toksCol = TextAnalysis.words(col(textCol))
+      df.select(col(idCol), posexplode(Bridge.column(
+        graft.expressions.RollingHash(Bridge.expression(toksCol), width)))
+        .as(Seq("pos", "span")))
+    }
+    val benchSpans = spansOf(bench).select("span").distinct()
+    val flagged = spansOf(corpus).join(broadcast(benchSpans), Seq("span"))
+      .select(col(idCol), col("pos"))
+    removeCovered(corpus, idCol, TextAnalysis.words(col(textCol)), flagged,
+      width)
   }
 
   /** Content-defined-chunking duplication stats (LBFS/restic-style CDC

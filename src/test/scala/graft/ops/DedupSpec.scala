@@ -481,6 +481,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 1.0)
   }
 
+  test("decontaminateSpans: only benchmark-overlapping spans removed, clean docs untouched") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val corpus = Seq(
+      (1L, "lead1 lead2 " + run + " tail1 tail2"), // quotes the bench run
+      (2L, "totally unrelated words that nobody benchmarks at all here ok")
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "intro " + run + " outro")).toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(corpus, bench, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: exactly the 8 quoted tokens vanish, lead/tail survive
+    assert(out(1L) == ((12L, 8L, "lead1 lead2 tail1 tail2")), out.toString)
+    // doc 2: untouched
+    assert(out(2L)._2 == 0L && out(2L)._3.startsWith("totally unrelated"),
+      out.toString)
+  }
+
   test("semDedup: pinned-cell assignment, keep-lowest-id per star, cross-cell near-dups survive") {
     val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
     val e = Seq(
