@@ -511,18 +511,18 @@ object OraclesExt {
       "FROM dcg, idcg"
   }
 
-  /** Mirrors TextAnalysis.gopherRules (q233): each published rule as the
-    * identical regexp-count arithmetic, ratios 6dp-rounded before their
-    * threshold compare. */
-  def gopherRules(minStopHits: Int): String = {
+  /** The q233 rule chain (CTEs `f`, `r` — `r` carries source and every
+    * rule flag) shared by the rule report, the streaming gate, and the
+    * per-source Wilson aggregate. */
+  private def gopherCtes(minStopHits: Int): String = {
     val stopHits = Seq("the", "be", "to", "of", "and", "that", "have",
       "with").map(w =>
       s"CASE WHEN len(regexp_extract_all(lower(text), '\\b$w\\b')) > 0 " +
         "THEN 1 ELSE 0 END").mkString(" + ")
-    "WITH f AS (SELECT doc_id, text, " +
+    "WITH f AS (SELECT doc_id, source, text, " +
       "len(regexp_extract_all(text, '\\w+')) AS wc, " +
       "(len(regexp_extract_all(text, '\\n')) + 1)::DOUBLE AS nl FROM documents), " +
-      "r AS (SELECT doc_id, wc::BIGINT AS n_words, " +
+      "r AS (SELECT doc_id, source, wc::BIGINT AS n_words, " +
       "wc >= 50 AND wc <= 100000 AS r_wc, " +
       "round(CASE WHEN wc = 0 THEN 0.0::DOUBLE ELSE " +
       "len(regexp_extract_all(text, '\\w'))::DOUBLE / wc END, 6) " +
@@ -537,12 +537,80 @@ object OraclesExt {
       "round(CASE WHEN wc = 0 THEN 0.0::DOUBLE ELSE " +
       "len(regexp_extract_all(lower(text), '\\w*[a-z]\\w*'))::DOUBLE / wc END, 6) " +
       ">= 0.8 AS r_alpha, " +
-      s"($stopHits) >= $minStopHits AS r_stop FROM f) " +
-      "SELECT doc_id, n_words, r_wc, r_awl, r_sym, r_bullet, r_ellipsis, " +
-      "r_alpha, r_stop, " +
-      "r_wc AND r_awl AND r_sym AND r_bullet AND r_ellipsis AND r_alpha " +
-      "AND r_stop AS pass FROM r ORDER BY doc_id"
+      s"($stopHits) >= $minStopHits AS r_stop FROM f)"
   }
+
+  /** The conjunction of every rule flag (over the `r` CTE). */
+  private val gopherPass: String =
+    "r_wc AND r_awl AND r_sym AND r_bullet AND r_ellipsis AND r_alpha " +
+      "AND r_stop"
+
+  /** Mirrors TextAnalysis.gopherRules (q233): each published rule as the
+    * identical regexp-count arithmetic, ratios 6dp-rounded before their
+    * threshold compare. */
+  def gopherRules(minStopHits: Int): String =
+    s"${gopherCtes(minStopHits)} " +
+      "SELECT doc_id, n_words, r_wc, r_awl, r_sym, r_bullet, r_ellipsis, " +
+      s"r_alpha, r_stop, $gopherPass AS pass FROM r ORDER BY doc_id"
+
+  /** Mirrors Models.wilsonPassRate over the per-source Gopher pass flag
+    * (q242): one count/sum aggregate per source, then the Wilson algebra
+    * in the op's exact association order (z literals cast ::DOUBLE — the
+    * bare-DECIMAL trap). */
+  def wilsonGopher(minStopHits: Int, z: Double): String = {
+    val zz = s"($z::DOUBLE * $z::DOUBLE)"
+    val p = "(k / n)"
+    val half = s"$z::DOUBLE * sqrt($p * (1.0::DOUBLE - $p) / n + " +
+      s"$zz / (4.0::DOUBLE * n * n))"
+    val den = s"(1.0::DOUBLE + $zz / n)"
+    s"${gopherCtes(minStopHits)}, " +
+      s"p AS (SELECT source, CASE WHEN $gopherPass THEN 1 ELSE 0 END AS ps FROM r), " +
+      "a AS (SELECT source, count(*)::DOUBLE AS n, sum(ps)::DOUBLE AS k " +
+      "FROM p GROUP BY 1) " +
+      "SELECT source, n::BIGINT AS n, k::BIGINT AS n_pass, " +
+      s"round($p, 6) AS rate, " +
+      s"round((($p + $zz / (2.0::DOUBLE * n)) - $half) / $den, 6) AS lo, " +
+      s"round((($p + $zz / (2.0::DOUBLE * n)) + $half) / $den, 6) AS hi " +
+      "FROM a ORDER BY source"
+  }
+
+  /** Mirrors Dedup.noveltyScore over the q59 corpus/reference split
+    * (q241): per-doc distinct 3-gram shingles, reference distinct gram
+    * set, novel = grams absent from the reference. */
+  val noveltyScore: String =
+    "WITH ct AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks " +
+      "FROM documents WHERE doc_id % 20 <> 0), " +
+      "cg AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i+1:i+3], ' ') " +
+      "for i in range(len(toks)-2)])) AS g FROM ct), " +
+      "rt AS (SELECT regexp_extract_all(lower(text), '\\w+') AS toks " +
+      "FROM documents WHERE doc_id % 20 = 0), " +
+      "rg AS (SELECT DISTINCT unnest(list_distinct([array_to_string(toks[i+1:i+3], ' ') " +
+      "for i in range(len(toks)-2)])) AS g FROM rt), " +
+      "a AS (SELECT cg.doc_id, count(*)::BIGINT AS ng, " +
+      "sum(CASE WHEN rg.g IS NULL THEN 1 ELSE 0 END)::BIGINT AS nv " +
+      "FROM cg LEFT JOIN rg ON cg.g = rg.g GROUP BY 1) " +
+      "SELECT d.doc_id, coalesce(ng, 0)::BIGINT AS n_grams, " +
+      "coalesce(nv, 0)::BIGINT AS n_novel, " +
+      "CASE WHEN ng > 0 THEN round(nv::DOUBLE / ng, 6) END AS novelty " +
+      "FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d " +
+      "LEFT JOIN a USING (doc_id) ORDER BY d.doc_id"
+
+  /** Mirrors Dedup.dedupWeights over the simhash clusters (q243): the
+    * q43 closure labels, cluster sizes, weight 1/size (1.0 for
+    * unclustered docs). */
+  val dedupWeights: String =
+    "WITH RECURSIVE " + simhashPairsCte + ", " +
+      "np AS (SELECT id_a, id_b FROM pairs WHERE hdist <= 6), " +
+      "edges AS (SELECT id_a AS a, id_b AS b FROM np " +
+      "UNION SELECT id_b, id_a FROM np), " +
+      "reach(a, b) AS (SELECT DISTINCT a, a FROM edges " +
+      "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+      "labels AS (SELECT a AS id, min(b) AS rep FROM reach GROUP BY 1), " +
+      "sz AS (SELECT rep, count(*)::BIGINT AS nn FROM labels GROUP BY 1), " +
+      "j AS (SELECT l.id, s.nn FROM labels l JOIN sz s USING (rep)) " +
+      "SELECT d.doc_id, coalesce(j.nn, 1)::BIGINT AS cluster_size, " +
+      "round(1.0::DOUBLE / coalesce(j.nn, 1), 6) AS weight " +
+      "FROM documents d LEFT JOIN j ON d.doc_id = j.id ORDER BY d.doc_id"
 
   /** Mirrors pipelines.CurationPipeline.curate (q234): language gate
     * (q19's langid CASE), 6dp quality gate (q20's formula), exact dedup

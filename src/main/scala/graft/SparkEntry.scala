@@ -3537,6 +3537,42 @@ object SparkEntry {
           docs.filter(col("doc_id") % 20 === 0),
           "doc_id", "text", width = 8)
         .orderBy("doc_id")
+    },
+
+    // ───── N-gram novelty vs a reference corpus: the memorization lens
+    // inverted — fraction of each doc's distinct 3-grams absent from the
+    // reference (broadcast gram set, the q59 split) ─────
+    "q241_novelty" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      Dedup.noveltyScore(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    },
+
+    // ───── Wilson-score pass-rate intervals per source over the Gopher
+    // gate: which sources meet the quality bar with CONFIDENCE (a 3/3
+    // source is not safer than a 940/1000 one) ─────
+    "q242_wilson_pass_rate" -> { (s, dir) =>
+      val flags = TextAnalysis.gopherRules(tb(s, dir, "documents"),
+        "source", "text", minStopHits = 1)
+      Models.wilsonPassRate(flags, "source", "pass", z = 1.96)
+        .orderBy("source")
+    },
+
+    // ───── Duplicate-aware sampling weights ("soft dedup"): every
+    // near-dup cluster member kept at weight 1/cluster-size — the
+    // down-weighting alternative to dropping (q43's clusters) ─────
+    "q243_dedup_weights" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      val d = docs.select(col("doc_id"),
+        TextAnalysis.words(col("text")).as("toks"))
+      val labels = Dedup.connectedComponents(
+        Dedup.simhashPairs(d, "doc_id", col("toks"), maxDist = 6),
+        "id_a", "id_b")
+      Dedup.dedupWeights(docs.select("doc_id"), labels, "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -6046,7 +6082,17 @@ object SparkEntry {
 
     // q108's span chain with the duplicated-span set replaced by the
     // benchmark's distinct span set
-    "q240_surgical_decontam" -> OraclesExt.surgicalDecontam
+    "q240_surgical_decontam" -> OraclesExt.surgicalDecontam,
+
+    // per-doc distinct 3-grams LEFT JOIN the reference's distinct grams
+    "q241_novelty" -> OraclesExt.noveltyScore,
+
+    // the q233 rule chain aggregated per source + the Wilson algebra in
+    // the op's association order
+    "q242_wilson_pass_rate" -> OraclesExt.wilsonGopher(1, 1.96),
+
+    // q43's closure labels -> cluster sizes -> 1/size weights
+    "q243_dedup_weights" -> OraclesExt.dedupWeights
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,

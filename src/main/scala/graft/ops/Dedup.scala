@@ -749,6 +749,66 @@ object Dedup {
       .filter(col("cos") >= minCosine)
   }
 
+  /** N-gram novelty against a reference corpus — the memorization lens
+    * inverted (Lee et al. 2022; McCoy et al. 2023 "RAVEN"): per document
+    * the fraction of its DISTINCT n-gram shingles that appear nowhere in
+    * `reference`. 1.0 = fully novel text, 0.0 = entirely assembled from
+    * reference n-grams; the eval that catches a generator (or a crawl)
+    * replaying its training data. Returns (id, n_grams, n_novel,
+    * novelty); docs too short for one n-gram emit 0 counts and null
+    * novelty (ANSI-safe).
+    *
+    * Scale shape: the reference gram set is a DISTINCT broadcast bounded
+    * by reference size (the [[decontaminate]] contract; Bloom is the
+    * beyond-broadcast fallback); corpus grams explode once, probe
+    * map-side, and one hash-agg per doc closes it. */
+  def noveltyScore(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol),
+        explode(shingles(TextAnalysis.words(col(textCol)), n)).as("g"))
+      .distinct()
+    val ref = grams(reference).select("g").distinct()
+      .withColumn("_seen", lit(true))
+    val scored = grams(corpus).join(broadcast(ref), Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("_ng"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("_nv"))
+    corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_ng"), lit(0L)).as("n_grams"),
+        coalesce(col("_nv"), lit(0L)).as("n_novel"),
+        when(col("_ng") > 0,
+          round(col("_nv").cast("double") / col("_ng"), 6)).as("novelty"))
+  }
+
+  /** Duplicate-aware sampling weights — "soft dedup": keep every member
+    * of a near-dup cluster but down-weight each to 1/cluster-size so the
+    * cluster contributes one document's worth of training mass (the
+    * alternative to dropping when provenance or coverage must survive).
+    * `labels` is [[connectedComponents]] output (id, rep); ids absent
+    * from any cluster weigh 1.0. Returns (id, cluster_size, weight).
+    *
+    * Scale shape: cluster sizes are one hash-agg over the LABEL table
+    * (bounded by clustered docs, not the corpus); both joins are
+    * id/rep-keyed and narrow; the corpus text never moves. */
+  def dedupWeights(
+      ids: DataFrame,
+      labels: DataFrame, // (id, rep)
+      idCol: String): DataFrame = {
+    val sz = labels.groupBy("rep").agg(count(lit(1)).as("_n"))
+    val m = labels.join(sz, Seq("rep"))
+      .select(col("id").as(idCol), col("_n"))
+    ids.select(col(idCol)).join(m, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_n"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("_n"), lit(1L)), 6).as("weight"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication") — semantic dedup through
     * a LEARNED coarse quantizer: every vector is assigned to its nearest

@@ -673,4 +673,38 @@ object Models {
             denom, 6)))
       .drop("_prior")
   }
+
+  /** Wilson-score interval on a per-group pass rate (Wilson 1927; the
+    * interval Agresti–Coull approximates) — the governance number for
+    * "which sources meet the quality bar with CONFIDENCE": a source with
+    * 3/3 passing is not safer than one with 940/1000, and the Wilson
+    * lower bound says so where the raw rate lies. Returns
+    * (group, n, n_pass, rate, lo, hi), all rates 6dp-rounded; `z` is
+    * the normal quantile (1.96 ≈ 95%).
+    *
+    * One map-side-combined hash-agg by group; the interval algebra runs
+    * on the ≤|groups|-row aggregate, written in the exact association
+    * order the oracle mirrors. */
+  def wilsonPassRate(
+      df: DataFrame,
+      groupCol: String,
+      passCol: String,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, "z must be positive")
+    val zc = lit(z)
+    val a = df.groupBy(groupCol).agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(when(col(passCol), 1).otherwise(0)).cast("double").as("_k"))
+    val n = col("_n")
+    val p = col("_k") / n
+    val half = zc * sqrt(p * (lit(1.0) - p) / n +
+      (zc * zc) / (lit(4.0) * n * n))
+    val den = lit(1.0) + (zc * zc) / n
+    a.select(col(groupCol),
+      col("_n").cast("long").as("n"),
+      col("_k").cast("long").as("n_pass"),
+      round(p, 6).as("rate"),
+      round(((p + (zc * zc) / (lit(2.0) * n)) - half) / den, 6).as("lo"),
+      round(((p + (zc * zc) / (lit(2.0) * n)) + half) / den, 6).as("hi"))
+  }
 }

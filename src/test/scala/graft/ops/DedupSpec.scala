@@ -498,6 +498,40 @@ class DedupSpec extends SparkSpec {
       out.toString)
   }
 
+  test("noveltyScore: quoted grams not novel, fresh grams novel, short docs null") {
+    val run = "alpha beta gamma delta" // 4 tokens -> 2 distinct 3-grams
+    val corpus = Seq(
+      (1L, run), // both 3-grams appear in the reference -> novelty 0
+      (2L, "completely fresh words here"), // 2 grams, both novel
+      (3L, run + " extra"), // 3 grams: 2 quoted + 1 novel
+      (4L, "too short") // < 3 tokens -> no grams
+    ).toDF("doc_id", "text")
+    val ref = Seq((9L, "intro " + run + " outro")).toDF("doc_id", "text")
+    val out = Dedup.noveltyScore(corpus, ref, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(out(1L) == ((2L, 0L, Some(0.0))), out.toString)
+    assert(out(2L) == ((2L, 2L, Some(1.0))), out.toString)
+    assert(out(3L) == ((3L, 1L, Some(math.rint(1.0 / 3 * 1e6) / 1e6))), out.toString)
+    assert(out(4L) == ((0L, 0L, None)), out.toString)
+  }
+
+  test("dedupWeights: cluster members share 1/size, unclustered docs weigh 1.0") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // clusters {1,2,3} and {4,5} as raw edges
+    val labels = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b"), "a", "b")
+    val out = Dedup.dedupWeights(ids, labels, "id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out(1L) == ((3L, math.rint(1.0 / 3 * 1e6) / 1e6)), out.toString)
+    assert(out(2L) == out(1L) && out(3L) == out(1L))
+    assert(out(4L) == ((2L, 0.5)) && out(5L) == out(4L), out.toString)
+    // a sixth id never clustered weighs 1.0
+    val lone = Dedup.dedupWeights(Seq(6L).toDF("id"), labels, "id").head()
+    assert(lone.getLong(1) == 1L && lone.getDouble(2) == 1.0, lone.toString)
+  }
+
   test("semDedup: pinned-cell assignment, keep-lowest-id per star, cross-cell near-dups survive") {
     val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
     val e = Seq(

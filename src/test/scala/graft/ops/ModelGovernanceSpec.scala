@@ -132,4 +132,21 @@ class ModelGovernanceSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("crit_05") - expect) < 1e-6)
     assert(r.getAs[Boolean]("drifted"))
   }
+
+  test("wilsonPassRate: small perfect sample stays uncertain, big sample tightens past it") {
+    val df = (Seq.fill(3)(("a", true)) ++
+      Seq.fill(940)(("b", true)) ++ Seq.fill(60)(("b", false)))
+      .toDF("src", "ok")
+    val out = Models.wilsonPassRate(df, "src", "ok")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val z2 = 1.96 * 1.96
+    // a: 3/3 — rate 1.0 but the lower bound is only 1/(1 + z²/n) ≈ 0.44
+    assert(out("a")._3 == 1.0 && out("a")._5 == 1.0, out.toString)
+    assert(math.abs(out("a")._4 - 1.0 / (1.0 + z2 / 3)) < 1e-6, out.toString)
+    // b: 940/1000 — lower RATE, but its lower bound BEATS the 3/3 source
+    assert(out("b")._3 == 0.94, out.toString)
+    assert(out("b")._4 > out("a")._4, out.toString)
+    assert(out("b")._4 > 0.92 && out("b")._5 < 0.96, out.toString)
+  }
 }
