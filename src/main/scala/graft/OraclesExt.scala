@@ -773,6 +773,41 @@ object OraclesExt {
       "coalesce(rmc.n_removed, 0)::BIGINT AS n_removed, coalesce(cl.cleaned, '') AS cleaned " +
       "FROM tok LEFT JOIN rmc USING(doc_id) LEFT JOIN cl USING(doc_id) ORDER BY tok.doc_id"
 
+  /** Mirrors Similarity.embeddingDrift over the vec_id-parity split
+    * (q244): per-dimension reference bounds, 10 clamped fixed-width
+    * bins, +0.5-smoothed shares, Σ(p−q)·ln(p/q) per dimension — the
+    * q178 PSI chain partitioned by coordinate. */
+  def embeddingDrift(nBins: Int): String = {
+    val half = "0.5::DOUBLE"
+    s"WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "r0 AS (SELECT generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x " +
+      "FROM e WHERE vec_id % 2 = 0), " +
+      "c0 AS (SELECT generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x " +
+      "FROM e WHERE vec_id % 2 = 1), " +
+      "b AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM r0 GROUP BY 1), " +
+      s"rb AS (SELECT r0.pos, CASE WHEN hi = lo THEN 0 ELSE least(${nBins - 1}, " +
+      s"greatest(0, floor((x - lo) / ((hi - lo) / $nBins))::INT)) END AS bin " +
+      "FROM r0 JOIN b ON r0.pos = b.pos), " +
+      s"cb AS (SELECT c0.pos, CASE WHEN hi = lo THEN 0 ELSE least(${nBins - 1}, " +
+      s"greatest(0, floor((x - lo) / ((hi - lo) / $nBins))::INT)) END AS bin " +
+      "FROM c0 JOIN b ON c0.pos = b.pos), " +
+      "rc AS (SELECT pos, bin, count(*)::BIGINT AS n_ref FROM rb GROUP BY 1, 2), " +
+      "cc2 AS (SELECT pos, bin, count(*)::BIGINT AS n_cur FROM cb GROUP BY 1, 2), " +
+      s"spine AS (SELECT b.pos, t.i::INT AS bin FROM b CROSS JOIN range($nBins) t(i)), " +
+      "k AS (SELECT spine.pos, spine.bin, coalesce(rc.n_ref, 0) AS n_ref, " +
+      "coalesce(cc2.n_cur, 0) AS n_cur FROM spine " +
+      "LEFT JOIN rc ON spine.pos = rc.pos AND spine.bin = rc.bin " +
+      "LEFT JOIN cc2 ON spine.pos = cc2.pos AND spine.bin = cc2.bin), " +
+      s"s AS (SELECT pos, bin, (n_ref + $half) / " +
+      s"(sum(n_ref) OVER (PARTITION BY pos) + $half * $nBins) AS p, " +
+      s"(n_cur + $half) / (sum(n_cur) OVER (PARTITION BY pos) + $half * $nBins) AS q " +
+      "FROM k), " +
+      "g AS (SELECT pos, round((p - q) * ln(p / q), 6) AS contrib FROM s) " +
+      "SELECT pos, round(sum(contrib), 6) AS psi, " +
+      "round(sum(contrib), 6) > 0.2::DOUBLE AS drifted " +
+      "FROM g GROUP BY pos ORDER BY pos"
+  }
+
   /** Mirrors TextAnalysis.bpeTrain (q228): the word-frequency table in
     * paren-symbol form, then `merges` chained (pair-count → top-1 →
     * replace) CTE triples — `replace` on the `(s)(y)(m)` representation

@@ -3573,6 +3573,18 @@ object SparkEntry {
         "id_a", "id_b")
       Dedup.dedupWeights(docs.select("doc_id"), labels, "doc_id")
         .orderBy("doc_id")
+    },
+
+    // ───── Per-dimension embedding PSI drift: the ANN-serving monitor
+    // (new encoder / shifted corpus moves coordinate distributions long
+    // before recall degrades); vec_id-parity split as ref vs cur ─────
+    "q244_embedding_drift" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.embeddingDrift(
+          e.filter(col("vec_id") % 2 === 0).select(col("embedding")),
+          e.filter(col("vec_id") % 2 === 1).select(col("embedding")),
+          "embedding", nBins = 10)
+        .orderBy("pos")
     }
   )
 
@@ -6092,7 +6104,10 @@ object SparkEntry {
     "q242_wilson_pass_rate" -> OraclesExt.wilsonGopher(1, 1.96),
 
     // q43's closure labels -> cluster sizes -> 1/size weights
-    "q243_dedup_weights" -> OraclesExt.dedupWeights
+    "q243_dedup_weights" -> OraclesExt.dedupWeights,
+
+    // the q178 PSI chain partitioned by coordinate over the parity split
+    "q244_embedding_drift" -> OraclesExt.embeddingDrift(10)
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,

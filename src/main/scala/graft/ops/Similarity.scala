@@ -515,6 +515,59 @@ object Similarity {
         round(avg(hits.cast("double") / lit(k.toDouble)), 6).as("mean_recall"))
   }
 
+  /** Per-dimension embedding drift — [[graft.ops.Models.psiDrift]]'s PSI
+    * applied to every embedding coordinate at once: the monitoring
+    * number an ANN serving stack watches between index rebuilds (a new
+    * encoder checkpoint or a shifted corpus moves coordinate
+    * distributions long before recall visibly degrades). Bins are 10
+    * fixed-width intervals of the REFERENCE's per-dimension [min, max]
+    * (out-of-range current values clamp into the edge bins), shares are
+    * +0.5-smoothed, psi = Σ (p−q)·ln(p/q) with the standard 0.2 alarm.
+    * Returns one row per dimension: (pos, psi, drifted).
+    *
+    * Scale shape: one posexplode Generate per side (the shuffle carries
+    * (pos, bin) partial counts only — never vectors), per-dim bounds are
+    * a ≤dim-row broadcast, and the PSI algebra runs on the dim×bins
+    * count grid. */
+  def embeddingDrift(
+      ref: DataFrame, // (id, vecCol)
+      cur: DataFrame,
+      vecCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    def longForm(df: DataFrame): DataFrame =
+      df.select(posexplode(transform(col(vecCol), _.cast("double"))))
+        .select(col("pos"), col("col").as("v"))
+    val r = longForm(ref)
+    val c = longForm(cur)
+    val bounds = r.groupBy("pos").agg(min("v").as("_lo"), max("v").as("_hi"))
+      .localCheckpoint(false) // feeds both binned sides + the spine
+    val width = (col("_hi") - col("_lo")) / lit(nBins)
+    val bin = when(col("_hi") === col("_lo"), lit(0)).otherwise(
+      least(lit(nBins - 1), greatest(lit(0),
+        floor((col("v") - col("_lo")) / width).cast("int"))))
+    def binned(df: DataFrame, out: String): DataFrame =
+      df.join(broadcast(bounds), Seq("pos"))
+        .groupBy(col("pos"), bin.as("bin")).agg(count(lit(1)).as(out))
+    val spine = bounds.select(col("pos"))
+      .crossJoin(ref.sparkSession.range(nBins)
+        .select(col("id").cast("int").as("bin")))
+    val counts = spine
+      .join(binned(r, "n_ref"), Seq("pos", "bin"), "left")
+      .join(binned(c, "n_cur"), Seq("pos", "bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val wPos = Window.partitionBy("pos")
+    def share(cn: String): Column = (col(cn) + lit(0.5)) /
+      (sum(col(cn)).over(wPos) + lit(0.5) * lit(nBins))
+    val p = share("n_ref")
+    val q = share("n_cur")
+    counts
+      .withColumn("_contrib", round((p - q) * log(p / q), 6))
+      .groupBy("pos")
+      .agg(round(sum(col("_contrib")), 6).as("psi"))
+      .withColumn("drifted", col("psi") > 0.2)
+  }
+
   /** Per-vector int8 scalar quantization — the standard 4× memory
     * reduction for ANN serving (float32 → uint8 codes + per-vector
     * (min, scale)): code_i = min(255, ⌊(x_i − mn) / ((mx − mn)/255)⌋),

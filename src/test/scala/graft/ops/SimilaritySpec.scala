@@ -261,6 +261,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.forall(b => b >= 0 && b < 256))
   }
 
+  test("embeddingDrift: stable dim scores ~0, shifted dim alarms; out-of-range clamps") {
+    import spark.implicits._
+    // dim 0: identical uniform spread on both sides -> psi 0, no alarm;
+    // dim 1: uniform ref vs all-mass-at-max cur (one value far out of
+    // the ref range, clamping into the edge bin) -> large psi, alarm
+    val ref = (0 until 20).map(i => Tuple1(Array((i % 10).toFloat, (i % 10).toFloat)))
+      .toDF("embedding")
+    val cur = (0 until 20).map(i => Tuple1(Array((i % 10).toFloat,
+      if (i == 0) 99f else 9f))).toDF("embedding")
+    val out = Similarity.embeddingDrift(ref, cur, "embedding", nBins = 10)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    assert(out(0)._1 == 0.0 && !out(0)._2, out.toString)
+    assert(out(1)._1 > 0.2 && out(1)._2, out.toString)
+  }
+
   test("probeRecallCurve: hand-checked recall per level; widening probes never lose recall") {
     import spark.implicits._
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
