@@ -84,21 +84,28 @@ object HeavyInvariantProps extends Properties("graft.invariants.heavy") {
       chars.forall { case (id, c) => toks.getOrElse(id, 0L) == c }
     }
 
-  property("packSweep: total mass constant, bin count monotone non-increasing in ctx") =
+  // NOTE: bin count is deliberately NOT asserted monotone in ctx — a
+  // coarser grid's boundaries can SPLIT starts a finer grid merged
+  // (e.g. doc starts {0, 89, 112, ...}: 9 bins at ctx=22, 10 at
+  // ctx=30), so the only safe claims are conservation and the fill
+  // identity. ScalaCheck found the counterexample; kept as regression
+  // documentation.
+  property("packSweep: mass conserved at every level, fill identity holds, bins bounded by docs") =
     forAll(genDocs.map(_.take(12)), Gen.listOfN(3, Gen.choose(1, 64))) { (docs, ctxsRaw) =>
       import spark.implicits._
       val ctxs = ctxsRaw.distinct.sorted
       val d = docs.toDF("id", "text")
         .select(col("id"), lit("g").as("grp"),
           size(graft.ops.TextAnalysis.words(col("text"))).as("n"))
+      val trueMass = docs.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
       val out = graft.ops.TextAnalysis
         .packSweep(d, "grp", "id", "n", ctxs)
-        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
-        .toMap
-      val masses = out.values.map(_._2).toSet
-      masses.size == 1 && ctxs.sliding(2).forall {
-        case Seq(a, b) => out(a)._1 >= out(b)._1
-        case _         => true
+        .collect().map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+      ctxs.forall { ctx =>
+        val (bins, mass, fill) = out(ctx)
+        mass == trueMass && bins >= 1 && bins <= docs.size &&
+          fill == math.rint(mass.toDouble / (bins * ctx) * 1e6) / 1e6
       }
     }
 
