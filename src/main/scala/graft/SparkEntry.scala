@@ -3284,13 +3284,14 @@ object SparkEntry {
         .orderBy("segment")
     },
 
-    // ───── S5 END TO END through the REAL container — the reference's
-    // final script (timesheet_transform.py:98-138) with actual
-    // workbooks: write a per-surname target workbook, read it back,
-    // update-only merge (case-insensitive key + date granularity, never
-    // insert), write the updated workbook, read it AGAIN. Two full
-    // write→read container cycles around the keyed merge; the oracle is
-    // the pure-SQL merge on the source table ─────
+    // ───── S5 END TO END through the REAL container, IN PLACE — the
+    // reference's final script (timesheet_transform.py:98-138) exactly:
+    // write a per-surname target workbook, read it back, and PATCH ONLY
+    // the matched rows' commessa/ore cells through the style-preserving
+    // patch-through writer (Xlsx.patchSheets — every untouched zip part
+    // and cell span stays byte-verbatim; update matched, never insert),
+    // then read the patched workbook AGAIN. The oracle is the pure-SQL
+    // merge on the source table ─────
     "q224_xlsx_merge" -> { (s, dir) =>
       val out = scratch("xlsx_merge")
       val orders = t(s, dir, "orders")
@@ -3308,16 +3309,18 @@ object SparkEntry {
             .as("u_commessa"),
           round(sum(col("o_totalprice")), 2).as("u_ore"))
       val back = Xlsx.readSheet(s, s"$out/target.xlsx", sheet = None)
-        .select(col("_sheet").as("surname"),
-          col("data").cast("date").as("data"),
-          col("commessa"), col("ore").cast("double").as("ore"))
-      val merged = MergeUpdate.updateOnly(
-          back.withColumn("_k", lower(col("surname"))),
-          updates, Seq("_k", "data"),
-          Map("commessa" -> "u_commessa", "ore" -> "u_ore"))
-        .drop("_k")
-      Xlsx.writeSheets(merged.select(col("surname"), col("data"),
-        col("commessa"), col("ore")), "surname", s"$out/updated.xlsx")
+      // matched (sheet, row) → new cell values: the reference's
+      // case-insensitive surname + day-granularity date match
+      val patch = back
+        .select(col("_sheet"), col("_row"), lower(col("_sheet")).as("bk"),
+          col("data").cast("date").as("bdata"))
+        .join(updates.select(col("_k").as("uk"), col("data").as("udata"),
+          col("u_commessa"), col("u_ore")),
+          col("bk") === col("uk") && col("bdata") === col("udata"))
+        .select(col("_sheet"), col("_row"),
+          col("u_commessa").as("commessa"), col("u_ore").as("ore"))
+      Xlsx.patchSheets(s, s"$out/target.xlsx", s"$out/updated.xlsx",
+        patch, Seq("commessa", "ore"))
       Xlsx.readSheet(s, s"$out/updated.xlsx", sheet = None)
         .select(col("_sheet").as("surname"),
           col("data").cast("date").as("data"),

@@ -48,19 +48,23 @@ object Xlsx {
 
   // ───────────────────────── parsing (executor-side) ──────────────────
 
-  /** All zip entries of a workbook, loaded into memory (bounded by the
-    * format: one workbook per task). */
-  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+  /** All zip entries of a workbook in ARCHIVE ORDER, loaded into memory
+    * (bounded by the format: one workbook per task). Order matters for the
+    * patch-through writer, which re-emits untouched parts verbatim. */
+  private[ops] def zipEntriesOrdered(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(bytes))
-    val out = mutable.Map.empty[String, Array[Byte]]
+    val out = mutable.ArrayBuffer.empty[(String, Array[Byte])]
     var e = zin.getNextEntry
     while (e != null) {
-      if (!e.isDirectory) out(e.getName) = zin.readAllBytes()
+      if (!e.isDirectory) out += ((e.getName, zin.readAllBytes()))
       e = zin.getNextEntry
     }
     zin.close()
-    out.toMap
+    out.toSeq
   }
+
+  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] =
+    zipEntriesOrdered(bytes).toMap
 
   private def staxReader(bytes: Array[Byte]): javax.xml.stream.XMLStreamReader = {
     val f = javax.xml.stream.XMLInputFactory.newInstance()
@@ -382,10 +386,13 @@ object Xlsx {
       path: String,
       sheet: Option[String] = None,
       header: Boolean = true): DataFrame = {
-    val names = headerNames(spark, path, sheet, header)
+    val (names, headerRow) = headerNames(spark, path, sheet, header)
     val raw = readRaw(spark, path, sheet.map(Set(_)))
     val width = names.length
-    val dataRows = if (header) raw.filter(col("_row") > 1) else raw
+    // data rows = everything below the DISCOVERED header row (a foreign
+    // workbook may omit leading blank rows from sheetData, so the header
+    // is the sheet's minimum present row — not literally row 1)
+    val dataRows = if (header) raw.filter(col("_row") > headerRow) else raw
     // get() (0-based) pads short rows with null instead of ANSI-throwing
     // like element_at would on a row narrower than the header
     val padded = (0 until width).map(i =>
@@ -395,13 +402,14 @@ object Xlsx {
   }
 
   /** Driver-side header peek: the first matching workbook's requested (or
-    * first) sheet, row 1. One bounded file read — the same cost class as
+    * first) sheet's minimum present row → (column names, header row index).
+    * One bounded file read — the same cost class as
     * [[Similarity.topKIvfSampled]]'s codebook collect. */
   private def headerNames(
       spark: SparkSession,
       path: String,
       sheet: Option[String],
-      header: Boolean): Seq[String] = {
+      header: Boolean): (Seq[String], Long) = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
@@ -424,15 +432,16 @@ object Xlsx {
       throw new IllegalArgumentException(s"no sheet '$firstSheet' in ${files.head.getPath}"))
     val first = sheetRows.minBy(_._2)
     val width = first._3.map(_._1).maxOption.map(_ + 1).getOrElse(0)
-    if (!header) (0 until width).map(i => s"_c$i")
+    if (!header) ((0 until width).map(i => s"_c$i"), 0L)
     else {
       val arr = new Array[String](width)
       first._3.foreach { case (i, s) => arr(i) = s }
-      arr.toSeq.zipWithIndex.map {
+      val names = arr.toSeq.zipWithIndex.map {
         case (null, i) => s"_c$i"
         case ("", i) => s"_c$i"
         case (s, _) => s
       }
+      (names, first._2)
     }
   }
 
@@ -580,14 +589,47 @@ object Xlsx {
     bos.toByteArray
   }
 
-  private def writeFile(path: String, bytes: Array[Byte]): Unit = {
+  /** The session's Hadoop conf flattened to serializable (key, value)
+    * pairs so executor-side writers resolve the SAME filesystems the
+    * session's reads do (object-store credentials, custom fs impls) —
+    * `Configuration` itself is not Java-serializable and Spark's own
+    * `SerializableConfiguration` wrapper is `private[spark]`. */
+  private def confProps(spark: SparkSession): Array[(String, String)] = {
+    val c = spark.sessionState.newHadoopConf()
+    val buf = mutable.ArrayBuffer.empty[(String, String)]
+    val it = c.iterator()
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.toArray
+  }
+
+  private def writeFile(
+      path: String,
+      bytes: Array[Byte],
+      props: Array[(String, String)]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    props.foreach { case (k, v) => conf.set(k, v) }
     val p = new org.apache.hadoop.fs.Path(path)
-    // executor-side: a fresh Configuration resolves the default
-    // (file://, HDFS from core-site) filesystem; object stores with
-    // session credentials should be written via their committers instead
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
     try out.write(bytes) finally out.close()
+  }
+
+  /** Excel forbids `[ ] : * ? / \` in sheet names; `/`/`\` in a file key
+    * would also escape the output directory. Fail loud, don't mangle. */
+  private def requireCleanKey(k: String, what: String): Unit = {
+    require(k != null, s"$what is null")
+    require(!k.exists(c => "[]:*?/\\".indexOf(c) >= 0) && !k.exists(_ < ' '),
+      s"$what '$k' contains a character invalid in sheet/file names ([]:*?/\\ or control)")
+  }
+
+  /** Distinct keys must stay distinct AFTER the 31-char truncation —
+    * otherwise two keys silently overwrite one sheet/file. */
+  private def requireNoTruncationCollision(
+      keys: Iterable[String], maxLen: Int, what: String): Unit = {
+    val collided = keys.groupBy(_.take(maxLen)).filter(_._2.size > 1)
+    require(collided.isEmpty,
+      s"$what collide after $maxLen-char truncation: " +
+        collided.map { case (t, ks) => s"'$t' <- ${ks.mkString(", ")}" }.mkString("; "))
   }
 
   /** Write `df` as a single one-sheet workbook (the reference's plain
@@ -597,10 +639,11 @@ object Xlsx {
     * paths. */
   def writeSheet(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
     val header = df.columns.toSeq
+    val props = confProps(df.sparkSession)
     df.coalesce(1).foreachPartition { (rows: Iterator[Row]) =>
       // empty frame still produces a header-only workbook
       writeFile(path, workbookBytes(Seq(
-        (sheetName, header, rows.map(_.toSeq).toSeq))))
+        (sheetName, header, rows.map(_.toSeq).toSeq))), props)
     }
   }
 
@@ -617,12 +660,15 @@ object Xlsx {
     val keyIdx = df.columns.indexOf(sheetCol)
     require(keyIdx >= 0, s"no column '$sheetCol'")
     val header = df.columns.toSeq.patch(keyIdx, Nil, 1)
+    val props = confProps(df.sparkSession)
     df.coalesce(1).foreachPartition { (rows: Iterator[Row]) =>
       val grouped = rows.toSeq.groupBy(r => String.valueOf(r.get(keyIdx)))
+      grouped.keys.foreach(requireCleanKey(_, "sheet key"))
+      requireNoTruncationCollision(grouped.keys, maxSheetLen, "sheet keys")
       val sheets = grouped.toSeq.sortBy(_._1).map { case (k, rs) =>
         (k.take(maxSheetLen), header, rs.map(_.toSeq.patch(keyIdx, Nil, 1)))
       }
-      if (sheets.nonEmpty) writeFile(path, workbookBytes(sheets))
+      if (sheets.nonEmpty) writeFile(path, workbookBytes(sheets), props)
     }
   }
 
@@ -641,13 +687,264 @@ object Xlsx {
     val keyIdx = df.columns.indexOf(keyCol)
     require(keyIdx >= 0, s"no column '$keyCol'")
     val header = df.columns.toSeq.patch(keyIdx, Nil, 1)
+    val props = confProps(df.sparkSession)
+    // global precheck: truncation collisions cross partitions, so they
+    // cannot be detected task-locally. One distinct-agg job over the key
+    // column — bounded by the number of OUTPUT FILES, which this sink is
+    // inherently bounded by (one workbook per key).
+    val keys = df.select(col(keyCol).cast("string")).distinct()
+      .collect().map(r => String.valueOf(r.get(0)))
+    keys.foreach(requireCleanKey(_, "workbook key"))
+    requireNoTruncationCollision(keys, maxKeyLen, "workbook keys")
     df.repartition(col(keyCol)).foreachPartition { (rows: Iterator[Row]) =>
       rows.toSeq.groupBy(r => String.valueOf(r.get(keyIdx)))
         .foreach { case (k, rs) =>
           val name = k.take(maxKeyLen)
           writeFile(s"$outDir/$name.xlsx", workbookBytes(Seq(
-            (sheetName, header, rs.map(_.toSeq.patch(keyIdx, Nil, 1))))))
+            (sheetName, header, rs.map(_.toSeq.patch(keyIdx, Nil, 1))))), props)
         }
     }
+  }
+
+  // ───────────────── style-preserving in-place patch (S5) ──────────────
+
+  /** Attribute map of one start-tag's text (machine-generated OOXML:
+    * double- or single-quoted values, no `<`/`>` inside values). */
+  private val attrPat =
+    java.util.regex.Pattern.compile("""([\w:.-]+)\s*=\s*(?:"([^"]*)"|'([^']*)')""")
+
+  private def tagAttrs(tag: String): Map[String, String] = {
+    val m = mutable.Map.empty[String, String]
+    val mm = attrPat.matcher(tag)
+    while (mm.find())
+      m(mm.group(1)) = if (mm.group(2) != null) mm.group(2) else mm.group(3)
+    m.toMap
+  }
+
+  /** Render a PATCHED cell: the reference (`cell.value = x` in openpyxl,
+    * timesheet_transform.py:131-136) replaces the VALUE and keeps the
+    * cell's style, so the existing `s` attribute is carried over verbatim.
+    * Strings become inline strings (the shared-string table is never
+    * touched — unreferenced entries are valid OOXML); dates/timestamps
+    * become serials ONLY when the target cell already has a style to
+    * display them (a foreign workbook's `s` indexes its own styles.xml,
+    * which this writer never edits), else self-describing ISO strings. */
+  private def patchedCellXml(
+      row: Long,
+      colI: Int,
+      refAttr: Option[String],
+      styleAttr: Option[String],
+      v: Any): String = {
+    val ref = refAttr.getOrElse(colRef(colI) + row)
+    val sA = styleAttr.map(x => s""" s="$x"""").getOrElse("")
+    v match {
+      case null => s"""<c r="$ref"$sA/>"""
+      case d: java.sql.Date if styleAttr.isDefined =>
+        val serial = java.time.temporal.ChronoUnit.DAYS
+          .between(XlsxEpoch, d.toLocalDate)
+        s"""<c r="$ref"$sA><v>$serial</v></c>"""
+      case t: java.sql.Timestamp if styleAttr.isDefined =>
+        val ldt = t.toLocalDateTime
+        val serial = java.time.temporal.ChronoUnit.DAYS
+          .between(XlsxEpoch, ldt.toLocalDate)
+        val frac = ldt.toLocalTime.toSecondOfDay / 86400.0
+        s"""<c r="$ref"$sA><v>${serial + frac}</v></c>"""
+      case b: Boolean =>
+        s"""<c r="$ref"$sA t="b"><v>${if (b) 1 else 0}</v></c>"""
+      case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double |
+          _: java.math.BigDecimal) =>
+        s"""<c r="$ref"$sA t="n"><v>$n</v></c>"""
+      case s =>
+        s"""<c r="$ref"$sA t="inlineStr"><is><t xml:space="preserve">${xmlEscape(s.toString)}</t></is></c>"""
+    }
+  }
+
+  private def appendPendingCells(
+      sb: StringBuilder, row: Long, pend: mutable.Map[Int, Any]): Unit = {
+    pend.toSeq.sortBy(_._1).foreach { case (c, v) =>
+      sb ++= patchedCellXml(row, c, None, None, v)
+    }
+    pend.clear()
+  }
+
+  /** SURGICAL worksheet rewrite: every byte outside the exact spans of
+    * matched `<c>` elements is copied VERBATIM — untouched cells keep
+    * their bytes (styles, formulas, attribute order and all); only the
+    * matched cells' elements are re-rendered (style attribute preserved).
+    * `updates` keys are (1-based sheet row, 0-based column). A matched
+    * row missing the target cell gets it appended before `</row>`
+    * (openpyxl materializes missing cells on assignment); updates for
+    * ABSENT rows are ignored — update-only, never insert
+    * (timesheet_transform.py:105-138).
+    *
+    * Safe to scan textually: XML character data and attribute values
+    * cannot contain a literal `<`, so `</c>` is unambiguous, and `<c`
+    * / `<row` are matched only when followed by a name-ending char. */
+  private[ops] def patchSheetXml(
+      xmlBytes: Array[Byte],
+      updates: Map[(Long, Int), Any]): Array[Byte] = {
+    val s = new String(xmlBytes, "UTF-8")
+    val byRow: Map[Long, Map[Int, Any]] =
+      updates.groupBy(_._1._1).map { case (r, m) =>
+        r -> m.map { case ((_, c), v) => c -> v }
+      }
+    val out = new StringBuilder(s.length + 256)
+    def nameEnd(i: Int): Boolean =
+      i >= s.length || " \t\r\n>/".indexOf(s.charAt(i)) >= 0
+    var i = 0
+    var autoRow = 0L
+    var curRow = 0L
+    var autoCol = 0
+    val rowPending = mutable.Map.empty[Int, Any]
+    while (i < s.length) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) { out ++= s.substring(i); i = s.length }
+      else {
+        out ++= s.substring(i, lt)
+        if (s.startsWith("<row", lt) && nameEnd(lt + 4)) {
+          val gt = s.indexOf('>', lt)
+          require(gt > lt, "malformed <row> tag")
+          val selfClose = s.charAt(gt - 1) == '/'
+          val attrs = tagAttrs(s.substring(lt + 4, gt))
+          curRow = attrs.get("r").map(_.toLong).getOrElse(autoRow + 1)
+          autoRow = curRow
+          autoCol = 0
+          rowPending.clear()
+          rowPending ++= byRow.getOrElse(curRow, Map.empty)
+          if (selfClose && rowPending.nonEmpty) {
+            // expand the empty row: <row .../> → <row ...>cells</row>
+            out ++= s.substring(lt, gt - 1); out += '>'
+            appendPendingCells(out, curRow, rowPending)
+            out ++= "</row>"
+          } else out ++= s.substring(lt, gt + 1)
+          i = gt + 1
+        } else if (s.startsWith("</row", lt)) {
+          if (rowPending.nonEmpty) appendPendingCells(out, curRow, rowPending)
+          val gt = s.indexOf('>', lt)
+          out ++= s.substring(lt, gt + 1)
+          i = gt + 1
+        } else if (s.startsWith("<c", lt) && nameEnd(lt + 2)) {
+          val gt = s.indexOf('>', lt)
+          require(gt > lt, "malformed <c> tag")
+          val selfClose = s.charAt(gt - 1) == '/'
+          val attrs = tagAttrs(s.substring(lt + 2, gt))
+          val colI = attrs.get("r").map(colIndex).getOrElse(autoCol)
+          autoCol = colI + 1
+          val cellEnd =
+            if (selfClose) gt + 1
+            else {
+              val close = s.indexOf("</c>", gt)
+              require(close >= 0, "unterminated <c> element")
+              close + 4
+            }
+          rowPending.remove(colI) match {
+            case Some(v) =>
+              out ++= patchedCellXml(curRow, colI, attrs.get("r"), attrs.get("s"), v)
+            case None => out ++= s.substring(lt, cellEnd)
+          }
+          i = cellEnd
+        } else {
+          val gt = s.indexOf('>', lt)
+          if (gt < 0) { out ++= s.substring(lt); i = s.length }
+          else { out ++= s.substring(lt, gt + 1); i = gt + 1 }
+        }
+      }
+    }
+    out.result().getBytes("UTF-8")
+  }
+
+  /** S5 — STYLE-PRESERVING in-place workbook patch: the reference's final
+    * sink opens an existing workbook, overwrites only matched cells'
+    * values, and saves (`timesheet_transform.py:105-138`, save at `:138`)
+    * — openpyxl preserves every untouched cell's style, column widths and
+    * sheet furniture. This writer goes one stronger: every zip part OTHER
+    * than the patched sheet XMLs is re-emitted BYTE-VERBATIM (styles.xml,
+    * sharedStrings.xml, themes, drawings, column widths — all untouched),
+    * and within a patched sheet only the matched `<c>` spans change.
+    * `updates`: sheet name → ((1-based row, 0-based col) → new value). */
+  def patchWorkbook(
+      target: Array[Byte],
+      updates: Map[String, Map[(Long, Int), Any]]): Array[Byte] = {
+    val parts = zipEntriesOrdered(target)
+    val partMap = parts.toMap
+    val targets = sheetTargets(partMap).toMap
+    val unknown = updates.keySet.diff(targets.keySet)
+    require(unknown.isEmpty,
+      s"patchWorkbook: workbook has no sheet(s) ${unknown.mkString(", ")}")
+    val byPath: Map[String, Map[(Long, Int), Any]] =
+      updates.map { case (sheet, m) => targets(sheet) -> m }
+    val bos = new java.io.ByteArrayOutputStream(target.length + 1024)
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    parts.foreach { case (name, bytes) =>
+      val outBytes = byPath.get(name).map(patchSheetXml(bytes, _)).getOrElse(bytes)
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTime(315532800000L) // fixed: 1980-01-01, determinism
+      zos.putNextEntry(e)
+      zos.write(outBytes)
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** Spark surface of [[patchWorkbook]] — the end-to-end in-place merge
+    * sink. `updates` carries `_sheet` (string), `_row` (the sheet row
+    * index [[readSheet]] surfaced) and one column per `setCols` entry,
+    * whose names resolve to sheet columns through each sheet's own header
+    * row. NULL update values are no-ops (the [[MergeUpdate.updateOnly]]
+    * coalesce contract). The patch set is collected driver-side — bounded
+    * by the TARGET workbook itself (update-only ⇒ at most one update per
+    * existing sheet cell; the container caps at ~1M rows), the same cost
+    * class as the reference's whole-workbook openpyxl edit and the
+    * [[writeSheet]] one-task report sink. `outPath` may equal
+    * `targetPath` for a true in-place save. */
+  def patchSheets(
+      spark: SparkSession,
+      targetPath: String,
+      outPath: String,
+      updates: DataFrame,
+      setCols: Seq[String],
+      maxPatchRows: Int = 1 << 20): Unit = {
+    require(updates.columns.contains("_sheet") && updates.columns.contains("_row"),
+      "updates must carry _sheet and _row (the readSheet lineage columns)")
+    require(setCols.nonEmpty, "patchSheets needs at least one set column")
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    // per-sheet header → column index, from the target workbook itself
+    val headerIdx: Map[String, Map[String, Int]] =
+      parseWorkbook(bytes, None).groupBy(_._1).map { case (sheet, rs) =>
+        val hdr = rs.minBy(_._2)
+        sheet -> hdr._3.collect {
+          case (ci, nm) if nm != null && nm.nonEmpty => nm -> ci
+        }.toMap
+      }
+    val rows = updates
+      .select(col("_sheet").cast("string") +: col("_row").cast("long") +:
+        setCols.map(col): _*)
+      .limit(maxPatchRows + 1).collect()
+    require(rows.length <= maxPatchRows,
+      s"patchSheets: more than $maxPatchRows update rows — not a workbook-sized patch")
+    val bySheet: Map[String, Map[(Long, Int), Any]] =
+      rows.groupBy(_.getString(0)).map { case (sheet, rs) =>
+        val hmap = headerIdx.getOrElse(sheet,
+          throw new IllegalArgumentException(s"target workbook has no sheet '$sheet'"))
+        val cells = rs.iterator.flatMap { r =>
+          val rowI = r.getLong(1)
+          setCols.zipWithIndex.flatMap { case (c, ci) =>
+            val colI = hmap.getOrElse(c, throw new IllegalArgumentException(
+              s"sheet '$sheet' has no header column '$c'"))
+            Option(r.get(2 + ci)).map(v => (rowI, colI) -> v)
+          }
+        }.toMap
+        sheet -> cells
+      }
+    val patched = patchWorkbook(bytes, bySheet)
+    val op = new org.apache.hadoop.fs.Path(outPath)
+    val ofs = op.getFileSystem(conf)
+    val out = ofs.create(op, true)
+    try out.write(patched) finally out.close()
   }
 }
