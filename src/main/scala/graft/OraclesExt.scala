@@ -468,6 +468,23 @@ object OraclesExt {
       "SELECT a.vec_id AS cid, a.cell, d.vec_id IS NULL AS kept " +
       "FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id ORDER BY cid"
 
+  /** Mirrors Sampling.clusterBalancedSample over the pinned IVF
+    * centroids (q246): the q220/q230 nearest-cell assignment chain, then
+    * kept iff the row's (hash60(cid), cid) rank within its cell is
+    * ≤ perCell — q65's exact-quota selection per cell. */
+  def clusterBalancedSample(perCell: Int): String =
+    s"WITH $embCte, " +
+      s"cent AS (SELECT * FROM (VALUES $pinnedCentRows) t(cell, cv, cn2)), " +
+      "scored AS (SELECT e.vec_id, cent.cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_dot_product(e.v, cent.cv) * -2.0 + cent.cn2, cent.cell) AS rn " +
+      "FROM e CROSS JOIN cent), " +
+      "asg AS (SELECT vec_id, cell FROM scored WHERE rn = 1), " +
+      "r AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell " +
+      s"ORDER BY ${h60("vec_id::VARCHAR")}, vec_id) AS rnk FROM asg) " +
+      s"SELECT vec_id AS cid, cell, rnk <= $perCell AS kept " +
+      "FROM r ORDER BY cid"
+
   /** One query's BM25 → NDCG@kEval/MRR chain (q231's per-query oracle
     * body): the q198/q219 BM25 top-kCand arm, graded relevance = number
     * of query terms whole-word-present in the doc, DCG/IDCG/MRR in the
@@ -482,11 +499,14 @@ object OraclesExt {
       s"ln((s2.n - s2.df$i + 0.5) / (s2.df$i + 0.5) + 1.0) * (tf$i * 2.2) / " +
         s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / s2.avgdl))"
     }.mkString(" + ")
-    // graded relevance = total term occurrences, uncapped (capped grades
-    // saturate on a term-dense corpus and NDCG degenerates to 1.0)
+    // graded relevance = total term occurrences, clamped only at the
+    // op's 900 overflow ceiling (rankingMetrics' documented grade cap —
+    // far above any term-density saturation point, so NDCG still
+    // discriminates; both engines apply the identical least())
     val relSum = terms.indices.map(i => s"tf$i").mkString(" + ")
     val gain = (rel: String, rnk: String) =>
-      s"(pow(2.0::DOUBLE, $rel) - 1.0::DOUBLE) / log2($rnk + 1.0::DOUBLE)"
+      s"(pow(2.0::DOUBLE, least($rel, 900.0::DOUBLE)) - 1.0::DOUBLE) / " +
+        s"log2($rnk + 1.0::DOUBLE)"
     "WITH d2 AS (SELECT doc_id, " +
       s"len(regexp_extract_all(lower(text), '\\w+'))::DOUBLE AS dl, $tfsD " +
       "FROM documents), " +
@@ -808,19 +828,25 @@ object OraclesExt {
       "FROM g GROUP BY pos ORDER BY pos"
   }
 
-  /** Mirrors TextAnalysis.bpeTrain (q228): the word-frequency table in
-    * paren-symbol form, then `merges` chained (pair-count → top-1 →
-    * replace) CTE triples — `replace` on the `(s)(y)(m)` representation
-    * is the same leftmost-first merge in both engines. */
-  def bpeTrain(merges: Int): String = {
+  /** Mirrors TextAnalysis.bpeTrain / bpeTrainDriver (q228): the
+    * word-frequency table in paren-symbol form — truncated to the
+    * driver path's deterministic `vocabCap` top types by (freq desc,
+    * word) — then `merges` chained (pair-count → top-1 → replace) CTE
+    * triples; `replace` on the `(s)(y)(m)` representation is the same
+    * leftmost-first merge in both engines. */
+  def bpeTrain(merges: Int, vocabCap: Int = 1 << 16): String = {
+    // AS MATERIALIZED is load-bearing: DuckDB INLINES plain CTEs, and
+    // w_i / a_i are each referenced twice — inlining doubles the
+    // expansion per round, so an m-round chain re-scans the corpus
+    // 2^m times (m=64 dies on file handles before it dies on time)
     val chain = (1 to merges).map { i =>
-      s"p$i AS (SELECT unnest(list_transform(range(greatest(len(syms) - 1, 0)), " +
+      s"p$i AS MATERIALIZED (SELECT unnest(list_transform(range(greatest(len(syms) - 1, 0)), " +
         "i -> syms[i+1] || '|' || syms[i+2])) AS p, freq " +
         s"FROM (SELECT regexp_extract_all(w, '\\(([^)]*)\\)', 1) AS syms, freq " +
         s"FROM w${i - 1})), " +
-        s"a$i AS (SELECT p, f FROM (SELECT p, sum(freq)::BIGINT AS f " +
+        s"a$i AS MATERIALIZED (SELECT p, f FROM (SELECT p, sum(freq)::BIGINT AS f " +
         s"FROM p$i GROUP BY 1) ORDER BY f DESC, p LIMIT 1), " +
-        s"w$i AS (SELECT CASE WHEN a.p IS NULL THEN w ELSE " +
+        s"w$i AS MATERIALIZED (SELECT CASE WHEN a.p IS NULL THEN w ELSE " +
         "replace(w, '(' || split_part(a.p, '|', 1) || ')(' || split_part(a.p, '|', 2) || ')', " +
         "'(' || split_part(a.p, '|', 1) || split_part(a.p, '|', 2) || ')') END AS w, freq " +
         s"FROM w${i - 1} LEFT JOIN a$i a ON true)"
@@ -829,10 +855,11 @@ object OraclesExt {
       s"SELECT $i::INT AS step, split_part(p, '|', 1) AS lhs, " +
         s"split_part(p, '|', 2) AS rhs, f AS pair_freq FROM a$i")
       .mkString(" UNION ALL ")
-    "WITH wf AS (SELECT word, count(*)::BIGINT AS freq FROM " +
+    "WITH wf AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM " +
       "(SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS word " +
       "FROM documents) GROUP BY 1), " +
-      "w0 AS (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS w, freq FROM wf), " +
+      "w0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS w, freq FROM " +
+      s"(SELECT word, freq FROM wf ORDER BY freq DESC, word LIMIT $vocabCap)), " +
       chain + " SELECT * FROM (" + out + ") ORDER BY step"
   }
 

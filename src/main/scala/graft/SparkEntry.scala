@@ -3343,7 +3343,9 @@ object SparkEntry {
         .when(pmod(day, lit(10)) === 2, lit("nd"))
         .when(pmod(day, lit(10)) === 3, lit("rd"))
         .otherwise(lit("th"))
-      val shape = pmod(col("o_orderkey"), lit(10))
+      val shape = pmod(col("o_orderkey"), lit(15))
+      val m = month(d0)
+      val yr = year(d0).cast("string")
       val rendered = when(shape === 0, date_format(d0, "d/M/yyyy"))
         .when(shape === 1, date_format(d0, "d-M-yyyy"))
         .when(shape === 2, date_format(d0, "yyyy-MM-dd"))
@@ -3354,7 +3356,20 @@ object SparkEntry {
         .when(shape === 7, date_format(d0, "d MMMM yyyy"))
         .when(shape === 8, concat(day.cast("string"), suf, lit(" "),
           date_format(d0, "MMMM yyyy")))
-        .otherwise(date_format(d0, "d/M/yy"))
+        .when(shape === 9, date_format(d0, "d/M/yy"))
+        // locale month names (the reference is an Italian tool): Italian
+        // full + abbreviated, French accented, German "5. März 2025"
+        // day-dot convention, Spanish "de" connective
+        .when(shape === 10, concat(day.cast("string"), lit(" "),
+          element_at(typedlit(Cleansing.monthsIt), m), lit(" "), yr))
+        .when(shape === 11, concat(day.cast("string"), lit(" "),
+          element_at(typedlit(Cleansing.monthsItAbbr), m), lit(" "), yr))
+        .when(shape === 12, concat(day.cast("string"), lit(" "),
+          element_at(typedlit(Cleansing.monthsFr), m), lit(" "), yr))
+        .when(shape === 13, concat(day.cast("string"), lit(". "),
+          initcap(element_at(typedlit(Cleansing.monthsDe), m)), lit(" "), yr))
+        .otherwise(concat(day.cast("string"), lit(" de "),
+          element_at(typedlit(Cleansing.monthsEs), m), lit(" de "), yr))
       t(s, dir, "orders")
         .select(col("o_orderkey").as("k"), shape.as("shape"),
           Cleansing.parseDateLenient(rendered).as("parsed"))
@@ -3397,7 +3412,10 @@ object SparkEntry {
     // pass is the initial word count) — the trainable tokenizer
     // artifact, fully hash-oracled via the paren-symbol replace chain ─────
     "q228_bpe_train" -> { (s, dir) =>
-      TextAnalysis.bpeTrain(tb(s, dir, "documents"), "text", merges = 8)
+      // driver-side merge loop at a REALISTIC merge count: one
+      // distributed word-count job, then 64 O(vocab) loop rounds
+      // (bpeTrain's O(merges)-Spark-jobs twin, spec-proven identical)
+      TextAnalysis.bpeTrainDriver(tb(s, dir, "documents"), "text", merges = 64)
         .orderBy("step")
     },
 
@@ -3588,6 +3606,26 @@ object SparkEntry {
           e.filter(col("vec_id") % 2 === 1).select(col("embedding")),
           "embedding", nBins = 10)
         .orderBy("pos")
+    },
+
+    // ───── REAL compressed image codec: per-doc synthetic PNGs round-trip
+    // the JDK's zlib+defilter ImageIO codec inside the mapPartitions
+    // decode boundary; the oracle recomputes every feature from the
+    // deterministic pixel formula (the q90 PGM pattern — byte size is
+    // encoder-dependent and deliberately absent) ─────
+    "q245_png_decode" -> { (s, dir) =>
+      Multimodal.pngFeatures(s, dir).orderBy("doc_id")
+    },
+
+    // ───── Cluster-balanced sampling: pinned-centroid cells × exact
+    // hash-rank quotas (ClusterClip/DoReMi shape; semDedup's sampling
+    // dual) — every vector flagged kept/dropped, ≤ perCell kept per cell ─────
+    "q246_cluster_sample" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Sampling.clusterBalancedSample(
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          graft.fixtures.PinnedIndex.ivfCentroidsV1, perCell = 20)
+        .orderBy("cid")
     }
   )
 
@@ -6002,7 +6040,7 @@ object SparkEntry {
     // the cascade must be the exact inverse of every rendering, so the
     // oracle needs no date logic at all — it selects the ORIGINAL date
     "q225_date_cascade" ->
-      ("SELECT o_orderkey AS k, (o_orderkey % 10)::BIGINT AS shape, " +
+      ("SELECT o_orderkey AS k, (o_orderkey % 15)::BIGINT AS shape, " +
         "o_orderdate AS parsed FROM orders ORDER BY k"),
 
     // clipped bigram overlap via two gram-count CTEs + least(); P/R
@@ -6037,7 +6075,7 @@ object SparkEntry {
 
     // 8 chained (pair-count -> top-1 -> replace) CTE triples over the
     // paren-symbol word table
-    "q228_bpe_train" -> OraclesExt.bpeTrain(8),
+    "q228_bpe_train" -> OraclesExt.bpeTrain(64),
 
     // the same pinned merges applied as a literal replace chain
     "q229_bpe_segment" -> {
@@ -6110,7 +6148,21 @@ object SparkEntry {
     "q243_dedup_weights" -> OraclesExt.dedupWeights,
 
     // the q178 PSI chain partitioned by coordinate over the parity split
-    "q244_embedding_drift" -> OraclesExt.embeddingDrift(10)
+    "q244_embedding_drift" -> OraclesExt.embeddingDrift(10),
+
+    // pixel i = (doc_id*5 + i*11) % 256 over w = 8+id%9, h = 8+id%7 —
+    // the q90 formula-recompute pattern; no byte-size column (deflate
+    // output is encoder-dependent)
+    "q245_png_decode" ->
+      ("WITH d AS (SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + (doc_id % 7) AS h FROM documents), " +
+        "p AS (SELECT doc_id, w::INT AS width, h::INT AS height, (w*h)::INT AS n_pix, " +
+        "list_sum(list_transform(range(w*h), i -> (doc_id*5 + i*11) % 256))::BIGINT AS px_sum FROM d) " +
+        "SELECT doc_id, width, height, n_pix, px_sum, " +
+        "px_sum::DOUBLE / n_pix AS px_mean FROM p ORDER BY doc_id"),
+
+    // pinned-centroid assignment (q220/q230 chain) + per-cell hash-rank
+    // quota (q65's selection) — kept iff rank <= perCell
+    "q246_cluster_sample" -> OraclesExt.clusterBalancedSample(20)
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,

@@ -36,6 +36,36 @@ object Cleansing {
     * widening the cascade cannot change the meaning of a string an
     * earlier branch accepted. Null on total failure — the callers'
     * row-skip contract. */
+  /** European month names for the locale branch of [[parseDateLenient]]
+    * — an explicit literal map, NOT JVM locale data: deterministic across
+    * JVMs and expressible as the identical mapping in an oracle's SQL.
+    * The reference is an *Italian* timesheet tool (dateutil itself needs
+    * a locale parserinfo for `5 marzo 2025` — timesheet_transform.py:49,
+    * 121), so Italian full + abbreviated names lead; French, German and
+    * Spanish full names ride along with accent-stripped variants. */
+  val monthsIt: Seq[String] = Seq("gennaio", "febbraio", "marzo", "aprile",
+    "maggio", "giugno", "luglio", "agosto", "settembre", "ottobre",
+    "novembre", "dicembre")
+  val monthsItAbbr: Seq[String] = Seq("gen", "feb", "mar", "apr", "mag",
+    "giu", "lug", "ago", "set", "ott", "nov", "dic")
+  val monthsFr: Seq[String] = Seq("janvier", "février", "mars", "avril",
+    "mai", "juin", "juillet", "août", "septembre", "octobre", "novembre",
+    "décembre")
+  val monthsDe: Seq[String] = Seq("januar", "februar", "märz", "april",
+    "mai", "juni", "juli", "august", "september", "oktober", "november",
+    "dezember")
+  val monthsEs: Seq[String] = Seq("enero", "febrero", "marzo", "abril",
+    "mayo", "junio", "julio", "agosto", "septiembre", "octubre",
+    "noviembre", "diciembre")
+
+  /** lowercase word → month number; duplicates across languages agree on
+    * the month by construction, so Map dedup is safe. */
+  private val localeMonthMap: Map[String, Int] =
+    (Seq(monthsIt, monthsItAbbr, monthsFr, monthsDe, monthsEs)
+      .flatMap(_.zipWithIndex.map { case (w, i) => w -> (i + 1) }) ++
+      Seq("fevrier" -> 2, "aout" -> 8, "decembre" -> 12, "marz" -> 3))
+      .toMap
+
   def parseDateLenient(c: Column): Column = {
     // "7th" -> "7" ahead of the month-name branches only: digits glued
     // to st/nd/rd/th are day ordinals there; the numeric branches never
@@ -59,6 +89,25 @@ object Cleansing {
     def guarded(src: Column, re: String, fmt: String): Column =
       when(src.rlike(re), try_to_date(src, fmt))
     val num = !hasAlpha
+    // LOCALE month names (it full + abbrev, fr/de/es): normalize the
+    // Spanish "de" connective ("5 de marzo de 2025") and the German day
+    // dot ("5. März 2025"), extract the month word, map it through the
+    // literal table, re-parse numerically. try_element_at nulls unknown
+    // words under ANSI; concat_ws then yields a shape try_to_date
+    // rejects — the cascade's null-on-failure contract throughout.
+    // \p{L} (not [A-Za-z]): accented month letters must match the shape.
+    val loc = regexp_replace(
+      regexp_replace(noOrd,
+        "(?i)(\\d{1,2})\\s+de\\s+(\\p{L}+)\\s+de\\s+(\\d{4})", "$1 $2 $3"),
+      "(?i)\\b(\\d{1,2})\\.\\s*(?=\\p{L})", "$1 ")
+    val locShaped = loc.rlike("^\\s*\\d{1,2}[ -]\\p{L}+[ -]\\d{4}\\s*$")
+    val monthWord = lower(
+      regexp_extract(loc, "^\\s*\\d{1,2}[ -](\\p{L}+)[ -]\\d{4}\\s*$", 1))
+    val monthNum = try_element_at(typedlit(localeMonthMap), monthWord)
+    val locRebuilt = concat_ws("/",
+      regexp_extract(loc, "^\\s*(\\d{1,2})", 1),
+      monthNum.cast("string"),
+      regexp_extract(loc, "(\\d{4})\\s*$", 1))
     coalesce(
       when(num, guarded(c, "^\\s*\\d{1,2}/\\d{1,2}/\\d{4}\\s*$", "d/M/yyyy")),
       when(num, guarded(c, "^\\s*\\d{1,2}-\\d{1,2}-\\d{4}\\s*$", "d-M-yyyy")),
@@ -74,7 +123,8 @@ object Cleansing {
       when(hasAlpha, guarded(noOrd, "^\\s*[A-Za-z]+ \\d{1,2}, \\d{4}\\s*$", "MMMM d, yyyy")),
       when(hasAlpha, guarded(noOrd, "^\\s*[A-Za-z]+ \\d{1,2} \\d{4}\\s*$", "MMMM d yyyy")),
       when(num, pivot(guarded(c, "^\\s*\\d{1,2}/\\d{1,2}/\\d{2}\\s*$", "d/M/yy"))),
-      when(num, pivot(guarded(c, "^\\s*\\d{1,2}-\\d{1,2}-\\d{2}\\s*$", "d-M-yy"))))
+      when(num, pivot(guarded(c, "^\\s*\\d{1,2}-\\d{1,2}-\\d{2}\\s*$", "d-M-yy"))),
+      when(hasAlpha && locShaped, try_to_date(locRebuilt, "d/M/yyyy")))
   }
 
   /** P2: parse "DD/MM/YYYY al DD/MM/YYYY" → week-start date, day-first;

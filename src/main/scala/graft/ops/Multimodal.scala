@@ -7,17 +7,18 @@ import org.apache.spark.sql.functions._
   * payloads plus typed metadata, with decode / feature-extraction /
   * frame-sampling as per-partition batch operators.
   *
-  * Two decode tiers. For compressed codecs (JPEG/PCM/H.264) the decode
-  * step is a clearly-marked deterministic STUB (no codec libraries exist
-  * in this environment); everything Spark-owned — schema, encoders,
-  * partitioning, batch shape, the `mapPartitions` boundary where a real
-  * decoder (JNI/FFmpeg/ImageIO) would slot in — is real and tested. For
-  * binary PGM (Netpbm P5, a real uncompressed image format) the decode IS
-  * real: [[encodePgm]]/[[decodePgm]]/[[resizePgmHalf]] round-trip actual
-  * image bytes through the same boundary. At scale this is the correct
-  * shape either way: payloads stay columnar binary in parquet, the
-  * decoder runs once per executor-partition batch (amortizing model/codec
-  * init), and only small feature vectors come back.
+  * Decode tiers. REAL codecs: binary PGM (Netpbm P5) via a byte-level
+  * parser, RIFF/WAVE PCM and YUV4MPEG2 via chunk/frame walks, and —
+  * genuinely COMPRESSED — PNG via the JDK's own `javax.imageio` codec
+  * (zlib inflate + defilter; [[encodePng]]/[[decodePng]]/
+  * [[pngFeatures]]). Only video codecs with no JDK decoder (H.264) keep
+  * the clearly-marked deterministic STUB ([[decodeStub]]/[[resizeStub]]),
+  * where everything Spark-owned — schema, encoders, partitioning, batch
+  * shape, the `mapPartitions` boundary a JNI/FFmpeg decoder would slot
+  * into — is real and tested. At scale this is the correct shape either
+  * way: payloads stay columnar binary in parquet, the decoder runs once
+  * per executor-partition batch (amortizing model/codec init), and only
+  * small feature vectors come back.
   */
 object Multimodal {
 
@@ -46,7 +47,8 @@ object Multimodal {
   }
 
   /** STUB decoder: a real implementation would decode the codec bytes
-    * (JPEG/PCM/H.264) here; the stand-in computes a deterministic 16-bin
+    * (H.264-class codecs with no JDK decoder — PNG/PGM/WAV/Y4M have REAL
+    * decoders below) here; the stand-in computes a deterministic 16-bin
     * byte histogram, L1-normalized — same output shape (fixed-length
     * float feature vector) and same execution shape (per-partition batch
     * loop) as a real feature extractor. */
@@ -197,6 +199,71 @@ object Multimodal {
         (img.id, w, h, px.length, s, s.toDouble / px.length)
       }
     }.toDF("doc_id", "width", "height", "n_pix", "px_sum", "px_mean")
+  }
+
+  // ── REAL compressed image decode: PNG via javax.imageio ─────────────
+  // PNG is a genuinely COMPRESSED codec (zlib/DEFLATE pixel streams,
+  // CRC-checked chunks) and the JDK ships a full codec for it
+  // (javax.imageio — pure JDK, zero new deps: the same constraint the
+  // xlsx zip+StAX codec met). This retires the "compressed image formats
+  // are stubs" caveat: the decode boundary below runs a real inflate +
+  // defilter per image. Pixel i of image `id` is (id·5 + i·11) mod 256
+  // (the [[encodePgm]] formula family), so feature oracles recompute in
+  // SQL without touching bytes — compression makes the BYTE SIZE
+  // encoder-dependent, so byte size is never an output column.
+
+  /** Encode a real 8-bit grayscale PNG for image `id`:
+    * w = 8 + id mod 9, h = 8 + id mod 7, pixel i = (id·5 + i·11) mod 256. */
+  def encodePng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 9).toInt
+    val h = 8 + (id % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0, ((id * 5 + i * 11) % 256).toInt)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "png", bos)
+    require(ok, "JDK PNG writer unavailable")
+    bos.toByteArray
+  }
+
+  /** Decode a PNG for real (ImageIO: chunk walk, zlib inflate, defilter)
+    * → (width, height, band-0 samples row-major). */
+  def decodePng(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, "not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    (w, h, Array.tabulate(w * h)(i => raster.getSample(i % w, i / w, 0)))
+  }
+
+  /** Real PNG decode features through the per-partition boundary — the
+    * compressed-codec twin of [[pgmFeatures]]: per-document synthetic PNG
+    * bytes round-trip encode → (inflate, defilter) decode, then
+    * dimensions and pixel statistics from the decoded raster. ImageIO
+    * cache config happens once per partition (the codec-init amortization
+    * the boundary exists for). */
+  def pngFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // per-partition codec init: no disk-backed stream cache in tasks
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val (w, h, px) = decodePng(encodePng(id))
+          var s = 0L
+          var i = 0
+          while (i < px.length) { s += px(i); i += 1 }
+          (id, w, h, px.length, s, s.toDouble / px.length)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pix", "px_sum", "px_mean")
   }
 
   // ── REAL audio decode: RIFF/WAVE PCM ────────────────────────────────

@@ -34,4 +34,36 @@ object Sampling {
     * subset. One codegen'd filter; no join, no shuffle. */
   def consistentSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(coherentKeep(col(keyCol), pct))
+
+  /** Cluster-balanced sampling — the topic-balancing op of the curation
+    * stack (ClusterClip / DoReMi-shape; [[Dedup.semDedup]]'s sampling
+    * dual): assign every vector to its nearest PINNED centroid cell (the
+    * q220 shipped-index posture — centroids are plan-time literals, so
+    * assignment is one codegen'd projection, no join) and keep at most
+    * `perCell` members per cell in deterministic hash-rank order (the
+    * [[TextAnalysis.quotaSample]] exact-quota selection). A dominant
+    * topic cluster can no longer swamp the mixture; thin clusters
+    * survive whole. Emits EVERY input row flagged — (cid, cell, kept) —
+    * so the drop set stays auditable (the semDedup output contract).
+    *
+    * Scale shape: one broadcast-literal centroid projection + one hash
+    * shuffle by cell with a per-cell rank window. Cells are bounded by
+    * the pinned index (16-ish), so the per-cell window is the same
+    * sorted-shuffle bound as quotaSample's per-stratum window; at
+    * whale-cell scale the [[graft.plans.TopKPerKeyExec]] heap is the
+    * drop-in replacement, but kept-vs-dropped FLAGGING needs the full
+    * rank anyway. */
+  def clusterBalancedSample(
+      df: DataFrame, // (cid, cvec)
+      centroids: Array[Array[Double]],
+      perCell: Int): DataFrame = {
+    require(perCell >= 0, s"perCell must be >= 0, got $perCell")
+    val asg = df.select(col("cid"),
+      element_at(Similarity.probeCells(col("cvec"), centroids, 1), 1)
+        .as("cell"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+      .orderBy(Hashing.hash60(col("cid").cast("string")), col("cid"))
+    asg.withColumn("_rnk", row_number().over(w))
+      .select(col("cid"), col("cell"), (col("_rnk") <= perCell).as("kept"))
+  }
 }

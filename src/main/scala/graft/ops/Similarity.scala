@@ -92,7 +92,10 @@ object Similarity {
       sampleCap: Int = 4096,
       iters: Int = 10): Array[Array[Double]] = {
     val n = corpus.count()
-    val step = math.max(1L, n / sampleCap)
+    // ceil division: floor(n/cap) keeps up to ~2*cap-1 rows (n = 2*cap-1
+    // gives step 1 = collect everything), breaking the bounded
+    // driver-memory contract; ceil keeps the sample <= sampleCap always
+    val step = math.max(1L, (n + sampleCap - 1) / sampleCap)
     val sample = corpus
       .filter(pmod(col("cid"), lit(step)) === 0)
       .select(col("cid"), col("cvec").cast("array<double>"))
@@ -233,7 +236,10 @@ object Similarity {
       ksub: Int,
       sampleCap: Int = 4096): Array[Array[Array[Double]]] = {
     val n = corpus.count()
-    val step = math.max(1L, n / sampleCap)
+    // ceil division: floor(n/cap) keeps up to ~2*cap-1 rows (n = 2*cap-1
+    // gives step 1 = collect everything), breaking the bounded
+    // driver-memory contract; ceil keeps the sample <= sampleCap always
+    val step = math.max(1L, (n + sampleCap - 1) / sampleCap)
     val sample = corpus
       .filter(pmod(col("cid"), lit(step)) === 0)
       .select(col("cid"), col("cvec"))

@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -534,7 +536,13 @@ object TextAnalysis {
     * side cuts qrels to k rows per query with the sort-free
     * [[graft.ops.TopK.perKey]] heap BEFORE its window; gains are exact
     * (integer-valued 2^rel), the ≤k-term float sums round to 6dp. One
-    * plan for the whole workload, queries parallelize across partitions. */
+    * plan for the whole workload, queries parallelize across partitions.
+    *
+    * GRADE CEILING: rel is clamped to 900 before the 2^rel gain —
+    * 2^900 ≈ 8.5e270 stays finite where an unclamped 2^1024 overflows to
+    * Inf and poisons NDCG into Inf/Inf = NaN. Grades this large carry no
+    * ordering information anyway (double spacing near 2^900 dwarfs every
+    * smaller term); oracles mirror the identical least(rel, 900). */
   def rankingMetrics(
       ranked: DataFrame, // (queryCol, idCol, scoreCol)
       rels: DataFrame, // (queryCol, idCol, relCol)
@@ -545,7 +553,8 @@ object TextAnalysis {
       k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val gain = (rel: Column, rnk: Column) =>
-      (pow(lit(2.0), rel) - 1.0) / log2(rnk.cast("double") + 1.0)
+      (pow(lit(2.0), least(rel, lit(900.0))) - 1.0) /
+        log2(rnk.cast("double") + 1.0)
     val w = Window.partitionBy(col(queryCol))
       .orderBy(col(scoreCol).desc, col(idCol))
     val top = ranked
@@ -636,6 +645,77 @@ object TextAnalysis {
         .localCheckpoint(false)
     }
     steps.reduce(_ unionByName _)
+  }
+
+  /** [[bpeTrain]] at REALISTIC merge counts — O(1) Spark jobs instead of
+    * O(merges): ONE distributed word-count pass (the only corpus-scale
+    * work; map-side-combined hash-agg), then the merge loop runs
+    * driver-side over the collected word-frequency table — the
+    * [[Similarity.pqTrain]] bounded-materialization posture. The
+    * collected table is bounded by `vocabCap` WORD TYPES (vocabulary
+    * grows ~Heaps-law, not with corpus size; the top-`vocabCap` types by
+    * (freq desc, word asc) are kept — a deterministic cap any oracle
+    * mirrors with ORDER BY + LIMIT). Per round the loop counts adjacent
+    * symbol pairs weighted by word freq, picks the max by (freq desc,
+    * "lhs|rhs" asc — symbols are ASCII `\w` tokens, so JVM string order
+    * ≡ binary UTF-8), and applies the leftmost-first non-overlapping
+    * merge — exactly [[bpeTrain]]'s per-round Spark plan
+    * (`TextAnalysisSpec` proves row-identical output on the same
+    * corpus). A 30k-merge production train is 30k O(vocab) loop
+    * iterations here versus 30k scheduler rounds there. */
+  def bpeTrainDriver(
+      df: DataFrame,
+      textCol: String,
+      merges: Int,
+      vocabCap: Int = 1 << 16): DataFrame = {
+    require(merges >= 1 && merges <= (1 << 16), "merges in [1, 65536]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wf: Array[(String, Long)] = df
+      .select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(vocabCap)
+      .as[(String, Long)].collect()
+    // one round of the leftmost-first non-overlapping merge — the array
+    // form of one replace() pass over the paren representation
+    def mergeOnce(syms: Array[String], l: String, r: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+    var table: Array[(Array[String], Long)] =
+      wf.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val steps = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    while (step <= merges) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      table.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        // max by (freq desc, JOINED pair string asc) — the joined form,
+        // not the (lhs, rhs) tuple: "ab|c" < "a|bc" though ("a","bc") <
+        // ("ab","c"); both engines order the joined string
+        val ((l, r), f) = counts.minBy { case ((a, b), n) => (-n, a + "|" + b) }
+        steps += ((step, l, r, f))
+        table = table.map { case (syms, f0) => (mergeOnce(syms, l, r), f0) }
+      }
+      // exhausted pair table: no row for this step, words untouched —
+      // identical to bpeTrain's empty-top-1 left-join round
+      step += 1
+    }
+    steps.toSeq.toDF("step", "lhs", "rhs", "pair_freq")
   }
 
   /** The paren-string merge chain over a `word` column — shared by

@@ -8,8 +8,14 @@ import org.apache.spark.sql.functions._
   * PQ codebooks ([[graft.ops.Similarity.pqTrain]] over the L2-normalized
   * corpus) on the sf0.01 embeddings table and prints the fixture source.
   *
-  *   sbt "runMain graft.tools.PinIndex /root/testdata/sf0.01" \
-  *     > src/main/scala/graft/fixtures/PinnedIndex.scala
+  *   sbt "runMain graft.tools.PinIndex /root/testdata/sf0.01 \
+  *     src/main/scala/graft/fixtures/PinnedIndex.scala"
+  *
+  * With a second argument the fixture file is WRITTEN DIRECTLY (the sbt
+  * log noise and the BEGIN/END markers never touch it). Without one,
+  * the source prints to stdout between `=== BEGIN PINNED ===` /
+  * `=== END PINNED ===` markers — extract BETWEEN the markers; piping
+  * raw sbt stdout into the file would capture log lines too.
   *
   * Training is bit-deterministic (sorted bounded sample, farthest-point
   * init, fixed Lloyd iterations, 6dp-rounded output), so re-running over
@@ -59,9 +65,16 @@ object PinIndex {
     sb ++= books.map(b => arr2(b, "      ")).map(s => "    " + s)
       .mkString("", ",\n", ")\n")
     sb ++= "}\n"
-    println("=== BEGIN PINNED ===")
-    println(sb.result())
-    println("=== END PINNED ===")
+    args.lift(1) match {
+      case Some(outPath) =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          sb.result().getBytes("UTF-8"))
+        println(s"PINNED fixture written to $outPath")
+      case None =>
+        println("=== BEGIN PINNED ===")
+        println(sb.result())
+        println("=== END PINNED ===")
+    }
     spark.stop()
   }
 }

@@ -71,6 +71,32 @@ class CleansingSpec extends SparkSpec {
     d2.foreach(r => assert(r.getDate(0).toString == "2025-03-05", r.toString))
   }
 
+  test("P2: locale month names — Italian full + abbrev, French/German/Spanish conventions, accent-stripped variants") {
+    val df = Seq(
+      "5 marzo 2025",        // Italian full (the reference's locale)
+      "5 mar 2025",          // Italian abbreviation (= English Mar, same month)
+      "1 gennaio 2024",      // Italian full
+      "17 ago 1999",         // Italian abbreviation, no English collision
+      "5 février 2025",      // French accented
+      "5 fevrier 2025",      // accent-stripped variant
+      "9 août 2000",         // French accented
+      "5. März 2025",        // German: capitalized month + day dot
+      "31. dezember 2001",   // German lowercase
+      "5 de marzo de 2025",  // Spanish "de" connective
+      "12 de octubre de 1998",
+      "5 frobuary 2025",     // unknown month word -> null, no error
+      "5 marzo",             // yearless -> null
+      "5 March 2025"         // English still parses (earlier branch)
+    ).toDF("s")
+    val got = df.select(Cleansing.parseDateLenient($"s")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDate(0).toString)
+    assert(got.toSeq == Seq(
+      "2025-03-05", "2025-03-05", "2024-01-01", "1999-08-17",
+      "2025-02-05", "2025-02-05", "2000-08-09", "2025-03-05",
+      "2001-12-31", "2025-03-05", "1998-10-12", null, null,
+      "2025-03-05"), got.mkString(","))
+  }
+
   test("P4: surname — last token, lowercased; empty/blank/null -> unknown") {
     val df = Seq(
       Some("Pietro Fava"), Some("  Anna Maria DE LUCA  "), Some("Single"),

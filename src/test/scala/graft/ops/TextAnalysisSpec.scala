@@ -380,6 +380,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(seg == Set(("abc", 1L), ("ab", 1L), ("d", 1L)), seg.toString)
   }
 
+  test("bpeTrainDriver ≡ bpeTrain: row-identical merge tables on the same corpus, incl. ties and exhaustion") {
+    // mixed corpus: repeated words, shared prefixes, a tie, exhaustion
+    // well before the merge budget
+    val df = Seq((1L, "ab ab abc banana band band"), (2L, "banana ban aa bb"))
+      .toDF("id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val dist = rows(TextAnalysis.bpeTrain(df, "text", merges = 12))
+    val drv = rows(TextAnalysis.bpeTrainDriver(df, "text", merges = 12))
+    assert(drv == dist, s"driver:\n$drv\ndistributed:\n$dist")
+    // exhaustion emits no rows for the dry steps in BOTH paths
+    assert(dist.size < 12 && dist.map(_._1) == dist.map(_._1).sorted)
+    // the vocab cap is a deterministic top-(freq, word) truncation:
+    // top-2 word types by (freq desc, word asc) = ab(2), banana(2);
+    // step-1 pairs a|b:2, b|a:2, a|n:4, n|a:4 -> tie at 4 breaks on the
+    // joined pair string, "a|n" < "n|a" -> merge (a, n) with freq 4
+    val capped = rows(TextAnalysis.bpeTrainDriver(df, "text", merges = 3,
+      vocabCap = 2))
+    assert(capped.head == ((1, "a", "n", 4L)), capped.toString)
+  }
+
+  test("rankingMetrics: graded relevance is capped before 2^rel — huge grades stay finite, never NaN") {
+    val ranked = Seq(("q", 1L, 10.0), ("q", 2L, 9.0)).toDF("q", "doc", "sc")
+    val rels = Seq(("q", 1L, 2000.0), ("q", 2L, 1500.0)).toDF("q", "doc", "rel")
+    val out = TextAnalysis.rankingMetrics(ranked, rels, "q", "doc", "sc", "rel", 2)
+      .select("ndcg", "mrr").head()
+    // uncapped, 2^2000 = Inf and ndcg = Inf/Inf = NaN; capped both gains
+    // are finite and the ideal ordering matches -> ndcg = 1
+    assert(!out.isNullAt(0) && !out.getDouble(0).isNaN, out.toString)
+    assert(out.getDouble(0) == 1.0 && out.getDouble(1) == 1.0, out.toString)
+  }
+
   test("packSweep: hand-checked bins, mass, and fill per context level") {
     val d = Seq((1L, "g", 3L), (2L, "g", 3L), (3L, "g", 3L))
       .toDF("id", "grp", "n")
