@@ -637,11 +637,13 @@ object OraclesExt {
     * window over the h60 content fingerprint, the banded MinHash chain
     * over the SURVIVOR token set ([[minhashCandFrom]]), first-stage
     * drop attribution, one per-source funnel aggregate. */
-  def curation(minQuality: Double, minJac: Double): String = {
+  /** The q234 funnel chain through `st(doc_id, source, wc, stage)` —
+    * shared by the report (q234) and the balanced continuation (q248). */
+  private def curationStCtes(minQuality: Double, minJac: Double): String = {
     val scores = Seq("de", "en", "es", "fr")
       .map(l => s"${hitRatioSql(langList(l))} AS s_$l").mkString(", ")
     val mx = "greatest(s_de, s_en, s_es, s_fr)"
-    s"WITH $tokCte, " +
+    s"$tokCte, " +
       s"sc AS (SELECT doc_id, source, text, toks, $scores, " +
       "len(toks) AS wc, " +
       "len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) AS pr FROM tok), " +
@@ -656,11 +658,15 @@ object OraclesExt {
       "keep AS (SELECT doc_id, toks FROM gated WHERE rn = 1), " +
       minhashCandFrom("keep") + ", " +
       s"nd AS (SELECT DISTINCT id_b AS doc_id FROM cand WHERE $estJac >= $minJac::DOUBLE), " +
-      "st AS (SELECT b.source, b.wc, CASE WHEN NOT b.lang_ok THEN 'lang' " +
+      "st AS (SELECT b.doc_id, b.source, b.wc, CASE WHEN NOT b.lang_ok THEN 'lang' " +
       "WHEN NOT b.q_ok THEN 'quality' WHEN g.rn <> 1 THEN 'exact_dup' " +
       "WHEN nd.doc_id IS NOT NULL THEN 'near_dup' ELSE 'kept' END AS stage " +
       "FROM base b LEFT JOIN gated g ON b.doc_id = g.doc_id " +
-      "LEFT JOIN nd ON b.doc_id = nd.doc_id) " +
+      "LEFT JOIN nd ON b.doc_id = nd.doc_id)"
+  }
+
+  def curation(minQuality: Double, minJac: Double): String =
+    s"WITH ${curationStCtes(minQuality, minJac)} " +
       "SELECT source, count(*)::BIGINT AS n_raw, " +
       "(count(*) FILTER (WHERE stage = 'lang'))::BIGINT AS n_lang_dropped, " +
       "(count(*) FILTER (WHERE stage = 'quality'))::BIGINT AS n_quality_dropped, " +
@@ -669,7 +675,28 @@ object OraclesExt {
       "(count(*) FILTER (WHERE stage = 'kept'))::BIGINT AS n_kept, " +
       "sum(CASE WHEN stage = 'kept' THEN wc ELSE 0 END)::BIGINT AS tok_kept " +
       "FROM st GROUP BY source ORDER BY source"
-  }
+
+  /** Mirrors CurationPipeline.curateBalanced (q248): the funnel chain's
+    * kept docs join embeddings 1:1 on id, the q220/q230 pinned-centroid
+    * assignment, a per-cell (hash60, id) rank quota, then the balance
+    * report per (source, cell). */
+  def curationBalanced(
+      minQuality: Double, minJac: Double, perCell: Int): String =
+    s"WITH ${curationStCtes(minQuality, minJac)}, " +
+      s"$embCte, " +
+      s"centb AS (SELECT * FROM (VALUES $pinnedCentRows) t(cell, cv, cn2)), " +
+      "kd AS (SELECT st.doc_id, st.source, e.v FROM st " +
+      "JOIN e ON e.vec_id = st.doc_id WHERE st.stage = 'kept'), " +
+      "scoredb AS (SELECT kd.doc_id, kd.source, centb.cell, " +
+      "row_number() OVER (PARTITION BY kd.doc_id " +
+      "ORDER BY list_dot_product(kd.v, centb.cv) * -2.0 + centb.cn2, centb.cell) AS rn " +
+      "FROM kd CROSS JOIN centb), " +
+      "asgb AS (SELECT doc_id, source, cell FROM scoredb WHERE rn = 1), " +
+      "rb AS (SELECT doc_id, source, cell, row_number() OVER (PARTITION BY cell " +
+      s"ORDER BY ${h60("doc_id::VARCHAR")}, doc_id) AS rnk FROM asgb) " +
+      "SELECT source, cell, count(*)::BIGINT AS n_docs, " +
+      s"(count(*) FILTER (WHERE rnk <= $perCell))::BIGINT AS n_sampled " +
+      "FROM rb GROUP BY source, cell ORDER BY source, cell"
 
   /** Mirrors TextAnalysis.bpeFertility over the pinned merges (q235):
     * the q229 replace chain per word, token counts via one regexp

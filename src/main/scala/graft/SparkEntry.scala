@@ -3626,6 +3626,35 @@ object SparkEntry {
           e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
           graft.fixtures.PinnedIndex.ivfCentroidsV1, perCell = 20)
         .orderBy("cid")
+    },
+
+    // ───── PNG resize through the REAL codec both ways: decode →
+    // half-scale → RE-ENCODE (filter+deflate on executor-derived pixels)
+    // → decode again; oracle recomputes from the sampled-pixel formula
+    // (the q91 pattern) ─────
+    "q247_png_resize" -> { (s, dir) =>
+      Multimodal.pngResizeFeatures(s, dir).orderBy("doc_id")
+    },
+
+    // ───── Funnel → topic balance composition: the q234 curation funnel
+    // continued one stage — kept docs join embeddings 1:1 on id,
+    // pinned-cell assignment, exact per-cell quotas; output is the
+    // per-(source, cell) mixture sheet ─────
+    "q248_curation_balanced" -> { (s, dir) =>
+      CurationPipeline.curateBalanced(
+          tb(s, dir, "documents"), tb(s, dir, "embeddings"),
+          minQuality = 0.25, minJac = 0.5,
+          graft.fixtures.PinnedIndex.ivfCentroidsV1, perCell = 10)
+        .orderBy("source", "cell")
+    },
+
+    // ───── REAL image perceptual dedup: repeated images (seed = doc_id
+    // mod 50 — the web-scrape re-post shape) decode through the PGM
+    // parser, aHash 8×8 mean-threshold bits, exact grouping on the
+    // bitstring ─────
+    "q249_image_ahash_dedup" -> { (s, dir) =>
+      Dedup.exactGroups(Multimodal.imageHashes(s, dir), "doc_id", col("ahash"))
+        .orderBy("keeper_id")
     }
   )
 
@@ -6162,7 +6191,34 @@ object SparkEntry {
 
     // pinned-centroid assignment (q220/q230 chain) + per-cell hash-rank
     // quota (q65's selection) — kept iff rank <= perCell
-    "q246_cluster_sample" -> OraclesExt.clusterBalancedSample(20)
+    "q246_cluster_sample" -> OraclesExt.clusterBalancedSample(20),
+
+    // half-scale pixel (x,y) samples source 2y*w + 2x of the PNG formula
+    "q247_png_resize" ->
+      ("WITH d AS (SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + (doc_id % 7) AS h FROM documents), " +
+        "r AS (SELECT doc_id, w, (w+1)//2 AS w2, (h+1)//2 AS h2 FROM d), " +
+        "p AS (SELECT doc_id, w2::INT AS width, h2::INT AS height, (w2*h2)::INT AS n_pix, " +
+        "list_sum(list_transform(range(w2*h2), j -> " +
+        "(doc_id*5 + (2*(j//w2)*w + 2*(j%w2))*11) % 256))::BIGINT AS px_sum FROM r) " +
+        "SELECT doc_id, width, height, n_pix, px_sum, " +
+        "px_sum::DOUBLE / n_pix AS px_mean FROM p ORDER BY doc_id"),
+
+    // the q234 funnel chain + the q246 assignment/quota chain, grouped
+    // per (source, cell)
+    "q248_curation_balanced" -> OraclesExt.curationBalanced(0.25, 0.5, 10),
+
+    // aHash recomputed from the PGM pixel formula on seed = doc_id % 50:
+    // grid k samples ((k//8)*h//8)*w + ((k%8)*w//8); bit = sample > mean
+    "q249_image_ahash_dedup" ->
+      ("WITH s AS (SELECT doc_id, doc_id % 50 AS seed FROM documents), " +
+        "d AS (SELECT doc_id, seed, 8 + (seed % 9) AS w, 8 + (seed % 7) AS h FROM s), " +
+        "g AS (SELECT doc_id, list_transform(range(64), k -> " +
+        "(seed*7 + (((k//8)*h//8)*w + ((k%8)*w//8))*13) % 256) AS gv FROM d), " +
+        "hb AS (SELECT doc_id, array_to_string(list_transform(gv, v -> " +
+        "CASE WHEN v > list_sum(gv)::DOUBLE / 64.0 THEN '1' ELSE '0' END), '') AS ahash FROM g) " +
+        "SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS n_copies, " +
+        "string_agg(doc_id::VARCHAR, ';' ORDER BY doc_id) AS member_ids " +
+        "FROM hb GROUP BY ahash HAVING count(*) >= 2 ORDER BY keeper_id")
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,

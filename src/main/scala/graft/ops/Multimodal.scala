@@ -266,6 +266,86 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "n_pix", "px_sum", "px_mean")
   }
 
+  /** Nearest-neighbor ½× PNG downscale THROUGH the real codec: decode
+    * (inflate+defilter), keep every second pixel in both axes, RE-ENCODE
+    * as an actual PNG (filter+deflate) — the full decode→transform→encode
+    * cycle a production image pipeline runs; [[resizePgmHalf]]'s
+    * compressed twin. */
+  def resizePngHalf(b: Array[Byte]): Array[Byte] = {
+    val (w, h, px) = decodePng(b)
+    val w2 = (w + 1) / 2
+    val h2 = (h + 1) / 2
+    val img = new java.awt.image.BufferedImage(
+      w2, h2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var j = 0
+    while (j < w2 * h2) {
+      val y = j / w2; val x = j % w2
+      raster.setSample(x, y, 0, px(2 * y * w + 2 * x))
+      j += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "png", bos)
+    require(ok, "JDK PNG writer unavailable")
+    bos.toByteArray
+  }
+
+  /** Decode features AFTER a real resize round trip: encode → decode →
+    * half-scale → re-encode → decode again, all inside the partition
+    * boundary — proves the executor-side ENCODE path on derived pixels,
+    * not just synthetic input ([[pngFeatures]] covers that side). */
+  def pngResizeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val (w, h, px) = decodePng(resizePngHalf(encodePng(id)))
+          var s = 0L
+          var i = 0
+          while (i < px.length) { s += px(i); i += 1 }
+          (id, w, h, px.length, s, s.toDouble / px.length)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pix", "px_sum", "px_mean")
+  }
+
+  /** Perceptual average-hash (aHash) over REAL decoded pixels: sample an
+    * 8×8 nearest-neighbor grid (cell (i,j) ← source pixel
+    * (i·h/8, j·w/8)), threshold each sample against the grid mean, emit
+    * the 64 bits as a '0'/'1' string (a bitstring, not a BIGINT — bit 63
+    * would overflow signed SQL integers). Identical images hash
+    * identically; global brightness/contrast shifts preserve the
+    * mean-relative bits — the classic cheap image near-dup key. */
+  def aHashBits(w: Int, h: Int, px: Array[Int]): String = {
+    val g = Array.tabulate(64) { k =>
+      val i = k / 8; val j = k % 8
+      px((i * h / 8) * w + (j * w / 8))
+    }
+    val mean = g.sum.toDouble / 64.0
+    val sb = new StringBuilder(64)
+    var k = 0
+    while (k < 64) { sb += (if (g(k) > mean) '1' else '0'); k += 1 }
+    sb.result()
+  }
+
+  /** Per-document image aHash through the decode boundary: document
+    * `doc_id` carries image seed `doc_id % idMod` (a corpus with exact
+    * re-posts — the web-scrape reality image dedup exists for), encoded
+    * as REAL PGM bytes and decoded back before hashing. Returns
+    * (doc_id, ahash). */
+  def imageHashes(spark: SparkSession, sfDir: String, idMod: Int = 50): DataFrame = {
+    import spark.implicits._
+    Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, px) = decodePgm(encodePgm(id % idMod))
+        (id, aHashBits(w, h, px))
+      })
+      .toDF("doc_id", "ahash")
+  }
+
   // ── REAL audio decode: RIFF/WAVE PCM ────────────────────────────────
 
   /** Encode a real 16-bit mono PCM WAV: RIFF header, fmt chunk, data

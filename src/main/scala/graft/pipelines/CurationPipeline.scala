@@ -36,7 +36,11 @@ import graft.ops.{Dedup, TextAnalysis}
   * driver. */
 object CurationPipeline {
 
-  def curate(
+  /** Per-document stage attribution — the funnel's row-level core:
+    * (doc_id, source, text, stage) where stage ∈ lang | quality |
+    * exact_dup | near_dup | kept (first drop wins). [[curate]] aggregates
+    * it; [[curateBalanced]] continues the kept set into topic balance. */
+  def staged(
       docs: DataFrame, // (doc_id, source, text)
       minQuality: Double,
       minJac: Double): DataFrame = {
@@ -56,7 +60,7 @@ object CurationPipeline {
       .filter(col("est_jac") >= minJac)
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("_near", lit(true))
-    val staged = base
+    base
       .join(gated.select(col("doc_id"), col("_rn")), Seq("doc_id"), "left")
       .join(nearDups, Seq("doc_id"), "left")
       .withColumn("stage",
@@ -65,8 +69,16 @@ object CurationPipeline {
           .when(col("_rn") =!= 1, "exact_dup")
           .when(col("_near"), "near_dup")
           .otherwise("kept"))
+      .select(col("doc_id"), col("source"), col("text"), col("stage"))
+  }
+
+  def curate(
+      docs: DataFrame, // (doc_id, source, text)
+      minQuality: Double,
+      minJac: Double): DataFrame = {
+    val st = staged(docs, minQuality, minJac)
     def n(s: String) = sum(when(col("stage") === s, 1L).otherwise(0L))
-    staged.groupBy("source").agg(
+    st.groupBy("source").agg(
       count(lit(1)).as("n_raw"),
       n("lang").as("n_lang_dropped"),
       n("quality").as("n_quality_dropped"),
@@ -76,5 +88,42 @@ object CurationPipeline {
       sum(when(col("stage") === "kept",
         TextAnalysis.wordCount(col("text")).cast("long"))
         .otherwise(0L)).as("tok_kept"))
+  }
+
+  /** The funnel composed ONE stage further — topic balancing over the
+    * survivors (ClusterClip/DoReMi shape): kept docs join their
+    * embeddings 1:1 on id, assign to the nearest PINNED centroid cell,
+    * and at most `perCell` survive per cell in deterministic hash-rank
+    * order ([[graft.ops.Sampling.clusterBalancedSample]]). Output is the
+    * balance report per (source, cell): how many funnel survivors landed
+    * in the cell and how many the quota admitted — the mixture sheet a
+    * curation run ships with its corpus.
+    *
+    * Scale shape: the funnel's own plan (gates codegen'd, one
+    * fingerprint window, banded LSH) + ONE narrow id-equi-join to the
+    * embeddings table (vectors never join by content) + the
+    * literal-centroid assignment projection + one per-cell rank window +
+    * one hash-agg. Still a single Catalyst plan end to end. */
+  def curateBalanced(
+      docs: DataFrame, // (doc_id, source, text)
+      embeddings: DataFrame, // (vec_id, embedding)
+      minQuality: Double,
+      minJac: Double,
+      centroids: Array[Array[Double]],
+      perCell: Int): DataFrame = {
+    val kept = staged(docs, minQuality, minJac)
+      .filter(col("stage") === "kept")
+      .select(col("doc_id"), col("source"))
+    val vecs = kept
+      .join(embeddings.select(col("vec_id").as("doc_id"),
+        col("embedding").as("cvec")), Seq("doc_id"))
+      .select(col("doc_id").as("cid"), col("cvec"))
+    val sampled = graft.ops.Sampling.clusterBalancedSample(vecs, centroids, perCell)
+    kept
+      .join(sampled.select(col("cid").as("doc_id"), col("cell"), col("kept")),
+        Seq("doc_id"))
+      .groupBy("source", "cell")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"))
   }
 }

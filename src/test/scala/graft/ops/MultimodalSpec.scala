@@ -54,6 +54,55 @@ class MultimodalSpec extends SparkSpec {
     assert((w2, h2) == ((3, 2)) && px2.toSeq == Seq(0, 1, 2, 3, 4, 5))
   }
 
+  test("PNG: a REAL compressed codec round-trip — zlib container bytes, every pixel recovered") {
+    val b = Multimodal.encodePng(42L)
+    // genuine PNG container: 8-byte signature then IHDR
+    assert((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G',
+      b.take(8).map(x => f"${x & 0xff}%02x").mkString(" "))
+    assert(new String(b.slice(12, 16), "US-ASCII") == "IHDR")
+    val (w, h, px) = Multimodal.decodePng(b)
+    assert(w == 8 + 42 % 9 && h == 8 + 42 % 7)
+    assert(px.length == w * h)
+    assert(px.zipWithIndex.forall { case (p, i) => p == ((42L * 5 + i * 11) % 256) })
+    // compression is real: a flat image deflates well below raw size
+    val flat = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(flat.length < 64 * 64 / 4, s"${flat.length} bytes — not compressed?")
+  }
+
+  test("PNG: half resize re-encodes through the real codec; resized pixels match the source grid") {
+    val b = Multimodal.encodePng(13L)
+    val (w, h, px) = Multimodal.decodePng(b)
+    val rb = Multimodal.resizePngHalf(b)
+    // the resized artifact is itself a REAL PNG
+    assert((rb(0) & 0xff) == 0x89 && rb(1) == 'P')
+    val (w2, h2, px2) = Multimodal.decodePng(rb)
+    assert(w2 == (w + 1) / 2 && h2 == (h + 1) / 2)
+    assert(px2.zipWithIndex.forall { case (p, j) =>
+      p == px(2 * (j / w2) * w + 2 * (j % w2))
+    })
+  }
+
+  test("aHash: deterministic mean-threshold bits; identical images collide, different images differ") {
+    val (w, h, px) = Multimodal.decodePgm(Multimodal.encodePgm(5L))
+    val bits = Multimodal.aHashBits(w, h, px)
+    assert(bits.length == 64 && bits.forall(c => c == '0' || c == '1'))
+    // hand-check bit 0: grid cell (0,0) samples source pixel 0
+    val g = (0 until 64).map { k =>
+      px(((k / 8) * h / 8) * w + ((k % 8) * w / 8))
+    }
+    val mean = g.sum.toDouble / 64.0
+    assert((bits.charAt(0) == '1') == (g.head > mean))
+    assert(bits == Multimodal.aHashBits(w, h, px)) // deterministic
+    val (w2, h2, px2) = Multimodal.decodePgm(Multimodal.encodePgm(6L))
+    assert(Multimodal.aHashBits(w2, h2, px2) != bits)
+  }
+
   test("PGM: half resize keeps every second pixel in both axes, stays a valid PGM") {
     val b = Multimodal.encodePgm(7L) // 15 x 8
     val (w, h, px) = Multimodal.decodePgm(b)

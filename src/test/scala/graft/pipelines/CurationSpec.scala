@@ -40,6 +40,37 @@ class CurationSpec extends SparkSpec {
     assert(tok == 400L, s"tok_kept $tok") // 40 lines x 10 words
   }
 
+  test("curateBalanced: funnel survivors balance across pinned cells with exact quotas") {
+    // 8 kept docs (all distinct English, no dups), 2-d embeddings at two
+    // well-separated centroids: ids 1-5 -> cell of (0, 10), 6-8 -> cell
+    // of (10, 0); one dropped doc (german) must NOT reach the balancer
+    // doc-specific content words (w${i}…) keep cross-doc shingle overlap
+    // far below the 0.5 near-dup gate; the stopword skeleton still
+    // passes the language and quality gates
+    val keptText = (1 to 8).map(i =>
+      (1 to 40).map(j => s"the w${i}a of w${i}b$j and the w${i}c on w${i}d").mkString(" "))
+    val docs = (keptText.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, if (i < 5) "srcA" else "srcB", t)
+    } :+ ((9L, "srcB", "der und das ist ein mit von zu auf die " * 8)))
+      .toDF("doc_id", "source", "text")
+    val cents = Array(Array(0.0, 10.0), Array(10.0, 0.0))
+    val emb = (1L to 9L).map { i =>
+      val c = if (i <= 5) cents(0) else cents(1)
+      (i, Array(c(0).toFloat + i * 0.01f, c(1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = CurationPipeline.curateBalanced(
+        docs, emb, minQuality = 0.25, minJac = 0.5, cents, perCell = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // srcA's 5 docs all in cell 0; quota 2 (global per cell) admits 2
+    assert(out(("srcA", 0L)) == ((5L, 2L)), out.toString)
+    // srcB's kept docs 6-8 in cell 1, quota admits 2; the german doc 9
+    // never reaches the balancer
+    assert(out(("srcB", 1L)) == ((3L, 2L)), out.toString)
+    assert(out.size == 2, out.toString)
+  }
+
   test("curate: thresholds gate the near-dup arm") {
     val docs = Seq(
       (1L, "s", en),
