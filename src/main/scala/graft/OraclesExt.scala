@@ -1010,30 +1010,42 @@ object OraclesExt {
     * oracle recomputes header lengths, unit counts, and value sums from
     * the same arithmetic the encoders use — the Spark side must decode
     * actual container bytes back to these exact numbers. */
-  val multimodalReal: String =
-    "WITH img AS (SELECT doc_id, 'image' AS kind, 8 + (doc_id % 9) AS w, " +
+  /** Per-asset feature rows of the three REAL codecs (PGM/WAV/Y4M
+    * formulas), ending in `f(doc_id, kind, n_bytes, units, val_sum)` —
+    * shared by the q23 aggregate and q250's streaming per-row form. */
+  private val multimodalRowCtes: String =
+    "img AS (SELECT doc_id, 'image' AS kind, 8 + (doc_id % 9) AS w, " +
       "8 + (doc_id % 7) AS h FROM documents WHERE doc_id % 3 = 0), " +
-      "imgf AS (SELECT kind, " +
+      "imgf AS (SELECT doc_id, kind, " +
       "length('P5' || chr(10) || w::VARCHAR || ' ' || h::VARCHAR || chr(10) || '255' || chr(10)) " +
       "+ w*h AS n_bytes, w*h AS units, " +
       "list_sum(list_transform(range(w*h), i -> (doc_id*7 + i*13) % 256)) AS val_sum FROM img), " +
       "aud AS (SELECT doc_id, 'audio' AS kind, 200 + (doc_id % 100) AS n " +
       "FROM documents WHERE doc_id % 3 = 1), " +
-      "audf AS (SELECT kind, 44 + 2*n AS n_bytes, n AS units, " +
+      "audf AS (SELECT doc_id, kind, 44 + 2*n AS n_bytes, n AS units, " +
       "list_sum(list_transform(range(n), i -> ((doc_id*31 + i*17) % 65536) - 32768)) AS val_sum FROM aud), " +
       "vid AS (SELECT doc_id, 'video' AS kind, 4 + (doc_id % 4)*2 AS w, " +
       "4 + (doc_id % 3)*2 AS h, 2 + (doc_id % 3) AS fr FROM documents WHERE doc_id % 3 = 2), " +
-      "vidf AS (SELECT kind, " +
+      "vidf AS (SELECT doc_id, kind, " +
       "length('YUV4MPEG2 W' || w::VARCHAR || ' H' || h::VARCHAR || ' F25:1 Ip A1:1 C420' || chr(10)) " +
       "+ fr * (6 + (w*h*3)//2) AS n_bytes, fr AS units, " +
       "list_sum(list_transform(range(fr*w*h), j -> " +
       "(doc_id*11 + (j // (w*h))*7 + (j % (w*h))*5) % 256)) AS val_sum FROM vid), " +
-      "f AS (SELECT kind, n_bytes, units, val_sum FROM imgf " +
-      "UNION ALL SELECT kind, n_bytes, units, val_sum FROM audf " +
-      "UNION ALL SELECT kind, n_bytes, units, val_sum FROM vidf) " +
+      "f AS (SELECT doc_id, kind, n_bytes, units, val_sum FROM imgf " +
+      "UNION ALL SELECT doc_id, kind, n_bytes, units, val_sum FROM audf " +
+      "UNION ALL SELECT doc_id, kind, n_bytes, units, val_sum FROM vidf)"
+
+  val multimodalReal: String =
+    s"WITH $multimodalRowCtes " +
       "SELECT kind, count(*) AS n, sum(n_bytes)::BIGINT AS sum_bytes, " +
       "sum(units)::BIGINT AS sum_units, sum(val_sum)::BIGINT AS sum_val " +
       "FROM f GROUP BY kind ORDER BY kind"
+
+  /** q250: the same per-asset rows, per-row (drained stream ≡ batch). */
+  val streamMediaDecode: String =
+    s"WITH $multimodalRowCtes " +
+      "SELECT doc_id, kind, n_bytes::INT AS n_bytes, units::INT AS units, " +
+      "val_sum::BIGINT AS val_sum FROM f ORDER BY doc_id"
 
   val multimodal: String =
     "WITH f AS (SELECT doc_id, " +

@@ -3655,6 +3655,19 @@ object SparkEntry {
     "q249_image_ahash_dedup" -> { (s, dir) =>
       Dedup.exactGroups(Multimodal.imageHashes(s, dir), "doc_id", col("ahash"))
         .orderBy("keeper_id")
+    },
+
+    // ───── STREAMING media ingest decode: the q23 mixed-modality decode
+    // running per micro-batch on a STREAMING id column (stateless
+    // mapPartitions — no state store); the drained stream is
+    // row-identical to the batch projection ─────
+    "q250_stream_media_decode" -> { (s, dir) =>
+      import s.implicits._
+      drainToTable(s,
+        Multimodal.mediaFeaturesOf(
+          docsStream(s, dir).select(col("doc_id")).as[Long]),
+        "g250_media", "append")
+        .orderBy("doc_id")
     }
   )
 
@@ -6218,7 +6231,10 @@ object SparkEntry {
         "CASE WHEN v > list_sum(gv)::DOUBLE / 64.0 THEN '1' ELSE '0' END), '') AS ahash FROM g) " +
         "SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS n_copies, " +
         "string_agg(doc_id::VARCHAR, ';' ORDER BY doc_id) AS member_ids " +
-        "FROM hb GROUP BY ahash HAVING count(*) >= 2 ORDER BY keeper_id")
+        "FROM hb GROUP BY ahash HAVING count(*) >= 2 ORDER BY keeper_id"),
+
+    // the q23 per-asset formula rows, per-row (drained stream ≡ batch)
+    "q250_stream_media_decode" -> OraclesExt.streamMediaDecode
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,

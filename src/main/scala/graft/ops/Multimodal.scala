@@ -511,9 +511,17 @@ object Multimodal {
     * SQL-oracle-checkable. */
   def realMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Sources.table(spark, sfDir, "documents")
-      .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
+    mediaFeaturesOf(Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long])
+  }
+
+  /** The mixed-modality decode core over ANY id column — batch
+    * ([[realMediaFeatures]]) and STREAMING (q250's media ingest gate)
+    * share it: a stateless `mapPartitions`, so Structured Streaming runs
+    * it per micro-batch with no state store. */
+  def mediaFeaturesOf(ids: Dataset[Long]): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions(_.map { id =>
         (id % 3) match {
           case 0 =>
             val b = encodePgm(id)

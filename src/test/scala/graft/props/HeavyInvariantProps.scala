@@ -109,6 +109,24 @@ object HeavyInvariantProps extends Properties("graft.invariants.heavy") {
       }
     }
 
+  // the driver-side merge loop must be indistinguishable from the
+  // per-round distributed trainer on ANY corpus — same pair counts,
+  // same (freq desc, joined-pair asc) tie-break, same leftmost-first
+  // merge, same exhaustion behavior
+  property("bpeTrainDriver ≡ bpeTrain on random corpora") =
+    forAll(Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.oneOf(
+      "ab", "aab", "abab", "ba", "bb", "abc", "cab", "ca"))
+      .map(_.take(6).mkString(" "))).map(_.take(5))) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      rows(graft.ops.TextAnalysis.bpeTrain(df, "text", merges = 4)) ==
+        rows(graft.ops.TextAnalysis.bpeTrainDriver(df, "text", merges = 4))
+    }
+
   property("rankingMetrics: ranking by true relevance scores a perfect NDCG and MRR") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 1000L),
       Gen.choose(1, 5))).map(_.distinctBy(_._1).take(20)), Gen.choose(1, 10)) {
