@@ -1402,6 +1402,17 @@ object OraclesExt {
     logregScoredCte + " SELECT doc_id, y, prob, prob >= 0.5 AS pred " +
       "FROM scored ORDER BY doc_id"
 
+  /** Mirrors q252: the shared scored frame ranked by distance to the
+    * 0.5 decision boundary (6dp-rounded probs are identical doubles in
+    * both engines, so the |prob − 0.5| order needs no extra rounding),
+    * doc_id ties, first 100. */
+  val uncertaintySample: String =
+    logregScoredCte + ", r AS (SELECT doc_id, prob, " +
+      "row_number() OVER (ORDER BY abs(prob - 0.5), doc_id) AS rnk " +
+      "FROM scored) " +
+      "SELECT doc_id, prob, rnk::INT AS rnk FROM r WHERE rnk <= 100 " +
+      "ORDER BY rnk"
+
   /** Score-quantile calibration deciles over the shared scored frame:
     * bin = number of 6dp-rounded quantile cuts strictly below the score
     * (quantile_cont ≡ Spark's interpolated percentile); Brier = global

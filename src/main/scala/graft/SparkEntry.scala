@@ -3668,6 +3668,45 @@ object SparkEntry {
           docsStream(s, dir).select(col("doc_id")).as[Long]),
         "g250_media", "append")
         .orderBy("doc_id")
+    },
+
+    // ───── xlsx as a CORPUS format, end to end: one workbook per source
+    // written fully in PARALLEL (one shuffle by key), then the
+    // multi-workbook glob scan — binaryFile distributes the FILES, each
+    // executor parses its own workbooks' bytes — with the key recovered
+    // from file lineage. The 100 TB xlsx story (per-file parallelism)
+    // as an oracle-proven row, not just a spec ─────
+    "q251_xlsx_corpus" -> { (s, dir) =>
+      val out = scratch("xlsx_corpus")
+      Xlsx.writeWorkbooks(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          col("n_chars")),
+        "source", out)
+      Xlsx.readSheet(s, s"$out/*.xlsx")
+        .select(regexp_extract(col("_file"), "([^/]+)\\.xlsx$", 1).as("source"),
+          col("doc_id").cast("bigint").as("doc_id"),
+          col("n_chars").cast("bigint").as("n_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
+    },
+
+    // ───── Active-learning uncertainty sampling: the labeling-budget
+    // selector over the q163 trained quality classifier — the 100 docs
+    // whose scores sit closest to the 0.5 decision boundary, via
+    // TakeOrderedAndProject (distributed top-k; the rank window runs
+    // over ONLY the selected 100 rows — the vocabCoverage posture) ─────
+    "q252_uncertainty_sample" -> { (s, dir) =>
+      val sc = scoredDocsQuality(s, dir)
+        .select(col("doc_id"), col("prob"),
+          abs(col("prob") - 0.5).as("_u"))
+      sc.orderBy(col("_u"), col("doc_id")).limit(100)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("_u"), col("doc_id"))))
+        .select(col("doc_id"), col("prob"), col("rnk"))
+        .orderBy("rnk")
     }
   )
 
@@ -6234,7 +6273,18 @@ object SparkEntry {
         "FROM hb GROUP BY ahash HAVING count(*) >= 2 ORDER BY keeper_id"),
 
     // the q23 per-asset formula rows, per-row (drained stream ≡ batch)
-    "q250_stream_media_decode" -> OraclesExt.streamMediaDecode
+    "q250_stream_media_decode" -> OraclesExt.streamMediaDecode,
+
+    // the parallel per-source workbook fan-out + glob scan is content
+    // identity, so the oracle is a plain GROUP BY on the source table
+    "q251_xlsx_corpus" ->
+      ("SELECT source, count(*)::BIGINT AS n_docs, " +
+        "sum(n_chars)::BIGINT AS sum_chars, min(doc_id)::BIGINT AS min_id, " +
+        "max(doc_id)::BIGINT AS max_id FROM documents " +
+        "GROUP BY source ORDER BY source"),
+
+    // the q163 scored corpus, ranked by |prob - 0.5| with doc_id ties
+    "q252_uncertainty_sample" -> OraclesExt.uncertaintySample
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,
