@@ -1502,4 +1502,164 @@ object OraclesExt {
       "FROM f WHERE (mad > 0 AND " +
       "abs(round(0.6745 * (v - med) / mad, 6)) >= 3.5) " +
       "OR (mad = 0 AND v != med) ORDER BY event_id"
+
+  /** Mirrors Models.naiveBayesFit + naiveBayesScore on documents with
+    * y = (lang = 'en'): top-`vocabSize` vocab (freq desc, token), Laplace
+    * class likelihoods over in-vocab tokens WITH multiplicity, doc-count
+    * log-prior, per-doc llr sums with OOV skipped, 6dp round before the
+    * > 0 decision (both engines threshold the ROUNDED value). */
+  def naiveBayes(vocabSize: Int): String =
+    s"WITH $tokCte, " +
+      "tk AS (SELECT doc_id, unnest(toks) AS token FROM tok), " +
+      "vf AS (SELECT token, count(*) AS freq FROM tk GROUP BY 1), " +
+      s"v AS (SELECT token FROM vf ORDER BY freq DESC, token LIMIT $vocabSize), " +
+      "lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y " +
+      "FROM documents), " +
+      "tv AS (SELECT t.doc_id, l.y, t.token FROM tk t " +
+      "JOIN v USING (token) JOIN lab l USING (doc_id)), " +
+      "c AS (SELECT token, count(*) FILTER (WHERE y = 1) AS c1, " +
+      "count(*) FILTER (WHERE y = 0) AS c0 FROM tv GROUP BY 1), " +
+      "tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS nv FROM c), " +
+      "pr AS (SELECT ln((count(*) FILTER (WHERE y = 1))::DOUBLE / " +
+      "(count(*) FILTER (WHERE y = 0))) AS lp FROM lab), " +
+      "m AS (SELECT token, ln((c1 + 1.0) / (t1 + nv)) - " +
+      "ln((c0 + 1.0) / (t0 + nv)) AS llr FROM c, tot), " +
+      "s AS (SELECT t.doc_id, sum(m.llr) AS sl FROM tk t " +
+      "JOIN m USING (token) GROUP BY 1) " +
+      "SELECT l.doc_id, l.y::INT AS y, " +
+      "round(pr.lp + coalesce(s.sl, 0), 6) AS log_odds, " +
+      "(round(pr.lp + coalesce(s.sl, 0), 6) > 0)::INT AS pred " +
+      "FROM lab l LEFT JOIN s USING (doc_id), pr ORDER BY l.doc_id"
+
+  /** Entity-decode chain mirroring Html.decodeEntities (&amp; LAST). */
+  private def htmlEnt(e: String): String =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "''",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(e) { case (acc, (pat, rep)) =>
+        s"replace($acc, '$pat', '$rep')"
+      }
+
+  /** Mirrors the q255 synthetic page + Html.{title, visibleText,
+    * tagCount, anchorTexts, linkDensity}: script/style payloads dropped
+    * via two non-greedy dotall passes, tags → spaces, entities decoded
+    * (&amp; last), whitespace collapsed; density = raw anchor-inner
+    * chars / visible chars, 6dp. */
+  val htmlExtract: String = {
+    val page = "'<html><head><title>Doc ' || doc_id || ' &amp; ' || " +
+      "upper(source) || '</title><style>p { color: red; }</style>" +
+      "</head><body><script>var x = 1 < 2;</script><h1>' || source || " +
+      "'</h1><p>' || text || '</p><a href=\"/s/' || source || '\">' || " +
+      "source || ' home</a>' || CASE WHEN doc_id % 3 = 0 THEN " +
+      "'<a href=\"/more\">read &gt; more</a>' ELSE '' END || " +
+      "'</body></html>'"
+    val noCode = "regexp_replace(regexp_replace(html, " +
+      "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+      "'(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    val vis = "trim(regexp_replace(" +
+      htmlEnt(s"regexp_replace($noCode, '<[^>]*>', ' ', 'g')") +
+      ", '\\s+', ' ', 'g'))"
+    val ttl = "trim(regexp_replace(" +
+      htmlEnt("regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)") +
+      ", '\\s+', ' ', 'g'))"
+    val anchors = "regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a>', 1)"
+    s"WITH h AS (SELECT doc_id, $page AS html FROM documents), " +
+      s"x AS (SELECT doc_id, $ttl AS title, $vis AS text_clean, " +
+      "len(regexp_extract_all(html, '<[a-zA-Z][^>]*>'))::BIGINT AS n_tags, " +
+      s"len($anchors)::BIGINT AS n_links, " +
+      s"coalesce(list_sum(list_transform($anchors, t -> length(t))), 0) " +
+      "AS lc FROM h) " +
+      "SELECT doc_id, title, text_clean, n_tags, n_links, " +
+      "round(CASE WHEN length(text_clean) = 0 THEN 0.0::DOUBLE " +
+      "ELSE lc::DOUBLE / length(text_clean) END, 6) AS link_density " +
+      "FROM x ORDER BY doc_id"
+  }
+
+  /** Mirrors the q256 synthetic match stream + Models.bradleyTerry: the
+    * MM recurrence runs as a recursive CTE carrying the rating vector as
+    * a LIST, with the win vector and the flattened games matrix built
+    * once and cross-joined in (single recursive reference). Per-step
+    * 9dp rounding after sum-normalization, exactly the Scala loop. */
+  def bradleyTerry(iters: Int): String =
+    "WITH RECURSIVE " +
+      "d AS (SELECT doc_id, source, n_chars FROM documents), " +
+      "p AS (SELECT CASE WHEN a.n_chars > b.n_chars THEN a.source " +
+      "WHEN b.n_chars > a.n_chars THEN b.source " +
+      "WHEN a.source < b.source THEN a.source ELSE b.source END AS winner, " +
+      "CASE WHEN a.n_chars > b.n_chars THEN b.source " +
+      "WHEN b.n_chars > a.n_chars THEN a.source " +
+      "WHEN a.source < b.source THEN b.source ELSE a.source END AS loser " +
+      "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 " +
+      "AND a.source <> b.source), " +
+      "cnt AS (SELECT winner, loser, count(*)::BIGINT AS n FROM p " +
+      "GROUP BY 1, 2), " +
+      "items AS (SELECT row_number() OVER (ORDER BY item) - 1 AS i, item " +
+      "FROM (SELECT winner AS item FROM cnt UNION SELECT loser FROM cnt)), " +
+      "mm AS (SELECT count(*)::BIGINT AS m FROM items), " +
+      "wv AS (SELECT list(w ORDER BY i) AS wv FROM (SELECT i.i, " +
+      "coalesce(sum(c.n), 0)::DOUBLE AS w FROM items i " +
+      "LEFT JOIN cnt c ON c.winner = i.item GROUP BY 1)), " +
+      "grid AS (SELECT a.i AS i, b.i AS j, coalesce(sum(c.n), 0)::DOUBLE " +
+      "AS n FROM items a CROSS JOIN items b LEFT JOIN cnt c " +
+      "ON (c.winner = a.item AND c.loser = b.item) " +
+      "OR (c.winner = b.item AND c.loser = a.item) GROUP BY 1, 2), " +
+      "nv AS (SELECT list(n ORDER BY i, j) AS nv FROM grid), " +
+      "it(iter, r) AS (" +
+      "SELECT 0, list_transform(range(m), x -> 1.0::DOUBLE) FROM mm " +
+      "UNION ALL " +
+      "SELECT iter + 1, list_transform(u, x -> round(x / list_sum(u), 9)) " +
+      "FROM (SELECT iter, list_transform(range(m), i -> " +
+      "CASE WHEN dnm[i+1] = 0 THEN r[i+1] ELSE wv[i+1] / dnm[i+1] END) AS u " +
+      "FROM (SELECT iter, r, wv.wv, mm.m, list_transform(range(m), i -> " +
+      "list_sum(list_transform(range(m), j -> CASE WHEN j = i OR " +
+      "nv[i*m+j+1] = 0 THEN 0.0::DOUBLE ELSE nv[i*m+j+1] / " +
+      "(r[i+1] + r[j+1]) END))) AS dnm " +
+      s"FROM it, wv, nv, mm WHERE iter < $iters))), " +
+      s"fin AS (SELECT r FROM it WHERE iter = $iters) " +
+      "SELECT i.item, wi.wins, ga.games, fin.r[i.i + 1] AS rating " +
+      "FROM items i CROSS JOIN fin " +
+      "JOIN (SELECT i.i, coalesce(sum(c.n), 0)::BIGINT AS wins " +
+      "FROM items i LEFT JOIN cnt c ON c.winner = i.item GROUP BY 1) wi " +
+      "ON wi.i = i.i " +
+      "JOIN (SELECT i, sum(n)::BIGINT AS games FROM grid GROUP BY 1) ga " +
+      "ON ga.i = i.i ORDER BY i.item"
+
+  /** Mirrors Similarity.pcaProject (q257): 9dp-rounded mean and raw
+    * second moments, covariance as their difference (9dp), `iters`
+    * power-iteration rounds carried as a LIST through a recursive CTE
+    * (components 9dp per step — the Bradley–Terry/Holt recurrence
+    * pattern), then per-vector projection v·x − v·μ at 6dp and the
+    * constant λ₁/trace at 6dp. */
+  def pcaProject(dim: Int, iters: Int): String = {
+    val rng = s"range($dim)"
+    "WITH RECURSIVE " +
+      "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "a AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x " +
+      "FROM e), " +
+      "m AS (SELECT i, round(avg(x), 9) AS mu FROM a GROUP BY 1), " +
+      "ml AS (SELECT list(mu ORDER BY i) AS mul FROM m), " +
+      "r2 AS (SELECT p.i AS i, q.i AS j, round(avg(p.x * q.x), 9) AS m2 " +
+      "FROM a p JOIN a q USING (vec_id) GROUP BY 1, 2), " +
+      "cm AS (SELECT r2.i, r2.j, round(m2 - mi.mu * mj.mu, 9) AS c " +
+      "FROM r2 JOIN m mi ON mi.i = r2.i JOIN m mj ON mj.i = r2.j), " +
+      "cll AS (SELECT list(c ORDER BY i, j) AS cv FROM cm), " +
+      "it(iter, vv) AS (" +
+      s"SELECT 0, list_transform($rng, x -> " +
+      s"round(1.0::DOUBLE / sqrt($dim::DOUBLE), 9)) " +
+      "UNION ALL " +
+      "SELECT iter + 1, list_transform(w, x -> round(x / nrm, 9)) " +
+      "FROM (SELECT iter, w, sqrt(list_sum(list_transform(w, y -> y * y))) " +
+      s"AS nrm FROM (SELECT iter, list_transform($rng, i -> " +
+      s"list_sum(list_transform($rng, j -> cv[i*$dim+j+1] * vv[j+1]))) AS w " +
+      s"FROM it, cll WHERE iter < $iters))), " +
+      s"fin AS (SELECT vv FROM it WHERE iter = $iters), " +
+      s"lam AS (SELECT list_sum(list_transform($rng, i -> vv[i+1] * " +
+      s"list_sum(list_transform($rng, j -> cv[i*$dim+j+1] * vv[j+1])))) AS l, " +
+      s"list_sum(list_transform($rng, i -> cv[i*$dim+i+1])) AS tr, " +
+      s"list_sum(list_transform($rng, k -> mul[k+1] * vv[k+1])) AS mdv " +
+      "FROM fin, cll, ml) " +
+      s"SELECT e.vec_id, round(list_sum(list_transform($rng, k -> " +
+      "e.v[k+1] * vv[k+1])) - mdv, 6) AS pc1, " +
+      "round(l / tr, 6) AS var_explained " +
+      "FROM e, fin, lam ORDER BY e.vec_id"
+  }
 }

@@ -3707,6 +3707,112 @@ object SparkEntry {
             .orderBy(col("_u"), col("doc_id"))))
         .select(col("doc_id"), col("prob"), col("rnk"))
         .orderBy("rnk")
+    },
+
+    // ───── Multinomial Naive Bayes quality classifier: the GENERATIVE
+    // twin of q163's logreg on the same task (is-English), fit on the
+    // corpus itself — vocab-capped Laplace token likelihoods broadcast
+    // as one ≤512-row model, scored in a single tokenize pass ─────
+    "q253_naive_bayes" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      val y = when(col("lang") === "en", 1).otherwise(0)
+      val model = Models.naiveBayesFit(docs, "text", y, vocabSize = 512)
+      Models.naiveBayesScore(docs.withColumn("y", y), model, "doc_id", "text")
+        .select(col("doc_id"), col("y").cast("int").as("y"),
+          col("log_odds"), col("pred"))
+        .orderBy("doc_id")
+    },
+
+    // ───── k-anonymity / l-diversity release audit: one hash-agg over
+    // (event_type, day) cohorts, sensitive = user_id — the structured-
+    // channel privacy gate next to q69's free-text PII scrub ─────
+    "q254_k_anonymity" -> { (s, dir) =>
+      Privacy.kAnonymityAudit(
+          t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+          Seq("event_type", "day"), col("user_id"), k = 30, l = 10)
+        .orderBy("event_type", "day")
+    },
+
+    // ───── HTML → text extraction: the web-scrape ingest stage — drop
+    // script/style payloads, strip tags, decode entities, measure the
+    // link-density boilerplate signal. Page markup is synthesized
+    // deterministically from the documents row in BOTH engines (the
+    // q225 identity-oracle posture); every column is a codegen'd
+    // regex projection, map-only at 100 TB ─────
+    "q255_html_extract" -> { (s, dir) =>
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" &amp; "), upper(col("source")),
+        lit("</title><style>p { color: red; }</style></head><body>" +
+          "<script>var x = 1 < 2;</script><h1>"),
+        col("source"), lit("</h1><p>"), col("text"),
+        lit("</p><a href=\"/s/"), col("source"), lit("\">"),
+        col("source"), lit(" home</a>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<a href=\"/more\">read &gt; more</a>")).otherwise(lit("")),
+        lit("</body></html>"))
+      tb(s, dir, "documents").select(col("doc_id"), html.as("_h"))
+        .select(col("doc_id"),
+          Html.title(col("_h")).as("title"),
+          Html.visibleText(col("_h")).as("text_clean"),
+          Html.tagCount(col("_h")).cast("bigint").as("n_tags"),
+          size(Html.anchorTexts(col("_h"))).cast("bigint").as("n_links"),
+          Html.linkDensity(col("_h")).as("link_density"))
+        .orderBy("doc_id")
+    },
+
+    // ───── Bradley–Terry preference aggregation (the RLHF leaderboard
+    // op): deterministic synthetic matches — each doc vs its successor
+    // from a different source, longer doc wins (tie → lower source) —
+    // aggregated to a ≤sources² win matrix in ONE distributed hash-agg,
+    // then 20 MM rounds driver-side (the bpeTrainDriver bounded-model
+    // posture), 9dp-rounded per step in both engines ─────
+    "q256_bradley_terry" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val a = d.select(col("doc_id").as("_k"), col("source").as("sa"),
+        col("n_chars").as("ca"))
+      val b = d.select((col("doc_id") - 1).as("_k"), col("source").as("sb"),
+        col("n_chars").as("cb"))
+      val pairs = a.join(b, Seq("_k")).filter(col("sa") =!= col("sb"))
+        .select(
+          when(col("ca") > col("cb"), col("sa"))
+            .when(col("cb") > col("ca"), col("sb"))
+            .when(col("sa") < col("sb"), col("sa"))
+            .otherwise(col("sb")).as("winner"),
+          when(col("ca") > col("cb"), col("sb"))
+            .when(col("cb") > col("ca"), col("sa"))
+            .when(col("sa") < col("sb"), col("sb"))
+            .otherwise(col("sa")).as("loser"))
+      Models.bradleyTerry(pairs, "winner", "loser", iters = 20)
+        .orderBy("item")
+    },
+
+    // ───── PCA top component: two distributed moment passes (shuffles
+    // carry dim/dim² partials, never vectors), driver power iteration on
+    // the 64×64 covariance (pqTrain bounded-model posture), projection
+    // served as a broadcast-literal codegen'd VecDot — the embedding
+    // decorrelation/anisotropy monitor ─────
+    "q257_pca_project" -> { (s, dir) =>
+      Similarity.pcaProject(tb(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, iters = 30)
+        .orderBy("vec_id")
+    },
+
+    // ───── STREAMING NB classifier gate: q253's model trained batch-side,
+    // collected into a literal token→llr map, served as a PURE PROJECTION
+    // on the document stream (no join, no state store) — the trained-
+    // model twin of q239's rule gate; drained stream ≡ batch scores ─────
+    "q258_stream_nb_gate" -> { (s, dir) =>
+      val y = when(col("lang") === "en", 1).otherwise(0)
+      val model = Models.naiveBayesFit(
+        t(s, dir, "documents"), "text", y, vocabSize = 512)
+      drainToTable(s,
+        Models.naiveBayesServe(docsStream(s, dir), model, "text")
+          .filter(col("pred") === 1)
+          .select("doc_id", "log_odds", "pred"),
+        "g258_nb_gate", "append")
+        .orderBy("doc_id")
     }
   )
 
@@ -6284,7 +6390,36 @@ object SparkEntry {
         "GROUP BY source ORDER BY source"),
 
     // the q163 scored corpus, ranked by |prob - 0.5| with doc_id ties
-    "q252_uncertainty_sample" -> OraclesExt.uncertaintySample
+    "q252_uncertainty_sample" -> OraclesExt.uncertaintySample,
+
+    // full NB recomputation: top-512 vocab, Laplace per-class token
+    // likelihoods with multiplicity, doc-count prior, OOV skipped
+    "q253_naive_bayes" -> OraclesExt.naiveBayes(512),
+
+    // cohort sizes + distinct sensitive counts per (event_type, day)
+    "q254_k_anonymity" ->
+      ("SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "count(*)::BIGINT AS group_size, " +
+        "count(DISTINCT user_id)::BIGINT AS l_distinct, " +
+        "round(1.0::DOUBLE / count(*), 6) AS risk, " +
+        "(count(*) < 30)::INT AS violates_k, " +
+        "(count(DISTINCT user_id) < 10)::INT AS violates_l " +
+        "FROM events GROUP BY 1, 2 ORDER BY event_type, day"),
+
+    // identity-synthesized page markup, extraction recomputed verbatim
+    "q255_html_extract" -> OraclesExt.htmlExtract,
+
+    // MM recurrence as a recursive CTE over (win vector, games matrix)
+    "q256_bradley_terry" -> OraclesExt.bradleyTerry(20),
+
+    // power-iteration recurrence as a LIST-carrying recursive CTE
+    "q257_pca_project" -> OraclesExt.pcaProject(64, 30),
+
+    // the q253 recomputation, gated to positive predictions
+    "q258_stream_nb_gate" ->
+      ("SELECT doc_id, log_odds, pred FROM (" +
+        OraclesExt.naiveBayes(512).replaceAll(" ORDER BY l.doc_id$", "") +
+        ") WHERE pred = 1 ORDER BY doc_id")
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,

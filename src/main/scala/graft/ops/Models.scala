@@ -73,6 +73,170 @@ object Models {
       .withColumn("pred", col("prob") >= 0.5)
       .drop("b" +: xCols.indices.map(i => s"w${i + 1}"): _*)
 
+  /** Multinomial Naive Bayes fit over word tokens — the GENERATIVE
+    * counterpart of [[logregFit]]'s discriminative filter and the
+    * textbook shape of the fastText/CCNet-style corpus quality
+    * classifiers: per-token class likelihoods with Laplace smoothing,
+    * vocabulary-capped. `label` must evaluate to 1/0 (rows where it is
+    * null are excluded from counts); both classes must be non-empty or
+    * the prior degenerates to ±∞.
+    *
+    * Returns the broadcastable model: one row per in-vocab token,
+    * `(token, llr, log_prior)` with `llr = ln P(t|1) − ln P(t|0)`
+    * (token counts WITH multiplicity — multinomial, not Bernoulli) and
+    * the doc-count log-prior `ln(n1/n0)` repeated on every row so the
+    * whole model travels as ONE ≤vocabSize-row frame.
+    *
+    * Scale shape: vocab = hash-agg + top-V TakeOrderedAndProject (the
+    * [[TextAnalysis.buildVocab]] plan); class counts = one hash-agg over
+    * the vocab-filtered token stream with map-side combine, shuffling
+    * (token, partials) only; smoothing denominators and priors are 1-row
+    * aggregates broadcast back in. At 100 TB the corpus is scanned twice
+    * (vocab, counts) and nothing per-row reaches the driver. */
+  def naiveBayesFit(
+      df: DataFrame,
+      textCol: String,
+      label: Column,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    val toks = df.select(label.cast("int").as("_y"),
+      explode(TextAnalysis.words(col(textCol))).as("token"))
+    val vocab = TextAnalysis.buildVocab(df, textCol, vocabSize)
+      .select("token")
+    val counts = toks.join(broadcast(vocab), Seq("token"))
+      .groupBy("token").agg(
+        count(when(col("_y") === 1, 1)).as("_c1"),
+        count(when(col("_y") === 0, 1)).as("_c0"))
+    val tot = counts.agg(sum("_c1").as("_t1"), sum("_c0").as("_t0"),
+      count(lit(1)).as("_v"))
+    val prior = df.agg(
+      count(when(label.cast("int") === 1, 1)).as("_n1"),
+      count(when(label.cast("int") === 0, 1)).as("_n0"))
+    counts.crossJoin(broadcast(tot)).crossJoin(broadcast(prior))
+      .select(col("token"),
+        (log((col("_c1") + 1.0) / (col("_t1") + col("_v"))) -
+          log((col("_c0") + 1.0) / (col("_t0") + col("_v")))).as("llr"),
+        log(col("_n1").cast("double") / col("_n0")).as("log_prior"))
+  }
+
+  /** Score `df` with a [[naiveBayesFit]] model: appends `log_odds`
+    * (prior + Σ in-vocab token llr, 6dp — out-of-vocabulary tokens are
+    * skipped, the standard NB posture) and `pred` (rounded log_odds > 0,
+    * so engines decide boundary cases identically). The model is a
+    * broadcast probe over one tokenize pass; the per-doc sums join back
+    * on `idCol` — text never shuffles. */
+  def naiveBayesScore(
+      df: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val prior = model.agg(max("log_prior").as("_lp"))
+    val sums = df
+      .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("token"))
+      .join(broadcast(model.select("token", "llr")), Seq("token"))
+      .groupBy(idCol).agg(sum("llr").as("_s"))
+    df.join(sums, Seq(idCol), "left")
+      .crossJoin(broadcast(prior))
+      .withColumn("log_odds", round(col("_lp") + coalesce(col("_s"), lit(0.0)), 6))
+      .withColumn("pred", (col("log_odds") > 0).cast("int"))
+      .drop("_s", "_lp")
+  }
+
+  /** Serving-form Naive Bayes scorer: the [[naiveBayesFit]] model
+    * collected once (bounded by vocabSize — the pinned-index serving
+    * contract) and embedded as a literal token→llr MAP, so scoring is a
+    * PURE PROJECTION — no join, no per-doc aggregate — and therefore
+    * runs unchanged on a STREAMING frame (the q233→q239 batch-rule →
+    * ingest-gate pattern). Value-identical to [[naiveBayesScore]] at the
+    * 6dp round (the per-doc sum merely changes association order).
+    * Token-less (null/empty) docs score exactly the prior, matching the
+    * join path's left-join fallback. */
+  def naiveBayesServe(
+      df: DataFrame,
+      model: DataFrame,
+      textCol: String): DataFrame = {
+    val rows = model.select("token", "llr", "log_prior").collect()
+    require(rows.nonEmpty, "naiveBayesServe: empty model")
+    val lp = rows.head.getDouble(2)
+    val m = map(rows.flatMap(r =>
+      Seq(lit(r.getString(0)), lit(r.getDouble(1)))).toIndexedSeq: _*)
+    val toks = coalesce(TextAnalysis.words(col(textCol)),
+      array().cast("array<string>"))
+    df.withColumn("log_odds",
+        round(lit(lp) + aggregate(toks, lit(0.0),
+          (acc, t) => acc + coalesce(try_element_at(m, t), lit(0.0))), 6))
+      .withColumn("pred", (col("log_odds") > 0).cast("int"))
+  }
+
+  /** Bradley–Terry preference aggregation — the RLHF/leaderboard op:
+    * turn pairwise "A beat B" outcomes into per-item strength ratings by
+    * `iters` rounds of the MM update (Hunter 2004),
+    *
+    *   uᵢ = Wᵢ / Σ_{j≠i} nᵢⱼ / (rᵢ + rⱼ),   rᵢ' = round(uᵢ / Σu, 9)
+    *
+    * (sum-normalized so ratings form a distribution; per-step 9dp
+    * rounding keeps any two engines' trajectories bit-identical — the
+    * Holt/pageRank recurrence-determinism pattern).
+    *
+    * Scale posture: the corpus-sized work is ONE distributed hash-agg
+    * (win counts per ordered pair); the loop then runs driver-side over
+    * the ≤items² aggregated match matrix — the bounded-model-state
+    * posture of pqTrain/bpeTrainDriver, enforced by `require(items ≤
+    * maxItems)`. Preference corpora have billions of comparisons over
+    * hundreds of items, so the matrix is tiny even when the pair stream
+    * is not. Items with no games never appear; an item that never wins
+    * converges to rating 0.
+    *
+    * Returns one row per item: `(item, wins, games, rating)`. */
+  def bradleyTerry(
+      pairs: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int = 20,
+      maxItems: Int = 256): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = pairs.sparkSession
+    val counts = pairs
+      .groupBy(col(winnerCol).cast("string").as("_w"),
+        col(loserCol).cast("string").as("_l"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val items = counts.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    val m = items.length
+    require(m <= maxItems,
+      s"bradleyTerry: $m items exceeds maxItems=$maxItems — the driver-side " +
+        "matrix is bounded by design; raise maxItems deliberately if the " +
+        "item universe is genuinely this large")
+    val idx = items.zipWithIndex.toMap
+    val wins = Array.fill(m)(0L)
+    val games = Array.ofDim[Long](m, m)
+    counts.foreach { case (w, l, n) =>
+      val (i, j) = (idx(w), idx(l))
+      wins(i) += n
+      games(i)(j) += n
+      games(j)(i) += n
+    }
+    var r = Array.fill(m)(1.0)
+    val rd9 = (x: Double) => math.rint(x * 1e9) / 1e9
+    (1 to iters).foreach { _ =>
+      val u = Array.tabulate(m) { i =>
+        var denom = 0.0
+        var j = 0
+        while (j < m) {
+          if (j != i && games(i)(j) > 0) denom += games(i)(j) / (r(i) + r(j))
+          j += 1
+        }
+        if (denom == 0.0) r(i) else wins(i) / denom
+      }
+      val s = u.sum
+      r = u.map(x => rd9(x / s))
+    }
+    import spark.implicits._
+    items.indices
+      .map(i => (items(i), wins(i), games(i).sum, r(i)))
+      .toDF("item", "wins", "games", "rating")
+  }
+
   /** Per-key ordinary-least-squares trend: slope/intercept/corr of `y`
     * over `x` per group, from population moments
     * (`slope = covar_pop/var_pop`, `intercept = avg(y) − slope·avg(x)`) —

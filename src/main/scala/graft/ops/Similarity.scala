@@ -535,6 +535,85 @@ object Similarity {
     * (pos, bin) partial counts only — never vectors), per-dim bounds are
     * a ≤dim-row broadcast, and the PSI algebra runs on the dim×bins
     * count grid. */
+  /** Top-principal-component projection — the embedding-decorrelation op
+    * (whitening-lite): score every vector by its coordinate along the
+    * direction of maximum variance, plus how much of the total variance
+    * that direction explains (the "is this embedding space collapsing to
+    * one axis?" monitor next to [[embeddingDrift]]).
+    *
+    * Two distributed moment passes (mean, raw second moments — posexplode
+    * Generates whose shuffles carry (dim, partial) / (dim², partial) only,
+    * never vectors), then the covariance eigenproblem runs DRIVER-SIDE on
+    * the ≤dim² matrix (the pqTrain bounded-model posture; dim is an
+    * embedding width, not a data size): `iters` deterministic power-
+    * iteration rounds from the uniform unit vector, every component
+    * 9dp-rounded per step so any engine replaying the same rounded
+    * moments walks the same trajectory (the Holt/pageRank pattern — no
+    * sign ambiguity because there is no randomness). The final projection
+    * is a broadcast-literal [[dot]] (codegen'd VecDot), map-only over the
+    * corpus.
+    *
+    * Returns one row per vector: `(idCol, pc1, var_explained)` with
+    * `pc1 = v·x − v·μ` (6dp) and the constant
+    * `var_explained = λ₁/trace(C)` (6dp). */
+  def pcaProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 30): DataFrame = {
+    require(dim >= 2 && dim <= 4096, "dim must be in [2, 4096]")
+    require(iters >= 1, "iters must be >= 1")
+    val rd9 = (x: Double) => math.rint(x * 1e9) / 1e9
+    val e = df.select(col(vecCol).cast("array<double>").as("_v"))
+    val mu = new Array[Double](dim)
+    e.select(posexplode(col("_v")).as(Seq("_i", "_x")))
+      .groupBy("_i").agg(avg("_x").as("m"))
+      .collect().foreach(r => mu(r.getInt(0)) = rd9(r.getDouble(1)))
+    val raw = Array.ofDim[Double](dim, dim)
+    e.select(col("_v"), posexplode(col("_v")).as(Seq("_i", "_x")))
+      .select(col("_i"), col("_x"), posexplode(col("_v")).as(Seq("_j", "_y")))
+      .groupBy("_i", "_j").agg(avg(col("_x") * col("_y")).as("m"))
+      .collect()
+      .foreach(r => raw(r.getInt(0))(r.getInt(1)) = rd9(r.getDouble(2)))
+    val c = Array.tabulate(dim, dim)((i, j) => rd9(raw(i)(j) - mu(i) * mu(j)))
+    var v = Array.fill(dim)(rd9(1.0 / math.sqrt(dim.toDouble)))
+    def cTimes(x: Array[Double]): Array[Double] = Array.tabulate(dim) { i =>
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += c(i)(j) * x(j); j += 1 }
+      s
+    }
+    (1 to iters).foreach { _ =>
+      val w = cTimes(v)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(x => rd9(x / n))
+    }
+    val lambda = {
+      val cv = cTimes(v)
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += v(i) * cv(i); i += 1 }
+      s
+    }
+    val trace = {
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += c(i)(i); i += 1 }
+      s
+    }
+    val muDotV = {
+      var s = 0.0
+      var k = 0
+      while (k < dim) { s += mu(k) * v(k); k += 1 }
+      s
+    }
+    val vLit = array(v.map(lit): _*)
+    df.select(col(idCol),
+      round(dot(col(vecCol), vLit) - muDotV, 6).as("pc1"),
+      lit(math.rint(lambda / trace * 1e6) / 1e6).as("var_explained"))
+  }
+
   def embeddingDrift(
       ref: DataFrame, // (id, vecCol)
       cur: DataFrame,

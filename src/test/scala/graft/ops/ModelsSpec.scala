@@ -98,4 +98,104 @@ class ModelsSpec extends SparkSpec {
     // encode differently (plain mean encoding would give them the same)
     assert(got(("a", 1.0)) != got(("a", 0.0)))
   }
+
+  test("naiveBayes: hand-computed Laplace arithmetic on a 4-doc corpus") {
+    // class 1 says "good good spark", class 0 says "bad bad spark":
+    // tokens good/bad are fully class-indicative, spark is neutral
+    val df = Seq(
+      (1L, 1, "good good spark"), (2L, 1, "good spark"),
+      (3L, 0, "bad bad spark"), (4L, 0, "bad spark")
+    ).toDF("doc_id", "y", "text")
+    val m = Models.naiveBayesFit(df, "text", col("y"), vocabSize = 16)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // in-vocab token totals: class1 = 5 (good*3, spark*2), class0 = 5,
+    // V = 3; llr(good) = ln(4/8) - ln(1/8), llr(bad) symmetric opposite,
+    // llr(spark) = 0; prior = ln(2/2) = 0
+    val lnG = math.log(4.0 / 8) - math.log(1.0 / 8)
+    assert(math.abs(m("good")._1 - lnG) < 1e-12)
+    assert(math.abs(m("bad")._1 + lnG) < 1e-12)
+    assert(math.abs(m("spark")._1) < 1e-12)
+    assert(m.values.forall(_._2 == 0.0)) // log prior on every row
+    val model = Models.naiveBayesFit(df, "text", col("y"), vocabSize = 16)
+    val got = Models.naiveBayesScore(df, model, "doc_id", "text")
+      .select("doc_id", "log_odds", "pred")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    // doc 1 = 2*llr(good): both sides classified correctly
+    assert(math.abs(got(1L)._1 - math.rint(2 * lnG * 1e6) / 1e6) < 1e-12)
+    assert(got(1L)._2 == 1 && got(2L)._2 == 1)
+    assert(got(3L)._2 == 0 && got(4L)._2 == 0)
+  }
+
+  test("naiveBayes: OOV-only doc scores exactly the log prior") {
+    val train = Seq(
+      (1L, 1, "alpha beta"), (2L, 0, "gamma delta"), (3L, 1, "alpha")
+    ).toDF("doc_id", "y", "text")
+    val model = Models.naiveBayesFit(train, "text", col("y"), vocabSize = 8)
+    val test0 = Seq((9L, "zzz qqq")).toDF("doc_id", "text")
+    val lp = math.log(2.0 / 1.0) // 2 positive docs, 1 negative
+    val r = Models.naiveBayesScore(test0, model, "doc_id", "text")
+      .select("log_odds").collect().head.getDouble(0)
+    assert(r == math.rint(lp * 1e6) / 1e6)
+  }
+
+  test("naiveBayesServe: projection path ≡ join path, incl. null/empty docs") {
+    val docs = Seq(
+      (1L, 1, "good good spark fast"), (2L, 1, "good spark"),
+      (3L, 0, "bad bad slow spark"), (4L, 0, "bad spark slow"),
+      (5L, 1, null.asInstanceOf[String]), (6L, 0, "")
+    ).toDF("doc_id", "y", "text")
+    val model = Models.naiveBayesFit(docs, "text", col("y"), vocabSize = 16)
+    val joinPath = Models.naiveBayesScore(docs, model, "doc_id", "text")
+      .select("doc_id", "log_odds", "pred").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val servePath = Models.naiveBayesServe(docs, model, "text")
+      .select("doc_id", "log_odds", "pred").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(joinPath == servePath)
+  }
+
+  test("bradleyTerry: 2:1 head-to-head converges to the 2/3 vs 1/3 ratings") {
+    // closed form: u_A/u_B = W_A/W_B = 2 after ONE MM step (same shared
+    // denominator n/(r_A + r_B)), and the normalized point is stationary
+    val pairs = Seq(("A", "B"), ("A", "B"), ("B", "A"))
+      .toDF("winner", "loser")
+    val got = Models.bradleyTerry(pairs, "winner", "loser", iters = 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("A")._1 == 2L && got("B")._1 == 1L)
+    assert(got("A")._2 == 3L && got("B")._2 == 3L)
+    assert(math.abs(got("A")._3 - 2.0 / 3) < 1e-9)
+    assert(math.abs(got("B")._3 - 1.0 / 3) < 1e-9)
+  }
+
+  test("bradleyTerry: transitive chain orders A > B > C; sum-normalized") {
+    val pairs = Seq(
+      ("A", "B"), ("A", "B"), ("B", "A"),
+      ("B", "C"), ("B", "C"), ("C", "B"),
+      ("A", "C"), ("A", "C"), ("A", "C")
+    ).toDF("winner", "loser")
+    val got = Models.bradleyTerry(pairs, "winner", "loser", iters = 50)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("A") > got("B") && got("B") > got("C"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+
+  test("bradleyTerry: maxItems bound fails loud") {
+    val pairs = Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("w", "l")
+    intercept[IllegalArgumentException] {
+      Models.bradleyTerry(pairs, "w", "l", maxItems = 2)
+    }
+  }
+
+  test("naiveBayes: vocabSize caps the model and OOV tokens are skipped") {
+    // "rare" appears once; vocabSize=2 keeps the two frequent tokens only
+    val df = Seq(
+      (1L, 1, "hot hot hot rare"), (2L, 0, "cold cold cold")
+    ).toDF("doc_id", "y", "text")
+    val m = Models.naiveBayesFit(df, "text", col("y"), vocabSize = 2)
+    assert(m.count() == 2)
+    assert(m.select("token").collect().map(_.getString(0)).toSet ==
+      Set("hot", "cold"))
+  }
 }

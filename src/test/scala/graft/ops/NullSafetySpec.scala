@@ -208,4 +208,44 @@ class NullSafetySpec extends SparkSpec {
         .toDF("k", "d", "v"), "k", "d", "v")
     assert(h.count() == 0) // single point: no init, key drops
   }
+
+  test("naiveBayes: null/empty docs train and score as token-less") {
+    val docs = Seq(
+      (1L, 1, "good stuff here"), (2L, 0, "bad junk there"),
+      (3L, 1, null.asInstanceOf[String]), (4L, 0, "")
+    ).toDF("doc_id", "y", "text")
+    val model = Models.naiveBayesFit(docs, "text", col("y"), vocabSize = 16)
+    val got = Models.naiveBayesScore(docs, model, "doc_id", "text")
+      .select("doc_id", "log_odds").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // token-less docs (null + empty) fall back to exactly the prior,
+    // which is ln(2/2) = 0 here; every doc still gets a row
+    assert(got.size == 4)
+    assert(got(3L) == 0.0 && got(4L) == 0.0)
+  }
+
+  test("html extraction: null html -> null columns, never an error") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "<p>x</p>"))
+      .toDF("id", "h")
+    val out = df.select(col("id"), Html.visibleText(col("h")).as("t"),
+        Html.title(col("h")).as("ttl"), Html.linkDensity(col("h")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(out(1L) == ((None, None)))
+    assert(out(2L) == ((Some("x"), Some(""))))
+  }
+
+  test("kAnonymityAudit: null quasi values form their own cohort") {
+    val df = Seq((null.asInstanceOf[String], "s1"),
+      (null.asInstanceOf[String], "s2"), ("a", "s1")).toDF("q1", "s")
+    val got = Privacy.kAnonymityAudit(df, Seq("q1"), col("s"), k = 2, l = 1)
+      .select("q1", "group_size").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got(None) == 2L && got(Some("a")) == 1L)
+  }
+
+  test("bradleyTerry: empty pair stream yields an empty leaderboard") {
+    val pairs = Seq.empty[(String, String)].toDF("w", "l")
+    assert(Models.bradleyTerry(pairs, "w", "l").count() == 0)
+  }
 }

@@ -297,4 +297,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2) == ((1L, 1.0)), out.toString)
     assert(out(1)._2 <= out(2)._2) // monotone in probe width
   }
+
+  test("pcaProject: recovers the dominant axis on axis-aligned data") {
+    import spark.implicits._
+    // zero-mean, exactly diagonal covariance: C = diag(10/3, 1/300);
+    // the component ratio shrinks 3e-4 per power step, so 30 rounds
+    // leave v = (1, 0) exactly after 9dp rounding
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(-1f, 0f)),
+      (3L, Array(3f, 0f)), (4L, Array(-3f, 0f)),
+      (5L, Array(0f, 0.1f)), (6L, Array(0f, -0.1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pcaProject(df, "vec_id", "embedding", dim = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // projections = the first coordinate (v = e1, mu = 0)
+    assert(got(1L)._1 == 1.0 && got(2L)._1 == -1.0)
+    assert(got(3L)._1 == 3.0 && got(4L)._1 == -3.0)
+    assert(got(5L)._1 == 0.0 && got(6L)._1 == 0.0)
+    // var_explained = (20/6) / (20/6 + 0.02/6) at the rounded moments
+    val c00 = math.rint(20.0 / 6 * 1e9) / 1e9
+    val c11 = math.rint(0.02 / 6 * 1e9) / 1e9
+    val exp = math.rint(c00 / (c00 + c11) * 1e6) / 1e6
+    assert(got(1L)._2 == exp, s"got ${got(1L)._2}, want $exp")
+  }
+
+  test("pcaProject: projections are mean-centered (sum ~ 0) on shifted data") {
+    import spark.implicits._
+    // same shape as above but shifted +5 on both axes: centering must
+    // remove the offset, leaving the identical projections
+    val df = Seq(
+      (1L, Array(6f, 5f)), (2L, Array(4f, 5f)),
+      (3L, Array(8f, 5f)), (4L, Array(2f, 5f)),
+      (5L, Array(5f, 5.1f)), (6L, Array(5f, 4.9f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pcaProject(df, "vec_id", "embedding", dim = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum) < 1e-6, got.toString)
+    assert(got(3L) == 3.0 && got(4L) == -3.0, got.toString)
+  }
 }
