@@ -1662,4 +1662,47 @@ object OraclesExt {
       "round(l / tr, 6) AS var_explained " +
       "FROM e, fin, lam ORDER BY e.vec_id"
   }
+
+  /** Mirrors Sampling.ipfMixture over (source, lang) token masses with
+    * uniform marginal targets: the dense grid flattened row-major into a
+    * LIST, `iters` alternating row/column scaling rounds through a
+    * recursive CTE, each half-step 9dp-rounded with the same
+    * `w · (target / marginalsum)` association as the Scala loop;
+    * all-zero marginals left untouched. */
+  def ipfMixture(iters: Int): String =
+    "WITH RECURSIVE " +
+      "c0 AS (SELECT source, lang, " +
+      "sum(len(regexp_extract_all(lower(text), '\\w+'))::DOUBLE) AS n " +
+      "FROM documents GROUP BY 1, 2), " +
+      "rws AS (SELECT row_number() OVER (ORDER BY source) - 1 AS s, source " +
+      "FROM (SELECT DISTINCT source FROM c0)), " +
+      "cls AS (SELECT row_number() OVER (ORDER BY lang) - 1 AS j, lang " +
+      "FROM (SELECT DISTINCT lang FROM c0)), " +
+      "grid AS (SELECT r.s, c.j, r.source, c.lang, " +
+      "coalesce(d.n, 0)::DOUBLE AS n FROM rws r CROSS JOIN cls c " +
+      "LEFT JOIN c0 d ON d.source = r.source AND d.lang = c.lang), " +
+      "dims AS (SELECT (SELECT count(*) FROM rws)::BIGINT AS m, " +
+      "(SELECT count(*) FROM cls)::BIGINT AS k, " +
+      "(SELECT sum(n) FROM grid) AS total), " +
+      "cl AS (SELECT list(n ORDER BY s, j) AS nv FROM grid), " +
+      "it(iter, w) AS (" +
+      "SELECT 0, nv FROM cl " +
+      "UNION ALL " +
+      "SELECT iter + 1, list_transform(range(m*k), x -> " +
+      "CASE WHEN cs[(x % k)+1] = 0 THEN w1[x+1] " +
+      "ELSE round(w1[x+1] * ((total / k) / cs[(x % k)+1]), 9) END) " +
+      "FROM (SELECT iter, w1, m, k, total, list_transform(range(k), j -> " +
+      "list_sum(list_transform(range(m), s -> w1[s*k+j+1]))) AS cs " +
+      "FROM (SELECT iter, m, k, total, list_transform(range(m*k), x -> " +
+      "CASE WHEN rs[x//k+1] = 0 THEN w[x+1] " +
+      "ELSE round(w[x+1] * ((total / m) / rs[x//k+1]), 9) END) AS w1 " +
+      "FROM (SELECT iter, w, m, k, total, list_transform(range(m), s -> " +
+      "list_sum(list_transform(range(k), j -> w[s*k+j+1]))) AS rs " +
+      s"FROM it, dims WHERE iter < $iters)))), " +
+      s"fin AS (SELECT w FROM it WHERE iter = $iters) " +
+      "SELECT g.source, g.lang, round(g.n, 6) AS mass, " +
+      "round(w[(g.s * k + g.j + 1)::INT], 6) AS weight, " +
+      "CASE WHEN g.n = 0 THEN 0.0::DOUBLE " +
+      "ELSE round(w[(g.s * k + g.j + 1)::INT] / g.n, 6) END AS rate " +
+      "FROM grid g, fin, dims ORDER BY g.source, g.lang"
 }

@@ -3813,6 +3813,35 @@ object SparkEntry {
           .select("doc_id", "log_odds", "pred"),
         "g258_nb_gate", "append")
         .orderBy("doc_id")
+    },
+
+    // ───── IPF / raking mixture solver: per-(source, lang) token masses
+    // reweighted to hit BOTH uniform marginals — one distributed hash-agg
+    // builds the grid, 20 alternating scaling rounds run driver-side on
+    // the 20×4 cell table (bounded-model posture); output is the per-cell
+    // resampling rate downstream samplers apply ─────
+    "q259_ipf_mixture" -> { (s, dir) =>
+      Sampling.ipfMixture(tb(s, dir, "documents"), "source", "lang",
+          size(TextAnalysis.words(col("text"))), iters = 20)
+        .orderBy("source", "lang")
+    },
+
+    // ───── Truncation-loss curve: tokens thrown away by a hard per-doc
+    // context cap, per (source, context length) — one tokenize pass to a
+    // narrow (group, count) stream, then the |contexts|-way explode and
+    // a single hash-agg ─────
+    "q260_truncation_loss" -> { (s, dir) =>
+      TextAnalysis.truncationLoss(tb(s, dir, "documents"), "text",
+          col("source"), Seq(16, 64, 256))
+        .orderBy("grp", "context_len")
+    },
+
+    // ───── REAL audio resample round trip: decode → decimate → re-encode
+    // a real RIFF container from executor-derived samples → decode again
+    // (the q247 re-encode posture for sound); oracle recomputes every
+    // feature from the deterministic sample formula ─────
+    "q261_wav_resample" -> { (s, dir) =>
+      Multimodal.wavResampleFeatures(s, dir).orderBy("doc_id")
     }
   )
 
@@ -6419,7 +6448,40 @@ object SparkEntry {
     "q258_stream_nb_gate" ->
       ("SELECT doc_id, log_odds, pred FROM (" +
         OraclesExt.naiveBayes(512).replaceAll(" ORDER BY l.doc_id$", "") +
-        ") WHERE pred = 1 ORDER BY doc_id")
+        ") WHERE pred = 1 ORDER BY doc_id"),
+
+    // alternating-scaling recurrence as a LIST-carrying recursive CTE
+    "q259_ipf_mixture" -> OraclesExt.ipfMixture(20),
+
+    // per-(source, context) loss recomputed from raw token counts
+    "q260_truncation_loss" ->
+      ("WITH n AS (SELECT source AS grp, " +
+        "coalesce(len(regexp_extract_all(lower(text), '\\w+')), 0) AS n " +
+        "FROM documents), " +
+        "x AS (SELECT grp, n, unnest([16, 64, 256]) AS context_len FROM n) " +
+        "SELECT grp, context_len::INT AS context_len, " +
+        "count(*)::BIGINT AS n_docs, " +
+        "sum(CASE WHEN n > context_len THEN 1 ELSE 0 END)::BIGINT " +
+        "AS docs_truncated, " +
+        "sum(greatest(n - context_len, 0))::BIGINT AS tokens_lost, " +
+        "sum(n)::BIGINT AS tokens_total, " +
+        "CASE WHEN sum(n) = 0 THEN 0.0::DOUBLE ELSE " +
+        "round(sum(greatest(n - context_len, 0))::DOUBLE / sum(n), 6) END " +
+        "AS frac_lost FROM x GROUP BY 1, 2 ORDER BY grp, context_len"),
+
+    // kept sample i' = 2i: value ((doc_id*31 + 2i*17) % 65536) - 32768;
+    // rate halves to 4000, n' = (n+1)//2
+    "q261_wav_resample" ->
+      ("WITH d AS (SELECT doc_id, 200 + (doc_id % 100) AS n FROM documents), " +
+        "p AS (SELECT doc_id, ((n + 1) // 2)::INT AS n_samples, " +
+        "4000 AS sample_rate, " +
+        "list_transform(range(0, n, 2), i -> " +
+        "((doc_id*31 + i*17) % 65536) - 32768) AS sm FROM d) " +
+        "SELECT doc_id, n_samples, sample_rate, " +
+        "list_sum(sm)::BIGINT AS amp_sum, " +
+        "list_max(list_transform(sm, x -> abs(x)))::INT AS peak, " +
+        "(n_samples * 1000 // 4000)::BIGINT AS duration_ms " +
+        "FROM p ORDER BY doc_id")
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,

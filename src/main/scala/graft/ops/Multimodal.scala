@@ -467,6 +467,56 @@ object Multimodal {
 
   /** Real WAV audio features through the per-partition boundary:
     * duration, amplitude sum, peak — straight from parsed PCM. */
+  /** Encode arbitrary 16-bit mono PCM into a real RIFF/WAVE container —
+    * the executor-side ENCODE path for audio derived on the cluster
+    * (the [[resizePngHalf]] re-encode posture for sound). */
+  def encodeWavPcm(rate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Halve the sample rate by plain decimation (keep every 2nd sample —
+    * deterministic, no filter kernel to disagree about) and re-encode a
+    * REAL WAV container from the derived samples. */
+  def resampleWavHalf(b: Array[Byte]): Array[Byte] = {
+    val (rate, samples) = decodeWav(b)
+    val out = Array.tabulate((samples.length + 1) / 2)(i => samples(2 * i))
+    encodeWavPcm(rate / 2, out)
+  }
+
+  /** Audio features AFTER a real resample round trip: encode → decode →
+    * decimate → RE-ENCODE (real container from executor-derived samples)
+    * → decode again, all inside the partition boundary — the audio twin
+    * of [[pngResizeFeatures]]. */
+  def wavResampleFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (rate, samples) = decodeWav(resampleWavHalf(encodeWav(id)))
+        var s = 0L; var peak = 0
+        var i = 0
+        while (i < samples.length) {
+          s += samples(i)
+          val a = math.abs(samples(i)); if (a > peak) peak = a
+          i += 1
+        }
+        (id, samples.length, rate, s, peak, samples.length * 1000L / rate)
+      })
+      .toDF("doc_id", "n_samples", "sample_rate", "amp_sum", "peak",
+        "duration_ms")
+  }
+
   def wavFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Sources.table(spark, sfDir, "documents")

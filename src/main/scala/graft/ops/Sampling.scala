@@ -68,4 +68,89 @@ object Sampling {
     asg.withColumn("_rnk", row_number().over(w))
       .select(col("cid"), col("cell"), (col("_rnk") <= perCell).as("kept"))
   }
+
+  /** Iterative proportional fitting (raking; Deming & Stephan 1940) —
+    * the two-marginal corpus-mixture solver: given per-(row, col) mass
+    * (e.g. tokens per source × language), find cell weights that match
+    * BOTH uniform marginals simultaneously — the closed-loop version of
+    * the one-dimensional quota/temperature mixers (q65/q104), and the
+    * standard "rebalance sources without starving a language" tool.
+    *
+    * `iters` alternating scaling rounds, each half-step 9dp-rounded so
+    * any engine replaying the same cell table walks the same trajectory
+    * (the Bradley–Terry recurrence pattern):
+    *
+    *   w ← round9(w · (R / rowsum)),  then  w ← round9(w · (C / colsum))
+    *
+    * with R = total/nRows, C = total/nCols (uniform targets), and
+    * all-zero rows/columns left untouched (their cells stay 0).
+    *
+    * Scale posture: ONE distributed hash-agg builds the cell table; the
+    * loop runs driver-side on the ≤`maxCells` dense grid (the
+    * bradleyTerry/pqTrain bounded-model posture — mixture grids are
+    * sources × languages, never data-sized). Returns the full dense
+    * grid, one row per (row, col) incl. empty cells: `(rowCol, colCol,
+    * mass, weight, rate)` — `rate = weight/mass` (0 on empty cells) is
+    * the per-cell resampling factor downstream samplers apply. */
+  def ipfMixture(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String,
+      mass: Column,
+      iters: Int = 20,
+      maxCells: Int = 4096): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
+    val rd9 = (x: Double) => math.rint(x * 1e9) / 1e9
+    val rd6 = (x: Double) => math.rint(x * 1e6) / 1e6
+    val cells = df
+      .groupBy(col(rowCol).cast("string").as("_r"),
+        col(colCol).cast("string").as("_c"))
+      .agg(sum(mass.cast("double")).as("_n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val rows = cells.map(_._1).distinct.sorted
+    val cols = cells.map(_._2).distinct.sorted
+    val (m, k) = (rows.length, cols.length)
+    require(m.toLong * k <= maxCells,
+      s"ipfMixture: $m x $k grid exceeds maxCells=$maxCells")
+    val ri = rows.zipWithIndex.toMap
+    val ci = cols.zipWithIndex.toMap
+    val n = Array.ofDim[Double](m, k)
+    cells.foreach { case (r, c, v) => n(ri(r))(ci(c)) = v }
+    var total = 0.0
+    for (s <- 0 until m; j <- 0 until k) total += n(s)(j)
+    val (rt, ct) = (total / m, total / k)
+    val w = Array.tabulate(m, k)((s, j) => n(s)(j))
+    (1 to iters).foreach { _ =>
+      var s = 0
+      while (s < m) {
+        var rs = 0.0
+        var j = 0
+        while (j < k) { rs += w(s)(j); j += 1 }
+        if (rs != 0.0) {
+          val f = rt / rs
+          j = 0
+          while (j < k) { w(s)(j) = rd9(w(s)(j) * f); j += 1 }
+        }
+        s += 1
+      }
+      var j = 0
+      while (j < k) {
+        var cs = 0.0
+        var s2 = 0
+        while (s2 < m) { cs += w(s2)(j); s2 += 1 }
+        if (cs != 0.0) {
+          val f = ct / cs
+          s2 = 0
+          while (s2 < m) { w(s2)(j) = rd9(w(s2)(j) * f); s2 += 1 }
+        }
+        j += 1
+      }
+    }
+    import spark.implicits._
+    (for (s <- 0 until m; j <- 0 until k) yield (
+      rows(s), cols(j), rd6(n(s)(j)), rd6(w(s)(j)),
+      if (n(s)(j) == 0.0) 0.0 else rd6(w(s)(j) / n(s)(j))
+    )).toDF(rowCol, colCol, "mass", "weight", "rate")
+  }
 }

@@ -1493,4 +1493,40 @@ object TextAnalysis {
           lit(k.toLong)).cast("int"))
       .drop("_lo", "_hi")
   }
+
+  /** Truncation-loss curve — the "what context length do we need"
+    * companion to [[packSweep]] (which asks how tightly docs PACK, this
+    * asks how much of the corpus a hard per-doc cap THROWS AWAY): for
+    * each candidate context length, per group, the docs that would be
+    * truncated and the tokens lost past the cap. Token-less (null/empty)
+    * docs count as 0-token docs.
+    *
+    * Scale shape: ONE tokenize pass reduces each doc to its token count
+    * BEFORE the |contexts|-way explode (the explode multiplies a narrow
+    * (group, count) stream, never text), then a single hash-agg on
+    * (group, context) with map-side combine. */
+  def truncationLoss(
+      df: DataFrame,
+      textCol: String,
+      group: Column,
+      contexts: Seq[Int]): DataFrame = {
+    require(contexts.nonEmpty && contexts.forall(_ >= 1),
+      "contexts must be non-empty, all >= 1")
+    df.select(group.as("grp"),
+        coalesce(size(words(col(textCol))), lit(0)).as("_n"))
+      .select(col("grp"), col("_n"),
+        explode(array(contexts.map(lit): _*)).as("context_len"))
+      .groupBy("grp", "context_len")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_n") > col("context_len"), 1L).otherwise(0L))
+          .as("docs_truncated"),
+        sum(greatest(col("_n") - col("context_len"), lit(0)).cast("long"))
+          .as("tokens_lost"),
+        sum(col("_n").cast("long")).as("tokens_total"))
+      .withColumn("frac_lost",
+        when(col("tokens_total") === 0, lit(0.0))
+          .otherwise(round(col("tokens_lost").cast("double") /
+            col("tokens_total"), 6)))
+  }
 }

@@ -151,4 +151,26 @@ class MultimodalSpec extends SparkSpec {
     val byId = frames.groupBy(_.getAs[Long]("id"))
     byId.values.foreach(fs => assert(fs.map(_.getAs[Int]("frame_no")).sorted.toSeq == Seq(0, 1, 2, 3)))
   }
+
+  test("encodeWavPcm/resampleWavHalf: real container round trip at half rate") {
+    val orig = Multimodal.encodeWav(7L)
+    val (r0, s0) = Multimodal.decodeWav(orig)
+    val (r1, s1) = Multimodal.decodeWav(Multimodal.resampleWavHalf(orig))
+    assert(r1 == r0 / 2)
+    assert(s1.length == (s0.length + 1) / 2)
+    // decimation keeps exactly the even-index samples
+    s1.indices.foreach(i => assert(s1(i) == s0(2 * i)))
+    // the re-encoded container is a VALID RIFF file the reader accepts:
+    // header fields round-trip (size words, fmt, data length)
+    val reEnc = Multimodal.encodeWavPcm(r1, s1)
+    val (r2, s2) = Multimodal.decodeWav(reEnc)
+    assert(r2 == r1 && s2.toSeq == s1.toSeq)
+    assert(reEnc.length == 44 + 2 * s1.length)
+  }
+
+  test("encodeWavPcm: arbitrary derived samples survive, incl. negatives") {
+    val samples = Array(0, 1, -1, 32767, -32768, 1234, -4321)
+    val (rate, got) = Multimodal.decodeWav(Multimodal.encodeWavPcm(4000, samples))
+    assert(rate == 4000 && got.toSeq == samples.toSeq)
+  }
 }

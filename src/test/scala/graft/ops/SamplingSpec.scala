@@ -69,4 +69,40 @@ class SamplingSpec extends SparkSpec {
       Sampling.consistentSample(df, "k", 101)
     }
   }
+
+  test("ipfMixture: fitted weights hit both uniform marginals") {
+    import org.apache.spark.sql.functions._
+    // skewed 2x2 mass grid: a/x dominates; raking must equalize both
+    // row sums (a vs b) and column sums (x vs y) at total/2 = 50 each
+    val rows = Seq.fill(60)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val df = rows.toDF("src", "lg")
+    val got = Sampling.ipfMixture(df, "src", "lg", lit(1.0), iters = 50)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val rowSum = got.toSeq.groupBy(_._1._1)
+      .map { case (s, cs) => s -> cs.map(_._2._2).sum }
+    val colSum = got.toSeq.groupBy(_._1._2)
+      .map { case (c, cs) => c -> cs.map(_._2._2).sum }
+    rowSum.values.foreach(v => assert(math.abs(v - 50.0) < 1e-6, rowSum))
+    colSum.values.foreach(v => assert(math.abs(v - 50.0) < 1e-6, colSum))
+    // masses preserved in the output
+    assert(got(("a", "x"))._1 == 60.0 && got(("b", "y"))._1 == 10.0)
+  }
+
+  test("ipfMixture: empty cells stay zero; already-balanced grid is a no-op") {
+    import org.apache.spark.sql.functions._
+    // b never produces y: the dense grid contains the (b, y) cell at 0
+    val df = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("a", "y")) ++
+      Seq.fill(10)(("b", "x"))).toDF("src", "lg")
+    val got = Sampling.ipfMixture(df, "src", "lg", lit(1.0), iters = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(got.contains(("b", "y")) && got(("b", "y")) == 0.0)
+    // perfectly balanced 2x2: weights == masses after any #iters
+    val bal = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("a", "y")) ++
+      Seq.fill(5)(("b", "x")) ++ Seq.fill(5)(("b", "y"))).toDF("src", "lg")
+    Sampling.ipfMixture(bal, "src", "lg", lit(1.0), iters = 10)
+      .collect().foreach(r => assert(r.getDouble(3) == 5.0, r.toString))
+  }
 }

@@ -833,4 +833,31 @@ class TextAnalysisSpec extends SparkSpec {
       totals.mkString(","))
     got.unpersist()
   }
+
+  test("truncationLoss: hand-computed losses; null doc counts as 0 tokens") {
+    val df = Seq(
+      (1L, "a", "one two three four five"), // 5 tokens
+      (2L, "a", "one two"),                 // 2
+      (3L, "a", null.asInstanceOf[String]), // 0
+      (4L, "b", "x y z w")                  // 4
+    ).toDF("id", "src", "text")
+    val got = TextAnalysis.truncationLoss(df, "text", col("src"), Seq(3))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    // a: 3 docs, 1 truncated (5>3), lost 2, total 7
+    assert(got("a") == ((3L, 1L, 2L, 7L, math.rint(2.0 / 7 * 1e6) / 1e6)))
+    // b: 1 doc, 1 truncated, lost 1, total 4
+    assert(got("b") == ((1L, 1L, 1L, 4L, 0.25)))
+  }
+
+  test("truncationLoss: loss is monotone non-increasing in context length") {
+    val df = Seq((1L, "g", ("tok " * 100).trim), (2L, "g", ("tok " * 10).trim))
+      .toDF("id", "src", "text")
+    val byCtx = TextAnalysis
+      .truncationLoss(df, "text", col("src"), Seq(8, 32, 128))
+      .collect().map(r => r.getInt(1) -> r.getLong(4)).toMap
+    assert(byCtx(8) >= byCtx(32) && byCtx(32) >= byCtx(128))
+    assert(byCtx(128) == 0L) // everything fits at 128
+  }
 }
