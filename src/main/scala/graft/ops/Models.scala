@@ -87,12 +87,14 @@ object Models {
     * the doc-count log-prior `ln(n1/n0)` repeated on every row so the
     * whole model travels as ONE ≤vocabSize-row frame.
     *
-    * Scale shape: vocab = hash-agg + top-V TakeOrderedAndProject (the
-    * [[TextAnalysis.buildVocab]] plan); class counts = one hash-agg over
-    * the vocab-filtered token stream with map-side combine, shuffling
-    * (token, partials) only; smoothing denominators and priors are 1-row
-    * aggregates broadcast back in. At 100 TB the corpus is scanned twice
-    * (vocab, counts) and nothing per-row reaches the driver. */
+    * Scale shape: ONE tokenize pass computes total + per-class counts
+    * per token type in a single hash-agg (map-side combine, shuffle
+    * carries (token, partials) only); the vocab cut is a top-V
+    * TakeOrderedAndProject over TYPE rows; the ≤vocabSize result is
+    * `localCheckpoint`ed so the smoothing-denominator aggregate reuses
+    * it instead of re-deriving the whole subtree (the HITS
+    * two-consumers rule); priors are one column-pruned doc-count
+    * aggregate. Nothing per-row reaches the driver. */
   def naiveBayesFit(
       df: DataFrame,
       textCol: String,
@@ -101,12 +103,15 @@ object Models {
     require(vocabSize >= 1, "vocabSize must be >= 1")
     val toks = df.select(label.cast("int").as("_y"),
       explode(TextAnalysis.words(col(textCol))).as("token"))
-    val vocab = TextAnalysis.buildVocab(df, textCol, vocabSize)
-      .select("token")
-    val counts = toks.join(broadcast(vocab), Seq("token"))
-      .groupBy("token").agg(
+    // total freq (all docs, labeled or not — buildVocab's definition)
+    // and per-class counts in ONE pass over the token stream
+    val counts = toks.groupBy("token")
+      .agg(count(lit(1)).as("_f"),
         count(when(col("_y") === 1, 1)).as("_c1"),
         count(when(col("_y") === 0, 1)).as("_c0"))
+      .orderBy(col("_f").desc, col("token")).limit(vocabSize)
+      .select("token", "_c1", "_c0")
+      .localCheckpoint()
     val tot = counts.agg(sum("_c1").as("_t1"), sum("_c0").as("_t0"),
       count(lit(1)).as("_v"))
     val prior = df.agg(

@@ -997,4 +997,81 @@ class PlanShapeSpec extends SparkSpec {
     assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size >= 6,
       s"expected ≥6 broadcast joins in:\n$plan")
   }
+
+  test("naiveBayes: model probes broadcast — the token stream never joins by content") {
+    import org.apache.spark.sql.functions._
+    val docs = ops.Sources.table(spark, dir, "documents")
+    val model = ops.Models.naiveBayesFit(docs, "text",
+      when(col("lang") === "en", 1).otherwise(0), vocabSize = 64)
+    val plan = executed(ops.Models.naiveBayesScore(docs, model, "doc_id", "text"))
+    // the model probe must broadcast; the only sort-merge join allowed
+    // is the per-doc join-back on idCol — never a token-keyed one
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"expected a broadcast model probe in:\n$plan")
+    val tokenSmj = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "token")) => j
+    }
+    assert(tokenSmj.isEmpty, s"token-keyed sort-merge join leaked in:\n$plan")
+  }
+
+  test("naiveBayesServe: pure projection — zero joins, zero extra shuffles") {
+    import org.apache.spark.sql.functions._
+    val docs = ops.Sources.table(spark, dir, "documents")
+    val model = ops.Models.naiveBayesFit(docs, "text",
+      when(col("lang") === "en", 1).otherwise(0), vocabSize = 64)
+    val plan = executed(ops.Models.naiveBayesServe(docs, model, "text")
+      .select("doc_id", "log_odds", "pred"))
+    assert(collectAll(plan) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"serve path must be map-only:\n$plan")
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"serve path must not join:\n$plan")
+  }
+
+  test("kAnonymityAudit: one shuffle (the cohort hash-agg), no join") {
+    import org.apache.spark.sql.functions._
+    val ev = ops.Sources.table(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+    val plan = executed(ops.Privacy.kAnonymityAudit(
+      ev, Seq("event_type", "day"), col("user_id"), k = 30, l = 10))
+    // count(distinct sensitive) expands to the two-phase distinct
+    // aggregate: (quasi, sensitive) exchange + (quasi) exchange — 2 max
+    assert(collectAll(plan) { case s: ShuffleExchangeExec => s }.size <= 2,
+      s"cohort audit must be a bounded aggregate chain:\n$plan")
+  }
+
+  test("html extraction: map-only — no shuffle, no generate blowup") {
+    import org.apache.spark.sql.functions._
+    val docs = ops.Sources.table(spark, dir, "documents")
+      .withColumn("h", concat(lit("<p>"), col("text"), lit("</p>")))
+    val plan = executed(docs.select(col("doc_id"),
+      ops.Html.visibleText(col("h")).as("t"),
+      ops.Html.linkDensity(col("h")).as("d")))
+    assert(collectAll(plan) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"html extraction must be map-only:\n$plan")
+    assert(collectAll(plan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, s"html extraction must not explode rows:\n$plan")
+  }
+
+  test("truncationLoss: the explode runs on the narrow count stream, not text") {
+    import org.apache.spark.sql.functions._
+    val docs = ops.Sources.table(spark, dir, "documents")
+    val plan = executed(ops.TextAnalysis.truncationLoss(
+      docs, "text", col("source"), Seq(16, 64, 256)))
+    val gens = collectAll(plan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty)
+    // the generator's input must already be the narrow (group, count)
+    // stream — the text column must not survive into the explode
+    gens.foreach { g =>
+      val names = g.child.output.map(_.name).toSet
+      assert(names == Set("grp", "_n"),
+        s"text leaked into the explode: ${g.child.output}:\n$plan")
+    }
+    // one (group, context) hash-agg shuffle + nothing else
+    assert(collectAll(plan) { case s: ShuffleExchangeExec => s }.size <= 1,
+      s"expected a single aggregation shuffle:\n$plan")
+  }
 }

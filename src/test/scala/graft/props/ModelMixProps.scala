@@ -1,0 +1,197 @@
+package graft.props
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.ops.{Html, Models, Privacy, Sampling, Similarity, TextAnalysis}
+
+/** Invariants of the round-7 operators (classifier, privacy audit,
+  * preference ratings, mixture raking, PCA, HTML extraction). Each case
+  * runs a multi-stage Spark plan — 15 cases per property, the
+  * HeavyInvariantProps budget. */
+object ModelMixProps extends Properties("graft.invariants.round7") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("round7-props")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+    .getOrCreate()
+
+  private val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+
+  // one doc of each class is forced in (naiveBayesFit's prior is
+  // unsmoothed), the rest random; ids by position
+  private val genDocs: Gen[List[(Long, Int, String)]] = for {
+    t1 <- Gen.nonEmptyListOf(Gen.oneOf(words))
+    t0 <- Gen.nonEmptyListOf(Gen.oneOf(words))
+    rest <- Gen.listOf(Gen.zip(Gen.oneOf(0, 1),
+      Gen.nonEmptyListOf(Gen.oneOf(words)).map(_.mkString(" "))))
+  } yield ((1, t1.mkString(" ")) :: (0, t0.mkString(" ")) :: rest)
+    .zipWithIndex.map { case ((y, t), i) => (i.toLong + 1, y, t) }
+
+  property("naiveBayes: serve (literal-map projection) ≡ score (join) exactly") =
+    forAll(genDocs.map(_.take(12))) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "y", "text")
+      val model = Models.naiveBayesFit(df, "text", col("y"), vocabSize = 8)
+      val a = Models.naiveBayesScore(df, model, "doc_id", "text")
+        .select("doc_id", "log_odds", "pred").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+      val b = Models.naiveBayesServe(df, model, "text")
+        .select("doc_id", "log_odds", "pred").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+      a == b
+    }
+
+  private val genMatches: Gen[List[(String, String)]] = Gen.nonEmptyListOf(
+    Gen.zip(Gen.oneOf("A", "B", "C", "D"), Gen.oneOf("A", "B", "C", "D")))
+    .map(_.filter(p => p._1 != p._2))
+    .retryUntil(_.nonEmpty, 500)
+
+  property("bradleyTerry: duplicating every match leaves ratings unchanged") =
+    forAll(genMatches.map(_.take(20))) { ms =>
+      import spark.implicits._
+      val one = Models.bradleyTerry(ms.toDF("w", "l"), "w", "l", iters = 10)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      val three = Models.bradleyTerry(
+          (ms ++ ms ++ ms).toDF("w", "l"), "w", "l", iters = 10)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      one == three
+    }
+
+  property("bradleyTerry: ratings form a distribution; wins ≤ games") =
+    forAll(genMatches.map(_.take(20))) { ms =>
+      import spark.implicits._
+      val rows = Models.bradleyTerry(ms.toDF("w", "l"), "w", "l", iters = 10)
+        .collect()
+      val ratings = rows.map(_.getDouble(3))
+      math.abs(ratings.sum - 1.0) < 1e-6 &&
+        ratings.forall(r => r >= 0.0 && r <= 1.0) &&
+        rows.forall(r => r.getLong(1) <= r.getLong(2))
+    }
+
+  private val genGrid: Gen[List[(String, String, Int)]] = for {
+    m <- Gen.choose(2, 4)
+    k <- Gen.choose(2, 3)
+    masses <- Gen.listOfN(m * k, Gen.choose(1, 50))
+  } yield (for {
+    s <- 0 until m
+    j <- 0 until k
+  } yield (s"r$s", s"c$j", masses(s * k + j))).toList
+
+  property("ipfMixture: fitted weights hit both uniform marginals; mass preserved") =
+    forAll(genGrid) { cells =>
+      import spark.implicits._
+      val df = cells.flatMap { case (r, c, n) => Seq.fill(n)((r, c)) }
+        .toDF("r", "c")
+      val out = Sampling.ipfMixture(df, "r", "c", lit(1.0), iters = 60)
+        .collect().map(x => (x.getString(0), x.getString(1)) ->
+          (x.getDouble(2), x.getDouble(3))).toMap
+      val total = cells.map(_._3).sum.toDouble
+      val m = cells.map(_._1).distinct.size
+      val k = cells.map(_._2).distinct.size
+      val rowSums = out.toSeq.groupBy(_._1._1).values
+        .map(_.map(_._2._2).sum)
+      val colSums = out.toSeq.groupBy(_._1._2).values
+        .map(_.map(_._2._2).sum)
+      rowSums.forall(v => math.abs(v - total / m) < 1e-3) &&
+        colSums.forall(v => math.abs(v - total / k) < 1e-3) &&
+        cells.forall { case (r, c, n) => out((r, c))._1 == n.toDouble }
+    }
+
+  private val genTexts: Gen[List[(Long, String, String)]] = Gen.nonEmptyListOf(
+    for {
+      id <- Gen.choose(1L, 1000000L)
+      g <- Gen.oneOf("g1", "g2")
+      n <- Gen.choose(0, 30)
+    } yield (id, g, Seq.fill(n)("tok").mkString(" ")))
+    .map(_.distinctBy(_._1))
+
+  property("truncationLoss: lost ≤ total, monotone in context, docs conserved") =
+    forAll(genTexts.map(_.take(15))) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("id", "g", "text")
+      val out = TextAnalysis
+        .truncationLoss(df, "text", col("g"), Seq(4, 8, 16))
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+      val byGroup = out.keys.map(_._1).toSet
+      byGroup.forall { g =>
+        val lost = Seq(4, 8, 16).map(c => out((g, c))._2)
+        val (nd, tot) = (out((g, 4))._1, out((g, 4))._3)
+        lost.forall(_ <= tot) && lost == lost.sorted.reverse &&
+          Seq(8, 16).forall(c => out((g, c))._1 == nd)
+      }
+    }
+
+  private val genCohorts: Gen[List[(String, String)]] = Gen.nonEmptyListOf(
+    Gen.zip(Gen.oneOf("q1", "q2", "q3"), Gen.oneOf("s1", "s2", "s3", "s4")))
+
+  property("kAnonymity: cohort sizes partition the rows; summary ≡ audit") =
+    forAll(genCohorts.map(_.take(30))) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("q", "s")
+      val audit = Privacy.kAnonymityAudit(df, Seq("q"), col("s"), k = 3, l = 2)
+        .collect()
+      val summary = Privacy
+        .kAnonymitySummary(df, Seq("q"), col("s"), k = 3, l = 2)
+        .collect().head
+      audit.map(_.getLong(1)).sum == rows.size &&
+        summary.getLong(0) == audit.map(_.getLong(1)).min &&
+        summary.getLong(1) == audit.length.toLong &&
+        summary.getLong(2) == audit.map(_.getInt(4).toLong).sum &&
+        summary.getLong(4) ==
+          audit.filter(_.getInt(4) == 1).map(_.getLong(1)).sum
+    }
+
+  private val genVecs: Gen[List[(Long, Array[Float])]] = for {
+    n <- Gen.choose(3, 8)
+    vs <- Gen.listOfN(n, Gen.listOfN(3, Gen.choose(-10, 10))
+      .map(_.map(_.toFloat).toArray))
+  } yield vs.zipWithIndex.map { case (v, i) => (i.toLong + 1, v) }
+
+  property("pcaProject: translation-invariant projections; var_explained in [0,1]") =
+    forAll(genVecs.map(_.take(8))) { vecs =>
+      import spark.implicits._
+      val df = vecs.toDF("vec_id", "embedding")
+      val shifted = vecs.map { case (id, v) =>
+        (id, v.map(_ + 100f))
+      }.toDF("vec_id", "embedding")
+      val a = Similarity.pcaProject(df, "vec_id", "embedding", dim = 3, iters = 20)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+      val b = Similarity
+        .pcaProject(shifted, "vec_id", "embedding", dim = 3, iters = 20)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val ve = a.values.head._2
+      (ve >= 0.0 && ve <= 1.0 || ve.isNaN) &&
+        a.forall { case (id, (p, _)) => math.abs(p - b(id)) <= 2e-4 }
+    }
+
+  private val genProse: Gen[String] = Gen.nonEmptyListOf(Gen.oneOf(words))
+    .map(_.mkString(" "))
+
+  property("html: visibleText(wrap(text)) == text; density bounded by 1") =
+    forAll(Gen.listOfN(6, genProse)) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+        .withColumn("h", concat(lit("<html><body><p>"), col("t"),
+          lit("</p><a href='/x'>"), col("t"), lit("</a></body></html>")))
+      df.select(col("t"), Html.visibleText(col("h")).as("v"),
+          Html.linkDensity(col("h")).as("d"))
+        .collect().forall { r =>
+          r.getString(1) == s"${r.getString(0)} ${r.getString(0)}" &&
+            r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0
+        }
+    }
+}
