@@ -1663,6 +1663,35 @@ object OraclesExt {
       "FROM e, fin, lam ORDER BY e.vec_id"
   }
 
+  /** Mirrors q263: exact-cosine top-k ∩ sign-bit Hamming top-k per
+    * query (the q114 recall harness pointed at the 1-bit tier). */
+  def binaryRecall(k: Int): String =
+    s"WITH $embCte, " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0), " +
+      s"s AS (SELECT qid, vec_id AS cid, round(${cosSql("qv", "v")}, 6) " +
+      "AS cos FROM q, e WHERE vec_id <> qid), " +
+      "r AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY cos DESC, cid) AS rnk FROM s), " +
+      s"gt AS (SELECT qid, cid FROM r WHERE rnk <= $k), " +
+      "bp AS (SELECT vec_id, " +
+      "list_sum(list_transform(range(32), i -> " +
+      "CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS w0, " +
+      "list_sum(list_transform(range(32), i -> " +
+      "CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS w1 " +
+      "FROM e), " +
+      "qb AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM bp " +
+      "WHERE vec_id % 100 = 0), " +
+      "sb AS (SELECT qid, bp.vec_id AS cid, " +
+      "bit_count(xor(qw0, w0)) + bit_count(xor(qw1, w1)) AS hd " +
+      "FROM bp CROSS JOIN qb WHERE bp.vec_id <> qid), " +
+      "rb AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY hd, cid) AS rnk FROM sb), " +
+      s"got AS (SELECT qid, cid FROM rb WHERE rnk <= $k) " +
+      "SELECT g.qid, count(o.cid)::BIGINT AS n_hit, " +
+      s"round(count(o.cid) / $k.0::DOUBLE, 6) AS recall " +
+      "FROM gt g LEFT JOIN got o ON o.qid = g.qid AND o.cid = g.cid " +
+      "GROUP BY 1 ORDER BY g.qid"
+
   /** Mirrors Sampling.ipfMixture over (source, lang) token masses with
     * uniform marginal targets: the dense grid flattened row-major into a
     * LIST, `iters` alternating row/column scaling rounds through a

@@ -3842,6 +3842,41 @@ object SparkEntry {
     // feature from the deterministic sample formula ─────
     "q261_wav_resample" -> { (s, dir) =>
       Multimodal.wavResampleFeatures(s, dir).orderBy("doc_id")
+    },
+
+    // ───── 1-bit binary-embedding ANN tier: sign-pack to 2×32-bit words
+    // (pure projection), brute Hamming top-k via codegen'd
+    // bit_count(xor) — the 32×-compression memory tier below q76 int8
+    // and q55 PQ; 8 bytes/vector scanned instead of 256 ─────
+    "q262_sim_topk_binary" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.topKHamming(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          dim = 64, k = 10)
+        .orderBy("qid", "rnk")
+    },
+
+    // ───── Binary-tier recall report: Hamming top-5 scored against the
+    // exact-cosine top-5 (the q114 recall harness pointed at the 1-bit
+    // tier) — the measurement that decides whether the 32× compression
+    // is admissible as a first-pass filter ─────
+    "q263_binary_recall" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val gt = Similarity.topKBrute(q, c, k = 5)
+        .groupBy("qid").agg(collect_set(col("cid")).as("gt"))
+      val got = Similarity.topKHamming(q, c, dim = 64, k = 5)
+        .groupBy("qid").agg(collect_set(col("cid")).as("got"))
+      val hits = size(array_intersect(col("gt"),
+        coalesce(col("got"), array().cast("array<long>"))))
+      gt.join(got, Seq("qid"), "left")
+        .select(col("qid"), hits.cast("long").as("n_hit"),
+          round(hits / 5.0, 6).as("recall"))
+        .orderBy("qid")
     }
   )
 
@@ -6481,7 +6516,29 @@ object SparkEntry {
         "list_sum(sm)::BIGINT AS amp_sum, " +
         "list_max(list_transform(sm, x -> abs(x)))::INT AS peak, " +
         "(n_samples * 1000 // 4000)::BIGINT AS duration_ms " +
-        "FROM p ORDER BY doc_id")
+        "FROM p ORDER BY doc_id"),
+
+    // sign-pack each half into a BIGINT word, XOR + popcount, rank
+    "q262_sim_topk_binary" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "b AS (SELECT vec_id, " +
+        "list_sum(list_transform(range(32), i -> " +
+        "CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS w0, " +
+        "list_sum(list_transform(range(32), i -> " +
+        "CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS w1 " +
+        "FROM e), " +
+        "q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM b " +
+        "WHERE vec_id % 100 = 0), " +
+        "s AS (SELECT qid, b.vec_id AS cid, " +
+        "(bit_count(xor(qw0, w0)) + bit_count(xor(qw1, w1)))::INT AS hamming " +
+        "FROM b CROSS JOIN q WHERE b.vec_id <> qid), " +
+        "r AS (SELECT qid, cid, hamming, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY hamming, cid) AS rnk FROM s) " +
+        "SELECT qid, rnk::INT AS rnk, cid, hamming FROM r WHERE rnk <= 10 " +
+        "ORDER BY qid, rnk"),
+
+    // exact-cosine top-5 ∩ hamming top-5 per query
+    "q263_binary_recall" -> OraclesExt.binaryRecall(5)
   )
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,

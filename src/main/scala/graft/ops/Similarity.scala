@@ -535,6 +535,61 @@ object Similarity {
     * (pos, bin) partial counts only — never vectors), per-dim bounds are
     * a ≤dim-row broadcast, and the PSI algebra runs on the dim×bins
     * count grid. */
+  /** Pack dims [32j, 32j+32) of a sign-quantized vector into one
+    * non-negative BIGINT word (32 dims per word keeps bit 31 < the sign
+    * bit — no signed-overflow trap, the aHash lesson). Codegen'd 32-term
+    * sum, no UDF, no HOF. */
+  private def signWord(vec: Column, j: Int, dim: Int): Column =
+    (32 * j until math.min(32 * j + 32, dim)).map { i =>
+      when(get(vec, lit(i)).cast("double") > 0, lit(1L << (i - 32 * j)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** 1-bit sign quantization — the 32×-compression ANN memory tier
+    * below [[quantizeInt8]]/PQ: each vector becomes ceil(dim/32) packed
+    * words (`w0..wN`). Pure projection, map-only at any scale. */
+  def binaryQuantize(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 1024, "dim must be in [1, 1024]")
+    val nWords = (dim + 31) / 32
+    df.select(col(idCol) +:
+      (0 until nWords).map(j => signWord(col(vecCol), j, dim).as(s"w$j")): _*)
+  }
+
+  /** Brute Hamming top-k over [[binaryQuantize]]d codes — the rerank
+    * tier-0 scan: distance = Σⱼ bit_count(qwⱼ XOR cwⱼ), all codegen'd
+    * integer ops (no floats touched until the rerank stage a caller
+    * appends). Queries broadcast; the corpus scan streams the packed
+    * words only — at 100 TB this reads 8 bytes/vector/word instead of
+    * 4·dim, which is the point of the tier. Ties break to the lower
+    * candidate id. */
+  def topKHamming(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      dim: Int,
+      k: Int): DataFrame = {
+    val nWords = (dim + 31) / 32
+    val q = binaryQuantize(queries.withColumnRenamed("qvec", "_qv"),
+      "qid", "_qv", dim)
+      .select(col("qid") +:
+        (0 until nWords).map(j => col(s"w$j").as(s"qw$j")): _*)
+    val c = binaryQuantize(corpus.withColumnRenamed("cvec", "_cv"),
+      "cid", "_cv", dim)
+    val hd = (0 until nWords)
+      .map(j => bit_count(col(s"qw$j").bitwiseXOR(col(s"w$j"))))
+      .reduce(_ + _)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), hd.cast("int").as("hamming"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("hamming").asc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("qid", "rnk", "cid", "hamming")
+  }
+
   /** Top-principal-component projection — the embedding-decorrelation op
     * (whitening-lite): score every vector by its coordinate along the
     * direction of maximum variance, plus how much of the total variance

@@ -298,6 +298,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1)._2 <= out(2)._2) // monotone in probe width
   }
 
+  test("binaryQuantize/topKHamming: packing bits and hand-counted distances") {
+    import spark.implicits._
+    // 64-dim vectors: v1 all positive, v2 flips dims 0 and 35, v3 all
+    // non-positive (zero counts as 0 — sign of 0 is not set)
+    val base = Array.fill(64)(1f)
+    val v2 = base.clone(); v2(0) = -1f; v2(35) = 0f
+    val v3 = Array.fill(64)(0f)
+    val df = Seq((1L, base), (2L, v2), (3L, v3)).toDF("id", "v")
+    val packed = Similarity.binaryQuantize(df, "id", "v", dim = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(packed(1L) == ((0xFFFFFFFFL, 0xFFFFFFFFL)))
+    assert(packed(2L) == ((0xFFFFFFFEL, 0xFFFFFFFFL ^ (1L << 3))))
+    assert(packed(3L) == ((0L, 0L)))
+    val got = Similarity.topKHamming(
+        df.filter(col("id") === 1).select(col("id").as("qid"), col("v").as("qvec")),
+        df.select(col("id").as("cid"), col("v").as("cvec")),
+        dim = 64, k = 2)
+      .collect().map(r => r.getLong(2) -> (r.getInt(1), r.getInt(3))).toMap
+    assert(got(2L) == ((1, 2)))  // 2 flipped bits -> nearest
+    assert(got(3L) == ((2, 64))) // all bits differ
+  }
+
   test("pcaProject: recovers the dominant axis on axis-aligned data") {
     import spark.implicits._
     // zero-mean, exactly diagonal covariance: C = diag(10/3, 1/300);
