@@ -3877,6 +3877,27 @@ object SparkEntry {
         .select(col("qid"), hits.cast("long").as("n_hit"),
           round(hits / 5.0, 6).as("recall"))
         .orderBy("qid")
+    },
+
+    // ───── STREAMING privacy monitor: the q254 k-anonymity audit run as
+    // an ingest-time gate — per-(cohort, sensitive) counts accumulate in
+    // complete mode (streaming supports no COUNT DISTINCT; state is the
+    // distinct (cohort, user) grid, exactly the two-phase distinct
+    // aggregate's first phase), the drained store rolls up to cohorts
+    // batch-side. Drained-stream audit ≡ the batch audit row for row ─────
+    "q264_stream_k_anonymity" -> { (s, dir) =>
+      val perUser = eventsStream(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("event_type", "day", "user_id")
+        .agg(count(lit(1)).as("_n"))
+      val store = drainToTable(s, perUser, "g264_kanon", "complete")
+      store.groupBy("event_type", "day")
+        .agg(sum("_n").as("group_size"),
+          countDistinct(col("user_id")).as("l_distinct"))
+        .withColumn("risk", round(lit(1.0) / col("group_size"), 6))
+        .withColumn("violates_k", (col("group_size") < 30).cast("int"))
+        .withColumn("violates_l", (col("l_distinct") < 10).cast("int"))
+        .orderBy("event_type", "day")
     }
   )
 
@@ -6461,14 +6482,7 @@ object SparkEntry {
     "q253_naive_bayes" -> OraclesExt.naiveBayes(512),
 
     // cohort sizes + distinct sensitive counts per (event_type, day)
-    "q254_k_anonymity" ->
-      ("SELECT event_type, CAST(ts AS DATE) AS day, " +
-        "count(*)::BIGINT AS group_size, " +
-        "count(DISTINCT user_id)::BIGINT AS l_distinct, " +
-        "round(1.0::DOUBLE / count(*), 6) AS risk, " +
-        "(count(*) < 30)::INT AS violates_k, " +
-        "(count(DISTINCT user_id) < 10)::INT AS violates_l " +
-        "FROM events GROUP BY 1, 2 ORDER BY event_type, day"),
+    "q254_k_anonymity" -> kAnonymitySql,
 
     // identity-synthesized page markup, extraction recomputed verbatim
     "q255_html_extract" -> OraclesExt.htmlExtract,
@@ -6538,8 +6552,24 @@ object SparkEntry {
         "ORDER BY qid, rnk"),
 
     // exact-cosine top-5 ∩ hamming top-5 per query
-    "q263_binary_recall" -> OraclesExt.binaryRecall(5)
+    "q263_binary_recall" -> OraclesExt.binaryRecall(5),
+
+    // the streaming complete-mode accumulation merges to exactly the
+    // batch cohort audit (micro-batch sums are associative)
+    "q264_stream_k_anonymity" -> kAnonymitySql
   )
+
+  /** q254's cohort audit, shared verbatim by the streaming monitor
+    * (q264) — the drained per-(cohort, user) store rolls up to the same
+    * grid a batch scan produces. */
+  private val kAnonymitySql: String =
+    "SELECT event_type, CAST(ts AS DATE) AS day, " +
+      "count(*)::BIGINT AS group_size, " +
+      "count(DISTINCT user_id)::BIGINT AS l_distinct, " +
+      "round(1.0::DOUBLE / count(*), 6) AS risk, " +
+      "(count(*) < 30)::INT AS violates_k, " +
+      "(count(DISTINCT user_id) < 10)::INT AS violates_l " +
+      "FROM events GROUP BY 1, 2 ORDER BY event_type, day"
 
   /** One query's fused TF-IDF ⊕ BM25 chain (q198's oracle body,
     * parameterized by the term set) — top-20 arms, kConst 60, top-15. */
