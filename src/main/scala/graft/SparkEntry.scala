@@ -3879,6 +3879,33 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    // ───── Yearless free-form dates (dateutil's last leniency shape:
+    // "Wed, March 5", "March 5th", "5 March", "5/3") — the fill year is
+    // an EXPLICIT parameter, not the run date; identity oracle over a
+    // single-year slice, the q225 posture ─────
+    "q265_date_yearless" -> { (s, dir) =>
+      val d0 = col("o_orderdate").cast("date")
+      val day = dayofmonth(d0)
+      val suf = when(pmod(day, lit(100)).isin(11, 12, 13), lit("th"))
+        .when(pmod(day, lit(10)) === 1, lit("st"))
+        .when(pmod(day, lit(10)) === 2, lit("nd"))
+        .when(pmod(day, lit(10)) === 3, lit("rd"))
+        .otherwise(lit("th"))
+      val shape = pmod(col("o_orderkey"), lit(6))
+      val rendered = when(shape === 0, date_format(d0, "EEEE, MMMM d"))
+        .when(shape === 1, date_format(d0, "EEE, MMM d"))
+        .when(shape === 2, date_format(d0, "MMMM d"))
+        .when(shape === 3, date_format(d0, "d MMMM"))
+        .when(shape === 4, date_format(d0, "d/M"))
+        .otherwise(concat(date_format(d0, "MMMM "), day.cast("string"), suf))
+      t(s, dir, "orders")
+        .filter(year(d0) === 1995)
+        .select(col("o_orderkey").as("k"), shape.as("shape"),
+          Cleansing.parseDateLenientYearless(rendered, defaultYear = 1995)
+            .as("parsed"))
+        .orderBy("k")
+    },
+
     // ───── STREAMING privacy monitor: the q254 k-anonymity audit run as
     // an ingest-time gate — per-(cohort, sensitive) counts accumulate in
     // complete mode (streaming supports no COUNT DISTINCT; state is the
@@ -6556,7 +6583,13 @@ object SparkEntry {
 
     // the streaming complete-mode accumulation merges to exactly the
     // batch cohort audit (micro-batch sums are associative)
-    "q264_stream_k_anonymity" -> kAnonymitySql
+    "q264_stream_k_anonymity" -> kAnonymitySql,
+
+    // identity oracle over the single-year slice (the q225 posture)
+    "q265_date_yearless" ->
+      ("SELECT o_orderkey AS k, (o_orderkey % 6)::BIGINT AS shape, " +
+        "o_orderdate AS parsed FROM orders " +
+        "WHERE year(o_orderdate) = 1995 ORDER BY k")
   )
 
   /** q254's cohort audit, shared verbatim by the streaming monitor

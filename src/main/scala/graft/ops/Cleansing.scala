@@ -127,6 +127,33 @@ object Cleansing {
       when(hasAlpha && locShaped, try_to_date(locRebuilt, "d/M/yyyy")))
   }
 
+  /** [[parseDateLenient]] extended with dateutil's YEARLESS free-form
+    * shapes — "Wed, March 5", "March 5th", "5 March", "5/3". dateutil
+    * fills the RUN-DATE year, which is non-deterministic at engine
+    * scale; here the fill year is an explicit parameter (the caller's
+    * ingest/reference date), keeping the cascade pure. A leading
+    * weekday name is stripped, not validated — dateutil's own behavior
+    * (the weekday token is parsed and discarded, never checked against
+    * the resolved date). Yearful strings never reach the yearless
+    * branches: the full cascade runs first. */
+  def parseDateLenientYearless(c: Column, defaultYear: Int): Column = {
+    require(defaultYear >= 1 && defaultYear <= 9999, "defaultYear invalid")
+    val noDow = regexp_replace(c,
+      "(?i)^\\s*(mon|tue|wed|thu|fri|sat|sun)[a-z]*,?\\s+", "")
+    val noOrd = trim(regexp_replace(noDow,
+      "(?i)\\b(\\d{1,2})(st|nd|rd|th)\\b", "$1"))
+    val y = lit(" " + defaultYear.toString)
+    def g(re: String, fmt: String): Column =
+      when(noOrd.rlike(re), try_to_date(concat(noOrd, y), fmt))
+    coalesce(
+      parseDateLenient(c),
+      g("^[A-Za-z]+ \\d{1,2}$", "MMMM d yyyy"),
+      g("^[A-Za-z]+ \\d{1,2}$", "MMM d yyyy"),
+      g("^\\d{1,2} [A-Za-z]+$", "d MMMM yyyy"),
+      g("^\\d{1,2} [A-Za-z]+$", "d MMM yyyy"),
+      g("^\\d{1,2}/\\d{1,2}$", "d/M yyyy"))
+  }
+
   /** P2: parse "DD/MM/YYYY al DD/MM/YYYY" → week-start date, day-first;
     * returns null on malformed input, which callers filter (≙ the
     * reference's row-skip, timesheet_transform.py:47-52). Separator

@@ -132,4 +132,23 @@ class CleansingSpec extends SparkSpec {
       .select(Cleansing.truncName(col("n"))).as[String].head()
     assert(got == "x" * 31)
   }
+
+  test("parseDateLenientYearless: yearless shapes fill the explicit year") {
+    def parse(s: String): Option[java.sql.Date] =
+      Option(Seq(s).toDF("c")
+        .select(Cleansing.parseDateLenientYearless(col("c"), 1995))
+        .collect().head.getDate(0))
+    val mar5 = Some(java.sql.Date.valueOf("1995-03-05"))
+    assert(parse("Wednesday, March 5") == mar5) // weekday stripped, not checked
+    assert(parse("Wed, Mar 5") == mar5)
+    assert(parse("March 5") == mar5)
+    assert(parse("March 5th") == mar5)
+    assert(parse("5 March") == mar5)
+    assert(parse("5/3") == mar5) // day-first, the cascade's convention
+    // yearful strings take the FULL cascade, never the fill year
+    assert(parse("5/3/2001") == Some(java.sql.Date.valueOf("2001-03-05")))
+    // invalid resolved date: Feb 29 in a non-leap fill year -> null
+    assert(parse("February 29").isEmpty)
+    assert(parse("total garbage").isEmpty)
+  }
 }
