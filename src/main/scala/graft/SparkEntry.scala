@@ -3906,6 +3906,23 @@ object SparkEntry {
         .orderBy("k")
     },
 
+    // ───── Forward as-of join (the "next purchase after the click"
+    // direction — q41's mirror): union + ONE descending running window
+    // per key, no join, no range explosion ─────
+    "q266_asof_forward" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("click_val"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purch_val"))
+      Temporal.asofJoinForward(clicks, purchases,
+          keys = Seq("user_id"), lTime = "ts", rTime = "ts",
+          payload = Seq("purch_val"))
+        .select("event_id", "user_id", "click_val", "purch_val")
+        .orderBy("event_id")
+    },
+
     // ───── STREAMING privacy monitor: the q254 k-anonymity audit run as
     // an ingest-time gate — per-(cohort, sensitive) counts accumulate in
     // complete mode (streaming supports no COUNT DISTINCT; state is the
@@ -6584,6 +6601,16 @@ object SparkEntry {
     // the streaming complete-mode accumulation merges to exactly the
     // batch cohort audit (micro-batch sums are associative)
     "q264_stream_k_anonymity" -> kAnonymitySql,
+
+    // q41's mirror: DuckDB ASOF with the inequality flipped
+    "q266_asof_forward" ->
+      ("WITH p AS (SELECT user_id, ts, max(value) AS purch_val FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "c AS (SELECT event_id, user_id, ts, value AS click_val FROM events " +
+        "WHERE event_type = 'click') " +
+        "SELECT c.event_id, c.user_id, c.click_val, p.purch_val " +
+        "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts " +
+        "ORDER BY c.event_id"),
 
     // identity oracle over the single-year slice (the q225 posture)
     "q265_date_yearless" ->

@@ -69,6 +69,46 @@ object Temporal {
       .select((leftCols ++ payload).map(col): _*)
   }
 
+  /** Forward as-of join: for each left row, attach the payload of the
+    * EARLIEST right row with the same keys and `right(rTime) >=
+    * left(lTime)` (inclusive — DuckDB `ASOF LEFT JOIN ... ON l.t <=
+    * r.t`). The "next quote after the trade" direction; same
+    * single-shuffle union+window shape as [[asofJoinBackward]] with the
+    * running `last` taken over DESCENDING time (right rows still first
+    * at equal timestamps, so an exactly-simultaneous right row matches).
+    * Same right-side-determinism and null-payload contracts. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      lTime: String,
+      rTime: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val collide = (payload ++ Seq("_t", "_side")).filter(leftCols.contains)
+    require(collide.isEmpty,
+      s"asofJoinForward: left columns ${collide.mkString(", ")} collide " +
+        "with payload/_t/_side; rename them before the join")
+    require(!payload.exists(Set("_t", "_side")),
+      "asofJoinForward: payload may not be named _t or _side")
+    val l = left
+      .withColumn("_t", col(lTime))
+      .withColumn("_side", lit(1))
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rTime).as("_t"), lit(0).as("_side")) ++
+        payload.map(col): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").desc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPayload = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    withPayload
+      .filter(col("_side") === 1)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+
   /** Binned interval join: inner-join `points` (instant `pTime`) to
     * `intervals` (half-open [`startCol`, `endCol`)) sharing `keys`, with
     * time bucketed into `binSeconds`-wide bins. Each interval is exploded

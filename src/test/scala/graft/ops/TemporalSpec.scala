@@ -31,6 +31,26 @@ class TemporalSpec extends SparkSpec {
       4L -> Some(7.0), 5L -> None))
   }
 
+  test("asofJoinForward: earliest right at or after each left time, per key") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")), // next right @12:00 -> 12.0
+      (2L, "u1", ts("2024-01-01 12:00:00")), // equal-time -> 12.0 (inclusive)
+      (3L, "u1", ts("2024-01-01 13:00:00")), // after all rights -> null
+      (4L, "u2", ts("2024-01-01 06:00:00")), // other key, r@07:00 -> 7.0
+      (5L, "u3", ts("2024-01-01 10:00:00"))) // key with no right rows -> null
+      .toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), 9.0),
+      ("u1", ts("2024-01-01 12:00:00"), 12.0),
+      ("u2", ts("2024-01-01 07:00:00"), 7.0))
+      .toDF("k", "rt", "pay")
+    val got = Temporal.asofJoinForward(left, right, Seq("k"), "t", "rt", Seq("pay"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got == Map(1L -> Some(12.0), 2L -> Some(12.0), 3L -> None,
+      4L -> Some(7.0), 5L -> None))
+  }
+
   test("asofJoinBackward keeps every left row exactly once") {
     val left = Seq((1L, "u1", ts("2024-01-01 10:00:00")),
       (2L, "u1", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t") // dup times
