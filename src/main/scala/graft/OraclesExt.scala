@@ -1692,6 +1692,35 @@ object OraclesExt {
       "FROM gt g LEFT JOIN got o ON o.qid = g.qid AND o.cid = g.cid " +
       "GROUP BY 1 ORDER BY g.qid"
 
+  /** Mirrors q267: per prefix width, exact truncated-cosine top-k ∩ the
+    * full-dimension top-k. */
+  def matryoshkaRecall(k: Int, dims: Seq[Int]): String = {
+    val gtArm =
+      s"s AS (SELECT qid, vec_id AS cid, round(${cosSql("qv", "v")}, 6) " +
+        "AS cos FROM q, e WHERE vec_id <> qid), " +
+        "r AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cos DESC, cid) AS rnk FROM s), " +
+        s"gt AS (SELECT qid, cid FROM r WHERE rnk <= $k)"
+    val arms = dims.map { d =>
+      s"s$d AS (SELECT qid, vec_id AS cid, " +
+        s"round(${cosSql(s"qv[1:$d]", s"v[1:$d]")}, 6) AS cos " +
+        "FROM q, e WHERE vec_id <> qid), " +
+        s"r$d AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid " +
+        s"ORDER BY cos DESC, cid) AS rnk FROM s$d), " +
+        s"g$d AS (SELECT $d AS dim, qid, cid FROM r$d WHERE rnk <= $k)"
+    }.mkString(", ")
+    val unionGot = dims.map(d => s"SELECT * FROM g$d").mkString(" UNION ALL ")
+    s"WITH $embCte, " +
+      "q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0), " +
+      s"$gtArm, $arms, got AS ($unionGot) " +
+      "SELECT got.dim::INT AS dim, g.qid, count(o.cid)::BIGINT AS n_hit, " +
+      s"round(count(o.cid) / $k.0::DOUBLE, 6) AS recall " +
+      "FROM gt g CROSS JOIN (SELECT DISTINCT dim FROM got) got " +
+      "LEFT JOIN got o ON o.qid = g.qid AND o.cid = g.cid " +
+      "AND o.dim = got.dim " +
+      "GROUP BY 1, 2 ORDER BY dim, g.qid"
+  }
+
   /** Mirrors Sampling.ipfMixture over (source, lang) token masses with
     * uniform marginal targets: the dense grid flattened row-major into a
     * LIST, `iters` alternating row/column scaling rounds through a

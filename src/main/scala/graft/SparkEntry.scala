@@ -3906,6 +3906,20 @@ object SparkEntry {
         .orderBy("k")
     },
 
+    // ───── Matryoshka truncation-recall curve: exact top-5 on 8/16/32-
+    // dim PREFIXES vs the full-64 top-5 — the serving-width picker for
+    // MRL encoders (one brute arm per width; an eval harness, run on
+    // query samples) ─────
+    "q267_matryoshka_recall" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.matryoshkaRecall(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          k = 5, dims = Seq(8, 16, 32))
+        .orderBy("dim", "qid")
+    },
+
     // ───── Forward as-of join (the "next purchase after the click"
     // direction — q41's mirror): union + ONE descending running window
     // per key, no join, no range explosion ─────
@@ -6601,6 +6615,9 @@ object SparkEntry {
     // the streaming complete-mode accumulation merges to exactly the
     // batch cohort audit (micro-batch sums are associative)
     "q264_stream_k_anonymity" -> kAnonymitySql,
+
+    // per width: truncated-cosine top-5 ∩ full-dim top-5
+    "q267_matryoshka_recall" -> OraclesExt.matryoshkaRecall(5, Seq(8, 16, 32)),
 
     // q41's mirror: DuckDB ASOF with the inequality flipped
     "q266_asof_forward" ->

@@ -590,6 +590,35 @@ object Similarity {
       .select("qid", "rnk", "cid", "hamming")
   }
 
+  /** Matryoshka truncation-recall curve (Kusupati et al. 2022): for each
+    * prefix width, the exact top-k computed on TRUNCATED vectors scored
+    * against the full-dimension top-k — the measurement that picks the
+    * serving width for an MRL-trained encoder (how many dims can the
+    * index drop before recall pays). One brute arm per width plus the
+    * full-dim ground truth; an EVAL harness by design (scans per arm),
+    * run on samples, not the full corpus. */
+  def matryoshkaRecall(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      k: Int,
+      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be >= 1")
+    val gt = topKBrute(queries, corpus, k)
+      .groupBy("qid").agg(collect_set(col("cid")).as("_gt"))
+    val arms = dims.map { d =>
+      topKBrute(
+          queries.select(col("qid"), slice(col("qvec"), 1, d).as("qvec")),
+          corpus.select(col("cid"), slice(col("cvec"), 1, d).as("cvec")), k)
+        .groupBy("qid").agg(collect_set(col("cid")).as("_got"))
+        .withColumn("dim", lit(d))
+    }.reduce(_ unionByName _)
+    val hits = size(array_intersect(col("_gt"),
+      coalesce(col("_got"), array().cast("array<long>"))))
+    gt.join(arms, Seq("qid"), "left")
+      .select(col("dim"), col("qid"), hits.cast("long").as("n_hit"),
+        round(hits / k.toDouble, 6).as("recall"))
+  }
+
   /** Top-principal-component projection — the embedding-decorrelation op
     * (whitening-lite): score every vector by its coordinate along the
     * direction of maximum variance, plus how much of the total variance

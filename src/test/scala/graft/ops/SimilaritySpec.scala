@@ -320,6 +320,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got(3L) == ((2, 64))) // all bits differ
   }
 
+  test("matryoshkaRecall: full-width arm is recall 1.0; prefix arm measures loss") {
+    import spark.implicits._
+    // first 2 dims carry one ordering, the last dim reverses it for id 30
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)), (20L, Array(0.9f, 0.1f, 0f, 0f)),
+      (30L, Array(0.5f, 0.5f, 0f, 5f)), (40L, Array(0f, 1f, 0f, 0f))
+    ).toDF("cid", "cvec")
+    val queries = Seq((1L, Array(1f, 0f, 0f, 1f))).toDF("qid", "qvec")
+    val got = Similarity
+      .matryoshkaRecall(queries, corpus, k = 2, dims = Seq(2, 4))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(got(4) == 1.0) // full width reproduces the ground truth
+    // at width 2 the q-side last-dim signal is gone: 30 (the true top-1,
+    // cos driven by the shared 4th dim) drops out of the top-2
+    assert(got(2) < 1.0, got.toString)
+  }
+
   test("pcaProject: recovers the dominant axis on axis-aligned data") {
     import spark.implicits._
     // zero-mean, exactly diagonal covariance: C = diag(10/3, 1/300);
