@@ -3906,6 +3906,33 @@ object SparkEntry {
         .orderBy("k")
     },
 
+    // ───── Per-key temporal train/test split: each user's latest 20% of
+    // events become test (train-on-past eval hygiene; q134's hash split
+    // is the exchangeable-corpus twin); ONE window shuffle, every row
+    // flagged ─────
+    "q268_temporal_split" -> { (s, dir) =>
+      Sampling.temporalSplit(t(s, dir, "events"),
+          Seq("user_id"), "ts", "event_id", testFrac = 0.2)
+        .groupBy("user_id", "split")
+        .agg(count(lit(1)).as("n"), min("ts").as("min_ts"),
+          max("ts").as("max_ts"))
+        .orderBy("user_id", "split")
+    },
+
+    // ───── Mislabel mining (the cleanlab shape): docs where the q253
+    // trained classifier CONFIDENTLY disagrees with the stored label —
+    // the label-noise review queue; model chain + one filter ─────
+    "q269_label_disagreement" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      val y = when(col("lang") === "en", 1).otherwise(0)
+      val model = Models.naiveBayesFit(docs, "text", y, vocabSize = 512)
+      Models.naiveBayesScore(docs.withColumn("y", y), model, "doc_id", "text")
+        .filter(col("pred") =!= col("y") && abs(col("log_odds")) >= 1.0)
+        .select(col("doc_id"), col("y").cast("int").as("y"),
+          col("log_odds"), col("pred"))
+        .orderBy("doc_id")
+    },
+
     // ───── Matryoshka truncation-recall curve: exact top-5 on 8/16/32-
     // dim PREFIXES vs the full-64 top-5 — the serving-width picker for
     // MRL encoders (one brute arm per width; an eval harness, run on
@@ -6618,6 +6645,24 @@ object SparkEntry {
 
     // per width: truncated-cosine top-5 ∩ full-dim top-5
     "q267_matryoshka_recall" -> OraclesExt.matryoshkaRecall(5, Seq(8, 16, 32)),
+
+    // latest ceil(n*0.2) rows per user by (ts, event_id) desc
+    "q268_temporal_split" ->
+      ("WITH r AS (SELECT user_id, ts, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, " +
+        "event_id DESC) AS rnk, " +
+        "count(*) OVER (PARTITION BY user_id) AS n FROM events), " +
+        "s AS (SELECT user_id, ts, CASE WHEN rnk <= ceil(n * 0.2) " +
+        "THEN 'test' ELSE 'train' END AS split FROM r) " +
+        "SELECT user_id, split, count(*)::BIGINT AS n, " +
+        "min(ts) AS min_ts, max(ts) AS max_ts FROM s " +
+        "GROUP BY 1, 2 ORDER BY user_id, split"),
+
+    // the q253 recomputation filtered to confident disagreements
+    "q269_label_disagreement" ->
+      ("SELECT doc_id, y, log_odds, pred FROM (" +
+        OraclesExt.naiveBayes(512).replaceAll(" ORDER BY l.doc_id$", "") +
+        ") WHERE pred <> y AND abs(log_odds) >= 1.0 ORDER BY doc_id"),
 
     // q41's mirror: DuckDB ASOF with the inequality flipped
     "q266_asof_forward" ->

@@ -69,6 +69,37 @@ object Sampling {
       .select(col("cid"), col("cell"), (col("_rnk") <= perCell).as("kept"))
   }
 
+  /** Per-key temporal train/test split — the eval-hygiene splitter for
+    * time-ordered data ("train on the past, evaluate on the future", per
+    * entity): each key's latest ceil(n·testFrac) rows become `test`, the
+    * rest `train`. Forecasting/recommendation models evaluated on a
+    * RANDOM split leak the future; [[q134]]-style hash splits are for
+    * exchangeable corpora, this is the non-exchangeable twin. Ties on
+    * the timestamp break by `idCol` descending (latest id wins a test
+    * slot), so the split is total-order deterministic.
+    *
+    * One window shuffle on the keys; emits every row flagged (the
+    * auditable-drop contract). */
+  def temporalSplit(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      idCol: String,
+      testFrac: Double): DataFrame = {
+    require(testFrac >= 0.0 && testFrac <= 1.0, "testFrac must be in [0,1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    df.withColumn("_rnk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wc))
+      .withColumn("split",
+        when(col("_rnk") <= ceil(col("_n") * testFrac), lit("test"))
+          .otherwise(lit("train")))
+      .drop("_rnk", "_n")
+  }
+
   /** Iterative proportional fitting (raking; Deming & Stephan 1940) —
     * the two-marginal corpus-mixture solver: given per-(row, col) mass
     * (e.g. tokens per source × language), find cell weights that match

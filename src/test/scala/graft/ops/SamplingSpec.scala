@@ -70,6 +70,31 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temporalSplit: latest rows become test; ties break by id desc") {
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, "u1", ts("2024-01-01 08:00:00")),
+      (2L, "u1", ts("2024-01-01 09:00:00")),
+      (3L, "u1", ts("2024-01-01 10:00:00")),
+      (4L, "u1", ts("2024-01-01 11:00:00")),
+      (5L, "u1", ts("2024-01-01 12:00:00")), // latest -> the one test row
+      (6L, "u2", ts("2024-01-01 10:00:00")), // tie on ts:
+      (7L, "u2", ts("2024-01-01 10:00:00"))  // higher id wins the test slot
+    ).toDF("id", "k", "t")
+    val got = Sampling.temporalSplit(df, Seq("k"), "t", "id", testFrac = 0.2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got(5L) == "test")
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == "train"))
+    // u2: ceil(2 * 0.2) = 1 test slot; the tie goes to id 7
+    assert(got(7L) == "test" && got(6L) == "train")
+    // boundary fractions
+    val all = Sampling.temporalSplit(df, Seq("k"), "t", "id", 1.0)
+    assert(all.filter(col("split") === "test").count() == 7)
+    val none = Sampling.temporalSplit(df, Seq("k"), "t", "id", 0.0)
+    assert(none.filter(col("split") === "test").count() == 0)
+  }
+
   test("ipfMixture: fitted weights hit both uniform marginals") {
     import org.apache.spark.sql.functions._
     // skewed 2x2 mass grid: a/x dominates; raking must equalize both
