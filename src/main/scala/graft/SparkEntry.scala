@@ -3906,6 +3906,32 @@ object SparkEntry {
         .orderBy("k")
     },
 
+    // ───── Web link graph end to end: synthesized pages → href
+    // extraction (Html.hrefs) → distinct domain edges → pageRank over
+    // the 20-domain graph — raw-scrape graph analytics as ONE
+    // declarative plan (the q133 engine on q255's extraction) ─────
+    "q270_link_graph" -> { (s, dir) =>
+      val t1 = concat(lit("src"), pmod(col("doc_id") + 1, lit(20)).cast("string"))
+      val t2 = concat(lit("src"), pmod(col("doc_id") + 5, lit(20)).cast("string"))
+      val html = concat(
+        lit("<html><body><a href=\"/s/"), col("source"),
+        lit("\">self</a><a href=\"/s/"), t1, lit("\">next</a>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<a href=\"/s/"), t2, lit("\">also</a>")))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val edges = t(s, dir, "documents")
+        .select(col("source").as("src"), html.as("_h"))
+        .select(col("src"), explode(Html.hrefs(col("_h"))).as("_href"))
+        .select(col("src"),
+          regexp_extract(col("_href"), "^/s/(.*)$", 1).as("dst"))
+        .filter(col("dst") =!= col("src") && col("dst") =!= "")
+        .distinct()
+      Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .select(col("id").as("domain"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("domain"))
+    },
+
     // ───── Per-key temporal train/test split: each user's latest 20% of
     // events become test (train-on-past eval hygiene; q134's hash split
     // is the exchangeable-corpus twin); ONE window shuffle, every row
@@ -6645,6 +6671,30 @@ object SparkEntry {
 
     // per width: truncated-cosine top-5 ∩ full-dim top-5
     "q267_matryoshka_recall" -> OraclesExt.matryoshkaRecall(5, Seq(8, 16, 32)),
+
+    // same page synthesis + href regex + the q133 unrolled-step chain
+    "q270_link_graph" -> {
+      val step = (k: Int) =>
+        s"r$k AS (SELECT e.dst AS id, round(0.15 + 0.85 * " +
+          s"sum(r.rank / d.outdeg), 9) AS rank FROM e " +
+          s"JOIN r${k - 1} r ON r.id = e.src JOIN d ON d.src = e.src " +
+          "GROUP BY 1), "
+      "WITH h AS (SELECT doc_id, source, '<html><body><a href=\"/s/' || " +
+        "source || '\">self</a><a href=\"/s/src' || ((doc_id + 1) % 20) || " +
+        "'\">next</a>' || CASE WHEN doc_id % 2 = 0 THEN " +
+        "'<a href=\"/s/src' || ((doc_id + 5) % 20) || '\">also</a>' " +
+        "ELSE '' END || '</body></html>' AS html FROM documents), " +
+        "x AS (SELECT source AS src, unnest(regexp_extract_all(html, " +
+        "'(?i)<a\\b[^>]*href=\"([^\"]*)\"', 1)) AS href FROM h), " +
+        "e AS (SELECT DISTINCT src, regexp_extract(href, '^/s/(.*)$', 1) " +
+        "AS dst FROM x WHERE regexp_extract(href, '^/s/(.*)$', 1) <> src " +
+        "AND regexp_extract(href, '^/s/(.*)$', 1) <> ''), " +
+        "d AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1), " +
+        "r0 AS (SELECT DISTINCT src AS id, 1.0::DOUBLE AS rank FROM e), " +
+        (1 to 5).map(step).mkString.stripSuffix(", ") + " " +
+        "SELECT id AS domain, round(rank, 6) AS rank FROM r5 " +
+        "ORDER BY rank DESC, domain"
+    },
 
     // latest ceil(n*0.2) rows per user by (ts, event_id) desc
     "q268_temporal_split" ->

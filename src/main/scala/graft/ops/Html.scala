@@ -62,6 +62,11 @@ object Html {
   def anchorTexts(html: Column): Column =
     regexp_extract_all(html, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))
 
+  /** Anchor href targets (double-quoted form) — the edge extractor for
+    * link-graph analytics over a scrape. */
+  def hrefs(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)<a\\b[^>]*href=\"([^\"]*)\""), lit(1))
+
   /** Opening-tag count (a markup-density signal). */
   def tagCount(html: Column): Column =
     size(regexp_extract_all(html, lit("<[a-zA-Z][^>]*>"), lit(0)))
