@@ -177,6 +177,52 @@ object ModelMixProps extends Properties("graft.invariants.round7") {
         a.forall { case (id, (p, _)) => math.abs(p - b(id)) <= 2e-4 }
     }
 
+  private val genEvents: Gen[List[(Long, String, Int)]] = for {
+    n <- Gen.choose(1, 25)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("u1", "u2", "u3"),
+      Gen.choose(0, 50)))
+  } yield rows.zipWithIndex.map { case ((k, t), i) => (i.toLong + 1, k, t) }
+
+  property("temporalSplit: per-key test count = ceil(n·frac); test is the time suffix") =
+    forAll(genEvents, Gen.oneOf(0.0, 0.2, 0.5, 1.0)) { (rows, frac) =>
+      import spark.implicits._
+      val df = rows.toDF("id", "k", "t")
+      val got = Sampling.temporalSplit(df, Seq("k"), "t", "id", frac)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getString(3)))
+      val byKey = got.groupBy(_._2)
+      val ord = implicitly[Ordering[(Int, Long)]]
+      byKey.values.forall { g =>
+        val test = g.filter(_._4 == "test").map(r => (r._3, r._1))
+        val train = g.filter(_._4 == "train").map(r => (r._3, r._1))
+        test.length == math.ceil(g.length * frac).toInt &&
+          // every test row sorts strictly after every train row in the
+          // (t, id) total order — the split is a time suffix
+          (train.isEmpty || test.isEmpty ||
+            ord.gt(test.min, train.max))
+      }
+    }
+
+  private val genVec64: Gen[Array[Float]] =
+    Gen.listOfN(64, Gen.oneOf(-2, -1, 0, 1, 2)).map(_.map(_.toFloat).toArray)
+
+  property("topKHamming: self-distance 0; distances bounded by dim") =
+    forAll(Gen.listOfN(5, genVec64)) { vs =>
+      import spark.implicits._
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong + 1, v) }
+        .toDF("id", "v")
+      val out = Similarity.topKHamming(
+          df.select(col("id").as("qid"), col("v").as("qvec")),
+          df.select(col("id").as("cid"), col("v").as("cvec")),
+          dim = 64, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+      out.forall { case (_, _, d) => d >= 0 && d <= 64 } &&
+        // symmetric: d(a,b) present as d(b,a) with the same value
+        out.forall { case (a, b, d) =>
+          out.find(x => x._1 == b && x._2 == a).forall(_._3 == d)
+        }
+    }
+
   private val genProse: Gen[String] = Gen.nonEmptyListOf(Gen.oneOf(words))
     .map(_.mkString(" "))
 
