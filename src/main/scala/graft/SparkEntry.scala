@@ -3906,6 +3906,16 @@ object SparkEntry {
         .orderBy("k")
     },
 
+    // ───── Quality-threshold sweep: docs/tokens surviving each
+    // candidate quality cutoff (the "choose the bar" curve beside q218's
+    // dedup sweep and q260's context curve); one quality pass to a
+    // narrow (score, count) stream, then the explode + hash-agg ─────
+    "q271_quality_sweep" -> { (s, dir) =>
+      TextAnalysis.qualityThresholdSweep(tb(s, dir, "documents"), "text",
+          Seq(0.2, 0.35, 0.5))
+        .orderBy("threshold")
+    },
+
     // ───── Web link graph end to end: synthesized pages → href
     // extraction (Html.hrefs) → distinct domain edges → pageRank over
     // the 20-domain graph — raw-scrape graph analytics as ONE
@@ -6671,6 +6681,30 @@ object SparkEntry {
 
     // per width: truncated-cosine top-5 ∩ full-dim top-5
     "q267_matryoshka_recall" -> OraclesExt.matryoshkaRecall(5, Seq(8, 16, 32)),
+
+    // per-threshold survival recomputed on the 6dp-rounded score
+    "q271_quality_sweep" ->
+      ("WITH tok AS (SELECT doc_id, text, " +
+        "regexp_extract_all(lower(text), '\\w+') AS toks FROM documents), " +
+        "q AS (SELECT doc_id, len(toks) AS n, " +
+        "round((CASE WHEN len(toks) = 0 THEN 0.0 ELSE " +
+        "len(list_filter(toks, t -> list_contains(['the', 'a', 'an', " +
+        "'and', 'of', 'to', 'in', 'is', 'on', 'for'], t))) * 1.0 / " +
+        "len(toks) END) * 0.5 + least(len(toks) / 100.0, 1.0) * 0.5 - " +
+        "len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text) " +
+        "* 0.25, 6) AS q FROM tok), " +
+        "x AS (SELECT q, n, unnest([0.2::DOUBLE, 0.35::DOUBLE, " +
+        "0.5::DOUBLE]) AS threshold FROM q) " +
+        "SELECT threshold, count(*)::BIGINT AS n_docs, " +
+        "sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END)::BIGINT " +
+        "AS docs_kept, " +
+        "sum(CASE WHEN q >= threshold THEN n ELSE 0 END)::BIGINT " +
+        "AS tokens_kept, " +
+        "sum(n)::BIGINT AS tokens_total, " +
+        "CASE WHEN sum(n) = 0 THEN 0.0::DOUBLE ELSE " +
+        "round(sum(CASE WHEN q >= threshold THEN n ELSE 0 END)::DOUBLE " +
+        "/ sum(n), 6) END AS frac_tokens_kept " +
+        "FROM x GROUP BY 1 ORDER BY threshold"),
 
     // same page synthesis + href regex + the q133 unrolled-step chain
     "q270_link_graph" -> {

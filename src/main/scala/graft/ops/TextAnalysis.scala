@@ -1494,6 +1494,37 @@ object TextAnalysis {
       .drop("_lo", "_hi")
   }
 
+  /** Quality-threshold sweep — the "choose the quality bar" curve next
+    * to [[truncationLoss]]'s context curve and q218's dedup sweep: for
+    * each candidate cutoff, the docs and tokens that survive a
+    * `quality ≥ t` gate. Comparison happens on the 6dp-ROUNDED score
+    * (the cross-engine threshold contract). One quality pass reduces
+    * each doc to (score, token count) before the |thresholds|-way
+    * explode — the [[truncationLoss]] narrow-stream shape. */
+  def qualityThresholdSweep(
+      df: DataFrame,
+      textCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val toks = words(col(textCol))
+    df.select(round(qualityScore(col(textCol), toks), 6).as("_q"),
+        coalesce(size(toks), lit(0)).cast("long").as("_n"))
+      .select(col("_q"), col("_n"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_q") >= col("threshold"), 1L).otherwise(0L))
+          .as("docs_kept"),
+        sum(when(col("_q") >= col("threshold"), col("_n")).otherwise(0L))
+          .as("tokens_kept"),
+        sum("_n").as("tokens_total"))
+      .withColumn("frac_tokens_kept",
+        when(col("tokens_total") === 0, lit(0.0))
+          .otherwise(round(col("tokens_kept").cast("double") /
+            col("tokens_total"), 6)))
+  }
+
   /** Truncation-loss curve — the "what context length do we need"
     * companion to [[packSweep]] (which asks how tightly docs PACK, this
     * asks how much of the corpus a hard per-doc cap THROWS AWAY): for
