@@ -3906,6 +3906,17 @@ object SparkEntry {
         .orderBy("k")
     },
 
+    // ───── Chat-history assembly: each user's event stream rendered as
+    // one dialog, keeping only the LATEST 8 turns (the context-window
+    // drop-from-the-front shape); turn order total-order deterministic,
+    // struct-sorted inside the aggregate ─────
+    "q272_chat_assemble" -> { (s, dir) =>
+      TextAnalysis.assembleDialogs(t(s, dir, "events"),
+          "user_id", "ts", "event_id",
+          role = col("event_type"), content = col("props"), maxTurns = 8)
+        .orderBy("user_id")
+    },
+
     // ───── Quality-threshold sweep: docs/tokens surviving each
     // candidate quality cutoff (the "choose the bar" curve beside q218's
     // dedup sweep and q260's context curve); one quality pass to a
@@ -6681,6 +6692,18 @@ object SparkEntry {
 
     // per width: truncated-cosine top-5 ∩ full-dim top-5
     "q267_matryoshka_recall" -> OraclesExt.matryoshkaRecall(5, Seq(8, 16, 32)),
+
+    // rank-from-latest cut, then ordered string_agg over the survivors
+    "q272_chat_assemble" ->
+      ("WITH r AS (SELECT user_id, ts, event_id, " +
+        "event_type || ': ' || coalesce(props, '') AS turn, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, " +
+        "event_id DESC) AS rnk, " +
+        "count(*) OVER (PARTITION BY user_id) AS total FROM events) " +
+        "SELECT user_id, max(total)::BIGINT AS n_turns_total, " +
+        "count(*)::BIGINT AS n_turns_kept, " +
+        "string_agg(turn, chr(10) ORDER BY ts, event_id) AS dialog " +
+        "FROM r WHERE rnk <= 8 GROUP BY 1 ORDER BY user_id"),
 
     // per-threshold survival recomputed on the 6dp-rounded score
     "q271_quality_sweep" ->

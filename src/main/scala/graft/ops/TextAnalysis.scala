@@ -1494,6 +1494,46 @@ object TextAnalysis {
       .drop("_lo", "_hi")
   }
 
+  /** Conversation assembly — the SFT/chat-data shaping primitive: turn
+    * an event stream into one rendered dialog per key, keeping only the
+    * LATEST `maxTurns` turns (the chat-history context window; history
+    * beyond the window is dropped from the front, never the back).
+    * Turns render as `role: content` joined by newlines, ordered by
+    * (time, id) — ties are total-order deterministic. Null contents
+    * render as empty strings rather than swallowing the turn.
+    *
+    * Scale shape: one window shuffle on the key (rank-from-latest) +
+    * one hash-agg (ordered string_agg within the ≤maxTurns survivors);
+    * per-key state is bounded by maxTurns × turn size. */
+  def assembleDialogs(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      role: Column,
+      content: Column,
+      maxTurns: Int): DataFrame = {
+    require(maxTurns >= 1, "maxTurns must be >= 1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    val wAll = Window.partitionBy(col(keyCol))
+    df.select(col(keyCol), col(tsCol), col(idCol),
+        concat(role, lit(": "), coalesce(content, lit(""))).as("_turn"))
+      .withColumn("_rnk", row_number().over(w))
+      .withColumn("_total", count(lit(1)).over(wAll))
+      .filter(col("_rnk") <= maxTurns)
+      .groupBy(keyCol)
+      .agg(
+        max("_total").as("n_turns_total"),
+        count(lit(1)).as("n_turns_kept"),
+        // collect_list order is arrival order (partition-dependent):
+        // sort the (ts, id, turn) structs inside the agg value instead
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col(tsCol).as("t"),
+            col(idCol).as("i"), col("_turn").as("v")))),
+          x => x.getField("v"))).as("dialog"))
+  }
+
   /** Quality-threshold sweep — the "choose the quality bar" curve next
     * to [[truncationLoss]]'s context curve and q218's dedup sweep: for
     * each candidate cutoff, the docs and tokens that survive a

@@ -834,6 +834,23 @@ class TextAnalysisSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("assembleDialogs: keeps the latest turns in chronological order") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "u1", ts("2024-01-01 08:00:00"), "user", "hi"),
+      (2L, "u1", ts("2024-01-01 09:00:00"), "bot", "hello"),
+      (3L, "u1", ts("2024-01-01 10:00:00"), "user", null.asInstanceOf[String]),
+      (4L, "u2", ts("2024-01-01 10:00:00"), "user", "solo")
+    ).toDF("event_id", "user_id", "ts", "role", "content")
+    val got = TextAnalysis.assembleDialogs(ev, "user_id", "ts", "event_id",
+        col("role"), col("content"), maxTurns = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // u1: oldest turn dropped from the FRONT; null content renders empty
+    assert(got("u1") == ((3L, 2L, "bot: hello\nuser: ")))
+    assert(got("u2") == ((1L, 1L, "user: solo")))
+  }
+
   test("truncationLoss: hand-computed losses; null doc counts as 0 tokens") {
     val df = Seq(
       (1L, "a", "one two three four five"), // 5 tokens
