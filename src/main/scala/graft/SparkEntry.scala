@@ -3906,6 +3906,22 @@ object SparkEntry {
         .orderBy("k")
     },
 
+    // ───── Mixture executor: q259's fitted rates applied as per-doc
+    // repeat factors (floor + deterministic-hash fractional epoch — the
+    // DoReMi allocation; rates > 1 upsample by duplication). Broadcast
+    // rate table, one hash projection over the corpus ─────
+    "q273_apply_mixture" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      val rates = Sampling.ipfMixture(docs, "source", "lang",
+          size(TextAnalysis.words(col("text"))), iters = 20)
+        .select("source", "lang", "rate")
+      Sampling.applyMixtureRates(
+          docs.select("doc_id", "source", "lang"), rates,
+          Seq("source", "lang"), "doc_id")
+        .select("doc_id", "source", "lang", "rate", "n_copies")
+        .orderBy("doc_id")
+    },
+
     // ───── Chat-history assembly: each user's event stream rendered as
     // one dialog, keeping only the LATEST 8 turns (the context-window
     // drop-from-the-front shape); turn order total-order deterministic,
@@ -6692,6 +6708,19 @@ object SparkEntry {
 
     // per width: truncated-cosine top-5 ∩ full-dim top-5
     "q267_matryoshka_recall" -> OraclesExt.matryoshkaRecall(5, Seq(8, 16, 32)),
+
+    // the q259 recursive chain as a subquery + per-doc hash fractional
+    "q273_apply_mixture" ->
+      ("SELECT d.doc_id, d.source, d.lang, r.rate, " +
+        "(floor(r.rate) + CASE WHEN " +
+        "(('0x' || substr(md5(d.doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT " +
+        "% 1000000000) / 1000000000.0 < r.rate - floor(r.rate) " +
+        "THEN 1 ELSE 0 END)::INT AS n_copies " +
+        "FROM documents d JOIN (" +
+        OraclesExt.ipfMixture(20)
+          .replaceAll(" ORDER BY g.source, g.lang$", "") +
+        ") r ON r.source = d.source AND r.lang = d.lang " +
+        "ORDER BY d.doc_id"),
 
     // rank-from-latest cut, then ordered string_agg over the survivors
     "q272_chat_assemble" ->

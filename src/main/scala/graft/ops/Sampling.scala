@@ -69,6 +69,33 @@ object Sampling {
       .select(col("cid"), col("cell"), (col("_rnk") <= perCell).as("kept"))
   }
 
+  /** Apply per-cell mixture rates as PER-DOCUMENT repeat factors — the
+    * executor half of [[ipfMixture]] (solver → this → training shards):
+    * a rate of 2.4 means every cell member appears twice and a
+    * deterministic-hash 40% of members appear a third time (the
+    * DoReMi/epoch-weighting allocation; rates above 1 UPSAMPLE by
+    * duplication, below 1 downsample). Σ copies per cell converges to
+    * rate × members with zero RNG state — same corpus, same copies.
+    *
+    * `rates` is a ≤cells-row broadcast; the corpus pays one hash
+    * projection. Cells absent from `rates` drop (inner join — the
+    * solver emits every cell it saw, so absence means "not in the
+    * mixture"). */
+  def applyMixtureRates(
+      df: DataFrame,
+      rates: DataFrame, // (keyCols..., rate)
+      keyCols: Seq[String],
+      idCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one cell key column")
+    val u = (Hashing.hash60(concat(col(idCol).cast("string"), lit(":mix")))
+      % 1000000000L).cast("double") / 1e9
+    df.join(broadcast(rates), keyCols)
+      .withColumn("n_copies",
+        (floor(col("rate")) +
+          when(u < col("rate") - floor(col("rate")), 1).otherwise(0))
+          .cast("int"))
+  }
+
   /** Per-key temporal train/test split — the eval-hygiene splitter for
     * time-ordered data ("train on the past, evaluate on the future", per
     * entity): each key's latest ceil(n·testFrac) rows become `test`, the

@@ -95,6 +95,32 @@ class SamplingSpec extends SparkSpec {
     assert(none.filter(col("split") === "test").count() == 0)
   }
 
+  test("applyMixtureRates: floor + hash fractional; expected copies per cell") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 200L).map(i => (i, "a")).toDF("id", "cell")
+    val rates = Seq(("a", 2.4)).toDF("cell", "rate")
+    val got = Sampling.applyMixtureRates(docs, rates, Seq("cell"), "id")
+      .select("id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every doc gets 2 or 3 copies; the hash fraction lands near 40%
+    assert(got.values.forall(c => c == 2 || c == 3))
+    val threes = got.values.count(_ == 3)
+    assert(threes > 50 && threes < 110, s"threes=$threes")
+    // deterministic: a second run produces the identical assignment
+    val again = Sampling.applyMixtureRates(docs, rates, Seq("cell"), "id")
+      .select("id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == got)
+    // rate below 1 downsamples: copies in {0, 1}
+    val down = Sampling.applyMixtureRates(docs,
+        Seq(("a", 0.3)).toDF("cell", "rate"), Seq("cell"), "id")
+      .select("n_copies").collect().map(_.getInt(0))
+    assert(down.forall(c => c == 0 || c == 1))
+    // cells absent from the rate table drop
+    assert(Sampling.applyMixtureRates(docs,
+      Seq(("zzz", 1.0)).toDF("cell", "rate"), Seq("cell"), "id").count() == 0)
+  }
+
   test("ipfMixture: fitted weights hit both uniform marginals") {
     import org.apache.spark.sql.functions._
     // skewed 2x2 mass grid: a/x dominates; raking must equalize both
