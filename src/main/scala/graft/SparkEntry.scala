@@ -3906,6 +3906,17 @@ object SparkEntry {
         .orderBy("k")
     },
 
+    // ───── Sorted-neighborhood near-dup pairs (Hernández–Stolfo): the
+    // THIRD blocking family beside banding (q14/q15) and content keys
+    // (q12) — sort once by normalized key, compare only the 3 successors
+    // via lead(); candidates = n·window, no pair join; window
+    // partitioned by first sorted token (distributed SNM) ─────
+    "q274_sorted_neighborhood" -> { (s, dir) =>
+      Dedup.sortedNeighborhoodPairs(tb(s, dir, "documents"), "doc_id",
+          TextAnalysis.words(col("text")), window = 3, minJaccard = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+
     // ───── Mixture executor: q259's fitted rates applied as per-doc
     // repeat factors (floor + deterministic-hash fractional epoch — the
     // DoReMi allocation; rates > 1 upsample by duplication). Broadcast
@@ -6708,6 +6719,28 @@ object SparkEntry {
 
     // per width: truncated-cosine top-5 ∩ full-dim top-5
     "q267_matryoshka_recall" -> OraclesExt.matryoshkaRecall(5, Seq(8, 16, 32)),
+
+    // same prefix-partitioned rank, successors via rank-distance join
+    "q274_sorted_neighborhood" ->
+      ("WITH tok AS (SELECT doc_id, " +
+        "regexp_extract_all(lower(text), '\\w+') AS toks FROM documents), " +
+        "b AS (SELECT doc_id AS id, list_sort(list_distinct(toks)) AS s " +
+        "FROM tok), " +
+        "k AS (SELECT id, s, array_to_string(s, ' ') AS key, " +
+        "coalesce(s[1], '') AS pfx FROM b), " +
+        "r AS (SELECT id, s, key, pfx, row_number() OVER " +
+        "(PARTITION BY pfx ORDER BY key, id) AS rnk FROM k), " +
+        "p AS (SELECT a.id AS ia, c.id AS ib, a.s AS sa, c.s AS sb " +
+        "FROM r a JOIN r c ON a.pfx = c.pfx AND c.rnk > a.rnk " +
+        "AND c.rnk <= a.rnk + 3), " +
+        "j AS (SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, " +
+        "round(CASE WHEN (len(sa) + len(sb) - " +
+        "len(list_intersect(sa, sb))) = 0 THEN 0.0::DOUBLE " +
+        "ELSE len(list_intersect(sa, sb))::DOUBLE / " +
+        "(len(sa) + len(sb) - len(list_intersect(sa, sb))) END, 6) AS jac " +
+        "FROM p) " +
+        "SELECT DISTINCT id_a, id_b, jac FROM j WHERE jac >= 0.3 " +
+        "ORDER BY id_a, id_b"),
 
     // the q259 recursive chain as a subquery + per-doc hash fractional
     "q273_apply_mixture" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Hashing.P
@@ -43,6 +44,56 @@ object Dedup {
           .as("member_ids"))
       .filter(col("n_copies") >= minGroup)
       .drop("content_key")
+
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1995) — the
+    * third blocking family next to banding (MinHash/SimHash bands) and
+    * content-key grouping: sort the corpus ONCE by the normalized
+    * content key and compare each doc only to its `window` successors in
+    * sort order, via `lead()` columns — NO pair join ever forms; the
+    * candidate count is exactly n·window. Near-duplicates sort adjacent
+    * because their normalized keys share long prefixes; docs whose keys
+    * diverge early can still be near-dups and are MISSED — the classic
+    * SNM recall trade documented since the original paper (banding is
+    * the recall-favoring alternative; this is the sort-cheap one).
+    *
+    * Emits (id_a, id_b, jac) with id_a < id_b, exact token-set Jaccard
+    * ≥ `minJaccard`, 6dp-rounded before the threshold. Scale shape: the
+    * sort window is PARTITIONED by the first sorted token (the
+    * distributed-SNM partition — an unpartitioned window would be a
+    * single-reducer sort, the exact trap the vocabCoverage fix removed):
+    * one hash exchange + per-partition sort, window state bounded.
+    * Candidates never cross first-token partitions, which is aligned
+    * with SNM's own prefix-affinity premise — near-dups that disagree on
+    * their first sorted token were going to sort apart anyway. */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      idCol: String,
+      toks: Column,
+      window: Int = 3,
+      minJaccard: Double = 0.3): DataFrame = {
+    require(window >= 1 && window <= 64, "window must be in [1, 64]")
+    val base = df.select(col(idCol).as("_id"),
+        array_sort(array_distinct(toks)).as("_set"))
+      .withColumn("_key", concat_ws(" ", col("_set")))
+      .withColumn("_pfx", coalesce(get(col("_set"), lit(0)), lit("")))
+    val w = Window.partitionBy(col("_pfx")).orderBy(col("_key"), col("_id"))
+    val withLeads = (1 to window).foldLeft(base) { (d, k) =>
+      d.withColumn(s"_nid$k", lead(col("_id"), k).over(w))
+        .withColumn(s"_nset$k", lead(col("_set"), k).over(w))
+    }
+    val pairs = (1 to window).map { k =>
+      val inter = size(array_intersect(col("_set"), col(s"_nset$k")))
+      val union = size(col("_set")) + size(col(s"_nset$k")) - inter
+      withLeads
+        .filter(col(s"_nid$k").isNotNull)
+        .select(
+          least(col("_id"), col(s"_nid$k")).as("id_a"),
+          greatest(col("_id"), col(s"_nid$k")).as("id_b"),
+          round(when(union === 0, lit(0.0))
+            .otherwise(inter.cast("double") / union), 6).as("jac"))
+    }.reduce(_ unionByName _)
+    pairs.filter(col("jac") >= minJaccard).distinct()
+  }
 
   /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles,
     * self-join on shingle, count intersections, filter by

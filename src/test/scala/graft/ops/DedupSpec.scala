@@ -615,4 +615,31 @@ class DedupSpec extends SparkSpec {
     // only the true duplicate pair survives, in both directions
     assert(capped == Set((1L, 2L), (2L, 1L)), capped.toString)
   }
+
+  test("sortedNeighborhoodPairs: adjacent near-dups found; window bounds recall") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),       // exact dup of 1 -> adjacent
+      (3L, "alpha beta delta gamma"), // near-dup, same prefix region
+      (10L, "zeta yotta"), (11L, "zeta xi"), (12L, "zeta omega")
+    ).toDF("id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(df, "id",
+        TextAnalysis.words(col("text")), window = 2, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) == 0.75)
+    // different first sorted token -> different partition, never compared
+    assert(!got.keySet.exists { case (a, b) => a <= 3 && b >= 10 })
+  }
+
+  test("sortedNeighborhoodPairs: candidates never exceed n x window") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 30L).map(i => (i, s"tok$i common words here"))
+      .toDF("id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(df, "id",
+      TextAnalysis.words(col("text")), window = 3, minJaccard = 0.0)
+    assert(pairs.count() <= 30 * 3)
+  }
 }
