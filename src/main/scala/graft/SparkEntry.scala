@@ -3906,6 +3906,34 @@ object SparkEntry {
         .orderBy("k")
     },
 
+    // ───── Per-source PII density scorecard: q69's scrubber aggregated
+    // to the release-review grid (docs with hits, hits by kind, hits per
+    // 1k source chars) — the structured report beside q254's k-anonymity
+    // audit; same deterministic dirty-text synthesis as q69 ─────
+    "q275_pii_report" -> { (s, dir) =>
+      val dirty = tb(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com via 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0."),
+          (col("doc_id") % 100).cast("string"), lit(" tel "),
+          (col("doc_id") + 5550000000L).cast("string")).as("t"))
+      val hits = col("n_email") + col("n_ip") + col("n_num")
+      TextAnalysis.piiScrub(dirty, "doc_id", "t")
+        .join(dirty.select(col("doc_id"), col("source"),
+          length(col("t")).as("_n0")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(hits > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+          sum(col("n_email").cast("long")).as("emails"),
+          sum(col("n_ip").cast("long")).as("ips"),
+          sum(col("n_num").cast("long")).as("nums"),
+          round(sum(hits.cast("double")) * 1000.0 /
+            sum(col("_n0").cast("double")), 6).as("hits_per_1k_chars"))
+        .orderBy("source")
+    },
+
     // ───── Sorted-neighborhood near-dup pairs (Hernández–Stolfo): the
     // THIRD blocking family beside banding (q14/q15) and content keys
     // (q12) — sort once by normalized key, compare only the 3 successors
@@ -6719,6 +6747,31 @@ object SparkEntry {
 
     // per width: truncated-cosine top-5 ∩ full-dim top-5
     "q267_matryoshka_recall" -> OraclesExt.matryoshkaRecall(5, Seq(8, 16, 32)),
+
+    // the q69 scrub chain (same dirty synthesis) grouped per source
+    "q275_pii_report" -> {
+      import graft.ops.TextAnalysis.{emailRe, ipv4Re, longNumRe}
+      "WITH dirty AS (SELECT doc_id, source, text || ' contact user' || " +
+        "doc_id::VARCHAR || '@example.com via 10.' || " +
+        "(doc_id % 256)::VARCHAR || '.0.' || (doc_id % 100)::VARCHAR || " +
+        "' tel ' || (5550000000 + doc_id)::VARCHAR AS t FROM documents), " +
+        "d0 AS (SELECT doc_id, source, t, length(t) AS n0 FROM dirty), " +
+        s"s1 AS (SELECT doc_id, source, n0, " +
+        s"len(regexp_extract_all(t, '$emailRe'))::BIGINT AS n_email, " +
+        s"regexp_replace(t, '$emailRe', '<EMAIL>', 'g') AS t FROM d0), " +
+        s"s2 AS (SELECT doc_id, source, n0, n_email, " +
+        s"len(regexp_extract_all(t, '$ipv4Re'))::BIGINT AS n_ip, " +
+        s"regexp_replace(t, '$ipv4Re', '<IP>', 'g') AS t FROM s1), " +
+        s"s3 AS (SELECT doc_id, source, n0, n_email, n_ip, " +
+        s"len(regexp_extract_all(t, '$longNumRe'))::BIGINT AS n_num FROM s2) " +
+        "SELECT source, count(*)::BIGINT AS n_docs, " +
+        "sum(CASE WHEN n_email + n_ip + n_num > 0 THEN 1 ELSE 0 END)::BIGINT " +
+        "AS docs_with_pii, " +
+        "sum(n_email)::BIGINT AS emails, sum(n_ip)::BIGINT AS ips, " +
+        "sum(n_num)::BIGINT AS nums, " +
+        "round(sum(n_email + n_ip + n_num)::DOUBLE * 1000.0 / sum(n0), 6) " +
+        "AS hits_per_1k_chars FROM s3 GROUP BY 1 ORDER BY source"
+    },
 
     // same prefix-partitioned rank, successors via rank-distance join
     "q274_sorted_neighborhood" ->
