@@ -201,7 +201,9 @@ object Models {
       maxItems: Int = 256): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val spark = pairs.sparkSession
+    // null-keyed matches carry no usable identity — dropped, documented
     val counts = pairs
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
       .groupBy(col(winnerCol).cast("string").as("_w"),
         col(loserCol).cast("string").as("_l"))
       .agg(count(lit(1)).as("_n"))

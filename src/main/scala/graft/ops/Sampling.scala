@@ -161,10 +161,13 @@ object Sampling {
     val spark = df.sparkSession
     val rd9 = (x: Double) => math.rint(x * 1e9) / 1e9
     val rd6 = (x: Double) => math.rint(x * 1e6) / 1e6
+    // coalesce: a cell whose every mass is null (e.g. all-null text)
+    // aggregates to null — treat it as an observed empty cell, not an
+    // NPE at collect time
     val cells = df
       .groupBy(col(rowCol).cast("string").as("_r"),
         col(colCol).cast("string").as("_c"))
-      .agg(sum(mass.cast("double")).as("_n"))
+      .agg(coalesce(sum(mass.cast("double")), lit(0.0)).as("_n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     val rows = cells.map(_._1).distinct.sorted
     val cols = cells.map(_._2).distinct.sorted

@@ -248,4 +248,20 @@ class NullSafetySpec extends SparkSpec {
     val pairs = Seq.empty[(String, String)].toDF("w", "l")
     assert(Models.bradleyTerry(pairs, "w", "l").count() == 0)
   }
+
+  test("bradleyTerry: null-keyed matches drop; ipfMixture survives all-null mass") {
+    val pairs = Seq(("A", "B"), (null.asInstanceOf[String], "B"),
+      ("A", null.asInstanceOf[String])).toDF("w", "l")
+    val got = Models.bradleyTerry(pairs, "w", "l")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("A" -> 1L, "B" -> 1L)) // only the clean match counts
+    // a cell whose every mass value is null aggregates as an empty cell
+    val df = Seq(("a", "x", Some(3.0)), ("a", "y", None), ("b", "x", Some(2.0)),
+      ("b", "y", Some(1.0))).map { case (r, c, m) =>
+      (r, c, m.map(Double.box).orNull) }.toDF("r", "c", "m")
+    val out = Sampling.ipfMixture(df, "r", "c", col("m"), iters = 5)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2))
+      .toMap
+    assert(out(("a", "y")) == 0.0)
+  }
 }
