@@ -81,18 +81,25 @@ object Dedup {
       d.withColumn(s"_nid$k", lead(col("_id"), k).over(w))
         .withColumn(s"_nset$k", lead(col("_set"), k).over(w))
     }
-    val pairs = (1 to window).map { k =>
-      val inter = size(array_intersect(col("_set"), col(s"_nset$k")))
-      val union = size(col("_set")) + size(col(s"_nset$k")) - inter
-      withLeads
-        .filter(col(s"_nid$k").isNotNull)
-        .select(
-          least(col("_id"), col(s"_nid$k")).as("id_a"),
-          greatest(col("_id"), col(s"_nid$k")).as("id_b"),
-          round(when(union === 0, lit(0.0))
-            .otherwise(inter.cast("double") / union), 6).as("jac"))
-    }.reduce(_ unionByName _)
-    pairs.filter(col("jac") >= minJaccard).distinct()
+    // ONE window pass + ONE Generate: a per-k union would re-sort and
+    // re-window the corpus once per lead (column pruning splits the
+    // shared frame), tripling the exchange work at scale
+    val cands = withLeads
+      .select(col("_id"), col("_set"),
+        explode(array((1 to window).map(k =>
+          struct(col(s"_nid$k").as("nid"), col(s"_nset$k").as("nset"))): _*))
+          .as("_c"))
+      .filter(col("_c.nid").isNotNull)
+    val inter = size(array_intersect(col("_set"), col("_c.nset")))
+    val union = size(col("_set")) + size(col("_c.nset")) - inter
+    cands
+      .select(
+        least(col("_id"), col("_c.nid")).as("id_a"),
+        greatest(col("_id"), col("_c.nid")).as("id_b"),
+        round(when(union === 0, lit(0.0))
+          .otherwise(inter.cast("double") / union), 6).as("jac"))
+      .filter(col("jac") >= minJaccard)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles,
