@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
-import graft.ops.{Html, Models, Privacy, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Html, Models, Privacy, Sampling, Similarity, TextAnalysis}
 
 /** Invariants of the round-7 operators (classifier, privacy audit,
   * preference ratings, mixture raking, PCA, HTML extraction). Each case
@@ -220,6 +220,60 @@ object ModelMixProps extends Properties("graft.invariants.round7") {
         // symmetric: d(a,b) present as d(b,a) with the same value
         out.forall { case (a, b, d) =>
           out.find(x => x._1 == b && x._2 == a).forall(_._3 == d)
+        }
+    }
+
+  property("matryoshkaRecall: the full-width arm always scores recall 1.0") =
+    forAll(genVecs.map(_.take(6))) { vecs =>
+      import spark.implicits._
+      val corpus = vecs.toDF("cid", "cvec")
+      val queries = vecs.take(2)
+        .map { case (id, v) => (id + 1000, v) }.toDF("qid", "qvec")
+      Similarity.matryoshkaRecall(queries, corpus, k = 2, dims = Seq(2, 3))
+        .collect().filter(_.getInt(0) == 3)
+        .forall(_.getDouble(3) == 1.0)
+    }
+
+  private val genRate: Gen[Double] =
+    Gen.choose(1, 40).map(_ / 10.0) // 0.1 .. 4.0
+
+  property("applyMixtureRates: per-cell copies within [floor, ceil]·n and deterministic") =
+    forAll(Gen.choose(20, 60), genRate) { (n, rate) =>
+      import spark.implicits._
+      val docs = (1L to n.toLong).map(i => (i, "c")).toDF("id", "cell")
+      val rates = Seq(("c", rate)).toDF("cell", "rate")
+      val got = Sampling.applyMixtureRates(docs, rates, Seq("cell"), "id")
+        .select("id", "n_copies").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val total = got.values.map(_.toLong).sum
+      val lo = math.floor(rate).toLong * n
+      val hi = math.ceil(rate).toLong * n
+      got.values.forall(c =>
+        c == math.floor(rate).toInt || c == math.ceil(rate).toInt) &&
+        total >= lo && total <= hi &&
+        got == Sampling.applyMixtureRates(docs, rates, Seq("cell"), "id")
+          .select("id", "n_copies").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+
+  private val genSnmDocs: Gen[List[(Long, String)]] = Gen.nonEmptyListOf(
+    Gen.nonEmptyListOf(Gen.oneOf(words)).map(_.mkString(" ")))
+    .map(_.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) })
+
+  property("sortedNeighborhood: SOUND — every pair's jac matches the direct set computation") =
+    forAll(genSnmDocs.map(_.take(10))) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("id", "text")
+      val sets = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toSet
+      }.toMap
+      Dedup.sortedNeighborhoodPairs(df, "id",
+          TextAnalysis.words(col("text")), window = 3, minJaccard = 0.1)
+        .collect().forall { r =>
+          val (a, b, jac) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+          val (sa, sb) = (sets(a), sets(b))
+          val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+          a < b && jac == math.rint(expect * 1e6) / 1e6
         }
     }
 
