@@ -1721,6 +1721,33 @@ object OraclesExt {
       "GROUP BY 1, 2 ORDER BY dim, g.qid"
   }
 
+  /** Mirrors q277: sign-bit Hamming top-candK candidates, exact-cosine
+    * rerank to top-k (ties: hamming→cid on tier 1, cos desc→cid on
+    * tier 2). */
+  def binaryRerank(candK: Int, k: Int): String =
+    s"WITH $embCte, " +
+      "bp AS (SELECT vec_id, " +
+      "list_sum(list_transform(range(32), i -> " +
+      "CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS w0, " +
+      "list_sum(list_transform(range(32), i -> " +
+      "CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS w1 " +
+      "FROM e), " +
+      "qb AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM bp " +
+      "WHERE vec_id % 100 = 0), " +
+      "sb AS (SELECT qid, bp.vec_id AS cid, " +
+      "bit_count(xor(qw0, w0)) + bit_count(xor(qw1, w1)) AS hd " +
+      "FROM bp CROSS JOIN qb WHERE bp.vec_id <> qid), " +
+      "rb AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY hd, cid) AS rnk FROM sb), " +
+      s"cand AS (SELECT qid, cid FROM rb WHERE rnk <= $candK), " +
+      "sc AS (SELECT cand.qid, cand.cid, " +
+      s"round(${cosSql("q.v", "c.v")}, 6) AS cos FROM cand " +
+      "JOIN e q ON q.vec_id = cand.qid JOIN e c ON c.vec_id = cand.cid), " +
+      "rr AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY cos DESC, cid) AS rnk FROM sc) " +
+      s"SELECT qid, rnk::INT AS rnk, cid, cos FROM rr WHERE rnk <= $k " +
+      "ORDER BY qid, rnk"
+
   /** Mirrors Sampling.ipfMixture over (source, lang) token masses with
     * uniform marginal targets: the dense grid flattened row-major into a
     * LIST, `iters` alternating row/column scaling rounds through a

@@ -3906,6 +3906,36 @@ object SparkEntry {
         .orderBy("k")
     },
 
+    // ───── Two-tier ANN serving: 1-bit Hamming top-30 candidates, exact
+    // cosine rerank to top-5 — the production binary-index composition
+    // (floats touched only for candK·|queries| rows) ─────
+    "q277_binary_rerank" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.topKBinaryRerank(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          dim = 64, candK = 30, k = 5)
+        .orderBy("qid", "rnk")
+    },
+
+    // ───── Homoglyph-fold dedup: every 4th doc gets a Cyrillic-lookalike
+    // twin (the spam dedup-evasion shape); confusable folding before the
+    // q12 content key reunites each pair — exact dedup sees through the
+    // disguise. Folding is one codegen'd translate ─────
+    "q276_homoglyph_dedup" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents").select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          translate(col("text"), "aeopcxy", "аеорсху").as("text"))
+      val corpus = docs.unionByName(twins)
+      val key = md5(concat_ws(" ",
+        array_sort(array_distinct(
+          TextAnalysis.words(Cleansing.confusableFold(col("text")))))))
+      Dedup.exactGroups(corpus, "doc_id", key)
+        .orderBy("keeper_id")
+    },
+
     // ───── Per-source PII density scorecard: q69's scrubber aggregated
     // to the release-review grid (docs with hits, hits by kind, hits per
     // 1k source chars) — the structured report beside q254's k-anonymity
@@ -6747,6 +6777,26 @@ object SparkEntry {
 
     // per width: truncated-cosine top-5 ∩ full-dim top-5
     "q267_matryoshka_recall" -> OraclesExt.matryoshkaRecall(5, Seq(8, 16, 32)),
+
+    // hamming top-candK then exact cosine top-k, tier by tier
+    "q277_binary_rerank" -> OraclesExt.binaryRerank(30, 5),
+
+    // same twin synthesis + translate-fold + the q12 grouping shape
+    "q276_homoglyph_dedup" -> {
+      val fold = (e: String) =>
+        s"translate($e, '${Cleansing.confusableFrom}', " +
+          s"'${Cleansing.confusableTo}')"
+      "WITH corpus AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, " +
+        "translate(text, 'aeopcxy', 'аеорсху') FROM documents " +
+        "WHERE doc_id % 4 = 0), " +
+        "k AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(" +
+        s"regexp_extract_all(lower(${fold("text")}), '\\w+'))), ' ')) AS ck " +
+        "FROM corpus) " +
+        "SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, " +
+        "string_agg(doc_id::VARCHAR, ';' ORDER BY doc_id) AS member_ids " +
+        "FROM k GROUP BY ck HAVING count(*) >= 2 ORDER BY keeper_id"
+    },
 
     // the q69 scrub chain (same dirty synthesis) grouped per source
     "q275_pii_report" -> {

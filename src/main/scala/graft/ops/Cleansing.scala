@@ -154,6 +154,29 @@ object Cleansing {
       g("^\\d{1,2}/\\d{1,2}$", "d/M yyyy"))
   }
 
+  /** Unicode confusable (homoglyph) folding — the adversarial-dedup
+    * counter: spam/SEO corpora evade exact dedup by swapping Latin
+    * letters for visually-identical Cyrillic/Greek codepoints; folding
+    * maps the common confusables back to ASCII so the content key sees
+    * through the disguise. A deliberately SMALL literal table (the
+    * high-frequency Cyrillic + Greek lookalikes), not a full UTS#39
+    * database — deterministic, engine-portable (`translate` exists
+    * everywhere with identical 1:1 semantics), and auditable at a
+    * glance. Apply BEFORE tokenization in dedup keys; composes with
+    * [[graft.expressions.NfcNormalize]], which handles combining marks,
+    * not lookalikes. */
+  val confusableFrom: String =
+    "аеорсхуіѕк" + // а е о р с х у і ѕ к
+      "АВЕКМНОРСТХ" + // АВЕКМНОРСТХ
+      "οαεικρυ" + // greek ο α ε ι κ ρ υ
+      "ΑΒΕΗΙΚΜΝΟΡΤΧ" // greek caps
+  val confusableTo: String =
+    "aeopcxyisk" + "ABEKMHOPCTX" + "oaeikpu" + "ABEHIKMNOPTX"
+
+  /** Fold [[confusableFrom]] → [[confusableTo]] (codegen'd translate). */
+  def confusableFold(c: Column): Column =
+    translate(c, confusableFrom, confusableTo)
+
   /** P2: parse "DD/MM/YYYY al DD/MM/YYYY" → week-start date, day-first;
     * returns null on malformed input, which callers filter (≙ the
     * reference's row-skip, timesheet_transform.py:47-52). Separator

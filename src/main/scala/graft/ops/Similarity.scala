@@ -590,6 +590,32 @@ object Similarity {
       .select("qid", "rnk", "cid", "hamming")
   }
 
+  /** Two-tier ANN serving: [[topKHamming]] produces `candK` cheap 1-bit
+    * candidates per query, then ONLY those rows pay the exact-cosine
+    * rerank — the production binary-index shape (scan 8 bytes/vector/
+    * word for everything, touch floats for candK·|queries| rows). The
+    * candidate set (bounded, tiny) broadcasts back against the corpus
+    * as a semi-probe, so vectors are fetched for candidates only; the
+    * rerank window runs over candK rows per query. */
+  def topKBinaryRerank(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      dim: Int,
+      candK: Int,
+      k: Int): DataFrame = {
+    require(k <= candK, s"k=$k must be <= candK=$candK")
+    val cand = topKHamming(queries, corpus, dim, candK).select("qid", "cid")
+    val withVec = corpus.join(broadcast(cand), Seq("cid"))
+    val q = queries.withColumn("_qn", l2norm(col("qvec")))
+    val scored = withVec.join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qvec"), col("cvec")) /
+          (col("_qn") * l2norm(col("cvec"))), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("qid", "rnk", "cid", "cos")
+  }
+
   /** Matryoshka truncation-recall curve (Kusupati et al. 2022): for each
     * prefix width, the exact top-k computed on TRUNCATED vectors scored
     * against the full-dimension top-k — the measurement that picks the

@@ -133,6 +133,18 @@ class CleansingSpec extends SparkSpec {
     assert(got == "x" * 31)
   }
 
+  test("confusableFold: Cyrillic/Greek lookalikes fold to ASCII; idempotent") {
+    def fold(s: String): String = Seq(s).toDF("c")
+      .select(Cleansing.confusableFold(col("c"))).as[String].head()
+    // "раусаl" typed with Cyrillic р/а/у/с folds to the Latin word
+    assert(fold("раураl") == "paypal")
+    assert(fold("ορen") == "open") // greek omicron + rho
+    // pure ASCII passes through untouched; folding is idempotent
+    assert(fold("already clean 123") == "already clean 123")
+    assert(fold(fold("С742 Мікrоѕоft")) == fold("С742 Мікrоѕоft"))
+    assert(fold("Мікrоѕоft") == "Mikrosoft")
+  }
+
   test("parseDateLenientYearless: yearless shapes fill the explicit year") {
     def parse(s: String): Option[java.sql.Date] =
       Option(Seq(s).toDF("c")

@@ -320,6 +320,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got(3L) == ((2, 64))) // all bits differ
   }
 
+  test("topKBinaryRerank: with candK = corpus size the rerank equals brute") {
+    import spark.implicits._
+    val vecs = (1L to 12L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 13.0 + d).toFloat))
+    }
+    val corpus = vecs.toDF("cid", "cvec")
+    val queries = vecs.take(2).map { case (id, v) => (id + 100, v) }
+      .toDF("qid", "qvec")
+    val brute = Similarity.topKBrute(queries, corpus, k = 4)
+      .select("qid", "rnk", "cid", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val rerank = Similarity
+      .topKBinaryRerank(queries, corpus, dim = 64, candK = 12, k = 4)
+      .select("qid", "rnk", "cid", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rerank == brute)
+  }
+
   test("matryoshkaRecall: full-width arm is recall 1.0; prefix arm measures loss") {
     import spark.implicits._
     // first 2 dims carry one ordering, the last dim reverses it for id 30
