@@ -1721,6 +1721,41 @@ object OraclesExt {
       "GROUP BY 1, 2 ORDER BY dim, g.qid"
   }
 
+  /** Mirrors TextAnalysis.codeSwitchScore (q278): 10-token segments,
+    * per-segment stopword language-ID (same tie order), per-doc vote
+    * counts → top language (count desc, lang asc) + share + entropy. */
+  val codeSwitch: String = {
+    def hr(lang: String): String =
+      s"(CASE WHEN len(st) = 0 THEN 0.0 ELSE " +
+        s"len(list_filter(st, t -> list_contains(${langList(lang)}, t))) " +
+        "* 1.0 / len(st) END)"
+    val scores = Seq("de", "en", "es", "fr")
+      .map(l => s"${hr(l)} AS s_$l").mkString(", ")
+    s"WITH $tokCte, " +
+      "c AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0), " +
+      "s AS (SELECT doc_id, toks, unnest(range(0, (n + 9) // 10)) AS i FROM c), " +
+      "seg AS (SELECT doc_id, toks[i*10+1:i*10+10] AS st FROM s), " +
+      s"sc AS (SELECT doc_id, $scores FROM seg), " +
+      "m AS (SELECT doc_id, s_de, s_en, s_es, s_fr, " +
+      "greatest(s_de, s_en, s_es, s_fr) AS mx FROM sc), " +
+      "lp AS (SELECT doc_id, CASE WHEN mx <= 0.0 THEN 'und' " +
+      "WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en' " +
+      "WHEN s_es = mx THEN 'es' ELSE 'fr' END AS lang FROM m), " +
+      "g AS (SELECT doc_id, lang, count(*)::BIGINT AS c FROM lp " +
+      "GROUP BY 1, 2), " +
+      "t AS (SELECT doc_id, lang, c, sum(c) OVER (PARTITION BY doc_id) " +
+      "AS tot, row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY c DESC, lang) AS rn FROM g) " +
+      "SELECT t.doc_id, max(t.tot)::BIGINT AS n_segs, " +
+      "count(*)::BIGINT AS n_langs, " +
+      "max(CASE WHEN rn = 1 THEN lang END) AS top_lang, " +
+      "round(max(CASE WHEN rn = 1 THEN c END)::DOUBLE / max(t.tot), 6) " +
+      "AS top_share, " +
+      "round(sum(-(c::DOUBLE / tot) * ln(c::DOUBLE / tot)), 6) " +
+      "AS lang_entropy " +
+      "FROM t GROUP BY 1 ORDER BY doc_id"
+  }
+
   /** Mirrors q277: sign-bit Hamming top-candK candidates, exact-cosine
     * rerank to top-k (ties: hamming→cid on tier 1, cos desc→cid on
     * tier 2). */

@@ -3906,6 +3906,16 @@ object SparkEntry {
         .orderBy("k")
     },
 
+    // ───── Code-switching detector: 10-token segments language-ID'd
+    // individually, per-doc vote distribution (top language + share +
+    // entropy) — the multilingual triage a per-doc langid misses; the
+    // explode carries language LABELS, never text ─────
+    "q278_code_switch" -> { (s, dir) =>
+      TextAnalysis.codeSwitchScore(tb(s, dir, "documents"),
+          "doc_id", "text", segTokens = 10)
+        .orderBy("doc_id")
+    },
+
     // ───── Two-tier ANN serving: 1-bit Hamming top-30 candidates, exact
     // cosine rerank to top-5 — the production binary-index composition
     // (floats touched only for candK·|queries| rows) ─────
@@ -6780,6 +6790,9 @@ object SparkEntry {
 
     // hamming top-candK then exact cosine top-k, tier by tier
     "q277_binary_rerank" -> OraclesExt.binaryRerank(30, 5),
+
+    // per-segment langid votes → per-doc distribution + entropy
+    "q278_code_switch" -> OraclesExt.codeSwitch,
 
     // same twin synthesis + translate-fold + the q12 grouping shape
     "q276_homoglyph_dedup" -> {

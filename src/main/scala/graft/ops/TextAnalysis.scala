@@ -1494,6 +1494,55 @@ object TextAnalysis {
       .drop("_lo", "_hi")
   }
 
+  /** Code-switching detector — the multilingual-corpus triage op: docs
+    * that MIX languages break monolingual pipelines (one [[langId]] call
+    * per doc sees only the majority language). Chunk each doc into
+    * `segTokens`-token segments (the segment-dedup windows), language-ID
+    * each segment, and report the per-doc vote distribution: segment
+    * count, distinct languages, the top language and its share, and the
+    * vote entropy (0 = monolingual, ln 2 ≈ 0.69 = an even two-language
+    * mix). Top-language ties break alphabetically (the min-struct
+    * trick), matching [[langId]]'s own tie rule.
+    *
+    * Scale shape: one tokenize pass + a bounded per-doc explode (doc
+    * length / segTokens rows of LANGUAGE LABELS, never text), then two
+    * hash-aggs over the ≤5-langs-per-doc grid. */
+  def codeSwitchScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int = 10): DataFrame = {
+    require(segTokens >= 1, "segTokens must be >= 1")
+    val base = df.select(col(idCol), words(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") > 0)
+    val segs = base.select(col(idCol), col("_toks"),
+        explode(sequence(lit(0),
+          ceil(col("_n").cast("double") / segTokens).cast("int") - 1))
+          .as("_i"))
+      .select(col(idCol),
+        langId(slice(col("_toks"), col("_i") * segTokens + 1, lit(segTokens)))
+          .as("_lang"))
+    val perLang = segs.groupBy(col(idCol), col("_lang"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col(idCol))
+    perLang
+      .withColumn("_tot", sum("_c").over(w))
+      .withColumn("_p", col("_c").cast("double") / col("_tot"))
+      .groupBy(idCol)
+      .agg(
+        max("_tot").as("n_segs"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("_c")).as("negc"), col("_lang").as("l")))
+          .as("_top"),
+        round(sum(-col("_p") * log(col("_p"))), 6).as("lang_entropy"))
+      .withColumn("top_lang", col("_top.l"))
+      .withColumn("top_share",
+        round((-col("_top.negc")).cast("double") / col("n_segs"), 6))
+      .select(col(idCol), col("n_segs"), col("n_langs"), col("top_lang"),
+        col("top_share"), col("lang_entropy"))
+  }
+
   /** Conversation assembly — the SFT/chat-data shaping primitive: turn
     * an event stream into one rendered dialog per key, keeping only the
     * LATEST `maxTurns` turns (the chat-history context window; history

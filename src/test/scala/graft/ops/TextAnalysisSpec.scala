@@ -834,6 +834,27 @@ class TextAnalysisSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("codeSwitchScore: monolingual entropy 0; even mix entropy ln 2") {
+    // doc 1: two segments, both English; doc 2: one English + one German
+    // segment (10 tokens each); doc 3: no stopword hits at all -> 'und'
+    val en10 = "the a an and of to in is on for"
+    val de10 = "der die und das ist ein mit von zu auf"
+    val df = Seq(
+      (1L, s"$en10 $en10"),
+      (2L, s"$en10 $de10"),
+      (3L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.codeSwitchScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got(1L) == ((2L, 1L, "en", 1.0, 0.0)))
+    val ln2 = math.rint(math.log(2.0) * 1e6) / 1e6
+    // tie on counts (1 each): top lang breaks alphabetically -> de
+    assert(got(2L) == ((2L, 2L, "de", 0.5, ln2)))
+    assert(got(3L) == ((1L, 1L, "und", 1.0, 0.0)))
+  }
+
   test("assembleDialogs: keeps the latest turns in chronological order") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
