@@ -1825,4 +1825,134 @@ object OraclesExt {
       "CASE WHEN g.n = 0 THEN 0.0::DOUBLE " +
       "ELSE round(w[(g.s * k + g.j + 1)::INT] / g.n, 6) END AS rate " +
       "FROM grid g, fin, dims ORDER BY g.source, g.lang"
+
+  // ───────────────────────── URL canonicalization ─────────────────────────
+
+  /** Deterministic URL synthesis shared by q279/q280 — eight shapes per
+    * doc_id exercising every [[graft.ops.Url.canonicalize]] branch:
+    * mixed-case scheme/host, www + tracking params + unsorted query,
+    * default https port + fragment + multi-label suffix (.co.uk),
+    * userinfo + non-default port + doubled slashes, non-http scheme
+    * (dropped), trailing-dot host + bare root path, default http port +
+    * empty-valued param, all-tracking query (.com.au), and a single-label
+    * intranet host. Mirrored column-for-column in SparkEntry.urlSynth. */
+  val urlRawCte: String =
+    "raw AS (SELECT doc_id, CASE doc_id % 8 " +
+      "WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id % 50)::VARCHAR || " +
+      "'.Example.COM/a/b' || (doc_id % 7)::VARCHAR || '/?utm_source=feed&b=2&a=1' " +
+      "WHEN 1 THEN 'https://News.Site' || (doc_id % 50)::VARCHAR || " +
+      "'.CO.UK:443/Index.html#frag' " +
+      "WHEN 2 THEN 'http://user:pw@Site' || (doc_id % 50)::VARCHAR || " +
+      "'.example.com:8080//x//?gclid=z12&q=' || (doc_id % 13)::VARCHAR " +
+      "WHEN 3 THEN 'ftp://site' || (doc_id % 50)::VARCHAR || '.example.com/file' " +
+      "WHEN 4 THEN 'https://Site' || (doc_id % 50)::VARCHAR || '.Example.com./' " +
+      "WHEN 5 THEN 'http://site' || (doc_id % 50)::VARCHAR || " +
+      "'.example.com:80/p?b=&fbclid=abc&z=9&y=8' " +
+      "WHEN 6 THEN 'https://blog.Site' || (doc_id % 50)::VARCHAR || " +
+      "'.com.au/posts/' || (doc_id % 5)::VARCHAR || '/?utm_campaign=x&utm_medium=y' " +
+      "ELSE 'http://intranet:9999/dev?a=2#x' END AS u FROM documents)"
+
+  private val urlTrackingIn: String =
+    graft.ops.Url.trackingParams.map(p => s"'$p'").mkString("(", ", ", ")")
+
+  private val urlSuffixIn: String =
+    graft.ops.Url.multiSuffixes.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** raw → (doc_id, canon, domain, port): the full Url.canonicalize /
+    * registeredDomain mirror. Single-match anchored regexes so DuckDB's
+    * first-occurrence regexp_replace ≡ Spark's replace-all. */
+  val urlCompCte: String =
+    "pt AS (SELECT doc_id, " +
+      "lower(regexp_extract(trim(u), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch0, " +
+      "regexp_extract(trim(u), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS auth, " +
+      "regexp_extract(trim(u), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p0, " +
+      "regexp_extract(trim(u), '\\?([^#]*)', 1) AS q0 FROM raw), " +
+      "cp AS (SELECT doc_id, " +
+      "CASE WHEN sch0 IN ('http', 'https') THEN sch0 END AS sch, " +
+      "lower(regexp_replace(regexp_replace(regexp_replace(auth, '^[^@]*@', ''), " +
+      "':[0-9]*$', ''), '\\.$', '')) AS h0, " +
+      "regexp_extract(regexp_replace(auth, '^[^@]*@', ''), ':([0-9]+)$', 1) AS port0, " +
+      "regexp_replace(p0, '/+$', '') AS path, " +
+      "array_to_string(list_sort(list_filter(string_split(q0, '&'), p -> " +
+      s"p <> '' AND NOT lower(split_part(p, '=', 1)) IN $urlTrackingIn " +
+      "AND NOT starts_with(lower(split_part(p, '=', 1)), 'utm_'))), '&') AS q " +
+      "FROM pt), " +
+      "cc AS (SELECT doc_id, sch, " +
+      "CASE WHEN sch IS NOT NULL AND h0 <> '' THEN h0 END AS host, " +
+      "CASE WHEN sch IS NOT NULL AND port0 <> '' " +
+      "AND NOT (sch = 'http' AND port0 = '80') " +
+      "AND NOT (sch = 'https' AND port0 = '443') THEN port0::BIGINT END AS port, " +
+      "path, q FROM cp), " +
+      "comp AS (SELECT doc_id, " +
+      "CASE WHEN sch IS NOT NULL AND host IS NOT NULL THEN " +
+      "sch || '://' || regexp_replace(host, '^www\\.', '') || " +
+      "CASE WHEN port IS NOT NULL THEN ':' || port::VARCHAR ELSE '' END || " +
+      "path || CASE WHEN q <> '' THEN '?' || q ELSE '' END END AS canon, " +
+      "CASE WHEN host IS NULL THEN NULL " +
+      "WHEN len(string_split(host, '.')) <= 1 THEN host " +
+      "WHEN (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]) " +
+      s"IN $urlSuffixIn AND len(string_split(host, '.')) >= 3 " +
+      "THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2] " +
+      "|| '.' || string_split(host, '.')[-1] " +
+      "ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] " +
+      "END AS domain, port FROM cc)"
+
+  /** q279: every valid synthesized URL canonicalized. */
+  val urlCanonical: String =
+    s"WITH $urlRawCte, $urlCompCte " +
+      "SELECT doc_id, canon, domain, port FROM comp " +
+      "WHERE canon IS NOT NULL ORDER BY doc_id"
+
+  /** q281: Models.passAtK mirror — the same left-fold product
+    * (list_reduce's first-element seed ≡ Spark's 1.0 seed exactly, since
+    * 1·t₀ = t₀ in IEEE doubles) with identical n<k / n−c<k guards. */
+  val passAtK: String = {
+    def est(k: Int): String =
+      s"CASE WHEN n < $k THEN NULL WHEN n - c < $k THEN 1.0::DOUBLE " +
+        s"ELSE round(1.0::DOUBLE - list_reduce(list_transform(range($k), " +
+        s"i -> (n - c - i)::DOUBLE / (n - i)), (x, y) -> x * y), 6) END " +
+        s"AS pass_at_$k"
+    "WITH a AS (SELECT doc_id % 60 AS problem, " +
+      "CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':attempt'), 1, 15))" +
+      "::BIGINT % 100 < 20 + doc_id % 60 THEN 1 ELSE 0 END AS ok " +
+      "FROM documents), " +
+      "g AS (SELECT problem, count(*)::BIGINT AS n, sum(ok)::BIGINT AS c " +
+      "FROM a GROUP BY 1) " +
+      s"SELECT problem, n, c, ${est(1)}, ${est(5)}, ${est(10)} " +
+      "FROM g ORDER BY problem"
+  }
+
+  /** q285: Cleansing.fixMojibake mirror — the SAME pinned map drives the
+    * SQL injection CASE and the replace chain, so the two engines can't
+    * drift. */
+  val mojibakeRepair: String = {
+    def esc(s: String): String = s.replace("'", "''")
+    val snippets = graft.ops.Cleansing.mojibakeMap.map(_._1)
+    val pick = snippets.zipWithIndex
+      .map { case (s, i) => s"WHEN $i THEN '${esc(s)}'" }
+      .mkString(s"CASE doc_id % ${snippets.size} ", " ", " END")
+    val fixed = graft.ops.Cleansing.mojibakeMap.foldLeft("dirty") {
+      case (acc, (bad, good)) => s"replace($acc, '${esc(bad)}', '${esc(good)}')"
+    }
+    val sig = graft.ops.Cleansing.mojibakeSignature
+    s"WITH d AS (SELECT doc_id, substr(text, 1, 40) || ' x' || ($pick) || " +
+      s"'y ' || ($pick) AS dirty FROM documents), " +
+      s"f AS (SELECT doc_id, dirty, $fixed AS fixed FROM d) " +
+      s"SELECT doc_id, fixed, " +
+      s"len(regexp_extract_all(dirty, '$sig'))::BIGINT AS sig_before, " +
+      s"len(regexp_extract_all(fixed, '$sig'))::BIGINT AS sig_after " +
+      "FROM f ORDER BY doc_id"
+  }
+
+  /** q280: Url.domainCap mirror — hash-rank row_number per registered
+    * domain, keep rnk ≤ cap. */
+  def urlDomainCap(cap: Int): String =
+    s"WITH $urlRawCte, $urlCompCte, " +
+      "v AS (SELECT doc_id, canon, domain, " +
+      s"${h60("domain || '|' || doc_id::VARCHAR")} AS hk " +
+      "FROM comp WHERE canon IS NOT NULL), " +
+      "r AS (SELECT domain, doc_id, canon, row_number() OVER " +
+      "(PARTITION BY domain ORDER BY hk, doc_id) AS rnk FROM v) " +
+      s"SELECT domain, rnk::BIGINT AS rnk, doc_id, canon FROM r WHERE rnk <= $cap " +
+      "ORDER BY domain, rnk"
 }

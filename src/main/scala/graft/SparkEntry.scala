@@ -4125,8 +4125,147 @@ object SparkEntry {
         .withColumn("violates_k", (col("group_size") < 30).cast("int"))
         .withColumn("violates_l", (col("l_distinct") < 10).cast("int"))
         .orderBy("event_type", "day")
+    },
+
+    // ───── URL canonicalization: eight deterministic dirty shapes per
+    // doc (mixed case, www, tracking params, default ports, userinfo,
+    // fragments, trailing dots/slashes, multi-label suffixes) normalized
+    // to the exact-URL dedup key + registered domain — the web-corpus
+    // ingest front door; pure per-row projection, no shuffle ─────
+    "q279_url_canonical" -> { (s, dir) =>
+      tb(s, dir, "documents")
+        .select(col("doc_id"), urlSynth(col("doc_id")).as("raw"))
+        .select(col("doc_id"),
+          ops.Url.canonicalize(col("raw")).as("canon"),
+          ops.Url.registeredDomain(ops.Url.host(col("raw"))).as("domain"),
+          ops.Url.nonDefaultPort(col("raw")).cast("long").as("port"))
+        .filter(col("canon").isNotNull)
+        .orderBy("doc_id")
+    },
+
+    // ───── Domain-diversity cap: ≤3 docs per registered domain by
+    // deterministic hash-rank — the anti-template-mill curation step;
+    // the rank filter is rewritten to the bounded-heap TopKPerKeyExec,
+    // so a whale domain costs O(cap) memory, not a per-domain sort ─────
+    "q280_domain_cap" -> { (s, dir) =>
+      val withUrl = tb(s, dir, "documents")
+        .select(col("doc_id"), urlSynth(col("doc_id")).as("raw"))
+      ops.Url.domainCap(withUrl, "doc_id", "raw", cap = 3)
+        .select(col("domain"), col("rnk").cast("long").as("rnk"),
+          col("doc_id"), col("canon"))
+        .orderBy("domain", "rnk")
+    },
+
+    // ───── pass@k (Chen et al. 2021 eq. 1): docs as eval attempts — 60
+    // problems, per-problem pass rate 20-79% via hash-uniform draws —
+    // aggregated to the unbiased 1−C(n−c,k)/C(n,k) estimator at k=1/5/10;
+    // one hash-agg, bounded k-term product per problem row ─────
+    "q281_pass_at_k" -> { (s, dir) =>
+      val attempts = t(s, dir, "documents").select(
+        (col("doc_id") % 60).as("problem"),
+        (Hashing.hash60(concat(col("doc_id").cast("string"),
+          lit(":attempt"))) % 100 < lit(20) + col("doc_id") % 60).as("ok"))
+      Models.passAtK(attempts, "problem", col("ok"), Seq(1, 5, 10))
+        .orderBy("problem")
+    },
+
+    // ───── Shot-boundary detection on REAL decoded Y4M video: synthetic
+    // clips with deterministic scene cuts (+97/byte jumps) over small
+    // inter-frame motion (+1/byte); per-pair absolute luma diff, all
+    // integer, decode + diff inside the partition boundary — the
+    // shot-segmentation grid frame sampling (q40) should respect ─────
+    "q282_shot_detect" -> { (s, dir) =>
+      Multimodal.shotDetect(s, dir, threshold = 30)
+        .select(col("doc_id"),
+          col("frame").cast("long").as("frame"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("diff_sum"), col("is_cut"))
+        .orderBy("doc_id", "frame")
+    },
+
+    // ───── t-closeness (Li et al. 2007): per-(event_type, weekday)
+    // cohort, total-variation distance between the cohort's sensitive
+    // distribution (user bucket) and the global one — the leak
+    // l-diversity misses; (quasi, v) grid + broadcast global marginal ─────
+    "q283_t_closeness" -> { (s, dir) =>
+      val e = t(s, dir, "events").select(
+        col("event_type"),
+        dayofweek(col("ts")).cast("long").as("dow"),
+        (col("user_id") % 5).as("ubkt"))
+      Privacy.tCloseness(e, Seq("event_type", "dow"), col("ubkt"), t = 0.2)
+        .orderBy("event_type", "dow")
+    },
+
+    // ───── Dialog structural validation: events as chat turns (view/
+    // click/signup → user, rest → assistant; every 97th turn blanked to
+    // exercise the empty rule) — starts-user / strict-alternation /
+    // ends-assistant / no-empty / min-turns, violations counted per rule;
+    // one shuffle on the dialog key ─────
+    "q284_dialog_validate" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type").isin("view", "click", "signup"), "user")
+          .otherwise("assistant").as("role"),
+        when(col("event_id") % 97 === 0, lit("")).otherwise(col("props"))
+          .as("turn_text"))
+      TextAnalysis.dialogAudit(ev, "user_id", Seq("ts", "event_id"),
+          col("role"), col("turn_text"), minTurns = 2)
+        .orderBy("user_id")
+    },
+
+    // ───── Mojibake repair: deterministic double-encoding injection
+    // (each doc gets one of the 12 signature sequences), then the pinned
+    // ftfy-fast-path replace chain; severity = signature sites before
+    // and after — per-row projection, no shuffle ─────
+    "q285_mojibake_repair" -> { (s, dir) =>
+      val snippets = Cleansing.mojibakeMap.map(_._1)
+      val pick = element_at(
+        array(snippets.map(lit): _*),
+        (pmod(col("doc_id"), lit(snippets.size)) + 1).cast("int"))
+      val dirty = concat(substring(col("text"), 1, 40),
+        lit(" x"), pick, lit("y "), pick)
+      tb(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          Cleansing.fixMojibake(col("dirty")).as("fixed"),
+          regexp_count(col("dirty"), lit(Cleansing.mojibakeSignature))
+            .cast("long").as("sig_before"),
+          regexp_count(Cleansing.fixMojibake(col("dirty")),
+            lit(Cleansing.mojibakeSignature)).cast("long").as("sig_after"))
+        .orderBy("doc_id")
+    },
+
+    // ───── Pitch detection on REAL decoded audio: square-wave tones of
+    // period 8-32 samples, integer autocorrelation argmax over lags
+    // 2-40 — detected lag must equal the synthesized period; all-integer,
+    // decode + scan inside the partition boundary ─────
+    "q286_pitch_detect" -> { (s, dir) =>
+      Multimodal.pitchDetect(s, dir, minLag = 2, maxLag = 40)
+        .orderBy("doc_id")
     }
   )
+
+  /** Deterministic dirty-URL synthesis for q279/q280 — mirrored
+    * string-for-string in [[OraclesExt.urlRawCte]]; see that scaladoc for
+    * the branch each of the eight shapes exercises. */
+  private def urlSynth(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val k = (d % 50).cast("string")
+    val m = d % 8
+    when(m === 0, concat(lit("HTTP://WWW.Site"), k, lit(".Example.COM/a/b"),
+        (d % 7).cast("string"), lit("/?utm_source=feed&b=2&a=1")))
+      .when(m === 1, concat(lit("https://News.Site"), k,
+        lit(".CO.UK:443/Index.html#frag")))
+      .when(m === 2, concat(lit("http://user:pw@Site"), k,
+        lit(".example.com:8080//x//?gclid=z12&q="), (d % 13).cast("string")))
+      .when(m === 3, concat(lit("ftp://site"), k, lit(".example.com/file")))
+      .when(m === 4, concat(lit("https://Site"), k, lit(".Example.com./")))
+      .when(m === 5, concat(lit("http://site"), k,
+        lit(".example.com:80/p?b=&fbclid=abc&z=9&y=8")))
+      .when(m === 6, concat(lit("https://blog.Site"), k, lit(".com.au/posts/"),
+        (d % 5).cast("string"), lit("/?utm_campaign=x&utm_medium=y")))
+      .otherwise(lit("http://intranet:9999/dev?a=2#x"))
+  }
 
   /** q229's pinned merge list — the first 8 merges [[q228_bpe_train]]
     * learns on the sf0.01 corpus, shipped as literals (both engines
@@ -6793,6 +6932,100 @@ object SparkEntry {
 
     // per-segment langid votes → per-doc distribution + entropy
     "q278_code_switch" -> OraclesExt.codeSwitch,
+
+    "q279_url_canonical" -> OraclesExt.urlCanonical,
+
+    "q280_domain_cap" -> OraclesExt.urlDomainCap(3),
+
+    "q281_pass_at_k" -> OraclesExt.passAtK,
+
+    // recompute the scene index with a cumulative window, then the
+    // per-pixel diff from the byte formula — all integer, no float parity
+    "q282_shot_detect" ->
+      ("WITH d AS (SELECT doc_id, 4 + (doc_id % 3) * 2 AS w, " +
+        "4 + (doc_id % 2) * 4 AS h, 6 + (doc_id % 5) AS nf FROM documents), " +
+        "fr AS (SELECT doc_id, w, h, unnest(range(nf)) AS k FROM d), " +
+        "sc AS (SELECT doc_id, w, h, k, sum(CASE WHEN k >= 1 AND " +
+        "(doc_id*13 + k*17) % 5 = 0 THEN 1 ELSE 0 END) OVER " +
+        "(PARTITION BY doc_id ORDER BY k) AS s FROM fr), " +
+        "pr AS (SELECT a.doc_id, a.k AS frame, a.w, a.h, a.s AS s1, " +
+        "b.s AS s0 FROM sc a JOIN sc b ON a.doc_id = b.doc_id " +
+        "AND b.k = a.k - 1), " +
+        "m AS (SELECT doc_id, frame, w, h, " +
+        "list_sum(list_transform(range(w*h), j -> " +
+        "abs((doc_id*29 + s1*97 + j*3 + frame) % 256 - " +
+        "(doc_id*29 + s0*97 + j*3 + frame - 1) % 256)))::BIGINT AS diff_sum " +
+        "FROM pr) " +
+        "SELECT doc_id, frame, w AS width, h AS height, diff_sum, " +
+        "CASE WHEN diff_sum > 30 * w * h THEN 1 ELSE 0 END AS is_cut " +
+        "FROM m ORDER BY doc_id, frame"),
+
+    // DuckDB dayofweek is 0=Sunday vs Spark's 1=Sunday → +1
+    "q283_t_closeness" ->
+      ("WITH b AS (SELECT event_type, dayofweek(ts) + 1 AS dow, " +
+        "user_id % 5 AS v FROM events), " +
+        "tot AS (SELECT count(*)::DOUBLE AS n FROM b), " +
+        "cv AS (SELECT event_type, dow, v, count(*)::BIGINT AS cnt " +
+        "FROM b GROUP BY 1, 2, 3), " +
+        "gl AS (SELECT v, count(*)::DOUBLE / (SELECT n FROM tot) AS gp " +
+        "FROM b GROUP BY 1), " +
+        "sz AS (SELECT event_type, dow, sum(cnt)::BIGINT AS group_size " +
+        "FROM cv GROUP BY 1, 2), " +
+        "agg AS (SELECT cv.event_type, cv.dow, " +
+        "sum(abs(cv.cnt::DOUBLE / sz.group_size - gl.gp)) AS part1, " +
+        "sum(gl.gp) AS covered FROM cv " +
+        "JOIN gl USING (v) JOIN sz USING (event_type, dow) GROUP BY 1, 2) " +
+        "SELECT a.event_type, a.dow, sz.group_size, " +
+        "round(0.5::DOUBLE * (a.part1 + (1.0::DOUBLE - a.covered)), 6) " +
+        "AS t_dist, " +
+        "(round(0.5::DOUBLE * (a.part1 + (1.0::DOUBLE - a.covered)), 6) " +
+        "> 0.2::DOUBLE)::INT AS violates_t " +
+        "FROM agg a JOIN sz USING (event_type, dow) " +
+        "ORDER BY event_type, dow"),
+
+    "q284_dialog_validate" ->
+      ("WITH tv AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN event_type IN ('view', 'click', 'signup') THEN 'user' " +
+        "ELSE 'assistant' END AS role, " +
+        "CASE WHEN event_id % 97 = 0 THEN '' ELSE props END AS turn_text " +
+        "FROM events), " +
+        "w AS (SELECT user_id, role, turn_text, " +
+        "lag(role) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id) AS n FROM tv), " +
+        "g AS (SELECT user_id, count(*)::BIGINT AS n_turns, " +
+        "sum(CASE WHEN prev IS NOT NULL AND prev = role THEN 1 ELSE 0 END)" +
+        "::BIGINT AS n_role_repeats, " +
+        "sum(CASE WHEN turn_text IS NULL OR trim(turn_text) = '' THEN 1 " +
+        "ELSE 0 END)::BIGINT AS n_empty_turns, " +
+        "max(CASE WHEN rn = 1 THEN (role = 'user')::INT END) AS starts_user, " +
+        "max(CASE WHEN rn = n THEN (role = 'assistant')::INT END) " +
+        "AS ends_assistant FROM w GROUP BY 1) " +
+        "SELECT user_id, n_turns, n_role_repeats, n_empty_turns, " +
+        "starts_user, ends_assistant, " +
+        "(n_turns >= 2 AND n_role_repeats = 0 AND n_empty_turns = 0 " +
+        "AND starts_user = 1 AND ends_assistant = 1)::INT AS valid " +
+        "FROM g ORDER BY user_id"),
+
+    "q285_mojibake_repair" -> OraclesExt.mojibakeRepair,
+
+    // square-wave samples recomputed from the formula; argmax via
+    // row_number (corr DESC, lag ASC) ≡ the Scala first-on-tie scan
+    "q286_pitch_detect" ->
+      ("WITH d AS (SELECT doc_id, 8 + (doc_id % 25) AS p, " +
+        "8000 + (doc_id % 10) * 100 AS amp, 256 + (doc_id % 64) AS n " +
+        "FROM documents), " +
+        "l AS (SELECT doc_id, p, amp, n, unnest(range(2, 41)) AS lag FROM d), " +
+        "r AS (SELECT doc_id, n, lag, " +
+        "list_sum(list_transform(range(n - lag), i -> " +
+        "(CASE WHEN (i % p) < p // 2 THEN amp ELSE -amp END) * " +
+        "(CASE WHEN ((i + lag) % p) < p // 2 THEN amp ELSE -amp END)))" +
+        "::BIGINT AS corr FROM l), " +
+        "rk AS (SELECT doc_id, n, lag, corr, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY corr DESC, lag) AS rn FROM r) " +
+        "SELECT doc_id, n::BIGINT AS n_samples, 8000::BIGINT AS sample_rate, " +
+        "lag::BIGINT AS best_lag, corr AS peak_corr " +
+        "FROM rk WHERE rn = 1 ORDER BY doc_id"),
 
     // same twin synthesis + translate-fold + the q12 grouping shape
     "q276_homoglyph_dedup" -> {

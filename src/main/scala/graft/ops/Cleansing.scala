@@ -177,6 +177,36 @@ object Cleansing {
   def confusableFold(c: Column): Column =
     translate(c, confusableFrom, confusableTo)
 
+  /** Mojibake repair map — the high-frequency UTF-8-read-as-Latin-1/
+    * cp1252 double-encoding signatures (the ftfy fast path): each entry
+    * is (what é/’/« look like after the corruption, the original). A
+    * PINNED literal table like [[confusableFrom]] — deterministic,
+    * auditable, and expressible as the identical replace chain in any
+    * engine; a full ftfy does charset sniffing this table deliberately
+    * trades away. Longer/rarer sequences never prefix-collide with the
+    * 2-char `Ã?`/`Â?` family because lead bytes differ (â vs Ã vs Â). */
+  val mojibakeMap: Seq[(String, String)] = Seq(
+    "â€™" -> "’", // right single quote
+    "â€œ" -> "“", // left double quote
+    "â€“" -> "–", // en dash
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó", "Ãº" -> "ú",
+    "Ã±" -> "ñ", "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü", "ÃŸ" -> "ß",
+    "Ã§" -> "ç", "Ã " -> "à", // à's second byte IS non-breaking space
+    "Â«" -> "«", "Â»" -> "»",
+    "Â " -> " ") // stray Â before NBSP; NBSP itself is P5's job
+
+  /** Regex matching the mojibake lead signatures — a cheap pre-filter /
+    * severity score (count of suspect sites) before [[fixMojibake]]. */
+  val mojibakeSignature: String = "â€|Ã|Â"
+
+  /** Apply [[mojibakeMap]] as a sequential replace chain (each step is
+    * codegen'd StringReplace; the chain is bounded by the table size,
+    * per-row work only). */
+  def fixMojibake(c: Column): Column =
+    mojibakeMap.foldLeft(c) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
+
   /** P2: parse "DD/MM/YYYY al DD/MM/YYYY" → week-start date, day-first;
     * returns null on malformed input, which callers filter (≙ the
     * reference's row-skip, timesheet_transform.py:47-52). Separator

@@ -878,4 +878,42 @@ object Models {
       round(((p + (zc * zc) / (lit(2.0) * n)) - half) / den, 6).as("lo"),
       round(((p + (zc * zc) / (lit(2.0) * n)) + half) / den, 6).as("hi"))
   }
+
+  /** Unbiased pass@k over per-attempt eval results (Chen et al. 2021,
+    * "Evaluating Large Language Models Trained on Code", eq. 1): per
+    * problem with n attempts and c passes,
+    * `pass@k = 1 − C(n−c, k)/C(n, k)`, computed as the numerically-stable
+    * product `1 − Π_{i=0..k−1} (n−c−i)/(n−i)` (left-fold — the paper's
+    * own reference implementation). `c = 0` gives 0, `n − c < k` gives 1
+    * (some k-subset must contain a pass), and `n < k` yields null (the
+    * estimator is undefined — fewer samples than the budget it scores).
+    *
+    * Scale posture: ONE hash-aggregate over the attempts keyed by
+    * problem (map-side combinable count/sum), then a bounded k-term
+    * product per problem row — the per-problem attempt set is never
+    * materialized. The fold is a HOF (interpreted) but runs on the
+    * ≤|problems|-row aggregate, not the attempt stream. */
+  def passAtK(
+      df: DataFrame,
+      problemCol: String,
+      passed: Column,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
+    val a = df.groupBy(problemCol).agg(
+      count(lit(1)).as("n"),
+      sum(when(passed, 1L).otherwise(0L)).as("c"))
+    val n = col("n").cast("double")
+    val c = col("c").cast("double")
+    val estimates = ks.map { k =>
+      val prod = aggregate(
+        sequence(lit(0), lit(k - 1)),
+        lit(1.0),
+        (acc, i) => acc * (n - c - i.cast("double")) / (n - i.cast("double")))
+      when(col("n") < k, lit(null).cast("double"))
+        .when(col("n") - col("c") < k, lit(1.0))
+        .otherwise(round(lit(1.0) - prod, 6))
+        .as(s"pass_at_$k")
+    }
+    a.select(col(problemCol) +: col("n") +: col("c") +: estimates: _*)
+  }
 }

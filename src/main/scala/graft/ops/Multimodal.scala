@@ -465,6 +465,94 @@ object Multimodal {
     (w, h, sums.toArray)
   }
 
+  /** Encode a Y4M clip with deterministic SCENE CUTS for shot-detection:
+    * scene index s(k) = cumulative count of cut frames (frame k ≥ 1 is a
+    * cut iff (id·13 + k·17) mod 5 = 0), and byte j of frame k =
+    * (id·29 + s(k)·97 + j·3 + k) mod 256 — consecutive same-scene frames
+    * drift by +1 per byte (small inter-frame motion), a cut jumps the
+    * whole plane by +97 (new scene). */
+  def encodeY4mShots(id: Long): Array[Byte] = {
+    val w = 4 + (id % 3).toInt * 2
+    val h = 4 + (id % 2).toInt * 4
+    val frames = 6 + (id % 5).toInt
+    val frameBytes = w * h * 3 / 2
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + frames * (marker.length + frameBytes))
+    out.put(header)
+    var k = 0
+    var s = 0L
+    while (k < frames) {
+      if (k >= 1 && (id * 13 + k * 17) % 5 == 0) s += 1
+      out.put(marker)
+      var j = 0
+      while (j < frameBytes) {
+        out.put((((id * 29 + s * 97 + j * 3 + k) % 256) & 0xff).toByte)
+        j += 1
+      }
+      k += 1
+    }
+    out.array()
+  }
+
+  /** Parse a Y4M stream keeping the full per-frame LUMA PLANES (not just
+    * their sums) — the decode surface shot detection needs. */
+  def decodeY4mLuma(b: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
+    var pos = 0
+    def line(): String = {
+      val st = pos
+      while (pos < b.length && b(pos) != '\n') pos += 1
+      val s = new String(b, st, pos - st, "US-ASCII")
+      pos += 1
+      s
+    }
+    val header = line().split(' ')
+    require(header(0) == "YUV4MPEG2", "not a Y4M stream")
+    def param(p: Char): Option[String] =
+      header.tail.find(_.head == p).map(_.tail)
+    val w = param('W').get.toInt
+    val h = param('H').get.toInt
+    require(param('C').forall(_.startsWith("420")), "only C420 supported")
+    val frameBytes = w * h * 3 / 2
+    val planes = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    while (pos < b.length) {
+      require(line().startsWith("FRAME"), "missing FRAME marker")
+      planes += Array.tabulate(w * h)(j => b(pos + j) & 0xff)
+      pos += frameBytes
+    }
+    (w, h, planes.toArray)
+  }
+
+  /** Shot-boundary detection over REAL decoded video: per consecutive
+    * frame pair, the sum of absolute per-pixel luma differences; a cut is
+    * a pair whose diff exceeds `threshold` per pixel. All-integer output
+    * (diff SUM, not mean) so the oracle needs no float parity. One row
+    * per (clip, frame ≥ 1); the whole decode + diff runs inside the
+    * partition boundary — bytes never shuffle, output is O(frames) per
+    * clip. The cut grid is the shot-segmentation input every video
+    * training pipeline needs before frame sampling ([[sampleFrames]])
+    * picks WITHIN shots rather than across them. */
+  def shotDetect(spark: SparkSession, sfDir: String, threshold: Int = 30)
+      : DataFrame = {
+    import spark.implicits._
+    Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val (w, h, planes) = decodeY4mLuma(encodeY4mShots(id))
+        (1 until planes.length).iterator.map { k =>
+          var diff = 0L
+          var j = 0
+          while (j < w * h) {
+            diff += math.abs(planes(k)(j) - planes(k - 1)(j))
+            j += 1
+          }
+          (id, k, w, h, diff, if (diff > threshold.toLong * w * h) 1 else 0)
+        }
+      })
+      .toDF("doc_id", "frame", "width", "height", "diff_sum", "is_cut")
+  }
+
   /** Real WAV audio features through the per-partition boundary:
     * duration, amplitude sum, peak — straight from parsed PCM. */
   /** Encode arbitrary 16-bit mono PCM into a real RIFF/WAVE container —
@@ -492,6 +580,55 @@ object Multimodal {
     val (rate, samples) = decodeWav(b)
     val out = Array.tabulate((samples.length + 1) / 2)(i => samples(2 * i))
     encodeWavPcm(rate / 2, out)
+  }
+
+  /** Encode a WAV carrying a SQUARE-WAVE TONE of deterministic period
+    * p(id) ∈ [8, 32] samples — the pitch-detection fixture. All-integer
+    * samples (±amp), so the detector and its oracle share exact
+    * arithmetic. */
+  def encodeWavTone(id: Long): Array[Byte] = {
+    val p = 8 + (id % 25).toInt
+    val amp = 8000 + (id % 10).toInt * 100
+    val n = 256 + (id % 64).toInt
+    encodeWavPcm(8000,
+      Array.tabulate(n)(i => if (i % p < p / 2) amp else -amp))
+  }
+
+  /** Pitch detection by integer autocorrelation over REAL decoded audio:
+    * for each lag in [minLag, maxLag], R(lag) = Σ s[i]·s[i+lag] over the
+    * overlapping samples; the detected period is the argmax (first/
+    * smallest lag on ties). The classic pre-FFT pitch tracker — and
+    * unlike a Goertzel/FFT bank it is ALL integer arithmetic, so the
+    * DuckDB oracle reproduces it bit-for-bit with no float parity caveat.
+    * Decode + the O(n·maxLag) scan run inside the partition boundary;
+    * output is one narrow row per clip. */
+  def pitchDetect(
+      spark: SparkSession,
+      sfDir: String,
+      minLag: Int = 2,
+      maxLag: Int = 40): DataFrame = {
+    import spark.implicits._
+    require(minLag >= 1 && maxLag > minLag, "need 1 <= minLag < maxLag")
+    Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (rate, s) = decodeWav(encodeWavTone(id))
+        var bestLag = -1
+        var best = Long.MinValue
+        var lag = minLag
+        while (lag <= maxLag) {
+          var r = 0L
+          var i = 0
+          while (i + lag < s.length) {
+            r += s(i).toLong * s(i + lag)
+            i += 1
+          }
+          if (r > best) { best = r; bestLag = lag }
+          lag += 1
+        }
+        (id, s.length.toLong, rate.toLong, bestLag.toLong, best)
+      })
+      .toDF("doc_id", "n_samples", "sample_rate", "best_lag", "peak_corr")
   }
 
   /** Audio features AFTER a real resample round trip: encode → decode →

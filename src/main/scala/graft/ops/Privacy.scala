@@ -65,4 +65,51 @@ object Privacy {
       sum("violates_l").as("n_under_l"),
       sum(when(col("violates_k") === 1, col("group_size"))
         .otherwise(lit(0L))).as("rows_at_risk"))
+
+  /** Per-cohort t-closeness for a CATEGORICAL sensitive attribute
+    * (Li/Li/Venkatasubramanian 2007): t = the total-variation distance
+    * between the cohort's sensitive-value distribution and the global
+    * one — the audit l-diversity misses (a cohort can hold l distinct
+    * values yet still be a near-certain giveaway when one value
+    * dominates far beyond its global share). Computed as
+    * `0.5·(Σ_{v∈cohort} |p_c(v) − p_g(v)| + (1 − Σ_{v∈cohort} p_g(v)))`
+    * — values absent from the cohort contribute their whole global mass.
+    *
+    * Scale posture: one (quasi, v) hash-aggregate over the corpus; the
+    * global distribution is a ≤|values|-row aggregate broadcast into the
+    * join; the cohort size reuses the (quasi, v) grid through a window
+    * keyed by the quasi tuple. Nothing larger than the (quasi, v) grid
+    * ever shuffles. */
+  def tCloseness(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitive: Column,
+      t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0 && t < 1, s"t must be in (0, 1), got $t")
+    val qc = quasiCols.map(col)
+    val base = df.select(qc :+ sensitive.as("_v"): _*)
+    val cv = base.groupBy(qc :+ col("_v"): _*).agg(count(lit(1)).as("_cnt"))
+    val gl = base.groupBy(col("_v")).agg(count(lit(1)).as("_gcnt"))
+      .withColumn("_gp",
+        col("_gcnt").cast("double") /
+          sum(col("_gcnt")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()))
+      .drop("_gcnt")
+    val size = sum(col("_cnt")).over(org.apache.spark.sql.expressions.Window
+      .partitionBy(qc: _*))
+    cv.withColumn("_size", size)
+      .join(broadcast(gl), "_v")
+      .groupBy(qc: _*)
+      .agg(
+        max(col("_size")).as("group_size"),
+        sum(abs(col("_cnt").cast("double") / col("_size") - col("_gp")))
+          .as("_part1"),
+        sum(col("_gp")).as("_covered"))
+      .select(qc ++ Seq(
+        col("group_size"),
+        round(lit(0.5) * (col("_part1") + (lit(1.0) - col("_covered"))), 6)
+          .as("t_dist")): _*)
+      .withColumn("violates_t", (col("t_dist") > t).cast("int"))
+  }
 }

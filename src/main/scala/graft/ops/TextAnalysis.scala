@@ -1649,4 +1649,49 @@ object TextAnalysis {
           .otherwise(round(col("tokens_lost").cast("double") /
             col("tokens_total"), 6)))
   }
+
+  /** Structural validation of multi-turn dialogs — the instruction-data
+    * gate the chat-assembly rendering (q272) needs upstream: a
+    * trainable conversation starts with a user turn, strictly alternates
+    * roles, ends on an assistant turn, has no empty turns, and has at
+    * least `minTurns` turns (the SFT-format contract; malformed dialogs
+    * poison chat-template training silently). One row per dialog with
+    * each violation counted separately — the fix-vs-drop decision needs
+    * to know WHICH rule failed.
+    *
+    * Scale posture: one shuffle keyed by the dialog key (the lag window
+    * and the count window share it), then a per-key hash-aggregate.
+    * State per key is O(1); dialogs parallelize across keys. */
+  def dialogAudit(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      role: Column,
+      text: Column,
+      minTurns: Int = 2): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    df.select(col(keyCol) +: orderCols.map(col) :+ role.as("_role") :+
+        text.as("_txt"): _*)
+      .withColumn("_prev", lag(col("_role"), 1).over(w))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("_prev").isNotNull && col("_prev") === col("_role"), 1L)
+          .otherwise(0L)).as("n_role_repeats"),
+        sum(when(col("_txt").isNull || trim(col("_txt")) === "", 1L)
+          .otherwise(0L)).as("n_empty_turns"),
+        max(when(col("_rn") === 1, (col("_role") === "user").cast("int")))
+          .as("starts_user"),
+        max(when(col("_rn") === col("_n"),
+          (col("_role") === "assistant").cast("int"))).as("ends_assistant"))
+      .withColumn("valid",
+        (col("n_turns") >= minTurns && col("n_role_repeats") === 0 &&
+          col("n_empty_turns") === 0 && col("starts_user") === 1 &&
+          col("ends_assistant") === 1).cast("int"))
+  }
 }

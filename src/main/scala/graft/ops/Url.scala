@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and domain-level curation — the web-corpus
+  * ingest ops a CommonCrawl-style pipeline runs before any text-level
+  * work: normalize each page's URL to a canonical form (so exact-URL
+  * dedup actually fires across `HTTP://WWW.Site.com/a/` vs
+  * `http://site.com/a?utm_source=x`), reduce hosts to their REGISTERED
+  * domain (the unit crawl quotas and reputation are keyed by), and cap
+  * documents per domain (the anti-SEO-farm / domain-diversity step —
+  * without it a handful of template mills dominate the token budget).
+  *
+  * North-star extension beside [[Dedup]]/[[TextAnalysis]] (the reference,
+  * `timesheet_transform.py`, has no web surface; these ops feed its
+  * normalize-then-key discipline, timesheet_transform.py:59-63, applied
+  * to URLs instead of author names).
+  *
+  * Scale posture: canonicalization and domain extraction are pure
+  * per-row projections — no shuffle, no state, bounded work per row
+  * (one regex family + one bounded array sort over query params).
+  * [[domainCap]] is ONE shuffle keyed by registered domain; its
+  * rank-filter is rewritten to [[graft.plans.TopKPerKeyExec]] by
+  * [[graft.plans.RewriteRankFilterToTopK]], so a whale domain costs a
+  * bounded heap, not a full per-domain sort. Everything bottoms out in
+  * md5 ([[Hashing.hash60]]) so the DuckDB oracle reproduces selections
+  * bit-for-bit.
+  */
+object Url {
+
+  /** Multi-label public suffixes (public-suffix-list fast path, pinned):
+    * when a host's last TWO labels form one of these, the registered
+    * domain takes three labels (`news.bbc.co.uk` → `bbc.co.uk`);
+    * otherwise two (`www.example.com` → `example.com`). A pinned literal
+    * set keeps the op deterministic and oracle-able; the full PSL is a
+    * drop-in replacement for production. */
+  val multiSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.nz", "co.in", "co.kr", "com.br",
+    "com.mx", "com.ar", "com.tr", "com.cn", "com.tw", "com.hk",
+    "com.sg", "co.za")
+
+  /** Query parameters that carry tracking state, not content identity —
+    * stripped during canonicalization (the ftfy-of-URLs fast path:
+    * utm_* plus the big ad-click ids). */
+  val trackingParams: Seq[String] = Seq(
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "igshid", "mc_eid", "ref")
+
+  /** Scheme of an absolute http(s) URL, lowercased; null when the value
+    * is not an absolute http(s) URL (callers filter — the row-skip
+    * discipline of [[Cleansing.parseDateLenient]]). */
+  def scheme(url: Column): Column = {
+    val s = lower(regexp_extract(trim(url), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    when(s.isin("http", "https"), s)
+  }
+
+  /** Host of the URL: the authority with userinfo and port stripped,
+    * lowercased, trailing dot removed. Null on a non-http(s) value. */
+  def host(url: Column): Column = {
+    val auth = regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    val noUser = regexp_replace(auth, "^[^@]*@", "")
+    val noPort = regexp_replace(noUser, ":[0-9]*$", "")
+    val h = lower(regexp_replace(noPort, "\\.$", ""))
+    when(scheme(url).isNotNull && h =!= "", h)
+  }
+
+  /** Explicit port if present and NON-default for the scheme (`:80` on
+    * http and `:443` on https are identity), else null. */
+  def nonDefaultPort(url: Column): Column = {
+    val auth = regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    val p = regexp_extract(regexp_replace(auth, "^[^@]*@", ""), ":([0-9]+)$", 1)
+    when(scheme(url).isNotNull && p =!= "" &&
+        !(scheme(url) === "http" && p === "80") &&
+        !(scheme(url) === "https" && p === "443"),
+      p.cast("int"))
+  }
+
+  /** Path with the trailing slash stripped (`/a/b/` ≡ `/a/b`, and the
+    * bare root `/` ≡ empty). Empty string, never null, for valid URLs. */
+  def path(url: Column): Column = {
+    val p = regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    when(scheme(url).isNotNull, regexp_replace(p, "/+$", ""))
+  }
+
+  /** Query string canonicalized: split on `&`, drop empties and
+    * [[trackingParams]], sort by the full `k=v` string, re-join. Empty
+    * string when nothing survives. The array ops are bounded by the
+    * per-URL parameter count — per-row work, no shuffle. */
+  def canonicalQuery(url: Column): Column = {
+    val q = regexp_extract(trim(url), "\\?([^#]*)", 1)
+    val parts = filter(split(q, "&"), p => {
+      val k = lower(split(p, "=").getItem(0))
+      p =!= "" && !k.isin(trackingParams: _*) && !k.startsWith("utm_")
+    })
+    when(scheme(url).isNotNull, array_join(array_sort(parts), "&"))
+  }
+
+  /** The canonical URL: lowercased scheme and host, `www.` prefix and
+    * userinfo dropped, default port dropped, trailing-slash path,
+    * tracking-stripped sorted query, fragment dropped. Null when the
+    * input is not an absolute http(s) URL. Two raw URLs that differ only
+    * in these presentational degrees of freedom collide — which is the
+    * point: this column IS the exact-URL dedup key. */
+  def canonicalize(url: Column): Column = {
+    val h = regexp_replace(host(url), "^www\\.", "")
+    val port = nonDefaultPort(url)
+    val q = canonicalQuery(url)
+    when(scheme(url).isNotNull && h.isNotNull,
+      concat(
+        scheme(url), lit("://"), h,
+        when(port.isNotNull, concat(lit(":"), port.cast("string")))
+          .otherwise(lit("")),
+        path(url),
+        when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
+  }
+
+  /** Registered domain of a host (or of a URL column via [[host]]):
+    * last two labels, or last three when the final two form a pinned
+    * [[multiSuffixes]] entry. Hosts with one label (localhost, intranet
+    * names) pass through unchanged. */
+  def registeredDomain(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".",
+      element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+    when(hostCol.isNull, lit(null))
+      .when(n <= 1, hostCol)
+      .when(last2.isin(multiSuffixes: _*) && n >= 3, last3)
+      .otherwise(last2)
+  }
+
+  /** Per-registered-domain corpus scorecard: pages, distinct canonical
+    * URLs (exact-URL dup pressure), and corpus share. One hash-aggregate
+    * keyed by domain; the two-phase distinct carries (domain, canon)
+    * pairs at worst. */
+  def domainScorecard(df: DataFrame, urlCol: String): DataFrame = {
+    val canon = canonicalize(col(urlCol))
+    df.filter(canon.isNotNull)
+      .select(canon.as("canon"), registeredDomain(host(col(urlCol))).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("pages"),
+        countDistinct(col("canon")).as("distinct_urls"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("distinct_urls").cast("double") / col("pages"), 6))
+  }
+
+  /** Domain-diversity cap: keep at most `cap` documents per registered
+    * domain, selected by deterministic hash-rank on the id (so two runs
+    * — or two SHARDS ranked independently after a domain shuffle — agree).
+    * The `row_number ≤ cap` filter is rewritten to the bounded-heap
+    * [[graft.plans.TopKPerKeyExec]] by the injected optimizer rule: a
+    * 50M-page template mill costs O(cap) memory, not a 50M-row sort.
+    * Output: the kept rows with their domain and rank. */
+  def domainCap(df: DataFrame, idCol: String, urlCol: String, cap: Int)
+      : DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val withDom = df
+      .withColumn("canon", canonicalize(col(urlCol)))
+      .filter(col("canon").isNotNull)
+      .withColumn("domain", registeredDomain(host(col(urlCol))))
+      .withColumn("_hk", Hashing.hash60(concat_ws("|", col("domain"),
+        col(idCol).cast("string"))))
+    withDom
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("_hk"), col(idCol))))
+      .filter(col("rnk") <= cap)
+      .drop("_hk")
+  }
+}

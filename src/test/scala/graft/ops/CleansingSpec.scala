@@ -163,4 +163,28 @@ class CleansingSpec extends SparkSpec {
     assert(parse("February 29").isEmpty)
     assert(parse("total garbage").isEmpty)
   }
+
+  test("fixMojibake repairs every pinned double-encoding sequence") {
+    import spark.implicits._
+    // the canonical corruption: UTF-8 bytes re-read as Latin-1/cp1252 —
+    // fixMojibake must invert it for every mapped character
+    val originals = Seq("café", "naïve—no", "piñata", "über",
+      "l’été", "«quote»", "straße")
+    val corrupted = originals.map { s =>
+      new String(s.getBytes("UTF-8"), "windows-1252")
+    }
+    val got = corrupted.toDF("t")
+      .select(Cleansing.fixMojibake(org.apache.spark.sql.functions.col("t")))
+      .as[String].collect()
+    // ï (C3 AF) and — (E2 80 94 em dash) are deliberately NOT in the
+    // pinned map; everything mapped must come back exactly
+    assert(got(0) == "café")
+    assert(got(2) == "piñata" && got(3) == "über")
+    assert(got(4) == "l’été" && got(5) == "«quote»" && got(6) == "straße")
+    // idempotent on clean text
+    val clean = Seq("already clean é — ñ").toDF("t")
+      .select(Cleansing.fixMojibake(org.apache.spark.sql.functions.col("t")))
+      .as[String].head()
+    assert(clean == "already clean é — ñ")
+  }
 }

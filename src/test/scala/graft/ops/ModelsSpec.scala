@@ -198,4 +198,29 @@ class ModelsSpec extends SparkSpec {
     assert(m.select("token").collect().map(_.getString(0)).toSet ==
       Set("hot", "cold"))
   }
+
+  test("passAtK matches the combinatorial definition and its guards") {
+    // p1: n=5, c=2 → pass@1 = 1 − C(3,1)/C(5,1) = 0.4;
+    //               pass@3 = 1 − C(3,3)/C(5,3) = 0.9; pass@5: n−c<5 → 1
+    // p2: n=5, c=0 → all zero (product telescopes to 1)
+    // p3: n=4 < 5 → pass@5 undefined (null); pass@1 = 1 − 2/4 = 0.5
+    val attempts =
+      (Seq.fill(2)(true) ++ Seq.fill(3)(false)).map(("p1", _)) ++
+        Seq.fill(5)(("p2", false)) ++
+        (Seq.fill(2)(true) ++ Seq.fill(2)(false)).map(("p3", _))
+    val df = attempts.toDF("problem", "ok")
+    val got = Models.passAtK(df, "problem", col("ok"), Seq(1, 3, 5))
+      .orderBy("problem")
+      .select("problem", "n", "c", "pass_at_1", "pass_at_3", "pass_at_5")
+      .collect()
+    val p1 = got(0)
+    assert((p1.getLong(1), p1.getLong(2)) == (5L, 2L))
+    assert(p1.getDouble(3) == 0.4 && p1.getDouble(4) == 0.9 &&
+      p1.getDouble(5) == 1.0)
+    val p2 = got(1)
+    assert(p2.getDouble(3) == 0.0 && p2.getDouble(4) == 0.0 &&
+      p2.getDouble(5) == 0.0)
+    val p3 = got(2)
+    assert(p3.getDouble(3) == 0.5 && !p3.isNullAt(4) && p3.isNullAt(5))
+  }
 }

@@ -173,4 +173,40 @@ class MultimodalSpec extends SparkSpec {
     val (rate, got) = Multimodal.decodeWav(Multimodal.encodeWavPcm(4000, samples))
     assert(rate == 4000 && got.toSeq == samples.toSeq)
   }
+
+  test("shot detection: cuts exactly at the synthesized scene boundaries") {
+    for (id <- Seq(3L, 7L, 14L, 42L)) {
+      val (w, h, planes) = Multimodal.decodeY4mLuma(Multimodal.encodeY4mShots(id))
+      assert(w == 4 + (id % 3) * 2 && h == 4 + (id % 2) * 4)
+      assert(planes.length == 6 + (id % 5))
+      val expectedCuts = (1 until planes.length)
+        .filter(k => (id * 13 + k * 17) % 5 == 0).toSet
+      val detected = (1 until planes.length).filter { k =>
+        val diff = (0 until w * h)
+          .map(j => math.abs(planes(k)(j) - planes(k - 1)(j))).sum
+        diff > 30L * w * h
+      }.toSet
+      assert(detected == expectedCuts, s"id=$id")
+      // non-cut pairs carry small-but-nonzero inter-frame motion
+      (1 until planes.length).filterNot(expectedCuts).foreach { k =>
+        val diff = (0 until w * h)
+          .map(j => math.abs(planes(k)(j) - planes(k - 1)(j))).sum
+        assert(diff > 0 && diff <= 30L * w * h, s"id=$id k=$k diff=$diff")
+      }
+    }
+  }
+
+  test("shotDetect: frame grid covers every consecutive pair, ids route to clips") {
+    val got = Multimodal.shotDetect(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 10)
+      .select("doc_id", "frame", "is_cut").collect()
+      .groupBy(_.getLong(0))
+    got.foreach { case (id, rows) =>
+      assert(rows.length == (6 + (id % 5)).toInt - 1, s"id=$id")
+      val cuts = rows.filter(_.getInt(2) == 1).map(_.getInt(1)).toSet
+      val expected = (1 until (6 + (id % 5)).toInt)
+        .filter(k => (id * 13 + k * 17) % 5 == 0).toSet
+      assert(cuts == expected, s"id=$id")
+    }
+  }
 }

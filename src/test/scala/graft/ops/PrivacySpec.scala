@@ -50,4 +50,32 @@ class PrivacySpec extends SparkSpec {
     assert(got.getLong(0) == 2L && got.getLong(1) == 2L)
     assert(got.getInt(2) == 0 && got.getInt(3) == 0)
   }
+
+  test("tCloseness: hand-computed total-variation distances per cohort") {
+    // global: s1 ×4, s2 ×4 → p_g = (0.5, 0.5)
+    // cohort a: (s1 ×3, s2 ×1) → 0.5·(|.75−.5| + |.25−.5|) = 0.25
+    // cohort b: (s1 ×1, s2 ×3) → 0.25
+    // cohort c: (s2 only ×0)… c = (s1 ×0, s2 ×0) impossible; use d below
+    // cohort d: (s1 ×0, s2 ×... ) — absent-value mass: d = (s2, s2) →
+    //   0.5·(|1−.5| + (1 − .5)) = 0.5
+    val df = Seq(
+      ("a", "s1"), ("a", "s1"), ("a", "s1"), ("a", "s2"),
+      ("b", "s1"), ("b", "s2"), ("b", "s2"), ("b", "s2")
+    ).toDF("q", "v")
+    val got = Privacy.tCloseness(df, Seq("q"), org.apache.spark.sql
+        .functions.col("v"), t = 0.2)
+      .orderBy("q").select("q", "group_size", "t_dist", "violates_t")
+      .collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(4L, 4L))
+    assert(got.map(_.getDouble(2)).toSeq == Seq(0.25, 0.25))
+    assert(got.map(_.getInt(3)).toSeq == Seq(1, 1))
+    // a cohort missing a global value entirely carries its whole mass
+    val df2 = Seq(("a", "s1"), ("a", "s1"), ("d", "s2"), ("d", "s2"))
+      .toDF("q", "v")
+    val got2 = Privacy.tCloseness(df2, Seq("q"), org.apache.spark.sql
+        .functions.col("v"), t = 0.2)
+      .orderBy("q").select("t_dist").collect().map(_.getDouble(0))
+    // each cohort: own value p_c=1 vs p_g=.5 (diff .5) + missing .5 → t=.5
+    assert(got2.toSeq == Seq(0.5, 0.5))
+  }
 }

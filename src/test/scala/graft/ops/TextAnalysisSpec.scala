@@ -898,4 +898,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byCtx(8) >= byCtx(32) && byCtx(32) >= byCtx(128))
     assert(byCtx(128) == 0L) // everything fits at 128
   }
+
+  test("dialogAudit flags each structural rule independently") {
+    // d1: valid u/a/u/a; d2: starts assistant; d3: role repeat (u,u,a);
+    // d4: empty middle turn; d5: single turn (under minTurns, ends wrong)
+    val turns = Seq(
+      (1L, 1, "user", "hi"), (1L, 2, "assistant", "hello"),
+      (1L, 3, "user", "q?"), (1L, 4, "assistant", "a."),
+      (2L, 1, "assistant", "welcome"), (2L, 2, "user", "hi"),
+      (2L, 3, "assistant", "yes"),
+      (3L, 1, "user", "a"), (3L, 2, "user", "b"), (3L, 3, "assistant", "c"),
+      (4L, 1, "user", "a"), (4L, 2, "assistant", "  "), (4L, 3, "user", "b"),
+      (4L, 4, "assistant", "ok"),
+      (5L, 1, "user", "alone")
+    ).toDF("k", "i", "role", "txt")
+    val got = TextAnalysis.dialogAudit(turns, "k", Seq("i"),
+        col("role"), col("txt"))
+      .orderBy("k")
+      .select("k", "n_turns", "n_role_repeats", "n_empty_turns",
+        "starts_user", "ends_assistant", "valid")
+      .collect()
+    def row(k: Long) = got(k.toInt - 1)
+    assert(row(1).getInt(6) == 1)
+    assert(row(2).getInt(4) == 0 && row(2).getInt(6) == 0)
+    assert(row(3).getLong(2) == 1L && row(3).getInt(6) == 0)
+    assert(row(4).getLong(3) == 1L && row(4).getInt(6) == 0)
+    assert(row(5).getLong(1) == 1L && row(5).getInt(5) == 0 &&
+      row(5).getInt(6) == 0)
+  }
 }
