@@ -1922,6 +1922,74 @@ object OraclesExt {
       "FROM g ORDER BY problem"
   }
 
+  /** q287: Url.domainConcentration mirror — integer sums over the
+    * per-domain aggregate, divisions only at the end. */
+  val urlConcentration: String =
+    s"WITH $urlRawCte, $urlCompCte, " +
+      "c AS (SELECT domain, count(*)::BIGINT AS pages FROM comp " +
+      "WHERE canon IS NOT NULL GROUP BY 1), " +
+      "r AS (SELECT domain, pages, row_number() OVER " +
+      "(ORDER BY pages, domain) AS rnk FROM c), " +
+      "a AS (SELECT count(*)::BIGINT AS n_domains, " +
+      "sum(pages)::BIGINT AS n_pages, max(pages)::BIGINT AS top_pages, " +
+      "sum(pages * pages)::BIGINT AS sumsq, " +
+      "sum(rnk * pages)::BIGINT AS ranksum FROM r) " +
+      "SELECT n_domains, n_pages, " +
+      "round(sumsq::DOUBLE / (n_pages * n_pages), 6) AS hhi, " +
+      "round(top_pages::DOUBLE / n_pages, 6) AS top_share, " +
+      "round((2 * ranksum - (n_domains + 1) * n_pages)::DOUBLE / " +
+      "(n_domains * n_pages), 6) AS gini FROM a ORDER BY n_domains"
+
+  /** q288: Dedup.plantedTwinEval mirror — q14's banded-candidate chain
+    * over the twin-augmented corpus, scored against the planted pairs. */
+  val plantedTwinEval: String =
+    "WITH corpus AS (SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 1000000 AS doc_id, text || ' twintoken' " +
+      "FROM documents WHERE doc_id % 4 = 0), " +
+      "tok2 AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') " +
+      "AS toks FROM corpus), " +
+      minhashCandFrom("tok2") + ", " +
+      s"det AS (SELECT id_a, id_b FROM cand WHERE $estJac >= 0.5), " +
+      "truth AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b " +
+      "FROM documents WHERE doc_id % 4 = 0), " +
+      "h AS (SELECT count(*)::BIGINT AS n_hits FROM det " +
+      "JOIN truth USING (id_a, id_b)), " +
+      "a AS (SELECT (SELECT count(*)::BIGINT FROM truth) AS n_truth, " +
+      "(SELECT count(*)::BIGINT FROM det) AS n_detected, " +
+      "(SELECT n_hits FROM h) AS n_hits) " +
+      "SELECT n_truth, n_detected, n_hits, " +
+      "CASE WHEN n_detected > 0 THEN round(n_hits::DOUBLE / n_detected, 6) " +
+      "END AS precision_lb, " +
+      "CASE WHEN n_truth > 0 THEN round(n_hits::DOUBLE / n_truth, 6) " +
+      "END AS recall FROM a ORDER BY n_truth"
+
+  /** q290: Similarity.bitextMine mirror — integer-scaled cosines, exact
+    * k-NN sums, one double division at the end. Declared as a def: it
+    * reads [[embCte]], which is declared later in this object (the
+    * val-init-order trap). */
+  def bitextMine(k: Int, minMargin: Double): String = {
+    val margin = "round((2 * ci * sfn * sbn)::DOUBLE / " +
+      "(sfa * sbn + sba * sfn), 6)"
+    s"WITH $embCte, " +
+      "s AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id % 50 = 0), " +
+      "d AS (SELECT vec_id AS did, v AS dv FROM e WHERE vec_id % 50 = 25), " +
+      s"p AS (SELECT sid, did, round(round(${cosSql("sv", "dv")}, 6) " +
+      "* 1000000)::BIGINT AS ci FROM s CROSS JOIN d), " +
+      "r AS (SELECT sid, did, ci, row_number() OVER (PARTITION BY sid " +
+      "ORDER BY ci DESC, did) AS rf, row_number() OVER (PARTITION BY did " +
+      "ORDER BY ci DESC, sid) AS rb FROM p), " +
+      s"fs AS (SELECT sid, sum(ci)::BIGINT AS sfa, count(*)::BIGINT AS sfn " +
+      s"FROM r WHERE rf <= $k GROUP BY 1), " +
+      s"bs AS (SELECT did, sum(ci)::BIGINT AS sba, count(*)::BIGINT AS sbn " +
+      s"FROM r WHERE rb <= $k GROUP BY 1), " +
+      "m AS (SELECT r.sid, r.did, r.ci, r.rb, fs.sfa, fs.sfn, bs.sba, " +
+      "bs.sbn FROM r JOIN fs USING (sid) JOIN bs USING (did) " +
+      "WHERE r.rf = 1 AND fs.sfa * bs.sbn + bs.sba * fs.sfn > 0) " +
+      "SELECT sid, did, round(ci::DOUBLE / 1000000.0::DOUBLE, 6) AS cos, " +
+      s"$margin AS margin, (rb = 1)::INT AS mutual FROM m " +
+      s"WHERE $margin >= $minMargin::DOUBLE ORDER BY sid"
+  }
+
   /** q285: Cleansing.fixMojibake mirror — the SAME pinned map drives the
     * SQL injection CASE and the replace chain, so the two engines can't
     * drift. */

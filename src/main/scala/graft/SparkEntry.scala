@@ -4243,6 +4243,61 @@ object SparkEntry {
     "q286_pitch_detect" -> { (s, dir) =>
       Multimodal.pitchDetect(s, dir, minLag = 2, maxLag = 40)
         .orderBy("doc_id")
+    },
+
+    // ───── Corpus concentration over registered domains: HHI, top-domain
+    // share, Gini of per-domain page counts — the diversity headline of a
+    // web-corpus datasheet; integer sums over the bounded domain
+    // aggregate, divisions only at the end ─────
+    "q287_domain_concentration" -> { (s, dir) =>
+      val withUrl = tb(s, dir, "documents")
+        .select(col("doc_id"), urlSynth(col("doc_id")).as("raw"))
+      ops.Url.domainConcentration(withUrl, "raw")
+        .orderBy("n_domains")
+    },
+
+    // ───── Detector evaluation against planted ground truth: every 4th
+    // doc gets a one-token-appended twin, q14's MinHash runs on the
+    // augmented corpus, and the report scores detected pairs vs planted —
+    // the recall calibration to run BEFORE trusting a config at scale ─────
+    "q288_dedup_eval" -> { (s, dir) =>
+      Dedup.plantedTwinEval(tb(s, dir, "documents"), "doc_id", "text",
+          plantEvery = 4, idOffset = 1000000L, threshold = 0.5)
+        .orderBy("n_truth")
+    },
+
+    // ───── Avro container round trip: write one REAL Object Container
+    // File per partition through the Avro core library, read back via
+    // the binaryFile decode boundary, aggregate — the q62 ORC shape for
+    // the interchange format Spark ships no datasource for here ─────
+    "q289_avro_roundtrip" -> { (s, dir) =>
+      val out = scratch("avro_roundtrip")
+      ops.Avro.writeAvro(
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"), out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE")
+      ops.Avro.readAvro(s, s"$out/*.avro", schema)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ───── Margin-based bitext mining (Artetxe & Schwenk 2019): two
+    // disjoint id-sliced "languages" of the embeddings table; per-source
+    // best cross match scored by cos / (½·(avg-4-NN fwd + bwd)) with a
+    // mutual-best flag — cosines integer-scaled so the k-NN averages are
+    // exact; the hub-robust parallel-pair miner ─────
+    "q290_bitext_mine" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.bitextMine(
+          e.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("sid"), col("embedding").as("svec")),
+          e.filter(col("vec_id") % 50 === 25)
+            .select(col("vec_id").as("did"), col("embedding").as("dvec")),
+          k = 4, minMargin = 1.0)
+        .orderBy("sid")
     }
   )
 
@@ -7008,6 +7063,17 @@ object SparkEntry {
         "FROM g ORDER BY user_id"),
 
     "q285_mojibake_repair" -> OraclesExt.mojibakeRepair,
+
+    "q287_domain_concentration" -> OraclesExt.urlConcentration,
+
+    "q288_dedup_eval" -> OraclesExt.plantedTwinEval,
+
+    "q290_bitext_mine" -> OraclesExt.bitextMine(4, 1.0),
+
+    "q289_avro_roundtrip" ->
+      ("SELECT o_orderpriority, count(*)::BIGINT AS n, " +
+        "round(sum(o_totalprice), 2) AS sum_price FROM orders " +
+        "GROUP BY 1 ORDER BY 1"),
 
     // square-wave samples recomputed from the formula; argmax via
     // row_number (corr DESC, lag ASC) ≡ the Scala first-on-tie scan

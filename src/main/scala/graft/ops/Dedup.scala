@@ -1281,4 +1281,53 @@ object Dedup {
         round(col("i") / (col("na") + col("nb") - col("i")), 6).as("jac"))
       .filter(col("jac") >= minJaccard)
   }
+
+  /** Detector evaluation against PLANTED ground truth — the harness that
+    * answers "what recall does this MinHash configuration actually buy on
+    * this corpus" before trusting it at scale: every `plantEvery`-th doc
+    * gets a near-duplicate twin (text + one appended token, so the true
+    * Jaccard is just under 1), [[minhashPairs]] runs on the augmented
+    * corpus, and the one-row report scores detected pairs against the
+    * planted pair set. `n_detected` includes the corpus's own incidental
+    * near-dups, so precision here is a LOWER bound (documented; recall
+    * against the planted set is the calibrated number).
+    *
+    * Scale posture: the twin synthesis is a projection; everything else
+    * is [[minhashPairs]]'s banded shape plus two id-pair joins and a
+    * single-row aggregate. */
+  def plantedTwinEval(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      plantEvery: Int,
+      idOffset: Long,
+      threshold: Double): DataFrame = {
+    require(plantEvery >= 1 && threshold > 0 && threshold <= 1,
+      "need plantEvery >= 1 and threshold in (0, 1]")
+    val twins = docs.filter(col(idCol) % plantEvery === 0)
+      .select((col(idCol) + idOffset).as(idCol),
+        concat(col(textCol), lit(" twintoken")).as(textCol))
+    val corpus = docs.select(col(idCol), col(textCol)).unionByName(twins)
+    val d = corpus.select(col(idCol),
+      TextAnalysis.words(col(textCol)).as("toks"))
+    val det = minhashPairs(d, idCol, shingles(col("toks"), 3))
+      .filter(col("est_jac") >= threshold)
+      .select(col("id_a"), col("id_b"), lit(1).as("_d"))
+    val truth = docs.filter(col(idCol) % plantEvery === 0)
+      .select(col(idCol).as("id_a"), (col(idCol) + idOffset).as("id_b"),
+        lit(1).as("_t"))
+    det.join(truth, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(when(col("_t") === 1, 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("_d") === 1, 1L).otherwise(0L)).as("n_detected"),
+        sum(when(col("_d") === 1 && col("_t") === 1, 1L).otherwise(0L))
+          .as("n_hits"))
+      .select(col("n_truth"), col("n_detected"), col("n_hits"),
+        when(col("n_detected") > 0,
+          round(col("n_hits").cast("double") / col("n_detected"), 6))
+          .as("precision_lb"),
+        when(col("n_truth") > 0,
+          round(col("n_hits").cast("double") / col("n_truth"), 6))
+          .as("recall"))
+  }
 }

@@ -816,4 +816,58 @@ object Similarity {
               (x, c) => sq(x - (col("_mn") + c * col("_sc")))),
             lit(0.0), _ + _) / size(col("_v")), 6)).as("mse"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019): for each source
+    * vector, its best cross-side match scored by
+    * `margin = cos(x, y) / (½·(avgₖNN(x) + avgₖNN(y)))` — the ratio
+    * criterion that separates true translation pairs from hubs (vectors
+    * near everything score a high raw cosine but a margin ≈ 1). Emits the
+    * forward-best pair per source with its margin and a mutual-best flag,
+    * kept when `margin ≥ minMargin` (apply `mutual = 1` for the strict
+    * intersection variant).
+    *
+    * Determinism: cosines are 6dp-rounded then scaled to INTEGERS, so the
+    * k-NN averages are exact integer sums (no float-association drift vs
+    * the oracle); margin = `2·k·cosᵢ / (Σfwd·nbwd + Σbwd·nfwd)` divides
+    * integers once at the end.
+    *
+    * Scale posture: brute cross scoring — the EVAL/calibration harness
+    * (mine a sample, tune the margin), same class as [[topKBrute]]; the
+    * production path blocks the cross join through the IVF cell
+    * ([[topKIvf]]) with identical downstream margin arithmetic. The
+    * ranked frame feeds three consumers, so it is localCheckpoint'd
+    * once. */
+  def bitextMine(
+      src: DataFrame, // (sid, svec)
+      dst: DataFrame, // (did, dvec)
+      k: Int,
+      minMargin: Double): DataFrame = {
+    require(k >= 1 && minMargin > 0, "need k >= 1 and minMargin > 0")
+    val s = src.withColumn("sn", l2norm(col("svec")))
+    val d = dst.withColumn("dn", l2norm(col("dvec")))
+    val scored = d.crossJoin(broadcast(s))
+      .select(col("sid"), col("did"),
+        round(round(dot(col("svec"), col("dvec")) /
+          (col("sn") * col("dn")), 6) * 1e6, 0).cast("long").as("ci"))
+    val wf = Window.partitionBy("sid").orderBy(col("ci").desc, col("did").asc)
+    val wb = Window.partitionBy("did").orderBy(col("ci").desc, col("sid").asc)
+    val ranked = scored
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rb", row_number().over(wb))
+      .localCheckpoint()
+    val fs = ranked.filter(col("rf") <= k).groupBy("sid")
+      .agg(sum("ci").as("sfa"), count(lit(1)).as("sfn"))
+    val bs = ranked.filter(col("rb") <= k).groupBy("did")
+      .agg(sum("ci").as("sba"), count(lit(1)).as("sbn"))
+    val denom = col("sfa") * col("sbn") + col("sba") * col("sfn")
+    ranked.filter(col("rf") === 1)
+      .join(fs, "sid").join(bs, "did")
+      .filter(denom > 0)
+      .select(col("sid"), col("did"),
+        round(col("ci").cast("double") / 1000000.0, 6).as("cos"),
+        round((lit(2L) * col("ci") * col("sfn") * col("sbn")).cast("double") /
+          denom, 6).as("margin"),
+        (col("rb") === 1).cast("int").as("mutual"))
+      .filter(col("margin") >= minMargin)
+  }
 }

@@ -43,60 +43,52 @@ object Url {
     "com.sg", "co.za")
 
   /** Query parameters that carry tracking state, not content identity —
-    * stripped during canonicalization (the ftfy-of-URLs fast path:
-    * utm_* plus the big ad-click ids). */
-  val trackingParams: Seq[String] = Seq(
-    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
-    "gclid", "fbclid", "msclkid", "igshid", "mc_eid", "ref")
+    * stripped during canonicalization (utm_* plus the big ad-click ids).
+    * Single source of truth lives in the codegen'd expression; the
+    * oracle SQL is generated from the same Seq. */
+  val trackingParams: Seq[String] =
+    graft.expressions.CanonQuery.trackingParams
 
-  /** Scheme of an absolute http(s) URL, lowercased; null when the value
-    * is not an absolute http(s) URL (callers filter — the row-skip
-    * discipline of [[Cleansing.parseDateLenient]]). */
-  def scheme(url: Column): Column = {
-    val s = lower(regexp_extract(trim(url), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    when(s.isin("http", "https"), s)
-  }
+  /** One-pass URL decomposition ([[graft.expressions.UrlParts]]): every
+    * accessor below is a getField off this struct, so a projection using
+    * several of them parses each row ONCE (codegen common-subexpression
+    * elimination) instead of re-running a regex chain per accessor — the
+    * expanded per-accessor regex formulation blew the JVM method-size
+    * limit and disabled whole-stage codegen for the q279 projection.
+    * Null struct ⇒ not an absolute http(s) URL (callers filter — the
+    * row-skip discipline of [[Cleansing.parseDateLenient]]). */
+  private def parts(url: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.UrlParts(
+        org.apache.spark.sql.graftbridge.Bridge.expression(url)))
+
+  /** Scheme of an absolute http(s) URL, lowercased; null otherwise. */
+  def scheme(url: Column): Column = parts(url).getField("sch")
 
   /** Host of the URL: the authority with userinfo and port stripped,
     * lowercased, trailing dot removed. Null on a non-http(s) value. */
-  def host(url: Column): Column = {
-    val auth = regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
-    val noUser = regexp_replace(auth, "^[^@]*@", "")
-    val noPort = regexp_replace(noUser, ":[0-9]*$", "")
-    val h = lower(regexp_replace(noPort, "\\.$", ""))
-    when(scheme(url).isNotNull && h =!= "", h)
-  }
+  def host(url: Column): Column = parts(url).getField("host")
 
   /** Explicit port if present and NON-default for the scheme (`:80` on
     * http and `:443` on https are identity), else null. */
-  def nonDefaultPort(url: Column): Column = {
-    val auth = regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
-    val p = regexp_extract(regexp_replace(auth, "^[^@]*@", ""), ":([0-9]+)$", 1)
-    when(scheme(url).isNotNull && p =!= "" &&
-        !(scheme(url) === "http" && p === "80") &&
-        !(scheme(url) === "https" && p === "443"),
-      p.cast("int"))
-  }
+  def nonDefaultPort(url: Column): Column = parts(url).getField("port")
 
-  /** Path with the trailing slash stripped (`/a/b/` ≡ `/a/b`, and the
+  /** Path with trailing slashes stripped (`/a/b/` ≡ `/a/b`, and the
     * bare root `/` ≡ empty). Empty string, never null, for valid URLs. */
-  def path(url: Column): Column = {
-    val p = regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
-    when(scheme(url).isNotNull, regexp_replace(p, "/+$", ""))
-  }
+  def path(url: Column): Column = parts(url).getField("path")
 
   /** Query string canonicalized: split on `&`, drop empties and
     * [[trackingParams]], sort by the full `k=v` string, re-join. Empty
-    * string when nothing survives. The array ops are bounded by the
-    * per-URL parameter count — per-row work, no shuffle. */
-  def canonicalQuery(url: Column): Column = {
-    val q = regexp_extract(trim(url), "\\?([^#]*)", 1)
-    val parts = filter(split(q, "&"), p => {
-      val k = lower(split(p, "=").getItem(0))
-      p =!= "" && !k.isin(trackingParams: _*) && !k.startsWith("utm_")
-    })
-    when(scheme(url).isNotNull, array_join(array_sort(parts), "&"))
-  }
+    * string when nothing survives. One codegen'd
+    * [[graft.expressions.CanonQuery]] call — the declarative
+    * filter/array_sort HOF formulation is CodegenFallback and would
+    * knock the whole canonicalization projection out of whole-stage
+    * codegen (bit-identical semantics, see the expression's scaladoc). */
+  def canonicalQuery(url: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.CanonQuery(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          parts(url).getField("query"))))
 
   /** The canonical URL: lowercased scheme and host, `www.` prefix and
     * userinfo dropped, default port dropped, trailing-slash path,
@@ -105,15 +97,16 @@ object Url {
     * in these presentational degrees of freedom collide — which is the
     * point: this column IS the exact-URL dedup key. */
   def canonicalize(url: Column): Column = {
-    val h = regexp_replace(host(url), "^www\\.", "")
-    val port = nonDefaultPort(url)
+    val p = parts(url)
+    val h = regexp_replace(p.getField("host"), "^www\\.", "")
+    val port = p.getField("port")
     val q = canonicalQuery(url)
-    when(scheme(url).isNotNull && h.isNotNull,
+    when(p.getField("host").isNotNull,
       concat(
-        scheme(url), lit("://"), h,
+        p.getField("sch"), lit("://"), h,
         when(port.isNotNull, concat(lit(":"), port.cast("string")))
           .otherwise(lit("")),
-        path(url),
+        p.getField("path"),
         when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
   }
 
@@ -146,6 +139,41 @@ object Url {
         countDistinct(col("canon")).as("distinct_urls"))
       .withColumn("dup_ratio",
         round(lit(1.0) - col("distinct_urls").cast("double") / col("pages"), 6))
+  }
+
+  /** Corpus concentration over registered domains — the diversity
+    * headline a web-corpus datasheet reports: HHI (Herfindahl–Hirschman,
+    * Σ share²), top-domain share, and the Gini coefficient of the
+    * per-domain page counts (ascending-rank formula
+    * `(2·Σ rank·xᵢ − (n+1)·Σx) / (n·Σx)`). One row.
+    *
+    * Scale posture: one hash-aggregate keyed by domain, then rank + sums
+    * over the ≤|domains|-row aggregate (the bounded-aggregate
+    * single-reducer-window posture of vocabCoverage). All sums are
+    * integer until the final divisions, so the oracle is parity-exact. */
+  def domainConcentration(df: DataFrame, urlCol: String): DataFrame = {
+    val canon = canonicalize(col(urlCol))
+    val counts = df.filter(canon.isNotNull)
+      .select(registeredDomain(host(col(urlCol))).as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("pages"))
+    counts
+      .withColumn("_rank", row_number().over(
+        Window.orderBy(col("pages").asc, col("domain").asc)))
+      .agg(
+        count(lit(1)).as("n_domains"),
+        sum("pages").as("n_pages"),
+        max("pages").as("top_pages"),
+        sum(col("pages") * col("pages")).as("_sumsq"),
+        sum(col("_rank") * col("pages")).as("_ranksum"))
+      .select(
+        col("n_domains"), col("n_pages"),
+        round(col("_sumsq").cast("double") /
+          (col("n_pages") * col("n_pages")), 6).as("hhi"),
+        round(col("top_pages").cast("double") / col("n_pages"), 6)
+          .as("top_share"),
+        round((lit(2L) * col("_ranksum") -
+          (col("n_domains") + 1L) * col("n_pages")).cast("double") /
+          (col("n_domains") * col("n_pages")), 6).as("gini"))
   }
 
   /** Domain-diversity cap: keep at most `cap` documents per registered

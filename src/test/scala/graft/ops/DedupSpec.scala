@@ -642,4 +642,18 @@ class DedupSpec extends SparkSpec {
       TextAnalysis.words(col("text")), window = 3, minJaccard = 0.0)
     assert(pairs.count() <= 30 * 3)
   }
+
+  test("plantedTwinEval: long distinct docs → perfect recall, counts add up") {
+    // long docs with disjoint vocabularies: every planted twin is a
+    // near-exact MinHash match, and no incidental cross-doc pair exists
+    val docs = (0L until 12L).map { i =>
+      (i, (0 until 30).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.plantedTwinEval(docs, "doc_id", "text",
+      plantEvery = 4, idOffset = 1000L, threshold = 0.5).head()
+    assert(got.getLong(0) == 3L) // ids 0, 4, 8 planted
+    assert(got.getLong(2) == got.getLong(1)) // every detection is a plant
+    assert(got.getDouble(4) == 1.0) // recall
+    assert(got.getDouble(3) == 1.0) // precision (no incidental pairs)
+  }
 }

@@ -395,4 +395,40 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got.values.sum) < 1e-6, got.toString)
     assert(got(3L) == 3.0 && got(4L) == -3.0, got.toString)
   }
+
+  test("bitextMine: true pairs score high margin, hubs score ~1") {
+    // src basis vectors e0, e1, e2; dst has an exact translation of each
+    // plus a "hub" equidistant from everything — margin demotes the hub
+    def v(xs: Float*) = xs.toArray
+    val src = Seq(
+      (0L, v(1f, 0f, 0f, 0f)), (1L, v(0f, 1f, 0f, 0f)),
+      (2L, v(0f, 0f, 1f, 0f))).toDF("sid", "svec")
+    val dst = Seq(
+      (10L, v(0.9f, 0.1f, 0f, 0f)), (11L, v(0.1f, 0.9f, 0f, 0f)),
+      (12L, v(0f, 0.1f, 0.9f, 0f)),
+      (13L, v(0.5f, 0.5f, 0.5f, 0.5f))) // the hub
+      .toDF("did", "dvec")
+    val got = Similarity.bitextMine(src, dst, k = 3, minMargin = 1.0)
+      .orderBy("sid")
+      .select("sid", "did", "margin", "mutual").collect()
+    // every source finds its translation, mutually
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 10L), (1L, 11L), (2L, 12L)))
+    assert(got.forall(_.getInt(3) == 1))
+    assert(got.forall(_.getDouble(2) > 1.1)) // clear margin over the hub
+  }
+
+  test("bitextMine margin is scale-invariant in the raw cosine sense") {
+    // doubling every dst vector changes no cosine, hence no output
+    def v(xs: Float*) = xs.toArray
+    val src = Seq((0L, v(1f, 0f)), (1L, v(0.6f, 0.8f))).toDF("sid", "svec")
+    val dst1 = Seq((10L, v(0.8f, 0.6f)), (11L, v(0f, 1f))).toDF("did", "dvec")
+    val dst2 = dst1.select(col("did"),
+      transform(col("dvec"), x => x * 2.0f).as("dvec"))
+    val a = Similarity.bitextMine(src, dst1, k = 2, minMargin = 0.1)
+      .orderBy("sid").collect().toSeq
+    val b = Similarity.bitextMine(src, dst2, k = 2, minMargin = 0.1)
+      .orderBy("sid").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
