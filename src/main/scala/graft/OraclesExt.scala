@@ -1990,6 +1990,79 @@ object OraclesExt {
       s"WHERE $margin >= $minMargin::DOUBLE ORDER BY sid"
   }
 
+  /** q291: Html.markdownSections mirror — same synthesis, cumulative
+    * heading window, ordered in-agg body assembly. */
+  val markdownSections: String =
+    "WITH md AS (SELECT doc_id, " +
+      "(CASE WHEN doc_id % 3 = 0 THEN 'intro before headings' || chr(10) " +
+      "ELSE '' END) || '# Doc ' || doc_id::VARCHAR || chr(10) || " +
+      "substr(text, 1, 50) || chr(10) || '## Part A' || chr(10) || " +
+      "substr(text, 51, 50) || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN chr(10) || '### Deep' || chr(10) || " +
+      "substr(text, 101, 50) ELSE '' END) || " +
+      "chr(10) || '## Part B' || chr(10) || substr(text, 151, 40) AS t " +
+      "FROM documents), " +
+      "sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM md), " +
+      "ix AS (SELECT doc_id, ls, unnest(range(len(ls))) AS pos FROM sp), " +
+      "l AS (SELECT doc_id, pos, ls[pos+1] AS line FROM ix), " +
+      "h AS (SELECT doc_id, pos, line, " +
+      "regexp_matches(line, '^#{1,6} ') AS ih, " +
+      "CASE WHEN regexp_matches(line, '^#{1,6} ') THEN " +
+      "length(regexp_extract(line, '^(#{1,6}) ', 1)) ELSE 0 END AS lvl " +
+      "FROM l), " +
+      "s AS (SELECT doc_id, pos, line, ih, lvl, " +
+      "sum(CASE WHEN ih THEN 1 ELSE 0 END) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos) AS sec FROM h), " +
+      "g AS (SELECT doc_id, sec, max(CASE WHEN ih THEN lvl END) AS hl, " +
+      "max(CASE WHEN ih THEN regexp_replace(line, '^#{1,6} ', '') END) " +
+      "AS title, " +
+      "coalesce(string_agg(CASE WHEN NOT ih THEN line END, chr(10) " +
+      "ORDER BY pos), '') AS body, " +
+      "sum(CASE WHEN NOT ih THEN 1 ELSE 0 END)::BIGINT AS n_lines " +
+      "FROM s GROUP BY 1, 2) " +
+      "SELECT doc_id, sec::BIGINT AS sec, coalesce(hl, 0)::INT AS level, " +
+      "title, body, n_lines, length(body)::BIGINT AS n_chars " +
+      "FROM g ORDER BY doc_id, sec"
+
+  /** q292: Url.robotsFilter mirror — same synthesis, parse, and
+    * longest-match (len DESC, allow DESC, prefix) rank. */
+  val robotsFilter: String =
+    "WITH u AS (SELECT doc_id, 'site' || (doc_id % 7)::VARCHAR || " +
+      "'.example.com' AS host, " +
+      "CASE doc_id % 5 WHEN 0 THEN '/private/' || (doc_id % 9)::VARCHAR " +
+      "WHEN 1 THEN '/private/ok/' || (doc_id % 9)::VARCHAR " +
+      "WHEN 2 THEN '/pub/' || (doc_id % 9)::VARCHAR " +
+      "WHEN 3 THEN '/tmp/x' || (doc_id % 9)::VARCHAR " +
+      "ELSE '/' END AS rawpath FROM documents), " +
+      "uu AS (SELECT doc_id, 'http://' || host || rawpath AS url, host, " +
+      "regexp_replace(rawpath, '/+$', '') AS path FROM u), " +
+      "rb AS (SELECT 'site' || doc_id::VARCHAR || '.example.com' AS host, " +
+      "'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || " +
+      "'Allow: /private/ok' || chr(10) || 'Disallow: /tmp/' || chr(10) || " +
+      "'Disallow:' || chr(10) || '# comment' || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Disallow: /pub' " +
+      "ELSE '' END) AS txt FROM documents WHERE doc_id < 7), " +
+      "rl AS (SELECT host, unnest(string_split(txt, chr(10))) AS line " +
+      "FROM rb), " +
+      "rules AS (SELECT host, " +
+      "CASE WHEN starts_with(line, 'Allow: ') THEN 1 " +
+      "WHEN starts_with(line, 'Disallow: ') THEN 0 END AS allow, " +
+      "CASE WHEN starts_with(line, 'Allow: ') THEN substr(line, 8) " +
+      "ELSE substr(line, 11) END AS prefix FROM rl " +
+      "WHERE (starts_with(line, 'Allow: ') OR " +
+      "starts_with(line, 'Disallow: '))), " +
+      "rules2 AS (SELECT * FROM rules WHERE prefix <> ''), " +
+      "m AS (SELECT uu.doc_id, r.allow, r.prefix, row_number() OVER " +
+      "(PARTITION BY uu.doc_id ORDER BY length(r.prefix) DESC, " +
+      "r.allow DESC, r.prefix) AS rnk " +
+      "FROM uu JOIN rules2 r ON r.host = uu.host " +
+      "AND starts_with(uu.path, r.prefix)), " +
+      "v AS (SELECT doc_id, allow, prefix FROM m WHERE rnk = 1) " +
+      "SELECT uu.doc_id, uu.url, uu.host, uu.path, " +
+      "coalesce(v.allow = 1, TRUE)::INT AS allowed, " +
+      "v.prefix AS matched_rule FROM uu LEFT JOIN v USING (doc_id) " +
+      "ORDER BY doc_id"
+
   /** q285: Cleansing.fixMojibake mirror — the SAME pinned map drives the
     * SQL injection CASE and the replace chain, so the two engines can't
     * drift. */

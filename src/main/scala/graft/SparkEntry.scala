@@ -4298,6 +4298,74 @@ object SparkEntry {
             .select(col("vec_id").as("did"), col("embedding").as("dvec")),
           k = 4, minMargin = 1.0)
         .orderBy("sid")
+    },
+
+    // ───── Markdown section splitter: structure-respecting chunking
+    // (one row per ATX-heading section + a level-0 preamble) — lines
+    // carry (doc_id, pos), never the whole doc; cumulative-heading
+    // window + per-section aggregate share one doc_id shuffle ─────
+    "q291_markdown_sections" -> { (s, dir) =>
+      val t0 = col("text")
+      val md = concat(
+        when(col("doc_id") % 3 === 0, lit("intro before headings\n"))
+          .otherwise(lit("")),
+        lit("# Doc "), col("doc_id").cast("string"), lit("\n"),
+        substring(t0, 1, 50), lit("\n## Part A\n"), substring(t0, 51, 50),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("\n### Deep\n"), substring(t0, 101, 50)))
+          .otherwise(lit("")),
+        lit("\n## Part B\n"), substring(t0, 151, 40))
+      Html.markdownSections(
+          tb(s, dir, "documents").select(col("doc_id"), md.as("md")),
+          "doc_id", "md")
+        .orderBy("doc_id", "sec")
+    },
+
+    // ───── robots.txt gate: per-host Allow/Disallow rules, longest
+    // matching path prefix wins (ties prefer Allow) — host 0-6 fixtures
+    // with an even-host extra Disallow; rule join shuffles on host,
+    // longest-match is a rank-1 window over matched rules only ─────
+    "q292_robots_filter" -> { (s, dir) =>
+      val docs = tb(s, dir, "documents")
+      val hostC = concat(lit("site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com"))
+      val pathC = when(col("doc_id") % 5 === 0,
+          concat(lit("/private/"), (col("doc_id") % 9).cast("string")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("/private/ok/"), (col("doc_id") % 9).cast("string")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("/pub/"), (col("doc_id") % 9).cast("string")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("/tmp/x"), (col("doc_id") % 9).cast("string")))
+        .otherwise(lit("/"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("http://"), hostC, pathC).as("url"))
+      val robots = docs.filter(col("doc_id") < 7).select(
+        concat(lit("site"), col("doc_id").cast("string"),
+          lit(".example.com")).as("rhost"),
+        concat(
+          lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+            "Disallow: /tmp/\nDisallow:\n# comment"),
+          when(col("doc_id") % 2 === 0, lit("\nDisallow: /pub"))
+            .otherwise(lit(""))).as("rtxt"))
+      ops.Url.robotsFilter(urls, robots, "doc_id", "url", "rhost", "rtxt")
+        .orderBy("doc_id")
+    },
+
+    // ───── Streaming URL ingest gate: canonicalize + registered domain
+    // on the document stream, blocklist filter, complete-mode per-domain
+    // counts — row-identical to the batch grid (the q264 parity shape) ─────
+    "q293_stream_url_gate" -> { (s, dir) =>
+      val stream = docsStream(s, dir)
+        .select(col("doc_id"), urlSynth(col("doc_id")).as("raw"))
+      val gated = stream
+        .select(col("doc_id"),
+          ops.Url.canonicalize(col("raw")).as("canon"),
+          ops.Url.registeredDomain(ops.Url.host(col("raw"))).as("domain"))
+        .filter(col("canon").isNotNull && col("domain") =!= "example.com")
+        .groupBy("domain").agg(count(lit(1)).as("n_pages"))
+      drainToTable(s, gated, "g293_urlgate", "complete")
+        .orderBy("domain")
     }
   )
 
@@ -7069,6 +7137,18 @@ object SparkEntry {
     "q288_dedup_eval" -> OraclesExt.plantedTwinEval,
 
     "q290_bitext_mine" -> OraclesExt.bitextMine(4, 1.0),
+
+    "q291_markdown_sections" -> OraclesExt.markdownSections,
+
+    "q292_robots_filter" -> OraclesExt.robotsFilter,
+
+    // stream/batch parity: complete-mode per-domain counts ≡ the batch
+    // grid over the same synthesized corpus
+    "q293_stream_url_gate" ->
+      (s"WITH ${OraclesExt.urlRawCte}, ${OraclesExt.urlCompCte} " +
+        "SELECT domain, count(*)::BIGINT AS n_pages FROM comp " +
+        "WHERE canon IS NOT NULL AND domain <> 'example.com' " +
+        "GROUP BY 1 ORDER BY domain"),
 
     "q289_avro_roundtrip" ->
       ("SELECT o_orderpriority, count(*)::BIGINT AS n, " +

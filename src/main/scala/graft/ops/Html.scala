@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** HTML → training-text extraction — the first stage of every web-scrape
@@ -79,5 +79,49 @@ object Html {
     val textChars = length(visibleText(html))
     round(when(textChars === 0, lit(0.0))
       .otherwise(linkChars.cast("double") / textChars), 6)
+  }
+
+  /** Markdown-aware section splitter — the structure-respecting chunker
+    * RAG/pretraining pipelines want instead of blind fixed-width windows
+    * ([[TextAnalysis.chunkDocs]]): one row per ATX-heading section
+    * (`#`–`######`), body = the lines under the heading up to the next
+    * heading, preamble (lines before any heading) emitted as section 0
+    * with level 0 and a null title.
+    *
+    * Scale posture: one split + posexplode (lines carry doc_id + pos,
+    * never the whole doc), a cumulative-count window and the final
+    * per-section aggregate share ONE shuffle keyed by doc_id; the body
+    * is assembled with the sort-INSIDE-the-aggregate discipline
+    * (collect_list arrival order is partition-dependent). */
+  def markdownSections(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    df.select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+      .withColumn("_h", col("line").rlike("^#{1,6} "))
+      .withColumn("_lvl",
+        when(col("_h"), length(regexp_extract(col("line"), "^(#{1,6}) ", 1)))
+          .otherwise(lit(0)))
+      .withColumn("sec",
+        sum(col("_h").cast("long")).over(w))
+      .groupBy(col(idCol), col("sec"))
+      .agg(
+        max(when(col("_h"), col("_lvl"))).as("_hl"),
+        max(when(col("_h"),
+          regexp_replace(col("line"), "^#{1,6} ", ""))).as("title"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("_h"), struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("body"),
+        sum(when(!col("_h"), 1L).otherwise(0L)).as("n_lines"))
+      .select(col(idCol), col("sec"),
+        coalesce(col("_hl"), lit(0)).cast("int").as("level"),
+        col("title"), col("body"), col("n_lines"),
+        length(col("body")).cast("long").as("n_chars"))
   }
 }

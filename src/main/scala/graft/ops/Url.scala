@@ -176,6 +176,58 @@ object Url {
           (col("n_domains") * col("n_pages")), 6).as("gini"))
   }
 
+  /** robots.txt gate: given per-host robots bodies and candidate URLs,
+    * keep/drop each URL by the LONGEST-MATCHING `Allow:`/`Disallow:`
+    * path prefix (ties prefer Allow — the Google REP tiebreak); a URL
+    * whose host has no matching rule (or no robots row) is allowed.
+    * `Disallow:` with an empty path is a no-op per the REP and is
+    * dropped at parse. User-agent groups are deliberately out of scope —
+    * the fixture files carry one global group (documented simplification;
+    * a UA-aware variant adds one more prefix-filter column).
+    *
+    * Scale posture: robots bodies explode to (host, allow, prefix) rules
+    * — a few rows per host; the rule join shuffles on host (both sides
+    * hash-partitioned; a broadcast is only safe when the robots corpus
+    * is known-small, so it is not forced here). Longest-match is a
+    * rank-1 window per (url, host) over the MATCHED rules only. */
+  def robotsFilter(
+      urls: DataFrame, // (idCol, urlCol)
+      robots: DataFrame, // (hostCol, robotsCol)
+      idCol: String,
+      urlCol: String,
+      hostCol: String,
+      robotsCol: String): DataFrame = {
+    val rules = robots.select(col(hostCol).as("_host"),
+        posexplode(split(col(robotsCol), "\n")).as(Seq("_ln", "_line")))
+      .withColumn("_allow",
+        when(col("_line").startsWith("Allow: "), lit(1))
+          .when(col("_line").startsWith("Disallow: "), lit(0)))
+      .filter(col("_allow").isNotNull)
+      .withColumn("_prefix",
+        when(col("_allow") === 1, expr("substring(_line, 8)"))
+          .otherwise(expr("substring(_line, 11)")))
+      .filter(col("_prefix") =!= "")
+      .select("_host", "_allow", "_prefix")
+    val u = urls.select(col(idCol), col(urlCol),
+      host(col(urlCol)).as("_host"),
+      path(col(urlCol)).as("_path"))
+    val matched = u.join(rules, Seq("_host"))
+      .filter(col("_path").startsWith(col("_prefix")))
+      .withColumn("_rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))
+          .orderBy(length(col("_prefix")).desc, col("_allow").desc,
+            col("_prefix"))))
+      .filter(col("_rnk") === 1)
+      .select(col(idCol), col("_allow").as("_verdict"),
+        col("_prefix").as("matched_rule"))
+    u.join(matched, Seq(idCol), "left_outer")
+      .select(col(idCol), col(urlCol), col("_host").as("host"),
+        col("_path").as("path"),
+        coalesce(col("_verdict") === 1, lit(true)).cast("int").as("allowed"),
+        col("matched_rule"))
+  }
+
   /** Domain-diversity cap: keep at most `cap` documents per registered
     * domain, selected by deterministic hash-rank on the id (so two runs
     * — or two SHARDS ranked independently after a domain shuffle — agree).

@@ -49,4 +49,35 @@ class HtmlSpec extends SparkSpec {
     val got = one("<p <b>broken <a>text", Html.visibleText(col("h")))
     assert(got.asInstanceOf[String].contains("text"))
   }
+
+  test("markdownSections: preamble, levels, bodies, empty sections") {
+    import spark.implicits._
+    val md = "before any heading\nsecond intro line\n# Top\nbody 1\nbody 2\n" +
+      "## Sub A\n### Deep\ndeep body\n####### not-a-heading\n#nospace"
+    val got = Html.markdownSections(Seq((1L, md)).toDF("id", "t"), "id", "t")
+      .orderBy("sec")
+      .select("sec", "level", "title", "body", "n_lines").collect()
+    assert(got.length == 4)
+    // preamble: sec 0, level 0, null title, both intro lines in order
+    assert(got(0).getLong(0) == 0L && got(0).getInt(1) == 0 &&
+      got(0).isNullAt(2) &&
+      got(0).getString(3) == "before any heading\nsecond intro line")
+    assert(got(1).getString(2) == "Top" && got(1).getInt(1) == 1 &&
+      got(1).getString(3) == "body 1\nbody 2")
+    // heading directly followed by a heading → empty body, zero lines
+    assert(got(2).getString(2) == "Sub A" && got(2).getInt(1) == 2 &&
+      got(2).getString(3) == "" && got(2).getLong(4) == 0L)
+    // 7+ #'s and #-without-space are BODY lines, not headings
+    assert(got(3).getString(2) == "Deep" && got(3).getInt(1) == 3 &&
+      got(3).getString(3) == "deep body\n####### not-a-heading\n#nospace")
+  }
+
+  test("markdownSections: doc with no headings is one preamble section") {
+    import spark.implicits._
+    val got = Html.markdownSections(
+      Seq((1L, "just\nplain\ntext")).toDF("id", "t"), "id", "t").collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("sec") == 0L &&
+      got(0).getAs[Long]("n_lines") == 3L)
+  }
 }

@@ -152,6 +152,27 @@ class UrlSpec extends SparkSpec {
     assert(got.getDouble(4) == 0.3)
   }
 
+  test("robotsFilter: longest match wins, Allow beats Disallow on ties, " +
+    "no rule / no robots row → allowed") {
+    val urls = Seq(
+      (1L, "http://h.com/private/x"), // Disallow: /private → blocked
+      (2L, "http://h.com/private/ok/y"), // longer Allow wins → allowed
+      (3L, "http://h.com/pub/z"), // no matching rule → allowed
+      (4L, "http://h.com/dual/a"), // equal-length Allow vs Disallow → Allow
+      (5L, "http://other.com/private/x") // no robots row → allowed
+    ).toDF("id", "url")
+    val robots = Seq(("h.com",
+      "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+        "Disallow: /dual/\nAllow: /dual/\nDisallow:\n# c")).toDF("h", "txt")
+    val got = Url.robotsFilter(urls, robots, "id", "url", "h", "txt")
+      .orderBy("id").select("id", "allowed", "matched_rule").collect()
+    assert(got.map(_.getInt(1)).toSeq == Seq(0, 1, 1, 1, 1))
+    assert(got(0).getString(2) == "/private")
+    assert(got(1).getString(2) == "/private/ok")
+    assert(got(2).isNullAt(2) && got(4).isNullAt(2))
+    assert(got(3).getString(2) == "/dual/")
+  }
+
   test("domainCap passes small domains through whole") {
     val df = (0L until 4L).toDF("id")
       .withColumn("url", concat(lit("https://tiny"), col("id").cast("string"),
