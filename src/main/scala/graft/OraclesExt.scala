@@ -2063,6 +2063,75 @@ object OraclesExt {
       "v.prefix AS matched_rule FROM uu LEFT JOIN v USING (doc_id) " +
       "ORDER BY doc_id"
 
+  /** q294: Models.bootstrapCI mirror — the λ=1 CDF literals come from
+    * the same Scala Seq; resample sums are exact integers. */
+  val poissonBootstrap: String = {
+    val cdf = graft.ops.Models.poissonCdf1.zipWithIndex
+      .map { case (p, k) => s"WHEN u < $p::DOUBLE THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    "WITH d AS (SELECT source, doc_id, length(text)::BIGINT AS v " +
+      "FROM documents), " +
+      "e AS (SELECT source, doc_id, v, unnest(range(40)) AS b FROM d), " +
+      "uw AS (SELECT source, b, v, " +
+      "((('0x' || substr(md5(doc_id::VARCHAR || ':bs:' || b::VARCHAR), " +
+      "1, 15))::BIGINT % 1000000000)::DOUBLE / 1000000000.0::DOUBLE) AS u " +
+      "FROM e), " +
+      s"p AS (SELECT source, b, v, $cdf AS w FROM uw), " +
+      "rm AS (SELECT source, b, sum(w * v)::BIGINT AS ws, " +
+      "sum(w)::BIGINT AS wn FROM p GROUP BY 1, 2 HAVING sum(w) > 0), " +
+      "ms AS (SELECT source, ws::DOUBLE / wn AS m FROM rm), " +
+      "ci AS (SELECT source, count(*)::BIGINT AS n_resamples, " +
+      "list_sort(list(m)) AS srt FROM ms GROUP BY 1), " +
+      "base AS (SELECT source, count(*)::BIGINT AS n, " +
+      "round(sum(v)::DOUBLE / count(*), 6) AS mean FROM d GROUP BY 1) " +
+      "SELECT base.source, n, mean, n_resamples, " +
+      "round(srt[least(1, n_resamples)::INT], 6) AS boot_lo, " +
+      "round(srt[least(39, n_resamples)::INT], 6) AS boot_hi " +
+      "FROM base LEFT JOIN ci USING (source) ORDER BY source"
+  }
+
+  /** q295: Models.splitConformal mirror — integer rank arithmetic. */
+  val splitConformal: String =
+    "WITH d AS (SELECT lang, doc_id, length(text)::BIGINT AS y, " +
+      "(length(text)::BIGINT * 92) // 100 + " +
+      "(('0x' || substr(md5(doc_id::VARCHAR || ':pe'), 1, 15))::BIGINT " +
+      "% 21 - 10) AS pred FROM documents), " +
+      "s AS (SELECT lang, doc_id, abs(y - pred) AS sc, " +
+      "(('0x' || substr(md5(doc_id::VARCHAR || ':cf'), 1, 15))::BIGINT " +
+      "% 100 < 50) AS cal FROM d), " +
+      "c AS (SELECT lang, doc_id, sc, row_number() OVER " +
+      "(PARTITION BY lang ORDER BY sc, doc_id) AS r, " +
+      "count(*) OVER (PARTITION BY lang) AS n_cal FROM s WHERE cal), " +
+      "q AS (SELECT lang, n_cal, sc AS qhat, " +
+      "(((n_cal + 1) * 9 + 9) // 10 > n_cal)::INT AS unbounded FROM c " +
+      "WHERE r = least(((n_cal + 1) * 9 + 9) // 10, n_cal)), " +
+      "t AS (SELECT s.lang, s.sc, q.qhat, q.n_cal, q.unbounded FROM s " +
+      "JOIN q USING (lang) WHERE NOT cal) " +
+      "SELECT lang, max(n_cal)::BIGINT AS n_cal, count(*)::BIGINT AS n_test, " +
+      "max(qhat)::BIGINT AS qhat, max(unbounded)::INT AS unbounded, " +
+      "round(sum(CASE WHEN sc <= qhat OR unbounded = 1 THEN 1 ELSE 0 END)" +
+      "::DOUBLE / count(*), 6) AS coverage, " +
+      "round(9::DOUBLE / 10, 6) AS target FROM t GROUP BY 1 ORDER BY lang"
+
+  /** q296: Multimodal.vadSegments mirror — samples from the synthesis
+    * formula, maximal runs via gaps-and-islands. */
+  val vadSegments: String =
+    "WITH d AS (SELECT doc_id, 240 + (doc_id % 60) AS n FROM documents), " +
+      "ix AS (SELECT doc_id, unnest(range(n)) AS i FROM d), " +
+      "sm AS (SELECT doc_id, i, CASE WHEN (i // 40 + doc_id) % 3 <> 0 " +
+      "THEN ((doc_id*31 + i*17) % 65536) - 32768 " +
+      "ELSE ((doc_id*7 + i*13) % 101) - 50 END AS s FROM ix), " +
+      "a AS (SELECT doc_id, i, s FROM sm WHERE abs(s) > 100), " +
+      "g AS (SELECT doc_id, i, s, i - row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY i) AS grp FROM a), " +
+      "seg0 AS (SELECT doc_id, grp, min(i) AS start_i, max(i) AS end_i, " +
+      "count(*)::BIGINT AS len, max(abs(s)) AS peak FROM g GROUP BY 1, 2), " +
+      "seg AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY start_i) - 1 AS seg, start_i, end_i, len, peak FROM seg0) " +
+      "SELECT doc_id, seg::BIGINT AS seg, start_i::BIGINT AS start_i, " +
+      "end_i::BIGINT AS end_i, len, peak::BIGINT AS peak " +
+      "FROM seg ORDER BY doc_id, seg"
+
   /** q285: Cleansing.fixMojibake mirror — the SAME pinned map drives the
     * SQL injection CASE and the replace chain, so the two engines can't
     * drift. */

@@ -4366,6 +4366,48 @@ object SparkEntry {
         .groupBy("domain").agg(count(lit(1)).as("n_pages"))
       drainToTable(s, gated, "g293_urlgate", "complete")
         .orderBy("domain")
+    },
+
+    // ───── Poisson bootstrap (Chamandy et al. 2012): per-source CI for
+    // mean doc length — each row draws a deterministic hash-Poisson(1)
+    // replication count per resample, so the distributed corpus never
+    // needs its row count up front; integer metric → exact resample
+    // sums, CI = exact order statistics over the B resample means ─────
+    "q294_poisson_bootstrap" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("v"))
+      Models.bootstrapCI(d, "source", "doc_id", "v", b = 40, alpha = 0.05)
+        .orderBy("source")
+    },
+
+    // ───── Split-conformal calibration (Lei et al. 2018): per-lang
+    // q̂ = ⌈(n_cal+1)·9/10⌉-th smallest |y−ŷ| on the hash-split
+    // calibration half, coverage CHECKED on the test half — integer
+    // nonconformity + rational coverage keep both engines rank-exact ─────
+    "q295_conformal" -> { (s, dir) =>
+      val y = length(col("text")).cast("long")
+      val pred = floor((y * 92) / lit(100)).cast("long") +
+        (Hashing.hash60(concat(col("doc_id").cast("string"), lit(":pe")))
+          % 21 - 10)
+      val d = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+        y.as("y"), pred.as("pred"))
+      Models.splitConformal(d, "lang", "doc_id", "y", "pred",
+          coverNum = 9, coverDen = 10)
+        .orderBy("lang")
+    },
+
+    // ───── Energy-threshold VAD segmentation on REAL decoded audio:
+    // alternating tone bursts / near-silence, maximal |s|>100 runs found
+    // in the decoded sample stream inside the partition boundary — one
+    // all-integer row per segment ─────
+    "q296_vad_segments" -> { (s, dir) =>
+      Multimodal.vadSegments(s, dir, threshold = 100)
+        .select(col("doc_id"), col("seg").cast("long").as("seg"),
+          col("start_i").cast("long").as("start_i"),
+          col("end_i").cast("long").as("end_i"),
+          col("len").cast("long").as("len"),
+          col("peak").cast("long").as("peak"))
+        .orderBy("doc_id", "seg")
     }
   )
 
@@ -7139,6 +7181,12 @@ object SparkEntry {
     "q290_bitext_mine" -> OraclesExt.bitextMine(4, 1.0),
 
     "q291_markdown_sections" -> OraclesExt.markdownSections,
+
+    "q294_poisson_bootstrap" -> OraclesExt.poissonBootstrap,
+
+    "q295_conformal" -> OraclesExt.splitConformal,
+
+    "q296_vad_segments" -> OraclesExt.vadSegments,
 
     "q292_robots_filter" -> OraclesExt.robotsFilter,
 

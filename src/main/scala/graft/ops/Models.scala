@@ -916,4 +916,127 @@ object Models {
     }
     a.select(col(problemCol) +: col("n") +: col("c") +: estimates: _*)
   }
+
+  /** Poisson-bootstrap cumulative thresholds for λ = 1: P(X ≤ k) for
+    * k = 0..5, 9dp literals shared with the oracle (draws above the last
+    * threshold clamp to 6 — P(X > 6) ≈ 8·10⁻⁵, negligible for CI work
+    * and keeps the when-chain bounded). */
+  val poissonCdf1: Seq[Double] = Seq(
+    0.367879441, 0.735758882, 0.919698603, 0.981011843, 0.996340153,
+    0.999405815)
+
+  /** Percentile-bootstrap confidence interval for a per-group MEAN of an
+    * integer metric, via the POISSON bootstrap (Chamandy et al. 2012 —
+    * the resampling scheme that works on a distributed corpus: each row
+    * draws an independent Poisson(1) replication count per resample, so
+    * no pass ever needs the group's row count up front). Deterministic:
+    * the "draw" is a hash-uniform u = hash60(id:bs:b)/10⁹ pushed through
+    * the pinned λ=1 CDF literals, so two runs — and the oracle — agree
+    * exactly. The CI is the exact (⌈α/2·B⌉, ⌈(1−α/2)·B⌉) pair of order
+    * statistics over the B resample means (no interpolation).
+    *
+    * Scale posture: one B-way explode of the narrow (id, value) frame
+    * (values are integers — resample sums are EXACT), one (group, b)
+    * hash-agg, then order statistics over the B-row-per-group aggregate
+    * assembled sort-inside-the-aggregate. Nothing bigger than B rows per
+    * group past the first aggregate. */
+  def bootstrapCI(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      b: Int = 40,
+      alpha: Double = 0.05): DataFrame = {
+    require(b >= 4 && alpha > 0 && alpha < 1, "need B >= 4, alpha in (0,1)")
+    val u = (Hashing.hash60(concat_ws(":", col(idCol).cast("string"),
+      lit("bs"), col("_b").cast("string"))) % 1000000000L).cast("double") /
+      1e9
+    val w = poissonCdf1.zipWithIndex
+      .foldLeft(when(lit(false), lit(0))) { case (acc, (p, k)) =>
+        acc.when(u < p, lit(k))
+      }
+      .otherwise(lit(6))
+    val loIdx = math.max(1, math.ceil(alpha / 2 * b).toInt)
+    val hiIdx = math.min(b, math.ceil((1 - alpha / 2) * b).toInt)
+    val resampled = df
+      .select(col(groupCol), col(idCol), col(valueCol))
+      .withColumn("_b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("_w", w)
+      .groupBy(col(groupCol), col("_b"))
+      .agg(sum(col("_w").cast("long") * col(valueCol)).as("_ws"),
+        sum(col("_w").cast("long")).as("_wn"))
+      .filter(col("_wn") > 0) // an all-zero resample has no mean
+      .select(col(groupCol),
+        (col("_ws").cast("double") / col("_wn")).as("_mean"))
+    val base = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      round(sum(col(valueCol)).cast("double") / count(lit(1)), 6).as("mean"))
+    val ci = resampled.groupBy(col(groupCol))
+      .agg(array_sort(collect_list(col("_mean"))).as("_ms"),
+        count(lit(1)).as("n_resamples"))
+      .select(col(groupCol), col("n_resamples"),
+        round(element_at(col("_ms"),
+          least(lit(loIdx), size(col("_ms")))), 6).as("boot_lo"),
+        round(element_at(col("_ms"),
+          least(lit(hiIdx), size(col("_ms")))), 6).as("boot_hi"))
+    base.join(ci, Seq(groupCol), "left_outer")
+  }
+
+  /** Split-conformal calibration (Vovk; Lei et al. 2018): per group,
+    * the calibration half's nonconformity scores (|y − ŷ|, INTEGER here
+    * so order statistics are exact) yield
+    * `q̂ = the ⌈(n_cal+1)·(1−α)⌉-th smallest score`; the interval
+    * `ŷ ± q̂` then covers ≥ 1−α of exchangeable test points — the
+    * distribution-free guarantee, CHECKED on the held-out half. The
+    * cal/test split is hash-deterministic on the id. The coverage level
+    * is a RATIONAL `coverNum/coverDen` so the rank
+    * `k = ⌈(n_cal+1)·num/den⌉` is pure integer arithmetic — a double
+    * `(n+1)·0.9` rounds differently than DECIMAL at exact multiples and
+    * would desync the two engines by one rank.
+    *
+    * Scale posture: one rank window per group over the calibration half
+    * (sort-based, spillable — never a driver collect), one
+    * groups-sized (group, q̂) join back, one coverage aggregate. */
+  def splitConformal(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      yCol: String,
+      predCol: String,
+      coverNum: Int = 9,
+      coverDen: Int = 10): DataFrame = {
+    require(coverDen > 0 && coverNum > 0 && coverNum < coverDen,
+      "coverage must be a proper fraction")
+    val isCal = Hashing.hash60(concat_ws(":", col(idCol).cast("string"),
+      lit("cf"))) % 100 < 50
+    val scored = df.select(col(groupCol), col(idCol),
+      abs(col(yCol) - col(predCol)).as("_s"), isCal.as("_cal"))
+    val cal = scored.filter(col("_cal"))
+    val nCal = cal.groupBy(col(groupCol)).agg(count(lit(1)).as("n_cal"))
+    val ranked = cal.withColumn("_r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol))
+        .orderBy(col("_s"), col(idCol))))
+    // k = ceil((n_cal+1)·num/den) as integers; k > n_cal → infinite interval
+    val k = expr(
+      s"((n_cal + 1) * $coverNum + ${coverDen - 1}) div $coverDen")
+    val qhat = ranked.join(nCal, Seq(groupCol))
+      .filter(col("_r") === least(k, col("n_cal")))
+      .withColumn("_unbounded", (k > col("n_cal")).cast("int"))
+      .select(col(groupCol), col("n_cal"), col("_s").as("qhat"),
+        col("_unbounded"))
+    scored.filter(!col("_cal"))
+      .join(qhat, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        max(col("qhat")).as("qhat"),
+        max(col("_unbounded")).as("unbounded"),
+        round(sum(when(col("_s") <= col("qhat") || col("_unbounded") === 1,
+          1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+          .as("coverage"))
+      .withColumn("target",
+        round(lit(coverNum.toDouble) / coverDen, 6))
+  }
 }

@@ -631,6 +631,63 @@ object Multimodal {
       .toDF("doc_id", "n_samples", "sample_rate", "best_lag", "peak_corr")
   }
 
+  /** Encode a WAV of alternating TONE BURSTS and near-silence — the VAD
+    * (voice-activity-detection) fixture: sample i is "active" iff block
+    * `(i/40 + id) mod 3 ≠ 0` (40-sample blocks, two of every three
+    * active); active samples carry the full-scale sawtooth, silent ones
+    * low-amplitude noise in [−50, 50]. All integer. */
+  def encodeWavBursts(id: Long): Array[Byte] = {
+    val n = 240 + (id % 60).toInt
+    encodeWavPcm(8000, Array.tabulate(n) { i =>
+      if ((i / 40 + id) % 3 != 0)
+        (((id * 31 + i * 17) % 65536) - 32768).toInt
+      else (((id * 7 + i * 13) % 101) - 50).toInt
+    })
+  }
+
+  /** Energy-threshold VAD segmentation over REAL decoded audio: a
+    * segment is a maximal run of samples with |s| > threshold; one row
+    * per segment with its bounds, length, and peak — the
+    * speech/music-detection cut video/audio pipelines run before
+    * transcription or feature extraction. Runs are found in the DECODED
+    * sample stream inside the partition boundary (the codec-boundary
+    * imperative-scan posture of [[pitchDetect]]); output is O(segments)
+    * per clip, all integer.
+    *
+    * Note the honest edge: a full-scale sawtooth sample occasionally
+    * lands inside [−threshold, threshold] and splits a burst — the
+    * detector reports what the SIGNAL does, and the oracle mirrors it
+    * from the synthesis formula. */
+  def vadSegments(
+      spark: SparkSession,
+      sfDir: String,
+      threshold: Int = 100): DataFrame = {
+    import spark.implicits._
+    Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val (_, s) = decodeWav(encodeWavBursts(id))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Int, Int, Int, Int)]
+        var seg = 0
+        var i = 0
+        while (i < s.length) {
+          if (math.abs(s(i)) > threshold) {
+            val start = i
+            var peak = 0
+            while (i < s.length && math.abs(s(i)) > threshold) {
+              if (math.abs(s(i)) > peak) peak = math.abs(s(i))
+              i += 1
+            }
+            out += ((id, seg, start, i - 1, i - start, peak))
+            seg += 1
+          } else i += 1
+        }
+        out.iterator
+      })
+      .toDF("doc_id", "seg", "start_i", "end_i", "len", "peak")
+  }
+
   /** Audio features AFTER a real resample round trip: encode → decode →
     * decimate → RE-ENCODE (real container from executor-derived samples)
     * → decode again, all inside the partition boundary — the audio twin

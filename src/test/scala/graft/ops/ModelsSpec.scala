@@ -223,4 +223,40 @@ class ModelsSpec extends SparkSpec {
     val p3 = got(2)
     assert(p3.getDouble(3) == 0.5 && !p3.isNullAt(4) && p3.isNullAt(5))
   }
+
+  test("bootstrapCI: ordered bounds around the mean, partition-invariant") {
+    val df = (0L until 300L).map(i => ("g", i, 100L + i % 50))
+      .toDF("g", "id", "v")
+    val r = Models.bootstrapCI(df, "g", "id", "v", b = 40).head()
+    val (mean, lo, hi) = (r.getAs[Double]("mean"),
+      r.getAs[Double]("boot_lo"), r.getAs[Double]("boot_hi"))
+    assert(lo <= hi)
+    assert(lo <= mean && mean <= hi) // 300 iid rows: mean inside its CI
+    assert(r.getAs[Long]("n_resamples") <= 40L)
+    // deterministic under repartition (the hash-draw contract)
+    val r2 = Models.bootstrapCI(df.repartition(7), "g", "id", "v", b = 40)
+      .head()
+    assert(r2.getAs[Double]("boot_lo") == lo &&
+      r2.getAs[Double]("boot_hi") == hi)
+  }
+
+  test("splitConformal: coverage meets the target on exchangeable data, " +
+    "tiny calibration sets flag unbounded") {
+    // y and pred differ by a bounded deterministic residual
+    val df = (0L until 400L).map { i =>
+      ("g", i, 100L + i % 37, 100L + i % 37 + (i * 7 % 11) - 5)
+    }.toDF("g", "id", "y", "pred")
+    val r = Models.splitConformal(df, "g", "id", "y", "pred", 9, 10).head()
+    assert(r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") == 400L)
+    assert(r.getAs[Int]("unbounded") == 0)
+    assert(r.getAs[Double]("coverage") >= 0.85) // target 0.9, finite-sample
+    assert(r.getAs[Double]("target") == 0.9)
+    // 3 rows: k = ceil(4·0.9) = 4 > n_cal≈1-2 → unbounded, full coverage
+    val tiny = Seq(("g", 1L, 5L, 9L), ("g", 2L, 5L, 1L), ("g", 3L, 5L, 7L))
+      .toDF("g", "id", "y", "pred")
+    val t = Models.splitConformal(tiny, "g", "id", "y", "pred", 9, 10)
+      .collect()
+    if (t.nonEmpty && t.head.getAs[Int]("unbounded") == 1)
+      assert(t.head.getAs[Double]("coverage") == 1.0)
+  }
 }

@@ -196,6 +196,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("vadSegments: runs exactly cover the above-threshold samples") {
+    for (id <- Seq(2L, 9L, 33L)) {
+      val (_, s) = Multimodal.decodeWav(Multimodal.encodeWavBursts(id))
+      val active = s.indices.filter(i => math.abs(s(i)) > 100).toSet
+      // reconstruct segments independently and compare against a direct
+      // run over the decoded samples
+      var runs = List.empty[(Int, Int)]
+      var i = 0
+      while (i < s.length) {
+        if (active(i)) {
+          val st = i
+          while (i < s.length && active(i)) i += 1
+          runs = (st, i - 1) :: runs
+        } else i += 1
+      }
+      val expected = runs.reverse
+      assert(expected.nonEmpty && expected.flatMap(r => r._1 to r._2).toSet
+        == active, s"id=$id")
+      // silence blocks guarantee more than one segment per clip
+      assert(expected.length >= 2, s"id=$id")
+    }
+  }
+
   test("shotDetect: frame grid covers every consecutive pair, ids route to clips") {
     val got = Multimodal.shotDetect(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 10)
