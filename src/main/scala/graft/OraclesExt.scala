@@ -2154,6 +2154,289 @@ object OraclesExt {
       "FROM f ORDER BY doc_id"
   }
 
+  /** q297: TextAnalysis.bleu mirror on consecutive-doc pairs — clipped
+    * n-gram precision per order via UNION ALL branches (one per n, the
+    * tagged-flatten dual), 6dp-rounded p_n/bp feeding the final BLEU so
+    * both engines replay identical arithmetic. */
+  val bleu: String = {
+    def gramBranch(src: String, maxN: Int): String =
+      (1 to maxN).map { n =>
+        s"SELECT doc_id, $n AS n, unnest(CASE WHEN len($src) < $n " +
+          s"THEN []::VARCHAR[] ELSE list_transform(range(len($src) - ${n - 1}), " +
+          s"i -> array_to_string($src[i+1:i+$n], ' ')) END) AS g FROM p"
+      }.mkString(" UNION ALL ")
+    val maxN = 4
+    val ovCols = (1 to maxN).map(n =>
+      s"coalesce(max(CASE WHEN n = $n THEN ov END), 0) AS ov$n").mkString(", ")
+    val pCols = (1 to maxN).map { n =>
+      s"CASE WHEN cand_len - ${n - 1} > 0 " +
+        s"THEN round(ov$n::DOUBLE / (cand_len - ${n - 1}), 6) ELSE 0.0 END AS p$n"
+    }.mkString(", ")
+    val allPos = (1 to maxN).map(n => s"p$n > 0").mkString(" AND ")
+    val lnSum = (1 to maxN).map(n => s"ln(p$n)").mkString(" + ")
+    "WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks " +
+      "FROM documents), " +
+      "p AS (SELECT a.doc_id, a.toks AS rt, b.toks AS ct " +
+      "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1), " +
+      s"rc AS (SELECT doc_id, n, g, count(*)::BIGINT AS nr FROM (${gramBranch("rt", maxN)}) GROUP BY 1, 2, 3), " +
+      s"cc AS (SELECT doc_id, n, g, count(*)::BIGINT AS nc FROM (${gramBranch("ct", maxN)}) GROUP BY 1, 2, 3), " +
+      "ov AS (SELECT doc_id, n, sum(least(nr, nc))::BIGINT AS ov " +
+      "FROM rc JOIN cc USING (doc_id, n, g) GROUP BY 1, 2), " +
+      "tot AS (SELECT doc_id, len(rt)::BIGINT AS rl, len(ct)::BIGINT AS cl FROM p), " +
+      "piv AS (SELECT t.doc_id, max(rl) AS ref_len, max(cl) AS cand_len, " +
+      s"$ovCols FROM tot t LEFT JOIN ov ON ov.doc_id = t.doc_id GROUP BY 1), " +
+      s"pr AS (SELECT doc_id, ref_len, cand_len, $pCols, " +
+      "CASE WHEN cand_len = 0 THEN 0.0 WHEN cand_len >= ref_len THEN 1.0 " +
+      "ELSE round(exp(1.0 - ref_len::DOUBLE / cand_len), 6) END AS bp FROM piv) " +
+      "SELECT doc_id, ref_len, cand_len, p1, p2, p3, p4, bp, " +
+      s"CASE WHEN $allPos AND bp > 0 " +
+      s"THEN round(bp * exp(($lnSum) / $maxN), 6) ELSE 0.0 END AS bleu " +
+      "FROM pr ORDER BY doc_id"
+  }
+
+  /** q298: TextAnalysis.chrF mirror — char n-grams of whitespace-stripped
+    * lower-cased 240-char slices; per-order 6dp precision/recall
+    * macro-averaged, F_2 from the rounded averages. */
+  val chrf: String = {
+    val maxN = 3
+    def gramBranch(src: String): String =
+      (1 to maxN).map { n =>
+        s"SELECT doc_id, $n AS n, unnest(list_transform(" +
+          s"range(CASE WHEN len($src) >= $n THEN len($src) - ${n - 1} ELSE 0 END), " +
+          s"i -> substr($src, (i + 1)::INT, $n))) AS g FROM p"
+      }.mkString(" UNION ALL ")
+    val ovCols = (1 to maxN).map(n =>
+      s"coalesce(max(CASE WHEN n = $n THEN ov END), 0) AS ov$n").mkString(", ")
+    def orderAvg(lenCol: String): String =
+      "round((" + (1 to maxN).map { n =>
+        s"CASE WHEN $lenCol - ${n - 1} > 0 " +
+          s"THEN round(ov$n::DOUBLE / ($lenCol - ${n - 1}), 6) ELSE 0.0 END"
+      }.mkString(" + ") + s") / $maxN, 6)"
+    "WITH d AS (SELECT doc_id, " +
+      "regexp_replace(lower(substr(text, 1, 240)), '\\s+', '', 'g') AS s " +
+      "FROM documents), " +
+      "p AS (SELECT a.doc_id, a.s AS rs, b.s AS cs " +
+      "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1), " +
+      s"rc AS (SELECT doc_id, n, g, count(*)::BIGINT AS nr FROM (${gramBranch("rs")}) GROUP BY 1, 2, 3), " +
+      s"cc AS (SELECT doc_id, n, g, count(*)::BIGINT AS nc FROM (${gramBranch("cs")}) GROUP BY 1, 2, 3), " +
+      "ov AS (SELECT doc_id, n, sum(least(nr, nc))::BIGINT AS ov " +
+      "FROM rc JOIN cc USING (doc_id, n, g) GROUP BY 1, 2), " +
+      "tot AS (SELECT doc_id, len(rs)::BIGINT AS n_ref_chars, " +
+      "len(cs)::BIGINT AS n_cand_chars FROM p), " +
+      "piv AS (SELECT t.doc_id, max(n_ref_chars) AS n_ref_chars, " +
+      s"max(n_cand_chars) AS n_cand_chars, $ovCols " +
+      "FROM tot t LEFT JOIN ov ON ov.doc_id = t.doc_id GROUP BY 1), " +
+      s"f AS (SELECT doc_id, n_ref_chars, n_cand_chars, " +
+      s"${orderAvg("n_cand_chars")} AS prec, ${orderAvg("n_ref_chars")} AS rec FROM piv) " +
+      "SELECT doc_id, n_ref_chars, n_cand_chars, prec, rec, " +
+      "CASE WHEN 4.0 * prec + rec > 0 " +
+      "THEN round(5.0 * prec * rec / (4.0 * prec + rec), 6) ELSE 0.0 END AS chrf " +
+      "FROM f ORDER BY doc_id"
+  }
+
+  /** q299: Models.fleissKappa mirror — 5-rater synthetic panel, balanced
+    * items only, κ from the 6dp-rounded P̄/P_e. */
+  val fleissKappa: String = {
+    val uH = h60("doc_id::VARCHAR || ':r' || a::VARCHAR")
+    val lH = h60("doc_id::VARCHAR || ':l' || a::VARCHAR")
+    "WITH r AS (SELECT doc_id, source, unnest(range(5)) AS a FROM documents), " +
+      s"lb AS (SELECT source, doc_id, CASE WHEN $uH % 10 < 6 " +
+      "THEN 'c' || (doc_id % 4)::VARCHAR " +
+      s"ELSE 'c' || ($lH % 4)::VARCHAR END AS label FROM r), " +
+      "cnt AS (SELECT source, doc_id, label, count(*)::BIGINT AS nij " +
+      "FROM lb GROUP BY 1, 2, 3), " +
+      "it AS (SELECT source, doc_id, sum(nij) AS n_i, " +
+      "sum(nij * nij) AS sq_i FROM cnt GROUP BY 1, 2), " +
+      "grp AS (SELECT source, " +
+      "sum(CASE WHEN n_i = 5 THEN 1 ELSE 0 END)::BIGINT AS n_items, " +
+      "sum(CASE WHEN n_i <> 5 THEN 1 ELSE 0 END)::BIGINT AS n_unbalanced, " +
+      "sum(CASE WHEN n_i = 5 THEN sq_i ELSE 0 END)::BIGINT AS sum_sq " +
+      "FROM it GROUP BY 1), " +
+      "cat AS (SELECT c.source, c.label, sum(nij)::BIGINT AS cat_tot " +
+      "FROM cnt c JOIN it USING (source, doc_id) WHERE n_i = 5 GROUP BY 1, 2), " +
+      "ca AS (SELECT source, count(*)::BIGINT AS n_categories, " +
+      "sum(cat_tot * cat_tot)::BIGINT AS sum_cat2 FROM cat GROUP BY 1), " +
+      "f AS (SELECT g.source, n_items, n_unbalanced, n_categories, " +
+      "CASE WHEN n_items > 0 THEN round((sum_sq - n_items * 5)::DOUBLE / " +
+      "(n_items * 5 * 4), 6) END AS pbar, " +
+      "CASE WHEN n_items > 0 THEN round(sum_cat2::DOUBLE / " +
+      "(n_items * 5 * n_items * 5), 6) END AS pe " +
+      "FROM grp g LEFT JOIN ca USING (source)) " +
+      "SELECT source, n_items, n_unbalanced, n_categories, pbar, pe, " +
+      "CASE WHEN pe < 1.0 THEN round((pbar - pe) / (1.0 - pe), 6) END AS kappa " +
+      "FROM f ORDER BY source"
+  }
+
+  /** q300: Privacy.entropyLDiversity mirror — skewed synthetic sensitive
+    * attribute over (lang, source) cohorts, entropy in nats, l = 3. */
+  val entropyLDiv: String =
+    "WITH s AS (SELECT lang, source, CASE WHEN doc_id % 10 < 6 THEN 'c0' " +
+      "ELSE 'c' || (doc_id % 4)::VARCHAR END AS v FROM documents), " +
+      "cv AS (SELECT lang, source, v, count(*)::BIGINT AS cnt " +
+      "FROM s GROUP BY 1, 2, 3), " +
+      "g AS (SELECT lang, source, sum(cnt)::BIGINT AS group_size, " +
+      "count(*)::BIGINT AS l_distinct, sum(cnt * ln(cnt)) AS clogc " +
+      "FROM cv GROUP BY 1, 2), " +
+      "e AS (SELECT lang, source, group_size, l_distinct, " +
+      "round(ln(group_size) - clogc / group_size, 6) AS entropy FROM g) " +
+      "SELECT lang, source, group_size, l_distinct, entropy, " +
+      "round(exp(entropy), 6) AS eff_values, " +
+      "(entropy < ln(3.0))::INT AS violates_entropy_l " +
+      "FROM e ORDER BY lang, source"
+
+  /** q301: Privacy.dpNoisyCount mirror — seeded inverse-CDF Laplace(1/ε)
+    * noise from the group-key hash, clamped integer release. */
+  val dpRelease: String = {
+    val uH = h60("lang || '|' || source || '|dp'")
+    "WITH g AS (SELECT lang, source, count(*)::BIGINT AS c " +
+      "FROM documents GROUP BY 1, 2), " +
+      s"u AS (SELECT lang, source, c, (($uH % 1000000000)::DOUBLE / " +
+      "1000000000.0::DOUBLE) AS u FROM g), " +
+      "n AS (SELECT lang, source, c, round(-1.0 * sign(u - 0.5) * " +
+      "ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise FROM u) " +
+      "SELECT lang, source, 1.0::DOUBLE AS epsilon, noise, " +
+      "greatest(round(c + noise), 0.0)::BIGINT AS released " +
+      "FROM n ORDER BY lang, source"
+  }
+
+  /** q302: Similarity.embeddingDecontam mirror — best-cosine-vs-benchmark
+    * per corpus vector, argmax tie-broken to the lowest benchmark id. */
+  def embedDecontam(tau: Double): String =
+    s"WITH $embCte, " +
+      "b AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % 97 = 0), " +
+      "c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 <> 0), " +
+      s"s AS (SELECT cid, bid, round(${cosSql("cv", "bv")}, 6) AS cos FROM c, b), " +
+      "r AS (SELECT cid, bid, cos, row_number() OVER " +
+      "(PARTITION BY cid ORDER BY cos DESC, bid) AS rn FROM s) " +
+      "SELECT cid, bid AS bench_id, cos AS max_cos, " +
+      s"(cos >= $tau)::INT AS contaminated FROM r WHERE rn = 1 ORDER BY cid"
+
+  /** q303: Multimodal.gifFeatures mirror — features from the pixel
+    * formula (the GIF round trip is exact: 256-gray identity palette). */
+  val gifDecode: String =
+    "WITH d AS (SELECT doc_id, 8 + (doc_id % 10) AS w, 8 + (doc_id % 8) AS h " +
+      "FROM documents), " +
+      "p AS (SELECT doc_id, w::INT AS width, h::INT AS height, " +
+      "(w*h)::INT AS n_pix, " +
+      "list_sum(list_transform(range(w*h), i -> (doc_id*7 + i*13) % 256))" +
+      "::BIGINT AS px_sum FROM d) " +
+      "SELECT doc_id, width, height, n_pix, px_sum, " +
+      "px_sum::DOUBLE / n_pix AS px_mean FROM p ORDER BY doc_id"
+
+  /** Shared readability-count CTE body (q304/q305): words, sentence runs
+    * floored at 1, vowel-group + vowel-less-word syllable heuristic. */
+  private val readCountsCte: String =
+    "c AS (SELECT doc_id, " +
+      "len(regexp_extract_all(lower(text), '\\w+'))::BIGINT AS n_words, " +
+      "greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences, " +
+      "(len(regexp_extract_all(lower(text), '[aeiouy]+')) + " +
+      "len(regexp_extract_all(lower(text), '\\b[0-9_b-df-hj-np-tv-xz]+\\b')))" +
+      "::BIGINT AS n_syllables FROM documents)"
+
+  /** q304: TextAnalysis.readability mirror. */
+  val readability: String =
+    s"WITH $readCountsCte " +
+      "SELECT doc_id, n_words, n_sentences, n_syllables, " +
+      "CASE WHEN n_words > 0 THEN round(206.835::DOUBLE - " +
+      "1.015::DOUBLE * (n_words::DOUBLE / n_sentences) - " +
+      "84.6::DOUBLE * (n_syllables::DOUBLE / n_words), 6) END AS flesch, " +
+      "CASE WHEN n_words > 0 THEN round(0.39::DOUBLE * " +
+      "(n_words::DOUBLE / n_sentences) + " +
+      "11.8::DOUBLE * (n_syllables::DOUBLE / n_words) - 15.59::DOUBLE, 6) " +
+      "END AS fk_grade FROM c ORDER BY doc_id"
+
+  /** q305: TextAnalysis.curriculumPacing mirror over the q304 FK grades —
+    * binned difficulty CDF × the competence grid, zeros preserved. */
+  val curriculumPacing: String =
+    s"WITH $readCountsCte, " +
+      "r AS (SELECT doc_id, n_words, round(0.39::DOUBLE * " +
+      "(n_words::DOUBLE / n_sentences) + " +
+      "11.8::DOUBLE * (n_syllables::DOUBLE / n_words) - 15.59::DOUBLE, 6) " +
+      "AS fk FROM c WHERE n_words > 0), " +
+      "b AS (SELECT floor(fk / 0.5::DOUBLE)::BIGINT AS bin, " +
+      "count(*)::BIGINT AS n_docs, sum(n_words)::BIGINT AS n_toks " +
+      "FROM r GROUP BY 1), " +
+      "w AS (SELECT bin, n_docs, n_toks, " +
+      "sum(n_docs) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+      "CURRENT ROW) AS cum, sum(n_docs) OVER () AS tot FROM b), " +
+      "cd AS (SELECT bin, n_docs, n_toks, " +
+      "round(cum::DOUBLE / tot, 6) AS cdf FROM w), " +
+      "g AS (SELECT unnest(range(1, 11)) AS t), " +
+      "gc AS (SELECT t::INT AS step, round(least(1.0::DOUBLE, " +
+      "sqrt(t::DOUBLE / 10 * (1.0::DOUBLE - 0.1::DOUBLE * 0.1::DOUBLE) + " +
+      "0.1::DOUBLE * 0.1::DOUBLE)), 6) AS competence FROM g), " +
+      "ad AS (SELECT step, count(*)::BIGINT AS n_bins, " +
+      "sum(n_docs)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS n_tokens " +
+      "FROM gc JOIN cd ON cdf <= competence GROUP BY 1) " +
+      "SELECT gc.step, gc.competence, coalesce(n_bins, 0)::BIGINT AS n_bins, " +
+      "coalesce(n_docs, 0)::BIGINT AS n_docs, " +
+      "coalesce(n_tokens, 0)::BIGINT AS n_tokens " +
+      "FROM gc LEFT JOIN ad USING (step) ORDER BY gc.step"
+
+  /** q306: Unigram.segment mirror — the SAME pinned vocabulary
+    * (graft.ops.Unigram.piecesV1) drives both the Column DP and this
+    * generated CTE chain, and every DP value is an integer, so the two
+    * engines cannot drift. One CTE pair per forward position (candidate
+    * costs, then best/argmin/count), one CTE per backward step. */
+  val unigramViterbi: String = {
+    val maxLen = 10
+    val maxPiece = 3
+    val unk = graft.ops.Unigram.unkCostPerChar
+    val vocab = graft.ops.Unigram.piecesV1
+    def costSql(sub: String, k: Int): String = {
+      val entries = vocab.filter(_._1.length == k)
+      s"CASE $sub " +
+        entries.map { case (p, c) => s"WHEN '$p' THEN $c" }.mkString(" ") +
+        s" ELSE ${unk.toLong * k} END"
+    }
+    val fwd = (1 to maxLen).map { i =>
+      val ks = 1 to math.min(maxPiece, i)
+      val cands = ks.map { k =>
+        s"b${i - k} + (${costSql(s"substr(w, ${i - k + 1}, $k)", k)})"
+      }
+      val candCols = ks.zip(cands)
+        .map { case (k, c) => s"($c) AS c${i}_$k" }.mkString(", ")
+      val cte1 = s"f$i AS (SELECT *, $candCols FROM ${if (i == 1) "s0" else s"g${i - 1}"})"
+      val best = if (ks.size == 1) s"c${i}_1"
+        else s"least(${ks.map(k => s"c${i}_$k").mkString(", ")})"
+      val kPick = ks.init.foldRight(ks.last.toString) { (k, acc) =>
+        s"CASE WHEN b$i = c${i}_$k THEN $k ELSE $acc END"
+      }
+      val pPick = "CASE k" + i + " " + ks.map(k =>
+        s"WHEN $k THEN p${i - k} + 1").mkString(" ") + " END"
+      val cte2 = s"g$i AS (SELECT *, ($kPick) AS k$i, ($pPick) AS p$i " +
+        s"FROM (SELECT *, ($best) AS b$i FROM f$i))"
+      s"$cte1, $cte2"
+    }.mkString(", ")
+    def byLen(prefix: String): String =
+      "CASE l " + (1 to maxLen).map(i => s"WHEN $i THEN $prefix$i")
+        .mkString(" ") + " ELSE 0 END"
+    val bwd = (1 to maxLen).map { j =>
+      val kAt = "CASE pos" + (j - 1) + " " + (1 to maxLen).map(pp =>
+        s"WHEN $pp THEN k$pp").mkString(" ") + " END"
+      s"t$j AS (SELECT *, " +
+        s"CASE WHEN pos${j - 1} > 0 THEN " +
+        s"substr(w, (pos${j - 1} - ($kAt) + 1)::INT, ($kAt)::INT) || " +
+        s"(CASE WHEN seg${j - 1} = '' THEN '' ELSE '|' || seg${j - 1} END) " +
+        s"ELSE seg${j - 1} END AS seg$j, " +
+        s"CASE WHEN pos${j - 1} > 0 THEN pos${j - 1} - ($kAt) ELSE 0 END " +
+        s"AS pos$j FROM ${if (j == 1) "sel" else s"t${j - 1}"})"
+    }.mkString(", ")
+    s"WITH $tokCte, " +
+      "wx AS (SELECT unnest(toks) AS word FROM tok), " +
+      "wd AS (SELECT word, count(*)::BIGINT AS n_occ FROM wx GROUP BY 1), " +
+      s"s0 AS (SELECT word, n_occ, substr(word, 1, $maxLen) AS w, " +
+      s"len(substr(word, 1, $maxLen)) AS l, 0::BIGINT AS b0, 0::BIGINT AS p0 " +
+      "FROM wd), " +
+      s"$fwd, " +
+      s"sel AS (SELECT *, (${byLen("b")})::BIGINT AS cost, " +
+      s"(${byLen("p")})::BIGINT AS n_pieces, l AS pos0, '' AS seg0 " +
+      s"FROM g$maxLen), " +
+      s"$bwd " +
+      s"SELECT word, n_occ, l::BIGINT AS len, cost, n_pieces, " +
+      s"seg$maxLen AS seg FROM t$maxLen ORDER BY word"
+  }
+
   /** q280: Url.domainCap mirror — hash-rank row_number per registered
     * domain, keep rnk ≤ cap. */
   def urlDomainCap(cap: Int): String =

@@ -4408,6 +4408,124 @@ object SparkEntry {
           col("len").cast("long").as("len"),
           col("peak").cast("long").as("peak"))
         .orderBy("doc_id", "seg")
+    },
+
+    // ───── Sentence-level BLEU-4 on consecutive-doc pairs (q226's rouge
+    // pairing): clipped n-gram precision n=1..4 via ONE tagged
+    // flatten-explode per side + (id,n,gram) hash-agg + equi-join clip,
+    // brevity penalty, unsmoothed geometric mean — the MT/generation
+    // quality metric beside q226 ROUGE and q231 NDCG ─────
+    "q297_bleu" -> { (s, dir) =>
+      val d = tb(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = d.withColumnRenamed("text", "ref")
+        .join(d.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("cand")), Seq("doc_id"))
+      TextAnalysis.bleu(pairs, "doc_id", "ref", "cand", maxN = 4)
+        .orderBy("doc_id")
+    },
+
+    // ───── chrF (character n-gram F_2, n=1..3) on 240-char slices of the
+    // same pairs — the tokenizer-free metric dual of q297; per-order
+    // 6dp P/R macro-averaged then F_2 from the rounded averages ─────
+    "q298_chrf" -> { (s, dir) =>
+      val d = tb(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 240).as("text"))
+      val pairs = d.withColumnRenamed("text", "ref")
+        .join(d.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("cand")), Seq("doc_id"))
+      TextAnalysis.chrF(pairs, "doc_id", "ref", "cand", maxN = 3, beta = 2.0)
+        .orderBy("doc_id")
+    },
+
+    // ───── Fleiss' kappa per source: 5-rater synthetic panel (60%
+    // truth-biased labels), balanced items only, κ from 6dp-rounded
+    // P̄/P_e — the multi-annotator agreement gate beside q269's pairwise
+    // label disagreement ─────
+    "q299_fleiss_kappa" -> { (s, dir) =>
+      val r = tb(s, dir, "documents").select(col("doc_id"), col("source"),
+        explode(sequence(lit(0), lit(4))).as("a"))
+      def h(tag: String) = Hashing.hash60(concat(
+        col("doc_id").cast("string"), lit(tag), col("a").cast("string")))
+      val truth = concat(lit("c"), (col("doc_id") % 4).cast("string"))
+      val noisy = concat(lit("c"), (h(":l") % 4).cast("string"))
+      val lb = r.select(col("source"), col("doc_id"),
+        when(h(":r") % 10 < 6, truth).otherwise(noisy).as("label"))
+      Models.fleissKappa(lb, "source", "doc_id", "label", nRaters = 5)
+        .orderBy("source")
+    },
+
+    // ───── Entropy l-diversity over (lang, source) cohorts: Shannon
+    // entropy of a skewed synthetic sensitive attribute vs ln(l) — the
+    // stronger-than-distinct-l release audit beside q254/q283 ─────
+    "q300_entropy_ldiv" -> { (s, dir) =>
+      val d = tb(s, dir, "documents")
+      val sens = when(col("doc_id") % 10 < 6, lit("c0"))
+        .otherwise(concat(lit("c"), (col("doc_id") % 4).cast("string")))
+      Privacy.entropyLDiversity(d, Seq("lang", "source"), sens, l = 3)
+        .orderBy("lang", "source")
+    },
+
+    // ───── ε-DP noisy count release over (lang, source): seeded
+    // inverse-CDF Laplace(1/ε) noise from the group-key hash, clamped
+    // integer release, raw counts never emitted — the reproducible
+    // release channel completing the privacy family ─────
+    "q301_dp_release" -> { (s, dir) =>
+      Privacy.dpNoisyCount(tb(s, dir, "documents"), Seq("lang", "source"),
+          epsilon = 1.0)
+        .orderBy("lang", "source")
+    },
+
+    // ───── Embedding-space benchmark decontamination: best cosine vs a
+    // broadcast benchmark slice per corpus vector, sort-free struct-max
+    // argmax — the semantic complement of q59/q146 lexical gates ─────
+    "q302_embed_decontam" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.embeddingDecontam(
+          e.filter(col("vec_id") % 97 =!= 0)
+            .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          e.filter(col("vec_id") % 97 === 0)
+            .select(col("vec_id").as("bid"), col("embedding").as("bvec")),
+          tau = 0.98)
+        .orderBy("cid")
+    },
+
+    // ───── REAL GIF decode (LZW + palette resolve, javax.imageio):
+    // encode → decode → pixel stats inside the partition boundary — the
+    // second real compressed codec beside q245's PNG/DEFLATE ─────
+    "q303_gif_decode" -> { (s, dir) =>
+      Multimodal.gifFeatures(s, dir).orderBy("doc_id")
+    },
+
+    // ───── Flesch readability: word/sentence/syllable counts as pure
+    // column regexes (no explode), reading-ease + FK grade — the
+    // interpretable difficulty axis beside q20's quality score ─────
+    "q304_readability" -> { (s, dir) =>
+      TextAnalysis.readability(tb(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ───── Competence-based curriculum pacing (Platanios 2019) over the
+    // q304 FK grades: binned difficulty CDF (bin table, not rows) × the
+    // √-competence grid → admitted docs/tokens per training step ─────
+    "q305_curriculum_pacing" -> { (s, dir) =>
+      val r = TextAnalysis.readability(tb(s, dir, "documents"),
+          "doc_id", "text")
+        .filter(col("n_words") > 0)
+      TextAnalysis.curriculumPacing(r, "doc_id", col("fk_grade"),
+          col("n_words"), steps = 10, c0 = 0.1, binWidth = 0.5)
+        .orderBy("step")
+    },
+
+    // ───── Unigram-LM (SentencePiece) Viterbi segmentation with the
+    // pinned piecesV1 vocabulary: fully UNROLLED integer min-plus DP as
+    // chained projections (no UDF, no explode) over the distinct-word
+    // table — the serving half of the second subword family beside
+    // q228/q229's BPE ─────
+    "q306_unigram_viterbi" -> { (s, dir) =>
+      val w = tb(s, dir, "documents")
+        .select(explode(TextAnalysis.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n_occ"))
+      Unigram.segment(w).orderBy("word")
     }
   )
 
@@ -7187,6 +7305,26 @@ object SparkEntry {
     "q295_conformal" -> OraclesExt.splitConformal,
 
     "q296_vad_segments" -> OraclesExt.vadSegments,
+
+    "q297_bleu" -> OraclesExt.bleu,
+
+    "q298_chrf" -> OraclesExt.chrf,
+
+    "q299_fleiss_kappa" -> OraclesExt.fleissKappa,
+
+    "q300_entropy_ldiv" -> OraclesExt.entropyLDiv,
+
+    "q301_dp_release" -> OraclesExt.dpRelease,
+
+    "q302_embed_decontam" -> OraclesExt.embedDecontam(0.98),
+
+    "q303_gif_decode" -> OraclesExt.gifDecode,
+
+    "q304_readability" -> OraclesExt.readability,
+
+    "q305_curriculum_pacing" -> OraclesExt.curriculumPacing,
+
+    "q306_unigram_viterbi" -> OraclesExt.unigramViterbi,
 
     "q292_robots_filter" -> OraclesExt.robotsFilter,
 

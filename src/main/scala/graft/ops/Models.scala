@@ -1039,4 +1039,60 @@ object Models {
       .withColumn("target",
         round(lit(coverNum.toDouble) / coverDen, 6))
   }
+
+  /** Fleiss' kappa (Fleiss 1971): chance-corrected agreement among a
+    * FIXED panel of `nRaters` raters assigning one categorical label per
+    * item — the multi-annotator dual of pairwise Cohen's κ, and the
+    * standard gate on human-labeled training/eval data before the labels
+    * are trusted. Per group:
+    * `P̄ = (Σ_i Σ_j n_ij² − N·n) / (N·n·(n−1))` (observed agreement),
+    * `P_e = Σ_j (Σ_i n_ij / (N·n))²` (chance agreement),
+    * `κ = (P̄ − P_e) / (1 − P_e)`. Items that did not receive exactly
+    * `nRaters` labels are excluded (the classic estimator requires a
+    * balanced panel) and surfaced in `n_unbalanced`; κ is null when
+    * `P_e = 1` (a single category — agreement is undefined, not perfect).
+    * P̄ and P_e are 6dp-rounded and κ is computed FROM the rounded values
+    * so an oracle replays identical arithmetic.
+    *
+    * Scale shape: one (group, item, label) hash-aggregate over the
+    * ratings (map-side combined), re-aggregated to per-item totals and
+    * then to one row per group; the label-marginal pass reuses the same
+    * counts. Nothing wider than the rating tuples ever shuffles, and the
+    * output is bounded by the group cardinality. */
+  def fleissKappa(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      labelCol: String,
+      nRaters: Int): DataFrame = {
+    require(nRaters >= 2, "nRaters must be >= 2")
+    val cnt = df.groupBy(col(groupCol), col(itemCol), col(labelCol))
+      .agg(count(lit(1)).as("nij"))
+    val itemTot = cnt.groupBy(col(groupCol), col(itemCol))
+      .agg(sum("nij").as("n_i"), sum(col("nij") * col("nij")).as("sq_i"))
+    val bal = itemTot.filter(col("n_i") === nRaters)
+    val grp = itemTot.groupBy(col(groupCol)).agg(
+      sum(when(col("n_i") === nRaters, 1L).otherwise(0L)).as("n_items"),
+      sum(when(col("n_i") =!= nRaters, 1L).otherwise(0L)).as("n_unbalanced"),
+      sum(when(col("n_i") === nRaters, col("sq_i")).otherwise(0L))
+        .as("_sum_sq"))
+    val cat = cnt.join(bal.select(col(groupCol), col(itemCol)),
+        Seq(groupCol, itemCol))
+      .groupBy(col(groupCol), col(labelCol))
+      .agg(sum("nij").as("cat_tot"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("cat_tot") * col("cat_tot")).as("_sum_cat2"))
+    val n = lit(nRaters.toLong)
+    grp.join(cat, Seq(groupCol), "left")
+      .withColumn("pbar", when(col("n_items") > 0,
+        round((col("_sum_sq") - col("n_items") * n) /
+          (col("n_items") * n * (nRaters - 1)), 6)))
+      .withColumn("pe", when(col("n_items") > 0,
+        round(col("_sum_cat2") /
+          (col("n_items") * n * col("n_items") * n), 6)))
+      .withColumn("kappa", when(col("pe") < 1.0,
+        round((col("pbar") - col("pe")) / (lit(1.0) - col("pe")), 6)))
+      .drop("_sum_sq", "_sum_cat2")
+  }
 }

@@ -801,4 +801,66 @@ object Multimodal {
       .select(col("id"), col("kind"), col("frame_no"),
         col("payload").substr(col("off") + 1, lit(frameBytes)).as("frame"))
   }
+
+  // ── REAL compressed image decode #2: GIF via javax.imageio ──────────
+  // GIF is the LZW compression family (vs PNG's DEFLATE) and the JDK
+  // ships both sides of the codec. A 256-entry grayscale palette makes
+  // the round trip exact — palette color (v,v,v) survives encode/decode
+  // byte-for-byte even if the writer permutes palette INDICES, because
+  // features read the resolved color, not the index. Pixel i of image
+  // `id` is (id·7 + i·13) mod 256 over w = 8 + id mod 10, h = 8 + id
+  // mod 8, so oracles recompute features from the formula.
+
+  /** Encode a real indexed-palette GIF for image `id` (LZW compression,
+    * identity 256-gray palette). */
+  def encodeGif(id: Long): Array[Byte] = {
+    val w = 8 + (id % 10).toInt
+    val h = 8 + (id % 8).toInt
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0, ((id * 7 + i * 13) % 256).toInt)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "gif", bos)
+    require(ok, "JDK GIF writer unavailable")
+    bos.toByteArray
+  }
+
+  /** Decode a GIF for real (ImageIO: LZW decompress + palette resolve) →
+    * (width, height, gray values row-major). Reads the RESOLVED color
+    * channel (`getRGB & 0xFF`), not the palette index, so a
+    * writer-permuted palette cannot skew the values. */
+  def decodeGif(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, "not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    (w, h, Array.tabulate(w * h)(i => img.getRGB(i % w, i / w) & 0xff))
+  }
+
+  /** Real GIF decode features through the per-partition boundary — the
+    * LZW twin of [[pngFeatures]]: encode → (LZW inflate, palette
+    * resolve) decode → dimensions and pixel statistics. */
+  def gifFeatures(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val (w, h, px) = decodeGif(encodeGif(id))
+          var s = 0L
+          var i = 0
+          while (i < px.length) { s += px(i); i += 1 }
+          (id, w, h, px.length, s, s.toDouble / px.length)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pix", "px_sum", "px_mean")
+  }
 }

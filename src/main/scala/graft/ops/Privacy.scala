@@ -112,4 +112,73 @@ object Privacy {
           .as("t_dist")): _*)
       .withColumn("violates_t", (col("t_dist") > t).cast("int"))
   }
+
+  /** Per-cohort ENTROPY l-diversity (Machanavajjhala et al. 2007 §3):
+    * a cohort is entropy-l-diverse when the Shannon entropy of its
+    * sensitive-value distribution is at least `ln(l)` — strictly stronger
+    * than distinct-l ([[kAnonymityAudit]]'s `l_distinct`), which a cohort
+    * can satisfy while one value holds 99% of the mass. Emits the
+    * entropy (nats, 6dp), the effective value count `e^H` (6dp — the
+    * "how many values is this cohort REALLY spread over" number a release
+    * review reads), and the violation flag vs `ln(l)`.
+    *
+    * Scale: one (quasi, sensitive) hash-aggregate, then a per-cohort
+    * re-aggregate — the shuffle carries value pairs, never rows; output
+    * bounded by cohort cardinality. */
+  def entropyLDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitive: Column,
+      l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 1, "l must be >= 1")
+    val qc = quasiCols.map(col)
+    val cv = df.select(qc :+ sensitive.as("_v"): _*)
+      .groupBy(qc :+ col("_v"): _*).agg(count(lit(1)).as("_cnt"))
+    cv.groupBy(qc: _*)
+      .agg(sum("_cnt").as("group_size"),
+        count(lit(1)).as("l_distinct"),
+        sum(col("_cnt") * log(col("_cnt"))).as("_clogc"))
+      .withColumn("entropy", round(
+        log(col("group_size")) - col("_clogc") / col("group_size"), 6))
+      .withColumn("eff_values", round(exp(col("entropy")), 6))
+      .withColumn("violates_entropy_l",
+        (col("entropy") < math.log(l.toDouble)).cast("int"))
+      .drop("_clogc")
+  }
+
+  /** Differentially-private count release (ε-DP, Dwork et al. 2006) with
+    * a SEEDED noise channel: per group, `count + Laplace(1/ε)` noise
+    * drawn by inverse-CDF from a uniform derived deterministically from
+    * the group key (`hash60(key‖salt) mod 10⁹ / 10⁹`), then clamped at 0
+    * and rounded to an integer release. Counting queries have
+    * sensitivity 1, so scale `b = 1/ε`. The seeded channel makes the
+    * release REPRODUCIBLE — the property an audited release pipeline
+    * needs (re-running the job must publish the same numbers, and an
+    * oracle can replay them); swap the salt to redraw the noise.
+    *
+    * The raw count column is NOT emitted — callers get only the noisy
+    * release plus the noise parameters (emitting both would defeat the
+    * mechanism). One hash-aggregate; output bounded by group cardinality. */
+  def dpNoisyCount(
+      df: DataFrame,
+      groupCols: Seq[String],
+      epsilon: Double,
+      salt: String = "dp"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilon > 0, "epsilon must be positive")
+    val gc = groupCols.map(col)
+    val key = concat_ws("|", gc :+ lit(salt): _*)
+    val u = (Hashing.hash60(key) % 1000000000L).cast("double") / 1e9
+    val v = u - lit(0.5)
+    val noise = round(lit(-1.0 / epsilon) * signum(v) *
+      log(lit(1.0) - lit(2.0) * abs(v)), 6)
+    df.groupBy(gc: _*)
+      .agg(count(lit(1)).as("_true"))
+      .withColumn("epsilon", lit(epsilon))
+      .withColumn("noise", noise)
+      .withColumn("released",
+        greatest(round(col("_true") + col("noise")).cast("long"), lit(0L)))
+      .drop("_true")
+  }
 }

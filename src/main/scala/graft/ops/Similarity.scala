@@ -870,4 +870,38 @@ object Similarity {
         (col("rb") === 1).cast("int").as("mutual"))
       .filter(col("margin") >= minMargin)
   }
+
+  /** Embedding-space benchmark decontamination: flag every corpus vector
+    * whose best cosine against the benchmark set reaches `tau` — the
+    * semantic complement of the exact/Bloom n-gram gates (q59/q146) and
+    * the span-level scalpel (q240): paraphrased or lightly-reworded
+    * benchmark leakage that no lexical fingerprint catches. Emits ONE row
+    * per corpus vector (best benchmark id, best cosine 6dp, the flag), so
+    * the caller can either drop flagged rows or audit the near-misses
+    * just under the threshold.
+    *
+    * Scale posture: the benchmark side is small by definition (eval
+    * suites are thousands of rows, the corpus is billions) and is
+    * broadcast after a one-pass norm projection; the corpus never
+    * shuffles — score + per-id struct-max fold happen map-side, the
+    * final hash-aggregate carries one struct per corpus id. The argmax is
+    * a sort-free `max(struct(cos, −bid))`, no rank window. */
+  def embeddingDecontam(
+      corpus: DataFrame, // (cid, cvec)
+      bench: DataFrame, // (bid, bvec)
+      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, "tau must be in (0, 1]")
+    val b = bench.withColumn("bn", l2norm(col("bvec")))
+    val c = corpus.withColumn("cn", l2norm(col("cvec")))
+    c.crossJoin(broadcast(b))
+      .select(col("cid"),
+        round(dot(col("cvec"), col("bvec")) / (col("cn") * col("bn")), 6)
+          .as("cos"),
+        col("bid"))
+      .groupBy("cid")
+      .agg(max(struct(col("cos"), (-col("bid")).as("nb"))).as("_m"))
+      .select(col("cid"), (-col("_m.nb")).as("bench_id"),
+        col("_m.cos").as("max_cos"))
+      .withColumn("contaminated", (col("max_cos") >= tau).cast("int"))
+  }
 }

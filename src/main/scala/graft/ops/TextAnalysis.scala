@@ -1694,4 +1694,237 @@ object TextAnalysis {
           col("n_empty_turns") === 0 && col("starts_user") === 1 &&
           col("ends_assistant") === 1).cast("int"))
   }
+
+  /** Flesch readability (Flesch 1948 / Kincaid 1975): reading-ease and
+    * grade-level scores from word, sentence, and syllable counts — the
+    * classic interpretable difficulty signal beside the opaque LM/quality
+    * scores (q20/q61), and the standard difficulty axis for curriculum
+    * ordering. Counts are pure column regexes, no explode:
+    *   - words: `\w+` runs (the [[words]] tokenizer),
+    *   - sentences: `[.!?]+` runs, floored at 1,
+    *   - syllables: vowel-group runs `[aeiouy]+` in the lower-cased text
+    *     plus one per vowel-less word (`\b`-delimited consonant/digit
+    *     runs) — the standard one-pass heuristic; vowel groups cannot
+    *     span words because non-letters break them.
+    * `flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W)`,
+    * `fk_grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59`, both 6dp; null when
+    * the text has no words. One narrow codegen'd projection per row —
+    * a 100 TB corpus pays a single map pass. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lo = lower(col(textCol))
+    val nWords = size(words(col(textCol))).cast("long")
+    val nSent = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    val vowelGroups =
+      size(regexp_extract_all(lo, lit("[aeiouy]+"), lit(0))).cast("long")
+    val noVowelWords = size(regexp_extract_all(lo,
+      lit("\\b[0-9_b-df-hj-np-tv-xz]+\\b"), lit(0))).cast("long")
+    val out = df.select(col(idCol), nWords.as("n_words"), nSent.as("n_sentences"),
+      (vowelGroups + noVowelWords).as("n_syllables"))
+    val wps = col("n_words").cast("double") / col("n_sentences")
+    val spw = col("n_syllables").cast("double") / col("n_words")
+    out
+      .withColumn("flesch", when(col("n_words") > 0,
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)))
+      .withColumn("fk_grade", when(col("n_words") > 0,
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)))
+  }
+
+  /** Competence-based curriculum pacing (Platanios et al. 2019): at
+    * training fraction `t`, the model's competence
+    * `c(t) = min(1, √(t·(1−c₀²) + c₀²))` admits the easiest-`c(t)`
+    * fraction of the corpus by difficulty CDF. Emits one row per step of
+    * an evenly spaced grid: the competence value and how many documents /
+    * tokens the curriculum admits at that step — the schedule a data
+    * loader materializes per epoch.
+    *
+    * Scale shape: difficulty is binned to `binWidth` (a bounded bin
+    * vocabulary — hundreds of bins, not rows), so the corpus pays one
+    * (bin) hash-aggregate; the CDF window and the step-grid cross join
+    * run on the TINY bin table (the single-partition window is over bins,
+    * never rows — same posture as q82's broadcast quantile cuts). A bin
+    * is admitted when the CDF through it (docs in bins ≤ this one, over
+    * all docs) stays within c(t). */
+  def curriculumPacing(
+      df: DataFrame,
+      idCol: String,
+      difficulty: Column,
+      tokens: Column,
+      steps: Int = 10,
+      c0: Double = 0.1,
+      binWidth: Double = 0.5): DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(c0 > 0 && c0 <= 1, "c0 must be in (0, 1]")
+    require(binWidth > 0, "binWidth must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bins = df
+      .select(floor(difficulty / binWidth).cast("long").as("bin"),
+        tokens.cast("long").as("_tok"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("_tok").as("n_toks"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cdf = bins
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cdf",
+        round(col("cum_docs") / sum("n_docs").over(wAll), 6))
+    val grid = (1 to steps).map { t =>
+      val tf = t.toDouble / steps
+      val c = math.min(1.0, math.sqrt(tf * (1 - c0 * c0) + c0 * c0))
+      (t, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("step", "competence")
+    val admitted = grid.crossJoin(broadcast(cdf))
+      .filter(col("cdf") <= col("competence"))
+      .groupBy("step")
+      .agg(count(lit(1)).as("n_bins"),
+        sum("n_docs").as("n_docs"),
+        sum("n_toks").as("n_tokens"))
+    // steps whose competence admits no bin yet still appear, with zeros
+    grid.join(admitted, Seq("step"), "left")
+      .na.fill(0L, Seq("n_bins", "n_docs", "n_tokens"))
+  }
+
+  /** Sentence-level BLEU (Papineni et al. 2002): clipped n-gram precision
+    * for n = 1..`maxN`, geometric mean, brevity penalty
+    * `min(1, e^(1 − ref_len/cand_len))`. Unsmoothed — any zero p_n (or a
+    * zero-length candidate) yields BLEU 0, the standard sentence-level
+    * convention; corpus users aggregate the released p_n/length columns.
+    * Precisions, the penalty, and BLEU are 6dp-rounded, and BLEU is
+    * computed FROM the rounded values so an oracle replays bit-identical
+    * arithmetic.
+    *
+    * Scale shape: each side pays ONE tokenize + one flatten-explode of
+    * all `maxN` tagged gram orders (no per-order scan), then a map-side
+    * combined (id, n, gram) hash-aggregate; the clip is an equi-join on
+    * (id, n, gram) followed by a per-(id, n) sum and a conditional-max
+    * pivot back to one row per pair. Gram text never leaves its
+    * (id, n, gram) bucket — no cross-document traffic at any width. */
+  def bleu(
+      df: DataFrame,
+      idCol: String,
+      refCol: String,
+      candCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 9, "maxN must be in [1, 9]")
+    def tagged(toks: Column): Column =
+      flatten(array((1 to maxN).map { n =>
+        transform(Dedup.shingles(toks, n),
+          g => struct(lit(n).as("n"), g.as("g")))
+      }: _*))
+    val base = df.select(col(idCol), words(col(refCol)).as("_rt"),
+      words(col(candCol)).as("_ct"))
+    val rg = base.select(col(idCol), explode(tagged(col("_rt"))).as("x"))
+      .groupBy(col(idCol), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("nr"))
+    val cg = base.select(col(idCol), explode(tagged(col("_ct"))).as("x"))
+      .groupBy(col(idCol), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("nc"))
+    val ov = rg.join(cg, Seq(idCol, "n", "g"))
+      .groupBy(col(idCol), col("n"))
+      .agg(sum(least(col("nr"), col("nc"))).as("ov"))
+    val tot = base.select(col(idCol),
+      size(col("_rt")).cast("long").as("ref_len"),
+      size(col("_ct")).cast("long").as("cand_len"))
+    val piv = tot.join(ov, Seq(idCol), "left")
+      .groupBy(col(idCol))
+      .agg(max("ref_len").as("ref_len"),
+        (max("cand_len").as("cand_len") +:
+          (1 to maxN).map(n =>
+            coalesce(max(when(col("n") === n, col("ov"))), lit(0L))
+              .as(s"_ov$n"))): _*)
+    val withP = (1 to maxN).foldLeft(piv) { (d, n) =>
+      val denom = greatest(col("cand_len") - (n - 1), lit(0L))
+      d.withColumn(s"p$n",
+        when(denom > 0, round(col(s"_ov$n") / denom, 6)).otherwise(0.0))
+    }
+    val bp = when(col("cand_len") === 0, 0.0)
+      .when(col("cand_len") >= col("ref_len"), 1.0)
+      .otherwise(round(
+        exp(lit(1.0) - col("ref_len").cast("double") / col("cand_len")), 6))
+    val allPos = (1 to maxN).map(n => col(s"p$n") > 0)
+      .reduce(_ && _) && col("bp") > 0
+    val logSum = (1 to maxN).map(n => log(col(s"p$n"))).reduce(_ + _)
+    withP.withColumn("bp", bp)
+      .withColumn("bleu",
+        when(allPos, round(col("bp") * exp(logSum / maxN), 6)).otherwise(0.0))
+      .drop((1 to maxN).map(n => s"_ov$n"): _*)
+  }
+
+  /** chrF (Popović 2015): character n-gram F_β over whitespace-stripped
+    * lower-cased text — the tokenizer-free MT/generation metric that
+    * complements word-level [[bleu]]. For n = 1..`maxN`: clipped char
+    * n-gram precision and recall, macro-averaged across orders (an order
+    * with a zero denominator contributes 0, sacreBLEU's convention),
+    * then `F_β = (1+β²)·P·R / (β²·P + R)`. Per-order values are
+    * 6dp-rounded before averaging so both engines replay the identical
+    * arithmetic.
+    *
+    * Same bucketed scale shape as [[bleu]]: one strip + one tagged
+    * flatten-explode per side, (id, n, gram) hash-aggregates, equi-join
+    * clip, conditional-max pivot. Character grams multiply row counts by
+    * ~`maxN`× chars — callers bound the text (e.g. a leading slice) when
+    * the metric feeds a corpus-wide sweep. */
+  def chrF(
+      df: DataFrame,
+      idCol: String,
+      refCol: String,
+      candCol: String,
+      maxN: Int = 3,
+      beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, "maxN must be in [1, 6]")
+    require(beta > 0, "beta must be positive")
+    def stripped(c: Column): Column =
+      regexp_replace(lower(c), "\\s+", "")
+    def charGrams(s: Column, n: Int): Column =
+      when(length(s) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(s) - (n - 1)),
+          i => s.substr(i, lit(n))))
+    def tagged(s: Column): Column =
+      flatten(array((1 to maxN).map { n =>
+        transform(charGrams(s, n), g => struct(lit(n).as("n"), g.as("g")))
+      }: _*))
+    val base = df.select(col(idCol), stripped(col(refCol)).as("_rs"),
+      stripped(col(candCol)).as("_cs"))
+    val rg = base.select(col(idCol), explode(tagged(col("_rs"))).as("x"))
+      .groupBy(col(idCol), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("nr"))
+    val cg = base.select(col(idCol), explode(tagged(col("_cs"))).as("x"))
+      .groupBy(col(idCol), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("nc"))
+    val ov = rg.join(cg, Seq(idCol, "n", "g"))
+      .groupBy(col(idCol), col("n"))
+      .agg(sum(least(col("nr"), col("nc"))).as("ov"))
+    val tot = base.select(col(idCol),
+      length(col("_rs")).cast("long").as("n_ref_chars"),
+      length(col("_cs")).cast("long").as("n_cand_chars"))
+    val piv = tot.join(ov, Seq(idCol), "left")
+      .groupBy(col(idCol))
+      .agg(max("n_ref_chars").as("n_ref_chars"),
+        (max("n_cand_chars").as("n_cand_chars") +:
+          (1 to maxN).map(n =>
+            coalesce(max(when(col("n") === n, col("ov"))), lit(0L))
+              .as(s"_ov$n"))): _*)
+    def orderP(n: Int): Column = {
+      val denom = greatest(col("n_cand_chars") - (n - 1), lit(0L))
+      when(denom > 0, round(col(s"_ov$n") / denom, 6)).otherwise(0.0)
+    }
+    def orderR(n: Int): Column = {
+      val denom = greatest(col("n_ref_chars") - (n - 1), lit(0L))
+      when(denom > 0, round(col(s"_ov$n") / denom, 6)).otherwise(0.0)
+    }
+    val b2 = beta * beta
+    piv
+      .withColumn("prec",
+        round((1 to maxN).map(orderP).reduce(_ + _) / maxN, 6))
+      .withColumn("rec",
+        round((1 to maxN).map(orderR).reduce(_ + _) / maxN, 6))
+      .withColumn("chrf",
+        when(lit(b2) * col("prec") + col("rec") > 0,
+          round(lit(1 + b2) * col("prec") * col("rec") /
+            (lit(b2) * col("prec") + col("rec")), 6)).otherwise(0.0))
+      .drop((1 to maxN).map(n => s"_ov$n"): _*)
+  }
 }

@@ -259,4 +259,28 @@ class ModelsSpec extends SparkSpec {
     if (t.nonEmpty && t.head.getAs[Int]("unbounded") == 1)
       assert(t.head.getAs[Double]("coverage") == 1.0)
   }
+
+  test("fleissKappa: hand-computed 3-rater panel, unbalanced items excluded") {
+    // item 1: AAA (P_1 = 1), item 2: ABB (P_2 = 1/3), item 3: AA (2 raters
+    // only → excluded). P̄ = 2/3, p_A = 4/6, p_B = 2/6, P_e = 20/36,
+    // κ = (2/3 − 5/9)/(1 − 5/9) = 0.25
+    val df = Seq(
+      ("g", 1L, "A"), ("g", 1L, "A"), ("g", 1L, "A"),
+      ("g", 2L, "A"), ("g", 2L, "B"), ("g", 2L, "B"),
+      ("g", 3L, "A"), ("g", 3L, "A")
+    ).toDF("grp", "item", "label")
+    val r = Models.fleissKappa(df, "grp", "item", "label", nRaters = 3).head()
+    assert(r.getAs[Long]("n_items") == 2L)
+    assert(r.getAs[Long]("n_unbalanced") == 1L)
+    assert(r.getAs[Long]("n_categories") == 2L)
+    assert(r.getAs[Double]("pbar") == 0.666667)
+    assert(r.getAs[Double]("pe") == 0.555556)
+    assert(r.getAs[Double]("kappa") == 0.25)
+    // perfect single-category agreement: P_e = 1 → κ undefined (null)
+    val one = Seq(("g", 1L, "A"), ("g", 1L, "A"), ("g", 1L, "A"))
+      .toDF("grp", "item", "label")
+    val r1 = Models.fleissKappa(one, "grp", "item", "label", nRaters = 3).head()
+    assert(r1.getAs[Double]("pbar") == 1.0 && r1.getAs[Double]("pe") == 1.0)
+    assert(r1.isNullAt(r1.fieldIndex("kappa")))
+  }
 }

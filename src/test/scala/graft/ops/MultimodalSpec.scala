@@ -232,4 +232,28 @@ class MultimodalSpec extends SparkSpec {
       assert(cuts == expected, s"id=$id")
     }
   }
+
+  test("GIF round trip is exact: LZW decode returns the formula pixels") {
+    for (id <- Seq(0L, 3L, 17L, 255L, 1023L)) {
+      val (w, h, px) = Multimodal.decodeGif(Multimodal.encodeGif(id))
+      assert(w == 8 + (id % 10).toInt && h == 8 + (id % 8).toInt)
+      px.zipWithIndex.foreach { case (v, i) =>
+        assert(v == ((id * 7 + i * 13) % 256).toInt, s"id=$id i=$i")
+      }
+      // and the container really is a GIF (LZW), not a re-labeled bitmap
+      val bytes = Multimodal.encodeGif(id)
+      assert(new String(bytes.take(6), "US-ASCII").startsWith("GIF8"))
+    }
+  }
+
+  test("gifFeatures: distributed decode matches driver-side formula stats") {
+    val got = Multimodal.gifFeatures(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 5).orderBy("doc_id").collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val n = (8 + (id % 10).toInt) * (8 + (id % 8).toInt)
+      val s = (0 until n).map(i => (id * 7 + i * 13) % 256).sum
+      assert(r.getInt(3) == n && r.getLong(4) == s)
+    }
+  }
 }

@@ -78,4 +78,51 @@ class PrivacySpec extends SparkSpec {
     // each cohort: own value p_c=1 vs p_g=.5 (diff .5) + missing .5 → t=.5
     assert(got2.toSeq == Seq(0.5, 0.5))
   }
+
+  test("entropyLDiversity: nats entropy, effective values, ln(l) gate") {
+    val df = Seq(
+      ("q1", "a"), ("q1", "a"), ("q1", "b"), ("q1", "b"),       // H = ln 2
+      ("q2", "a"), ("q2", "a"), ("q2", "a"),                    // H = 0
+      ("q3", "a"), ("q3", "b"), ("q3", "c"), ("q3", "d")        // H = ln 4
+    ).toDF("q", "v")
+    val got = Privacy.entropyLDiversity(df, Seq("q"), col("v"), l = 3)
+      .orderBy("q")
+      .select("q", "group_size", "l_distinct", "entropy", "eff_values",
+        "violates_entropy_l")
+      .collect()
+    assert(got(0).getDouble(3) == 0.693147 && got(0).getDouble(4) == 2.0)
+    assert(got(0).getInt(5) == 1) // ln 2 < ln 3
+    assert(got(1).getDouble(3) == 0.0 && got(1).getDouble(4) == 1.0 &&
+      got(1).getInt(5) == 1)
+    assert(got(2).getLong(2) == 4L && got(2).getDouble(3) == 1.386294 &&
+      got(2).getInt(5) == 0) // ln 4 > ln 3
+  }
+
+  test("dpNoisyCount: seeded Laplace noise replays the inverse-CDF formula") {
+    val df = Seq.tabulate(40)(i => (if (i % 5 == 0) "a" else "b", i))
+      .toDF("g", "x")
+    def expected(key: String, trueCount: Long, eps: Double): (Double, Long) = {
+      val u = (graft.ops.Hashing.longHash60(key) % 1000000000L).toDouble / 1e9
+      val v = u - 0.5
+      val noise = BigDecimal(-1.0 / eps * math.signum(v) *
+        math.log(1.0 - 2.0 * math.abs(v)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (noise, math.max(0L, math.round(trueCount + noise)))
+    }
+    val got = Privacy.dpNoisyCount(df, Seq("g"), epsilon = 1.0)
+      .orderBy("g").collect()
+    val (na, ra) = expected("a|dp", 8L, 1.0)
+    val (nb, rb) = expected("b|dp", 32L, 1.0)
+    assert(got(0).getAs[Double]("noise") == na)
+    assert(got(0).getAs[Long]("released") == ra)
+    assert(got(1).getAs[Double]("noise") == nb)
+    assert(got(1).getAs[Long]("released") == rb)
+    // no raw count column in the release
+    assert(!got(0).schema.fieldNames.contains("_true"))
+    // reproducible: a second run releases identical numbers
+    val again = Privacy.dpNoisyCount(df, Seq("g"), epsilon = 1.0)
+      .orderBy("g").collect()
+    assert(again.map(_.getAs[Long]("released")).toSeq ==
+      got.map(_.getAs[Long]("released")).toSeq)
+  }
 }

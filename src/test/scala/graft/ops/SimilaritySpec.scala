@@ -431,4 +431,29 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("sid").collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("embeddingDecontam: argmax benchmark, threshold flag, tie to low bid") {
+    def v(xs: Float*) = xs.toArray
+    val corpus = Seq(
+      (1L, v(1f, 0f)),   // identical to bench 10 → cos 1, flagged
+      (2L, v(0.9f, 0.1f)), // close to bench 10
+      (3L, v(0f, 1f))    // orthogonal to 10, identical to 20 → flagged
+    ).toDF("cid", "cvec")
+    val bench = Seq((10L, v(1f, 0f)), (20L, v(0f, 1f))).toDF("bid", "bvec")
+    // cos((0.9,0.1),(1,0)) = 0.993884 — the 0.995 bar keeps it clean
+    val got = Similarity.embeddingDecontam(corpus, bench, tau = 0.995)
+      .orderBy("cid").collect()
+    assert(got(0).getAs[Long]("bench_id") == 10L &&
+      got(0).getAs[Double]("max_cos") == 1.0 &&
+      got(0).getAs[Int]("contaminated") == 1)
+    assert(got(1).getAs[Long]("bench_id") == 10L &&
+      got(1).getAs[Int]("contaminated") == 0)
+    assert(got(2).getAs[Long]("bench_id") == 20L &&
+      got(2).getAs[Int]("contaminated") == 1)
+    // exact cosine tie across two benchmarks resolves to the LOWER bid
+    val tie = Seq((7L, v(1f, 1f))).toDF("cid", "cvec")
+    val benches = Seq((30L, v(1f, 0f)), (29L, v(0f, 1f))).toDF("bid", "bvec")
+    val t = Similarity.embeddingDecontam(tie, benches, tau = 0.99).head()
+    assert(t.getAs[Long]("bench_id") == 29L)
+  }
 }

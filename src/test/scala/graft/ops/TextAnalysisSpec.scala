@@ -926,4 +926,85 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row(5).getLong(1) == 1L && row(5).getInt(5) == 0 &&
       row(5).getInt(6) == 0)
   }
+
+  test("bleu: hand-computed clipped precisions, bp, and unsmoothed gate") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on mat"),
+      (2L, "same text here again", "same text here again"),
+      (3L, "alpha beta gamma delta", "zeta eta theta iota")
+    ).toDF("id", "ref", "cand")
+    val got = TextAnalysis.bleu(df, "id", "ref", "cand").orderBy("id")
+      .collect()
+    val r1 = got(0)
+    assert(r1.getLong(1) == 6L && r1.getLong(2) == 5L)
+    assert(r1.getDouble(3) == 1.0)      // p1 = 5/5
+    assert(r1.getDouble(4) == 0.75)     // p2 = 3/4
+    assert(r1.getDouble(5) == 0.666667) // p3 = 2/3
+    assert(r1.getDouble(6) == 0.5)      // p4 = 1/2
+    assert(r1.getDouble(7) == 0.818731) // bp = e^(1 - 6/5)
+    // 0.818731 · exp((ln 1 + ln .75 + ln .666667 + ln .5)/4), 6dp
+    assert(r1.getDouble(8) == 0.57893)
+    val r2 = got(1) // identical pair: all precisions 1, bp 1, bleu 1
+    assert(r2.getDouble(7) == 1.0 && r2.getDouble(8) == 1.0)
+    val r3 = got(2) // disjoint: p1 = 0 zeroes the whole product
+    assert(r3.getDouble(3) == 0.0 && r3.getDouble(8) == 0.0)
+  }
+
+  test("chrF: per-order clipped P/R, macro average, F2") {
+    val df = Seq(
+      (1L, "ab ab", "AB"),       // strips/folds to rs=abab, cs=ab
+      (2L, "hello", "hello"),
+      (3L, "", "xyz")            // empty ref: rec 0, chrf 0
+    ).toDF("id", "ref", "cand")
+    val got = TextAnalysis.chrF(df, "id", "ref", "cand").orderBy("id")
+      .collect()
+    val r1 = got(0)
+    assert(r1.getLong(1) == 4L && r1.getLong(2) == 2L)
+    assert(r1.getDouble(3) == 0.666667) // (1 + 1 + 0)/3
+    assert(r1.getDouble(4) == 0.277778) // (1/2 + 1/3 + 0)/3
+    assert(r1.getDouble(5) > 0.31 && r1.getDouble(5) < 0.32)
+    assert(got(1).getDouble(5) == 1.0)
+    assert(got(2).getDouble(4) == 0.0 && got(2).getDouble(5) == 0.0)
+  }
+
+  test("readability: counts, vowel-less fallback, Flesch/FK formulas") {
+    val df = Seq(
+      (1L, "The cat sat. It ran fast!"), // 6 words, 2 sents, 6 syllables
+      (2L, "Dr Smth 42"),                // 3 vowel-less words → 3 syllables
+      (3L, "")                           // no words → null scores
+    ).toDF("id", "text")
+    val got = TextAnalysis.readability(df, "id", "text").orderBy("id")
+      .collect()
+    assert(got(0).getLong(1) == 6L && got(0).getLong(2) == 2L &&
+      got(0).getLong(3) == 6L)
+    assert(got(0).getDouble(4) == 119.19)  // 206.835 − 1.015·3 − 84.6·1
+    assert(got(0).getDouble(5) == -2.62)   // 0.39·3 + 11.8·1 − 15.59
+    assert(got(1).getLong(1) == 3L && got(1).getLong(2) == 1L &&
+      got(1).getLong(3) == 3L)
+    assert(got(2).getLong(1) == 0L && got(2).isNullAt(4) && got(2).isNullAt(5))
+  }
+
+  test("curriculumPacing: CDF gating, zero-admission steps preserved") {
+    val df = Seq((1L, 0.1, 10L), (2L, 0.2, 10L), (3L, 1.5, 10L),
+      (4L, 2.7, 10L)).toDF("id", "diff", "tok")
+    // bins (width 1): {0: 2 docs, cdf .5}, {1: 1, .75}, {2: 1, 1.0}
+    val got = TextAnalysis.curriculumPacing(df, "id", col("diff"),
+        col("tok"), steps = 2, c0 = 0.6, binWidth = 1.0)
+      .orderBy("step").collect()
+    // c(1) = √(.5·(1−.36)+.36) = .824621 → bins 0,1; c(2) = 1 → all
+    assert(got(0).getDouble(1) == 0.824621)
+    assert(got(0).getLong(2) == 2L && got(0).getLong(3) == 3L &&
+      got(0).getLong(4) == 30L)
+    assert(got(1).getDouble(1) == 1.0 && got(1).getLong(3) == 4L &&
+      got(1).getLong(4) == 40L)
+    // a single bin with cdf 1: every pre-final step admits nothing but
+    // still appears with zeros
+    val one = Seq((1L, 5.0, 7L)).toDF("id", "diff", "tok")
+    val z = TextAnalysis.curriculumPacing(one, "id", col("diff"),
+        col("tok"), steps = 4, c0 = 0.1, binWidth = 1.0)
+      .orderBy("step").collect()
+    assert(z.length == 4)
+    assert(z.take(3).forall(r => r.getLong(2) == 0L && r.getLong(4) == 0L))
+    assert(z(3).getLong(3) == 1L && z(3).getLong(4) == 7L)
+  }
 }
