@@ -2437,6 +2437,89 @@ object OraclesExt {
       s"seg$maxLen AS seg FROM t$maxLen ORDER BY word"
   }
 
+  /** q307: streaming DP release ≡ batch — per-(event_type, day) counts
+    * through the q301 seeded-Laplace formula. */
+  val streamDpRelease: String = {
+    val uH = h60("event_type || '|' || day::VARCHAR || '|dp'")
+    "WITH g AS (SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c " +
+      "FROM events GROUP BY 1, 2), " +
+      s"u AS (SELECT event_type, day, c, (($uH % 1000000000)::DOUBLE / " +
+      "1000000000.0::DOUBLE) AS u FROM g), " +
+      "n AS (SELECT event_type, day, c, round(-1.0 * sign(u - 0.5) * " +
+      "ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise FROM u) " +
+      "SELECT event_type, day, 1.0::DOUBLE AS epsilon, noise, " +
+      "greatest(round(c + noise), 0.0)::BIGINT AS released " +
+      "FROM n ORDER BY event_type, day"
+  }
+
+  /** q308: Privacy.luhnPanScan mirror — the pinned PAN list drives both
+    * the synthesis CASE and this SQL, digit-position Luhn all integer. */
+  val luhnPanScan: String = {
+    val pick = graft.ops.Privacy.pinnedPansV1.zipWithIndex
+      .map { case (p, i) => s"WHEN $i THEN '$p'" }
+      .mkString(s"CASE doc_id % ${graft.ops.Privacy.pinnedPansV1.size} ",
+        " ", " END")
+    val dig = "substr(cand, (pos + 1)::INT, 1)::INT"
+    "WITH d AS (SELECT doc_id, text || ' card ' || (" + pick + ") AS dirty " +
+      "FROM documents), " +
+      "c AS (SELECT doc_id, unnest(regexp_extract_all(dirty, " +
+      "'\\b\\d{13,19}\\b')) AS cand FROM d), " +
+      "g AS (SELECT doc_id, cand, unnest(range(len(cand))) AS pos FROM c), " +
+      "s AS (SELECT doc_id, cand, sum(CASE WHEN (len(cand) - 1 - pos) % 2 = 1 " +
+      s"THEN CASE WHEN $dig * 2 > 9 THEN $dig * 2 - 9 ELSE $dig * 2 END " +
+      s"ELSE $dig END)::BIGINT AS t FROM g GROUP BY 1, 2), " +
+      "v AS (SELECT doc_id, cand, (t % 10 = 0)::INT AS valid FROM s) " +
+      "SELECT doc_id, count(*)::BIGINT AS n_candidates, " +
+      "sum(valid)::BIGINT AS n_valid, " +
+      "coalesce(array_to_string(list_sort(list('****' || substr(cand, -4, 4)) " +
+      "FILTER (WHERE valid = 1)), ';'), '') AS masked, " +
+      "(sum(valid) > 0)::INT AS has_pan " +
+      "FROM v GROUP BY doc_id ORDER BY doc_id"
+  }
+
+  /** q309: TextAnalysis.lengthBatching mirror — power-of-two caps via
+    * CASE, plan-time docs-per-batch constants, hash-rank assignment. */
+  val lengthBatching: String = {
+    val caps = Seq(16, 32, 64, 128, 256)
+    val maxTokens = 2048L
+    val capCase = caps.init.map(c => s"WHEN tok <= $c THEN $c")
+      .mkString("CASE ", " ", s" ELSE ${caps.last} END")
+    val dpbCase = caps.map(c => s"WHEN $c THEN ${math.max(1L, maxTokens / c)}")
+      .mkString("CASE cap ", " ", " END")
+    val hk = h60("doc_id::VARCHAR || ':lb'")
+    "WITH t AS (SELECT doc_id, " +
+      "len(regexp_extract_all(lower(text), '\\w+'))::BIGINT AS tok " +
+      "FROM documents), " +
+      s"b AS (SELECT doc_id, tok, ($capCase) AS cap FROM t), " +
+      "r AS (SELECT doc_id, tok, cap, row_number() OVER " +
+      s"(PARTITION BY cap ORDER BY $hk, doc_id) AS rn FROM b), " +
+      s"a AS (SELECT cap, ((rn - 1) // ($dpbCase))::BIGINT AS batch_id, " +
+      "tok FROM r), " +
+      "g AS (SELECT cap, batch_id, count(*)::BIGINT AS n_docs, " +
+      "sum(least(tok, cap))::BIGINT AS real_tokens FROM a GROUP BY 1, 2) " +
+      "SELECT cap, batch_id, n_docs, real_tokens, " +
+      "(n_docs * cap)::BIGINT AS padded_tokens, " +
+      "round(real_tokens::DOUBLE / (n_docs * cap), 6) AS efficiency " +
+      "FROM g ORDER BY cap, batch_id"
+  }
+
+  /** q310: TextAnalysis.mtEvalReport mirror — the q297 + q298 chains as
+    * derived tables joined to the ref doc's lang, exact rank median. */
+  val mtEvalReport: String =
+    "WITH l AS (SELECT doc_id, lang FROM documents), " +
+      s"m AS (SELECT l.lang, b.doc_id, b.bleu, c.chrf " +
+      s"FROM ($bleu) b JOIN ($chrf) c USING (doc_id) JOIN l USING (doc_id)), " +
+      "r AS (SELECT lang, doc_id, bleu, chrf, row_number() OVER " +
+      "(PARTITION BY lang ORDER BY bleu, doc_id) AS rn, " +
+      "count(*) OVER (PARTITION BY lang) AS n FROM m) " +
+      "SELECT lang, count(*)::BIGINT AS n_pairs, " +
+      "round(sum(bleu) / count(*), 6) AS mean_bleu, " +
+      "max(CASE WHEN rn = (n + 1) // 2 THEN bleu END) AS median_bleu, " +
+      "round(sum(chrf) / count(*), 6) AS mean_chrf, " +
+      "round(sum(CASE WHEN bleu >= 0.1 THEN 1 ELSE 0 END)::DOUBLE / " +
+      "count(*), 6) AS pass_rate " +
+      "FROM r GROUP BY lang ORDER BY lang"
+
   /** q280: Url.domainCap mirror — hash-rank row_number per registered
     * domain, keep rnk ≤ cap. */
   def urlDomainCap(cap: Int): String =

@@ -4526,6 +4526,71 @@ object SparkEntry {
         .select(explode(TextAnalysis.words(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n_occ"))
       Unigram.segment(w).orderBy("word")
+    },
+
+    // ───── Streaming ε-DP count release: complete-mode per-(type, day)
+    // count store + the q301 seeded-Laplace release at read time —
+    // releases stay identical across micro-batch replays, row-identical
+    // to the batch release over the same events ─────
+    "q307_stream_dp_release" -> { (s, dir) =>
+      val counts = eventsStream(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("_n"))
+      val store = drainToTable(s, counts, "g307_dp", "complete")
+      Privacy.dpNoisyRelease(store, Seq("event_type", "day"), "_n",
+          epsilon = 1.0)
+        .orderBy("event_type", "day")
+    },
+
+    // ───── Luhn-validated PAN scan: 13-19 digit candidates gated by the
+    // ISO 7812 checksum (pinned valid/perturbed synthesis), last-4
+    // masking — the validation layer q69's pattern scrubber lacks ─────
+    "q308_luhn_pan" -> { (s, dir) =>
+      val pans = Privacy.pinnedPansV1
+      val pick = pans.zipWithIndex.tail.foldLeft(
+        when(col("doc_id") % pans.size === 0, lit(pans.head))) {
+        case (acc, (p, i)) => acc.when(col("doc_id") % pans.size === i, lit(p))
+      }
+      val d = tb(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" card "), pick).as("dirty"))
+      Privacy.luhnPanScan(d, "doc_id", "dirty").orderBy("doc_id")
+    },
+
+    // ───── Length-bucketed PADDED batch planning: power-of-two caps via
+    // an integer when-chain (no float log2), plan-time docs-per-batch
+    // constants → batch assignment is pure rank arithmetic; per-batch
+    // padding efficiency — the padded-batch dual of q47/q83 packing ─────
+    "q309_length_batching" -> { (s, dir) =>
+      val d = tb(s, dir, "documents")
+      TextAnalysis.lengthBatching(d, "doc_id",
+          size(TextAnalysis.words(col("text"))).cast("long"),
+          maxTokensPerBatch = 2048, maxCap = 256)
+        .orderBy("cap", "batch_id")
+    },
+
+    // ───── Composed MT eval report: the q297 BLEU + q298 chrF chains
+    // joined per pair, per-lang means + EXACT rank median + pass rate —
+    // one Catalyst plan composing the engine's own metrics (q234's
+    // composition posture for the eval family) ─────
+    "q310_mt_eval_report" -> { (s, dir) =>
+      val d = tb(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val pairs = d.select(col("doc_id"), col("lang"),
+          col("text").as("ref"))
+        .join(d.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("cand")), Seq("doc_id"))
+      val b = TextAnalysis.bleu(pairs, "doc_id", "ref", "cand")
+        .select(col("doc_id"), col("bleu"))
+      val p240 = pairs.select(col("doc_id"),
+        substring(col("ref"), 1, 240).as("ref"),
+        substring(col("cand"), 1, 240).as("cand"))
+      val c = TextAnalysis.chrF(p240, "doc_id", "ref", "cand")
+        .select(col("doc_id"), col("chrf"))
+      val scored = pairs.select(col("doc_id"), col("lang"))
+        .join(b, "doc_id").join(c, "doc_id")
+      TextAnalysis.mtEvalReport(scored, "doc_id", passBar = 0.1)
+        .orderBy("lang")
     }
   )
 
@@ -7325,6 +7390,14 @@ object SparkEntry {
     "q305_curriculum_pacing" -> OraclesExt.curriculumPacing,
 
     "q306_unigram_viterbi" -> OraclesExt.unigramViterbi,
+
+    "q307_stream_dp_release" -> OraclesExt.streamDpRelease,
+
+    "q308_luhn_pan" -> OraclesExt.luhnPanScan,
+
+    "q309_length_batching" -> OraclesExt.lengthBatching,
+
+    "q310_mt_eval_report" -> OraclesExt.mtEvalReport,
 
     "q292_robots_filter" -> OraclesExt.robotsFilter,
 

@@ -164,21 +164,78 @@ object Privacy {
       df: DataFrame,
       groupCols: Seq[String],
       epsilon: Double,
+      salt: String = "dp"): DataFrame =
+    dpNoisyRelease(
+      df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("_true")),
+      groupCols, "_true", epsilon, salt)
+
+  /** [[dpNoisyCount]]'s release half over PRE-AGGREGATED counts — the
+    * shape a streaming release takes (a complete-mode count store
+    * accumulates, the noise is applied at release time from the group
+    * key alone, so releases stay reproducible across micro-batches). */
+  def dpNoisyRelease(
+      counts: DataFrame,
+      groupCols: Seq[String],
+      countCol: String,
+      epsilon: Double,
       salt: String = "dp"): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(epsilon > 0, "epsilon must be positive")
     val gc = groupCols.map(col)
-    val key = concat_ws("|", gc :+ lit(salt): _*)
+    val key = concat_ws("|", gc.map(_.cast("string")) :+ lit(salt): _*)
     val u = (Hashing.hash60(key) % 1000000000L).cast("double") / 1e9
     val v = u - lit(0.5)
     val noise = round(lit(-1.0 / epsilon) * signum(v) *
       log(lit(1.0) - lit(2.0) * abs(v)), 6)
-    df.groupBy(gc: _*)
-      .agg(count(lit(1)).as("_true"))
+    counts
       .withColumn("epsilon", lit(epsilon))
       .withColumn("noise", noise)
       .withColumn("released",
-        greatest(round(col("_true") + col("noise")).cast("long"), lit(0L)))
-      .drop("_true")
+        greatest(round(col(countCol) + col("noise")).cast("long"), lit(0L)))
+      .drop(countCol)
+  }
+
+  /** Checksum-validated PAN (payment-card number) detection: 13-19 digit
+    * runs are only FINDINGS when they pass the Luhn check (ISO/IEC
+    * 7812) — the validation layer a pattern-only scrubber
+    * ([[TextAnalysis.piiScrub]]) lacks, killing the false positives that
+    * make teams ignore PII reports (timestamps, ids, hashes that merely
+    * look like card numbers). Emits one row per document that contains
+    * at least one candidate: candidate/valid counts and the
+    * last-4-masked valid numbers (sorted, `;`-joined) for the audit log;
+    * full numbers are never emitted.
+    *
+    * Scale shape: candidates are rare, so the explode is tiny; the Luhn
+    * sum is an explode + (doc, candidate) hash-aggregate — no UDF, and
+    * the digit-position math mirrors into SQL exactly (all integer). */
+  /** Pinned synthesis PANs for the q308 oracle: indices 0-3 pass the
+    * Luhn check (standard test numbers), 4-7 are the same numbers with
+    * one digit perturbed (checksum fails). Both the Spark synthesis CASE
+    * and the generated SQL CASE read this list, so they cannot drift. */
+  val pinnedPansV1: Seq[String] = Seq(
+    "4111111111111111", "5500005555555559", "340000000000009",
+    "6011000990139424", "4111111111111112", "5500005555555550",
+    "340000000000001", "6011000990139421")
+
+  def luhnPanScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = df.select(col(idCol),
+      explode(regexp_extract_all(col(textCol), lit("\\b\\d{13,19}\\b"),
+        lit(0))).as("cand"))
+    val dg = cands.select(col(idCol), col("cand"),
+      posexplode(split(col("cand"), "")).as(Seq("pos", "d")))
+    val dI = col("d").cast("int")
+    val doubled = dI * 2
+    val contrib = when((length(col("cand")) - 1 - col("pos")) % 2 === 1,
+      when(doubled > 9, doubled - 9).otherwise(doubled)).otherwise(dI)
+    val valid = dg.groupBy(col(idCol), col("cand"))
+      .agg(sum(contrib).as("_s"))
+      .withColumn("valid", (col("_s") % 10 === 0).cast("int"))
+    valid.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum("valid").as("n_valid"),
+        concat_ws(";", array_sort(collect_list(when(col("valid") === 1,
+          concat(lit("****"), substring(col("cand"), -4, 4))))))
+          .as("masked"))
+      .withColumn("has_pan", (col("n_valid") > 0).cast("int"))
   }
 }

@@ -1787,6 +1787,88 @@ object TextAnalysis {
       .na.fill(0L, Seq("n_bins", "n_docs", "n_tokens"))
   }
 
+  /** Length-bucketed PADDED batch planning — the data-loader layout for
+    * models that pad each batch to its bucket's cap (the alternative to
+    * concat-packing, q47/q83): docs route to power-of-two token-length
+    * buckets (16 … `maxCap`, an integer `when` chain — no float log2,
+    * whose libm/native parity differs at exact powers of two), and
+    * because every doc in a bucket pays the SAME padded cost (the cap),
+    * a batch is exactly `⌊maxTokensPerBatch / cap⌋` docs: assignment is
+    * pure rank arithmetic, no running-sum window. Emits one row per
+    * batch: doc count, real vs padded tokens, and the padding
+    * efficiency the bucketing exists to maximize.
+    *
+    * Scale: one narrow projection + a per-bucket hash-ordered rank. The
+    * rank window partitions on ~log₂(maxCap) buckets — wide partitions
+    * at corpus scale; production shards the rank key further (e.g.
+    * (bucket, day)), the same caveat as the sorted-neighborhood window
+    * (q274). Docs longer than `maxCap` tokens are routed to the top
+    * bucket and truncated to the cap in the padded accounting. */
+  def lengthBatching(
+      df: DataFrame,
+      idCol: String,
+      tokens: Column,
+      maxTokensPerBatch: Long = 4096,
+      maxCap: Int = 1024): DataFrame = {
+    require(maxTokensPerBatch >= 16, "maxTokensPerBatch too small")
+    require(maxCap >= 16 && (maxCap & (maxCap - 1)) == 0,
+      "maxCap must be a power of two >= 16")
+    val caps = Iterator.iterate(16)(_ * 2).takeWhile(_ <= maxCap).toSeq
+    val bucket = caps.init.foldRight(lit(caps.last): Column) { (c, acc) =>
+      when(tokens <= c, lit(c)).otherwise(acc)
+    }
+    val base = df.select(col(idCol), tokens.cast("long").as("_tok"),
+      bucket.as("cap"))
+    val w = Window.partitionBy("cap")
+      .orderBy(Hashing.hash60(concat(col(idCol).cast("string"), lit(":lb"))),
+        col(idCol))
+    // docs-per-batch is a plan-time constant per bucket (caps are known),
+    // so batch assignment is exact integer arithmetic in both engines
+    val dpb = caps.init.foldRight(
+      lit(math.max(1L, maxTokensPerBatch / caps.last)): Column) { (c, acc) =>
+      when(col("cap") === c, lit(math.max(1L, maxTokensPerBatch / c)))
+        .otherwise(acc)
+    }
+    base
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("batch_id", floor((col("_rn") - 1) / dpb).cast("long"))
+      .groupBy("cap", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("_tok"), col("cap"))).as("real_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("cap"))
+      .withColumn("efficiency",
+        round(col("real_tokens") / col("padded_tokens"), 6))
+  }
+
+  /** Per-group MT/generation eval report over per-pair metric scores
+    * (the [[bleu]]/[[chrF]] composition): pair count, metric means,
+    * EXACT lower-median BLEU (rank-based — `⌊(n+1)/2⌋`-th smallest with
+    * an id tie-break, the splitConformal rank idiom, so both engines
+    * pick the identical row), and the share of pairs clearing `passBar`
+    * BLEU. Means are 6dp-rounded sums of already-6dp scores.
+    *
+    * Scale: one rank window per group plus one hash-aggregate — the
+    * report is bounded by group cardinality; the metric scans upstream
+    * dominate. */
+  def mtEvalReport(
+      scored: DataFrame, // (lang, id, bleu, chrf)
+      idCol: String,
+      passBar: Double = 0.1): DataFrame = {
+    val wOrd = Window.partitionBy("lang").orderBy(col("bleu"), col(idCol))
+    val wAll = Window.partitionBy("lang")
+    scored
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum("bleu") / count(lit(1)), 6).as("mean_bleu"),
+        max(when(col("_rn") === floor((col("_n") + 1) / 2).cast("long"),
+          col("bleu"))).as("median_bleu"),
+        round(sum("chrf") / count(lit(1)), 6).as("mean_chrf"),
+        round(sum(when(col("bleu") >= passBar, 1L).otherwise(0L)) /
+          count(lit(1)), 6).as("pass_rate"))
+  }
+
   /** Sentence-level BLEU (Papineni et al. 2002): clipped n-gram precision
     * for n = 1..`maxN`, geometric mean, brevity penalty
     * `min(1, e^(1 − ref_len/cand_len))`. Unsmoothed — any zero p_n (or a

@@ -125,4 +125,22 @@ class PrivacySpec extends SparkSpec {
     assert(again.map(_.getAs[Long]("released")).toSeq ==
       got.map(_.getAs[Long]("released")).toSeq)
   }
+
+  test("luhnPanScan: checksum gates candidates, masking keeps last 4") {
+    val df = Seq(
+      (1L, "pay with 4111111111111111 or 4111111111111112 today"),
+      (2L, "ref 12345 and order 9999 but no card"),
+      (3L, "two cards 5500005555555559 and 340000000000009!")
+    ).toDF("id", "text")
+    val got = Privacy.luhnPanScan(df, "id", "text").orderBy("id")
+      .select("id", "n_candidates", "n_valid", "masked", "has_pan")
+      .collect()
+    // doc 1: both 16-digit runs are candidates, only the real one passes
+    assert(got.length == 2) // doc 2 has no 13-19 digit run at all
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L &&
+      got(0).getLong(2) == 1L && got(0).getString(3) == "****1111" &&
+      got(0).getInt(4) == 1)
+    assert(got(1).getLong(0) == 3L && got(1).getLong(2) == 2L &&
+      got(1).getString(3) == "****0009;****5559")
+  }
 }

@@ -1007,4 +1007,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(z.take(3).forall(r => r.getLong(2) == 0L && r.getLong(4) == 0L))
     assert(z(3).getLong(3) == 1L && z(3).getLong(4) == 7L)
   }
+
+  test("lengthBatching: bucket routing, exact batch capacity, efficiency") {
+    // 5 tiny docs (cap 16, 4 per 64-token batch), one mid (cap 32), one
+    // over-cap doc truncated into the top bucket
+    val df = (1L to 5L).map(i => (i, 10L)) ++ Seq((6L, 20L), (7L, 300L))
+    val got = TextAnalysis.lengthBatching(df.toDF("id", "tok"), "id",
+        col("tok"), maxTokensPerBatch = 64, maxCap = 64)
+      .orderBy("cap", "batch_id").collect()
+    val byCap = got.groupBy(_.getInt(0))
+    assert(byCap(16).map(r => r.getLong(2)).sorted.toSeq == Seq(1L, 4L))
+    assert(byCap(16).forall(r => r.getLong(2) <= 4L)) // 64/16 docs max
+    assert(byCap(32).head.getLong(2) == 1L)
+    val top = byCap(64).head
+    assert(top.getLong(3) == 64L && top.getLong(4) == 64L &&
+      top.getDouble(5) == 1.0) // 300 tokens truncated to the cap
+    val full = byCap(16).find(_.getLong(2) == 4L).get
+    assert(full.getLong(3) == 40L && full.getLong(4) == 64L &&
+      full.getDouble(5) == 0.625)
+  }
+
+  test("mtEvalReport: exact lower median, pass rate, means") {
+    val scored = Seq(
+      ("en", 1L, 0.2, 0.5), ("en", 2L, 0.4, 0.7), ("en", 3L, 0.05, 0.1),
+      ("en", 4L, 0.6, 0.9),
+      ("it", 5L, 0.0, 0.2)
+    ).toDF("lang", "id", "bleu", "chrf")
+    val got = TextAnalysis.mtEvalReport(scored, "id", passBar = 0.1)
+      .orderBy("lang").collect()
+    val en = got(0)
+    assert(en.getAs[Long]("n_pairs") == 4L)
+    // sorted bleu: .05 .2 .4 .6 → lower median = rank (4+1)/2 = 2 → 0.2
+    assert(en.getAs[Double]("median_bleu") == 0.2)
+    assert(en.getAs[Double]("mean_bleu") == 0.3125)
+    assert(en.getAs[Double]("pass_rate") == 0.75)
+    val it = got(1)
+    assert(it.getAs[Double]("median_bleu") == 0.0 &&
+      it.getAs[Double]("pass_rate") == 0.0)
+  }
 }
