@@ -2520,6 +2520,91 @@ object OraclesExt {
       "count(*), 6) AS pass_rate " +
       "FROM r GROUP BY lang ORDER BY lang"
 
+  /** q311: Models.krippendorffAlpha mirror — variable 3-5 rater panel,
+    * integer 12/(m−1) scaling, one double division at the end. */
+  val krippendorffAlpha: String = {
+    val uH = h60("doc_id::VARCHAR || ':kr' || a::VARCHAR")
+    val lH = h60("doc_id::VARCHAR || ':kl' || a::VARCHAR")
+    "WITH r AS (SELECT doc_id, source, unnest(range(3 + doc_id % 3)) AS a " +
+      "FROM documents), " +
+      s"lb AS (SELECT source, doc_id, CASE WHEN $uH % 10 < 6 " +
+      "THEN 'c' || (doc_id % 4)::VARCHAR " +
+      s"ELSE 'c' || ($lH % 4)::VARCHAR END AS label FROM r), " +
+      "cnt AS (SELECT source, doc_id, label, count(*)::BIGINT AS nuc " +
+      "FROM lb GROUP BY 1, 2, 3), " +
+      "unit AS (SELECT source, doc_id, sum(nuc) AS m, " +
+      "sum(nuc * nuc) AS sq FROM cnt GROUP BY 1, 2), " +
+      "grp AS (SELECT source, " +
+      "sum(CASE WHEN m BETWEEN 2 AND 5 THEN 1 ELSE 0 END)::BIGINT AS n_units, " +
+      "sum(CASE WHEN m = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unpairable, " +
+      "sum(CASE WHEN m > 5 THEN 1 ELSE 0 END)::BIGINT AS n_oversize, " +
+      "sum(CASE WHEN m BETWEEN 2 AND 5 THEN " +
+      "(CASE m WHEN 2 THEN 12 WHEN 3 THEN 6 WHEN 4 THEN 4 ELSE 3 END) * " +
+      "(m * m - sq) ELSE 0 END)::BIGINT AS a, " +
+      "sum(CASE WHEN m BETWEEN 2 AND 5 THEN m ELSE 0 END)::BIGINT AS n " +
+      "FROM unit GROUP BY 1), " +
+      "lbl AS (SELECT c.source, c.label, sum(nuc)::BIGINT AS nc " +
+      "FROM cnt c JOIN unit USING (source, doc_id) " +
+      "WHERE m BETWEEN 2 AND 5 GROUP BY 1, 2), " +
+      "la AS (SELECT source, count(*)::BIGINT AS n_categories, " +
+      "sum(nc * nc)::BIGINT AS sumc2 FROM lbl GROUP BY 1) " +
+      "SELECT g.source, n_units, n_unpairable, n_oversize, n, n_categories, " +
+      "CASE WHEN n > 1 AND n * n - sumc2 > 0 THEN " +
+      "round(1.0::DOUBLE - (n - 1) * a / (12 * (n * n - sumc2)), 6) " +
+      "END AS alpha FROM grp g LEFT JOIN la USING (source) ORDER BY source"
+  }
+
+  /** q312: Multimodal.goertzelEnergy mirror — the WITH RECURSIVE
+    * sequential fold over the burst-synthesis samples, pinned 2·cos
+    * coefficients, 9dp per step (the Holt recurrence-parity pattern). */
+  val goertzelEnergy: String = {
+    val coeffRows = graft.ops.Multimodal.goertzelPeriods
+      .map { case (p, c) => s"SELECT $p AS p, $c::DOUBLE AS c" }
+      .mkString(" UNION ALL ")
+    val x = "(CASE WHEN ((i + 1) // 40 + doc_id) % 3 <> 0 " +
+      "THEN ((doc_id * 31 + (i + 1) * 17) % 65536) - 32768 " +
+      "ELSE ((doc_id * 7 + (i + 1) * 13) % 101) - 50 END)::DOUBLE / " +
+      "32768.0::DOUBLE"
+    "WITH RECURSIVE d AS (SELECT doc_id, 240 + (doc_id % 60) AS n " +
+      "FROM documents), " +
+      s"cf AS ($coeffRows), " +
+      "base AS (SELECT doc_id, n, p, c FROM d CROSS JOIN cf), " +
+      "st AS (SELECT doc_id, n, p, c, (-1)::BIGINT AS i, " +
+      "0.0::DOUBLE AS s1, 0.0::DOUBLE AS s2 FROM base " +
+      "UNION ALL " +
+      s"SELECT doc_id, n, p, c, i + 1, round(($x) + c * s1 - s2, 9), s1 " +
+      "FROM st WHERE i + 1 < n), " +
+      "fin AS (SELECT doc_id, n, p, " +
+      "round(s1 * s1 + s2 * s2 - c * s1 * s2, 6) AS e " +
+      "FROM st WHERE i = n - 1) " +
+      "SELECT doc_id, max(n)::INT AS n, " +
+      "max(CASE p WHEN 8 THEN e END) AS e8, " +
+      "max(CASE p WHEN 16 THEN e END) AS e16, " +
+      "max(CASE p WHEN 32 THEN e END) AS e32 " +
+      "FROM fin GROUP BY doc_id ORDER BY doc_id"
+  }
+
+  /** q313: Dedup.winnowingPairs mirror — k-gram rolling hashes via
+    * list_reduce, w-window minima via list_min slices (O(n·w), oracle
+    * scale only), distinct minima bucketed with the df cap. */
+  def winnowingPairs(k: Int, w: Int, dfCap: Int, minShared: Int): String =
+    s"WITH $tokCte, " +
+      s"th AS (SELECT doc_id, [(('0x' || substr(md5(t), 1, 15))::BIGINT % $P) " +
+      "for t in toks] AS hs FROM tok), " +
+      s"wh AS (SELECT doc_id, [list_reduce(list_prepend(0::BIGINT, hs[i+1:i+$k]), " +
+      s"(a, b) -> (a * 31 + b) % $P) " +
+      s"for i in range(0, greatest(len(hs) - ${k - 1}, 0))] AS ws FROM th), " +
+      s"fpt AS (SELECT doc_id, unnest(list_distinct([list_min(ws[j+1:j+$w]) " +
+      s"for j in range(0, greatest(len(ws) - ${w - 1}, 0))])) AS fp FROM wh), " +
+      "keep AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM fpt GROUP BY 1) " +
+      s"WHERE c <= $dfCap), " +
+      "f2 AS (SELECT doc_id, fp FROM fpt JOIN keep USING (fp)), " +
+      "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS " +
+      "n_shared FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2) " +
+      s"SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= $minShared " +
+      "ORDER BY id_a, id_b"
+
   /** q280: Url.domainCap mirror — hash-rank row_number per registered
     * domain, keep rnk ≤ cap. */
   def urlDomainCap(cap: Int): String =

@@ -4591,6 +4591,42 @@ object SparkEntry {
         .join(b, "doc_id").join(c, "doc_id")
       TextAnalysis.mtEvalReport(scored, "doc_id", passBar = 0.1)
         .orderBy("lang")
+    },
+
+    // ───── Krippendorff's alpha per source: VARIABLE 3-5 rater panel
+    // (the unbalance Fleiss q299 cannot take), exact integer 12/(m−1)
+    // scaling so no float accumulates anywhere before the final
+    // division ─────
+    "q311_krippendorff" -> { (s, dir) =>
+      val r = tb(s, dir, "documents").select(col("doc_id"), col("source"),
+        explode(sequence(lit(0),
+          (lit(2) + col("doc_id") % 3).cast("int"))).as("a"))
+      def h(tag: String) = Hashing.hash60(concat(
+        col("doc_id").cast("string"), lit(tag), col("a").cast("string")))
+      val truth = concat(lit("c"), (col("doc_id") % 4).cast("string"))
+      val noisy = concat(lit("c"), (h(":kl") % 4).cast("string"))
+      val lb = r.select(col("source"), col("doc_id"),
+        when(h(":kr") % 10 < 6, truth).otherwise(noisy).as("label"))
+      Models.krippendorffAlpha(lb, "source", "doc_id", "label")
+        .orderBy("source")
+    },
+
+    // ───── Goertzel single-frequency spectral energy on REAL decoded
+    // audio: pinned 2·cos coefficients (no libm parity), 9dp-rounded
+    // recurrence inside the codec boundary, WITH RECURSIVE oracle —
+    // the engine's first true spectral feature ─────
+    "q312_goertzel" -> { (s, dir) =>
+      Multimodal.goertzelEnergy(s, dir).orderBy("doc_id")
+    },
+
+    // ───── Winnowing fingerprints (MOSS): RollingHash → WindowMin (the
+    // sixth codegen'd expression, O(n) monotonic deque) → distinct
+    // minima → df-capped bucket join; guaranteed detection of shared
+    // runs ≥ k+w−1 tokens at 2/(w+1) fingerprint density ─────
+    "q313_winnowing" -> { (s, dir) =>
+      Dedup.winnowingPairs(tb(s, dir, "documents"), "doc_id", "text",
+          k = 5, w = 4, dfCap = 50, minShared = 3)
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -7398,6 +7434,12 @@ object SparkEntry {
     "q309_length_batching" -> OraclesExt.lengthBatching,
 
     "q310_mt_eval_report" -> OraclesExt.mtEvalReport,
+
+    "q311_krippendorff" -> OraclesExt.krippendorffAlpha,
+
+    "q312_goertzel" -> OraclesExt.goertzelEnergy,
+
+    "q313_winnowing" -> OraclesExt.winnowingPairs(5, 4, 50, 3),
 
     "q292_robots_filter" -> OraclesExt.robotsFilter,
 

@@ -1330,4 +1330,44 @@ object Dedup {
           round(col("n_hits").cast("double") / col("n_truth"), 6))
           .as("recall"))
   }
+
+  /** Winnowing near-dup pairs (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * fingerprint): per document, token `k`-gram rolling hashes
+    * ([[graft.expressions.RollingHash]], O(n)) → all `w`-window minima
+    * ([[graft.expressions.WindowMin]], O(n) monotonic deque) → the
+    * DISTINCT minima are the fingerprint set. Winnowing's guarantee:
+    * any shared run of at least `k + w − 1` tokens yields at least one
+    * shared fingerprint, with expected density 2/(w+1) — a principled
+    * sparsification the fixed-stride segmenter (q72) lacks. Documents
+    * sharing ≥ `minShared` fingerprints emit a pair.
+    *
+    * Scale shape: the whole fingerprint derivation is ONE codegen'd
+    * projection (two custom expressions chained); candidates bucket by
+    * fingerprint with a df-cap dropping degenerate hubs (the q99/q162
+    * posture), so pair space is Σ df² over capped buckets, never n². */
+  def winnowingPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4,
+      dfCap: Int = 50,
+      minShared: Int = 3): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    require(dfCap >= 2 && minShared >= 1, "dfCap >= 2, minShared >= 1")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val fps = Bridge.column(graft.expressions.WindowMin(
+      graft.expressions.RollingHash(
+        Bridge.expression(TextAnalysis.words(col(textCol))), k), w))
+    val fp = df.select(col(idCol), explode(array_distinct(fps)).as("fp"))
+    val keep = fp.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= dfCap).select("fp")
+    val f2 = fp.join(keep, Seq("fp"))
+    f2.select(col("fp"), col(idCol).as("id_a"))
+      .join(f2.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -1095,4 +1095,62 @@ object Models {
         round((col("pbar") - col("pe")) / (lit(1.0) - col("pe")), 6)))
       .drop("_sum_sq", "_sum_cat2")
   }
+
+  /** Krippendorff's alpha, nominal scale (Krippendorff 1970/2004): the
+    * agreement coefficient that — unlike [[fleissKappa]] — handles a
+    * VARIABLE number of raters per item: units rated by 2-5 raters all
+    * contribute, single-rating units are unpairable (surfaced in
+    * `n_unpairable`), units with more than 5 raters are excluded and
+    * surfaced in `n_oversize` (see below). Nominal form:
+    * `α = 1 − (n−1)·Σ_u (m_u² − Σ_c n_uc²)/(m_u−1) / (n² − Σ_c n_c²)`
+    * with n = total pairable ratings, n_c = label totals over pairable
+    * units.
+    *
+    * EXACT-ARITHMETIC construction: the only fractions are the per-unit
+    * `1/(m_u−1)` weights, and for panels of 2-5 raters `(m_u−1)` divides
+    * 12 — so the sum is accumulated as the INTEGER
+    * `Σ_u (12/(m_u−1))·(m_u² − Σn_uc²)` (a `when` chain picks
+    * 12/6/4/3), and α is one double division at the end, 6dp. No float
+    * accumulation order anywhere, so an oracle replays it bit-exact —
+    * the reason for the 5-rater exactness bound. α is null when the
+    * denominator degenerates (one label, or n ≤ 1).
+    *
+    * Scale: one (group, item, label) hash-aggregate re-aggregated twice,
+    * exactly [[fleissKappa]]'s posture — output bounded by groups. */
+  def krippendorffAlpha(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      labelCol: String): DataFrame = {
+    val cnt = df.groupBy(col(groupCol), col(itemCol), col(labelCol))
+      .agg(count(lit(1)).as("nuc"))
+    val unit = cnt.groupBy(col(groupCol), col(itemCol))
+      .agg(sum("nuc").as("m"), sum(col("nuc") * col("nuc")).as("sq"))
+    val pairable = unit.filter(col("m") >= 2 && col("m") <= 5)
+    val sOver = when(col("m") === 2, 12L).when(col("m") === 3, 6L)
+      .when(col("m") === 4, 4L).otherwise(3L)
+    val grp = unit.groupBy(col(groupCol)).agg(
+      sum(when(col("m") >= 2 && col("m") <= 5, 1L).otherwise(0L))
+        .as("n_units"),
+      sum(when(col("m") === 1, 1L).otherwise(0L)).as("n_unpairable"),
+      sum(when(col("m") > 5, 1L).otherwise(0L)).as("n_oversize"),
+      sum(when(col("m") >= 2 && col("m") <= 5,
+        sOver * (col("m") * col("m") - col("sq"))).otherwise(0L)).as("_a"),
+      sum(when(col("m") >= 2 && col("m") <= 5, col("m")).otherwise(0L))
+        .as("n"))
+    val lbl = cnt
+      .join(pairable.select(col(groupCol), col(itemCol)),
+        Seq(groupCol, itemCol))
+      .groupBy(col(groupCol), col(labelCol))
+      .agg(sum("nuc").as("nc"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("nc") * col("nc")).as("_sumc2"))
+    grp.join(lbl, Seq(groupCol), "left")
+      .withColumn("alpha",
+        when(col("n") > 1 && col("n") * col("n") - col("_sumc2") > 0,
+          round(lit(1.0) - (col("n") - 1) * col("_a") /
+            (lit(12L) * (col("n") * col("n") - col("_sumc2"))), 6)))
+      .drop("_a", "_sumc2")
+  }
 }

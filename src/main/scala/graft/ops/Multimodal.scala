@@ -844,6 +844,59 @@ object Multimodal {
     (w, h, Array.tabulate(w * h)(i => img.getRGB(i % w, i / w) & 0xff))
   }
 
+  /** Goertzel filter coefficients `2·cos(2π/P)` for the pinned analysis
+    * periods (8/16/32 samples) — PRE-COMPUTED literals shared with the
+    * DuckDB oracle, so no libm cos() parity question ever arises. */
+  val goertzelPeriods: Seq[(Int, Double)] = Seq(
+    8 -> 1.4142135623730951, // 2·cos(2π/8) = √2
+    16 -> 1.8477590650225735,
+    32 -> 1.9615705608064609)
+
+  /** Single-frequency spectral energy via the Goertzel recurrence
+    * (Goertzel 1958) over REAL decoded audio — the DSP building block of
+    * tone/DTMF/voicing detectors, and the engine's first true spectral
+    * feature beside the time-domain family (q93/q286/q296):
+    * `s_i = x_i + c·s_{i−1} − s_{i−2}`, power
+    * `s₁² + s₂² − c·s₁·s₂` at the pinned periods. Samples are
+    * normalized by 1/32768 (a power of two — EXACT in binary, only the
+    * exponent moves) and every recurrence step is 9dp-rounded, the
+    * Holt/pageRank recurrence-parity pattern: the DuckDB oracle replays
+    * the identical sequential fold with a WITH RECURSIVE chain and the
+    * same pinned coefficients. Runs inside the partition codec boundary
+    * on the decoded stream; output is 3 doubles per clip. */
+  /** One Goertzel fold: normalized samples, 9dp per recurrence step,
+    * 6dp power — the exact sequence the recursive-CTE oracle replays. */
+  def goertzelPower(samples: Array[Int], coeff: Double): Double = {
+    def round9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    var s1 = 0.0
+    var s2 = 0.0
+    var i = 0
+    while (i < samples.length) {
+      val x = samples(i) / 32768.0
+      val s = round9(x + coeff * s1 - s2)
+      s2 = s1
+      s1 = s
+      i += 1
+    }
+    java.math.BigDecimal.valueOf(s1 * s1 + s2 * s2 - coeff * s1 * s2)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  def goertzelEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val coeffs = goertzelPeriods
+    Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (_, raw) = decodeWav(encodeWavBursts(id))
+        val e = coeffs.map { case (_, c) => goertzelPower(raw, c) }
+        (id, raw.length, e(0), e(1), e(2))
+      })
+      .toDF("doc_id", "n", "e8", "e16", "e32")
+  }
+
   /** Real GIF decode features through the per-partition boundary — the
     * LZW twin of [[pngFeatures]]: encode → (LZW inflate, palette
     * resolve) decode → dimensions and pixel statistics. */

@@ -656,4 +656,37 @@ class DedupSpec extends SparkSpec {
     assert(got.getDouble(4) == 1.0) // recall
     assert(got.getDouble(3) == 1.0) // precision (no incidental pairs)
   }
+
+  test("WindowMin.slidingMin matches the naive per-window minimum") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 3, 4, 17, 64); w <- Seq(1, 3, 4, 9)) {
+      val a = Array.fill(n)(rnd.nextLong(1000))
+      val got = graft.expressions.WindowMin
+        .slidingMin(new GenericArrayData(a), w).toLongArray().toSeq
+      val want = if (n < w) Seq.empty[Long]
+        else (0 to n - w).map(j => a.slice(j, j + w).min)
+      assert(got == want, s"n=$n w=$w")
+    }
+  }
+
+  test("winnowingPairs: shared run >= k+w-1 guarantees a shared fingerprint") {
+    val run = (0 until 8).map(j => s"shared$j").mkString(" ") // k+w−1 = 8
+    val docs = Seq(
+      (1L, s"alpha beta $run gamma delta epsilon zeta"),
+      (2L, s"one two three four $run five six seven"),
+      (3L, "totally different words with no common n grams at all here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowingPairs(docs, "doc_id", "text",
+      k = 5, w = 4, dfCap = 50, minShared = 1).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 2L)
+    assert(got.head.getLong(2) >= 1L) // the winnowing guarantee
+    // identical documents share their entire fingerprint set
+    val twin = Seq((1L, run + " tail of text here"),
+      (2L, run + " tail of text here")).toDF("doc_id", "text")
+    val t = Dedup.winnowingPairs(twin, "doc_id", "text",
+      k = 5, w = 4, dfCap = 50, minShared = 1).head()
+    assert(t.getLong(2) >= 2L)
+  }
 }

@@ -283,4 +283,29 @@ class ModelsSpec extends SparkSpec {
     assert(r1.getAs[Double]("pbar") == 1.0 && r1.getAs[Double]("pe") == 1.0)
     assert(r1.isNullAt(r1.fieldIndex("kappa")))
   }
+
+  test("krippendorffAlpha: variable panels, unpairable/oversize surfaced") {
+    // u1: aa (agree), u2: ab (disagree), u3: bbb (agree), u4: single
+    // rating (unpairable), u5: 6 ratings (oversize, excluded)
+    val rows = Seq(
+      ("g", 1L, "a"), ("g", 1L, "a"),
+      ("g", 2L, "a"), ("g", 2L, "b"),
+      ("g", 3L, "b"), ("g", 3L, "b"), ("g", 3L, "b"),
+      ("g", 4L, "a")
+    ) ++ (1 to 6).map(_ => ("g", 5L, "a"))
+    val r = Models.krippendorffAlpha(rows.toDF("grp", "item", "label"),
+      "grp", "item", "label").head()
+    assert(r.getAs[Long]("n_units") == 3L)
+    assert(r.getAs[Long]("n_unpairable") == 1L)
+    assert(r.getAs[Long]("n_oversize") == 1L)
+    assert(r.getAs[Long]("n") == 7L)
+    assert(r.getAs[Long]("n_categories") == 2L)
+    // A = 12·(4−2) for u2 only; α = 1 − 6·24/(12·(49−25)) = 0.5
+    assert(r.getAs[Double]("alpha") == 0.5)
+    // degenerate: one label everywhere → denominator 0 → null
+    val same = Seq(("g", 1L, "a"), ("g", 1L, "a"), ("g", 2L, "a"),
+      ("g", 2L, "a")).toDF("grp", "item", "label")
+    val d = Models.krippendorffAlpha(same, "grp", "item", "label").head()
+    assert(d.isNullAt(d.fieldIndex("alpha")))
+  }
 }

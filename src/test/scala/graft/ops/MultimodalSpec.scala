@@ -246,6 +246,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("goertzelPower: resonates at the matching period, not off-frequency") {
+    // pure period-16 cosine: energy at the 16-sample bin dwarfs 8/32
+    val tone = Array.tabulate(256)(i =>
+      math.round(20000 * math.cos(2 * math.Pi * i / 16)).toInt)
+    val Seq(c8, c16, c32) = Multimodal.goertzelPeriods.map(_._2)
+    val e8 = Multimodal.goertzelPower(tone, c8)
+    val e16 = Multimodal.goertzelPower(tone, c16)
+    val e32 = Multimodal.goertzelPower(tone, c32)
+    assert(e16 > 100 * e8 && e16 > 100 * e32, s"$e8 $e16 $e32")
+    // silence → zero energy in every bin
+    val silent = Array.fill(100)(0)
+    assert(Multimodal.goertzelPeriods
+      .forall(p => Multimodal.goertzelPower(silent, p._2) == 0.0))
+  }
+
   test("gifFeatures: distributed decode matches driver-side formula stats") {
     val got = Multimodal.gifFeatures(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 5).orderBy("doc_id").collect()
