@@ -2605,6 +2605,90 @@ object OraclesExt {
       s"SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= $minShared " +
       "ORDER BY id_a, id_b"
 
+  /** q314: Models.rbo mirror over the brute vs IVF top-10 lists — the
+    * same pinned (1−p)·p^(d−1)/d weights in the same fixed-order sum. */
+  val rboLists: String = {
+    val k = 10
+    val p = 0.9
+    val wts = (1 to k).map(d => d -> ((1 - p) * math.pow(p, d - 1) / d))
+    val xCols = (1 to k).map(d =>
+      s"coalesce(max(CASE WHEN d = $d THEN x END), 0) AS x$d").mkString(", ")
+    val rboExpr = wts.map { case (d, w) => s"$w::DOUBLE * cx$d" }
+      .mkString(" + ")
+    val cxCols = (1 to k).map(d => s"coalesce(x$d, 0) AS cx$d").mkString(", ")
+    s"WITH $embCte, " +
+      "q AS (SELECT vec_id AS qid, label AS cell, v AS qv FROM e " +
+      "WHERE vec_id % 100 = 0), " +
+      s"sa AS (SELECT qid, vec_id AS cid, round(${cosSql("qv", "v")}, 6) AS cos " +
+      "FROM q, e WHERE vec_id <> qid), " +
+      "la AS (SELECT qid, cid, rnk FROM (SELECT qid, cid, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sa) " +
+      s"WHERE rnk <= $k), " +
+      s"sb AS (SELECT qid, vec_id AS cid, round(${cosSql("qv", "v")}, 6) AS cos " +
+      "FROM q JOIN e ON e.label = q.cell AND e.vec_id <> q.qid), " +
+      "lb AS (SELECT qid, cid, rnk FROM (SELECT qid, cid, row_number() OVER " +
+      "(PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sb) " +
+      s"WHERE rnk <= $k), " +
+      "j AS (SELECT a.qid, greatest(a.rnk, b.rnk) AS mx " +
+      s"FROM la a JOIN lb b USING (qid, cid) WHERE greatest(a.rnk, b.rnk) <= $k), " +
+      s"xd AS (SELECT qid, unnest(range(mx, ${k + 1})) AS d FROM j), " +
+      "xc AS (SELECT qid, d, count(*)::BIGINT AS x FROM xd GROUP BY 1, 2), " +
+      s"piv AS (SELECT qid, $xCols FROM xc GROUP BY 1), " +
+      "base AS (SELECT DISTINCT qid FROM la), " +
+      s"f AS (SELECT base.qid, $cxCols FROM base LEFT JOIN piv USING (qid)) " +
+      s"SELECT qid, round(cx$k::DOUBLE / $k, 6) AS overlap_k, " +
+      s"round($rboExpr, 6) AS rbo FROM f ORDER BY qid"
+  }
+
+  /** q315: Models.bhFdr mirror — seeded p-values with planted signals,
+    * the same rank-threshold arithmetic. */
+  val bhFdr: String = {
+    val uH = h60("doc_id::VARCHAR || ':pv'")
+    "WITH d AS (SELECT doc_id, round(" +
+      s"(($uH % 1000000000)::DOUBLE / 1000000000.0::DOUBLE) * " +
+      "(CASE WHEN doc_id % 17 = 0 THEN 0.001::DOUBLE ELSE 1.0::DOUBLE END), " +
+      "6) AS p FROM documents), " +
+      "r AS (SELECT doc_id, p, row_number() OVER (ORDER BY p, doc_id)" +
+      "::BIGINT AS rank, count(*) OVER () AS m FROM d), " +
+      "f AS (SELECT doc_id, p, rank, round(rank * 0.05::DOUBLE / m, 6) AS " +
+      "threshold, (p <= rank * 0.05::DOUBLE / m) AS pass, m FROM r), " +
+      "ks AS (SELECT max(CASE WHEN pass THEN rank END) AS kstar FROM f) " +
+      "SELECT doc_id, p, rank, threshold, " +
+      "(rank <= coalesce(kstar, 0))::INT AS discovery " +
+      "FROM f CROSS JOIN ks ORDER BY rank"
+  }
+
+  /** q316: Layout.skippingEval mirror — equal-width key buckets per
+    * layout, per-file min/max stats, pinned range predicate. */
+  val skippingEval: String = {
+    val z = (0 until 11).map(i =>
+      s"(((v >> $i) & 1) << ${2 * i}) + (((y2 >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    val hk = h60("l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")
+    def layout(name: String, keyExpr: String): String =
+      s"SELECT '$name' AS layout, n_files, n_hit_files, rows_total, " +
+        "rows_scanned, round(1.0::DOUBLE - n_hit_files::DOUBLE / n_files, 6) " +
+        "AS file_skip_frac, round(rows_scanned::DOUBLE / rows_total, 6) AS " +
+        "io_frac FROM (SELECT count(*)::BIGINT AS n_files, " +
+        "sum((vmax >= 100 AND vmin <= 199)::INT)::BIGINT AS n_hit_files, " +
+        "sum(rows_)::BIGINT AS rows_total, " +
+        "sum(CASE WHEN vmax >= 100 AND vmin <= 199 THEN rows_ ELSE 0 END)" +
+        "::BIGINT AS rows_scanned FROM (" +
+        "SELECT ((k - mn) * 64) // (mx - mn + 1) AS f, min(v) AS vmin, " +
+        "max(v) AS vmax, count(*)::BIGINT AS rows_ " +
+        s"FROM (SELECT ($keyExpr) AS k, v FROM pts), " +
+        s"(SELECT min($keyExpr) AS mn, max($keyExpr) AS mx FROM pts) " +
+        "GROUP BY 1)) "
+    "WITH pts AS (SELECT l_orderkey, l_linenumber, " +
+      "(l_partkey % 2048)::BIGINT AS v, (l_orderkey % 2048)::BIGINT AS y2 " +
+      "FROM lineitem) " +
+      layout("bycolumn", "v") + " UNION ALL " +
+      layout("natural", "l_orderkey") + " UNION ALL " +
+      layout("random", s"$hk % 1048576") + " UNION ALL " +
+      layout("zorder", s"($z)::BIGINT") +
+      " ORDER BY layout"
+  }
+
   /** q280: Url.domainCap mirror — hash-rank row_number per registered
     * domain, keep rnk ≤ cap. */
   def urlDomainCap(cap: Int): String =

@@ -4627,6 +4627,62 @@ object SparkEntry {
       Dedup.winnowingPairs(tb(s, dir, "documents"), "doc_id", "text",
           k = 5, w = 4, dfCap = 50, minShared = 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // ───── Rank-biased overlap between the brute and IVF top-10
+    // rankings per query: pinned (1−p)·p^(d−1)/d weights, fixed-order
+    // weighted sum over a conditional-max pivot — the top-weighted ANN
+    // config comparison beside q114's recall ─────
+    "q314_rbo" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("cell"))
+      val brute = Similarity.topKBrute(q.select("qid", "qvec"),
+        e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        k = 10)
+      val ivf = Similarity.topKIvf(q,
+        e.select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+          col("label").as("cell")),
+        k = 10)
+      Models.rbo(brute.select("qid", "cid", "rnk"),
+          ivf.select("qid", "cid", "rnk"), k = 10, p = 0.9)
+        .orderBy("qid")
+    },
+
+    // ───── Benjamini–Hochberg FDR over a hypothesis family (seeded
+    // p-values, 1-in-17 planted signals): rank-threshold arithmetic,
+    // discoveries at or below k* — the many-metrics correction q176's
+    // single test lacks ─────
+    "q315_bh_fdr" -> { (s, dir) =>
+      val u = (Hashing.hash60(concat(col("doc_id").cast("string"),
+        lit(":pv"))) % 1000000000L).cast("double") / 1e9
+      val p = round(u * when(col("doc_id") % 17 === 0, lit(0.001))
+        .otherwise(lit(1.0)), 6)
+      val d = tb(s, dir, "documents").select(col("doc_id"), p.as("p"))
+      Models.bhFdr(d, "doc_id", "p", q = 0.05).orderBy("rank")
+    },
+
+    // ───── File-skipping effectiveness: the same table laid out four
+    // ways (by the filter column, natural, random hash, z-order),
+    // per-file min/max stats vs a pinned range predicate — WHY q58/q161
+    // layouts exist, measured; no global sort (equal-width key buckets
+    // from broadcast min/max) ─────
+    "q316_skipping_eval" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 2048).as("v"),
+          (col("l_orderkey") % 2048).as("y2"))
+      Layout.skippingEval(li,
+          Seq(
+            "bycolumn" -> col("v"),
+            "natural" -> col("l_orderkey"),
+            "random" -> (Hashing.hash60(concat(
+              col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string"))) % 1048576L),
+            "zorder" -> Layout.zValue(col("v"), col("y2"), bits = 11)),
+          value = col("v"), lo = 100L, hi = 199L, nFiles = 64)
+        .orderBy("layout")
     }
   )
 
@@ -7440,6 +7496,12 @@ object SparkEntry {
     "q312_goertzel" -> OraclesExt.goertzelEnergy,
 
     "q313_winnowing" -> OraclesExt.winnowingPairs(5, 4, 50, 3),
+
+    "q314_rbo" -> OraclesExt.rboLists,
+
+    "q315_bh_fdr" -> OraclesExt.bhFdr,
+
+    "q316_skipping_eval" -> OraclesExt.skippingEval,
 
     "q292_robots_filter" -> OraclesExt.robotsFilter,
 

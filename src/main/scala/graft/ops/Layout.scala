@@ -73,4 +73,56 @@ object Layout {
       .repartitionByRange(numParts, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
+
+  /** File-skipping effectiveness report — WHY a table gets laid out by
+    * [[zOrdered]]/[[hilbertOrdered]] in the first place: simulate
+    * writing the table as `nFiles` files under each candidate layout
+    * key (equal-width key-range buckets — integer arithmetic from the
+    * broadcast global min/max, NO global sort window), record per-file
+    * min/max of the predicate column (the parquet row-group stats a
+    * reader prunes on), and score the pinned range predicate
+    * `value BETWEEN lo AND hi`: how many files must be opened, and what
+    * fraction of rows they hold. One row per layout — reading it tells
+    * you which sort key turns the predicate into IO savings.
+    *
+    * Keys must fit `|key| < 2⁴⁰` so the bucket arithmetic
+    * `(key−min)·nFiles` stays in a long — pre-reduce wide keys (hash
+    * layouts take `hash % 2²⁰`). Scale: one pass per layout (hash-agg on
+    * file id), min/max one-row broadcasts; no sort anywhere. */
+  def skippingEval(
+      df: DataFrame,
+      layouts: Seq[(String, Column)],
+      value: Column,
+      lo: Long,
+      hi: Long,
+      nFiles: Int = 64): DataFrame = {
+    require(layouts.nonEmpty, "need at least one layout")
+    require(nFiles >= 1, "nFiles must be >= 1")
+    val reports = layouts.map { case (name, key) =>
+      val base = df.select(key.cast("long").as("_k"),
+        value.cast("long").as("_v"))
+      val bounds = base.agg(min("_k").as("_lo"), max("_k").as("_hi"))
+      val files = base.crossJoin(broadcast(bounds))
+        .withColumn("_file",
+          ((col("_k") - col("_lo")) * nFiles /
+            (col("_hi") - col("_lo") + 1)).cast("long"))
+        .groupBy("_file")
+        .agg(min("_v").as("_vmin"), max("_v").as("_vmax"),
+          count(lit(1)).as("_rows"))
+      val hit = col("_vmax") >= lo && col("_vmin") <= hi
+      files.agg(
+        count(lit(1)).as("n_files"),
+        sum(hit.cast("long")).as("n_hit_files"),
+        sum("_rows").as("rows_total"),
+        sum(when(hit, col("_rows")).otherwise(0L)).as("rows_scanned"))
+        .withColumn("layout", lit(name))
+        .withColumn("file_skip_frac", round(lit(1.0) -
+          col("n_hit_files") / col("n_files"), 6))
+        .withColumn("io_frac",
+          round(col("rows_scanned") / col("rows_total"), 6))
+        .select("layout", "n_files", "n_hit_files", "rows_total",
+          "rows_scanned", "file_skip_frac", "io_frac")
+    }
+    reports.reduce(_.unionByName(_))
+  }
 }

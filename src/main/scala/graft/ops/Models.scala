@@ -1153,4 +1153,82 @@ object Models {
             (lit(12L) * (col("n") * col("n") - col("_sumc2"))), 6)))
       .drop("_a", "_sumc2")
   }
+
+  /** Rank-biased overlap (Webber/Moffat/Zobel 2010), truncated at depth
+    * `k`: `RBO = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d` — the standard
+    * top-weighted similarity between two rankings (here: two ANN
+    * configurations answering the same queries), robust to tail
+    * disagreement in a way plain overlap@k is not. The per-depth weights
+    * `(1−p)·p^{d−1}/d` are PLAN-TIME literals and the weighted sum is a
+    * FIXED-ORDER expression over a conditional-max pivot (never a float
+    * aggregation), so both engines fold the identical doubles in the
+    * identical order.
+    *
+    * Scale: one equi-join on (query, item) + one explode to the ≤ k
+    * contributing depths + a per-query hash-aggregate. Queries sharing
+    * no items still report (rbo 0) via the left join back to the query
+    * set. */
+  def rbo(
+      a: DataFrame, // (qid, cid, rnk)
+      b: DataFrame,
+      k: Int = 10,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1 && k <= 20, "k must be in [1, 20]")
+    require(p > 0 && p < 1, "p must be in (0, 1)")
+    val wts = (1 to k).map(d => d -> ((1 - p) * math.pow(p, d - 1) / d))
+    val j = a.select(col("qid"), col("cid"), col("rnk").as("_ra"))
+      .join(b.select(col("qid"), col("cid"), col("rnk").as("_rb")),
+        Seq("qid", "cid"))
+      .filter(greatest(col("_ra"), col("_rb")) <= k)
+    // a shared item counts toward X_d for every depth d >= max(ra, rb)
+    val xd = j.select(col("qid"),
+        explode(sequence(greatest(col("_ra"), col("_rb")).cast("int"),
+          lit(k))).as("d"))
+      .groupBy("qid", "d").agg(count(lit(1)).as("x"))
+    val piv = xd.groupBy("qid").agg(
+      (1 to k).map(d =>
+        coalesce(max(when(col("d") === d, col("x"))), lit(0L))
+          .as(s"_x$d")).head,
+      (2 to k).map(d =>
+        coalesce(max(when(col("d") === d, col("x"))), lit(0L))
+          .as(s"_x$d")): _*)
+    val rboCol = wts.map { case (d, w) => lit(w) * col(s"_x$d") }
+      .reduce(_ + _)
+    a.select(col("qid")).distinct()
+      .join(piv, Seq("qid"), "left")
+      .na.fill(0L, (1 to k).map(d => s"_x$d"))
+      .withColumn("overlap_k", round(col(s"_x$k") / k, 6))
+      .withColumn("rbo", round(rboCol, 6))
+      .drop((1 to k).map(d => s"_x$d"): _*)
+  }
+
+  /** Benjamini–Hochberg FDR control (1995) over a family of m
+    * hypotheses: rank p-values ascending, find the largest rank with
+    * `p ≤ rank·q/m`, and flag every hypothesis at or below that rank a
+    * discovery. Pure rank arithmetic — the only float is the threshold
+    * `rank·q/m`, computed identically in both engines. Emits every
+    * hypothesis with its rank, BH threshold (6dp), and discovery flag.
+    *
+    * The rank runs in ONE partition by design: this is a REPORT over a
+    * hypothesis family (metrics × segments — thousands, not billions);
+    * partition by family key upstream when testing many families. */
+  def bhFdr(
+      df: DataFrame,
+      idCol: String,
+      pCol: String,
+      q: Double = 0.05): DataFrame = {
+    require(q > 0 && q < 1, "q must be in (0, 1)")
+    val wOrd = Window.orderBy(col(pCol), col(idCol))
+    val wAll = Window.partitionBy()
+    df.select(col(idCol), col(pCol))
+      .withColumn("rank", row_number().over(wOrd).cast("long"))
+      .withColumn("_m", count(lit(1)).over(wAll))
+      .withColumn("threshold", round(col("rank") * q / col("_m"), 6))
+      .withColumn("_pass", col(pCol) <= col("rank") * q / col("_m"))
+      .withColumn("_kstar",
+        max(when(col("_pass"), col("rank"))).over(wAll))
+      .withColumn("discovery",
+        (col("rank") <= coalesce(col("_kstar"), lit(0L))).cast("int"))
+      .drop("_m", "_pass", "_kstar")
+  }
 }

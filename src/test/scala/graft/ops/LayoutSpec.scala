@@ -106,4 +106,21 @@ class LayoutSpec extends SparkSpec {
     // freq: a=4, b=5, c=1, d=1, e=1 -> top4 = b(5), a(4), c(1), d(1)
     assert(got == Seq(("b", 5L, 0), ("a", 4L, 1), ("c", 1L, 2), ("d", 1L, 3)))
   }
+
+  test("skippingEval: sorting by the filter column concentrates the hits") {
+    val df = (0L until 100L).map(i => (i, (i * 37) % 100))
+      .toDF("id", "v")
+    val got = Layout.skippingEval(df,
+        Seq("byv" -> col("v"), "natural" -> col("id")),
+        value = col("v"), lo = 0L, hi = 9L, nFiles = 10)
+      .orderBy("layout").collect()
+    val byv = got(0)
+    assert(byv.getString(0) == "byv")
+    assert(byv.getLong(1) == 10L && byv.getLong(2) == 1L)
+    assert(byv.getDouble(5) == 0.9 && byv.getDouble(6) == 0.1)
+    val nat = got(1)
+    // an uncorrelated layout opens (far) more files for the same rows
+    assert(nat.getLong(2) > 1L && nat.getDouble(5) < 0.9)
+    assert(nat.getLong(3) == 100L)
+  }
 }

@@ -308,4 +308,30 @@ class ModelsSpec extends SparkSpec {
     val d = Models.krippendorffAlpha(same, "grp", "item", "label").head()
     assert(d.isNullAt(d.fieldIndex("alpha")))
   }
+
+  test("rbo: identical lists give 1-p^k, disjoint give 0") {
+    val a = (1 to 10).map(r => (1L, r.toLong + 100, r))
+      .toDF("qid", "cid", "rnk")
+    val r = Models.rbo(a, a, k = 10, p = 0.9).head()
+    // truncated RBO of identical lists: (1-p)·Σ p^(d-1) = 1 - p^10
+    assert(math.abs(r.getAs[Double]("rbo") - (1 - math.pow(0.9, 10))) < 1e-6)
+    assert(r.getAs[Double]("overlap_k") == 1.0)
+    val b = (1 to 10).map(r => (1L, r.toLong + 500, r))
+      .toDF("qid", "cid", "rnk")
+    val z = Models.rbo(a, b, k = 10, p = 0.9).head()
+    assert(z.getAs[Double]("rbo") == 0.0 && z.getAs[Double]("overlap_k") == 0.0)
+  }
+
+  test("bhFdr: step-up rescues low ranks that fail individually") {
+    // r1 fails its own threshold (.02 > .0125) but r3 passes (.03 <=
+    // .0375), so k* = 3 sweeps r1 and r2 in — the BH signature
+    val df = Seq((1L, 0.02), (2L, 0.024), (3L, 0.03), (4L, 0.9))
+      .toDF("id", "p")
+    val got = Models.bhFdr(df, "id", "p", q = 0.05).orderBy("rank").collect()
+    assert(got.map(_.getAs[Int]("discovery")).toSeq == Seq(1, 1, 1, 0))
+    // nothing passes → no discoveries (kstar null path)
+    val none = Seq((1L, 0.5), (2L, 0.8)).toDF("id", "p")
+    val g2 = Models.bhFdr(none, "id", "p", q = 0.05).collect()
+    assert(g2.forall(_.getAs[Int]("discovery") == 0))
+  }
 }
