@@ -2689,6 +2689,89 @@ object OraclesExt {
       " ORDER BY layout"
   }
 
+  /** q317: Similarity.kCenterGreedy mirror — the k−1 greedy rounds
+    * unrolled as chained CTEs, each with the argmax as an
+    * ORDER BY d DESC, cid LIMIT 1 scalar and the same per-round
+    * least/round(…, 6) update. */
+  def kCenterGreedy(k: Int): String = {
+    val steps = (2 to k).map { i =>
+      val prev = if (i == 2) "d1" else s"d${i - 1}"
+      s"s$i AS (SELECT cid AS id, d FROM $prev ORDER BY d DESC, cid LIMIT 1), " +
+        (if (i < k)
+          s"d$i AS (SELECT cid, cv, least(d, round(1.0::DOUBLE - " +
+            s"list_dot_product(cv, (SELECT cv FROM nrm WHERE cid = " +
+            s"(SELECT id FROM s$i))), 6)) AS d FROM $prev), "
+        else "")
+    }.mkString
+    val rows = (s"SELECT 1 AS rank, (SELECT id FROM s1) AS cid, " +
+      "2.0::DOUBLE AS dist") +:
+      (2 to k).map(i =>
+        s"SELECT $i, (SELECT id FROM s$i), (SELECT d FROM s$i)")
+    s"WITH $embCte, " +
+      "nrm AS (SELECT vec_id AS cid, [x / sqrt(list_dot_product(v, v)) " +
+      "for x in v] AS cv FROM e), " +
+      "s1 AS (SELECT min(cid) AS id FROM nrm), " +
+      "d1 AS (SELECT cid, cv, least(2.0::DOUBLE, round(1.0::DOUBLE - " +
+      "list_dot_product(cv, (SELECT cv FROM nrm WHERE cid = " +
+      "(SELECT id FROM s1))), 6)) AS d FROM nrm), " +
+      steps +
+      s"sel AS (${rows.mkString(" UNION ALL ")}) " +
+      "SELECT rank, cid, dist FROM sel ORDER BY rank"
+  }
+
+  /** q318: Similarity.pqDistortion mirror over the pinned q221 books —
+    * same literal entries, same −0.0 guard, same tie rule for codes. */
+  val pqDistortion: String = {
+    val books = graft.fixtures.PinnedIndex.pqBooksV1
+    val m = books.length
+    val dsub = books.head.head.length
+    val ksub = books.head.length
+    def sub(s: Int) = s"cv[${s * dsub + 1}:${(s + 1) * dsub}]"
+    def scoresSql(s: Int): String = books(s).map { c =>
+      val lits = c.mkString("[", ", ", "]")
+      val cn2 = c.map(x => x * x).sum
+      s"list_dot_product(${sub(s)}, $lits) * -2.0 + $cn2"
+    }.mkString("[", ", ", "]")
+    val structs = (0 until m).map { s =>
+      s"{'s': $s, 'err': round(list_dot_product(${sub(s)}, ${sub(s)}) + " +
+        s"list_min(${scoresSql(s)}), 6) + 0.0, " +
+        s"'code': list_position(${scoresSql(s)}, list_min(${scoresSql(s)})) - 1}"
+    }.mkString("[", ", ", "]")
+    s"WITH $embCte, " +
+      "nrm AS (SELECT vec_id AS cid, [x / sqrt(list_dot_product(v, v)) " +
+      "for x in v] AS cv FROM e), " +
+      s"u AS (SELECT unnest($structs) AS x FROM nrm), " +
+      "g AS (SELECT x['s'] AS s, x['err'] AS err, x['code'] AS code FROM u) " +
+      "SELECT s, count(*)::BIGINT AS n_vectors, " +
+      "round(sum(err) / count(*), 6) AS mse, " +
+      "count(DISTINCT code)::BIGINT AS codes_used, " +
+      s"round(count(DISTINCT code)::DOUBLE / $ksub.0::DOUBLE, 6) AS code_util " +
+      "FROM g GROUP BY s ORDER BY s"
+  }
+
+  /** q319: Models.temperatureScaling mirror — integer label synthesis
+    * (no libm in the threshold), same σ/NLL/rounding chain per grid T. */
+  val temperatureScaling: String = {
+    val zH = h60("doc_id::VARCHAR || ':z'")
+    val yH = h60("doc_id::VARCHAR || ':y'")
+    val grid = Seq(0.25, 0.33, 0.5, 0.75, 1.0, 1.5, 2.0, 4.0)
+      .map(t => s"$t::DOUBLE").mkString("[", ", ", "]")
+    val p = "(1.0::DOUBLE / (1.0::DOUBLE + exp(0.0::DOUBLE - (z / t))))"
+    s"WITH d AS (SELECT doc_id, ($zH % 2001 - 1000) AS zi, " +
+      s"$yH % 1000000 AS hy FROM documents), " +
+      "b AS (SELECT doc_id, zi::DOUBLE / 1000.0::DOUBLE AS z, " +
+      "(hy < 500000 + 450 * zi)::INT AS y FROM d), " +
+      s"g AS (SELECT unnest($grid) AS t), " +
+      s"r AS (SELECT t, round(0.0::DOUBLE - (y * ln($p) + " +
+      s"(1 - y) * ln(1.0::DOUBLE - $p)), 6) AS nll FROM b CROSS JOIN g), " +
+      "pt AS (SELECT t, count(*)::BIGINT AS n, " +
+      "round(sum(nll) / count(*), 6) AS mean_nll FROM r GROUP BY 1), " +
+      "bst AS (SELECT t AS bt, mean_nll AS bm FROM pt " +
+      "ORDER BY mean_nll, t LIMIT 1) " +
+      "SELECT t, n, mean_nll, (mean_nll = bm AND t = bt)::INT AS is_best " +
+      "FROM pt CROSS JOIN bst ORDER BY t"
+  }
+
   /** q280: Url.domainCap mirror — hash-rank row_number per registered
     * domain, keep rnk ≤ cap. */
   def urlDomainCap(cap: Int): String =

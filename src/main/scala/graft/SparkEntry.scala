@@ -4683,6 +4683,44 @@ object SparkEntry {
             "zorder" -> Layout.zValue(col("v"), col("y2"), bits = 11)),
           value = col("v"), lo = 100L, hi = 199L, nFiles = 64)
         .orderBy("layout")
+    },
+
+    // ───── k-center greedy coreset (Gonzalez 1985 / Sener 2018): the
+    // maximally-diverse k-subset, one narrow map + 1-row struct-max per
+    // round, bounded driver collects (the index-trainer posture); dist
+    // column = the coverage-radius curve ─────
+    "q317_kcenter" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.kCenterGreedy(
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          k = 8)
+        .orderBy("rank")
+    },
+
+    // ───── PQ reconstruction-distortion per subspace against the q221
+    // pinned codebooks: nearest-entry error (−0.0 guarded) + code
+    // utilization — the index-quality dashboard beside q221 serving and
+    // q114 recall ─────
+    "q318_pq_distortion" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.pqDistortion(
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          graft.fixtures.PinnedIndex.pqBooksV1)
+        .orderBy("s")
+    },
+
+    // ───── Temperature-scaling grid search (Guo 2017): σ(z/T) NLL over
+    // a pinned grid, integer-synthesized labels (no libm in the truth
+    // channel), smallest-T argmin tie-break ─────
+    "q319_temp_scaling" -> { (s, dir) =>
+      val zi = (Hashing.hash60(concat(col("doc_id").cast("string"),
+        lit(":z"))) % 2001 - 1000)
+      val hy = Hashing.hash60(concat(col("doc_id").cast("string"),
+        lit(":y"))) % 1000000
+      val d = tb(s, dir, "documents").select(col("doc_id"),
+        (zi.cast("double") / 1000.0).as("z"),
+        (hy < lit(500000) + lit(450) * zi).cast("int").as("y"))
+      Models.temperatureScaling(d, "doc_id", "z", "y").orderBy("t")
     }
   )
 
@@ -7502,6 +7540,12 @@ object SparkEntry {
     "q315_bh_fdr" -> OraclesExt.bhFdr,
 
     "q316_skipping_eval" -> OraclesExt.skippingEval,
+
+    "q317_kcenter" -> OraclesExt.kCenterGreedy(8),
+
+    "q318_pq_distortion" -> OraclesExt.pqDistortion,
+
+    "q319_temp_scaling" -> OraclesExt.temperatureScaling,
 
     "q292_robots_filter" -> OraclesExt.robotsFilter,
 

@@ -1231,4 +1231,44 @@ object Models {
         (col("rank") <= coalesce(col("_kstar"), lit(0L))).cast("int"))
       .drop("_m", "_pass", "_kstar")
   }
+
+  /** Temperature-scaling calibration (Guo et al. 2017) by grid search:
+    * for each pinned temperature `T`, mean NLL of `σ(z/T)` against the
+    * binary labels (per-row NLL 6dp-rounded before the mean, the house
+    * float-parity posture); the best row minimizes mean NLL with a
+    * smallest-T tie-break. The one-parameter post-hoc calibrator every
+    * LLM eval stack runs before trusting its confidence numbers —
+    * complements the DIAGNOSTIC calibration reports (q177/q196), which
+    * measure miscalibration but don't fix it.
+    *
+    * Scale: grid × corpus is a broadcast cross join (|grid| rows), one
+    * hash-aggregate per temperature; output is |grid| rows. */
+  def temperatureScaling(
+      df: DataFrame,
+      idCol: String,
+      logitCol: String,
+      labelCol: String,
+      grid: Seq[Double] = Seq(0.25, 0.33, 0.5, 0.75, 1.0, 1.5, 2.0, 4.0)): DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ > 0), "grid must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = grid.toDF("t")
+    val p = sigmoid(col(logitCol) / col("t"))
+    val nll = round(lit(0.0) -
+      (col(labelCol) * log(p) + (lit(1) - col(labelCol)) * log(lit(1.0) - p)),
+      6)
+    val perT = df.select(col(idCol), col(logitCol), col(labelCol))
+      .crossJoin(broadcast(g))
+      .select(col("t"), nll.as("_nll"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"),
+        round(sum("_nll") / count(lit(1)), 6).as("mean_nll"))
+    val wAll = Window.partitionBy()
+    perT
+      .withColumn("_best", min(struct(col("mean_nll"), col("t"))).over(wAll))
+      .withColumn("is_best",
+        (col("mean_nll") === col("_best.mean_nll") &&
+          col("t") === col("_best.t")).cast("int"))
+      .drop("_best")
+  }
 }

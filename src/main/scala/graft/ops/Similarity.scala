@@ -871,6 +871,88 @@ object Similarity {
       .filter(col("margin") >= minMargin)
   }
 
+  /** k-center greedy coreset selection (Gonzalez 1985; Sener & Savarese
+    * 2018's active-learning/data-selection workhorse): start from the
+    * minimum id, then `k−1` times pick the vector FARTHEST (cosine
+    * distance, 6dp) from everything selected so far — the 2-approximation
+    * of the k-center cover, and the "maximally diverse subset" selector a
+    * curation stack uses to seed labeling or distill a corpus. Emits the
+    * selection order with each pick's covering distance (the seed carries
+    * the sentinel 2.0, the cosine-distance upper bound) — the decreasing
+    * dist column IS the coverage-radius curve.
+    *
+    * Scale shape: each round is one narrow map (dot against the
+    * broadcast last-picked vector, `least` with the running distance,
+    * localCheckpoint to keep lineage flat) + a 1-row struct-max
+    * aggregate; k driver-side single-row collects total — the bounded
+    * plan-time materialization posture of the index trainers
+    * (q220/q221), never a data-sized collect. */
+  def kCenterGreedy(corpus: DataFrame /* (cid, cvec) */, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, "k must be in [1, 64]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nrm = normalized(corpus, "cvec").localCheckpoint()
+    var prevId = nrm.agg(min(col("cid"))).head().getLong(0)
+    var prevVec = nrm.filter(col("cid") === prevId)
+      .select("cvec").head().getSeq[Double](0)
+    var selected = Vector((prevId, 2.0))
+    var cur = nrm.withColumn("_d", lit(2.0))
+    var i = 1
+    while (i < k) {
+      val pv = array(prevVec.map(lit): _*)
+      cur = cur.withColumn("_d",
+        least(col("_d"), round(lit(1.0) - dot(col("cvec"), pv), 6)))
+        .localCheckpoint()
+      val m = cur.agg(max(struct(col("_d").as("d"), (-col("cid")).as("nc"))))
+        .head().getStruct(0)
+      val nid = -m.getLong(1)
+      selected :+= ((nid, m.getDouble(0)))
+      prevVec = cur.filter(col("cid") === nid)
+        .select("cvec").head().getSeq[Double](0)
+      prevId = nid
+      i += 1
+    }
+    selected.zipWithIndex
+      .map { case ((id, d), r) => (r + 1, id, d) }
+      .toDF("rank", "cid", "dist")
+  }
+
+  /** Per-subspace PQ reconstruction-distortion report for an explicit
+    * codebook (the q221 pinned index): every corpus vector's subvector
+    * error to its NEAREST codebook entry
+    * (`‖sub‖² + min_j(−2·sub·c_j + ‖c_j‖²)`, 6dp, −0.0 guarded), plus
+    * code utilization — the index-quality dashboard that says WHICH
+    * subspace's codebook is stale before recall degrades. One codegen'd
+    * projection (explode of m plan-time structs) + a per-subspace
+    * hash-aggregate; output is m rows. */
+  def pqDistortion(
+      corpus: DataFrame /* (cid, cvec) */,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books.head.head.length
+    val ksub = books.head.length
+    val nrm = normalized(corpus, "cvec")
+    def scores(s: Int): Column = array(books(s).map { c =>
+      dot(slice(col("cvec"), s * dsub + 1, dsub), array(c.map(lit): _*)) *
+        -2.0 + c.map(x => x * x).sum
+    }: _*)
+    val perS = (0 until m).map { s =>
+      val sub = slice(col("cvec"), s * dsub + 1, dsub)
+      struct(lit(s).as("s"),
+        (round(dot(sub, sub) + array_min(scores(s)), 6) + lit(0.0)).as("err"),
+        pqAssign(col("cvec"), s, dsub, books(s)).as("code"))
+    }
+    nrm.select(explode(array(perS: _*)).as("x"))
+      .select(col("x.s").as("s"), col("x.err").as("err"),
+        col("x.code").as("code"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum("err") / count(lit(1)), 6).as("mse"),
+        countDistinct(col("code")).as("codes_used"))
+      .withColumn("code_util",
+        round(col("codes_used") / lit(ksub.toDouble), 6))
+  }
+
   /** Embedding-space benchmark decontamination: flag every corpus vector
     * whose best cosine against the benchmark set reaches `tau` — the
     * semantic complement of the exact/Bloom n-gram gates (q59/q146) and

@@ -334,4 +334,24 @@ class ModelsSpec extends SparkSpec {
     val g2 = Models.bhFdr(none, "id", "p", q = 0.05).collect()
     assert(g2.forall(_.getAs[Int]("discovery") == 0))
   }
+
+  test("temperatureScaling: overconfident logits want T max, calibrated T min") {
+    // half the confident predictions are wrong → flattening (large T) wins
+    val over = (1 to 20).map { i =>
+      val z = if (i % 2 == 0) 4.0 else -4.0
+      val y = if (i % 4 < 2) 1 else 0 // uncorrelated with z
+      (i.toLong, z, y)
+    }.toDF("id", "z", "y")
+    val g1 = Models.temperatureScaling(over, "id", "z", "y")
+      .filter(col("is_best") === 1).head()
+    assert(g1.getAs[Double]("t") == 4.0)
+    // perfectly separated labels → sharpening (smallest T) wins
+    val sep = (1 to 20).map { i =>
+      val z = if (i % 2 == 0) 4.0 else -4.0
+      (i.toLong, z, if (z > 0) 1 else 0)
+    }.toDF("id", "z", "y")
+    val g2t = Models.temperatureScaling(sep, "id", "z", "y")
+      .filter(col("is_best") === 1).head()
+    assert(g2t.getAs[Double]("t") == 0.25)
+  }
 }

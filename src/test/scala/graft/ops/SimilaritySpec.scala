@@ -456,4 +456,35 @@ class SimilaritySpec extends SparkSpec {
     val t = Similarity.embeddingDecontam(tie, benches, tau = 0.99).head()
     assert(t.getAs[Long]("bench_id") == 29L)
   }
+
+  test("kCenterGreedy: picks the farthest point each round, seed = min id") {
+    def v(xs: Float*) = xs.toArray
+    val corpus = Seq(
+      (1L, v(1f, 0f)), (2L, v(1f, 0.01f)), (3L, v(0f, 1f)), (4L, v(-1f, 0f))
+    ).toDF("cid", "cvec")
+    val got = Similarity.kCenterGreedy(corpus, k = 3).orderBy("rank")
+      .collect()
+    // seed 1 (sentinel 2.0) → antipode 4 (dist 2.0) → orthogonal 3 (1.0);
+    // the near-duplicate 2 is never picked
+    assert(got.map(_.getAs[Long]("cid")).toSeq == Seq(1L, 4L, 3L))
+    assert(got.map(_.getAs[Double]("dist")).toSeq == Seq(2.0, 2.0, 1.0))
+  }
+
+  test("pqDistortion: m rows, non-negative errors, sane utilization") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = graft.ops.Sources.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val books = graft.fixtures.PinnedIndex.pqBooksV1
+    val got = Similarity.pqDistortion(e, books).orderBy("s").collect()
+    assert(got.length == books.length)
+    got.foreach { r =>
+      assert(r.getAs[Double]("mse") >= 0.0)
+      assert(r.getAs[Long]("codes_used") >= 1L &&
+        r.getAs[Long]("codes_used") <= books.head.length)
+      val u = r.getAs[Double]("code_util")
+      assert(u > 0.0 && u <= 1.0)
+      assert(r.getAs[Long]("n_vectors") == 500L)
+    }
+  }
 }
