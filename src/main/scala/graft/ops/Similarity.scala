@@ -35,6 +35,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** 6dp cosine from a precomputed dot and the two norms, with the ANSI
+    * zero-denominator guard (a zero vector scores 0 against everything
+    * instead of raising DIVIDE_BY_ZERO) — degenerate inputs never occur
+    * in the registered corpora, so the oracles' unguarded division stays
+    * bit-identical there. */
+  private def cosSafe(dotQC: Column, na: Column, nb: Column): Column =
+    when(na * nb > 0, round(dotQC / (na * nb), 6)).otherwise(0.0)
+
   /** Exact brute-force cosine top-k: every query scores every corpus row,
     * rank by (cosine desc, id asc). The query side is broadcast (queries
     * ≪ corpus), so the corpus never shuffles — one scan + per-partition
@@ -50,7 +58,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6).as("cos"))
+        cosSafe(dot(col("qvec"), col("cvec")), col("qn"), col("cn")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select("qid", "rnk", "cid", "cos")
@@ -69,7 +77,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6).as("cos"))
+        cosSafe(dot(col("qvec"), col("cvec")), col("qn"), col("cn")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select("qid", "rnk", "cid", "cos")
@@ -640,9 +648,16 @@ object Similarity {
     }.reduce(_ unionByName _)
     val hits = size(array_intersect(col("_gt"),
       coalesce(col("_got"), array().cast("array<long>"))))
+    // recall denominator = |ground-truth set|, not k: identical whenever
+    // the corpus holds ≥ k candidates (every registered domain — the
+    // oracle's /k is unchanged there), and correct when it doesn't (a
+    // 1-vector corpus has recall 1, not 1/k — caught by a shrunken
+    // ScalaCheck case that shortened the corpus below the generator's
+    // intended minimum)
     gt.join(arms, Seq("qid"), "left")
       .select(col("dim"), col("qid"), hits.cast("long").as("n_hit"),
-        round(hits / k.toDouble, 6).as("recall"))
+        round(hits / greatest(size(col("_gt")), lit(1)).cast("double"), 6)
+          .as("recall"))
   }
 
   /** Top-principal-component projection — the embedding-decorrelation op
@@ -977,7 +992,7 @@ object Similarity {
     val c = corpus.withColumn("cn", l2norm(col("cvec")))
     c.crossJoin(broadcast(b))
       .select(col("cid"),
-        round(dot(col("cvec"), col("bvec")) / (col("cn") * col("bn")), 6)
+        cosSafe(dot(col("cvec"), col("bvec")), col("cn"), col("bn"))
           .as("cos"),
         col("bid"))
       .groupBy("cid")

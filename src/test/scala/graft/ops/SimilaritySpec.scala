@@ -357,6 +357,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2) < 1.0, got.toString)
   }
 
+  test("matryoshkaRecall: a corpus smaller than k still scores full recall 1") {
+    import spark.implicits._
+    // the shrunken-ScalaCheck regression: 1 candidate, k = 2 — recall
+    // divides by |ground truth|, so the full-width arm is 1.0, not 1/k
+    val corpus = Seq((0L, Array(1f, 2f, 3f))).toDF("cid", "cvec")
+    val queries = Seq((1000L, Array(1f, 2f, 3f))).toDF("qid", "qvec")
+    val got = Similarity
+      .matryoshkaRecall(queries, corpus, k = 2, dims = Seq(2, 3))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(got(3) == 1.0 && got(2) == 1.0)
+  }
+
   test("pcaProject: recovers the dominant axis on axis-aligned data") {
     import spark.implicits._
     // zero-mean, exactly diagonal covariance: C = diag(10/3, 1/300);
