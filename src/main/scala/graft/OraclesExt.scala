@@ -2378,7 +2378,18 @@ object OraclesExt {
     * generated CTE chain, and every DP value is an integer, so the two
     * engines cannot drift. One CTE pair per forward position (candidate
     * costs, then best/argmin/count), one CTE per backward step. */
-  val unigramViterbi: String = {
+  val unigramViterbi: String =
+    unigramDpSql(
+      s"WITH $tokCte, " +
+        "wx AS (SELECT unnest(toks) AS word FROM tok), " +
+        "wd AS (SELECT word, count(*)::BIGINT AS n_occ FROM wx GROUP BY 1), ",
+      "SELECT word, n_occ, l::BIGINT AS len, cost, n_pieces, " +
+        "seg10 AS seg FROM t10 ORDER BY word")
+
+  /** The q306/q320 shared DP-chain generator: `lead` must end with the
+    * `wd` CTE (any extra columns ride through every chain stage via
+    * SELECT *), `tail` reads the final `t10` table. */
+  private def unigramDpSql(lead: String, tail: String): String = {
     val maxLen = 10
     val maxPiece = 3
     val unk = graft.ops.Unigram.unkCostPerChar
@@ -2422,10 +2433,8 @@ object OraclesExt {
         s"CASE WHEN pos${j - 1} > 0 THEN pos${j - 1} - ($kAt) ELSE 0 END " +
         s"AS pos$j FROM ${if (j == 1) "sel" else s"t${j - 1}"})"
     }.mkString(", ")
-    s"WITH $tokCte, " +
-      "wx AS (SELECT unnest(toks) AS word FROM tok), " +
-      "wd AS (SELECT word, count(*)::BIGINT AS n_occ FROM wx GROUP BY 1), " +
-      s"s0 AS (SELECT word, n_occ, substr(word, 1, $maxLen) AS w, " +
+    lead +
+      s"s0 AS (SELECT *, substr(word, 1, $maxLen) AS w, " +
       s"len(substr(word, 1, $maxLen)) AS l, 0::BIGINT AS b0, 0::BIGINT AS p0 " +
       "FROM wd), " +
       s"$fwd, " +
@@ -2433,9 +2442,25 @@ object OraclesExt {
       s"(${byLen("p")})::BIGINT AS n_pieces, l AS pos0, '' AS seg0 " +
       s"FROM g$maxLen), " +
       s"$bwd " +
-      s"SELECT word, n_occ, l::BIGINT AS len, cost, n_pieces, " +
-      s"seg$maxLen AS seg FROM t$maxLen ORDER BY word"
+      tail
   }
+
+  /** q320: per-lang unigram tokenizer fertility through the SAME DP
+    * chain — (lang, word, n_occ) ride the chain's SELECT *s, integer
+    * occurrence-weighted sums, two double divisions at the end. */
+  val unigramFertility: String =
+    unigramDpSql(
+      "WITH tok AS (SELECT doc_id, lang, " +
+        "regexp_extract_all(lower(text), '\\w+') AS toks FROM documents), " +
+        "wx AS (SELECT lang, unnest(toks) AS word FROM tok), " +
+        "wd AS (SELECT lang, word, count(*)::BIGINT AS n_occ " +
+        "FROM wx GROUP BY 1, 2), ",
+      "SELECT lang, sum(n_occ)::BIGINT AS total_words, " +
+        "sum(n_occ * n_pieces)::BIGINT AS total_pieces, " +
+        "sum(n_occ * l)::BIGINT AS total_chars, " +
+        "round(sum(n_occ * n_pieces)::DOUBLE / sum(n_occ), 6) AS fertility, " +
+        "round(sum(n_occ * cost)::DOUBLE / sum(n_occ * l), 6) AS " +
+        "cost_per_char FROM t10 GROUP BY lang ORDER BY lang")
 
   /** q307: streaming DP release ≡ batch — per-(event_type, day) counts
     * through the q301 seeded-Laplace formula. */

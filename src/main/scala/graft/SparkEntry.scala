@@ -4721,6 +4721,22 @@ object SparkEntry {
         (zi.cast("double") / 1000.0).as("z"),
         (hy < lit(500000) + lit(450) * zi).cast("int").as("y"))
       Models.temperatureScaling(d, "doc_id", "z", "y").orderBy("t")
+    },
+
+    // ───── Per-lang unigram tokenizer fertility: the q306 DP over the
+    // distinct (lang, word) table, occurrence-weighted piece/cost sums —
+    // q235's BPE fertility re-measured for the unigram family ─────
+    "q320_unigram_fertility" -> { (s, dir) =>
+      Unigram.fertility(tb(s, dir, "documents"), "lang", "text")
+        .orderBy("lang")
+    },
+
+    // ───── GIF resize round trip THROUGH the real codec: decode → ½×
+    // nearest-neighbor → RE-ENCODE (LZW) → decode; proves the
+    // executor-side GIF encode path on derived pixels (q247's LZW
+    // twin) ─────
+    "q321_gif_resize" -> { (s, dir) =>
+      Multimodal.gifResizeFeatures(s, dir).orderBy("doc_id")
     }
   )
 
@@ -7546,6 +7562,18 @@ object SparkEntry {
     "q318_pq_distortion" -> OraclesExt.pqDistortion,
 
     "q319_temp_scaling" -> OraclesExt.temperatureScaling,
+
+    "q320_unigram_fertility" -> OraclesExt.unigramFertility,
+
+    // half-scale pixel (x,y) samples source 2y*w + 2x of the GIF formula
+    "q321_gif_resize" ->
+      ("WITH d AS (SELECT doc_id, 8 + (doc_id % 10) AS w, 8 + (doc_id % 8) AS h FROM documents), " +
+        "r AS (SELECT doc_id, w, (w+1)//2 AS w2, (h+1)//2 AS h2 FROM d), " +
+        "p AS (SELECT doc_id, w2::INT AS width, h2::INT AS height, (w2*h2)::INT AS n_pix, " +
+        "list_sum(list_transform(range(w2*h2), j -> " +
+        "(doc_id*7 + (2*(j//w2)*w + 2*(j%w2))*13) % 256))::BIGINT AS px_sum FROM r) " +
+        "SELECT doc_id, width, height, n_pix, px_sum, " +
+        "px_sum::DOUBLE / n_pix AS px_mean FROM p ORDER BY doc_id"),
 
     "q292_robots_filter" -> OraclesExt.robotsFilter,
 

@@ -811,25 +811,46 @@ object Multimodal {
   // `id` is (id·7 + i·13) mod 256 over w = 8 + id mod 10, h = 8 + id
   // mod 8, so oracles recompute features from the formula.
 
+  /** Write a GIF with interlacing EXPLICITLY DISABLED. The plain
+    * `ImageIO.write(img, "gif", …)` path interlaces small images (height
+    * 4 came back row-scrambled through the JDK's own reader — measured,
+    * not hypothetical), so every GIF written here pins progressive mode
+    * off via the writer param. */
+  private def writeGif(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(it.hasNext, "JDK GIF writer unavailable")
+    val w = it.next()
+    val p = w.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { ios.close(); w.dispose() }
+    bos.toByteArray
+  }
+
+  private def grayIndexedImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+  }
+
   /** Encode a real indexed-palette GIF for image `id` (LZW compression,
-    * identity 256-gray palette). */
+    * identity 256-gray palette, non-interlaced). */
   def encodeGif(id: Long): Array[Byte] = {
     val w = 8 + (id % 10).toInt
     val h = 8 + (id % 8).toInt
-    val grays = Array.tabulate(256)(_.toByte)
-    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val img = grayIndexedImage(w, h)
     val raster = img.getRaster
     var i = 0
     while (i < w * h) {
       raster.setSample(i % w, i / w, 0, ((id * 7 + i * 13) % 256).toInt)
       i += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    val ok = javax.imageio.ImageIO.write(img, "gif", bos)
-    require(ok, "JDK GIF writer unavailable")
-    bos.toByteArray
+    writeGif(img)
   }
 
   /** Decode a GIF for real (ImageIO: LZW decompress + palette resolve) →
@@ -895,6 +916,45 @@ object Multimodal {
         (id, raw.length, e(0), e(1), e(2))
       })
       .toDF("doc_id", "n", "e8", "e16", "e32")
+  }
+
+  /** Nearest-neighbor ½× GIF downscale THROUGH the real codec: decode
+    * (LZW + palette), keep every second pixel in both axes, RE-ENCODE as
+    * an actual GIF — [[resizePngHalf]]'s LZW twin, proving the
+    * executor-side GIF ENCODE path on derived pixels. */
+  def resizeGifHalf(b: Array[Byte]): Array[Byte] = {
+    val (w, h, px) = decodeGif(b)
+    val w2 = (w + 1) / 2
+    val h2 = (h + 1) / 2
+    val img = grayIndexedImage(w2, h2)
+    val raster = img.getRaster
+    var j = 0
+    while (j < w2 * h2) {
+      val y = j / w2; val x = j % w2
+      raster.setSample(x, y, 0, px(2 * y * w + 2 * x))
+      j += 1
+    }
+    writeGif(img)
+  }
+
+  /** Decode features AFTER a real GIF resize round trip: encode → decode
+    * → half-scale → re-encode → decode again, all inside the partition
+    * boundary — [[pngResizeFeatures]]'s LZW twin. */
+  def gifResizeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val (w, h, px) = decodeGif(resizeGifHalf(encodeGif(id)))
+          var s = 0L
+          var i = 0
+          while (i < px.length) { s += px(i); i += 1 }
+          (id, w, h, px.length, s, s.toDouble / px.length)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pix", "px_sum", "px_mean")
   }
 
   /** Real GIF decode features through the per-partition boundary — the

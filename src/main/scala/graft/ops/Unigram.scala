@@ -52,4 +52,35 @@ object Unigram {
         col("_r.n_pieces").as("n_pieces"),
         col("_r.seg").as("seg")): _*)
   }
+
+  /** Per-group tokenizer fertility under the pinned unigram vocab: the
+    * occurrence-weighted pieces-per-word ratio (THE tokenizer-efficiency
+    * number per language/source — q235's BPE fertility, re-measured for
+    * the unigram family) plus the cost-per-char average. Segments each
+    * DISTINCT (group, word) once, then integer occurrence-weighted sums
+    * with two double divisions at the end — the corpus pays one
+    * tokenize + one (group, word) hash-aggregate, the DP only the
+    * vocabulary. */
+  def fertility(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      maxLen: Int = 10,
+      maxPiece: Int = 3): DataFrame = {
+    val w = df.select(col(groupCol),
+        explode(TextAnalysis.words(col(textCol))).as("word"))
+      .groupBy(col(groupCol), col("word"))
+      .agg(count(lit(1)).as("n_occ"))
+    segment(w, maxLen, maxPiece)
+      .groupBy(col(groupCol))
+      .agg(sum("n_occ").as("total_words"),
+        sum(col("n_occ") * col("n_pieces")).as("total_pieces"),
+        sum(col("n_occ") * col("len")).as("total_chars"),
+        sum(col("n_occ") * col("cost")).as("_total_cost"))
+      .withColumn("fertility",
+        round(col("total_pieces") / col("total_words"), 6))
+      .withColumn("cost_per_char",
+        round(col("_total_cost") / col("total_chars"), 6))
+      .drop("_total_cost")
+  }
 }

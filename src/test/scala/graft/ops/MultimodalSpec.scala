@@ -261,6 +261,19 @@ class MultimodalSpec extends SparkSpec {
       .forall(p => Multimodal.goertzelPower(silent, p._2) == 0.0))
   }
 
+  test("GIF resize round trip: re-encoded half-scale pixels are exact") {
+    for (id <- Seq(0L, 7L, 42L)) {
+      val (w2, h2, px) = Multimodal.decodeGif(
+        Multimodal.resizeGifHalf(Multimodal.encodeGif(id)))
+      val w = 8 + (id % 10).toInt
+      assert(w2 == (w + 1) / 2 && h2 == (8 + (id % 8).toInt + 1) / 2)
+      px.zipWithIndex.foreach { case (v, j) =>
+        val src = 2 * (j / w2) * w + 2 * (j % w2)
+        assert(v == ((id * 7 + src * 13) % 256).toInt, s"id=$id j=$j")
+      }
+    }
+  }
+
   test("gifFeatures: distributed decode matches driver-side formula stats") {
     val got = Multimodal.gifFeatures(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 5).orderBy("doc_id").collect()

@@ -40,4 +40,15 @@ class UnigramSpec extends SparkSpec {
     val segCost = r.getAs[String]("seg").split('|').map(cost).sum
     assert(segCost == r.getAs[Long]("cost"))
   }
+
+  test("fertility: occurrence-weighted pieces and cost per group") {
+    // "the"×2 (1 piece, 2500) + "cat"×1 (c|at, 2 pieces, 6200)
+    val df = Seq(("en", "the the cat")).toDF("lang", "text")
+    val r = Unigram.fertility(df, "lang", "text").head()
+    assert(r.getAs[Long]("total_words") == 3L)
+    assert(r.getAs[Long]("total_pieces") == 4L)
+    assert(r.getAs[Long]("total_chars") == 9L)
+    assert(r.getAs[Double]("fertility") == 1.333333)
+    assert(r.getAs[Double]("cost_per_char") == 1244.444444)
+  }
 }
