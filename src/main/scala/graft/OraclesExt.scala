@@ -2270,15 +2270,16 @@ object OraclesExt {
   /** q300: Privacy.entropyLDiversity mirror — skewed synthetic sensitive
     * attribute over (lang, source) cohorts, entropy in nats, l = 3. */
   val entropyLDiv: String =
-    "WITH s AS (SELECT lang, source, CASE WHEN doc_id % 10 < 6 THEN 'c0' " +
-      "ELSE 'c' || (doc_id % 4)::VARCHAR END AS v FROM documents), " +
+    "WITH s AS (SELECT lang, source, CASE WHEN doc_id % 7 < 4 THEN 'c0' " +
+      "ELSE 'c' || (doc_id % 7)::VARCHAR END AS v FROM documents), " +
       "cv AS (SELECT lang, source, v, count(*)::BIGINT AS cnt " +
       "FROM s GROUP BY 1, 2, 3), " +
       "g AS (SELECT lang, source, sum(cnt)::BIGINT AS group_size, " +
       "count(*)::BIGINT AS l_distinct, sum(cnt * ln(cnt)) AS clogc " +
       "FROM cv GROUP BY 1, 2), " +
       "e AS (SELECT lang, source, group_size, l_distinct, " +
-      "round(ln(group_size) - clogc / group_size, 6) AS entropy FROM g) " +
+      "round(greatest(ln(group_size) - clogc / group_size, 0.0), 6) " +
+      "AS entropy FROM g) " +
       "SELECT lang, source, group_size, l_distinct, entropy, " +
       "round(exp(entropy), 6) AS eff_values, " +
       "(entropy < ln(3.0))::INT AS violates_entropy_l " +
@@ -2294,7 +2295,7 @@ object OraclesExt {
       "1000000000.0::DOUBLE) AS u FROM g), " +
       "n AS (SELECT lang, source, c, round(-1.0 * sign(u - 0.5) * " +
       "ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise FROM u) " +
-      "SELECT lang, source, 1.0::DOUBLE AS epsilon, noise, " +
+      "SELECT lang, source, 1.0::DOUBLE AS epsilon, " +
       "greatest(round(c + noise), 0.0)::BIGINT AS released " +
       "FROM n ORDER BY lang, source"
   }
@@ -2472,7 +2473,7 @@ object OraclesExt {
       "1000000000.0::DOUBLE) AS u FROM g), " +
       "n AS (SELECT event_type, day, c, round(-1.0 * sign(u - 0.5) * " +
       "ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise FROM u) " +
-      "SELECT event_type, day, 1.0::DOUBLE AS epsilon, noise, " +
+      "SELECT event_type, day, 1.0::DOUBLE AS epsilon, " +
       "greatest(round(c + noise), 0.0)::BIGINT AS released " +
       "FROM n ORDER BY event_type, day"
   }
@@ -2781,7 +2782,10 @@ object OraclesExt {
     val yH = h60("doc_id::VARCHAR || ':y'")
     val grid = Seq(0.25, 0.33, 0.5, 0.75, 1.0, 1.5, 2.0, 4.0)
       .map(t => s"$t::DOUBLE").mkString("[", ", ", "]")
-    val p = "(1.0::DOUBLE / (1.0::DOUBLE + exp(0.0::DOUBLE - (z / t))))"
+    // same [ε, 1−ε] saturation clamp as Models.temperatureScaling
+    val p = "least(greatest(1.0::DOUBLE / (1.0::DOUBLE + " +
+      "exp(0.0::DOUBLE - (z / t))), 1e-12::DOUBLE), " +
+      "(1.0::DOUBLE - 1e-12::DOUBLE))"
     s"WITH d AS (SELECT doc_id, ($zH % 2001 - 1000) AS zi, " +
       s"$yH % 1000000 AS hy FROM documents), " +
       "b AS (SELECT doc_id, zi::DOUBLE / 1000.0::DOUBLE AS z, " +

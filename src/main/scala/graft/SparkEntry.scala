@@ -4459,8 +4459,12 @@ object SparkEntry {
     // stronger-than-distinct-l release audit beside q254/q283 ─────
     "q300_entropy_ldiv" -> { (s, dir) =>
       val d = tb(s, dir, "documents")
-      val sens = when(col("doc_id") % 10 < 6, lit("c0"))
-        .otherwise(concat(lit("c"), (col("doc_id") % 4).cast("string")))
+      // moduli COPRIME with the (lang, source) synthesis grid: doc_ids in
+      // a cohort are congruent mod 20, so the old %10/%4 arms made every
+      // cohort single-valued (entropy trivially 0 everywhere); %7 mixes —
+      // 79/97 sf0.01 cohorts carry 2-4 sensitive values, skew preserved
+      val sens = when(col("doc_id") % 7 < 4, lit("c0"))
+        .otherwise(concat(lit("c"), (col("doc_id") % 7).cast("string")))
       Privacy.entropyLDiversity(d, Seq("lang", "source"), sens, l = 3)
         .orderBy("lang", "source")
     },
@@ -4470,8 +4474,10 @@ object SparkEntry {
     // integer release, raw counts never emitted — the reproducible
     // release channel completing the privacy family ─────
     "q301_dp_release" -> { (s, dir) =>
+      // "dp" is the harness salt (the oracle must replay the draw); a
+      // production release keeps its salt secret — see dpNoisyRelease
       Privacy.dpNoisyCount(tb(s, dir, "documents"), Seq("lang", "source"),
-          epsilon = 1.0)
+          epsilon = 1.0, salt = "dp")
         .orderBy("lang", "source")
     },
 
@@ -4539,7 +4545,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("_n"))
       val store = drainToTable(s, counts, "g307_dp", "complete")
       Privacy.dpNoisyRelease(store, Seq("event_type", "day"), "_n",
-          epsilon = 1.0)
+          epsilon = 1.0, salt = "dp")
         .orderBy("event_type", "day")
     },
 

@@ -78,7 +78,7 @@ object Layout {
     * [[zOrdered]]/[[hilbertOrdered]] in the first place: simulate
     * writing the table as `nFiles` files under each candidate layout
     * key (equal-width key-range buckets — integer arithmetic from the
-    * broadcast global min/max, NO global sort window), record per-file
+    * collected 1-row global min/max, NO global sort window), record per-file
     * min/max of the predicate column (the parquet row-group stats a
     * reader prunes on), and score the pinned range predicate
     * `value BETWEEN lo AND hi`: how many files must be opened, and what
@@ -86,9 +86,10 @@ object Layout {
     * you which sort key turns the predicate into IO savings.
     *
     * Keys must fit `|key| < 2⁴⁰` so the bucket arithmetic
-    * `(key−min)·nFiles` stays in a long — pre-reduce wide keys (hash
-    * layouts take `hash % 2²⁰`). Scale: one pass per layout (hash-agg on
-    * file id), min/max one-row broadcasts; no sort anywhere. */
+    * `(key−min)·nFiles` stays in a long — ENFORCED at plan time against
+    * the collected bounds; pre-reduce wide keys (hash layouts take
+    * `hash % 2²⁰`). Scale: one pass per layout (hash-agg on file id),
+    * min/max a 1-row driver collect; no sort anywhere. */
   def skippingEval(
       df: DataFrame,
       layouts: Seq[(String, Column)],
@@ -101,11 +102,23 @@ object Layout {
     val reports = layouts.map { case (name, key) =>
       val base = df.select(key.cast("long").as("_k"),
         value.cast("long").as("_v"))
-      val bounds = base.agg(min("_k").as("_lo"), max("_k").as("_hi"))
-      val files = base.crossJoin(broadcast(bounds))
+      // 1-row driver materialization (the pqTrain bounded posture): the
+      // bounds become plan-time literals, and the documented |key| < 2⁴⁰
+      // contract is ENFORCED — (key−min)·nFiles must stay in a long, so
+      // a hash60-keyed layout would silently wrap to negative file ids
+      // and emit a wrong skip report instead of an error
+      val b = base.agg(min("_k"), max("_k")).head()
+      require(!b.isNullAt(0), s"skippingEval: layout '$name' has no rows")
+      val (kLo, kHi) = (b.getLong(0), b.getLong(1))
+      val bound = 1L << 40
+      require(math.abs(kLo) < bound && math.abs(kHi) < bound,
+        s"skippingEval: layout '$name' keys [$kLo, $kHi] exceed the " +
+          "|key| < 2^40 contract (bucket arithmetic would overflow) — " +
+          "pre-reduce wide keys, e.g. hash % 2^20")
+      val files = base
         .withColumn("_file",
-          ((col("_k") - col("_lo")) * nFiles /
-            (col("_hi") - col("_lo") + 1)).cast("long"))
+          ((col("_k") - lit(kLo)) * nFiles /
+            (lit(kHi) - lit(kLo) + 1)).cast("long"))
         .groupBy("_file")
         .agg(min("_v").as("_vmin"), max("_v").as("_vmax"),
           count(lit(1)).as("_rows"))

@@ -1253,7 +1253,13 @@ object Models {
     val spark = df.sparkSession
     import spark.implicits._
     val g = grid.toDF("t")
-    val p = sigmoid(col(logitCol) / col("t"))
+    // clamp σ into [ε, 1−ε] (Guo et al.'s standard posture): at
+    // |z|/T ≳ 37 double σ saturates to exactly 0/1 and log() nulls;
+    // null NLL rows silently vanish from sum() but not count(), biasing
+    // mean_nll low and breaking the min-struct is_best flag
+    val eps = 1e-12
+    val p = least(greatest(sigmoid(col(logitCol) / col("t")), lit(eps)),
+      lit(1.0 - eps))
     val nll = round(lit(0.0) -
       (col(labelCol) * log(p) + (lit(1) - col(labelCol)) * log(lit(1.0) - p)),
       6)

@@ -139,8 +139,14 @@ object Privacy {
       .agg(sum("_cnt").as("group_size"),
         count(lit(1)).as("l_distinct"),
         sum(col("_cnt") * log(col("_cnt"))).as("_clogc"))
-      .withColumn("entropy", round(
-        log(col("group_size")) - col("_clogc") / col("group_size"), 6))
+      // greatest(…, 0.0): entropy is provably >= 0, but the float residue
+      // of ln(g) − Σc·ln(c)/g on single-valued cohorts lands at ~−2e-16,
+      // and engines disagree on round(−2e-16, 6): DuckDB keeps the sign
+      // (−0.0), Spark's BigDecimal round normalizes to +0.0 — the −0.0
+      // canonical-hash edge (q210/q318). The clamp is semantically exact.
+      .withColumn("entropy", round(greatest(
+        log(col("group_size")) - col("_clogc") / col("group_size"),
+        lit(0.0)), 6))
       .withColumn("eff_values", round(exp(col("entropy")), 6))
       .withColumn("violates_entropy_l",
         (col("entropy") < math.log(l.toDouble)).cast("int"))
@@ -157,14 +163,20 @@ object Privacy {
     * needs (re-running the job must publish the same numbers, and an
     * oracle can replay them); swap the salt to redraw the noise.
     *
-    * The raw count column is NOT emitted — callers get only the noisy
-    * release plus the noise parameters (emitting both would defeat the
-    * mechanism). One hash-aggregate; output bounded by group cardinality. */
+    * Neither the raw count NOR the noise is emitted — callers get only
+    * the noisy release plus ε (release − noise reconstructs the true
+    * count, so publishing either side defeats the mechanism; the noise
+    * lives in [[dpNoiseAudit]], a separate restricted view). `salt` has
+    * no default and MUST be kept secret: the noise is a deterministic
+    * function of (group key, salt), so anyone who knows the salt can
+    * replay it and the release degrades to the exact counts — a
+    * public/guessable salt forfeits the DP guarantee entirely.
+    * One hash-aggregate; output bounded by group cardinality. */
   def dpNoisyCount(
       df: DataFrame,
       groupCols: Seq[String],
       epsilon: Double,
-      salt: String = "dp"): DataFrame =
+      salt: String): DataFrame =
     dpNoisyRelease(
       df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("_true")),
       groupCols, "_true", epsilon, salt)
@@ -178,21 +190,43 @@ object Privacy {
       groupCols: Seq[String],
       countCol: String,
       epsilon: Double,
-      salt: String = "dp"): DataFrame = {
+      salt: String): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(epsilon > 0, "epsilon must be positive")
-    val gc = groupCols.map(col)
-    val key = concat_ws("|", gc.map(_.cast("string")) :+ lit(salt): _*)
-    val u = (Hashing.hash60(key) % 1000000000L).cast("double") / 1e9
-    val v = u - lit(0.5)
-    val noise = round(lit(-1.0 / epsilon) * signum(v) *
-      log(lit(1.0) - lit(2.0) * abs(v)), 6)
     counts
       .withColumn("epsilon", lit(epsilon))
-      .withColumn("noise", noise)
-      .withColumn("released",
-        greatest(round(col(countCol) + col("noise")).cast("long"), lit(0L)))
+      .withColumn("released", greatest(
+        round(col(countCol) + laplaceNoise(groupCols, epsilon, salt))
+          .cast("long"), lit(0L)))
       .drop(countCol)
+  }
+
+  /** The seeded Laplace(1/ε) draw [[dpNoisyRelease]] adds: inverse-CDF
+    * from `hash60(groupKey‖salt) mod 10⁹ / 10⁹`, 6dp-rounded. */
+  private def laplaceNoise(
+      groupCols: Seq[String], epsilon: Double, salt: String): Column = {
+    val key = concat_ws("|",
+      groupCols.map(col(_).cast("string")) :+ lit(salt): _*)
+    val u = (Hashing.hash60(key) % 1000000000L).cast("double") / 1e9
+    val v = u - lit(0.5)
+    round(lit(-1.0 / epsilon) * signum(v) *
+      log(lit(1.0) - lit(2.0) * abs(v)), 6)
+  }
+
+  /** RESTRICTED audit view of the [[dpNoisyRelease]] noise channel: the
+    * per-group noise draw alone — for the release auditor who holds the
+    * salt and needs to verify the mechanism, never to be joined back
+    * against the published release (released − noise is the true
+    * count). Kept out of the release frame by construction. */
+  def dpNoiseAudit(
+      counts: DataFrame,
+      groupCols: Seq[String],
+      epsilon: Double,
+      salt: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(epsilon > 0, "epsilon must be positive")
+    counts.select(groupCols.map(col) :+
+      laplaceNoise(groupCols, epsilon, salt).as("noise"): _*)
   }
 
   /** Checksum-validated PAN (payment-card number) detection: 13-19 digit

@@ -907,25 +907,35 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val nrm = normalized(corpus, "cvec").localCheckpoint()
-    var prevId = nrm.agg(min(col("cid"))).head().getLong(0)
+    val first = nrm.agg(min(col("cid"))).head()
+    require(!first.isNullAt(0), "kCenterGreedy: empty corpus")
+    var prevId = first.getLong(0)
     var prevVec = nrm.filter(col("cid") === prevId)
       .select("cvec").head().getSeq[Double](0)
     var selected = Vector((prevId, 2.0))
     var cur = nrm.withColumn("_d", lit(2.0))
     var i = 1
-    while (i < k) {
+    var covered = false
+    while (i < k && !covered) {
       val pv = array(prevVec.map(lit): _*)
       cur = cur.withColumn("_d",
         least(col("_d"), round(lit(1.0) - dot(col("cvec"), pv), 6)))
         .localCheckpoint()
       val m = cur.agg(max(struct(col("_d").as("d"), (-col("cid")).as("nc"))))
         .head().getStruct(0)
-      val nid = -m.getLong(1)
-      selected :+= ((nid, m.getDouble(0)))
-      prevVec = cur.filter(col("cid") === nid)
-        .select("cvec").head().getSeq[Double](0)
-      prevId = nid
-      i += 1
+      // max residual distance 0 = every vector coincides with a pick
+      // (k > n, or an all-duplicate corpus): the cover is already
+      // perfect and any further pick would re-select an existing cid —
+      // stop instead of emitting duplicate selection rows
+      if (m.getDouble(0) <= 0.0) covered = true
+      else {
+        val nid = -m.getLong(1)
+        selected :+= ((nid, m.getDouble(0)))
+        prevVec = cur.filter(col("cid") === nid)
+          .select("cvec").head().getSeq[Double](0)
+        prevId = nid
+        i += 1
+      }
     }
     selected.zipWithIndex
       .map { case ((id, d), r) => (r + 1, id, d) }

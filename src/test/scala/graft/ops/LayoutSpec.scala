@@ -123,4 +123,21 @@ class LayoutSpec extends SparkSpec {
     assert(nat.getLong(2) > 1L && nat.getDouble(5) < 0.9)
     assert(nat.getLong(3) == 100L)
   }
+
+  test("skippingEval: keys beyond the 2^40 contract fail loud") {
+    // hash-width keys would overflow (key−min)·nFiles into negative
+    // file ids and a silently-wrong report — the require must fire
+    val wide = Seq((0L, 1L), (1L << 60, 2L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Layout.skippingEval(wide, Seq("wide" -> col("k")),
+        value = col("v"), lo = 0L, hi = 9L, nFiles = 10)
+    }
+    assert(e.getMessage.contains("2^40"))
+    // pre-reduced keys stay in contract
+    val ok = Layout.skippingEval(
+      wide.select((col("k") % (1L << 20)).as("k"), col("v")),
+      Seq("red" -> col("k")), value = col("v"), lo = 0L, hi = 9L,
+      nFiles = 4).collect()
+    assert(ok.head.getAs[Long]("rows_total") == 2L)
+  }
 }

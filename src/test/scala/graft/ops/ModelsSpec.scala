@@ -354,4 +354,19 @@ class ModelsSpec extends SparkSpec {
       .filter(col("is_best") === 1).head()
     assert(g2t.getAs[Double]("t") == 0.25)
   }
+
+  test("temperatureScaling: saturated logits keep every NLL finite") {
+    // raw LLM logits at T=0.25: |z|/T = 160 ≫ 37 saturates σ to exactly
+    // 0/1, where unclamped log() nulls the NLL — rows would silently
+    // vanish from sum() but not count(), biasing mean_nll and breaking
+    // is_best; the [ε, 1−ε] clamp keeps the wrong-label NLL huge but
+    // finite. z=40, y=0 is WRONG at every T, so no T may show NLL 0.
+    val sat = (1 to 8).map(i => (i.toLong, 40.0, 0)).toDF("id", "z", "y")
+    val got = Models.temperatureScaling(sat, "id", "z", "y").collect()
+    assert(got.forall(r => !r.isNullAt(r.fieldIndex("mean_nll"))))
+    assert(got.forall(_.getAs[Long]("n") == 8L))
+    assert(got.forall(_.getAs[Double]("mean_nll") > 1.0))
+    // exactly one best row survives the min-struct flag
+    assert(got.count(_.getAs[Int]("is_best") == 1) == 1)
+  }
 }

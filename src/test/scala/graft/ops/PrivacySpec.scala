@@ -109,18 +109,26 @@ class PrivacySpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       (noise, math.max(0L, math.round(trueCount + noise)))
     }
-    val got = Privacy.dpNoisyCount(df, Seq("g"), epsilon = 1.0)
+    val got = Privacy.dpNoisyCount(df, Seq("g"), epsilon = 1.0, salt = "dp")
       .orderBy("g").collect()
     val (na, ra) = expected("a|dp", 8L, 1.0)
     val (nb, rb) = expected("b|dp", 32L, 1.0)
-    assert(got(0).getAs[Double]("noise") == na)
     assert(got(0).getAs[Long]("released") == ra)
-    assert(got(1).getAs[Double]("noise") == nb)
     assert(got(1).getAs[Long]("released") == rb)
-    // no raw count column in the release
+    // neither the raw count nor the noise is in the release frame
+    // (released − noise reconstructs the true count)
     assert(!got(0).schema.fieldNames.contains("_true"))
+    assert(!got(0).schema.fieldNames.contains("noise"))
+    // the noise channel lives in the RESTRICTED audit view only
+    val audit = Privacy.dpNoiseAudit(
+        df.groupBy("g").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("_c")),
+        Seq("g"), epsilon = 1.0, salt = "dp")
+      .orderBy("g").collect()
+    assert(audit(0).getAs[Double]("noise") == na)
+    assert(audit(1).getAs[Double]("noise") == nb)
     // reproducible: a second run releases identical numbers
-    val again = Privacy.dpNoisyCount(df, Seq("g"), epsilon = 1.0)
+    val again = Privacy.dpNoisyCount(df, Seq("g"), epsilon = 1.0, salt = "dp")
       .orderBy("g").collect()
     assert(again.map(_.getAs[Long]("released")).toSeq ==
       got.map(_.getAs[Long]("released")).toSeq)

@@ -482,6 +482,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_.getAs[Double]("dist")).toSeq == Seq(2.0, 2.0, 1.0))
   }
 
+  test("kCenterGreedy: stops at perfect coverage instead of duplicating") {
+    def v(xs: Float*) = xs.toArray
+    // k > n: after both distinct directions are picked every residual
+    // distance is 0 — the loop must stop, not re-select a picked cid
+    val corpus = Seq((1L, v(1f, 0f)), (2L, v(0f, 1f))).toDF("cid", "cvec")
+    val got = Similarity.kCenterGreedy(corpus, k = 5).orderBy("rank")
+      .collect()
+    assert(got.map(_.getAs[Long]("cid")).toSeq == Seq(1L, 2L))
+    // all-duplicate corpus (distinct cids, one direction): seed only
+    val dup = Seq((1L, v(1f, 1f)), (2L, v(2f, 2f)), (3L, v(0.5f, 0.5f)))
+      .toDF("cid", "cvec")
+    val g2 = Similarity.kCenterGreedy(dup, k = 3).collect()
+    assert(g2.map(_.getAs[Long]("cid")).toSeq == Seq(1L))
+  }
+
   test("pqDistortion: m rows, non-negative errors, sane utilization") {
     val spark2 = spark
     import spark2.implicits._

@@ -108,14 +108,15 @@ object EvalPrivacyProps extends Properties("graft.invariants.round7eval") {
     forAll(Gen.listOfN(20, Gen.oneOf("a", "b", "c"))) { ks =>
       import spark.implicits._
       val df = ks.zipWithIndex.toDF("g", "x")
-      val r1 = Privacy.dpNoisyCount(df, Seq("g"), epsilon = 0.5)
+      val r1 = Privacy.dpNoisyCount(df, Seq("g"), epsilon = 0.5, salt = "s1")
         .orderBy("g").collect()
-      val r2 = Privacy.dpNoisyCount(df, Seq("g"), epsilon = 0.5)
+      val r2 = Privacy.dpNoisyCount(df, Seq("g"), epsilon = 0.5, salt = "s1")
         .orderBy("g").collect()
       r1.forall(_.getAs[Long]("released") >= 0L) &&
         r1.map(_.getAs[Long]("released")).toSeq ==
           r2.map(_.getAs[Long]("released")).toSeq &&
-        !r1.head.schema.fieldNames.contains("_true")
+        !r1.head.schema.fieldNames.contains("_true") &&
+        !r1.head.schema.fieldNames.contains("noise")
     }
 
   // ── Unigram Viterbi ───────────────────────────────────────────────
