@@ -1783,6 +1783,42 @@ object OraclesExt {
       s"SELECT qid, rnk::INT AS rnk, cid, cos FROM rr WHERE rnk <= $k " +
       "ORDER BY qid, rnk"
 
+  /** Mirrors q322: pinned-cell assignment (the q220 scored/rn chain) +
+    * sign-bit Hamming WITHIN probed cells + exact-cosine rerank —
+    * candidates exist only where a query probe and a corpus assignment
+    * share a cell. */
+  def binaryCellRerank(candK: Int, k: Int, nProbe: Int): String =
+    s"WITH $embCte, " +
+      s"cent AS (SELECT * FROM (VALUES $pinnedCentRows) t(cell, cv, cn2)), " +
+      "scored AS (SELECT e.vec_id, e.v, cent.cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_dot_product(e.v, cent.cv) * -2.0 + cent.cn2, cent.cell) AS rn " +
+      "FROM e CROSS JOIN cent), " +
+      "corp AS (SELECT vec_id AS cid, cell FROM scored WHERE rn = 1), " +
+      "qc AS (SELECT vec_id AS qid, cell FROM scored " +
+      s"WHERE vec_id % 100 = 0 AND rn <= $nProbe), " +
+      "bp AS (SELECT vec_id, " +
+      "list_sum(list_transform(range(32), i -> " +
+      "CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS w0, " +
+      "list_sum(list_transform(range(32), i -> " +
+      "CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS w1 " +
+      "FROM e), " +
+      "sb AS (SELECT qc.qid, corp.cid, " +
+      "bit_count(xor(qb.w0, cb.w0)) + bit_count(xor(qb.w1, cb.w1)) AS hd " +
+      "FROM qc JOIN corp USING (cell) " +
+      "JOIN bp qb ON qb.vec_id = qc.qid JOIN bp cb ON cb.vec_id = corp.cid " +
+      "WHERE corp.cid <> qc.qid), " +
+      "rb AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY hd, cid) AS rnk FROM sb), " +
+      s"cand AS (SELECT qid, cid FROM rb WHERE rnk <= $candK), " +
+      "sc AS (SELECT cand.qid, cand.cid, " +
+      s"round(${cosSql("q.v", "c.v")}, 6) AS cos FROM cand " +
+      "JOIN e q ON q.vec_id = cand.qid JOIN e c ON c.vec_id = cand.cid), " +
+      "rr AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY cos DESC, cid) AS rnk FROM sc) " +
+      s"SELECT qid, rnk::INT AS rnk, cid, cos FROM rr WHERE rnk <= $k " +
+      "ORDER BY qid, rnk"
+
   /** Mirrors Sampling.ipfMixture over (source, lang) token masses with
     * uniform marginal targets: the dense grid flattened row-major into a
     * LIST, `iters` alternating row/column scaling rounds through a

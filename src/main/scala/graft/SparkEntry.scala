@@ -3343,9 +3343,16 @@ object SparkEntry {
         .when(pmod(day, lit(10)) === 2, lit("nd"))
         .when(pmod(day, lit(10)) === 3, lit("rd"))
         .otherwise(lit("th"))
-      val shape = pmod(col("o_orderkey"), lit(15))
+      val shape = pmod(col("o_orderkey"), lit(17))
       val m = month(d0)
       val yr = year(d0).cast("string")
+      // deterministic synthetic time-of-day for the datetime shapes —
+      // the parse must TRUNCATE it away (timesheet_transform.py:122-125)
+      val hh = pmod(col("o_orderkey"), lit(24)).cast("string")
+      val mm = lpad(pmod(col("o_orderkey") * 7, lit(60)).cast("string"),
+        2, "0")
+      val ss = lpad(pmod(col("o_orderkey") * 13, lit(60)).cast("string"),
+        2, "0")
       val rendered = when(shape === 0, date_format(d0, "d/M/yyyy"))
         .when(shape === 1, date_format(d0, "d-M-yyyy"))
         .when(shape === 2, date_format(d0, "yyyy-MM-dd"))
@@ -3368,8 +3375,15 @@ object SparkEntry {
           element_at(typedlit(Cleansing.monthsFr), m), lit(" "), yr))
         .when(shape === 13, concat(day.cast("string"), lit(". "),
           initcap(element_at(typedlit(Cleansing.monthsDe), m)), lit(" "), yr))
-        .otherwise(concat(day.cast("string"), lit(" de "),
+        .when(shape === 14, concat(day.cast("string"), lit(" de "),
           element_at(typedlit(Cleansing.monthsEs), m), lit(" de "), yr))
+        // datetime strings: the reference's target-cell pd.to_datetime
+        // accepts these and .date() truncates — the cascade must too
+        .when(shape === 15, concat(date_format(d0, "d/M/yyyy"), lit(" "),
+          hh, lit(":"), mm))
+        .otherwise(concat(date_format(d0, "yyyy-MM-dd"),
+          when(col("o_orderkey") % 2 === 0, lit("T")).otherwise(lit(" ")),
+          hh, lit(":"), mm, lit(":"), ss))
       t(s, dir, "orders")
         .select(col("o_orderkey").as("k"), shape.as("shape"),
           Cleansing.parseDateLenient(rendered).as("parsed"))
@@ -4117,7 +4131,12 @@ object SparkEntry {
         .withColumn("day", to_date(col("ts")))
         .groupBy("event_type", "day", "user_id")
         .agg(count(lit(1)).as("_n"))
-      val store = drainToTable(s, perUser, "g264_kanon", "complete")
+      // ENFORCED state bound: complete-mode state is the (cohort × user)
+      // grid — fail loud if cohort cardinality breaks the documented
+      // bound instead of growing state until the store OOMs
+      val store = Privacy.requireBoundedCohorts(
+        drainToTable(s, perUser, "g264_kanon", "complete"),
+        Seq("event_type", "day"), maxCohorts = 100000L)
       store.groupBy("event_type", "day")
         .agg(sum("_n").as("group_size"),
           countDistinct(col("user_id")).as("l_distinct"))
@@ -4582,10 +4601,15 @@ object SparkEntry {
     "q310_mt_eval_report" -> { (s, dir) =>
       val d = tb(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
+      // materialize the pair table ONCE: bleu traverses it three times
+      // (ref grams, cand grams, lengths), chrF three more, and the lang
+      // spine once — without the checkpoint each traversal re-runs the
+      // documents self-join (the r7 16.5 s sf1 hot spot)
       val pairs = d.select(col("doc_id"), col("lang"),
           col("text").as("ref"))
         .join(d.select((col("doc_id") - 1).as("doc_id"),
           col("text").as("cand")), Seq("doc_id"))
+        .localCheckpoint()
       val b = TextAnalysis.bleu(pairs, "doc_id", "ref", "cand")
         .select(col("doc_id"), col("bleu"))
       val p240 = pairs.select(col("doc_id"),
@@ -4743,6 +4767,30 @@ object SparkEntry {
     // twin) ─────
     "q321_gif_resize" -> { (s, dir) =>
       Multimodal.gifResizeFeatures(s, dir).orderBy("doc_id")
+    },
+
+    // ───── CELL-BLOCKED binary ANN serving: pinned coarse cells (q220's
+    // assignment chain) × 1-bit Hamming within probed cells × exact
+    // rerank — the q262/q277 Hamming tier made corpus-scan-free; the
+    // serving path reads each 8-byte corpus word once, never
+    // queries × corpus ─────
+    "q322_binary_cell_serve" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.topKHammingCells(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          graft.fixtures.PinnedIndex.ivfCentroidsV1,
+          dim = 64, candK = 30, k = 5, nProbe = 4)
+        .orderBy("qid", "rnk")
+    },
+
+    // ───── REAL JPEG decode (DCT + Huffman, javax.imageio): encode at
+    // q=1.0 over flat-8×8-block synthesis (DC-only DCT → bit-exact
+    // round trip, empirically verified) → decode → pixel stats — the
+    // third real compressed codec beside q245 PNG and q303 GIF ─────
+    "q323_jpeg_decode" -> { (s, dir) =>
+      Multimodal.jpegFeatures(s, dir).orderBy("doc_id")
     }
   )
 
@@ -7178,7 +7226,7 @@ object SparkEntry {
     // the cascade must be the exact inverse of every rendering, so the
     // oracle needs no date logic at all — it selects the ORIGINAL date
     "q225_date_cascade" ->
-      ("SELECT o_orderkey AS k, (o_orderkey % 15)::BIGINT AS shape, " +
+      ("SELECT o_orderkey AS k, (o_orderkey % 17)::BIGINT AS shape, " +
         "o_orderdate AS parsed FROM orders ORDER BY k"),
 
     // clipped bigram overlap via two gram-count CTEs + least(); P/R
@@ -7578,6 +7626,21 @@ object SparkEntry {
         "p AS (SELECT doc_id, w2::INT AS width, h2::INT AS height, (w2*h2)::INT AS n_pix, " +
         "list_sum(list_transform(range(w2*h2), j -> " +
         "(doc_id*7 + (2*(j//w2)*w + 2*(j%w2))*13) % 256))::BIGINT AS px_sum FROM r) " +
+        "SELECT doc_id, width, height, n_pix, px_sum, " +
+        "px_sum::DOUBLE / n_pix AS px_mean FROM p ORDER BY doc_id"),
+
+    "q322_binary_cell_serve" -> OraclesExt.binaryCellRerank(30, 5, 4),
+
+    // flat-block JPEG at q=1.0 round-trips exactly, so the oracle is
+    // the pixel formula itself (the q303 GIF posture)
+    "q323_jpeg_decode" ->
+      ("WITH d AS (SELECT doc_id, 8 + (doc_id % 50) AS w, " +
+        "8 + (doc_id % 40) AS h FROM documents), " +
+        "p AS (SELECT doc_id, w::INT AS width, h::INT AS height, " +
+        "(w*h)::INT AS n_pix, " +
+        "list_sum(list_transform(range(w*h), i -> " +
+        "((doc_id*31 + ((i % w)//8)*7 + ((i//w)//8)*13) * 29) % 256))" +
+        "::BIGINT AS px_sum FROM d) " +
         "SELECT doc_id, width, height, n_pix, px_sum, " +
         "px_sum::DOUBLE / n_pix AS px_mean FROM p ORDER BY doc_id"),
 

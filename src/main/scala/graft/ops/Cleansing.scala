@@ -88,6 +88,8 @@ object Cleansing {
     val hasAlpha = c.rlike("[A-Za-z]")
     def guarded(src: Column, re: String, fmt: String): Column =
       when(src.rlike(re), try_to_date(src, fmt))
+    def guardedTs(src: Column, re: String, fmt: String): Column =
+      when(src.rlike(re), try_to_timestamp(src, lit(fmt)).cast("date"))
     val num = !hasAlpha
     // LOCALE month names (it full + abbrev, fr/de/es): normalize the
     // Spanish "de" connective ("5 de marzo de 2025") and the German day
@@ -115,6 +117,24 @@ object Cleansing {
       when(num, guarded(c, "^\\s*\\d{1,2}\\.\\d{1,2}\\.\\d{4}\\s*$", "d.M.yyyy")),
       when(num, guarded(c, "^\\s*\\d{4}/\\d{1,2}/\\d{1,2}\\s*$", "yyyy/M/d")),
       when(num, guarded(c, "^\\s*\\d{8}\\s*$", "yyyyMMdd")),
+      // datetime STRINGS truncate to date — the reference's target-cell
+      // coercion (timesheet_transform.py:121-125: pd.to_datetime accepts
+      // "5/3/2025 14:30" and .date() drops the time). Guards are
+      // anchored, so date-only shapes never reach these branches.
+      when(num, guardedTs(c,
+        "^\\s*\\d{1,2}/\\d{1,2}/\\d{4} \\d{1,2}:\\d{2}\\s*$",
+        "d/M/yyyy H:mm")),
+      when(num, guardedTs(c,
+        "^\\s*\\d{1,2}/\\d{1,2}/\\d{4} \\d{1,2}:\\d{2}:\\d{2}\\s*$",
+        "d/M/yyyy H:mm:ss")),
+      // ISO datetime may carry a "T" separator (alpha, so it bypasses
+      // the num gate); its own leading-yyyy- pre-test is the dispatch
+      when(c.rlike("^\\s*\\d{4}-"), guardedTs(regexp_replace(c, "T", " "),
+        "^\\s*\\d{4}-\\d{1,2}-\\d{1,2} \\d{1,2}:\\d{2}:\\d{2}\\s*$",
+        "yyyy-M-d H:mm:ss")),
+      when(c.rlike("^\\s*\\d{4}-"), guardedTs(regexp_replace(c, "T", " "),
+        "^\\s*\\d{4}-\\d{1,2}-\\d{1,2} \\d{1,2}:\\d{2}\\s*$",
+        "yyyy-M-d H:mm")),
       when(hasAlpha, guarded(c, "^\\s*\\d{1,2} [A-Za-z]+ \\d{4}\\s*$", "d MMM yyyy")),
       when(hasAlpha, guarded(c, "^\\s*\\d{1,2}-[A-Za-z]+-\\d{4}\\s*$", "d-MMM-yyyy")),
       when(hasAlpha, guarded(c, "^\\s*[A-Za-z]+ \\d{1,2}, \\d{4}\\s*$", "MMMM d, yyyy")),

@@ -229,6 +229,32 @@ object Privacy {
       laplaceNoise(groupCols, epsilon, salt).as("noise"): _*)
   }
 
+  /** Fail-loud cardinality gate for a drained complete-mode streaming
+    * state store (the [[graft.ops.Models]] bradleyTerry/maxItems
+    * posture): a complete-mode privacy monitor's state is the
+    * (cohort × sensitive) grid, "bounded by cohort cardinality" — but
+    * nothing in Structured Streaming enforces that bound, so a
+    * mis-keyed cohort column (e.g. a raw user id leaking into the
+    * quasi-identifier set) grows state without limit until the job
+    * OOMs. This gate makes the contract explicit: count the distinct
+    * cohorts in the drained store and refuse to roll up past
+    * `maxCohorts`. One distinct-aggregate over the (already bounded-ish)
+    * store; returns the store unchanged for chaining. */
+  def requireBoundedCohorts(
+      store: DataFrame,
+      cohortCols: Seq[String],
+      maxCohorts: Long): DataFrame = {
+    require(cohortCols.nonEmpty, "need at least one cohort column")
+    require(maxCohorts >= 1, "maxCohorts must be >= 1")
+    val n = store.select(cohortCols.map(col): _*).distinct().count()
+    require(n <= maxCohorts,
+      s"streaming privacy state holds $n cohorts over ${cohortCols.mkString(",")} " +
+        s"— exceeds maxCohorts=$maxCohorts; a cohort key this wide is " +
+        "either mis-chosen (an identifier leaked into the cohort set) or " +
+        "needs an update-mode store with drain-side rollup")
+    store
+  }
+
   /** Checksum-validated PAN (payment-card number) detection: 13-19 digit
     * runs are only FINDINGS when they pass the Luhn check (ISO/IEC
     * 7812) — the validation layer a pattern-only scrubber

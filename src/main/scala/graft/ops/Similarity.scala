@@ -598,6 +598,70 @@ object Similarity {
       .select("qid", "rnk", "cid", "hamming")
   }
 
+  /** CELL-BLOCKED binary ANN serving — the production composition of
+    * the pinned coarse quantizer (q220's assignment chain) with the
+    * 1-bit Hamming tier: corpus words are assigned their nearest
+    * centroid cell ONCE (plan-time literals, codegen'd), each query
+    * probes its `nProbe` nearest cells, Hamming + popcount runs only
+    * within probed cells, and the exact-cosine rerank touches floats
+    * for `candK · |queries|` rows. This retires the one serving-path
+    * scale gap of [[topKHamming]]/[[topKBinaryRerank]]: those scan
+    * queries × corpus (8 bytes/vector/word, but still the FULL corpus
+    * per query — measured 7-8.6× wall for 10× rows), while this scans
+    * each corpus word exactly once and pays Σ|probed cell| candidate
+    * rows — the same Σ|cell|² argument as [[topKIvfCentroids]], on
+    * 8-byte words instead of float vectors. Recall vs the brute
+    * Hamming tier is bounded by the coarse quantizer (probe more cells
+    * to buy it back); the brute arm stays as the eval ground truth.
+    *
+    * Scale shape: corpus side is one map (assign + pack) + an equi-join
+    * BY CELL against the broadcast query probes; no cross join anywhere.
+    * Vectors are fetched only for the candidate set (broadcast
+    * semi-probe back against the corpus), so the rerank reads
+    * `candK · |queries|` vectors, not the corpus. */
+  def topKHammingCells(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      centroids: Array[Array[Double]],
+      dim: Int,
+      candK: Int,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    require(k <= candK, s"k=$k must be <= candK=$candK")
+    val nWords = (dim + 31) / 32
+    // corpus: nearest-cell assignment + 1-bit pack in ONE projection —
+    // (cid, cell, w0..wN) is all that ever travels; vectors stay behind
+    val cq = corpus.select(col("cid") +:
+      element_at(probeCells(col("cvec"), centroids, 1), 1).as("cell") +:
+      (0 until nWords).map(j => signWord(col("cvec"), j, dim).as(s"w$j")): _*)
+    val q = queries.select(col("qid") +: col("qvec") +:
+        (0 until nWords).map(j => signWord(col("qvec"), j, dim).as(s"qw$j")): _*)
+      .withColumn("cell", explode(probeCells(col("qvec"), centroids, nProbe)))
+      .drop("qvec")
+    val hd = (0 until nWords)
+      .map(j => bit_count(col(s"qw$j").bitwiseXOR(col(s"w$j"))))
+      .reduce(_ + _)
+    // equi-join BY CELL (broadcast probes): a corpus word meets only
+    // the queries probing its cell; a (qid, cid) pair appears at most
+    // once (one cell per corpus row, distinct probe cells per query)
+    val scored = cq.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), hd.cast("int").as("hamming"))
+    val wH = Window.partitionBy("qid")
+      .orderBy(col("hamming").asc, col("cid").asc)
+    val cand = scored.withColumn("rnk", row_number().over(wH))
+      .filter(col("rnk") <= candK).select("qid", "cid")
+    val withVec = corpus.join(broadcast(cand), Seq("cid"))
+    val qn = queries.withColumn("_qn", l2norm(col("qvec")))
+    val rer = withVec.join(broadcast(qn), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qvec"), col("cvec")) /
+          (col("_qn") * l2norm(col("cvec"))), 6).as("cos"))
+    val wC = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    rer.withColumn("rnk", row_number().over(wC)).filter(col("rnk") <= k)
+      .select("qid", "rnk", "cid", "cos")
+  }
+
   /** Two-tier ANN serving: [[topKHamming]] produces `candK` cheap 1-bit
     * candidates per query, then ONLY those rows pay the exact-cosine
     * rerank — the production binary-index shape (scan 8 bytes/vector/

@@ -5,6 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, language ID, quality scoring, fingerprinting.
@@ -790,10 +791,11 @@ object TextAnalysis {
     * yield null for the affected ratio (ANSI-safe), and F1 is null
     * whenever P+R is 0 or either side is null.
     *
-    * Scale shape: two explode → (id, gram) hash-aggregates with map-side
-    * combine, one equi-join on (id, gram) for the clipped overlap, one
-    * per-id fold — no windows, no cross-row state; eval sets of any size
-    * parallelize by id. */
+    * Scale shape: MAP-ONLY — the codegen'd
+    * [[graft.expressions.GramClipOverlap]] kernel counts the clipped
+    * overlap inside the row (both texts share it); no explode, no
+    * shuffle, no cross-row state; eval sets of any size parallelize
+    * embarrassingly. */
   def rougeN(
       df: DataFrame,
       idCol: String,
@@ -801,16 +803,20 @@ object TextAnalysis {
       candCol: String,
       n: Int = 1): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    def grams(c: Column) = Dedup.shingles(words(c), n)
-    val r = df.select(col(idCol), explode(grams(col(refCol))).as("g"))
-      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("nr"))
-    val cd = df.select(col(idCol), explode(grams(col(candCol))).as("g"))
-      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("nc"))
-    val ov = r.join(cd, Seq(idCol, "g"))
-      .groupBy(idCol).agg(sum(least(col("nr"), col("nc"))).as("overlap"))
-    df.select(col(idCol), size(grams(col(refCol))).as("n_ref"),
-        size(grams(col(candCol))).as("n_cand"))
-      .join(ov, Seq(idCol), "left")
+    // map-only: the codegen'd GramClipOverlap kernel (the bleu/chrF
+    // posture) — order n is the last element of the 1..n overlap array.
+    // Gram COUNTS are arithmetic (tokens − (n−1), floored at 0): never
+    // materialize gram strings just to size() them
+    def gramCount(c: Column): Column = {
+      val t = size(words(c))
+      when(t < n, lit(0)).otherwise(t - (n - 1))
+    }
+    val ovC = Bridge.column(graft.expressions.GramClipOverlap(
+      Bridge.expression(words(col(refCol))),
+      Bridge.expression(words(col(candCol))), n, chars = false))
+    df.select(col(idCol), gramCount(col(refCol)).as("n_ref"),
+        gramCount(col(candCol)).as("n_cand"),
+        get(ovC, lit(n - 1)).cast("long").as("overlap"))
       .na.fill(0L, Seq("overlap"))
       .withColumn("rouge_p", when(col("n_cand") > 0,
         round(col("overlap") / col("n_cand"), 6)))
@@ -1878,12 +1884,13 @@ object TextAnalysis {
     * computed FROM the rounded values so an oracle replays bit-identical
     * arithmetic.
     *
-    * Scale shape: each side pays ONE tokenize + one flatten-explode of
-    * all `maxN` tagged gram orders (no per-order scan), then a map-side
-    * combined (id, n, gram) hash-aggregate; the clip is an equi-join on
-    * (id, n, gram) followed by a per-(id, n) sum and a conditional-max
-    * pivot back to one row per pair. Gram text never leaves its
-    * (id, n, gram) bucket — no cross-document traffic at any width. */
+    * Scale shape: MAP-ONLY — one tokenize per side, then the codegen'd
+    * [[graft.expressions.GramClipOverlap]] kernel computes every
+    * order's clipped overlap inside the row (reference and candidate
+    * share the row, so the metric is row-local by construction): no
+    * explode, no shuffle, no join — gram text never leaves the row.
+    * Replaced the tagged flatten-explode + (id, n, gram) aggregate +
+    * equi-join-clip formulation (measured 10 s → ~2 s at sf1). */
   def bleu(
       df: DataFrame,
       idCol: String,
@@ -1891,32 +1898,15 @@ object TextAnalysis {
       candCol: String,
       maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 9, "maxN must be in [1, 9]")
-    def tagged(toks: Column): Column =
-      flatten(array((1 to maxN).map { n =>
-        transform(Dedup.shingles(toks, n),
-          g => struct(lit(n).as("n"), g.as("g")))
-      }: _*))
     val base = df.select(col(idCol), words(col(refCol)).as("_rt"),
       words(col(candCol)).as("_ct"))
-    val rg = base.select(col(idCol), explode(tagged(col("_rt"))).as("x"))
-      .groupBy(col(idCol), col("x.n").as("n"), col("x.g").as("g"))
-      .agg(count(lit(1)).as("nr"))
-    val cg = base.select(col(idCol), explode(tagged(col("_ct"))).as("x"))
-      .groupBy(col(idCol), col("x.n").as("n"), col("x.g").as("g"))
-      .agg(count(lit(1)).as("nc"))
-    val ov = rg.join(cg, Seq(idCol, "n", "g"))
-      .groupBy(col(idCol), col("n"))
-      .agg(sum(least(col("nr"), col("nc"))).as("ov"))
-    val tot = base.select(col(idCol),
-      size(col("_rt")).cast("long").as("ref_len"),
-      size(col("_ct")).cast("long").as("cand_len"))
-    val piv = tot.join(ov, Seq(idCol), "left")
-      .groupBy(col(idCol))
-      .agg(max("ref_len").as("ref_len"),
-        (max("cand_len").as("cand_len") +:
-          (1 to maxN).map(n =>
-            coalesce(max(when(col("n") === n, col("ov"))), lit(0L))
-              .as(s"_ov$n"))): _*)
+    val ovC = Bridge.column(graft.expressions.GramClipOverlap(
+      Bridge.expression(col("_rt")), Bridge.expression(col("_ct")),
+      maxN, chars = false))
+    val piv = base.select(col(idCol) +:
+      size(col("_rt")).cast("long").as("ref_len") +:
+      size(col("_ct")).cast("long").as("cand_len") +:
+      (1 to maxN).map(n => get(ovC, lit(n - 1)).as(s"_ov$n")): _*)
     val withP = (1 to maxN).foldLeft(piv) { (d, n) =>
       val denom = greatest(col("cand_len") - (n - 1), lit(0L))
       d.withColumn(s"p$n",
@@ -1944,11 +1934,12 @@ object TextAnalysis {
     * 6dp-rounded before averaging so both engines replay the identical
     * arithmetic.
     *
-    * Same bucketed scale shape as [[bleu]]: one strip + one tagged
-    * flatten-explode per side, (id, n, gram) hash-aggregates, equi-join
-    * clip, conditional-max pivot. Character grams multiply row counts by
-    * ~`maxN`× chars — callers bound the text (e.g. a leading slice) when
-    * the metric feeds a corpus-wide sweep. */
+    * Same MAP-ONLY scale shape as [[bleu]]: one strip per side, then
+    * the codegen'd [[graft.expressions.GramClipOverlap]] kernel counts
+    * every order's clipped overlap inside the row — no explode, no
+    * shuffle. Callers still bound the text (e.g. a leading slice) when
+    * the metric feeds a corpus-wide sweep: per-row cost is
+    * O(maxN · chars). */
   def chrF(
       df: DataFrame,
       idCol: String,
@@ -1960,35 +1951,17 @@ object TextAnalysis {
     require(beta > 0, "beta must be positive")
     def stripped(c: Column): Column =
       regexp_replace(lower(c), "\\s+", "")
-    def charGrams(s: Column, n: Int): Column =
-      when(length(s) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), length(s) - (n - 1)),
-          i => s.substr(i, lit(n))))
-    def tagged(s: Column): Column =
-      flatten(array((1 to maxN).map { n =>
-        transform(charGrams(s, n), g => struct(lit(n).as("n"), g.as("g")))
-      }: _*))
     val base = df.select(col(idCol), stripped(col(refCol)).as("_rs"),
       stripped(col(candCol)).as("_cs"))
-    val rg = base.select(col(idCol), explode(tagged(col("_rs"))).as("x"))
-      .groupBy(col(idCol), col("x.n").as("n"), col("x.g").as("g"))
-      .agg(count(lit(1)).as("nr"))
-    val cg = base.select(col(idCol), explode(tagged(col("_cs"))).as("x"))
-      .groupBy(col(idCol), col("x.n").as("n"), col("x.g").as("g"))
-      .agg(count(lit(1)).as("nc"))
-    val ov = rg.join(cg, Seq(idCol, "n", "g"))
-      .groupBy(col(idCol), col("n"))
-      .agg(sum(least(col("nr"), col("nc"))).as("ov"))
-    val tot = base.select(col(idCol),
-      length(col("_rs")).cast("long").as("n_ref_chars"),
-      length(col("_cs")).cast("long").as("n_cand_chars"))
-    val piv = tot.join(ov, Seq(idCol), "left")
-      .groupBy(col(idCol))
-      .agg(max("n_ref_chars").as("n_ref_chars"),
-        (max("n_cand_chars").as("n_cand_chars") +:
-          (1 to maxN).map(n =>
-            coalesce(max(when(col("n") === n, col("ov"))), lit(0L))
-              .as(s"_ov$n"))): _*)
+    // same map-only GramClipOverlap kernel as [[bleu]], code-point
+    // grams (chars = true matches SQL substr/length semantics)
+    val ovC = Bridge.column(graft.expressions.GramClipOverlap(
+      Bridge.expression(col("_rs")), Bridge.expression(col("_cs")),
+      maxN, chars = true))
+    val piv = base.select(col(idCol) +:
+      length(col("_rs")).cast("long").as("n_ref_chars") +:
+      length(col("_cs")).cast("long").as("n_cand_chars") +:
+      (1 to maxN).map(n => get(ovC, lit(n - 1)).as(s"_ov$n")): _*)
     def orderP(n: Int): Column = {
       val denom = greatest(col("n_cand_chars") - (n - 1), lit(0L))
       when(denom > 0, round(col(s"_ov$n") / denom, 6)).otherwise(0.0)

@@ -44,6 +44,13 @@ class CleansingSpec extends SparkSpec {
       "March 5th 2025", // month-first without the comma
       "5/3/25",         // two-digit year, day-first -> 2025
       "5-3-25",
+      // datetime STRINGS truncate to the date, the reference's
+      // target-cell coercion (timesheet_transform.py:121-125)
+      "5/3/2025 14:30",
+      "5/3/2025 9:05:59",
+      "2025-03-05 23:59",
+      "2025-03-05 00:00:01",
+      "2025-03-05T14:30:00", // ISO T separator
       "not a date"      // total failure -> null
     ).toDF("c")
     val got = df.select(Cleansing.parseDateLenient($"c").as("d")).collect()

@@ -246,6 +246,62 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("jpeg: flat-block q=1.0 round trip is bit-exact; general lossy is not") {
+    (0L to 60L).foreach { id =>
+      val bytes = Multimodal.encodeJpeg(id)
+      // a real JPEG container (FF D8 SOI marker), not a re-labeled bitmap
+      assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      val (w, h, px) = Multimodal.decodeJpeg(bytes)
+      assert(w == 8 + (id % 50).toInt && h == 8 + (id % 40).toInt)
+      px.zipWithIndex.foreach { case (v, i) =>
+        val bx = (i % w) / 8
+        val by = (i / w) / 8
+        assert(v == ((id * 31 + bx * 7 + by * 13) * 29 % 256).toInt,
+          s"id=$id i=$i")
+      }
+    }
+    // the documented boundary of the hash-oracle trick: NON-flat blocks
+    // (a per-pixel gradient) do NOT round-trip bit-exactly even at
+    // q=1.0 — lossy DCT is only exact when the block is DC-only. This
+    // is why q323's synthesis is block-flat and why raw-pixel oracles
+    // are impossible for general JPEG content.
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 256).foreach(i => img.getRaster.setSample(i % 16, i / 16, 0,
+      (i * 7) % 256))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.encodeJpeg(0L))) // warm path; now the gradient:
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
+    val (_, _, gpx) = Multimodal.decodeJpeg(bos.toByteArray)
+    val diffs = gpx.zipWithIndex.count { case (v, i) =>
+      v != img.getRaster.getSample(i % 16, i / 16, 0)
+    }
+    assert(diffs > 0, "gradient unexpectedly exact — tighten the scaladoc")
+    assert(back != null)
+  }
+
+  test("jpegFeatures: distributed decode matches driver-side formula stats") {
+    val got = Multimodal.jpegFeatures(spark, "/root/testdata/sf0.001")
+      .orderBy("doc_id").limit(5).collect()
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = 8 + (id % 50).toInt
+      val h = 8 + (id % 40).toInt
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      val exp = (0 until w * h).map(i =>
+        ((id * 31 + ((i % w) / 8) * 7 + ((i / w) / 8) * 13) * 29 % 256)).sum
+      assert(r.getAs[Long]("px_sum") == exp)
+    }
+  }
+
   test("goertzelPower: resonates at the matching period, not off-frequency") {
     // pure period-16 cosine: energy at the 16-sample bin dwarfs 8/32
     val tone = Array.tabulate(256)(i =>

@@ -134,6 +134,17 @@ class PrivacySpec extends SparkSpec {
       got.map(_.getAs[Long]("released")).toSeq)
   }
 
+  test("requireBoundedCohorts: exceeding the state bound fails loud") {
+    val wide = (1 to 50).map(i => (s"c$i", i.toLong)).toDF("cohort", "_n")
+    val e = intercept[IllegalArgumentException] {
+      Privacy.requireBoundedCohorts(wide, Seq("cohort"), maxCohorts = 10L)
+    }
+    assert(e.getMessage.contains("maxCohorts=10"))
+    // within the bound the store passes through unchanged
+    val ok = Privacy.requireBoundedCohorts(wide, Seq("cohort"), 100L)
+    assert(ok.count() == 50L)
+  }
+
   test("luhnPanScan: checksum gates candidates, masking keeps last 4") {
     val df = Seq(
       (1L, "pay with 4111111111111111 or 4111111111111112 today"),

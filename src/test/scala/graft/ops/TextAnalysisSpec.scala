@@ -1045,4 +1045,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(it.getAs[Double]("median_bleu") == 0.0 &&
       it.getAs[Double]("pass_rate") == 0.0)
   }
+
+  test("GramClipOverlap: matches a brute-force multiset clip, both modes") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // brute reference: exact string grams, multiset min
+    def brute(a: Seq[String], b: Seq[String], n: Int): Long = {
+      def grams(t: Seq[String]) = t.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq
+      val ra = grams(a).groupBy(identity).view.mapValues(_.size)
+      grams(b).groupBy(identity).map { case (g, c) =>
+        math.min(ra.getOrElse(g, 0), c.size).toLong }.sum
+    }
+    val cases = Seq(
+      (Seq("a", "b", "a", "b", "c"), Seq("a", "b", "a", "b", "a", "b")),
+      (Seq("the", "cat"), Seq("the", "cat")),
+      (Seq("x"), Seq("y", "z")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("r", "r", "r"), Seq("r", "r")))
+    val df = cases.toDF("ra", "ca")
+    val ovC = Bridge.column(graft.expressions.GramClipOverlap(
+      Bridge.expression(col("ra")), Bridge.expression(col("ca")),
+      maxN = 3, chars = false))
+    val got = df.select(ovC.as("ov")).collect().map(_.getSeq[Long](0))
+    cases.zip(got).foreach { case ((a, b), ov) =>
+      (1 to 3).foreach { n =>
+        assert(ov(n - 1) == brute(a, b, n), s"($a, $b) order $n")
+      }
+    }
+    // char mode: code-point grams — the astral char (1 code point, 2
+    // UTF-16 units) must gram as ONE character, matching SQL substr
+    def bruteC(a: String, b: String, n: Int): Long = {
+      def grams(s: String) = {
+        val cps = s.codePoints.toArray
+        cps.sliding(n).filter(_.length == n).map(_.mkString(",")).toSeq
+      }
+      val ra = grams(a).groupBy(identity).view.mapValues(_.size)
+      grams(b).groupBy(identity).map { case (g, c) =>
+        math.min(ra.getOrElse(g, 0), c.size).toLong }.sum
+    }
+    val cc = Seq(("banana", "anan"), ("aaa", "aa"), ("", "xy"),
+      ("x😀y", "😀y"))
+    val cdf = cc.toDF("r", "c")
+    val ovCc = Bridge.column(graft.expressions.GramClipOverlap(
+      Bridge.expression(col("r")), Bridge.expression(col("c")),
+      maxN = 2, chars = true))
+    val gotC = cdf.select(ovCc.as("ov")).collect().map(_.getSeq[Long](0))
+    cc.zip(gotC).foreach { case ((a, b), ov) =>
+      (1 to 2).foreach { n =>
+        assert(ov(n - 1) == bruteC(a, b, n), s"($a, $b) order $n")
+      }
+    }
+    // interpreted eval path agrees with the codegen'd path above
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val ia = ArrayData.toArrayData(
+      Array("a", "b", "a").map(UTF8String.fromString))
+    val ib = ArrayData.toArrayData(
+      Array("b", "a").map(UTF8String.fromString))
+    val ev = graft.expressions.GramClipOverlap
+      .overlapTokens(ia, ib, 2).toLongArray()
+    assert(ev.toSeq == Seq(2L, 1L))
+  }
 }
