@@ -1819,6 +1819,30 @@ object OraclesExt {
       s"SELECT qid, rnk::INT AS rnk, cid, cos FROM rr WHERE rnk <= $k " +
       "ORDER BY qid, rnk"
 
+  /** q324: Models.groupAdvantage mirror — integer reward sums (exact in
+    * any order), population std from Σr²/n − mean², zero-std groups →
+    * advantage 0, best = max reward with lowest-id tie. */
+  val groupAdvantage: String = {
+    val hr = h60("doc_id::VARCHAR || ':r'")
+    "WITH b AS (SELECT doc_id, doc_id // 8 AS prompt_id, " +
+      s"CASE WHEN (doc_id // 8) % 13 = 0 THEN 500 ELSE $hr % 2001 END AS r " +
+      "FROM documents), " +
+      "g AS (SELECT prompt_id, count(*)::BIGINT AS n, sum(r)::BIGINT AS s, " +
+      "sum(r*r)::BIGINT AS s2 FROM b GROUP BY 1), " +
+      "m AS (SELECT prompt_id, n, s::DOUBLE / n AS mean, " +
+      "sqrt(greatest(s2::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n), " +
+      "0.0::DOUBLE)) AS std FROM g), " +
+      "rk AS (SELECT doc_id, prompt_id, r, row_number() OVER " +
+      "(PARTITION BY prompt_id ORDER BY r DESC, doc_id) AS rn FROM b) " +
+      "SELECT rk.prompt_id, rk.doc_id, rk.r::DOUBLE AS reward, " +
+      "m.n AS group_size, round(m.mean, 6) AS mean_r, " +
+      "round(m.std, 6) AS std_r, " +
+      "CASE WHEN m.std > 0 THEN round((rk.r - m.mean) / m.std, 6) " +
+      "ELSE 0.0::DOUBLE END AS advantage, " +
+      "(rk.rn = 1)::INT AS is_best " +
+      "FROM rk JOIN m USING (prompt_id) ORDER BY prompt_id, doc_id"
+  }
+
   /** Mirrors Sampling.ipfMixture over (source, lang) token masses with
     * uniform marginal targets: the dense grid flattened row-major into a
     * LIST, `iters` alternating row/column scaling rounds through a

@@ -4791,6 +4791,23 @@ object SparkEntry {
     // third real compressed codec beside q245 PNG and q303 GIF ─────
     "q323_jpeg_decode" -> { (s, dir) =>
       Multimodal.jpegFeatures(s, dir).orderBy("doc_id")
+    },
+
+    // ───── GRPO group-relative advantage (Shao 2024): 8-completion
+    // prompt groups, integer milli-rewards (exact Σr/Σr² in any
+    // summation order — no stddev-algorithm divergence), population-std
+    // advantage, zero-std groups (every 13th: constant verifier score)
+    // → advantage 0, best-of-n flag — the RLVR batch-prep op beside
+    // q281 pass@k and q252 uncertainty sampling ─────
+    "q324_group_advantage" -> { (s, dir) =>
+      val g = floor(col("doc_id") / 8).cast("long")
+      val hr = Hashing.hash60(concat(col("doc_id").cast("string"),
+        lit(":r"))) % 2001
+      val reward = when(g % 13 === 0, lit(500L)).otherwise(hr)
+      val d = tb(s, dir, "documents")
+        .select(col("doc_id"), g.as("prompt_id"), reward.as("r"))
+      Models.groupAdvantage(d, "prompt_id", "doc_id", "r")
+        .orderBy("prompt_id", "doc_id")
     }
   )
 
@@ -7643,6 +7660,8 @@ object SparkEntry {
         "::BIGINT AS px_sum FROM d) " +
         "SELECT doc_id, width, height, n_pix, px_sum, " +
         "px_sum::DOUBLE / n_pix AS px_mean FROM p ORDER BY doc_id"),
+
+    "q324_group_advantage" -> OraclesExt.groupAdvantage,
 
     "q292_robots_filter" -> OraclesExt.robotsFilter,
 

@@ -1277,4 +1277,52 @@ object Models {
           col("t") === col("_best.t")).cast("int"))
       .drop("_best")
   }
+
+  /** Group-relative reward normalization (the GRPO estimator, Shao et
+    * al. 2024, and the best-of-n selection every rejection-sampling /
+    * RLVR batch-prep stage runs): per prompt group of sampled
+    * completions, `advantage = (r − mean_r) / std_r` with the
+    * POPULATION std, plus the best-of-n flag (max reward, lowest-id
+    * tie-break) and the group mean/std for the training log. A
+    * zero-std group (every completion scored identically — common
+    * under binary verifiable rewards) yields advantage 0 for all
+    * members, the GRPO convention (no gradient signal, not a NaN).
+    *
+    * Float-parity posture: mean and variance derive from Σr and Σr² —
+    * when rewards are integer-valued (milli-rewards, verifier counts)
+    * those sums are EXACT in any summation order, so both engines
+    * compute identical doubles from identical integers (no
+    * stddev-algorithm divergence); `std_r = sqrt(Σr²/n − mean²)` and
+    * every emitted double is 6dp-rounded.
+    *
+    * Scale shape: one window partitioned by the group (groups are
+    * small — n completions per prompt — so the shuffle is by prompt
+    * key and state per group is a few sums); no joins, no collect. */
+  def groupAdvantage(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      rewardCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+    val r = col("reward")
+    val mean = sum(r).over(w) / count(lit(1)).over(w)
+    val variance = sum(r * r).over(w) / count(lit(1)).over(w) - mean * mean
+    // float residue can land variance at ~−1e-16 on constant groups;
+    // clamp (exact: variance ≥ 0) — the q300 −0.0 lesson
+    val std = sqrt(greatest(variance, lit(0.0)))
+    val best = min(struct((lit(0.0) - r).as("nr"), col(idCol).as("id")))
+      .over(w)
+    df.select(col(groupCol), col(idCol),
+        col(rewardCol).cast("double").as("reward"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("mean_r", round(mean, 6))
+      .withColumn("std_r", round(std, 6))
+      .withColumn("advantage",
+        when(std > 0, round((r - mean) / std, 6)).otherwise(lit(0.0)))
+      .withColumn("_best", best)
+      .withColumn("is_best",
+        (r === lit(0.0) - col("_best.nr") && col(idCol) === col("_best.id"))
+          .cast("int"))
+      .drop("_best")
+  }
 }

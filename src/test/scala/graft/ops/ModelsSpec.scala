@@ -355,6 +355,36 @@ class ModelsSpec extends SparkSpec {
     assert(g2t.getAs[Double]("t") == 0.25)
   }
 
+  test("groupAdvantage: hand-checked normalization, zero-std and best-of-n") {
+    // group 1: rewards 1,2,3,6 -> mean 3, var (4+1+0+9)/4 = 3.5
+    // group 2: constant rewards -> std 0 -> advantage 0 for all
+    // group 3: tied max -> lowest id wins best-of-n
+    val df = Seq(
+      (1L, 10L, 1.0), (1L, 11L, 2.0), (1L, 12L, 3.0), (1L, 13L, 6.0),
+      (2L, 20L, 5.0), (2L, 21L, 5.0),
+      (3L, 30L, 7.0), (3L, 31L, 7.0), (3L, 32L, 4.0)
+    ).toDF("g", "id", "r")
+    val got = Models.groupAdvantage(df, "g", "id", "r")
+      .orderBy("g", "id").collect()
+    val std1 = math.sqrt(3.5)
+    assert(got(0).getAs[Double]("mean_r") == 3.0)
+    assert(got(0).getAs[Double]("std_r") ==
+      BigDecimal(std1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(0).getAs[Double]("advantage") ==
+      BigDecimal(-2.0 / std1).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(3).getAs[Int]("is_best") == 1) // reward 6 wins group 1
+    // zero-std group: advantage exactly 0 (never -0.0), one best
+    assert(got(4).getAs[Double]("advantage") == 0.0)
+    assert(got(5).getAs[Double]("advantage") == 0.0)
+    assert(got(4).getAs[Int]("is_best") == 1) // lowest id on full tie
+    assert(got(5).getAs[Int]("is_best") == 0)
+    // tied max: id 30 beats 31
+    assert(got(6).getAs[Int]("is_best") == 1)
+    assert(got(7).getAs[Int]("is_best") == 0)
+    assert(got.forall(_.getAs[Long]("group_size") > 0))
+  }
+
   test("temperatureScaling: saturated logits keep every NLL finite") {
     // raw LLM logits at T=0.25: |z|/T = 160 ≫ 37 saturates σ to exactly
     // 0/1, where unclamped log() nulls the NLL — rows would silently
