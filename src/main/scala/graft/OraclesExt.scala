@@ -1819,6 +1819,64 @@ object OraclesExt {
       s"SELECT qid, rnk::INT AS rnk, cid, cos FROM rr WHERE rnk <= $k " +
       "ORDER BY qid, rnk"
 
+  /** q325: Sketches.qdigestQuantiles mirror — the same exact leaf
+    * histogram, `levels` compression rounds as CHAINED CTEs (each
+    * round: per-parent child sums, merge iff ≤ τ = n/k integer-divided,
+    * kept children and untouched nodes ride along), post-order spine
+    * (right asc, width asc) + correlated first-reach scalar per prob.
+    * Level-synchronous = order-free, so the chain replays the Scala
+    * loop exactly. */
+  def qdigest(levels: Int, k: Int, probs: Seq[Double]): String = {
+    val cap = 1L << levels
+    val rounds = (levels to 1 by -1).map { l =>
+      val lo = 1L << l
+      val hi = 1L << (l + 1)
+      s"r$l AS MATERIALIZED (SELECT id // 2 AS pid, sum(cnt)::BIGINT AS csum " +
+        s"FROM d$l WHERE id >= $lo AND id < $hi GROUP BY 1), " +
+        // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so a
+        // 12-round chain whose every round references the previous one
+        // 3x would expand 3^12 scans of the base parquet
+        s"d${l - 1} AS MATERIALIZED (" +
+        s"SELECT id, cnt FROM d$l WHERE id < $lo OR id >= $hi " +
+        s"UNION ALL SELECT d.id, d.cnt FROM d$l d JOIN r$l r " +
+        s"ON d.id // 2 = r.pid WHERE d.id >= $lo AND d.id < $hi " +
+        "AND r.csum > (SELECT tau FROM t) " +
+        s"UNION ALL SELECT r.pid AS id, r.csum AS cnt FROM r$l r " +
+        "WHERE r.csum <= (SELECT tau FROM t))"
+    }.mkString(", ")
+    val lvRows = (0 to levels)
+      .map(d => s"($d, ${1L << d}::BIGINT, ${1L << (d + 1)}::BIGINT)")
+      .mkString(", ")
+    val pList = probs.map(p => s"$p::DOUBLE").mkString("[", ", ", "]")
+    "WITH q AS MATERIALIZED (SELECT least(floor(l_extendedprice / 32)::BIGINT, " +
+      s"${cap - 1}) AS v FROM lineitem), " +
+      "h AS MATERIALIZED (SELECT v, count(*)::BIGINT AS cnt FROM q GROUP BY 1), " +
+      s"t AS MATERIALIZED (SELECT count(*)::BIGINT AS n, count(*) // $k AS tau FROM q), " +
+      s"d$levels AS MATERIALIZED (SELECT $cap + v AS id, cnt FROM h), " +
+      s"$rounds, " +
+      s"lv AS (SELECT * FROM (VALUES $lvRows) x(d, lo, hi)), " +
+      "sp AS (SELECT n0.id, n0.cnt, " +
+      s"(1::BIGINT << ($levels - lv.d)) AS width, " +
+      s"(n0.id + 1) * (1::BIGINT << ($levels - lv.d)) - $cap - 1 AS rgt " +
+      "FROM d0 n0 JOIN lv ON n0.id >= lv.lo AND n0.id < lv.hi), " +
+      "c AS MATERIALIZED (SELECT rgt, width, cnt, sum(cnt) OVER (ORDER BY rgt, width " +
+      "ROWS UNBOUNDED PRECEDING) AS cum FROM sp), " +
+      "hc AS MATERIALIZED (SELECT v, sum(cnt) OVER (ORDER BY v " +
+      "ROWS UNBOUNDED PRECEDING) AS cum FROM h), " +
+      "nn AS (SELECT count(*)::BIGINT AS n_nodes FROM d0), " +
+      s"pr AS (SELECT unnest($pList) AS p) " +
+      "SELECT pr.p, t.n, nn.n_nodes, " +
+      "(SELECT c.rgt FROM c WHERE c.cum >= greatest(1, ceil(pr.p * t.n)) " +
+      "ORDER BY c.rgt, c.width LIMIT 1)::BIGINT AS qd_est, " +
+      "(SELECT hc.v FROM hc WHERE hc.cum >= greatest(1, " +
+      "ceil(pr.p * t.n)) ORDER BY hc.v LIMIT 1)::BIGINT AS exact_q, " +
+      "((SELECT c.rgt FROM c WHERE c.cum >= greatest(1, " +
+      "ceil(pr.p * t.n)) ORDER BY c.rgt, c.width LIMIT 1) - " +
+      "(SELECT hc.v FROM hc WHERE hc.cum >= greatest(1, " +
+      "ceil(pr.p * t.n)) ORDER BY hc.v LIMIT 1))::BIGINT AS err " +
+      "FROM pr CROSS JOIN t CROSS JOIN nn ORDER BY p"
+  }
+
   /** q324: Models.groupAdvantage mirror — integer reward sums (exact in
     * any order), population std from Σr²/n − mean², zero-std groups →
     * advantage 0, best = max reward with lowest-id tie. */

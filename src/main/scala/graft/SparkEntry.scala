@@ -4808,6 +4808,21 @@ object SparkEntry {
         .select(col("doc_id"), g.as("prompt_id"), reward.as("r"))
       Models.groupAdvantage(d, "prompt_id", "doc_id", "r")
         .orderBy("prompt_id", "doc_id")
+    },
+
+    // ───── q-digest quantile sketch (Shrivastava 2004): prices
+    // quantized by a FIXED power-of-two bin (exact float division) into
+    // [0, 4096), exact leaf counts (the only data-scale pass), 12
+    // level-synchronous compression rounds at tau = n/64, post-order
+    // quantile read — the rank member completing the HLL/CMS/KMV
+    // mergeable-sketch family, est-vs-exact per prob ─────
+    "q325_qdigest" -> { (s, dir) =>
+      val v = least(floor(col("l_extendedprice") / 32).cast("long"),
+        lit(4095L))
+      Sketches.qdigestQuantiles(
+          t(s, dir, "lineitem").select(v.as("v")), col("v"),
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99), levels = 12, k = 64)
+        .orderBy("p")
     }
   )
 
@@ -7662,6 +7677,9 @@ object SparkEntry {
         "px_sum::DOUBLE / n_pix AS px_mean FROM p ORDER BY doc_id"),
 
     "q324_group_advantage" -> OraclesExt.groupAdvantage,
+
+    "q325_qdigest" ->
+      OraclesExt.qdigest(12, 64, Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)),
 
     "q292_robots_filter" -> OraclesExt.robotsFilter,
 

@@ -307,4 +307,95 @@ object Sketches {
           .otherwise(round(lit((k - 1).toDouble * m) / col("kth").cast(DoubleType), 6))
           .as("kmv_est"))
   }
+
+  /** Deterministic q-digest quantile sketch (Shrivastava et al. 2004) —
+    * the rank/quantile member completing the mergeable-sketch family
+    * (HLL counts distincts, CMS counts frequencies, KMV does set
+    * algebra; none can answer "what is the p99"). Values must be
+    * pre-quantized into the integer domain [0, 2^levels) (the caller's
+    * fixed binning — no data-dependent bounds, so both engines and any
+    * two sketch shards agree on the domain). Build: one data-scale
+    * hash-aggregate to exact leaf counts (bounded by 2^levels rows —
+    * that aggregate is the ONLY pass over the data), then
+    * LEVEL-SYNCHRONOUS bottom-up compression: a parent absorbs its
+    * children's subtree counts iff their sum fits under the bucket
+    * threshold ⌊n/k⌋. Level-synchronous processing makes the digest a
+    * pure function of the counts — no processing-order or partitioning
+    * dependence, so digests MERGE by adding node counts and
+    * re-compressing, and a SQL oracle can replay the build exactly.
+    * Quantile query: nodes in post-order (right endpoint asc, width
+    * asc), first node whose cumulative count reaches ⌈p·n⌉ answers with
+    * its right endpoint — error bounded by the absorbed range widths
+    * (ε ≈ levels/k in rank).
+    *
+    * Compression runs DRIVER-SIDE over the collected ≤ 2^levels-row
+    * histogram (the bpeTrainDriver/pqTrain bounded-model posture —
+    * `levels` is a sketch parameter, never data scale; levels ≤ 16 is
+    * enforced, a ≤ 65k-row bounded collect). Returns one row per
+    * requested prob: (p, n, n_nodes, qd_est, exact_q, err) — the
+    * est-vs-exact report shape of [[kmvDistinct]], with the exact
+    * quantile of the quantized values computed from the same histogram. */
+  def qdigestQuantiles(
+      df: DataFrame,
+      value: Column, // integer in [0, 2^levels)
+      probs: Seq[Double],
+      levels: Int = 12,
+      k: Int = 64): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      "probs in (0, 1)")
+    require(levels >= 2 && levels <= 16,
+      "levels in [2, 16] — the histogram collect is bounded by 2^levels")
+    require(k >= 2, "k >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cap = 1L << levels
+    val hist = df.select(value.cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(hist.forall { case (v, _) => v >= 0 && v < cap },
+      s"values must be pre-quantized into [0, $cap)")
+    val n = hist.map(_._2).sum
+    val tau = n / k
+    // level-synchronous compression: nodes keyed by heap id
+    // (leaf v -> 2^levels + v; parent = id/2), bottom-up
+    var nodes = scala.collection.immutable.TreeMap(
+      hist.map { case (v, c) => (cap + v) -> c }: _*)
+    var lvl = levels
+    while (lvl >= 1) {
+      val lo = 1L << lvl
+      val hi = 1L << (lvl + 1)
+      val atLevel = nodes.range(lo, hi)
+      val byParent = atLevel.groupBy(_._1 / 2)
+      byParent.foreach { case (pid, ch) =>
+        val csum = ch.values.sum
+        if (csum <= tau) {
+          nodes = nodes -- ch.keys
+          nodes += pid -> (nodes.getOrElse(pid, 0L) + csum)
+        }
+      }
+      lvl -= 1
+    }
+    val nNodes = nodes.size.toLong
+    // post-order spine: (right endpoint asc, width asc), cumulative
+    val spine = nodes.toSeq.map { case (id, c) =>
+      val depth = 63 - java.lang.Long.numberOfLeadingZeros(id)
+      val width = 1L << (levels - depth)
+      val right = (id + 1) * width - cap - 1
+      (right, width, c)
+    }.sortBy(t => (t._1, t._2))
+    val cum = spine.scanLeft(0L)(_ + _._3).tail
+    // exact quantile of the quantized values from the same histogram
+    val exactCum = hist.scanLeft(0L)(_ + _._2).tail
+    val rows = probs.map { p =>
+      val rank = math.max(1L, math.ceil(p * n).toLong)
+      val qi = cum.indexWhere(_ >= rank)
+      val est = if (qi < 0) spine.last._1 else spine(qi)._1
+      val ei = exactCum.indexWhere(_ >= rank)
+      val exact = if (ei < 0) hist.last._1 else hist(ei)._1
+      (p, n, nNodes, est, exact, est - exact)
+    }
+    rows.toDF("p", "n", "n_nodes", "qd_est", "exact_q", "err")
+  }
 }

@@ -181,4 +181,32 @@ class SketchesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("quadratic in groups"))
   }
+
+  test("qdigestQuantiles: exact at high k, bounded overestimate at low k") {
+    // 160 values: v = i % 16, uniform over [0, 16) at levels = 4
+    val df = (0 until 160).map(i => i % 16).toDF("v")
+    // k >= n => tau = n/k <= 1 => only singleton merges; with uniform
+    // counts 10 > tau nothing compresses: digest = exact histogram
+    val exact = Sketches.qdigestQuantiles(df, col("v"),
+        Seq(0.25, 0.5, 0.75), levels = 4, k = 200)
+      .orderBy("p").collect()
+    assert(exact.forall(_.getAs[Long]("err") == 0L))
+    assert(exact.forall(_.getAs[Long]("n_nodes") == 16L))
+    assert(exact.map(_.getAs[Long]("qd_est")).toSeq == Seq(3L, 7L, 11L))
+    // tiny k => huge tau => everything folds toward the root: the
+    // estimate can only OVERSHOOT (right endpoints absorb ranges),
+    // never undershoot — the q-digest rank-error direction
+    val coarse = Sketches.qdigestQuantiles(df, col("v"),
+        Seq(0.25, 0.5, 0.75), levels = 4, k = 2)
+      .orderBy("p").collect()
+    assert(coarse.forall(_.getAs[Long]("err") >= 0L))
+    assert(coarse.forall(r => r.getAs[Long]("n_nodes") <
+      exact.head.getAs[Long]("n_nodes")))
+    // out-of-domain values fail loud, not silently mis-binned
+    val bad = Seq(17L).toDF("v")
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.qdigestQuantiles(bad, col("v"), Seq(0.5), levels = 4, k = 4)
+    }
+    assert(ex.getMessage.contains("pre-quantized"))
+  }
 }
