@@ -1826,7 +1826,11 @@ object OraclesExt {
     * (right asc, width asc) + correlated first-reach scalar per prob.
     * Level-synchronous = order-free, so the chain replays the Scala
     * loop exactly. */
-  def qdigest(levels: Int, k: Int, probs: Seq[Double]): String = {
+  def qdigest(
+      levels: Int, k: Int, probs: Seq[Double],
+      quantSql: String =
+        "SELECT least(floor(l_extendedprice / 32)::BIGINT, 4095) AS v " +
+          "FROM lineitem"): String = {
     val cap = 1L << levels
     val rounds = (levels to 1 by -1).map { l =>
       val lo = 1L << l
@@ -1848,8 +1852,7 @@ object OraclesExt {
       .map(d => s"($d, ${1L << d}::BIGINT, ${1L << (d + 1)}::BIGINT)")
       .mkString(", ")
     val pList = probs.map(p => s"$p::DOUBLE").mkString("[", ", ", "]")
-    "WITH q AS MATERIALIZED (SELECT least(floor(l_extendedprice / 32)::BIGINT, " +
-      s"${cap - 1}) AS v FROM lineitem), " +
+    s"WITH q AS MATERIALIZED ($quantSql), " +
       "h AS MATERIALIZED (SELECT v, count(*)::BIGINT AS cnt FROM q GROUP BY 1), " +
       s"t AS MATERIALIZED (SELECT count(*)::BIGINT AS n, count(*) // $k AS tau FROM q), " +
       s"d$levels AS MATERIALIZED (SELECT $cap + v AS id, cnt FROM h), " +

@@ -4823,6 +4823,23 @@ object SparkEntry {
           t(s, dir, "lineitem").select(v.as("v")), col("v"),
           Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99), levels = 12, k = 64)
         .orderBy("p")
+    },
+
+    // ───── STREAMING q-digest: complete-mode exact leaf-count store
+    // over the quantized event values (the histogram IS the mergeable
+    // state — counts add across micro-batches), digest compressed at
+    // read time — row-identical to the batch digest over the same
+    // events, the q153/q307 streaming-parity shape for the quantile
+    // sketch ─────
+    "q326_stream_qdigest" -> { (s, dir) =>
+      val v = least(floor(col("value") * 8).cast("long"), lit(4095L))
+      val counts = eventsStream(s, dir)
+        .select(v.as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+      val store = drainToTable(s, counts, "g326_qdigest", "complete")
+      Sketches.qdigestFromCounts(store,
+          Seq(0.25, 0.5, 0.75, 0.95), levels = 12, k = 64)
+        .orderBy("p")
     }
   )
 
@@ -7680,6 +7697,12 @@ object SparkEntry {
 
     "q325_qdigest" ->
       OraclesExt.qdigest(12, 64, Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)),
+
+    // stream/batch parity: the drained complete-mode leaf-count store
+    // compresses to the identical digest as a batch build over events
+    "q326_stream_qdigest" ->
+      OraclesExt.qdigest(12, 64, Seq(0.25, 0.5, 0.75, 0.95),
+        "SELECT least(floor(\"value\" * 8)::BIGINT, 4095) AS v FROM events"),
 
     "q292_robots_filter" -> OraclesExt.robotsFilter,
 

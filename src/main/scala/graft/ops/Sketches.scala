@@ -341,16 +341,32 @@ object Sketches {
       probs: Seq[Double],
       levels: Int = 12,
       k: Int = 64): DataFrame = {
+    qdigestFromCounts(
+      df.select(value.cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt")),
+      probs, levels, k)
+  }
+
+  /** [[qdigestQuantiles]] over a PRE-AGGREGATED (value, count)
+    * histogram — the shape a streaming build takes (a complete-mode
+    * count store accumulates the exact leaf histogram; the digest
+    * compresses at read time), and the merge path for pre-sharded
+    * histograms (counts add, then one compression). */
+  def qdigestFromCounts(
+      histDf: DataFrame, // (v, cnt)
+      probs: Seq[Double],
+      levels: Int = 12,
+      k: Int = 64): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
       "probs in (0, 1)")
     require(levels >= 2 && levels <= 16,
       "levels in [2, 16] — the histogram collect is bounded by 2^levels")
     require(k >= 2, "k >= 2")
-    val spark = df.sparkSession
+    val spark = histDf.sparkSession
     import spark.implicits._
     val cap = 1L << levels
-    val hist = df.select(value.cast("long").as("v"))
-      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val hist = histDf
+      .select(col("v").cast("long"), col("cnt").cast("long"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
