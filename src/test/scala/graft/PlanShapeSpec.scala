@@ -1074,4 +1074,60 @@ class PlanShapeSpec extends SparkSpec {
     assert(collectAll(plan) { case s: ShuffleExchangeExec => s }.size <= 1,
       s"expected a single aggregation shuffle:\n$plan")
   }
+
+  test("bleu: MAP-ONLY — the gram kernel leaves no aggregate, generate, or extra shuffle") {
+    import org.apache.spark.sql.functions.col
+    val d = ops.Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val pairs = d.withColumnRenamed("text", "ref")
+      .join(d.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("cand")), Seq("doc_id"))
+    val plan = executed(
+      ops.TextAnalysis.bleu(pairs, "doc_id", "ref", "cand"))
+    // the (id, n, gram) formulation carried two hash-aggregates and a
+    // clip join; the GramClipOverlap kernel must leave NONE of them —
+    // the only join is the pair self-join (broadcast), no Generate,
+    // no aggregate, no shuffle at all (AQE elides the broadcast one)
+    assert(collectAll(plan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
+      s"gram explode reappeared:\n$plan")
+    assert(collectAll(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.isEmpty, s"gram aggregate reappeared:\n$plan")
+    assert(collectAll(plan) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"bleu must be map-only after the pair join:\n$plan")
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size == 1,
+      s"expected only the pair self-join:\n$plan")
+  }
+
+  test("binary cell serving: Hamming tier joins BY CELL, candidates heap-bounded") {
+    import org.apache.spark.sql.functions.col
+    val e = ops.Sources.table(spark, dir, "embeddings")
+    val plan = executed(ops.Similarity.topKHammingCells(
+      e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+      graft.fixtures.PinnedIndex.ivfCentroidsV1,
+      dim = 64, candK = 30, k = 5, nProbe = 4))
+    // every join must be a broadcast EQUI join (cell tier + the two
+    // rerank probes) — a nested-loop anywhere means the corpus is
+    // being scanned per query again
+    assert(collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"nested loop in the serving path:\n$plan")
+    val bhj = collectAll(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size == 3, s"expected cell + 2 rerank broadcast joins:\n$plan")
+    assert(bhj.exists(_.leftKeys.exists(_.toString.contains("cell"))),
+      s"the Hamming tier must equi-join by cell:\n$plan")
+    // the candK selection must be a BOUNDED per-group selection: the
+    // custom heap (extensions sessions — PLANS.md shows TopKPerKey) or
+    // Spark's own WindowGroupLimit rank pushdown (vanilla sessions,
+    // like this suite's) — never an unbounded full-partition window
+    val bounded = collectAll(plan) {
+      case t: graft.plans.TopKPerKeyExec => t: Any
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w: Any
+    }
+    assert(bounded.size >= 2, // candK tier + final k tier
+      s"a rank filter lost its bounded-selection pushdown:\n$plan")
+  }
 }
