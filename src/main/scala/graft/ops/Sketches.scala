@@ -365,13 +365,23 @@ object Sketches {
     val spark = histDf.sparkSession
     import spark.implicits._
     val cap = 1L << levels
+    // enforce the domain BEFORE collecting: an out-of-contract caller
+    // (values never quantized) would otherwise pull an unbounded
+    // distinct-value histogram onto the driver before any check fires.
+    // One bounded min/max aggregate; only then is the collect ≤ 2^levels
+    val mm = histDf.agg(min(col("v").cast("long")),
+      max(col("v").cast("long")), min(col("cnt").cast("long"))).head()
+    if (!mm.isNullAt(0)) {
+      require(mm.getLong(0) >= 0 && mm.getLong(1) < cap,
+        s"values must be pre-quantized into [0, $cap) — got " +
+          s"[${mm.getLong(0)}, ${mm.getLong(1)}]")
+      require(mm.getLong(2) >= 0, "histogram counts must be >= 0")
+    }
     val hist = histDf
       .select(col("v").cast("long"), col("cnt").cast("long"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
-    require(hist.forall { case (v, _) => v >= 0 && v < cap },
-      s"values must be pre-quantized into [0, $cap)")
     val n = hist.map(_._2).sum
     val tau = n / k
     // level-synchronous compression: nodes keyed by heap id
