@@ -79,20 +79,28 @@ case class GramClipOverlap(
 
 object GramClipOverlap {
 
-  /** FNV-1a 64 per token over its UTF-8 bytes. */
+  /** FNV-1a 64 per token over its UTF-8 bytes. A NULL element hashes to
+    * a fixed sentinel (the FNV offset basis) instead of NPE-ing — the
+    * in-repo callers feed `split()` output (never null), but the
+    * type check admits containsNull arrays, so an external caller must
+    * get a defined gram identity, not an executor NullPointerException. */
   private def tokenHashes(a: ArrayData): Array[Long] = {
     val n = a.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val bytes = a.getUTF8String(i).getBytes
-      var h = 0xcbf29ce484222325L
-      var j = 0
-      while (j < bytes.length) {
-        h = (h ^ (bytes(j) & 0xffL)) * 0x100000001b3L
-        j += 1
+      if (a.isNullAt(i)) {
+        out(i) = 0xcbf29ce484222325L
+      } else {
+        val bytes = a.getUTF8String(i).getBytes
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < bytes.length) {
+          h = (h ^ (bytes(j) & 0xffL)) * 0x100000001b3L
+          j += 1
+        }
+        out(i) = h
       }
-      out(i) = h
       i += 1
     }
     out

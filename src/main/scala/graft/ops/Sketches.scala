@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.collection.immutable.TreeMap
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -350,20 +352,81 @@ object Sketches {
   /** [[qdigestQuantiles]] over a PRE-AGGREGATED (value, count)
     * histogram — the shape a streaming build takes (a complete-mode
     * count store accumulates the exact leaf histogram; the digest
-    * compresses at read time), and the merge path for pre-sharded
-    * histograms (counts add, then one compression). */
+    * compresses at read time), and the merge path for pre-sharded LEAF
+    * histograms: duplicate `v` rows are SUMMED here (a union of shard
+    * histograms merges by count addition, as the merge law requires —
+    * the group-by is part of the contract, not a convenience), so
+    * `qdigestFromCounts(histA union histB)` is exactly the whole-corpus
+    * digest. For merging already-COMPRESSED digests see
+    * [[qdigestMergedQuantiles]]. Empty input fails loud. */
   def qdigestFromCounts(
       histDf: DataFrame, // (v, cnt)
       probs: Seq[Double],
       levels: Int = 12,
       k: Int = 64): DataFrame = {
+    checkQdigestParams(probs, levels, k)
+    val (n, hist, nodes) = buildDigest(histDf, levels, k)
+    quantileRows(histDf.sparkSession, probs, n, nodes, hist, levels)
+  }
+
+  /** The mergeability claim at the DIGEST level (Shrivastava 2004 §4):
+    * each shard histogram is compressed into its OWN digest (shard-local
+    * τ = ⌊n_s/k⌋), the digests merge by NODE-count addition (node ids
+    * are position-in-tree, shared across shards by the fixed
+    * [0, 2^levels) domain), and ONE re-compression at the combined
+    * τ = ⌊n/k⌋ yields the released digest — the path a 1000-executor
+    * build takes when each executor ships a ≤2k-node digest instead of
+    * its (bounded but 2^levels-wide) raw histogram. The merged digest
+    * carries the SAME never-undershoot guarantee as a direct build (all
+    * counts still sit at nodes whose range covers their values), with
+    * rank error bounded by the sum of the shard and merge thresholds;
+    * it is NOT in general node-identical to the whole-corpus digest
+    * (shard compression may have lifted counts a global build keeps at
+    * leaves — see QdigestProps for the exact laws that DO hold).
+    *
+    * The `exact_q` / `err` report columns come from the summed shard
+    * leaf histograms — eval-harness columns (a production merge ships
+    * digests precisely to avoid keeping leaves). */
+  def qdigestMergedQuantiles(
+      shards: Seq[DataFrame], // each (v, cnt)
+      probs: Seq[Double],
+      levels: Int = 12,
+      k: Int = 64): DataFrame = {
+    require(shards.nonEmpty, "qdigestMergedQuantiles needs >= 1 shard")
+    checkQdigestParams(probs, levels, k)
+    val built = shards.map(buildDigest(_, levels, k))
+    val n = built.map(_._1).sum
+    // merge: node counts ADD (ids align by construction), then exactly
+    // one re-compression pass at the combined threshold
+    val summed = built.map(_._3).reduce { (a, b) =>
+      b.foldLeft(a) { case (m, (id, c)) =>
+        m + (id -> (m.getOrElse(id, 0L) + c))
+      }
+    }
+    val merged = compressNodes(summed, n / k, levels)
+    val histAll = built.flatMap(_._2).groupBy(_._1)
+      .map { case (v, xs) => (v, xs.map(_._2).sum) }
+      .toArray.sortBy(_._1)
+    quantileRows(shards.head.sparkSession, probs, n, merged, histAll, levels)
+  }
+
+  private def checkQdigestParams(
+      probs: Seq[Double], levels: Int, k: Int): Unit = {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
       "probs in (0, 1)")
     require(levels >= 2 && levels <= 16,
       "levels in [2, 16] — the histogram collect is bounded by 2^levels")
     require(k >= 2, "k >= 2")
-    val spark = histDf.sparkSession
-    import spark.implicits._
+  }
+
+  /** Build one digest driver-side from a (v, cnt) frame: domain
+    * enforced BEFORE the bounded collect, duplicate `v` rows summed,
+    * empty input fails loud. Returns (n, leaf histogram sorted by v,
+    * compressed node map). */
+  private def buildDigest(
+      histDf: DataFrame,
+      levels: Int,
+      k: Int): (Long, Array[(Long, Long)], TreeMap[Long, Long]) = {
     val cap = 1L << levels
     // enforce the domain BEFORE collecting: an out-of-contract caller
     // (values never quantized) would otherwise pull an unbounded
@@ -371,23 +434,39 @@ object Sketches {
     // One bounded min/max aggregate; only then is the collect ≤ 2^levels
     val mm = histDf.agg(min(col("v").cast("long")),
       max(col("v").cast("long")), min(col("cnt").cast("long"))).head()
-    if (!mm.isNullAt(0)) {
-      require(mm.getLong(0) >= 0 && mm.getLong(1) < cap,
-        s"values must be pre-quantized into [0, $cap) — got " +
-          s"[${mm.getLong(0)}, ${mm.getLong(1)}]")
-      require(mm.getLong(2) >= 0, "histogram counts must be >= 0")
-    }
+    require(!mm.isNullAt(0),
+      "q-digest needs a non-empty histogram — got zero (v, cnt) rows")
+    require(mm.getLong(0) >= 0 && mm.getLong(1) < cap,
+      s"values must be pre-quantized into [0, $cap) — got " +
+        s"[${mm.getLong(0)}, ${mm.getLong(1)}]")
+    require(mm.getLong(2) >= 0, "histogram counts must be >= 0")
+    // SUM duplicate v rows (a unioned shard histogram must add counts —
+    // a last-wins drop here would desync node counts from n); the
+    // group-by keeps the collect bounded by the 2^levels domain
     val hist = histDf
-      .select(col("v").cast("long"), col("cnt").cast("long"))
+      .groupBy(col("v").cast("long").as("v"))
+      .agg(sum(col("cnt").cast("long")).as("cnt"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
     val n = hist.map(_._2).sum
-    val tau = n / k
-    // level-synchronous compression: nodes keyed by heap id
-    // (leaf v -> 2^levels + v; parent = id/2), bottom-up
-    var nodes = scala.collection.immutable.TreeMap(
-      hist.map { case (v, c) => (cap + v) -> c }: _*)
+    require(n > 0, "q-digest needs at least one counted value (n = 0)")
+    val leaves = TreeMap(hist.map { case (v, c) => (cap + v) -> c }: _*)
+    (n, hist, compressNodes(leaves, n / k, levels))
+  }
+
+  /** One full LEVEL-SYNCHRONOUS bottom-up compression pass: at each
+    * level (deepest first) a parent absorbs its children's counts iff
+    * their sum ≤ τ. Pure function of (nodes, τ) — no processing-order
+    * or partitioning dependence, which is what lets shard digests merge
+    * and a SQL oracle replay the build. Nodes keyed by heap id
+    * (leaf v → 2^levels + v; parent = id/2); input may hold nodes at
+    * ANY level (the merge path re-compresses a mixed-depth map). */
+  private def compressNodes(
+      nodes0: TreeMap[Long, Long],
+      tau: Long,
+      levels: Int): TreeMap[Long, Long] = {
+    var nodes = nodes0
     var lvl = levels
     while (lvl >= 1) {
       val lo = 1L << lvl
@@ -403,6 +482,20 @@ object Sketches {
       }
       lvl -= 1
     }
+    nodes
+  }
+
+  /** Post-order quantile read over a compressed node map + the
+    * est-vs-exact report columns from the leaf histogram. */
+  private def quantileRows(
+      spark: org.apache.spark.sql.SparkSession,
+      probs: Seq[Double],
+      n: Long,
+      nodes: TreeMap[Long, Long],
+      hist: Array[(Long, Long)],
+      levels: Int): DataFrame = {
+    import spark.implicits._
+    val cap = 1L << levels
     val nNodes = nodes.size.toLong
     // post-order spine: (right endpoint asc, width asc), cumulative
     val spine = nodes.toSeq.map { case (id, c) =>

@@ -209,4 +209,60 @@ class SketchesSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("pre-quantized"))
   }
+
+  test("qdigestFromCounts: empty histogram fails loud, not empty.last") {
+    val empty = Seq.empty[(Long, Long)].toDF("v", "cnt")
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.qdigestFromCounts(empty, Seq(0.5), levels = 4, k = 4)
+    }
+    assert(ex.getMessage.contains("non-empty"), ex.getMessage)
+    // all rows present but zero-counted is equally empty in rank terms
+    val zeros = Seq((1L, 0L), (2L, 0L)).toDF("v", "cnt")
+    val ez = intercept[IllegalArgumentException] {
+      Sketches.qdigestFromCounts(zeros, Seq(0.5), levels = 4, k = 4)
+    }
+    assert(ez.getMessage.contains("n = 0"), ez.getMessage)
+  }
+
+  test("qdigestFromCounts: duplicate v rows SUM — union of shard histograms == whole") {
+    // the documented merge law for leaf histograms: counts add. A
+    // last-wins drop would desync node counts from n (the round-9
+    // ADVICE finding)
+    val whole = Seq((1L, 6L), (2L, 4L), (9L, 5L)).toDF("v", "cnt")
+    val shardA = Seq((1L, 2L), (2L, 4L), (9L, 1L))
+    val shardB = Seq((1L, 4L), (9L, 4L))
+    val union = (shardA ++ shardB).toDF("v", "cnt")
+    val probs = Seq(0.1, 0.5, 0.9)
+    val a = Sketches.qdigestFromCounts(whole, probs, levels = 4, k = 3)
+      .orderBy("p").collect().map(_.toSeq).toSeq
+    val b = Sketches.qdigestFromCounts(union, probs, levels = 4, k = 3)
+      .orderBy("p").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.head(1) == 15L) // n sums all rows — and nodes now agree
+  }
+
+  test("qdigestMergedQuantiles: digest-level merge never undershoots; exact at tau 0") {
+    val vals = (0 until 200).map(i => (i * 7) % 16)
+    val hist = (shard: Int) => vals.zipWithIndex
+      .filter(_._2 % 4 == shard).map(_._1)
+      .groupBy(identity).toSeq
+      .map { case (v, xs) => (v.toLong, xs.size.toLong) }
+      .toDF("v", "cnt")
+    val shards = (0 to 3).map(hist)
+    val probs = Seq(0.25, 0.5, 0.75, 0.99)
+    val merged = Sketches.qdigestMergedQuantiles(shards, probs,
+      levels = 4, k = 4).orderBy("p").collect()
+    assert(merged.forall(_.getAs[Long]("n") == 200L))
+    // never-undershoot survives the merge: counts only ever move UP the
+    // tree, so every value still sits at a node covering it
+    assert(merged.forall(_.getAs[Long]("err") >= 0L))
+    // k > n on every side => no compression anywhere => merged digest
+    // IS the exact histogram (node-identical to the whole build)
+    val exactM = Sketches.qdigestMergedQuantiles(shards, probs,
+      levels = 4, k = 999).orderBy("p").collect()
+    val exactW = Sketches.qdigestQuantiles(vals.toDF("v"), col("v"), probs,
+      levels = 4, k = 999).orderBy("p").collect()
+    assert(exactM.map(_.toSeq).toSeq == exactW.map(_.toSeq).toSeq)
+    assert(exactM.forall(_.getAs[Long]("err") == 0L))
+  }
 }

@@ -69,4 +69,46 @@ object QdigestProps extends Properties("graft.invariants.round8qd") {
         col("v"), Seq(p), levels = 6, k = k).head()
       a.toSeq == b.toSeq
     }
+
+  private def histDf(vs: Seq[Int]) = {
+    import spark.implicits._
+    vs.groupBy(identity).toSeq
+      .map { case (v, xs) => (v.toLong, xs.size.toLong) }.toDF("v", "cnt")
+  }
+
+  // the DIGEST-level merge laws (qdigestMergedQuantiles): an arbitrary
+  // 2-way shard split, each shard compressed with its OWN tau, merged by
+  // node-count addition + one re-compression —
+  //   (1) n is the union n;
+  //   (2) the estimate still never undershoots the exact union quantile
+  //       (counts only ever move UP the tree, in shards and in the
+  //       merge alike, so every value stays under a covering node);
+  //   (3) the estimate stays in the domain.
+  // Node-IDENTITY with the whole-corpus digest is deliberately NOT
+  // claimed: shard compression may lift counts a global build keeps at
+  // leaves (tau_s < tau), which is why the merged digest is a valid
+  // sketch of the union, not a bit-replay of the unsharded build.
+  property("shard-merged digest: union n, never undershoots, in-domain") =
+    forAll(genVals, genVals, genProb, Gen.choose(2, 8)) { (va, vb, p, k) =>
+      val r = Sketches.qdigestMergedQuantiles(
+        Seq(histDf(va), histDf(vb)), Seq(p), levels = 6, k = k).head()
+      val all = va ++ vb
+      val exact = all.sorted.apply(
+        math.max(0, math.ceil(p * all.size).toInt - 1)).toLong
+      r.getAs[Long]("n") == all.size.toLong &&
+        r.getAs[Long]("exact_q") == exact &&
+        r.getAs[Long]("err") >= 0L &&
+        r.getAs[Long]("qd_est") <= 63L
+    }
+
+  property("merging a digest with an empty-complement split is the whole digest") =
+    forAll(genVals, genProb, Gen.choose(2, 8)) { (vs, p, k) =>
+      // single-shard "merge" (no second digest): the merge path must
+      // degenerate to the plain build — same tau, one no-op re-compress
+      val m = Sketches.qdigestMergedQuantiles(
+        Seq(histDf(vs)), Seq(p), levels = 6, k = k).head()
+      val w = Sketches.qdigestFromCounts(histDf(vs), Seq(p),
+        levels = 6, k = k).head()
+      m.toSeq == w.toSeq
+    }
 }
