@@ -1819,6 +1819,39 @@ object OraclesExt {
       s"SELECT qid, rnk::INT AS rnk, cid, cos FROM rr WHERE rnk <= $k " +
       "ORDER BY qid, rnk"
 
+  /** Mirrors q329: the q322 pinned-cell chain with ASYMMETRIC candidate
+    * scoring — the query stays un-quantized (exact integer micro-units,
+    * `round(qᵢ·10⁶)::BIGINT`, so the sum is order-independent across
+    * engines) and candidates contribute ±qᵢ by their sign bit; rerank
+    * unchanged. */
+  def asymCellRerank(candK: Int, k: Int, nProbe: Int): String =
+    s"WITH $embCte, " +
+      s"cent AS (SELECT * FROM (VALUES $pinnedCentRows) t(cell, cv, cn2)), " +
+      "scored AS (SELECT e.vec_id, e.v, cent.cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_dot_product(e.v, cent.cv) * -2.0 + cent.cn2, cent.cell) AS rn " +
+      "FROM e CROSS JOIN cent), " +
+      "corp AS (SELECT vec_id AS cid, cell FROM scored WHERE rn = 1), " +
+      "qc AS (SELECT vec_id AS qid, cell FROM scored " +
+      s"WHERE vec_id % 100 = 0 AND rn <= $nProbe), " +
+      "sb AS (SELECT qc.qid, corp.cid, " +
+      "list_sum(list_transform(range(64), i -> " +
+      "CASE WHEN cv.v[i+1] > 0 THEN round(qv.v[i+1] * 1000000)::BIGINT " +
+      "ELSE -(round(qv.v[i+1] * 1000000)::BIGINT) END))::BIGINT AS asym " +
+      "FROM qc JOIN corp USING (cell) " +
+      "JOIN e qv ON qv.vec_id = qc.qid JOIN e cv ON cv.vec_id = corp.cid " +
+      "WHERE corp.cid <> qc.qid), " +
+      "rb AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY asym DESC, cid) AS rnk FROM sb), " +
+      s"cand AS (SELECT qid, cid FROM rb WHERE rnk <= $candK), " +
+      "sc AS (SELECT cand.qid, cand.cid, " +
+      s"round(${cosSql("q.v", "c.v")}, 6) AS cos FROM cand " +
+      "JOIN e q ON q.vec_id = cand.qid JOIN e c ON c.vec_id = cand.cid), " +
+      "rr AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY cos DESC, cid) AS rnk FROM sc) " +
+      s"SELECT qid, rnk::INT AS rnk, cid, cos FROM rr WHERE rnk <= $k " +
+      "ORDER BY qid, rnk"
+
   /** q325: Sketches.qdigestQuantiles mirror — the same exact leaf
     * histogram, `levels` compression rounds as CHAINED CTEs (each
     * round: per-parent child sums, merge iff ≤ τ = n/k integer-divided,
@@ -1878,6 +1911,95 @@ object OraclesExt {
       "(SELECT hc.v FROM hc WHERE hc.cum >= greatest(1, " +
       "ceil(pr.p * t.n)) ORDER BY hc.v LIMIT 1))::BIGINT AS err " +
       "FROM pr CROSS JOIN t CROSS JOIN nn ORDER BY p"
+  }
+
+  /** q328: Sketches.qdigestMergedQuantiles mirror + whole-build parity.
+    * Each of `nShards` shards replays the q325 chained-CTE compression
+    * with its OWN τ = n_s/k; the union of the shard digests sums counts
+    * by node id and re-compresses ONCE at the combined τ (the same
+    * round chain — nodes off the processed level ride along, so a
+    * mixed-depth merged map compresses exactly like the Scala loop);
+    * the whole-corpus build runs beside it and the parity lands in
+    * merged_eq_whole. ~6·levels materialized CTEs, all ≤ 2^levels rows. */
+  def qdigestMerge(
+      levels: Int, k: Int, probs: Seq[Double], nShards: Int,
+      quantShardSql: String): String = {
+    val cap = 1L << levels
+    // one compression chain: pfx names the node CTEs, tauCte the τ source.
+    // Unlike the q325 pure-leaf chain, each round RE-AGGREGATES by id:
+    // a mixed-depth map (the merged digest) can merge children into a
+    // parent id that ALREADY holds a count — the Scala TreeMap adds into
+    // it, so the SQL must too, or the node set carries a duplicate row
+    // (right cum sums, wrong n_nodes)
+    def rounds(pfx: String, tauCte: String): String =
+      (levels to 1 by -1).map { l =>
+        val lo = 1L << l
+        val hi = 1L << (l + 1)
+        s"r$pfx$l AS MATERIALIZED (SELECT id // 2 AS pid, " +
+          s"sum(cnt)::BIGINT AS csum " +
+          s"FROM $pfx$l WHERE id >= $lo AND id < $hi GROUP BY 1), " +
+          s"$pfx${l - 1} AS MATERIALIZED (SELECT id, sum(cnt)::BIGINT " +
+          "AS cnt FROM (" +
+          s"SELECT id, cnt FROM $pfx$l WHERE id < $lo OR id >= $hi " +
+          s"UNION ALL SELECT d.id, d.cnt FROM $pfx$l d JOIN r$pfx$l r " +
+          s"ON d.id // 2 = r.pid WHERE d.id >= $lo AND d.id < $hi " +
+          s"AND r.csum > (SELECT tau FROM $tauCte) " +
+          s"UNION ALL SELECT r.pid AS id, r.csum AS cnt FROM r$pfx$l r " +
+          s"WHERE r.csum <= (SELECT tau FROM $tauCte)) GROUP BY 1)"
+      }.mkString(", ")
+    val shardChains = (0 until nShards).map { s =>
+      s"t_s$s AS MATERIALIZED (SELECT count(*)::BIGINT AS n, " +
+        s"count(*) // $k AS tau FROM q WHERE s = $s), " +
+        s"ds$s$levels AS MATERIALIZED (SELECT $cap + v AS id, " +
+        s"count(*)::BIGINT AS cnt FROM q WHERE s = $s GROUP BY 1), " +
+        rounds(s"ds$s", s"t_s$s")
+    }.mkString(", ")
+    val mergedUnion = (0 until nShards).map(s => s"SELECT id, cnt FROM ds${s}0")
+      .mkString(" UNION ALL ")
+    def spine(pfx: String, node0: String): String =
+      s"sp$pfx AS (SELECT n0.id, n0.cnt, " +
+        s"(1::BIGINT << ($levels - lv.d)) AS width, " +
+        s"(n0.id + 1) * (1::BIGINT << ($levels - lv.d)) - $cap - 1 AS rgt " +
+        s"FROM $node0 n0 JOIN lv ON n0.id >= lv.lo AND n0.id < lv.hi), " +
+        s"c$pfx AS MATERIALIZED (SELECT rgt, width, cnt, sum(cnt) OVER " +
+        s"(ORDER BY rgt, width ROWS UNBOUNDED PRECEDING) AS cum FROM sp$pfx)"
+    def firstReach(cte: String): String =
+      s"(SELECT $cte.rgt FROM $cte WHERE $cte.cum >= " +
+        s"greatest(1, ceil(pr.p * tm.n)) " +
+        s"ORDER BY $cte.rgt, $cte.width LIMIT 1)::BIGINT"
+    val lvRows = (0 to levels)
+      .map(d => s"($d, ${1L << d}::BIGINT, ${1L << (d + 1)}::BIGINT)")
+      .mkString(", ")
+    val pList = probs.map(p => s"$p::DOUBLE").mkString("[", ", ", "]")
+    s"WITH q AS MATERIALIZED ($quantShardSql), " +
+      s"tm AS MATERIALIZED (SELECT count(*)::BIGINT AS n, " +
+      s"count(*) // $k AS tau FROM q), " +
+      s"$shardChains, " +
+      s"md$levels AS MATERIALIZED (SELECT id, sum(cnt)::BIGINT AS cnt " +
+      s"FROM ($mergedUnion) GROUP BY 1), " +
+      rounds("md", "tm") + ", " +
+      "hw AS MATERIALIZED (SELECT v, count(*)::BIGINT AS cnt " +
+      "FROM q GROUP BY 1), " +
+      s"dw$levels AS MATERIALIZED (SELECT $cap + v AS id, cnt FROM hw), " +
+      rounds("dw", "tm") + ", " +
+      s"lv AS (SELECT * FROM (VALUES $lvRows) x(d, lo, hi)), " +
+      spine("M", "md0") + ", " + spine("W", "dw0") + ", " +
+      "hc AS MATERIALIZED (SELECT v, sum(cnt) OVER (ORDER BY v " +
+      "ROWS UNBOUNDED PRECEDING) AS cum FROM hw), " +
+      "nnm AS (SELECT count(*)::BIGINT AS n_nodes_merged FROM md0), " +
+      "nnw AS (SELECT count(*)::BIGINT AS n_nodes_whole FROM dw0), " +
+      s"pr AS (SELECT unnest($pList) AS p), " +
+      "base AS (SELECT pr.p, tm.n, " +
+      s"${firstReach("cM")} AS qd_merged, " +
+      s"${firstReach("cW")} AS qd_whole, " +
+      "(SELECT hc.v FROM hc WHERE hc.cum >= greatest(1, " +
+      "ceil(pr.p * tm.n)) ORDER BY hc.v LIMIT 1)::BIGINT AS exact_q " +
+      "FROM pr CROSS JOIN tm) " +
+      "SELECT b.p, b.n, nnm.n_nodes_merged, nnw.n_nodes_whole, " +
+      "b.qd_merged, b.qd_whole, b.exact_q, " +
+      "(b.qd_merged - b.exact_q)::BIGINT AS err_merged, " +
+      "(b.qd_merged = b.qd_whole)::INT AS merged_eq_whole " +
+      "FROM base b CROSS JOIN nnm CROSS JOIN nnw ORDER BY p"
   }
 
   /** q324: Models.groupAdvantage mirror — integer reward sums (exact in
@@ -2355,6 +2477,52 @@ object OraclesExt {
       "FROM f ORDER BY doc_id"
   }
 
+  /** Shared LCS CTE chain for [[rougeL]]/[[mtEvalReport]]: token LCS
+    * per consecutive-doc pair via a recursive CTE carrying the DP row
+    * as a LIST. Classic row update t[j] = max(dp_prev[j+1], dp_prev[j]
+    * + match); the intra-row dependency dp_new[j] = max(dp_new[j-1],
+    * t[j]) unrolls to a PREFIX MAX, computed per position with
+    * list_max over a growing slice (O(m²) per row — m is bounded by
+    * the 160-char slice, the chrF slicing posture). Iteration count =
+    * ref token count; rows with i < len(r) keep advancing, the final
+    * row (max i) holds the LCS in its last cell. Requires the caller
+    * to open WITH RECURSIVE. */
+  private val rougeLcsCte: String =
+    "rd AS (SELECT doc_id, regexp_extract_all(lower(substr(text, 1, 160)), " +
+      "'\\w+') AS toks FROM documents), " +
+      "rp AS (SELECT a.doc_id AS id, a.toks AS r, b.toks AS c " +
+      "FROM rd a JOIN rd b ON b.doc_id = a.doc_id + 1), " +
+      "dp(id, i, row) AS (" +
+      "SELECT id, 0, list_transform(range(len(c) + 1), x -> 0) FROM rp " +
+      "UNION ALL " +
+      "SELECT dp.id, dp.i + 1, " +
+      "[0] || list_transform(range(1, len(rp.c) + 1), j -> " +
+      "list_max(list_transform(range(1, j + 1), jj -> " +
+      "greatest(dp.row[jj + 1], dp.row[jj] + " +
+      "CASE WHEN rp.c[jj] = rp.r[dp.i + 1] THEN 1 ELSE 0 END)))) " +
+      "FROM dp JOIN rp USING (id) WHERE dp.i < len(rp.r)), " +
+      "lc AS (SELECT id AS doc_id, list_max([0] || max_by(row, i))::BIGINT " +
+      "AS lcs FROM dp GROUP BY id), " +
+      "fb AS (SELECT rp.id AS doc_id, len(rp.r)::BIGINT AS n_ref, " +
+      "len(rp.c)::BIGINT AS n_cand, lc.lcs " +
+      "FROM rp JOIN lc ON lc.doc_id = rp.id), " +
+      "prc AS (SELECT doc_id, n_ref, n_cand, lcs, " +
+      "CASE WHEN n_cand > 0 THEN round(lcs::DOUBLE / n_cand, 6) END " +
+      "AS rouge_l_p, " +
+      "CASE WHEN n_ref > 0 THEN round(lcs::DOUBLE / n_ref, 6) END " +
+      "AS rouge_l_r FROM fb)"
+
+  /** q327: TextAnalysis.rougeL mirror — LCS-based P/R/F on 160-char
+    * slices of the q226 consecutive-doc pairs, F1 from the 6dp-rounded
+    * P/R. */
+  val rougeL: String =
+    s"WITH RECURSIVE $rougeLcsCte " +
+      "SELECT doc_id, n_ref, n_cand, lcs, rouge_l_p, rouge_l_r, " +
+      "CASE WHEN rouge_l_p + rouge_l_r > 0 THEN " +
+      "round(2.0::DOUBLE * rouge_l_p * rouge_l_r / " +
+      "(rouge_l_p + rouge_l_r), 6) END AS rouge_l_f " +
+      "FROM prc ORDER BY doc_id"
+
   /** q299: Models.fleissKappa mirror — 5-rater synthetic panel, balanced
     * items only, κ from the 6dp-rounded P̄/P_e. */
   val fleissKappa: String = {
@@ -2654,15 +2822,24 @@ object OraclesExt {
     * derived tables joined to the ref doc's lang, exact rank median. */
   val mtEvalReport: String =
     "WITH l AS (SELECT doc_id, lang FROM documents), " +
-      s"m AS (SELECT l.lang, b.doc_id, b.bleu, c.chrf " +
-      s"FROM ($bleu) b JOIN ($chrf) c USING (doc_id) JOIN l USING (doc_id)), " +
-      "r AS (SELECT lang, doc_id, bleu, chrf, row_number() OVER " +
+      // rouge_l rides in as a self-contained recursive subquery (the
+      // shared LCS chain); a null F (zero-token side) counts as 0 in
+      // the mean, matching the Spark coalesce
+      "rl AS (SELECT doc_id, coalesce(CASE WHEN rouge_l_p + rouge_l_r " +
+      "> 0 THEN round(2.0::DOUBLE * rouge_l_p * rouge_l_r / " +
+      "(rouge_l_p + rouge_l_r), 6) END, 0.0::DOUBLE) AS rouge_l FROM " +
+      s"(WITH RECURSIVE $rougeLcsCte SELECT * FROM prc) prcq), " +
+      s"m AS (SELECT l.lang, b.doc_id, b.bleu, c.chrf, rl.rouge_l " +
+      s"FROM ($bleu) b JOIN ($chrf) c USING (doc_id) " +
+      "JOIN rl USING (doc_id) JOIN l USING (doc_id)), " +
+      "r AS (SELECT lang, doc_id, bleu, chrf, rouge_l, row_number() OVER " +
       "(PARTITION BY lang ORDER BY bleu, doc_id) AS rn, " +
       "count(*) OVER (PARTITION BY lang) AS n FROM m) " +
       "SELECT lang, count(*)::BIGINT AS n_pairs, " +
       "round(sum(bleu) / count(*), 6) AS mean_bleu, " +
       "max(CASE WHEN rn = (n + 1) // 2 THEN bleu END) AS median_bleu, " +
       "round(sum(chrf) / count(*), 6) AS mean_chrf, " +
+      "round(sum(rouge_l) / count(*), 6) AS mean_rouge_l, " +
       "round(sum(CASE WHEN bleu >= 0.1 THEN 1 ELSE 0 END)::DOUBLE / " +
       "count(*), 6) AS pass_rate " +
       "FROM r GROUP BY lang ORDER BY lang"

@@ -4617,8 +4617,16 @@ object SparkEntry {
         substring(col("cand"), 1, 240).as("cand"))
       val c = TextAnalysis.chrF(p240, "doc_id", "ref", "cand")
         .select(col("doc_id"), col("chrf"))
+      // ROUGE-L on 160-char slices (the chrF slicing posture: the
+      // metric is sentence-level; the per-pair DP is quadratic in
+      // tokens, so the report bounds it the way chrF bounds char grams)
+      val p160 = pairs.select(col("doc_id"),
+        substring(col("ref"), 1, 160).as("ref"),
+        substring(col("cand"), 1, 160).as("cand"))
+      val rl = TextAnalysis.rougeL(p160, "doc_id", "ref", "cand")
+        .select(col("doc_id"), col("rouge_l_f").as("rouge_l"))
       val scored = pairs.select(col("doc_id"), col("lang"))
-        .join(b, "doc_id").join(c, "doc_id")
+        .join(b, "doc_id").join(c, "doc_id").join(rl, "doc_id")
       TextAnalysis.mtEvalReport(scored, "doc_id", passBar = 0.1)
         .orderBy("lang")
     },
@@ -4840,6 +4848,70 @@ object SparkEntry {
       Sketches.qdigestFromCounts(store,
           Seq(0.25, 0.5, 0.75, 0.95), levels = 12, k = 64)
         .orderBy("p")
+    },
+
+    // ───── ROUGE-L on 160-char slices of the q226 consecutive-doc
+    // pairs: LCS-based P/R/F via the codegen'd row-local TokenLcs DP —
+    // the most-reported summarization metric, map-only like its
+    // GramClipOverlap siblings (no explode, no gram shuffle) ─────
+    "q327_rouge_l" -> { (s, dir) =>
+      val d = tb(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 160).as("text"))
+      val pairs = d.withColumnRenamed("text", "ref")
+        .join(d.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("cand")), Seq("doc_id"))
+      TextAnalysis.rougeL(pairs, "doc_id", "ref", "cand")
+        .orderBy("doc_id")
+    },
+
+    // ───── q-digest DIGEST-level merge: lineitem split 4 ways by
+    // l_orderkey, each shard compressed into its OWN digest (shard
+    // τ = n_s/k), merged by node-count addition + ONE re-compression at
+    // the combined τ — the executor-ships-digests path; reported beside
+    // the whole-corpus build so the parity (and any sharding drift) is
+    // a released column, not a claim ─────
+    "q328_qdigest_merge" -> { (s, dir) =>
+      val v = least(floor(col("l_extendedprice") / 32).cast("long"),
+        lit(4095L))
+      def shard(i: Int) = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === i)
+        .select(v.as("v")).groupBy("v").agg(count(lit(1)).as("cnt"))
+      val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val merged = Sketches.qdigestMergedQuantiles(
+          (0 to 3).map(shard), probs, levels = 12, k = 64)
+        .select(col("p"), col("n"),
+          col("n_nodes").as("n_nodes_merged"),
+          col("qd_est").as("qd_merged"), col("exact_q"),
+          col("err").as("err_merged"))
+      val whole = Sketches.qdigestQuantiles(
+          t(s, dir, "lineitem").select(v.as("v")), col("v"), probs,
+          levels = 12, k = 64)
+        .select(col("p"), col("n_nodes").as("n_nodes_whole"),
+          col("qd_est").as("qd_whole"))
+      merged.join(whole, Seq("p"))
+        .select(col("p"), col("n"), col("n_nodes_merged"),
+          col("n_nodes_whole"), col("qd_merged"), col("qd_whole"),
+          col("exact_q"), col("err_merged"),
+          (col("qd_merged") === col("qd_whole")).cast("int")
+            .as("merged_eq_whole"))
+        .orderBy("p")
+    },
+
+    // ───── ASYMMETRIC cell-blocked binary serving: q322's plan with
+    // the query kept un-quantized — candidates score Σ qᵢ·sign(cᵢ) in
+    // exact integer micro-units (order-independent, oracle-replayable),
+    // weighting sign agreement by query magnitude; buys ~0.1-0.2
+    // recall@5 over symmetric XOR at equal nProbe for one extra
+    // codegen'd conditional sum per candidate row ─────
+    "q329_asym_cell_serve" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.topKAsymCells(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          graft.fixtures.PinnedIndex.ivfCentroidsV1,
+          dim = 64, candK = 30, k = 5, nProbe = 4)
+        .orderBy("qid", "rnk")
     }
   )
 
@@ -7703,6 +7775,17 @@ object SparkEntry {
     "q326_stream_qdigest" ->
       OraclesExt.qdigest(12, 64, Seq(0.25, 0.5, 0.75, 0.95),
         "SELECT least(floor(\"value\" * 8)::BIGINT, 4095) AS v FROM events"),
+
+    "q327_rouge_l" -> OraclesExt.rougeL,
+
+    "q329_asym_cell_serve" -> OraclesExt.asymCellRerank(30, 5, 4),
+
+    // digest-level merge vs whole-corpus build, parity as a column
+    "q328_qdigest_merge" ->
+      OraclesExt.qdigestMerge(12, 64, Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+        nShards = 4,
+        "SELECT least(floor(l_extendedprice / 32)::BIGINT, 4095) AS v, " +
+          "l_orderkey % 4 AS s FROM lineitem"),
 
     "q292_robots_filter" -> OraclesExt.robotsFilter,
 

@@ -84,7 +84,7 @@ object GramClipOverlap {
     * in-repo callers feed `split()` output (never null), but the
     * type check admits containsNull arrays, so an external caller must
     * get a defined gram identity, not an executor NullPointerException. */
-  private def tokenHashes(a: ArrayData): Array[Long] = {
+  private[expressions] def tokenHashes(a: ArrayData): Array[Long] = {
     val n = a.numElements()
     val out = new Array[Long](n)
     var i = 0

@@ -1020,7 +1020,21 @@ object Dedup {
     * is an equi-join on span hash against the *duplicated-only* side,
     * which is small relative to the corpus for natural data (and bounded
     * by it otherwise). Per-doc totals then re-aggregate by id. The text
-    * column never shuffles. */
+    * column never shuffles.
+    *
+    * Approximation strength (measured once against a driver-side
+    * exact-substring reference — DedupSpec "width-w approximation vs an
+    * exact-substring reference"): the mod-P rolling hash can only
+    * OVER-flag, never miss (equal strings always hash equal; birthday
+    * collisions in the ~2³⁰ space add false flags — measured ≤0.01% of
+    * windows at sf0.001, and the DuckDB oracle replays the identical
+    * hash so the gate is unaffected). For a target duplicated-span
+    * length L the coverage recall is exactly 1.0 whenever `width` ≤ L
+    * (every position of a ≥L-token duplicated span sits inside a
+    * duplicated width-window); over-sizing width past L collapses
+    * recall (an edge-spanning window mixes unique context into its
+    * hash) — size `width` to the SHORTEST span you want caught, never
+    * longer. */
   def spanDedupCoverage(
       df: DataFrame,
       idCol: String,

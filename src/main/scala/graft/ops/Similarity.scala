@@ -662,6 +662,69 @@ object Similarity {
       .select("qid", "rnk", "cid", "cos")
   }
 
+  /** [[topKHammingCells]] with ASYMMETRIC candidate scoring (the ADC
+    * idea applied to the 1-bit tier): the QUERY stays un-quantized and
+    * each same-cell candidate scores `Σᵢ qᵢ·sign(cᵢ)` against the
+    * packed sign words — strictly more informative than symmetric
+    * XOR-popcount, because the query's per-dimension MAGNITUDES weight
+    * the agreement (a sign flip on a near-zero query dim costs ~0, not
+    * 1 bit). Same plan shape: corpus mapped once (assign + pack),
+    * cell equi-join against broadcast probes, bounded heap, exact
+    * rerank on candK·|queries| vectors — the asymmetric score is one
+    * codegen'd 64-term conditional sum per candidate row, no extra
+    * shuffle, no float reads from the corpus side.
+    *
+    * The score is computed in exact integer MICRO-units
+    * (`round(qᵢ·10⁶)::long`, summed ±): order-independent and
+    * bit-replayable by the SQL oracle — no float-accumulation-order
+    * contract needed at the candidate-selection boundary (the q324
+    * integer-milli-reward argument). Measured on the near-uniform
+    * synthetic embeddings this lifts recall@5 ~0.1–0.2 absolute over
+    * symmetric Hamming at equal nProbe (see README curve /
+    * graft.tools.RecallCurve). */
+  def topKAsymCells(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      centroids: Array[Array[Double]],
+      dim: Int,
+      candK: Int,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    require(k <= candK, s"k=$k must be <= candK=$candK")
+    val nWords = (dim + 31) / 32
+    val cq = corpus.select(col("cid") +:
+      element_at(probeCells(col("cvec"), centroids, 1), 1).as("cell") +:
+      (0 until nWords).map(j => signWord(col("cvec"), j, dim).as(s"w$j")): _*)
+    // query probes CARRY the quantized query dims (broadcast side only)
+    val q = queries.select(col("qid") +: col("qvec") +:
+        (0 until dim).map(i => round(get(col("qvec"), lit(i))
+          .cast("double") * 1e6).cast("long").as(s"qi$i")): _*)
+      .withColumn("cell", explode(probeCells(col("qvec"), centroids, nProbe)))
+      .drop("qvec")
+    val score = (0 until dim).map { i =>
+      val j = i / 32
+      val b = i - 32 * j
+      when(col(s"w$j").bitwiseAND(lit(1L << b)) =!= 0, col(s"qi$i"))
+        .otherwise(lit(0L) - col(s"qi$i"))
+    }.reduce(_ + _)
+    val scored = cq.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), score.as("asym"))
+    val wA = Window.partitionBy("qid")
+      .orderBy(col("asym").desc, col("cid").asc)
+    val cand = scored.withColumn("rnk", row_number().over(wA))
+      .filter(col("rnk") <= candK).select("qid", "cid")
+    val withVec = corpus.join(broadcast(cand), Seq("cid"))
+    val qn = queries.withColumn("_qn", l2norm(col("qvec")))
+    val rer = withVec.join(broadcast(qn), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qvec"), col("cvec")) /
+          (col("_qn") * l2norm(col("cvec"))), 6).as("cos"))
+    val wC = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    rer.withColumn("rnk", row_number().over(wC)).filter(col("rnk") <= k)
+      .select("qid", "rnk", "cid", "cos")
+  }
+
   /** Two-tier ANN serving: [[topKHamming]] produces `candK` cheap 1-bit
     * candidates per query, then ONLY those rows pay the exact-cosine
     * rerank — the production binary-index shape (scan 8 bytes/vector/

@@ -827,6 +827,42 @@ object TextAnalysis {
           (col("rouge_p") + col("rouge_r")), 6)))
   }
 
+  /** ROUGE-L (Lin 2004 §3.2): sentence-level LCS-based P/R/F per
+    * (reference, candidate) row — the most-reported summarization
+    * metric, scoring IN-ORDER coverage without [[rougeN]]'s contiguity
+    * requirement. P = LCS/|cand tokens|, R = LCS/|ref tokens|, F1 from
+    * the 6dp-ROUNDED P/R (the cross-engine float contract). Zero-token
+    * sides yield null for the affected ratio (ANSI-safe); F is null
+    * whenever P+R is 0 or either side is null.
+    *
+    * Scale shape: MAP-ONLY — the codegen'd
+    * [[graft.expressions.TokenLcs]] kernel runs the O(n·m) rolling-row
+    * DP inside the row (both texts share it); no explode, no shuffle,
+    * no cross-row state. The quadratic cost is per-PAIR and bounded by
+    * the caller's text length (sentence/slice granularity — the metric
+    * is defined at sentence level; callers slice long texts the way
+    * [[chrF]] callers do). */
+  def rougeL(
+      df: DataFrame,
+      idCol: String,
+      refCol: String,
+      candCol: String): DataFrame = {
+    val lcsC = Bridge.column(graft.expressions.TokenLcs(
+      Bridge.expression(words(col(refCol))),
+      Bridge.expression(words(col(candCol)))))
+    df.select(col(idCol),
+        size(words(col(refCol))).cast("long").as("n_ref"),
+        size(words(col(candCol))).cast("long").as("n_cand"),
+        lcsC.as("lcs"))
+      .withColumn("rouge_l_p", when(col("n_cand") > 0,
+        round(col("lcs") / col("n_cand"), 6)))
+      .withColumn("rouge_l_r", when(col("n_ref") > 0,
+        round(col("lcs") / col("n_ref"), 6)))
+      .withColumn("rouge_l_f", when(col("rouge_l_p") + col("rouge_l_r") > 0,
+        round(lit(2.0) * col("rouge_l_p") * col("rouge_l_r") /
+          (col("rouge_l_p") + col("rouge_l_r")), 6)))
+  }
+
   /** Per-document keyphrase extraction: the top `k` corpus-weighted
     * terms of each document by TF-IDF (`tf · ln((N+1)/(df+1))`,
     * 6dp-rounded), with a stop-term gate — terms in more than
@@ -1847,17 +1883,20 @@ object TextAnalysis {
   }
 
   /** Per-group MT/generation eval report over per-pair metric scores
-    * (the [[bleu]]/[[chrF]] composition): pair count, metric means,
-    * EXACT lower-median BLEU (rank-based — `⌊(n+1)/2⌋`-th smallest with
-    * an id tie-break, the splitConformal rank idiom, so both engines
-    * pick the identical row), and the share of pairs clearing `passBar`
-    * BLEU. Means are 6dp-rounded sums of already-6dp scores.
+    * (the [[bleu]]/[[chrF]]/[[rougeL]] composition): pair count, metric
+    * means, EXACT lower-median BLEU (rank-based — `⌊(n+1)/2⌋`-th
+    * smallest with an id tie-break, the splitConformal rank idiom, so
+    * both engines pick the identical row), and the share of pairs
+    * clearing `passBar` BLEU. Means are 6dp-rounded sums of
+    * already-6dp scores; a null rouge_l (zero-token side) counts as 0
+    * in its mean so the denominator stays the pair count in both
+    * engines.
     *
     * Scale: one rank window per group plus one hash-aggregate — the
     * report is bounded by group cardinality; the metric scans upstream
     * dominate. */
   def mtEvalReport(
-      scored: DataFrame, // (lang, id, bleu, chrf)
+      scored: DataFrame, // (lang, id, bleu, chrf, rouge_l)
       idCol: String,
       passBar: Double = 0.1): DataFrame = {
     val wOrd = Window.partitionBy("lang").orderBy(col("bleu"), col(idCol))
@@ -1871,6 +1910,8 @@ object TextAnalysis {
         max(when(col("_rn") === floor((col("_n") + 1) / 2).cast("long"),
           col("bleu"))).as("median_bleu"),
         round(sum("chrf") / count(lit(1)), 6).as("mean_chrf"),
+        round(sum(coalesce(col("rouge_l"), lit(0.0))) / count(lit(1)), 6)
+          .as("mean_rouge_l"),
         round(sum(when(col("bleu") >= passBar, 1L).otherwise(0L)) /
           count(lit(1)), 6).as("pass_rate"))
   }

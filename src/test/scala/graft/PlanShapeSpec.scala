@@ -1130,4 +1130,51 @@ class PlanShapeSpec extends SparkSpec {
     assert(bounded.size >= 2, // candK tier + final k tier
       s"a rank filter lost its bounded-selection pushdown:\n$plan")
   }
+
+  test("rougeL: MAP-ONLY — the LCS kernel leaves no generate, aggregate, or extra shuffle") {
+    import org.apache.spark.sql.functions.{col, substring}
+    val d = ops.Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 160).as("text"))
+    val pairs = d.withColumnRenamed("text", "ref")
+      .join(d.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("cand")), Seq("doc_id"))
+    val plan = executed(
+      ops.TextAnalysis.rougeL(pairs, "doc_id", "ref", "cand"))
+    // same contract as bleu: the quadratic DP runs INSIDE the row —
+    // nothing may explode, aggregate, or shuffle after the pair join
+    assert(collectAll(plan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }.isEmpty,
+      s"token explode appeared:\n$plan")
+    assert(collectAll(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.isEmpty, s"aggregate appeared:\n$plan")
+    assert(collectAll(plan) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"rougeL must be map-only after the pair join:\n$plan")
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size == 1,
+      s"expected only the pair self-join:\n$plan")
+  }
+
+  test("asym cell serving: same bounded shape as the Hamming tier — cell equi-join, heap-bounded") {
+    import org.apache.spark.sql.functions.col
+    val e = ops.Sources.table(spark, dir, "embeddings")
+    val plan = executed(ops.Similarity.topKAsymCells(
+      e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+      graft.fixtures.PinnedIndex.ivfCentroidsV1,
+      dim = 64, candK = 30, k = 5, nProbe = 4))
+    assert(collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"nested loop in the serving path:\n$plan")
+    val bhj = collectAll(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size == 3, s"expected cell + 2 rerank broadcast joins:\n$plan")
+    assert(bhj.exists(_.leftKeys.exists(_.toString.contains("cell"))),
+      s"the asym tier must equi-join by cell:\n$plan")
+    val bounded = collectAll(plan) {
+      case t: graft.plans.TopKPerKeyExec => t: Any
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w: Any
+    }
+    assert(bounded.size >= 2,
+      s"a rank filter lost its bounded-selection pushdown:\n$plan")
+  }
 }

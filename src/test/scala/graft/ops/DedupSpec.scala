@@ -423,6 +423,99 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((8L, 8L, "")))           // everything duplicated
   }
 
+  test("spanDedup width-w approximation vs an exact-substring reference: " +
+    "hash soundness at every width, full recall of >=50-token spans for w <= 50") {
+    // Lee et al. 2022 dedups EXACT substrings >= some length L via a
+    // suffix array; spanDedupCoverage approximates with width-w rolling
+    // windows. This spec quantifies that approximation ONCE against a
+    // driver-side exact-substring reference over real sf0.001 documents
+    // with injected 50-token duplicated spans, so the production `width`
+    // knob has a measured meaning:
+    //   (1) hash soundness: the mod-P (~2^30) rolling hash can only
+    //       OVER-flag (equal strings always hash equal; birthday
+    //       collisions across ~40k windows add false flags) — per-doc
+    //       operator counts >= the exact reference everywhere, and the
+    //       corpus-wide excess is measured (a handful of windows);
+    //   (2) recall: for w <= L every token position inside a duplicated
+    //       >=L-token span is covered (any such position sits in a
+    //       w-window wholly inside the span, and that window is
+    //       duplicated wherever the span is) — measured 1.000;
+    //   (3) for w > L recall degrades (a 64-window spanning a 50-span's
+    //       edge mixes non-duplicated context, so its hash is unique) —
+    //       the measured drop is the cost of over-sizing `width`.
+    val L = 50
+    val raw = graft.ops.Sources.table(spark, "/root/testdata/sf0.001",
+        "documents")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // inject a shared 50-token block into every 5th doc (the corpus has
+    // no natural >=50-token cross-doc duplicates; the ground truth
+    // below would also pick any up)
+    val block = (0 until L).map(i => s"dupblk$i").mkString(" ")
+    val corpus = raw.map { case (id, t) =>
+      (id, if (id % 5 == 0) s"$t $block" else t)
+    }
+    val toks: Map[Long, Array[String]] = corpus.map { case (id, t) =>
+      id -> "\\w+".r.findAllIn(t.toLowerCase).toArray
+    }.toMap
+    // exact-substring reference at width w: window -> distinct docs;
+    // returns per-doc flagged window positions
+    def exactDupWindows(w: Int): Map[Long, Set[Int]] = {
+      val wins = toks.toSeq.flatMap { case (id, ts) =>
+        ts.sliding(w).zipWithIndex.collect {
+          case (win, p) if win.size == w => (win.mkString(" "), id, p)
+        }
+      }
+      val dupKeys = wins.groupBy(_._1).view
+        .filter(_._2.map(_._2).distinct.size >= 2).keySet.toSet
+      wins.filter(t => dupKeys(t._1)).groupBy(_._2).view
+        .mapValues(_.map(_._3).toSet).toMap
+    }
+    def positions(flagged: Map[Long, Set[Int]], w: Int): Map[Long, Set[Int]] =
+      flagged.map { case (id, ps) =>
+        id -> ps.flatMap(p => p until p + w)
+      }
+    val truthPos = positions(exactDupWindows(L), L)
+    assert(truthPos.nonEmpty && truthPos.values.map(_.size).sum >=
+      L * corpus.count(_._1 % 5 == 0), "injection failed to create truth")
+    val df = corpus.toSeq.toDF("doc_id", "text")
+    val rows = Seq(8, 16, 32, 50, 64).map { w =>
+      val got = Dedup.spanDedupCoverage(df, "doc_id", "text",
+          width = w, minDf = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val exact = exactDupWindows(w)
+      // (1) soundness: never UNDER the exact reference; over-flag bounded
+      var excess = 0L
+      toks.keys.foreach { id =>
+        val want = exact.getOrElse(id, Set.empty).size.toLong
+        val have = got.getOrElse(id, 0L)
+        assert(have >= want,
+          s"width $w doc $id: operator $have missed exact dups ($want)")
+        excess += have - want
+      }
+      val nWindows = toks.valuesIterator.map(ts =>
+        math.max(0, ts.length - w + 1)).sum
+      info(f"width $w%2d collision over-flag: $excess windows of $nWindows " +
+        f"(${excess.toDouble / nWindows * 100}%.3f%%)")
+      assert(excess <= nWindows / 200,
+        s"width $w: collision over-flag $excess exceeds 0.5% of $nWindows")
+      // (2)/(3) recall of >=L-span positions under width-w coverage
+      val covered = positions(exact, w)
+      val (hit, tot) = truthPos.foldLeft((0, 0)) { case ((h, t), (id, ps)) =>
+        (h + ps.count(covered.getOrElse(id, Set.empty)), t + ps.size)
+      }
+      val recall = math.rint(hit.toDouble / tot * 1000) / 1000
+      info(f"width $w%2d -> recall of >=$L-token dup-span positions: $recall%.3f")
+      (w, recall)
+    }
+    rows.filter(_._1 <= L).foreach { case (w, r) =>
+      assert(r == 1.0, s"width $w must fully cover >=$L-token spans, got $r")
+    }
+    // over-sized width measurably loses spans (the documented trade)
+    assert(rows.toMap.apply(64) < 1.0,
+      "w=64 unexpectedly reached full recall — the table is degenerate")
+  }
+
   test("CdcChunks: short docs fold to one chunk; boundaries are offset-invariant") {
     import org.apache.spark.sql.graftbridge.Bridge
     def chunksOf(text: String, width: Int, modulus: Int): Seq[Long] =

@@ -481,6 +481,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r2.getLong(3) == 3L && r2.getDouble(4) == 0.6, r2.toString)
   }
 
+  test("rougeL: hand-checked LCS P/R/F; order sensitivity vs rougeN; null arms") {
+    val df = Seq(
+      // LCS("the cat sat on the mat", "the cat lay on the mat") = 5
+      (1L, "the cat sat on the mat", "the cat lay on the mat"),
+      // REVERSED candidate: unigram overlap stays 3 but the LCS
+      // collapses to 1 — the in-order signal rougeN can't see
+      (2L, "a b c", "c b a"),
+      (3L, "alpha beta", "gamma delta"), // disjoint -> LCS 0, F null
+      (4L, "one", ""),                   // empty candidate -> P null
+      (5L, "a b c", "a b c"))            // identical -> P=R=F=1
+      .toDF("id", "ref", "cand")
+    val got = TextAnalysis.rougeL(df, "id", "ref", "cand")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(got(1L) == ((6L, 6L, 5L, Some(0.833333), Some(0.833333), Some(0.833333))), got(1L).toString)
+    assert(got(2L) == ((3L, 3L, 1L, Some(0.333333), Some(0.333333), Some(0.333333))), got(2L).toString)
+    assert(got(3L) == ((2L, 2L, 0L, Some(0.0), Some(0.0), None)), got(3L).toString)
+    assert(got(4L) == ((1L, 0L, 0L, None, Some(0.0), None)), got(4L).toString)
+    assert(got(5L) == ((3L, 3L, 3L, Some(1.0), Some(1.0), Some(1.0))), got(5L).toString)
+  }
+
   test("keyphrases: per-doc tf-idf top-k with the stop-term df gate") {
     val df = Seq(
       (1L, "alpha alpha beta common common"),
@@ -1029,10 +1051,11 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("mtEvalReport: exact lower median, pass rate, means") {
     val scored = Seq(
-      ("en", 1L, 0.2, 0.5), ("en", 2L, 0.4, 0.7), ("en", 3L, 0.05, 0.1),
-      ("en", 4L, 0.6, 0.9),
-      ("it", 5L, 0.0, 0.2)
-    ).toDF("lang", "id", "bleu", "chrf")
+      ("en", 1L, 0.2, 0.5, Some(0.4)), ("en", 2L, 0.4, 0.7, Some(0.6)),
+      ("en", 3L, 0.05, 0.1, None), // null rouge_l counts as 0 in the mean
+      ("en", 4L, 0.6, 0.9, Some(0.2)),
+      ("it", 5L, 0.0, 0.2, Some(0.5))
+    ).toDF("lang", "id", "bleu", "chrf", "rouge_l")
     val got = TextAnalysis.mtEvalReport(scored, "id", passBar = 0.1)
       .orderBy("lang").collect()
     val en = got(0)
@@ -1040,9 +1063,12 @@ class TextAnalysisSpec extends SparkSpec {
     // sorted bleu: .05 .2 .4 .6 → lower median = rank (4+1)/2 = 2 → 0.2
     assert(en.getAs[Double]("median_bleu") == 0.2)
     assert(en.getAs[Double]("mean_bleu") == 0.3125)
+    // (0.4 + 0.6 + 0 + 0.2) / 4 — the null row stays in the denominator
+    assert(en.getAs[Double]("mean_rouge_l") == 0.3)
     assert(en.getAs[Double]("pass_rate") == 0.75)
     val it = got(1)
     assert(it.getAs[Double]("median_bleu") == 0.0 &&
+      it.getAs[Double]("mean_rouge_l") == 0.5 &&
       it.getAs[Double]("pass_rate") == 0.0)
   }
 

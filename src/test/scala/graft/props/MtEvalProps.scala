@@ -67,6 +67,39 @@ object MtEvalProps extends Properties("graft.invariants.round8mt") {
       kernel(a, b, 3) == kernel(b, a, 3)
     }
 
+  private def lcsKernel(a: Seq[String], b: Seq[String]): Long =
+    graft.expressions.TokenLcs.lcs(
+      ArrayData.toArrayData(a.map(UTF8String.fromString).toArray),
+      ArrayData.toArrayData(b.map(UTF8String.fromString).toArray))
+
+  /** Exact reference LCS: full-table DP on the strings themselves. */
+  private def bruteLcs(a: Seq[String], b: Seq[String]): Long = {
+    val dp = Array.ofDim[Int](a.size + 1, b.size + 1)
+    for (i <- 1 to a.size; j <- 1 to b.size)
+      dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.size)(b.size).toLong
+  }
+
+  property("token LCS kernel == brute full-table DP") =
+    forAll(genToks, genToks) { (a, b) =>
+      lcsKernel(a, b) == bruteLcs(a, b)
+    }
+
+  property("LCS bounds: <= both lengths; == length on identical; symmetric") =
+    forAll(genToks, genToks) { (a, b) =>
+      val l = lcsKernel(a, b)
+      l <= math.min(a.size, b.size) &&
+        lcsKernel(a, a) == a.size.toLong &&
+        l == lcsKernel(b, a)
+    }
+
+  property("LCS >= longest common prefix (an order-respecting floor)") =
+    forAll(genToks, genToks) { (a, b) =>
+      val cp = a.zip(b).takeWhile { case (x, y) => x == y }.size
+      lcsKernel(a, b) >= cp.toLong
+    }
+
   // astral char (GRINNING FACE, U+1F600) as a surrogate-pair STRING —
   // a Char literal cannot hold a supplementary code point
   private val genText: Gen[String] = Gen.listOf(
