@@ -678,9 +678,13 @@ object Similarity {
     * (`round(qᵢ·10⁶)::long`, summed ±): order-independent and
     * bit-replayable by the SQL oracle — no float-accumulation-order
     * contract needed at the candidate-selection boundary (the q324
-    * integer-milli-reward argument). Measured on the near-uniform
-    * synthetic embeddings this lifts recall@5 ~0.1–0.2 absolute over
-    * symmetric Hamming at equal nProbe (see README curve /
+    * integer-milli-reward argument). The per-candidate kernel is the
+    * codegen'd [[graft.expressions.AsymSignDot]] (one static call with
+    * a shift/mask loop — a 64-term `when` chain measured 2.3× wall for
+    * 10× rows; the kernel restores the popcount tier's ~1.5×).
+    * Measured on the near-uniform synthetic embeddings this lifts
+    * recall@5 ~0.04 absolute over symmetric Hamming at equal nProbe,
+    * hitting the cell-coverage ceiling at nProbe 4 (see README curve /
     * graft.tools.RecallCurve). */
   def topKAsymCells(
       queries: DataFrame, // (qid, qvec)
@@ -691,22 +695,20 @@ object Similarity {
       k: Int,
       nProbe: Int = 4): DataFrame = {
     require(k <= candK, s"k=$k must be <= candK=$candK")
+    import org.apache.spark.sql.graftbridge.Bridge
     val nWords = (dim + 31) / 32
-    val cq = corpus.select(col("cid") +:
-      element_at(probeCells(col("cvec"), centroids, 1), 1).as("cell") +:
-      (0 until nWords).map(j => signWord(col("cvec"), j, dim).as(s"w$j")): _*)
+    val cq = corpus.select(col("cid"),
+      element_at(probeCells(col("cvec"), centroids, 1), 1).as("cell"),
+      array((0 until nWords)
+        .map(j => signWord(col("cvec"), j, dim)): _*).as("wds"))
     // query probes CARRY the quantized query dims (broadcast side only)
-    val q = queries.select(col("qid") +: col("qvec") +:
-        (0 until dim).map(i => round(get(col("qvec"), lit(i))
-          .cast("double") * 1e6).cast("long").as(s"qi$i")): _*)
+    val q = queries.select(col("qid"), col("qvec"),
+        array((0 until dim).map(i => round(get(col("qvec"), lit(i))
+          .cast("double") * 1e6).cast("long")): _*).as("qia"))
       .withColumn("cell", explode(probeCells(col("qvec"), centroids, nProbe)))
       .drop("qvec")
-    val score = (0 until dim).map { i =>
-      val j = i / 32
-      val b = i - 32 * j
-      when(col(s"w$j").bitwiseAND(lit(1L << b)) =!= 0, col(s"qi$i"))
-        .otherwise(lit(0L) - col(s"qi$i"))
-    }.reduce(_ + _)
+    val score = Bridge.column(graft.expressions.AsymSignDot(
+      Bridge.expression(col("wds")), Bridge.expression(col("qia"))))
     val scored = cq.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), score.as("asym"))

@@ -449,10 +449,83 @@ object Sketches {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
+    val (n, nodes) = digestFromHist(hist, levels, k)
+    (n, hist, nodes)
+  }
+
+  /** Pure hist → (n, compressed digest); the driver-side core shared by
+    * the frame-shaped builders. */
+  private def digestFromHist(
+      hist: Array[(Long, Long)],
+      levels: Int,
+      k: Int): (Long, TreeMap[Long, Long]) = {
+    val cap = 1L << levels
     val n = hist.map(_._2).sum
     require(n > 0, "q-digest needs at least one counted value (n = 0)")
     val leaves = TreeMap(hist.map { case (v, c) => (cap + v) -> c }: _*)
-    (n, hist, compressNodes(leaves, n / k, levels))
+    (n, compressNodes(leaves, n / k, levels))
+  }
+
+  /** One-pass shard-merge REPORT — the q328 shape done right at scale:
+    * a single data-scale (shard, v) hash-aggregate (vs one scan per
+    * shard plus one for the whole build — 6 scans for 4 shards), then
+    * everything driver-side on the ≤ nShards·2^levels collected
+    * histogram: per-shard digests at shard τ, node-count-addition merge
+    * + one re-compression at the combined τ, the whole-corpus digest
+    * from the summed histogram, and the exact quantiles. Returns one
+    * row per prob: (p, n, n_nodes_merged, n_nodes_whole, qd_merged,
+    * qd_whole, exact_q, err_merged, merged_eq_whole) — parity released
+    * as a column (node identity does NOT hold in general; see
+    * [[qdigestMergedQuantiles]]).
+    *
+    * `shard` must be a SMALL key (executor/partition bucket — ≤ 1024
+    * enforced after the bounded aggregate): the collect is
+    * nShards·2^levels rows. */
+  def qdigestMergeReport(
+      df: DataFrame,
+      value: Column, // integer in [0, 2^levels)
+      shard: Column,
+      probs: Seq[Double],
+      levels: Int = 12,
+      k: Int = 64): DataFrame = {
+    checkQdigestParams(probs, levels, k)
+    val cap = 1L << levels
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(value.cast("long").as("v"),
+      shard.cast("long").as("s"))
+    val mm = base.agg(min(col("v")), max(col("v"))).head()
+    require(!mm.isNullAt(0), "q-digest needs at least one row")
+    require(mm.getLong(0) >= 0 && mm.getLong(1) < cap,
+      s"values must be pre-quantized into [0, $cap) — got " +
+        s"[${mm.getLong(0)}, ${mm.getLong(1)}]")
+    // the ONLY data-scale pass: one map-side-combinable hash-aggregate
+    val rows = base.groupBy("s", "v").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byShard = rows.groupBy(_._1)
+    require(byShard.size <= 1024,
+      s"shard must be a small bucket key — got ${byShard.size} distinct")
+    val built = byShard.toSeq.sortBy(_._1).map { case (_, rs) =>
+      digestFromHist(rs.map(t => (t._2, t._3)).sortBy(_._1), levels, k)
+    }
+    val n = built.map(_._1).sum
+    val summed = built.map(_._2).reduce { (a, b) =>
+      b.foldLeft(a) { case (m, (id, c)) =>
+        m + (id -> (m.getOrElse(id, 0L) + c))
+      }
+    }
+    val merged = compressNodes(summed, n / k, levels)
+    val histAll = rows.groupBy(_._2).map { case (v, rs) =>
+      (v, rs.map(_._3).sum)
+    }.toArray.sortBy(_._1)
+    val (_, whole) = digestFromHist(histAll, levels, k)
+    val mq = quantilesOf(probs, n, merged, histAll, levels)
+    val wq = quantilesOf(probs, n, whole, histAll, levels)
+    mq.zip(wq).map { case ((p, _, nnM, estM, exact, errM), (_, _, nnW, estW, _, _)) =>
+      (p, n, nnM, nnW, estM, estW, exact, errM,
+        if (estM == estW) 1 else 0)
+    }.toDF("p", "n", "n_nodes_merged", "n_nodes_whole", "qd_merged",
+      "qd_whole", "exact_q", "err_merged", "merged_eq_whole")
   }
 
   /** One full LEVEL-SYNCHRONOUS bottom-up compression pass: at each
@@ -487,14 +560,12 @@ object Sketches {
 
   /** Post-order quantile read over a compressed node map + the
     * est-vs-exact report columns from the leaf histogram. */
-  private def quantileRows(
-      spark: org.apache.spark.sql.SparkSession,
+  private def quantilesOf(
       probs: Seq[Double],
       n: Long,
       nodes: TreeMap[Long, Long],
       hist: Array[(Long, Long)],
-      levels: Int): DataFrame = {
-    import spark.implicits._
+      levels: Int): Seq[(Double, Long, Long, Long, Long, Long)] = {
     val cap = 1L << levels
     val nNodes = nodes.size.toLong
     // post-order spine: (right endpoint asc, width asc), cumulative
@@ -507,7 +578,7 @@ object Sketches {
     val cum = spine.scanLeft(0L)(_ + _._3).tail
     // exact quantile of the quantized values from the same histogram
     val exactCum = hist.scanLeft(0L)(_ + _._2).tail
-    val rows = probs.map { p =>
+    probs.map { p =>
       val rank = math.max(1L, math.ceil(p * n).toLong)
       val qi = cum.indexWhere(_ >= rank)
       val est = if (qi < 0) spine.last._1 else spine(qi)._1
@@ -515,6 +586,17 @@ object Sketches {
       val exact = if (ei < 0) hist.last._1 else hist(ei)._1
       (p, n, nNodes, est, exact, est - exact)
     }
-    rows.toDF("p", "n", "n_nodes", "qd_est", "exact_q", "err")
+  }
+
+  private def quantileRows(
+      spark: org.apache.spark.sql.SparkSession,
+      probs: Seq[Double],
+      n: Long,
+      nodes: TreeMap[Long, Long],
+      hist: Array[(Long, Long)],
+      levels: Int): DataFrame = {
+    import spark.implicits._
+    quantilesOf(probs, n, nodes, hist, levels)
+      .toDF("p", "n", "n_nodes", "qd_est", "exact_q", "err")
   }
 }

@@ -463,7 +463,7 @@ class DedupSpec extends SparkSpec {
     def exactDupWindows(w: Int): Map[Long, Set[Int]] = {
       val wins = toks.toSeq.flatMap { case (id, ts) =>
         ts.sliding(w).zipWithIndex.collect {
-          case (win, p) if win.size == w => (win.mkString(" "), id, p)
+          case (win, p) if win.size == w => (win.mkString("\u0000"), id, p)
         }
       }
       val dupKeys = wins.groupBy(_._1).view
