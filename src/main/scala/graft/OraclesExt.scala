@@ -3110,4 +3110,115 @@ object OraclesExt {
       "(PARTITION BY domain ORDER BY hk, doc_id) AS rnk FROM v) " +
       s"SELECT domain, rnk::BIGINT AS rnk, doc_id, canon FROM r WHERE rnk <= $cap " +
       "ORDER BY domain, rnk"
+
+  /** q330: replay the 4-round Feistel permutation per epoch — one CTE
+    * per round with DISTINCT column names per step (l0/r0 … l4/r4;
+    * DuckDB lets a later expression in the same SELECT see an earlier
+    * alias, so reusing `l`/`r` each round would be ambiguous). Round
+    * keys are generated from the SAME
+    * [[graft.ops.Sampling.feistelRoundKeys]] the Spark plan uses, so
+    * the two engines agree by construction. */
+  def epochShuffle(seed: Long, epochs: Seq[Int], bits: Int): String = {
+    val half = 1L << bits
+    val ctes = epochs.flatMap { e =>
+      val ks = graft.ops.Sampling.feistelRoundKeys(seed, e, bits)
+      val base = s"e${e}_0 AS (SELECT doc_id, doc_id // $half AS l0, " +
+        s"doc_id % $half AS r0 FROM documents)"
+      val rounds = ks.zipWithIndex.map { case (k, i) =>
+        s"e${e}_${i + 1} AS (SELECT doc_id, r$i AS l${i + 1}, " +
+          s"xor(l$i, (r$i * 2654435761 + $k) % $half) AS r${i + 1} " +
+          s"FROM e${e}_$i)"
+      }
+      val fin = s"p$e AS (SELECT doc_id, l4 * $half + r4 AS pos_e$e " +
+        s"FROM e${e}_4)"
+      (base +: rounds) :+ fin
+    }
+    s"WITH ${ctes.mkString(", ")} " +
+      s"SELECT d.doc_id, ${epochs.map(e => s"pos_e$e").mkString(", ")} " +
+      s"FROM documents d ${epochs.map(e => s"JOIN p$e USING (doc_id)").mkString(" ")} " +
+      "ORDER BY doc_id"
+  }
+
+  /** q331: variance-of-Laplacian sharpness from the pixel FORMULA (the
+    * q90 pattern — the Spark side parses real bytes, the oracle
+    * recomputes): pixel i of doc d is (d·7 + step·13) mod 256 with
+    * step = ⌊i/4⌋ on blurred docs (d ≡ 0 mod 3), i otherwise. Interior
+    * Laplacian responses via nested list_transform (index list → lap
+    * list), exact integer moments, ONE double division. */
+  def blurGate(threshold: Double): String = {
+    def px(i: String) =
+      s"((doc_id*7 + (CASE WHEN doc_id % 3 = 0 THEN ($i) // 4 " +
+        s"ELSE ($i) END)*13) % 256)"
+    val varE = "(n_interior*lap_ss - lap_sum*lap_sum)::DOUBLE / " +
+      "(n_interior::DOUBLE * n_interior)"
+    "WITH d AS (SELECT doc_id, 8 + (doc_id % 9) AS w, " +
+      "8 + (doc_id % 7) AS h FROM documents), " +
+      "l AS (SELECT doc_id, w::INT AS width, h::INT AS height, " +
+      "((w-2)*(h-2))::BIGINT AS n_interior, " +
+      "list_transform(list_transform(range((w-2)*(h-2)), " +
+      "j -> (1 + (j // (w-2)))*w + 1 + (j % (w-2))), " +
+      s"i -> 4*${px("i")} - ${px("i-1")} - ${px("i+1")} - " +
+      s"${px("i-w")} - ${px("i+w")}) AS laps FROM d), " +
+      "m AS (SELECT doc_id, width, height, n_interior, " +
+      "list_sum(laps)::BIGINT AS lap_sum, " +
+      "list_sum(list_transform(laps, v -> v*v))::BIGINT AS lap_ss FROM l) " +
+      "SELECT doc_id, width, height, n_interior, lap_sum, lap_ss, " +
+      s"$varE AS var_lap, " +
+      s"CASE WHEN $varE >= ${threshold}::DOUBLE THEN 1 ELSE 0 END AS sharp " +
+      "FROM m ORDER BY doc_id"
+  }
+
+  /** q333: Merkle dataset digest — leaf buckets (hash60 of the key mod
+    * 2^levels, XOR-fold of q193-style canonical row hashes) densified
+    * against `range(2^levels)`, then one MATERIALIZED rollup CTE per
+    * level (plain CTEs are inlined at EVERY reference — the union plus
+    * the next level reference each level twice, so un-materialized this
+    * expands 2^levels base scans, the q325 lesson). Parent digest =
+    * md5(left_decimal || '|' || right_decimal) → 60 bits, matching the
+    * driver-side `Hashing.longHash60` fold. */
+  def merkleDigest(levels: Int): String = {
+    val n = 1 << levels
+    def md(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+    val rh = md("concat_ws(chr(31), coalesce(o_orderkey::VARCHAR, chr(1)), " +
+      "coalesce(o_custkey::VARCHAR, chr(1)), " +
+      "coalesce(o_orderpriority, chr(1)))")
+    val base = s"b AS (SELECT ${md("o_orderkey::VARCHAR")} % $n AS idx, " +
+      s"$rh AS rh FROM orders)"
+    val leaves = s"l$levels AS MATERIALIZED (SELECT r.i AS idx, " +
+      "coalesce(g.n, 0)::BIGINT AS n, coalesce(g.d, 0)::BIGINT AS d " +
+      s"FROM range($n) r(i) LEFT JOIN (SELECT idx, count(*) AS n, " +
+      "bit_xor(rh) AS d FROM b GROUP BY idx) g ON r.i = g.idx)"
+    val ups = (levels - 1 to 0 by -1).map { lv =>
+      s"l$lv AS MATERIALIZED (SELECT idx // 2 AS idx, sum(n)::BIGINT AS n, " +
+        md("max(CASE WHEN idx % 2 = 0 THEN d END)::VARCHAR || '|' || " +
+          "max(CASE WHEN idx % 2 = 1 THEN d END)::VARCHAR") +
+        s" AS d FROM l${lv + 1} GROUP BY 1)"
+    }
+    val union = (0 to levels).map(lv =>
+      s"SELECT $lv AS level, idx, n AS n_rows, d AS digest FROM l$lv")
+      .mkString(" UNION ALL ")
+    s"WITH $base, $leaves, ${ups.mkString(", ")} $union ORDER BY level, idx"
+  }
+
+  /** q332: DPO pair construction — the struct-max/min tie-break
+    * (higher id wins the chosen side, lower id the rejected side)
+    * mirrored as row_number with the matching two-key ORDER BY. */
+  val dpoPairs: String =
+    "WITH r AS (SELECT doc_id // 8 AS prompt_id, doc_id AS rid, " +
+      "length(text)::DOUBLE AS s FROM documents), " +
+      "c AS (SELECT prompt_id, rid, s, row_number() OVER " +
+      "(PARTITION BY prompt_id ORDER BY s DESC, rid DESC) AS rc, " +
+      "row_number() OVER (PARTITION BY prompt_id ORDER BY s ASC, rid ASC) AS rr, " +
+      "count(*) OVER (PARTITION BY prompt_id) AS n FROM r), " +
+      "ch AS (SELECT prompt_id, n, rid AS chosen_id, s AS chosen_score " +
+      "FROM c WHERE rc = 1), " +
+      "rj AS (SELECT prompt_id, rid AS rejected_id, s AS rejected_score " +
+      "FROM c WHERE rr = 1) " +
+      "SELECT ch.prompt_id, n::BIGINT AS n_responses, chosen_id, " +
+      "chosen_score, rejected_id, rejected_score, " +
+      "chosen_score - rejected_score AS margin " +
+      "FROM ch JOIN rj USING (prompt_id) " +
+      "WHERE n >= 2 AND chosen_id <> rejected_id " +
+      "AND chosen_score - rejected_score >= 40.0::DOUBLE " +
+      "ORDER BY prompt_id"
 }

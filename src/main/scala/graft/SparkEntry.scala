@@ -4869,31 +4869,16 @@ object SparkEntry {
     // τ = n_s/k), merged by node-count addition + ONE re-compression at
     // the combined τ — the executor-ships-digests path; reported beside
     // the whole-corpus build so the parity (and any sharding drift) is
-    // a released column, not a claim ─────
+    // a released column, not a claim. ONE data-scale (shard, v)
+    // hash-aggregate; shards, merge, whole build, and exact quantiles
+    // all run driver-side on the ≤ 4·4096-row collected histogram ─────
     "q328_qdigest_merge" -> { (s, dir) =>
-      val v = least(floor(col("l_extendedprice") / 32).cast("long"),
-        lit(4095L))
-      def shard(i: Int) = t(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 4 === i)
-        .select(v.as("v")).groupBy("v").agg(count(lit(1)).as("cnt"))
-      val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
-      val merged = Sketches.qdigestMergedQuantiles(
-          (0 to 3).map(shard), probs, levels = 12, k = 64)
-        .select(col("p"), col("n"),
-          col("n_nodes").as("n_nodes_merged"),
-          col("qd_est").as("qd_merged"), col("exact_q"),
-          col("err").as("err_merged"))
-      val whole = Sketches.qdigestQuantiles(
-          t(s, dir, "lineitem").select(v.as("v")), col("v"), probs,
-          levels = 12, k = 64)
-        .select(col("p"), col("n_nodes").as("n_nodes_whole"),
-          col("qd_est").as("qd_whole"))
-      merged.join(whole, Seq("p"))
-        .select(col("p"), col("n"), col("n_nodes_merged"),
-          col("n_nodes_whole"), col("qd_merged"), col("qd_whole"),
-          col("exact_q"), col("err_merged"),
-          (col("qd_merged") === col("qd_whole")).cast("int")
-            .as("merged_eq_whole"))
+      Sketches.qdigestMergeReport(
+          t(s, dir, "lineitem"),
+          least(floor(col("l_extendedprice") / 32).cast("long"),
+            lit(4095L)),
+          col("l_orderkey") % 4,
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99), levels = 12, k = 64)
         .orderBy("p")
     },
 
@@ -4912,6 +4897,54 @@ object SparkEntry {
           graft.fixtures.PinnedIndex.ivfCentroidsV1,
           dim = 64, candK = 30, k = 5, nProbe = 4)
         .orderBy("qid", "rnk")
+    },
+
+    // ───── deterministic epoch shuffle: keyed 4-round Feistel bijection
+    // on [0, 2³²) — each row's position in each epoch's training order
+    // is a PURE function of (key, seed, epoch). Map-only assignment (no
+    // rand(), no state, no shuffle); sort-by-pos is the consumer's
+    // range partition; resume = filter pos > watermark ─────
+    "q330_epoch_shuffle" -> { (s, dir) =>
+      Sampling.epochShuffle(
+          t(s, dir, "documents").select(col("doc_id")),
+          "doc_id", seed = 42L, epochs = Seq(0, 1, 2))
+        .orderBy("doc_id")
+    },
+
+    // ───── variance-of-Laplacian blur gate over REAL decoded bytes:
+    // mixed-sharpness PGM corpus (docs ≡ 0 mod 3 carry flat 4-pixel
+    // runs), per-partition decode + row-local 4-neighbor kernel, exact
+    // integer moments, threshold measured to reject 0 sharp images and
+    // pass 5/167 borderline blurred ones at sf0.01 ─────
+    "q331_blur_gate" -> { (s, dir) =>
+      Multimodal.laplacianSharpness(
+          Multimodal.pgmMixedTable(s, dir), threshold = 35000.0)
+        .orderBy("doc_id")
+    },
+
+    // ───── DPO preference-pair construction: 8 completions per prompt
+    // (doc_id ⟫ 3), best-vs-worst by score with deterministic struct
+    // tie-breaks, margin-gated; ONE map-side-combinable hash agg — the
+    // shuffle carries two structs per prompt, not the completions ─────
+    "q332_dpo_pairs" -> { (s, dir) =>
+      val r = t(s, dir, "documents").select(
+        shiftright(col("doc_id"), 3).as("prompt_id"),
+        col("doc_id").as("rid"),
+        length(col("text")).as("s"))
+      Models.dpoPairs(r, "prompt_id", "rid", "s", minMargin = 40.0)
+        .orderBy("prompt_id")
+    },
+
+    // ───── Merkle dataset digest: rows → 4096 XOR-folded leaf buckets
+    // in ONE map-side-combinable hash-agg, md5-combined pairwise up to
+    // the root driver-side (bounded by the sketch param, the q328
+    // posture). Version diff descends only differing subtrees: equal
+    // roots end a 100 TB audit in one 8-byte comparison ─────
+    "q333_merkle_digest" -> { (s, dir) =>
+      Profile.merkleTree(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderpriority"),
+          col("o_orderkey"), levels = 12)
+        .orderBy("level", "idx")
     }
   )
 
@@ -7786,6 +7819,18 @@ object SparkEntry {
         nShards = 4,
         "SELECT least(floor(l_extendedprice / 32)::BIGINT, 4095) AS v, " +
           "l_orderkey % 4 AS s FROM lineitem"),
+
+    // 4-round Feistel rounds replayed with the same generated keys
+    "q330_epoch_shuffle" ->
+      OraclesExt.epochShuffle(seed = 42L, epochs = Seq(0, 1, 2), bits = 16),
+
+    // pixel-formula replay of the mixed-sharpness corpus
+    "q331_blur_gate" -> OraclesExt.blurGate(35000.0),
+
+    "q332_dpo_pairs" -> OraclesExt.dpoPairs,
+
+    // leaf buckets + 12 materialized pairwise-md5 rollup rounds
+    "q333_merkle_digest" -> OraclesExt.merkleDigest(12),
 
     "q292_robots_filter" -> OraclesExt.robotsFilter,
 

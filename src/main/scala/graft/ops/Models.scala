@@ -1325,4 +1325,42 @@ object Models {
           .cast("int"))
       .drop("_best")
   }
+
+  /** DPO preference-pair construction — the [[groupAdvantage]] sibling
+    * for offline preference tuning: per prompt group, pick the
+    * highest-scored completion as `chosen` and the lowest as
+    * `rejected`, keep pairs whose margin clears `minMargin`, and drop
+    * degenerate groups (fewer than two completions, or chosen ==
+    * rejected). Ties break DETERMINISTICALLY on the id (max side:
+    * higher id; min side: lower id) via struct ordering inside the
+    * aggregate — `max_by`/window-free, so two runs (and the SQL
+    * oracle's `row_number` formulation) agree bit-for-bit.
+    *
+    * Scale shape: ONE map-side-combinable hash aggregate by prompt —
+    * `max(struct(score, id))` / `min(struct(score, id))` fold to a
+    * constant per group on the map side, so the shuffle carries two
+    * structs per prompt, not the completion rows. The tempting
+    * `row_number` window formulation shuffles EVERY completion to its
+    * prompt's reducer and sorts there; at corpus scale the aggregate
+    * form is the one you want. */
+  def dpoPairs(
+      df: DataFrame,
+      promptCol: String,
+      idCol: String,
+      scoreCol: String,
+      minMargin: Double): DataFrame = {
+    val sc = col(scoreCol).cast("double")
+    df.groupBy(col(promptCol))
+      .agg(
+        count(lit(1)).as("n_responses"),
+        max(struct(sc.as("s"), col(idCol).as("id"))).as("_ch"),
+        min(struct(sc.as("s"), col(idCol).as("id"))).as("_rj"))
+      .filter(col("n_responses") >= 2 &&
+        col("_ch.id") =!= col("_rj.id") &&
+        col("_ch.s") - col("_rj.s") >= minMargin)
+      .select(col(promptCol), col("n_responses"),
+        col("_ch.id").as("chosen_id"), col("_ch.s").as("chosen_score"),
+        col("_rj.id").as("rejected_id"), col("_rj.s").as("rejected_score"),
+        (col("_ch.s") - col("_rj.s")).as("margin"))
+  }
 }

@@ -185,6 +185,78 @@ object Multimodal {
       .mapPartitions(_.map(id => PgmImage(id, encodePgm(id))))
   }
 
+  /** [[encodePgm]] with a per-document BLUR variant: documents with
+    * `id % 3 == 0` get flat 4-pixel runs (pixel i uses step ⌊i/4⌋
+    * instead of i — a genuinely lower-frequency image), the rest keep
+    * the sharp stride-13 texture. Same dims as [[encodePgm]]; still a
+    * pure formula of `id` so the sharpness oracle recomputes in SQL. */
+  def encodePgmMixedSharpness(id: Long): Array[Byte] = {
+    val w = 8 + (id % 9).toInt
+    val h = 8 + (id % 7).toInt
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) {
+      val step = if (id % 3 == 0) i / 4 else i
+      px(i) = (((id * 7 + step * 13) % 256) & 0xff).toByte
+      i += 1
+    }
+    header ++ px
+  }
+
+  /** A REAL-bytes image corpus with mixed sharpness, one PGM per doc. */
+  def pgmMixedTable(spark: SparkSession, sfDir: String): Dataset[PgmImage] = {
+    import spark.implicits._
+    Sources.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => PgmImage(id, encodePgmMixedSharpness(id))))
+  }
+
+  /** Variance-of-Laplacian sharpness gate — the standard blur filter
+    * for image-corpus curation (a blurred image has a low-variance
+    * Laplacian response; OpenCV's `cv2.Laplacian(img).var()` idiom):
+    * decode the REAL bytes, convolve the 4-neighbor Laplacian kernel
+    * `4·p − left − right − up − down` over interior pixels, and release
+    * exact integer sum/sum-of-squares plus the variance and a
+    * threshold flag. Variance is computed as `(n·ss − s²) / n²` from
+    * the exact BIGINT moments in ONE double division, so the SQL
+    * oracle (which replays the pixel formula, never the bytes) lands
+    * on the bit-identical double — no rounding step needed, the
+    * [[pgmFeatures]] px_mean contract.
+    *
+    * Scale shape: per-partition decode + a row-local O(w·h) kernel, no
+    * shuffle; moments are 8 numbers per image regardless of pixel
+    * count, so the released frame is corpus-row-scale, never
+    * pixel-scale. */
+  def laplacianSharpness(
+      images: Dataset[PgmImage],
+      threshold: Double): DataFrame = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { it =>
+      it.map { img =>
+        val (w, h, px) = decodePgm(img.payload)
+        var s = 0L
+        var ss = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val i = y * w + x
+            val lap = 4L * px(i) - px(i - 1) - px(i + 1) - px(i - w) - px(i + w)
+            s += lap
+            ss += lap * lap
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w - 2).toLong * (h - 2)
+        val varLap = (n * ss - s * s).toDouble / (n.toDouble * n)
+        (img.id, w, h, n, s, ss, varLap, if (varLap >= threshold) 1 else 0)
+      }
+    }.toDF("doc_id", "width", "height", "n_interior", "lap_sum", "lap_ss",
+      "var_lap", "sharp")
+  }
+
   /** Decode features through the per-partition boundary: dimensions,
     * pixel count/sum/mean straight from the parsed bytes. */
   def pgmFeatures(images: Dataset[PgmImage]): DataFrame = {

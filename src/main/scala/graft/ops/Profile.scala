@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -238,6 +238,66 @@ object Profile {
     df.withColumn("_rh", rowHash)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(_rh)").as("fingerprint"))
+  }
+
+  /** Merkle dataset digest — [[tableFingerprint]] grown into an
+    * integrity TREE, the structure that makes 100 TB dataset
+    * verification and version diff logarithmic instead of linear: rows
+    * hash into 2^`levels` leaf buckets by key (leaf digest =
+    * order-independent XOR fold of canonical row hashes, the q193
+    * fingerprint), and parents combine children by hashing the pair
+    * (`md5(left || '|' || right)` → 60 bits). Two dataset versions
+    * compare root-first: equal roots end the audit in one 8-byte
+    * comparison; a mismatch descends only the differing subtrees, so
+    * re-verification cost is `levels · (changed leaves)`, and a changed
+    * leaf bounds the row-level re-scan to its bucket (~n/2^levels
+    * rows). Released as ALL tree nodes — (level, idx, n_rows, digest),
+    * level 0 = root — so any two released frames diff by plain join.
+    *
+    * Scale shape: ONE map-side-combinable data-scale hash-aggregate
+    * (count + bit_xor partials) into ≤ 2^levels rows; the tree fold is
+    * a driver-side loop over the collected leaves (bounded by the
+    * sketch parameter `levels` ≤ 12, never data scale — the q328
+    * posture). XOR leaves make the digest incrementally maintainable:
+    * a row's insert/delete XORs into its leaf and re-hashes one
+    * root-path. */
+  def merkleTree(
+      df: DataFrame,
+      cols: Seq[String],
+      key: Column,
+      levels: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "merkleTree needs at least one content column")
+    require(levels >= 1 && levels <= 12,
+      s"levels must be in [1, 12] (driver collects 2^levels leaves), got $levels")
+    val nLeaves = 1 << levels
+    val rowHash = Hashing.hash60(concat_ws("\u001f",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*))
+    // the ONLY data-scale pass; everything below is ≤ 2^levels rows
+    val got = df.withColumn("_rh", rowHash)
+      .groupBy((Hashing.hash60(key.cast("string")) % nLeaves).as("idx"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(_rh)").as("d"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    var lvl = Array.tabulate(nLeaves)(i => got.getOrElse(i, (0L, 0L)))
+    val out = Seq.newBuilder[(Int, Long, Long, Long)]
+    lvl.zipWithIndex.foreach { case ((n, d), i) =>
+      out += ((levels, i.toLong, n, d))
+    }
+    var level = levels - 1
+    while (level >= 0) {
+      lvl = Array.tabulate(lvl.length / 2) { i =>
+        val (ln, ld) = lvl(2 * i)
+        val (rn, rd) = lvl(2 * i + 1)
+        (ln + rn, Hashing.longHash60(s"$ld|$rd"))
+      }
+      lvl.zipWithIndex.foreach { case ((n, d), i) =>
+        out += ((level, i.toLong, n, d))
+      }
+      level -= 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.result().toDF("level", "idx", "n_rows", "digest")
   }
 
   /** Benford first-digit audit — the fraud/corruption screen for a

@@ -214,4 +214,73 @@ object Sampling {
       if (n(s)(j) == 0.0) 0.0 else rd6(w(s)(j) / n(s)(j))
     )).toDF(rowCol, colCol, "mass", "weight", "rate")
   }
+
+  // ── deterministic epoch shuffle (keyed Feistel permutation) ─────────
+
+  /** Feistel round keys for (`seed`, `epoch`, round i): small affine
+    * mixes masked to `bits`, so every product downstream stays far from
+    * 2^63 (no wrap in the JVM, no BIGINT overflow in the SQL oracle). */
+  def feistelRoundKeys(seed: Long, epoch: Int, bits: Int): Seq[Long] = {
+    val mask = (1L << bits) - 1
+    (1 to 4).map(i =>
+      (seed * 31 + epoch.toLong * 69069 + i.toLong * 1013904223L) & mask)
+  }
+
+  /** Pseudorandom shuffle position of `key` for one training epoch —
+    * the multi-epoch data-ordering primitive a 100 TB training pipeline
+    * needs: a KEYED BIJECTION on [0, 4^bits) (4-round balanced Feistel
+    * network, Luby–Rackoff), so `sort by shufflePos(key, seed, epoch)`
+    * is a deterministic, seeded, per-epoch-distinct global shuffle of
+    * the corpus. Contrast with `orderBy(rand(seed))`: rand() is
+    * partition-layout-dependent (re-partitioning the corpus silently
+    * reorders an epoch), positions are not resumable (a restarted job
+    * re-draws), and epochs need fresh non-reproducible draws. Here the
+    * position is a PURE FUNCTION of (key, seed, epoch): map-only to
+    * assign (no shuffle, no state — the only data movement is the final
+    * range-partition sort the consumer was going to pay anyway),
+    * restart-stable mid-epoch (resume = filter pos > last_done), and
+    * any shard of the order can be regenerated independently — exactly
+    * the Feistel/format-preserving-encryption idiom the data-loading
+    * literature uses for epoch shuffles at scale.
+    *
+    * Keys need NOT be dense: any distinct non-negative keys < 4^bits
+    * get distinct positions (injectivity is inherited from the domain
+    * bijection), and the induced order restricted to the live keys is
+    * the shuffle. Out-of-domain keys fail loud (ANSI raise_error).
+    *
+    * All arithmetic is exact integer (products ≤ 2^(bits+32), so
+    * `bits` ≤ 20 keeps every intermediate under 2^52): the DuckDB
+    * oracle replays the rounds bit-for-bit with `//`, `%` and `xor()`.
+    * The whole position is one codegen'd scalar chain — ~20 integer ops
+    * per row, no branch fan-out (the q329 when-chain lesson does not
+    * apply: rounds COMPOSE instead of branching). */
+  def shufflePos(key: Column, seed: Long, epoch: Int, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
+    val half = 1L << bits
+    val mask = half - 1
+    val dom = half * half
+    val k = key.cast("long")
+    val guarded = when(k >= 0 && k < dom, k).otherwise(raise_error(concat(
+      lit(s"shufflePos key out of [0, $dom): "), k.cast("string"))))
+    val init = (shiftright(guarded, bits).bitwiseAND(lit(mask)),
+      guarded.bitwiseAND(lit(mask)))
+    val (l, r) = feistelRoundKeys(seed, epoch, bits).foldLeft(init) {
+      case ((l, r), rk) =>
+        (r, l.bitwiseXOR((r * lit(2654435761L) + lit(rk)) % lit(half)))
+    }
+    l * lit(half) + r
+  }
+
+  /** `df` with one `pos_e<i>` column per requested epoch — the released
+    * shape of the epoch shuffle: every row carries its deterministic
+    * position in each epoch's order. Map-only; consumers sort by the
+    * epoch's column (or filter `pos > watermark` to resume). */
+  def epochShuffle(
+      df: DataFrame,
+      keyCol: String,
+      seed: Long,
+      epochs: Seq[Int],
+      bits: Int = 16): DataFrame =
+    epochs.foldLeft(df)((d, e) =>
+      d.withColumn(s"pos_e$e", shufflePos(col(keyCol), seed, e, bits)))
 }

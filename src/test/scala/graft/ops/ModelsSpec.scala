@@ -399,4 +399,28 @@ class ModelsSpec extends SparkSpec {
     // exactly one best row survives the min-struct flag
     assert(got.count(_.getAs[Int]("is_best") == 1) == 1)
   }
+
+  test("dpoPairs: best-vs-worst with deterministic ties, margin gate, degenerate groups dropped") {
+    import spark.implicits._
+    val r = Seq(
+      // p1: clean separation — chosen 11 (9.0), rejected 13 (2.0)
+      ("p1", 11L, 9.0), ("p1", 12L, 5.0), ("p1", 13L, 2.0),
+      // p2: all-tied scores — chosen = highest id, rejected = lowest id,
+      // margin 0 -> gated out at minMargin 1
+      ("p2", 21L, 4.0), ("p2", 22L, 4.0),
+      // p3: singleton -> dropped (n < 2)
+      ("p3", 31L, 7.0),
+      // p4: tie at the TOP — chosen breaks to higher id 42; margin 3
+      ("p4", 41L, 6.0), ("p4", 42L, 6.0), ("p4", 43L, 3.0)
+    ).toDF("prompt", "rid", "score")
+    val got = Models.dpoPairs(r, "prompt", "rid", "score", minMargin = 1.0)
+      .orderBy("prompt")
+      .select("prompt", "n_responses", "chosen_id", "chosen_score",
+        "rejected_id", "rejected_score", "margin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      ("p1", 3L, 11L, 9.0, 13L, 2.0, 7.0),
+      ("p4", 3L, 42L, 6.0, 43L, 3.0, 3.0)))
+  }
 }

@@ -340,4 +340,43 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getInt(3) == n && r.getLong(4) == s)
     }
   }
+
+  test("laplacianSharpness: moments match a driver-side reference over real bytes") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 3L, 42L, 99L)
+    val imgs = ids.toDF("id").as[Long]
+      .map(id => Multimodal.PgmImage(id, Multimodal.encodePgmMixedSharpness(id)))
+    val got = Multimodal.laplacianSharpness(imgs, threshold = 35000.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val (w, h, px) = Multimodal.decodePgm(Multimodal.encodePgmMixedSharpness(id))
+      var s = 0L; var ss = 0L
+      for (y <- 1 until h - 1; x <- 1 until w - 1) {
+        val i = y * w + x
+        val lap = 4L * px(i) - px(i - 1) - px(i + 1) - px(i - w) - px(i + w)
+        s += lap; ss += lap * lap
+      }
+      val n = (w - 2).toLong * (h - 2)
+      val r = got(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getLong(3) == n)
+      assert(r.getLong(4) == s && r.getLong(5) == ss)
+      assert(r.getDouble(6) == (n * ss - s * s).toDouble / (n.toDouble * n))
+    }
+  }
+
+  test("laplacianSharpness: the gate separates the synthesized classes at the shipped threshold") {
+    import spark.implicits._
+    val imgs = (0L until 300L).toDF("id").as[Long]
+      .map(id => Multimodal.PgmImage(id, Multimodal.encodePgmMixedSharpness(id)))
+    val flags = Multimodal.laplacianSharpness(imgs, threshold = 35000.0)
+      .select(col("doc_id"), col("sharp")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // every sharp-texture image passes; blurred ones are MOSTLY rejected
+    // (a few flat-run images still wrap often enough to clear the bar —
+    // 5/167 at sf0.01 scale, measured)
+    assert(flags.collect { case (id, f) if id % 3 != 0 => f }.forall(_ == 1))
+    val blurred = flags.collect { case (id, f) if id % 3 == 0 => f }
+    assert(blurred.count(_ == 0) >= (blurred.length * 9) / 10,
+      s"blur rejection too weak: ${blurred.count(_ == 0)}/${blurred.length}")
+  }
 }

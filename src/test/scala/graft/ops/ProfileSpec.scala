@@ -123,4 +123,45 @@ class ProfileSpec extends SparkSpec {
     // concat_ws alone would DROP the nulls and collide these two rows
     assert(fp(ab) != fp(ba))
   }
+
+  test("merkleTree: consistent tree — root counts everything, parents fold children") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "s")
+    val nodes = Profile.merkleTree(df, Seq("k", "s"), col("k"), levels = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(nodes.size == 31) // 16 + 8 + 4 + 2 + 1
+    assert(nodes((0, 0L))._1 == 200L)
+    for (lv <- 0 until 4; i <- 0 until (1 << lv)) {
+      val (n, d) = nodes((lv, i.toLong))
+      val (ln, ld) = nodes((lv + 1, 2L * i))
+      val (rn, rd) = nodes((lv + 1, 2L * i + 1))
+      assert(n == ln + rn)
+      assert(d == graft.ops.Hashing.longHash60(s"$ld|$rd"))
+    }
+  }
+
+  test("merkleTree: partition-order invariant; one edited row changes exactly its root path") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1L to 300L).map(i => (i, s"v$i"))
+    val a = Profile.merkleTree(rows.toDF("k", "s"), Seq("k", "s"),
+      col("k"), levels = 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val b = Profile.merkleTree(rows.reverse.toDF("k", "s").repartition(7),
+      Seq("k", "s"), col("k"), levels = 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(a == b, "digest depends on row/partition order")
+    // edit one row's content: exactly one leaf differs, and each level
+    // above differs in exactly one node (the root path) — the property
+    // that makes version diff logarithmic
+    val edited = rows.map { case (k, s) => (k, if (k == 137L) "X" else s) }
+    val c = Profile.merkleTree(edited.toDF("k", "s"), Seq("k", "s"),
+      col("k"), levels = 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(3)).toMap
+    for (lv <- 0 to 5) {
+      val diff = (0 until (1 << lv)).count(i => a((lv, i.toLong)) != c((lv, i.toLong)))
+      assert(diff == 1, s"level $lv: $diff nodes differ, want 1")
+    }
+  }
 }

@@ -156,4 +156,49 @@ class SamplingSpec extends SparkSpec {
     Sampling.ipfMixture(bal, "src", "lg", lit(1.0), iters = 10)
       .collect().foreach(r => assert(r.getDouble(3) == 5.0, r.toString))
   }
+
+  test("shufflePos: bijection on the full domain at small bits") {
+    // bits=4 -> domain 256: every key maps to a distinct in-range pos
+    val dom = 256L
+    val keys = (0L until dom).toDF("k")
+    for (epoch <- Seq(0, 1)) {
+      val pos = keys.select(Sampling.shufflePos(col("k"), 7L, epoch, bits = 4))
+        .collect().map(_.getLong(0))
+      assert(pos.length == dom && pos.toSet.size == dom,
+        s"epoch $epoch: not injective")
+      assert(pos.forall(p => p >= 0 && p < dom), s"epoch $epoch: out of range")
+    }
+  }
+
+  test("shufflePos: deterministic, epoch-distinct, seed-distinct, and shuffled") {
+    val keys = (0L until 512L).toDF("k")
+    def run(seed: Long, epoch: Int) =
+      keys.select(col("k"), Sampling.shufflePos(col("k"), seed, epoch, bits = 8))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2)
+    val a = run(42L, 0)
+    assert(a.sameElements(run(42L, 0)), "re-run diverged")
+    assert(!a.sameElements(run(42L, 1)), "epochs agree — not a shuffle")
+    assert(!a.sameElements(run(43L, 0)), "seeds agree — not keyed")
+    // genuinely scrambled: identity-order prefix broken
+    assert(a.take(16).zipWithIndex.count { case (p, i) => p == i } <= 2)
+  }
+
+  test("shufflePos: out-of-domain key fails loud") {
+    val bad = Seq(1L << 32).toDF("k")
+    val e = intercept[Exception](
+      bad.select(Sampling.shufflePos(col("k"), 1L, 0)).collect())
+    assert(e.getMessage != null)
+  }
+
+  test("epochShuffle: one pos column per epoch, restricted-order injectivity on sparse keys") {
+    // sparse keys (multiples of 37): positions still pairwise distinct
+    val df = (0L until 200L).map(_ * 37).toDF("doc_id")
+    val out = Sampling.epochShuffle(df, "doc_id", 11L, Seq(0, 1, 2))
+    assert(out.columns.toSeq == Seq("doc_id", "pos_e0", "pos_e1", "pos_e2"))
+    val rows = out.collect()
+    (1 to 3).foreach { c =>
+      val ps = rows.map(_.getLong(c))
+      assert(ps.toSet.size == ps.length, s"col $c positions collide")
+    }
+  }
 }
