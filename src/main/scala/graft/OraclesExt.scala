@@ -140,6 +140,20 @@ object OraclesExt {
     s"WITH $minhashCandCte " +
       s"SELECT id_a, id_b, $estJac AS est_jac FROM cand ORDER BY 1, 2"
 
+  /** q336: streaming LSH near-dup gate — the drained (band, key) →
+    * (min doc_id) store is batch-equivalent to a bucket-min over q14's
+    * band CTE, so the flag (any band bucket holding a LOWER doc id)
+    * reuses the same machinery; the unreferenced `cand` CTE is never
+    * evaluated. */
+  val streamLshDedup: String =
+    s"WITH $minhashCandCte, " +
+      "bm AS (SELECT b, k, min(doc_id) AS min_id FROM band GROUP BY 1, 2), " +
+      "f AS (SELECT band.doc_id, sum(CASE WHEN bm.min_id < band.doc_id " +
+      "THEN 1 ELSE 0 END)::BIGINT AS n_dup_bands " +
+      "FROM band JOIN bm ON band.b = bm.b AND band.k = bm.k GROUP BY 1) " +
+      "SELECT doc_id, n_dup_bands, (CASE WHEN n_dup_bands > 0 THEN 1 " +
+      "ELSE 0 END) AS is_dup FROM f ORDER BY doc_id"
+
   /** Threshold sweep (mirrors `Dedup.thresholdSweep`): q14's candidates
     * against the literal cutoff spine; zero levels emit via spine left
     * joins. Thresholds cast ::DOUBLE (bare list literals are DECIMAL). */
@@ -3176,14 +3190,18 @@ object OraclesExt {
     * expands 2^levels base scans, the q325 lesson). Parent digest =
     * md5(left_decimal || '|' || right_decimal) → 60 bits, matching the
     * driver-side `Hashing.longHash60` fold. */
-  def merkleDigest(levels: Int): String = {
+  def merkleDigest(
+      levels: Int,
+      table: String = "orders",
+      keyExpr: String = "o_orderkey::VARCHAR",
+      contentExpr: String = "concat_ws(chr(31), " +
+        "coalesce(o_orderkey::VARCHAR, chr(1)), " +
+        "coalesce(o_custkey::VARCHAR, chr(1)), " +
+        "coalesce(o_orderpriority, chr(1)))"): String = {
     val n = 1 << levels
     def md(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
-    val rh = md("concat_ws(chr(31), coalesce(o_orderkey::VARCHAR, chr(1)), " +
-      "coalesce(o_custkey::VARCHAR, chr(1)), " +
-      "coalesce(o_orderpriority, chr(1)))")
-    val base = s"b AS (SELECT ${md("o_orderkey::VARCHAR")} % $n AS idx, " +
-      s"$rh AS rh FROM orders)"
+    val base = s"b AS (SELECT ${md(keyExpr)} % $n AS idx, " +
+      s"${md(contentExpr)} AS rh FROM $table)"
     val leaves = s"l$levels AS MATERIALIZED (SELECT r.i AS idx, " +
       "coalesce(g.n, 0)::BIGINT AS n, coalesce(g.d, 0)::BIGINT AS d " +
       s"FROM range($n) r(i) LEFT JOIN (SELECT idx, count(*) AS n, " +
@@ -3198,6 +3216,71 @@ object OraclesExt {
       s"SELECT $lv AS level, idx, n AS n_rows, d AS digest FROM l$lv")
       .mkString(" UNION ALL ")
     s"WITH $base, $leaves, ${ups.mkString(", ")} $union ORDER BY level, idx"
+  }
+
+  /** q334: Fellegi–Sunter EM — the 20-iteration trajectory replayed as
+    * a recursive CTE carrying [p, m₁..₃, u₁..₃] as a LIST (the
+    * Holt/IPF recurrence-parity pattern): pattern counts collapse to a
+    * single ORDERED struct list (ascending pattern — the same fold
+    * order the driver loop uses), so every E/M sum is a `list_sum`
+    * over identical elements in identical order, and every parameter
+    * is 9dp-rounded per step on both sides. */
+  def fsEm(iters: Int): String = {
+    // m-likelihood / u-likelihood products for pattern struct g given
+    // the prm list (1-based: p, m1..3, u1..3)
+    def likP(base: Int) = (1 to 3).map(j =>
+      s"(CASE WHEN g.g$j = 1 THEN prm[${base + j}] " +
+        s"ELSE 1 - prm[${base + j}] END)").mkString(" * ")
+    val mlik = likP(1)
+    val ulik = likP(4)
+    val w = s"(prm[1] * $mlik) / (prm[1] * $mlik + (1 - prm[1]) * $ulik)"
+    val sums =
+      "list_sum(list_transform(ws, x -> x.c * x.w)) AS s_w, " +
+      "list_sum(list_transform(ws, x -> x.c)) AS n_t, " +
+      (1 to 3).map(j =>
+        s"list_sum(list_transform(ws, x -> x.c * x.w * x.g$j)) AS m$j")
+        .mkString(", ") + ", " +
+      (1 to 3).map(j =>
+        s"list_sum(list_transform(ws, x -> x.c * (1 - x.w) * x.g$j)) AS u$j")
+        .mkString(", ")
+    "WITH RECURSIVE " +
+      "d AS (SELECT c_custkey AS d_key, " +
+      "CASE WHEN c_custkey % 4 = 0 THEN substr(c_name, 1, 12) " +
+      "ELSE c_name END AS d_name, " +
+      "CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25 " +
+      "ELSE c_nationkey END AS d_nation, " +
+      "CASE WHEN c_custkey % 5 = 0 THEN 'ALTERED' " +
+      "ELSE c_mktsegment END AS d_seg FROM customer), " +
+      "dx AS (SELECT d_name, d_nation, d_seg, " +
+      "unnest([d_key, d_key - 1]) AS a_key FROM d), " +
+      "pr AS (SELECT (c_name = d_name)::INT AS g1, " +
+      "(c_nationkey = d_nation)::INT AS g2, " +
+      "(c_mktsegment = d_seg)::INT AS g3 " +
+      "FROM customer JOIN dx ON c_custkey = a_key), " +
+      "pc AS (SELECT g1, g2, g3, count(*)::BIGINT AS c FROM pr " +
+      "GROUP BY 1, 2, 3), " +
+      "pl AS (SELECT list(struct_pack(g1 := g1, g2 := g2, g3 := g3, " +
+      "c := c) ORDER BY g1, g2, g3) AS ps FROM pc), " +
+      "st AS (" +
+      "SELECT 0 AS it, [0.1, 0.9, 0.9, 0.9, 0.1, 0.1, 0.1]::DOUBLE[] AS prm " +
+      "UNION ALL " +
+      "SELECT it + 1, [round(s_w / n_t, 9), " +
+      "round(m1 / s_w, 9), round(m2 / s_w, 9), round(m3 / s_w, 9), " +
+      "round(u1 / (n_t - s_w), 9), round(u2 / (n_t - s_w), 9), " +
+      "round(u3 / (n_t - s_w), 9)] " +
+      s"FROM (SELECT it, $sums FROM " +
+      "(SELECT it, list_transform(ps, g -> struct_pack(" +
+      "c := g.c::DOUBLE, g1 := g.g1::DOUBLE, g2 := g.g2::DOUBLE, " +
+      s"g3 := g.g3::DOUBLE, w := $w)) AS ws " +
+      s"FROM st, pl WHERE it < $iters))), " +
+      s"fin AS (SELECT prm FROM st WHERE it = $iters), " +
+      "pat AS (SELECT unnest(ps) AS g FROM pl) " +
+      "SELECT pattern, n_pairs, " +
+      "round(p * mlik / (p * mlik + (1 - p) * ulik), 6) AS posterior, " +
+      "round(ln(mlik / ulik), 6) AS weight FROM (" +
+      "SELECT concat(g.g1, g.g2, g.g3) AS pattern, g.c AS n_pairs, " +
+      s"prm[1] AS p, $mlik AS mlik, $ulik AS ulik FROM fin, pat) " +
+      "ORDER BY pattern"
   }
 
   /** q332: DPO pair construction — the struct-max/min tie-break

@@ -4945,6 +4945,79 @@ object SparkEntry {
           Seq("o_orderkey", "o_custkey", "o_orderpriority"),
           col("o_orderkey"), levels = 12)
         .orderBy("level", "idx")
+    },
+
+    // ───── Fellegi–Sunter linkage weights via EM: the principled
+    // scoring layer over q157/q189's candidate generation. ONE
+    // data-scale hash-agg to ≤2³ pattern counts; 20 EM iterations
+    // driver-side with 9dp-per-step rounding (Holt/IPF parity). Pairs:
+    // each customer vs a field-perturbed directory copy of itself
+    // (match) and of its successor (non-match) — one equi-join ─────
+    "q334_fs_em" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val dirty = c.select(col("c_custkey").as("d_key"),
+          when(col("c_custkey") % 4 === 0, substring(col("c_name"), 1, 12))
+            .otherwise(col("c_name")).as("d_name"),
+          when(col("c_custkey") % 7 === 0, (col("c_nationkey") + 1) % 25)
+            .otherwise(col("c_nationkey")).as("d_nation"),
+          when(col("c_custkey") % 5 === 0, lit("ALTERED"))
+            .otherwise(col("c_mktsegment")).as("d_seg"))
+        .withColumn("a_key", explode(array(col("d_key"), col("d_key") - 1)))
+      val pairs = c.join(dirty, col("c_custkey") === col("a_key"))
+        .select((col("c_name") === col("d_name")).cast("int").as("g1"),
+          (col("c_nationkey") === col("d_nation")).cast("int").as("g2"),
+          (col("c_mktsegment") === col("d_seg")).cast("int").as("g3"))
+      Dedup.fellegiSunterEM(pairs, Seq("g1", "g2", "g3"), iters = 20)
+        .orderBy("pattern")
+    },
+
+    // ───── STREAMING Merkle digest: the leaf-bucket aggregate IS the
+    // complete-mode state (count and bit_xor both add across
+    // micro-batches — the q326 leaf-store shape); the drained store
+    // folds to the tree row-identical to q333's batch build over the
+    // same events, so one oracle serves both ─────
+    "q335_stream_merkle" -> { (s, dir) =>
+      val leaves = Profile.merkleLeaves(eventsStream(s, dir),
+        Seq("event_id", "user_id", "event_type"), col("event_id"),
+        levels = 12)
+      val store = drainToTable(s, leaves, "g335_merkle", "complete")
+      Profile.merkleFromLeaves(store, levels = 12)
+        .orderBy("level", "idx")
+    },
+
+    // ───── STREAMING LSH near-dup gate: a document is ONE row, so its
+    // MinHash signature and band keys compute row-locally (no agg) and
+    // the single stateful operator is the (band, key) → min-doc-id
+    // store — per-bucket state, the same order as q68's exact-dedup
+    // state (production adds TTL eviction). Drained store flags any
+    // doc whose band bucket holds a LOWER id — batch-identical to a
+    // bucket-min over q14's band join ─────
+    "q336_stream_lsh_dedup" -> { (s, dir) =>
+      // hs materialized in its OWN projection: the 16 permutation
+      // lambdas reference it 16×, and CollapseProject keeps multiply-
+      // referenced non-cheap aliases in their producing Project — the
+      // md5-per-shingle work runs once per doc, not once per
+      // permutation (first formulation measured 19 s at sf0.1; this
+      // one ~2 s)
+      def banded(df: DataFrame) = df
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          Dedup.shingleHashes(Dedup.shingles(col("toks"), 3)).as("hs"))
+        .select(col("doc_id"), Dedup.minhashFromHashes(col("hs")).as("sig"))
+        .select(col("doc_id"), explode(Dedup.bandKeys(col("sig"))).as("bk"))
+        .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("bkey"))
+      val store = drainToTable(s,
+        banded(docsStream(s, dir)).groupBy("b", "bkey")
+          .agg(min("doc_id").as("min_id"), count(lit(1)).as("n")),
+        "g336_lsh", "complete")
+      banded(t(s, dir, "documents"))
+        .join(store, Seq("b", "bkey"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("min_id") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_dup_bands"))
+        .withColumn("is_dup", (col("n_dup_bands") > 0).cast("int"))
+        .orderBy("doc_id")
     }
   )
 
@@ -7831,6 +7904,21 @@ object SparkEntry {
 
     // leaf buckets + 12 materialized pairwise-md5 rollup rounds
     "q333_merkle_digest" -> OraclesExt.merkleDigest(12),
+
+    // 20 EM iterations as a recursive CTE over the pattern-count list
+    "q334_fs_em" -> OraclesExt.fsEm(20),
+
+    // drained band-bucket min store ≡ bucket-min over q14's band CTE
+    "q336_stream_lsh_dedup" -> OraclesExt.streamLshDedup,
+
+    // stream/batch parity: drained complete-mode leaf store folds to
+    // the digest a batch build over the same events produces
+    "q335_stream_merkle" -> OraclesExt.merkleDigest(12,
+      table = "events", keyExpr = "event_id::VARCHAR",
+      contentExpr = "concat_ws(chr(31), " +
+        "coalesce(event_id::VARCHAR, chr(1)), " +
+        "coalesce(user_id::VARCHAR, chr(1)), " +
+        "coalesce(event_type, chr(1)))"),
 
     "q292_robots_filter" -> OraclesExt.robotsFilter,
 

@@ -248,13 +248,13 @@ object Dedup {
     transform(array_distinct(shingleCol), s => Hashing.hashP(s))
 
   /** k permutation-mins over an already-hashed shingle set ([[shingleHashes]]). */
-  def minhashFromHashes(hs: Column, k: Int = 16): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(hs,
-        h => (element_at(lit((0 until k).map(j => 37L * j + 11L).toArray),
-          i + 1) * h
-          + element_at(lit((0 until k).map(j => 101L * j + 7L).toArray),
-            i + 1)) % P)))
+  def minhashFromHashes(hs: Column, k: Int = 16): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // one codegen'd pass updating all k minima ([[graft.expressions
+    // .MinHashSig]]); the k-lambda Column form it replaces paid k
+    // interpreted traversals per document (HOFs never codegen)
+    Bridge.column(graft.expressions.MinHashSig(Bridge.expression(hs), k))
+  }
 
   /** MinHash signature straight from shingles (one-shot convenience; the
     * pair pipeline materializes [[shingleHashes]] first instead). */
@@ -1383,5 +1383,94 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Row-local LSH band keys — [[minhashPairs]]'s banding computed
+    * entirely INSIDE the row (array lambdas over the shingle hashes, no
+    * aggregation): an array of `(b, key)` structs, one per band. A
+    * document is one row, so its full signature needs no groupBy — the
+    * property that lets a STREAMING near-dup gate band documents with a
+    * single stateful operator downstream (Spark allows only one
+    * streaming aggregation per query outside append-mode windows).
+    * Same permutation constants and band layout as [[minhashPairs]],
+    * so batch and stream derive identical keys. */
+  def bandKeys(sig: Column, k: Int = 16, bands: Int = 4): Column = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("b"),
+        concat_ws(",", transform(slice(sig, b * r + 1, lit(r)),
+          _.cast("string"))).as("key")))
+  }
+
+  /** Fellegi–Sunter record-linkage weights via EM (Fellegi & Sunter
+    * 1969; Winkler's EM formulation) — the PRINCIPLED scoring layer the
+    * edit-distance candidate generators (q157/q189) feed: given
+    * candidate pairs with binary field-agreement indicators γ, estimate
+    * unsupervisedly the per-field agreement probabilities among true
+    * matches (m_j) and non-matches (u_j) and the match prevalence p,
+    * then score each agreement PATTERN with its match posterior and
+    * log-likelihood-ratio weight ln(P(γ|M)/P(γ|U)) — the quantity
+    * record-linkage thresholds are calibrated on.
+    *
+    * Scale shape: the ONLY data-scale pass is one map-side-combinable
+    * hash-aggregate to ≤ 2^k pattern counts (k = |gammaCols| ≤ 8,
+    * enforced); EM runs driver-side on the collected counts (bounded by
+    * the parameter, never data scale — the q328/q333 posture). EM per
+    * iteration: E-step pattern responsibilities w_g, M-step
+    * m_j = Σ c_g·w_g·γ_j / Σ c_g·w_g (u_j with 1−w_g), p = Σ c_g·w_g/N;
+    * every parameter is 9dp-rounded per iteration and all pattern sums
+    * fold in ascending pattern order, so the DuckDB recursive-CTE
+    * oracle replays the trajectory bit-for-bit (the Holt/IPF parity
+    * pattern). Emits one row per OBSERVED pattern: (pattern, n_pairs,
+    * posterior 6dp, weight 6dp). */
+  def fellegiSunterEM(
+      pairs: DataFrame,
+      gammaCols: Seq[String],
+      iters: Int = 20): DataFrame = {
+    require(gammaCols.nonEmpty && gammaCols.size <= 8,
+      s"need 1..8 gamma columns, got ${gammaCols.size}")
+    val k = gammaCols.size
+    val rd9 = (x: Double) => math.rint(x * 1e9) / 1e9
+    val rd6 = (x: Double) => math.rint(x * 1e6) / 1e6
+    // the only data-scale pass: pattern histogram
+    val pats: Seq[(Seq[Int], Long)] = pairs
+      .groupBy(gammaCols.map(c => col(c).cast("int")): _*)
+      .agg(count(lit(1)).as("c"))
+      .collect().map { r =>
+        val g = (0 until k).map(r.getInt)
+        require(g.forall(v => v == 0 || v == 1),
+          s"gamma columns must be 0/1, got $g")
+        (g, r.getLong(k))
+      }.sortBy(_._1.mkString)
+    require(pats.nonEmpty, "no candidate pairs")
+    val nTot = pats.map(_._2).sum.toDouble
+    var p = 0.1
+    var m = Array.fill(k)(0.9)
+    var u = Array.fill(k)(0.1)
+    def lik(g: Seq[Int], v: Array[Double]) =
+      (0 until k).map(j => if (g(j) == 1) v(j) else 1.0 - v(j)).product
+    def resp(g: Seq[Int]) = {
+      val a = p * lik(g, m)
+      a / (a + (1.0 - p) * lik(g, u))
+    }
+    var it = 0
+    while (it < iters) {
+      val ws = pats.map { case (g, c) => (g, c.toDouble, resp(g)) }
+      val sW = ws.map { case (_, c, w) => c * w }.sum
+      val mN = Array.tabulate(k)(j =>
+        ws.map { case (g, c, w) => c * w * g(j) }.sum)
+      val uN = Array.tabulate(k)(j =>
+        ws.map { case (g, c, w) => c * (1.0 - w) * g(j) }.sum)
+      m = mN.map(x => rd9(x / sW))
+      u = uN.map(x => rd9(x / (nTot - sW)))
+      p = rd9(sW / nTot)
+      it += 1
+    }
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pats.map { case (g, c) =>
+      (g.mkString, c, rd6(resp(g)), rd6(math.log(lik(g, m) / lik(g, u))))
+    }.toDF("pattern", "n_pairs", "posterior", "weight")
   }
 }

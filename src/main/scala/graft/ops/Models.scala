@@ -1336,13 +1336,16 @@ object Models {
     * aggregate — `max_by`/window-free, so two runs (and the SQL
     * oracle's `row_number` formulation) agree bit-for-bit.
     *
-    * Scale shape: ONE map-side-combinable hash aggregate by prompt —
+    * Scale shape: ONE map-side-combinable aggregate by prompt —
     * `max(struct(score, id))` / `min(struct(score, id))` fold to a
     * constant per group on the map side, so the shuffle carries two
-    * structs per prompt, not the completion rows. The tempting
-    * `row_number` window formulation shuffles EVERY completion to its
-    * prompt's reducer and sorts there; at corpus scale the aggregate
-    * form is the one you want. */
+    * structs per prompt, not the completion rows. (Struct agg buffers
+    * plan as SortAggregate — per-partition spillable sorts on the map
+    * side — not HashAggregate; the partial/final split is the claim
+    * that matters.) The tempting `row_number` window formulation
+    * shuffles EVERY completion to its prompt's reducer and sorts the
+    * whole corpus there; at scale the aggregate form is the one you
+    * want. */
   def dpoPairs(
       df: DataFrame,
       promptCol: String,

@@ -265,19 +265,44 @@ object Profile {
       df: DataFrame,
       cols: Seq[String],
       key: Column,
-      levels: Int = 12): DataFrame = {
+      levels: Int = 12): DataFrame =
+    merkleFromLeaves(merkleLeaves(df, cols, key, levels), levels)
+
+  /** The data-scale half of [[merkleTree]]: canonical row hashes
+    * XOR-folded into 2^`levels` leaf buckets — ONE map-side-combinable
+    * hash-aggregate, also usable as a complete-mode STREAMING state
+    * frame (count and bit_xor both re-aggregate additively across
+    * micro-batches, the q326 leaf-store posture). */
+  def merkleLeaves(
+      df: DataFrame,
+      cols: Seq[String],
+      key: Column,
+      levels: Int): DataFrame = {
     require(cols.nonEmpty, "merkleTree needs at least one content column")
     require(levels >= 1 && levels <= 12,
       s"levels must be in [1, 12] (driver collects 2^levels leaves), got $levels")
     val nLeaves = 1 << levels
     val rowHash = Hashing.hash60(concat_ws("\u001f",
       cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*))
-    // the ONLY data-scale pass; everything below is ≤ 2^levels rows
-    val got = df.withColumn("_rh", rowHash)
+    df.withColumn("_rh", rowHash)
       .groupBy((Hashing.hash60(key.cast("string")) % nLeaves).as("idx"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(_rh)").as("d"))
+  }
+
+  /** Driver-side tree fold over a collected `(idx, n, d)` leaf frame
+    * (batch aggregate or drained streaming store) — bounded by the
+    * sketch parameter, never data scale. */
+  def merkleFromLeaves(leaves: DataFrame, levels: Int): DataFrame = {
+    require(levels >= 1 && levels <= 12,
+      s"levels must be in [1, 12] (driver collects 2^levels leaves), got $levels")
+    val nLeaves = 1 << levels
+    // the ONLY data-scale pass happened upstream; this collect is ≤ 2^levels rows
+    val got = leaves.select(col("idx").cast("long"), col("n").cast("long"),
+        col("d").cast("long"))
       .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2)))
       .toMap
+    require(got.keys.forall(i => i >= 0 && i < nLeaves),
+      s"leaf idx out of [0, $nLeaves)")
     var lvl = Array.tabulate(nLeaves)(i => got.getOrElse(i, (0L, 0L)))
     val out = Seq.newBuilder[(Int, Long, Long, Long)]
     lvl.zipWithIndex.foreach { case ((n, d), i) =>
@@ -295,7 +320,7 @@ object Profile {
       }
       level -= 1
     }
-    val spark = df.sparkSession
+    val spark = leaves.sparkSession
     import spark.implicits._
     out.result().toDF("level", "idx", "n_rows", "digest")
   }

@@ -256,19 +256,14 @@ object Sampling {
     * apply: rounds COMPOSE instead of branching). */
   def shufflePos(key: Column, seed: Long, epoch: Int, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
-    val half = 1L << bits
-    val mask = half - 1
-    val dom = half * half
-    val k = key.cast("long")
-    val guarded = when(k >= 0 && k < dom, k).otherwise(raise_error(concat(
-      lit(s"shufflePos key out of [0, $dom): "), k.cast("string"))))
-    val init = (shiftright(guarded, bits).bitwiseAND(lit(mask)),
-      guarded.bitwiseAND(lit(mask)))
-    val (l, r) = feistelRoundKeys(seed, epoch, bits).foldLeft(init) {
-      case ((l, r), rk) =>
-        (r, l.bitwiseXOR((r * lit(2654435761L) + lit(rk)) % lit(half)))
-    }
-    l * lit(half) + r
+    import org.apache.spark.sql.graftbridge.Bridge
+    // one codegen'd static call per row ([[graft.expressions
+    // .FeistelPos]]); the Column-cascade form it replaced re-inlined
+    // the guarded key ~30x per epoch column (expression trees share
+    // nothing), a method-size-limit liability at wider epoch counts
+    Bridge.column(graft.expressions.FeistelPos(
+      Bridge.expression(key.cast("long")),
+      feistelRoundKeys(seed, epoch, bits), bits))
   }
 
   /** `df` with one `pos_e<i>` column per requested epoch — the released

@@ -1177,4 +1177,58 @@ class PlanShapeSpec extends SparkSpec {
     assert(bounded.size >= 2,
       s"a rank filter lost its bounded-selection pushdown:\n$plan")
   }
+
+  test("epochShuffle: MAP-ONLY — position assignment adds no shuffle, no join") {
+    import org.apache.spark.sql.functions.col
+    val d = ops.Sources.table(spark, dir, "documents").select(col("doc_id"))
+    val plan = executed(ops.Sampling.epochShuffle(d, "doc_id", 42L, Seq(0, 1, 2)))
+    assert(collectAll(plan) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"epoch shuffle must not shuffle:\n$plan")
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"epoch shuffle must not join:\n$plan")
+  }
+
+  test("dpoPairs: ONE partial+final aggregate — no window, one shuffle of per-group structs") {
+    import org.apache.spark.sql.functions._
+    val r = ops.Sources.table(spark, dir, "documents").select(
+      shiftright(col("doc_id"), 3).as("prompt_id"),
+      col("doc_id").as("rid"), length(col("text")).as("s"))
+    val plan = executed(ops.Models.dpoPairs(r, "prompt_id", "rid", "s", 40.0))
+    assert(collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"dpoPairs must not use a window:\n$plan")
+    // struct min/max buffers force SortAggregate (per-partition sorts,
+    // spillable) — the claim that matters is the partial/final split:
+    // the exchange carries two structs per prompt, never the completions
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 1, s"expected the one agg shuffle:\n$plan")
+    val aggs = collectAll(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggs.size == 2, s"expected partial+final aggregate pair:\n$plan")
+    assert(aggs.exists(_.aggregateExpressions.exists(_.toString.contains("partial_max"))),
+      s"map-side partial max lost:\n$plan")
+  }
+
+  test("merkle leaves: ONE hash-agg shuffle with map-side partials, no join") {
+    import org.apache.spark.sql.functions.col
+    val o = ops.Sources.table(spark, dir, "orders")
+    val plan = executed(ops.Profile.merkleLeaves(o,
+      Seq("o_orderkey", "o_custkey", "o_orderpriority"),
+      col("o_orderkey"), levels = 12))
+    val shuffles = collectAll(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 1, s"expected exactly the leaf-agg shuffle:\n$plan")
+    val aggs = collectAll(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size == 2, s"expected partial+final hash aggregate:\n$plan")
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.isEmpty)
+  }
+
+  test("laplacianSharpness: per-partition decode — no shuffle anywhere") {
+    val imgs = ops.Multimodal.pgmMixedTable(spark, dir)
+    val plan = executed(ops.Multimodal.laplacianSharpness(imgs, 35000.0))
+    assert(collectAll(plan) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"decode+kernel must stay map-only:\n$plan")
+  }
 }

@@ -782,4 +782,45 @@ class DedupSpec extends SparkSpec {
       k = 5, w = 4, dfCap = 50, minShared = 1).head()
     assert(t.getLong(2) >= 2L)
   }
+
+  test("fellegiSunterEM: recovers a separable match/non-match mixture") {
+    import spark.implicits._
+    // plant the generative structure EM should find: 600 match pairs
+    // agreeing on nearly every field, 1400 non-match pairs agreeing on
+    // almost none. Counts are exact products of the planted per-field
+    // rates so the histogram is deterministic.
+    def expand(n: Int, rates: Seq[Double]): Seq[(Int, Int, Int)] = {
+      // distribute n over the 8 patterns by the independent-field product
+      val pats = for (a <- 0 to 1; b <- 0 to 1; c <- 0 to 1) yield (a, b, c)
+      pats.flatMap { case (a, b, c) =>
+        val pr = Seq(a, b, c).zip(rates)
+          .map { case (g, r) => if (g == 1) r else 1 - r }.product
+        Seq.fill(math.round(n * pr).toInt)((a, b, c))
+      }
+    }
+    val pairs = (expand(600, Seq(0.9, 0.9, 0.8)) ++
+        expand(1400, Seq(0.1, 0.2, 0.1)))
+      .toDF("g1", "g2", "g3")
+    val got = Dedup.fellegiSunterEM(pairs, Seq("g1", "g2", "g3"), iters = 20)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // all-agree is near-certainly a match, all-disagree near-certainly not
+    assert(got("111")._1 > 0.9, s"posterior(111) = ${got("111")._1}")
+    assert(got("000")._1 < 0.1, s"posterior(000) = ${got("000")._1}")
+    // log-likelihood-ratio weights order with agreement count
+    assert(got("111")._2 > 0 && got("000")._2 < 0)
+    assert(got("111")._2 > got("110")._2 && got("110")._2 > got("100")._2)
+    // determinism: a second run yields the identical frame
+    val again = Dedup.fellegiSunterEM(pairs, Seq("g1", "g2", "g3"), iters = 20)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(again == got)
+  }
+
+  test("fellegiSunterEM: non-binary gamma fails loud") {
+    import spark.implicits._
+    val bad = Seq((2, 0, 0), (0, 0, 0)).toDF("g1", "g2", "g3")
+    val e = intercept[Exception](
+      Dedup.fellegiSunterEM(bad, Seq("g1", "g2", "g3")).collect())
+    assert(e.getMessage.contains("0/1"))
+  }
 }
