@@ -5018,6 +5018,43 @@ object SparkEntry {
           .as("n_dup_bands"))
         .withColumn("is_dup", (col("n_dup_bands") > 0).cast("int"))
         .orderBy("doc_id")
+    },
+
+    // ───── INCREMENTAL Merkle maintenance: a keyed update feed
+    // corrects the q333 tree by XOR-folding each changed row's OLD and
+    // NEW hash into its leaf (one pass over the DELTA only — the base
+    // is never re-scanned) + a driver re-fold. The oracle is a FULL
+    // REBUILD over the updated table: all 8191 node hashes must agree,
+    // which is exactly the incremental-maintenance law ─────
+    "q337_merkle_update" -> { (s, dir) =>
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority")
+      val base = t(s, dir, "orders").select(cols.map(col): _*)
+      val pred = col("o_orderkey") % 11 === 0 || col("o_orderkey") % 13 === 0
+      val newRows = base.filter(pred)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 11 === 0, lit("X-URGENT"))
+            .otherwise(col("o_orderpriority")))
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 13 === 0, col("o_custkey") + 1)
+            .otherwise(col("o_custkey")))
+      val deltas = Profile.merkleLeaves(
+          base.filter(pred).unionByName(newRows), cols,
+          col("o_orderkey"), levels = 12)
+        .select(col("idx"), col("d"))
+      Profile.merkleApplyDeltas(
+          Profile.merkleLeaves(base, cols, col("o_orderkey"), levels = 12),
+          deltas, levels = 12)
+        .orderBy("level", "idx")
+    },
+
+    // ───── substring blocklist screen: all patterns matched in ONE
+    // Aho–Corasick pass per document (overlapping, no token
+    // boundaries); the pattern set nests ("at"/"ion" inside "ation",
+    // "in" inside "ing") to exercise the dict-suffix output links ─────
+    "q338_blocklist_screen" -> { (s, dir) =>
+      TextAnalysis.blocklistScreen(tb(s, dir, "documents"), "doc_id",
+          "text", Seq("ation", "at", "ion", "the", "data", "in", "ing"))
+        .orderBy("doc_id", "pattern")
     }
   )
 
@@ -7910,6 +7947,27 @@ object SparkEntry {
 
     // drained band-bucket min store ≡ bucket-min over q14's band CTE
     "q336_stream_lsh_dedup" -> OraclesExt.streamLshDedup,
+
+    // overlapping-occurrence position scan per (doc, pattern)
+    "q338_blocklist_screen" ->
+      ("WITH p AS (SELECT unnest(['ation','at','ion','the','data','in'," +
+        "'ing']) AS pattern), " +
+        "c AS (SELECT doc_id, pattern, " +
+        "list_sum(list_transform(range(length(text) - length(pattern) + 1), " +
+        "i -> CASE WHEN substr(text, i+1, length(pattern)) = pattern " +
+        "THEN 1 ELSE 0 END))::BIGINT AS n_hits " +
+        "FROM documents, p WHERE length(text) >= length(pattern)) " +
+        "SELECT doc_id, pattern, n_hits FROM c WHERE n_hits > 0 " +
+        "ORDER BY doc_id, pattern"),
+
+    // the incremental update must equal a FULL REBUILD over the
+    // updated table — the oracle IS the rebuild
+    "q337_merkle_update" -> OraclesExt.merkleDigest(12,
+      table = "(SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1 " +
+        "ELSE o_custkey END AS o_custkey, " +
+        "CASE WHEN o_orderkey % 11 = 0 THEN 'X-URGENT' " +
+        "ELSE o_orderpriority END AS o_orderpriority FROM orders) u"),
 
     // stream/batch parity: drained complete-mode leaf store folds to
     // the digest a batch build over the same events produces

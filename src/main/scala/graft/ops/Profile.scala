@@ -292,7 +292,12 @@ object Profile {
   /** Driver-side tree fold over a collected `(idx, n, d)` leaf frame
     * (batch aggregate or drained streaming store) — bounded by the
     * sketch parameter, never data scale. */
-  def merkleFromLeaves(leaves: DataFrame, levels: Int): DataFrame = {
+  def merkleFromLeaves(leaves: DataFrame, levels: Int): DataFrame =
+    foldToFrame(leaves.sparkSession, collectLeaves(leaves, levels), levels)
+
+  /** Collect a bounded `(idx, n, d)` leaf frame to a driver map. */
+  private def collectLeaves(
+      leaves: DataFrame, levels: Int): Map[Int, (Long, Long)] = {
     require(levels >= 1 && levels <= 12,
       s"levels must be in [1, 12] (driver collects 2^levels leaves), got $levels")
     val nLeaves = 1 << levels
@@ -303,6 +308,15 @@ object Profile {
       .toMap
     require(got.keys.forall(i => i >= 0 && i < nLeaves),
       s"leaf idx out of [0, $nLeaves)")
+    got
+  }
+
+  /** The driver tree fold shared by build and incremental update. */
+  private def foldToFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      got: Map[Int, (Long, Long)],
+      levels: Int): DataFrame = {
+    val nLeaves = 1 << levels
     var lvl = Array.tabulate(nLeaves)(i => got.getOrElse(i, (0L, 0L)))
     val out = Seq.newBuilder[(Int, Long, Long, Long)]
     lvl.zipWithIndex.foreach { case ((n, d), i) =>
@@ -320,9 +334,36 @@ object Profile {
       }
       level -= 1
     }
-    val spark = leaves.sparkSession
     import spark.implicits._
     out.result().toDF("level", "idx", "n_rows", "digest")
+  }
+
+  /** INCREMENTAL Merkle maintenance — the law the MerkleProps group
+    * proves, as a production operator: given the prebuilt base leaves
+    * and a frame of per-leaf XOR deltas from a keyed update feed
+    * (`merkleLeaves(oldRows ∪ newRows)` — XOR is self-inverse, so
+    * XOR-folding each changed row's OLD and NEW hash together yields
+    * exactly the leaf correction; row counts are unchanged by
+    * updates), apply the corrections driver-side and re-fold. Cost is
+    * `O(|delta| + 2^levels)` — the whole point of the tree: a CDC feed
+    * maintains a 100 TB dataset's digest without ever re-scanning the
+    * base. The released frame is node-identical to a full rebuild over
+    * the updated table (the q337 oracle proves exactly this). */
+  def merkleApplyDeltas(
+      baseLeaves: DataFrame,
+      leafDeltas: DataFrame, // (idx, d) — XOR corrections, updates only
+      levels: Int): DataFrame = {
+    val base = collectLeaves(baseLeaves, levels)
+    val deltas = leafDeltas
+      .select(col("idx").cast("long"), col("d").cast("long"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    require(deltas.keys.forall(i => i >= 0 && i < (1 << levels)),
+      s"delta idx out of [0, ${1 << levels})")
+    val patched = deltas.foldLeft(base) { case (m, (i, x)) =>
+      val (n, d) = m.getOrElse(i, (0L, 0L))
+      m + (i -> (n, d ^ x))
+    }
+    foldToFrame(baseLeaves.sparkSession, patched, levels)
   }
 
   /** Benford first-digit audit — the fraud/corruption screen for a

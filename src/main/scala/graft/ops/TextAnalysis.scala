@@ -2023,4 +2023,34 @@ object TextAnalysis {
             (lit(b2) * col("prec") + col("rec")), 6)).otherwise(0.0))
       .drop((1 to maxN).map(n => s"_ov$n"): _*)
   }
+
+  /** Substring blocklist screen — [[dictionaryTag]]'s SUBSTRING dual
+    * for policy/spam/PII-phrase screening: every pattern is matched
+    * (overlapping, any position — no token boundaries) in ONE pass per
+    * document via the codegen'd Aho–Corasick kernel
+    * ([[graft.expressions.AhoCorasickCount]]): O(|text| + matches)
+    * regardless of pattern count, vs O(|text|·|patterns|) for stacked
+    * `contains` and nothing at all for the token-explode join (which
+    * cannot see phrases or sub-token fragments). Emits one row per
+    * (doc, hit pattern) with the occurrence count.
+    *
+    * Scale shape: the automaton is a plan-time reference object
+    * (driver-built, shipped once per executor); the screen itself is a
+    * map-only projection + one bounded Generate (≤ |patterns| rows per
+    * doc) — no join, no shuffle before the caller's aggregation. */
+  def blocklistScreen(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val counts = Bridge.column(graft.expressions.AhoCorasickCount(
+      Bridge.expression(col(textCol)), patterns))
+    df.select(col(idCol), counts.as("_cnts"))
+      .select(col(idCol), posexplode(col("_cnts")).as(Seq("_pid", "n_hits")))
+      .filter(col("n_hits") > 0)
+      .select(col(idCol),
+        element_at(lit(patterns.toArray), col("_pid") + 1).as("pattern"),
+        col("n_hits"))
+  }
 }

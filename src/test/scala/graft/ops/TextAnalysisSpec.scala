@@ -1132,4 +1132,41 @@ class TextAnalysisSpec extends SparkSpec {
       .overlapTokens(ia, ib, 2).toLongArray()
     assert(ev.toSeq == Seq(2L, 1L))
   }
+
+  test("AhoCorasickMatcher: exhaustive parity with brute-force overlap counts") {
+    // every string over {a,b} up to length 11 vs a pattern set with
+    // nesting (a in ab/aba, b in bb) and shared prefixes — if failure
+    // or output links are wrong anywhere, some string catches it
+    val pats = Array("a", "ab", "aba", "bb", "bab")
+    val m = new graft.expressions.AhoCorasickMatcher(pats)
+    def brute(t: String): Seq[Long] = pats.toSeq.map { p =>
+      (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length)).toLong
+    }
+    for (len <- 0 to 11; bits <- 0 until (1 << len)) {
+      val t = (0 until len).map(i => if ((bits >> i & 1) == 0) 'a' else 'b').mkString
+      assert(m.count(t).toLongArray().toSeq == brute(t), s"text '$t'")
+    }
+  }
+
+  test("blocklistScreen: overlapping substring hits with nested patterns") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the nation's data station"), // ation x2, at x3 (+the x1? 'the' standalone)
+      (2L, "nothing in common"),
+      (3L, "zzz")).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistScreen(docs, "doc_id", "text",
+        Seq("ation", "at", "the", "in"))
+      .orderBy("doc_id", "pattern")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def brute(t: String, p: String) =
+      (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length)).toLong
+    val want = for {
+      (id, t) <- Seq((1L, "the nation's data station"), (2L, "nothing in common"), (3L, "zzz"))
+      p <- Seq("ation", "at", "the", "in").sorted
+      n = brute(t, p) if n > 0
+    } yield (id, p, n)
+    assert(got.toSeq == want)
+    // doc 3 has no hits and is absent entirely
+    assert(!got.exists(_._1 == 3L))
+  }
 }
