@@ -1231,4 +1231,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(collectAll(plan) { case s: ShuffleExchangeExec => s }.isEmpty,
       s"decode+kernel must stay map-only:\n$plan")
   }
+
+  test("blocklistScreen: map-only — one bounded Generate, no join, no shuffle") {
+    val d = ops.Sources.table(spark, dir, "documents")
+    val plan = executed(ops.TextAnalysis.blocklistScreen(
+      d, "doc_id", "text", Seq("the", "at", "ation")))
+    assert(collectAll(plan) { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"the screen must not shuffle:\n$plan")
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"the screen must not join:\n$plan")
+    val gens = collectAll(plan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.size == 1, s"expected the one posexplode Generate:\n$plan")
+  }
 }
