@@ -164,4 +164,31 @@ class ProfileSpec extends SparkSpec {
       assert(diff == 1, s"level $lv: $diff nodes differ, want 1")
     }
   }
+
+  test("merkleApplyDeltas: a correct delta reproduces the rebuild; a tampered one flips the root") {
+    import org.apache.spark.sql.functions.col
+    val cols = Seq("k", "s")
+    val base = (1L to 300L).map(i => (i, s"v$i")).toDF("k", "s")
+    val updated = (1L to 300L).map(i =>
+      (i, if (i % 7 == 0) s"w$i" else s"v$i")).toDF("k", "s")
+    val oldRows = base.filter(col("k") % 7 === 0)
+    val newRows = updated.filter(col("k") % 7 === 0)
+    val deltas = Profile.merkleLeaves(oldRows.unionByName(newRows), cols,
+      col("k"), levels = 5).select(col("idx"), col("d"))
+    def nodes(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val incr = nodes(Profile.merkleApplyDeltas(
+      Profile.merkleLeaves(base, cols, col("k"), 5), deltas, 5))
+    val rebuilt = nodes(Profile.merkleTree(updated, cols, col("k"), 5))
+    assert(incr == rebuilt, "incremental != full rebuild")
+    // tamper: flip one bit in one leaf delta — the root digest must move
+    // (the tamper-evidence property an integrity tree exists for)
+    import spark.implicits._
+    val tampered = deltas.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bad = (tampered.head._1, tampered.head._2 ^ 1L) +: tampered.tail
+    val badRoot = nodes(Profile.merkleApplyDeltas(
+      Profile.merkleLeaves(base, cols, col("k"), 5),
+      bad.toSeq.toDF("idx", "d"), 5))((0, 0L))._2
+    assert(badRoot != rebuilt((0, 0L))._2, "tampering went undetected")
+  }
 }
