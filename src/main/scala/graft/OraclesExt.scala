@@ -154,6 +154,18 @@ object OraclesExt {
       "SELECT doc_id, n_dup_bands, (CASE WHEN n_dup_bands > 0 THEN 1 " +
       "ELSE 0 END) AS is_dup FROM f ORDER BY doc_id"
 
+  /** q340: the bounded-lateness LSH gate — band-bucket matches whose
+    * synthesized ingest times (doc_id minutes from the epoch) are
+    * within the 120-minute horizon, i.e. an id-distance bound on the
+    * q14 band CTEs; earlier partner ids count distinct per doc. */
+  val streamLshBounded: String =
+    s"WITH $minhashCandCte, " +
+      "m AS (SELECT l.doc_id AS doc_id, r.doc_id AS src " +
+      "FROM band l JOIN band r ON l.b = r.b AND l.k = r.k " +
+      "AND r.doc_id < l.doc_id AND l.doc_id - r.doc_id <= 120) " +
+      "SELECT doc_id, count(DISTINCT src)::BIGINT AS n_src " +
+      "FROM m GROUP BY 1 ORDER BY doc_id"
+
   /** Threshold sweep (mirrors `Dedup.thresholdSweep`): q14's candidates
     * against the literal cutoff spine; zero levels emit via spine left
     * joins. Thresholds cast ::DOUBLE (bare list literals are DECIMAL). */
@@ -3182,14 +3194,17 @@ object OraclesExt {
       "FROM m ORDER BY doc_id"
   }
 
-  /** q333: Merkle dataset digest — leaf buckets (hash60 of the key mod
-    * 2^levels, XOR-fold of q193-style canonical row hashes) densified
+  /** q333/q335/q337: Merkle dataset digest — leaf buckets (hash60 of
+    * the null-coalesced key mod 2^levels; leaf digest = the 64-hex-char
+    * concatenation of 8 per-limb sums mod 2^32 over the 256-bit sha256
+    * row hash, the additive lattice-style multiset hash) densified
     * against `range(2^levels)`, then one MATERIALIZED rollup CTE per
     * level (plain CTEs are inlined at EVERY reference — the union plus
     * the next level reference each level twice, so un-materialized this
     * expands 2^levels base scans, the q325 lesson). Parent digest =
-    * md5(left_decimal || '|' || right_decimal) → 60 bits, matching the
-    * driver-side `Hashing.longHash60` fold. */
+    * full 32-hex-char `md5(left || '|' || right)`, matching the
+    * driver-side `Hashing.md5Hex` fold. DuckDB sums BIGINT into
+    * HUGEINT, so the limb sums never overflow before the mod. */
   def merkleDigest(
       levels: Int,
       table: String = "orders",
@@ -3200,17 +3215,24 @@ object OraclesExt {
         "coalesce(o_orderpriority, chr(1)))"): String = {
     val n = 1 << levels
     def md(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
-    val base = s"b AS (SELECT ${md(keyExpr)} % $n AS idx, " +
-      s"${md(contentExpr)} AS rh FROM $table)"
+    val limbs = (0 until 8).map(j =>
+      s"('0x' || substr(rh, ${8 * j + 1}, 8))::BIGINT AS l$j").mkString(", ")
+    val sums = (0 until 8).map(j =>
+      s"(sum(l$j) % 4294967296)::BIGINT").mkString(", ")
+    val fmt = "'" + "%08x" * 8 + "'"
+    val base = s"b AS (SELECT ${md(s"coalesce($keyExpr, chr(1))")} % $n " +
+      s"AS idx, sha256($contentExpr) AS rh FROM $table), " +
+      s"b2 AS (SELECT idx, $limbs FROM b)"
     val leaves = s"l$levels AS MATERIALIZED (SELECT r.i AS idx, " +
-      "coalesce(g.n, 0)::BIGINT AS n, coalesce(g.d, 0)::BIGINT AS d " +
+      "coalesce(g.n, 0)::BIGINT AS n, " +
+      "coalesce(g.d, repeat('0', 64)) AS d " +
       s"FROM range($n) r(i) LEFT JOIN (SELECT idx, count(*) AS n, " +
-      "bit_xor(rh) AS d FROM b GROUP BY idx) g ON r.i = g.idx)"
+      s"printf($fmt, $sums) AS d FROM b2 GROUP BY idx) g ON r.i = g.idx)"
     val ups = (levels - 1 to 0 by -1).map { lv =>
       s"l$lv AS MATERIALIZED (SELECT idx // 2 AS idx, sum(n)::BIGINT AS n, " +
-        md("max(CASE WHEN idx % 2 = 0 THEN d END)::VARCHAR || '|' || " +
-          "max(CASE WHEN idx % 2 = 1 THEN d END)::VARCHAR") +
-        s" AS d FROM l${lv + 1} GROUP BY 1)"
+        "md5(max(CASE WHEN idx % 2 = 0 THEN d END) || '|' || " +
+        "max(CASE WHEN idx % 2 = 1 THEN d END)) " +
+        s"AS d FROM l${lv + 1} GROUP BY 1)"
     }
     val union = (0 to levels).map(lv =>
       s"SELECT $lv AS level, idx, n AS n_rows, d AS digest FROM l$lv")
@@ -3264,10 +3286,15 @@ object OraclesExt {
       "st AS (" +
       "SELECT 0 AS it, [0.1, 0.9, 0.9, 0.9, 0.1, 0.1, 0.1]::DOUBLE[] AS prm " +
       "UNION ALL " +
-      "SELECT it + 1, [round(s_w / n_t, 9), " +
-      "round(m1 / s_w, 9), round(m2 / s_w, 9), round(m3 / s_w, 9), " +
-      "round(u1 / (n_t - s_w), 9), round(u2 / (n_t - s_w), 9), " +
-      "round(u3 / (n_t - s_w), 9)] " +
+      // each parameter clamps into [1e-9, 1-1e-9] after its 9dp round,
+      // mirroring fellegiSunterEM's degenerate-state guard
+      "SELECT it + 1, [least(greatest(round(s_w / n_t, 9), 1e-9), 1 - 1e-9), " +
+      "least(greatest(round(m1 / s_w, 9), 1e-9), 1 - 1e-9), " +
+      "least(greatest(round(m2 / s_w, 9), 1e-9), 1 - 1e-9), " +
+      "least(greatest(round(m3 / s_w, 9), 1e-9), 1 - 1e-9), " +
+      "least(greatest(round(u1 / (n_t - s_w), 9), 1e-9), 1 - 1e-9), " +
+      "least(greatest(round(u2 / (n_t - s_w), 9), 1e-9), 1 - 1e-9), " +
+      "least(greatest(round(u3 / (n_t - s_w), 9), 1e-9), 1 - 1e-9)] " +
       s"FROM (SELECT it, $sums FROM " +
       "(SELECT it, list_transform(ps, g -> struct_pack(" +
       "c := g.c::DOUBLE, g1 := g.g1::DOUBLE, g2 := g.g2::DOUBLE, " +

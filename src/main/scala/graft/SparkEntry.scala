@@ -748,7 +748,7 @@ object SparkEntry {
     "q63_canonical" -> { (s, dir) =>
       val docs = tb(s, dir, "documents")
       val d = docs.select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
-      val labels = Dedup.connectedComponents(
+      val labels = Dedup.connectedComponentsStar(
         Dedup.simhashPairs(d, "doc_id", col("toks"), maxDist = 6),
         "id_a", "id_b")
       val quality = docs.select(col("doc_id"),
@@ -901,7 +901,7 @@ object SparkEntry {
       val d = docs.select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
       val edges = Dedup.minhashPairs(d, "doc_id", Dedup.shingles(col("toks"), 3))
         .filter(col("est_jac") >= 0.75) // exact multiple of 1/16: decides identically in SQL
-      val dupes = Dedup.connectedComponents(edges, "id_a", "id_b")
+      val dupes = Dedup.connectedComponentsStar(edges, "id_a", "id_b")
         .filter(col("id") =!= col("rep"))
         .select(col("id").as("doc_id"))
       docs.join(dupes, Seq("doc_id"), "left_anti")
@@ -1979,7 +1979,7 @@ object SparkEntry {
       val docs = tb(s, dir, "documents")
       val d = docs.select(col("doc_id"),
         TextAnalysis.words(col("text")).as("toks"))
-      val labels = Dedup.connectedComponents(
+      val labels = Dedup.connectedComponentsStar(
         Dedup.simhashPairs(d, "doc_id", col("toks"), maxDist = 6),
         "id_a", "id_b")
       val assigned = docs.select(col("doc_id"))
@@ -2427,7 +2427,7 @@ object SparkEntry {
       val docs = tb(s, dir, "documents")
       val d = docs.select(col("doc_id"),
         TextAnalysis.words(col("text")).as("toks"))
-      val labels = Dedup.connectedComponents(
+      val labels = Dedup.connectedComponentsStar(
         Dedup.simhashPairs(d, "doc_id", col("toks"), maxDist = 6),
         "id_a", "id_b")
       val quality = docs.select(col("doc_id"),
@@ -3603,7 +3603,7 @@ object SparkEntry {
       val docs = tb(s, dir, "documents")
       val d = docs.select(col("doc_id"),
         TextAnalysis.words(col("text")).as("toks"))
-      val labels = Dedup.connectedComponents(
+      val labels = Dedup.connectedComponentsStar(
         Dedup.simhashPairs(d, "doc_id", col("toks"), maxDist = 6),
         "id_a", "id_b")
       Dedup.dedupWeights(docs.select("doc_id"), labels, "doc_id")
@@ -4935,11 +4935,15 @@ object SparkEntry {
         .orderBy("prompt_id")
     },
 
-    // ───── Merkle dataset digest: rows → 4096 XOR-folded leaf buckets
-    // in ONE map-side-combinable hash-agg, md5-combined pairwise up to
-    // the root driver-side (bounded by the sketch param, the q328
-    // posture). Version diff descends only differing subtrees: equal
-    // roots end a 100 TB audit in one 8-byte comparison ─────
+    // ───── Merkle dataset digest: rows → 4096 leaf buckets, each an
+    // additive lattice-style multiset hash (8×32-bit limb sums of the
+    // 256-bit sha2 row hash) built in ONE map-side-combinable
+    // hash-agg, md5-combined pairwise up to the root driver-side
+    // (bounded by the sketch param, the q328 posture). Version diff
+    // descends only differing subtrees: equal roots end a 100 TB
+    // audit in one digest comparison. Threat model in the scaladoc:
+    // corruption/version-drift detection with k-sum margin, NOT an
+    // authenticated (keyed) structure ─────
     "q333_merkle_digest" -> { (s, dir) =>
       Profile.merkleTree(t(s, dir, "orders"),
           Seq("o_orderkey", "o_custkey", "o_orderpriority"),
@@ -5020,27 +5024,34 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
-    // ───── INCREMENTAL Merkle maintenance: a keyed update feed
-    // corrects the q333 tree by XOR-folding each changed row's OLD and
-    // NEW hash into its leaf (one pass over the DELTA only — the base
-    // is never re-scanned) + a driver re-fold. The oracle is a FULL
-    // REBUILD over the updated table: all 8191 node hashes must agree,
-    // which is exactly the incremental-maintenance law ─────
+    // ───── INCREMENTAL Merkle maintenance: a CDC-style delta feed
+    // corrects the q333 tree by SUBTRACTING each changed row's OLD
+    // limbs and ADDING its NEW limbs into its leaf (addition is
+    // invertible — updates, inserts and deletes all maintain; one
+    // pass over the DELTA only, the base is never re-scanned) + a
+    // driver re-fold. The feed exercises all three verbs: mod-11/13
+    // updates, mod-17 deletes, and fresh inserted keys. The oracle is
+    // a FULL REBUILD over the updated table: all 8191 node digests
+    // must agree, which is exactly the incremental-maintenance law ─────
     "q337_merkle_update" -> { (s, dir) =>
       val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority")
       val base = t(s, dir, "orders").select(cols.map(col): _*)
-      val pred = col("o_orderkey") % 11 === 0 || col("o_orderkey") % 13 === 0
-      val newRows = base.filter(pred)
+      val upd = col("o_orderkey") % 11 === 0 || col("o_orderkey") % 13 === 0
+      val del = col("o_orderkey") % 17 === 0 && !upd
+      val newRows = base.filter(upd)
         .withColumn("o_orderpriority",
           when(col("o_orderkey") % 11 === 0, lit("X-URGENT"))
             .otherwise(col("o_orderpriority")))
         .withColumn("o_custkey",
           when(col("o_orderkey") % 13 === 0, col("o_custkey") + 1)
             .otherwise(col("o_custkey")))
-      val deltas = Profile.merkleLeaves(
-          base.filter(pred).unionByName(newRows), cols,
-          col("o_orderkey"), levels = 12)
-        .select(col("idx"), col("d"))
+      val inserted = base.filter(col("o_orderkey") % 19 === 0)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          col("o_custkey"), lit("5-LOW").as("o_orderpriority"))
+      val deltas = Profile.merkleLeafDeltas(
+        deleted = base.filter(upd || del),
+        inserted = newRows.unionByName(inserted),
+        cols, col("o_orderkey"), levels = 12)
       Profile.merkleApplyDeltas(
           Profile.merkleLeaves(base, cols, col("o_orderkey"), levels = 12),
           deltas, levels = 12)
@@ -5055,6 +5066,71 @@ object SparkEntry {
       TextAnalysis.blocklistScreen(tb(s, dir, "documents"), "doc_id",
           "text", Seq("ation", "at", "ion", "the", "data", "in", "ing"))
         .orderBy("doc_id", "pattern")
+    },
+
+    // ───── blocklist screen at PRODUCTION pattern scale: 10 000
+    // patterns (every 4-gram over a 10-char alphabet), sharded into
+    // three Aho–Corasick kernels (maxPerKernel=4096) whose sparse
+    // globally-indexed hits concat into ONE Generate — per-doc work is
+    // 3 automaton passes of O(|text| + matches), per-doc output only
+    // the grams that occur. The oracle needs no 10k-pattern scan: the
+    // pattern set is exactly the alphabet-restricted 4-gram language,
+    // so a substring histogram + a regex filter replays it ─────
+    "q339_blocklist_10k" -> { (s, dir) =>
+      val alpha = "etaonis rh"
+      val pats = (for (a <- alpha; b <- alpha; c <- alpha; d <- alpha)
+        yield s"$a$b$c$d").toSeq
+      TextAnalysis.blocklistScreen(tb(s, dir, "documents"), "doc_id",
+          "text", pats, maxPerKernel = 4096)
+        .groupBy("pattern")
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          sum("n_hits").as("n_hits"))
+        .orderBy("pattern")
+    },
+
+    // ───── BOUNDED-LATENESS streaming LSH gate: the state-bounded
+    // counterpart to q336's global gate (round-9 verdict Next #5).
+    // q336's (band, key) → min-id complete-mode store is inherently
+    // corpus-scale — a GLOBAL near-dup gate must remember every bucket
+    // ever seen (state math in the SURVEY row). When the product
+    // contract is "dedup against the last H of ingest" (bounded
+    // lateness), the store shrinks to rate × H: this row implements
+    // that as a WATERMARKED stream-stream interval band self-join (the
+    // q85 shape) — each side retains only rows within the watermark
+    // horizon, evicted by Spark itself. Ingest time is synthesized
+    // deterministically (doc_id minutes from a fixed epoch) so the
+    // DuckDB oracle replays the horizon as an id-distance bound ─────
+    "q340_stream_lsh_bounded" -> { (s, dir) =>
+      def banded(df: DataFrame) = df
+        .withColumn("ts",
+          expr("timestamp'2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE"))
+        .select(col("doc_id"), col("ts"),
+          TextAnalysis.words(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("ts"),
+          Dedup.shingleHashes(Dedup.shingles(col("toks"), 3)).as("hs"))
+        .select(col("doc_id"), col("ts"),
+          Dedup.minhashFromHashes(col("hs")).as("sig"))
+        .select(col("doc_id"), col("ts"),
+          explode(Dedup.bandKeys(col("sig"))).as("bk"))
+        .select(col("doc_id"), col("ts"),
+          col("bk.b").as("b"), col("bk.key").as("bkey"))
+      val l = banded(docsStream(s, dir)).withWatermark("ts", "240 minutes")
+        .select(col("doc_id").as("l_id"), col("ts").as("l_ts"),
+          col("b"), col("bkey"))
+      val r = banded(docsStream(s, dir)).withWatermark("ts", "240 minutes")
+        .select(col("doc_id").as("r_id"), col("ts").as("r_ts"),
+          col("b").as("rb"), col("bkey").as("rbkey"))
+      val matches = l.join(r,
+        col("b") === col("rb") && col("bkey") === col("rbkey") &&
+          col("r_id") < col("l_id") &&
+          col("l_ts") <= col("r_ts") + expr("INTERVAL 120 MINUTES") &&
+          col("l_ts") >= col("r_ts"))
+        .select(col("l_id").as("doc_id"), col("r_id").as("src"))
+      drainToTable(s, matches, "g340_lsh_bounded", "append")
+        .groupBy("doc_id")
+        .agg(count_distinct(col("src")).as("n_src"))
+        .orderBy("doc_id")
     }
   )
 
@@ -7960,14 +8036,36 @@ object SparkEntry {
         "SELECT doc_id, pattern, n_hits FROM c WHERE n_hits > 0 " +
         "ORDER BY doc_id, pattern"),
 
+    // the 10k pattern set IS the alphabet-restricted 4-gram language,
+    // so one substring histogram + a regex filter replays the screen
+    // without enumerating patterns
+    "q339_blocklist_10k" ->
+      ("WITH g AS (SELECT doc_id, unnest(list_transform(" +
+        "range(greatest(length(text) - 3, 0)), " +
+        "i -> substr(text, i + 1, 4))) AS pattern FROM documents), " +
+        "f AS (SELECT doc_id, pattern, count(*) AS n FROM g " +
+        "WHERE regexp_matches(pattern, '^[etaonis rh]{4}$') " +
+        "GROUP BY 1, 2) " +
+        "SELECT pattern, count(*)::BIGINT AS n_docs, " +
+        "sum(n)::BIGINT AS n_hits FROM f GROUP BY 1 ORDER BY pattern"),
+
+    // ts = epoch + doc_id minutes, so the 120-minute horizon replays
+    // as an id-distance bound over q14's band CTEs
+    "q340_stream_lsh_bounded" -> OraclesExt.streamLshBounded,
+
     // the incremental update must equal a FULL REBUILD over the
-    // updated table — the oracle IS the rebuild
+    // updated table (mod-11/13 updates, mod-17 deletes, mod-19
+    // inserts) — the oracle IS the rebuild
     "q337_merkle_update" -> OraclesExt.merkleDigest(12,
       table = "(SELECT o_orderkey, " +
         "CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1 " +
         "ELSE o_custkey END AS o_custkey, " +
         "CASE WHEN o_orderkey % 11 = 0 THEN 'X-URGENT' " +
-        "ELSE o_orderpriority END AS o_orderpriority FROM orders) u"),
+        "ELSE o_orderpriority END AS o_orderpriority FROM orders " +
+        "WHERE NOT (o_orderkey % 17 = 0 AND o_orderkey % 11 <> 0 " +
+        "AND o_orderkey % 13 <> 0) " +
+        "UNION ALL SELECT o_orderkey + 10000000, o_custkey, '5-LOW' " +
+        "FROM orders WHERE o_orderkey % 19 = 0) u"),
 
     // stream/batch parity: drained complete-mode leaf store folds to
     // the digest a batch build over the same events produces

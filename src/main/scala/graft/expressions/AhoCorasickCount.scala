@@ -1,10 +1,12 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Multi-pattern substring counting via an Aho–Corasick automaton —
@@ -21,12 +23,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * The automaton is built once on the driver (goto trie + BFS failure
   * links + flattened output lists) and ships to executors as a plan
   * reference object — the FeistelPos/pinned-index posture: plan-time
-  * constants, zero per-row setup. Null text → null. */
+  * constants, zero per-row setup. Null text → null.
+  *
+  * The DENSE count array this expression returns is O(|patterns|) per
+  * ROW — right for small policy sets (capped at 1024), wrong for
+  * production blocklists. Above that, use [[AhoCorasickHits]]: sparse
+  * `(pattern_idx, n)` pairs, output proportional to actual matches. */
 case class AhoCorasickCount(child: Expression, patterns: Seq[String])
     extends UnaryExpression {
 
-  require(patterns.nonEmpty && patterns.size <= 256,
-    s"need 1..256 patterns, got ${patterns.size}")
+  require(patterns.nonEmpty && patterns.size <= 1024,
+    s"need 1..1024 patterns (dense per-row output — use AhoCorasickHits " +
+      s"beyond that), got ${patterns.size}")
   require(patterns.forall(_.nonEmpty), "empty pattern")
   require(patterns.map(_.length).sum <= 65536, "pattern set too large")
 
@@ -58,15 +66,80 @@ case class AhoCorasickCount(child: Expression, patterns: Seq[String])
     copy(child = newChild)
 }
 
-/** The built automaton: goto per state (char-keyed), failure links,
-  * flattened per-state output pattern indexes. Built eagerly in the
-  * constructor; serializable so the plan can ship it. */
+/** SPARSE variant of [[AhoCorasickCount]] for production-scale pattern
+  * sets (capped at 65536 patterns / 2^20 total chars, both measured —
+  * see the round-10 README table): returns only the patterns that
+  * actually occur, as `(pid, n)` structs with `pid = idxBase + local
+  * index`. Per-row output is O(distinct matching patterns), not
+  * O(|patterns|), which is what lets a 10k–100k blocklist screen
+  * stream through one Generate. `idxBase` exists for SHARDING: when a
+  * pattern set exceeds the per-kernel cap, the caller splits it into
+  * consecutive shards, each kernel emits globally-indexed hits, and
+  * `concat` of the shard outputs feeds ONE explode
+  * ([[graft.ops.TextAnalysis.blocklistScreen]]). */
+case class AhoCorasickHits(
+    child: Expression,
+    patterns: Seq[String],
+    idxBase: Int = 0)
+    extends UnaryExpression {
+
+  require(patterns.nonEmpty && patterns.size <= 65536,
+    s"need 1..65536 patterns per kernel (shard above), got ${patterns.size}")
+  require(patterns.forall(_.nonEmpty), "empty pattern")
+  require(patterns.map(_.length).sum <= (1 << 20),
+    "pattern set too large for one kernel (shard above)")
+  require(idxBase >= 0, "idxBase must be >= 0")
+
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pid", IntegerType, nullable = false),
+      StructField("n", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "aho_corasick_hits"
+
+  @transient private lazy val matcher = new AhoCorasickMatcher(patterns.toArray)
+
+  override def nullSafeEval(text: Any): Any =
+    matcher.hits(text.asInstanceOf[UTF8String].toString, idxBase)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acMatcher", matcher,
+      classOf[AhoCorasickMatcher].getName)
+    nullSafeCodeGen(ctx, ev, text =>
+      s"${ev.value} = $ref.hits($text.toString(), $idxBase);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The built automaton, FLATTENED for the match loop: the driver builds
+  * the goto trie + BFS failure links on boxed maps (build cost is
+  * one-off, O(total pattern chars)), then compiles them into primitive
+  * arrays — CSR transitions sorted by char per state (binary-search
+  * lookup, no boxing, cache-local) with a DENSE 65536-entry next-state
+  * row for the root (where nearly every failure walk lands), and CSR
+  * output-pattern lists. The per-char cost is a handful of char
+  * compares against unboxed arrays instead of a boxed
+  * `HashMap[Char, Int]` probe per char plus per failure hop (the
+  * round-9 ADVICE finding — measured 2.2–7.3× single-thread over the
+  * boxed matcher at 1k–100k patterns, 4.4× at the 10k screen;
+  * [[graft.tools.AcBench]] reproduces the table). Serializable so the
+  * plan can ship it — measured 0.57 MB at 10k patterns / 3.6 MB at
+  * 100k, built in ~60/~210 ms on the driver. */
 class AhoCorasickMatcher(patterns: Array[String]) extends Serializable {
+  // ── build: boxed trie, driver-side only ──
   private val gotoMaps = scala.collection.mutable.ArrayBuffer(
     scala.collection.mutable.HashMap.empty[Char, Int])
   private val outBuf = scala.collection.mutable.ArrayBuffer(List.empty[Int])
 
-  // trie
   for (p <- patterns.indices) {
     var s = 0
     for (c <- patterns(p)) {
@@ -79,7 +152,9 @@ class AhoCorasickMatcher(patterns: Array[String]) extends Serializable {
     outBuf(s) = p :: outBuf(s)
   }
 
-  private val fail = new Array[Int](gotoMaps.size)
+  private val nStates = gotoMaps.size
+  private val fail = new Array[Int](nStates)
+
   // BFS failure links; output lists flatten through them
   locally {
     val queue = scala.collection.mutable.Queue.empty[Int]
@@ -96,8 +171,88 @@ class AhoCorasickMatcher(patterns: Array[String]) extends Serializable {
     }
   }
 
-  private val out: Array[Array[Int]] = outBuf.map(_.toArray).toArray
+  // ── flatten: CSR transitions (sorted by char) + dense root row ──
+  private val stateOff = new Array[Int](nStates + 1)
+  private val tChar: Array[Char] = {
+    var total = 0
+    var s = 0
+    while (s < nStates) {
+      stateOff(s) = total; total += gotoMaps(s).size; s += 1
+    }
+    stateOff(nStates) = total
+    new Array[Char](total)
+  }
+  private val tTo = new Array[Int](tChar.length)
+  locally {
+    var s = 0
+    while (s < nStates) {
+      val entries = gotoMaps(s).toArray.sortBy(_._1)
+      var i = 0
+      while (i < entries.length) {
+        tChar(stateOff(s) + i) = entries(i)._1
+        tTo(stateOff(s) + i) = entries(i)._2
+        i += 1
+      }
+      s += 1
+    }
+  }
+  /** Dense next-state row for the root: rootNext(c) = goto(0, c), or 0
+    * (stay at root). 256 KiB per automaton — one array, not per-state. */
+  private val rootNext: Array[Int] = {
+    val a = new Array[Int](65536)
+    for ((c, v) <- gotoMaps(0)) a(c) = v
+    a
+  }
+  private val outOff = new Array[Int](nStates + 1)
+  private val outPat: Array[Int] = {
+    var total = 0
+    var s = 0
+    while (s < nStates) { outOff(s) = total; total += outBuf(s).size; s += 1 }
+    outOff(nStates) = total
+    val a = new Array[Int](total)
+    s = 0
+    while (s < nStates) {
+      var i = outOff(s)
+      for (p <- outBuf(s)) { a(i) = p; i += 1 }
+      s += 1
+    }
+    a
+  }
+  // the boxed build structures are dead after flattening; drop them so
+  // the serialized plan ships only the primitive arrays
+  gotoMaps.clear()
+  outBuf.clear()
+
   private val nPat = patterns.length
+
+  /** Number of trie states (diagnostics / AcBench). */
+  def numStates: Int = nStates
+
+  /** Binary search for state `s`'s transition on `c`; -1 if absent. */
+  private def lookup(s: Int, c: Char): Int = {
+    var lo = stateOff(s)
+    var hi = stateOff(s + 1) - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val mc = tChar(mid)
+      if (mc == c) return tTo(mid)
+      else if (mc < c) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
+  /** One automaton step: follow goto, walking failure links on miss;
+    * the root resolves through the dense row (no failure loop). */
+  private def step(s0: Int, c: Char): Int = {
+    var s = s0
+    while (s != 0) {
+      val nxt = lookup(s, c)
+      if (nxt >= 0) return nxt
+      s = fail(s)
+    }
+    rootNext(c)
+  }
 
   /** Counts of every pattern (overlapping, end-position) in one pass. */
   def count(text: String): GenericArrayData = {
@@ -106,14 +261,54 @@ class AhoCorasickMatcher(patterns: Array[String]) extends Serializable {
     var i = 0
     val n = text.length
     while (i < n) {
-      val c = text.charAt(i)
-      while (s != 0 && !gotoMaps(s).contains(c)) s = fail(s)
-      s = gotoMaps(s).getOrElse(c, 0)
-      val os = out(s)
-      var j = 0
-      while (j < os.length) { counts(os(j)) += 1; j += 1 }
+      s = step(s, text.charAt(i))
+      var j = outOff(s)
+      val end = outOff(s + 1)
+      while (j < end) { counts(outPat(j)) += 1; j += 1 }
       i += 1
     }
     new GenericArrayData(counts)
+  }
+
+  /** Per-task scratch for the sparse pass: a counts array reused across
+    * rows plus the list of touched pattern indexes — O(matches) per row
+    * after the one-off allocation, never O(nPat) per row. */
+  @transient private lazy val scratch =
+    new ThreadLocal[(Array[Long], Array[Int])] {
+      override def initialValue(): (Array[Long], Array[Int]) =
+        (new Array[Long](nPat), new Array[Int](nPat))
+    }
+
+  /** Sparse `(idxBase + pattern_idx, n)` pairs for patterns with n > 0,
+    * ascending by index — one pass, output O(distinct matches). */
+  def hits(text: String, idxBase: Int): GenericArrayData = {
+    val (counts, touched) = scratch.get()
+    var nTouched = 0
+    var s = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      s = step(s, text.charAt(i))
+      var j = outOff(s)
+      val end = outOff(s + 1)
+      while (j < end) {
+        val p = outPat(j)
+        if (counts(p) == 0L) { touched(nTouched) = p; nTouched += 1 }
+        counts(p) += 1
+        j += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(touched, 0, nTouched)
+    val rows = new Array[Any](nTouched)
+    var t = 0
+    while (t < nTouched) {
+      val p = touched(t)
+      rows(t) = new GenericInternalRow(
+        Array[Any](idxBase + p, counts(p)))
+      counts(p) = 0L // reset for the next row
+      t += 1
+    }
+    new GenericArrayData(rows)
   }
 }

@@ -428,6 +428,15 @@ object Dedup {
     * the form a dedup pipeline actually consumes (keep one doc per
     * component, drop the rest).
     *
+    * Since round 10 this is the REFERENCE implementation: production
+    * rows go through [[connectedComponentsStar]], which measured
+    * 1.7× faster at sf1 (5 rounds vs 12 — the star rounds also shrink
+    * the edge frame; see its scaladoc and graft.tools.CcRounds). Kept
+    * because the two independently-derived algorithms agreeing on
+    * every fixture and every query is the cross-check that guards the
+    * iterative-graph family, and because its per-round shape (ONE
+    * static join + agg) is simpler to reason about.
+    *
     * Min-label propagation with pointer jumping: every node starts
     * labeled with its own id; each round takes the min of its own and
     * its neighbors' labels, then replaces its label by its label's label
@@ -525,14 +534,107 @@ object Dedup {
       System.err.println(s"WARN graft.Dedup.connectedComponents: NOT " +
         s"converged after maxIter=$maxIter rounds — returned labels are a " +
         "partial coarsening, not connected components")
+    ccLastRounds = iter
     labels
+  }
+
+  /** Rounds executed by the most recent [[connectedComponents]] /
+    * [[connectedComponentsStar]] call on this JVM — measurement hook for
+    * the round-count comparison spec and [[graft.tools.CcRounds]]
+    * (includes the convergence-confirming round; probe cadence can
+    * overshoot the fixpoint by up to `probeEvery - 1`). */
+  @volatile var ccLastRounds: Int = 0
+
+  /** Connected components via LARGE-STAR / SMALL-STAR alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * 2014) — since round 10 THE production implementation behind
+    * [[clusters]] and the q43/q63/q88-family rows, chosen by
+    * measurement over [[connectedComponents]]' min-label +
+    * pointer-jumping rounds ([[graft.tools.CcRounds]], sf1 simhash
+    * edges, 411k pairs): 5 rounds / 3.2 s vs 12 rounds / 5.4 s — both
+    * are O(log n) ROUNDS (the diameter-1024 path fixture measures 11
+    * rounds each, so neither is O(diameter)), but each star round
+    * halves star depth from BOTH ends and, decisively, the edge frame
+    * SHRINKS as duplicates collapse onto component minima, while
+    * min-label re-joins the full static edge set every round.
+    *
+    * Mechanics per round, on a canonically-oriented `(hi, lo)` distinct
+    * edge frame: LARGE-STAR connects every neighbor `v > u` of each
+    * node `u` to `min(N(u) ∪ u)`; SMALL-STAR re-points each center's
+    * small neighbors (and itself) at their minimum. Both phases only
+    * ever shuffle (node, node) pairs bounded by |edges|. The potential
+    * Σ(hi+lo) over the distinct edge set strictly decreases on any
+    * change (every emitted endpoint is ≤ its source, dedup only
+    * removes), so convergence is one cheap decimal aggregate — the same
+    * no-driver-collect probe as min-label. At the fixpoint edges form
+    * stars child → component-min; labels read off with one final join
+    * over the original node set. Returns (id, rep), rep = min member
+    * id, for every node in the input — identical contract and results
+    * to [[connectedComponents]]. */
+  def connectedComponentsStar(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val e0 = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint()
+    val nodes = e0.select(col("a").as("id"))
+      .union(e0.select(col("b").as("id"))).distinct()
+    var e = e0.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .distinct().localCheckpoint(false)
+    def potential(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum((col("hi") + col("lo")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var prev = potential(e)
+    var iter = 0
+    var converged = prev._1 == 0L
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: neighborhoods need both directions; each neighbor
+      // v > u re-points at m = min(N(u) ∪ u). m ≤ u < v keeps the
+      // output canonical without re-orienting.
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct().localCheckpoint(false)
+      // SMALL-STAR on the oriented frame: every center hi's small
+      // neighbors (all lo < hi) and hi itself re-point at min(lo).
+      val sMins = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+      val ss = ls.join(sMins, "hi")
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .union(sMins.select(col("hi"), col("m").as("lo")))
+        .distinct()
+      iter += 1
+      e = ss.localCheckpoint(false)
+      val cur = potential(e)
+      converged = cur == prev
+      prev = cur
+    }
+    if (!converged)
+      System.err.println(s"WARN graft.Dedup.connectedComponentsStar: NOT " +
+        s"converged after maxIter=$maxIter rounds — returned labels are a " +
+        "partial coarsening, not connected components")
+    ccLastRounds = iter
+    // converged edges are stars (child → component min); nodes missing
+    // from the star map are roots or singletons — their own rep
+    nodes.join(e.select(col("hi").as("id"), col("lo").as("rep")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
   }
 
   /** Duplicate clusters from an edge list: one row per component —
     * (rep = min member id, n_members, member_ids ";"-joined in id
     * order), the same presentation as [[exactGroups]]. */
   def clusters(edges: DataFrame, aCol: String, bCol: String): DataFrame =
-    connectedComponents(edges, aCol, bCol)
+    connectedComponentsStar(edges, aCol, bCol)
       .groupBy(col("rep"))
       .agg(count(lit(1)).as("n_members"),
         concat_ws(";", transform(array_sort(collect_list(col("id"))),
@@ -1422,8 +1524,17 @@ object Dedup {
     * every parameter is 9dp-rounded per iteration and all pattern sums
     * fold in ascending pattern order, so the DuckDB recursive-CTE
     * oracle replays the trajectory bit-for-bit (the Holt/IPF parity
-    * pattern). Emits one row per OBSERVED pattern: (pattern, n_pairs,
-    * posterior 6dp, weight 6dp). */
+    * pattern). After each rounded M-step, p, m_j and u_j are CLAMPED
+    * into [1e-9, 1−1e-9] (mirrored in the oracle): 9dp rounding can
+    * otherwise drive a parameter to exactly 0 or 1 on degenerate pair
+    * sets (e.g. a field that always agrees), which makes a likelihood
+    * 0 → weight ±Infinity / posterior NaN, and an all-1
+    * responsibility state divides by zero in the u update. Clamped
+    * parameters keep every likelihood strictly positive, so every
+    * responsibility is strictly inside (0, 1) and both M-step
+    * denominators stay nonzero — no degenerate trajectory can error
+    * or emit non-finite output. Emits one row per OBSERVED pattern:
+    * (pattern, n_pairs, posterior 6dp, weight 6dp). */
   def fellegiSunterEM(
       pairs: DataFrame,
       gammaCols: Seq[String],
@@ -1445,6 +1556,7 @@ object Dedup {
       }.sortBy(_._1.mkString)
     require(pats.nonEmpty, "no candidate pairs")
     val nTot = pats.map(_._2).sum.toDouble
+    val clamp = (x: Double) => math.min(math.max(x, 1e-9), 1.0 - 1e-9)
     var p = 0.1
     var m = Array.fill(k)(0.9)
     var u = Array.fill(k)(0.1)
@@ -1462,9 +1574,9 @@ object Dedup {
         ws.map { case (g, c, w) => c * w * g(j) }.sum)
       val uN = Array.tabulate(k)(j =>
         ws.map { case (g, c, w) => c * (1.0 - w) * g(j) }.sum)
-      m = mN.map(x => rd9(x / sW))
-      u = uN.map(x => rd9(x / (nTot - sW)))
-      p = rd9(sW / nTot)
+      m = mN.map(x => clamp(rd9(x / sW)))
+      u = uN.map(x => clamp(rd9(x / (nTot - sW))))
+      p = clamp(rd9(sW / nTot))
       it += 1
     }
     val spark = pairs.sparkSession

@@ -34,6 +34,24 @@ object Hashing {
       d.map("%02x".format(_)).mkString.substring(0, 15), 16)
   }
 
+  /** Driver-side full 32-hex-char md5 — the Merkle node combiner
+    * ([[Profile.merkleTree]]); same rendering as Spark/DuckDB `md5()`. */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Driver-side twin of the Merkle 256-bit row hash: sha-256 of the
+    * UTF-8 string, split into 8 unsigned 32-bit limbs (the additive
+    * leaf-digest components — see [[Profile.merkleTree]]). */
+  def sha256Limbs(s: String): Array[Long] = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+    Array.tabulate(8) { j =>
+      ((d(4 * j) & 0xffL) << 24) | ((d(4 * j + 1) & 0xffL) << 16) |
+        ((d(4 * j + 2) & 0xffL) << 8) | (d(4 * j + 3) & 0xffL)
+    }
+  }
+
   /** hash60 reduced mod [[P]] — the domain for MinHash permutations. */
   def hashP(c: Column): Column = hash60(c) % P
 

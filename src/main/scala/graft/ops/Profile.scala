@@ -243,24 +243,48 @@ object Profile {
   /** Merkle dataset digest — [[tableFingerprint]] grown into an
     * integrity TREE, the structure that makes 100 TB dataset
     * verification and version diff logarithmic instead of linear: rows
-    * hash into 2^`levels` leaf buckets by key (leaf digest =
-    * order-independent XOR fold of canonical row hashes, the q193
-    * fingerprint), and parents combine children by hashing the pair
-    * (`md5(left || '|' || right)` → 60 bits). Two dataset versions
-    * compare root-first: equal roots end the audit in one 8-byte
-    * comparison; a mismatch descends only the differing subtrees, so
-    * re-verification cost is `levels · (changed leaves)`, and a changed
-    * leaf bounds the row-level re-scan to its bucket (~n/2^levels
-    * rows). Released as ALL tree nodes — (level, idx, n_rows, digest),
-    * level 0 = root — so any two released frames diff by plain join.
+    * hash into 2^`levels` leaf buckets by key, and parents combine
+    * children by hashing the pair (`md5(left || '|' || right)`, full
+    * 128 bits). Two dataset versions compare root-first: equal roots
+    * end the audit in one digest comparison; a mismatch descends only
+    * the differing subtrees, so re-verification cost is
+    * `levels · (changed leaves)`, and a changed leaf bounds the
+    * row-level re-scan to its bucket (~n/2^levels rows). Released as
+    * ALL tree nodes — (level, idx, n_rows, digest), level 0 = root —
+    * so any two released frames diff by plain join.
+    *
+    * LEAF DIGEST = additive lattice-style multiset hash: each row
+    * hashes to 256 bits (`sha2(canonical, 256)`), split into 8×32-bit
+    * limbs, and the leaf sums each limb mod 2^32 (rendered as the
+    * 64-hex-char concatenation of the limb sums). Addition is
+    * commutative/associative → order- and partition-invariant, and
+    * INVERTIBLE → incremental maintenance under inserts, deletes AND
+    * updates (subtract the old row's limbs, add the new row's).
+    *
+    * THREAT MODEL (stated, not implied): this detects accidental
+    * corruption, replication divergence, and version drift, and gives
+    * margin against crafting adversaries — a collision against the
+    * 256-bit carry-free additive state needs a generalized-birthday
+    * (k-sum) attack, ~2^(256/(1+log2 k)) work with k CHOSEN inserted
+    * rows (e.g. ~2^31 work only if the adversary can insert ~2^16
+    * crafted rows). It is NOT an authenticated data structure: there
+    * is no secret key, and any party who can rewrite both the data and
+    * the published digest can forge trivially. For authenticated
+    * integrity, HMAC the canonical row string with a key before
+    * hashing. Content swaps BETWEEN rows in the same leaf that
+    * preserve the row-hash multiset are invisible by design (the
+    * digest is of the multiset, not the sequence). The previous
+    * 60-bit-XOR leaf fold (rounds ≤9) cancelled on any even multiset
+    * of equal row hashes; the additive fold does not (the
+    * duplicate-append regression test in ProfileSpec pins this).
     *
     * Scale shape: ONE map-side-combinable data-scale hash-aggregate
-    * (count + bit_xor partials) into ≤ 2^levels rows; the tree fold is
-    * a driver-side loop over the collected leaves (bounded by the
+    * (count + 8 limb-sum partials) into ≤ 2^levels rows; the tree fold
+    * is a driver-side loop over the collected leaves (bounded by the
     * sketch parameter `levels` ≤ 12, never data scale — the q328
-    * posture). XOR leaves make the digest incrementally maintainable:
-    * a row's insert/delete XORs into its leaf and re-hashes one
-    * root-path. */
+    * posture). Limb sums are exact (no pre-mod overflow) up to 2^31
+    * rows per leaf — ~10^12 total rows at levels=12; size `levels` so
+    * leaves stay under that. */
   def merkleTree(
       df: DataFrame,
       cols: Seq[String],
@@ -268,11 +292,21 @@ object Profile {
       levels: Int = 12): DataFrame =
     merkleFromLeaves(merkleLeaves(df, cols, key, levels), levels)
 
-  /** The data-scale half of [[merkleTree]]: canonical row hashes
-    * XOR-folded into 2^`levels` leaf buckets — ONE map-side-combinable
-    * hash-aggregate, also usable as a complete-mode STREAMING state
-    * frame (count and bit_xor both re-aggregate additively across
-    * micro-batches, the q326 leaf-store posture). */
+  /** Modulus of one 32-bit leaf-digest limb. */
+  private val LimbMod = 1L << 32
+  private val NLimbs = 8
+
+  /** The data-scale half of [[merkleTree]]: 256-bit canonical row
+    * hashes limb-summed into 2^`levels` leaf buckets —
+    * `(idx, n, l0..l7)`, ONE map-side-combinable hash-aggregate, also
+    * usable as a complete-mode STREAMING state frame (count and limb
+    * sums all re-aggregate additively across micro-batches, the q326
+    * leaf-store posture).
+    *
+    * NULL keys bucket under the `chr(1)` sentinel string (documented
+    * contract, mirrored in the oracle) instead of surfacing later as a
+    * bare NullPointerException in the driver fold; a real key equal to
+    * `chr(1)` shares that bucket. */
   def merkleLeaves(
       df: DataFrame,
       cols: Seq[String],
@@ -281,44 +315,73 @@ object Profile {
     require(cols.nonEmpty, "merkleTree needs at least one content column")
     require(levels >= 1 && levels <= 12,
       s"levels must be in [1, 12] (driver collects 2^levels leaves), got $levels")
-    val nLeaves = 1 << levels
-    val rowHash = Hashing.hash60(concat_ws("\u001f",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*))
-    df.withColumn("_rh", rowHash)
-      .groupBy((Hashing.hash60(key.cast("string")) % nLeaves).as("idx"))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(_rh)").as("d"))
+    // _rh materialized in its OWN projection: the 8 limb substrings
+    // reference it, and CollapseProject keeps multiply-referenced
+    // non-cheap aliases in their producing Project — one sha256 per
+    // row, not eight (the q336 lesson)
+    df.select(merkleIdx(key, levels).as("idx"), merkleRowHash(cols).as("_rh"))
+      .select(col("idx") +: (0 until NLimbs).map(j =>
+        conv(substring(col("_rh"), 8 * j + 1, 8), 16, 10)
+          .cast("long").as(s"l$j")): _*)
+      .groupBy("idx")
+      .agg(count(lit(1)).as("n"),
+        (0 until NLimbs).map(j =>
+          (sum(col(s"l$j")) % LimbMod).as(s"l$j")): _*)
   }
 
-  /** Driver-side tree fold over a collected `(idx, n, d)` leaf frame
-    * (batch aggregate or drained streaming store) — bounded by the
-    * sketch parameter, never data scale. */
+  /** Leaf-bucket index: null keys map to the `chr(1)` sentinel. */
+  private def merkleIdx(key: Column, levels: Int): Column =
+    Hashing.hash60(coalesce(key.cast("string"), lit("\u0001"))) % (1 << levels)
+
+  /** 256-bit canonical row hash (chr(31) joins, chr(1) null marker). */
+  private def merkleRowHash(cols: Seq[String]): Column =
+    sha2(concat_ws("\u001f",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*), 256)
+
+  /** Driver-side tree fold over a collected `(idx, n, l0..l7)` leaf
+    * frame (batch aggregate or drained streaming store) — bounded by
+    * the sketch parameter, never data scale. */
   def merkleFromLeaves(leaves: DataFrame, levels: Int): DataFrame =
     foldToFrame(leaves.sparkSession, collectLeaves(leaves, levels), levels)
 
-  /** Collect a bounded `(idx, n, d)` leaf frame to a driver map. */
+  /** Collect a bounded `(idx, n, l0..l7)` leaf frame to a driver map. */
   private def collectLeaves(
-      leaves: DataFrame, levels: Int): Map[Int, (Long, Long)] = {
+      leaves: DataFrame, levels: Int): Map[Int, (Long, Array[Long])] = {
     require(levels >= 1 && levels <= 12,
       s"levels must be in [1, 12] (driver collects 2^levels leaves), got $levels")
     val nLeaves = 1 << levels
     // the ONLY data-scale pass happened upstream; this collect is ≤ 2^levels rows
-    val got = leaves.select(col("idx").cast("long"), col("n").cast("long"),
-        col("d").cast("long"))
-      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2)))
-      .toMap
+    val got = leaves.select(
+        (col("idx") +: col("n") +:
+          (0 until NLimbs).map(j => col(s"l$j"))).map(_.cast("long")): _*)
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          "null leaf idx — the key column bypassed merkleLeaves' null sentinel")
+        r.getLong(0).toInt ->
+          (r.getLong(1), Array.tabulate(NLimbs)(j => r.getLong(2 + j)))
+      }.toMap
     require(got.keys.forall(i => i >= 0 && i < nLeaves),
       s"leaf idx out of [0, $nLeaves)")
     got
   }
 
-  /** The driver tree fold shared by build and incremental update. */
+  /** 64-hex-char rendering of the 8 limb sums — the leaf digest. */
+  private def limbHex(limbs: Array[Long]): String =
+    limbs.map(v => f"$v%08x").mkString
+
+  /** The driver tree fold shared by build and incremental update:
+    * leaves render as 64-hex-char limb concatenations, parents as the
+    * full 32-hex-char md5 of `left || '|' || right`. */
   private def foldToFrame(
       spark: org.apache.spark.sql.SparkSession,
-      got: Map[Int, (Long, Long)],
+      got: Map[Int, (Long, Array[Long])],
       levels: Int): DataFrame = {
     val nLeaves = 1 << levels
-    var lvl = Array.tabulate(nLeaves)(i => got.getOrElse(i, (0L, 0L)))
-    val out = Seq.newBuilder[(Int, Long, Long, Long)]
+    var lvl: Array[(Long, String)] = Array.tabulate(nLeaves) { i =>
+      val (n, limbs) = got.getOrElse(i, (0L, Array.fill(NLimbs)(0L)))
+      (n, limbHex(limbs))
+    }
+    val out = Seq.newBuilder[(Int, Long, Long, String)]
     lvl.zipWithIndex.foreach { case ((n, d), i) =>
       out += ((levels, i.toLong, n, d))
     }
@@ -327,7 +390,7 @@ object Profile {
       lvl = Array.tabulate(lvl.length / 2) { i =>
         val (ln, ld) = lvl(2 * i)
         val (rn, rd) = lvl(2 * i + 1)
-        (ln + rn, Hashing.longHash60(s"$ld|$rd"))
+        (ln + rn, Hashing.md5Hex(s"$ld|$rd"))
       }
       lvl.zipWithIndex.foreach { case ((n, d), i) =>
         out += ((level, i.toLong, n, d))
@@ -338,30 +401,61 @@ object Profile {
     out.result().toDF("level", "idx", "n_rows", "digest")
   }
 
+  /** Signed leaf corrections for [[merkleApplyDeltas]] from a CDC-style
+    * delta feed: `deleted` rows contribute their limbs negatively,
+    * `inserted` rows positively (an UPDATE is its old row in `deleted`
+    * and its new row in `inserted`). ONE hash-aggregate over the DELTA
+    * only — the base is never re-scanned. Output `(idx, dn, dl0..dl7)`;
+    * `dn` carries the row-count change, so the digest tracks inserts
+    * and deletes, not just updates. */
+  def merkleLeafDeltas(
+      deleted: DataFrame,
+      inserted: DataFrame,
+      cols: Seq[String],
+      key: Column,
+      levels: Int): DataFrame = {
+    def limbs(df: DataFrame, sgn: Long) = df
+      .select(merkleIdx(key, levels).as("idx"), merkleRowHash(cols).as("_rh"))
+      .select(col("idx") +: lit(sgn).as("_sgn") +:
+        (0 until NLimbs).map(j =>
+          conv(substring(col("_rh"), 8 * j + 1, 8), 16, 10)
+            .cast("long").as(s"l$j")): _*)
+    limbs(deleted, -1L).unionByName(limbs(inserted, 1L))
+      .groupBy("idx")
+      .agg(sum(col("_sgn")).as("dn"),
+        (0 until NLimbs).map(j =>
+          sum(col("_sgn") * col(s"l$j")).as(s"dl$j")): _*)
+  }
+
   /** INCREMENTAL Merkle maintenance — the law the MerkleProps group
     * proves, as a production operator: given the prebuilt base leaves
-    * and a frame of per-leaf XOR deltas from a keyed update feed
-    * (`merkleLeaves(oldRows ∪ newRows)` — XOR is self-inverse, so
-    * XOR-folding each changed row's OLD and NEW hash together yields
-    * exactly the leaf correction; row counts are unchanged by
-    * updates), apply the corrections driver-side and re-fold. Cost is
-    * `O(|delta| + 2^levels)` — the whole point of the tree: a CDC feed
-    * maintains a 100 TB dataset's digest without ever re-scanning the
-    * base. The released frame is node-identical to a full rebuild over
-    * the updated table (the q337 oracle proves exactly this). */
+    * and a frame of signed per-leaf limb corrections
+    * ([[merkleLeafDeltas]] over the CDC delta — addition is invertible,
+    * so subtracting old rows and adding new ones yields exactly the
+    * leaf correction, including row-count changes from inserts and
+    * deletes), apply the corrections driver-side mod 2^32 and re-fold.
+    * Cost is `O(|delta| + 2^levels)` — the whole point of the tree: a
+    * CDC feed maintains a 100 TB dataset's digest without ever
+    * re-scanning the base. The released frame is node-identical to a
+    * full rebuild over the updated table (the q337 oracle proves
+    * exactly this). */
   def merkleApplyDeltas(
       baseLeaves: DataFrame,
-      leafDeltas: DataFrame, // (idx, d) — XOR corrections, updates only
+      leafDeltas: DataFrame, // (idx, dn, dl0..dl7) — signed corrections
       levels: Int): DataFrame = {
     val base = collectLeaves(baseLeaves, levels)
-    val deltas = leafDeltas
-      .select(col("idx").cast("long"), col("d").cast("long"))
-      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val deltas = leafDeltas.select(
+        (col("idx") +: col("dn") +:
+          (0 until NLimbs).map(j => col(s"dl$j"))).map(_.cast("long")): _*)
+      .collect().map(r => r.getLong(0).toInt ->
+        (r.getLong(1), Array.tabulate(NLimbs)(j => r.getLong(2 + j))))
+      .toMap
     require(deltas.keys.forall(i => i >= 0 && i < (1 << levels)),
       s"delta idx out of [0, ${1 << levels})")
-    val patched = deltas.foldLeft(base) { case (m, (i, x)) =>
-      val (n, d) = m.getOrElse(i, (0L, 0L))
-      m + (i -> (n, d ^ x))
+    val patched = deltas.foldLeft(base) { case (m, (i, (dn, dl))) =>
+      val (n, limbs) = m.getOrElse(i, (0L, Array.fill(NLimbs)(0L)))
+      m + (i -> (n + dn, Array.tabulate(NLimbs)(j =>
+        java.lang.Math.floorMod(limbs(j) + dl(j), LimbMod))))
     }
     foldToFrame(baseLeaves.sparkSession, patched, levels)
   }

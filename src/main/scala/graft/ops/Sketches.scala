@@ -499,12 +499,19 @@ object Sketches {
     require(mm.getLong(0) >= 0 && mm.getLong(1) < cap,
       s"values must be pre-quantized into [0, $cap) — got " +
         s"[${mm.getLong(0)}, ${mm.getLong(1)}]")
-    // the ONLY data-scale pass: one map-side-combinable hash-aggregate
+    // guard the shard cardinality BEFORE the collect (a 1025-row LIMIT
+    // probe, never data scale) — a high-cardinality shard column must
+    // fail loud without first pulling an unbounded row set into driver
+    // memory (the buildDigest posture: enforce bounds, then collect)
+    val nShards = base.select("s").distinct().limit(1025).count()
+    require(nShards <= 1024,
+      s"shard must be a small bucket key — got ${
+        if (nShards > 1024) "more than 1024" else nShards.toString} distinct")
+    // the ONLY data-scale pass: one map-side-combinable hash-aggregate,
+    // bounded by the guard above at nShards·2^levels rows
     val rows = base.groupBy("s", "v").agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val byShard = rows.groupBy(_._1)
-    require(byShard.size <= 1024,
-      s"shard must be a small bucket key — got ${byShard.size} distinct")
     val built = byShard.toSeq.sortBy(_._1).map { case (_, rs) =>
       digestFromHist(rs.map(t => (t._2, t._3)).sortBy(_._1), levels, k)
     }

@@ -2028,29 +2028,56 @@ object TextAnalysis {
     * for policy/spam/PII-phrase screening: every pattern is matched
     * (overlapping, any position — no token boundaries) in ONE pass per
     * document via the codegen'd Aho–Corasick kernel
-    * ([[graft.expressions.AhoCorasickCount]]): O(|text| + matches)
+    * ([[graft.expressions.AhoCorasickHits]]): O(|text| + matches)
     * regardless of pattern count, vs O(|text|·|patterns|) for stacked
     * `contains` and nothing at all for the token-explode join (which
     * cannot see phrases or sub-token fragments). Emits one row per
     * (doc, hit pattern) with the occurrence count.
     *
-    * Scale shape: the automaton is a plan-time reference object
-    * (driver-built, shipped once per executor); the screen itself is a
-    * map-only projection + one bounded Generate (≤ |patterns| rows per
-    * doc) — no join, no shuffle before the caller's aggregation. */
+    * Scale shape: the automata are plan-time reference objects
+    * (driver-built, shipped once per executor); the kernel emits
+    * SPARSE `(pid, n)` hits — per-doc output is O(distinct matching
+    * patterns), not O(|patterns|) — so the screen is a map-only
+    * projection + ONE Generate over actual hits, no join, no shuffle
+    * before the caller's aggregation. Pattern sets beyond one kernel's
+    * cap (65536 patterns / 2^20 chars, or `maxPerKernel`) SHARD into
+    * consecutive kernels whose globally-indexed outputs `concat` into
+    * that same single Generate: k shards = k automaton passes per doc,
+    * each still O(|text| + matches). The pattern lookup is one
+    * plan-literal array index — no join at any pattern count. */
   def blocklistScreen(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      patterns: Seq[String]): DataFrame = {
+      patterns: Seq[String],
+      maxPerKernel: Int = 65536): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val counts = Bridge.column(graft.expressions.AhoCorasickCount(
-      Bridge.expression(col(textCol)), patterns))
-    df.select(col(idCol), counts.as("_cnts"))
-      .select(col(idCol), posexplode(col("_cnts")).as(Seq("_pid", "n_hits")))
-      .filter(col("n_hits") > 0)
+    require(maxPerKernel >= 1 && maxPerKernel <= 65536,
+      s"maxPerKernel must be in [1, 65536], got $maxPerKernel")
+    // shard on BOTH caps: pattern count and total chars per kernel
+    val maxChars = 1 << 20
+    val shards = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[String])]
+    var start = 0
+    var chars = 0
+    patterns.zipWithIndex.foreach { case (p, i) =>
+      if (i - start >= maxPerKernel || (chars + p.length > maxChars && i > start)) {
+        shards += ((start, patterns.slice(start, i)))
+        start = i
+        chars = 0
+      }
+      chars += p.length
+    }
+    shards += ((start, patterns.slice(start, patterns.size)))
+    val hitArrays = shards.toSeq.map { case (base, ps) =>
+      Bridge.column(graft.expressions.AhoCorasickHits(
+        Bridge.expression(col(textCol)), ps, idxBase = base))
+    }
+    val allHits =
+      if (hitArrays.size == 1) hitArrays.head else concat(hitArrays: _*)
+    df.select(col(idCol), allHits.as("_hits"))
+      .select(col(idCol), explode(col("_hits")).as("_h"))
       .select(col(idCol),
-        element_at(lit(patterns.toArray), col("_pid") + 1).as("pattern"),
-        col("n_hits"))
+        element_at(lit(patterns.toArray), col("_h.pid") + 1).as("pattern"),
+        col("_h.n").as("n_hits"))
   }
 }

@@ -823,4 +823,69 @@ class DedupSpec extends SparkSpec {
       Dedup.fellegiSunterEM(bad, Seq("g1", "g2", "g3")).collect())
     assert(e.getMessage.contains("0/1"))
   }
+
+  test("connected components on a long path (diameter ≫ log n): both algorithms " +
+      "agree and converge in O(log n) rounds") {
+    import spark.implicits._
+    // 1025-node path graph — diameter 1024, log2 = 10. If either
+    // algorithm were O(diameter) it would hit maxIter; both must stay
+    // within a small multiple of log2(n).
+    val edges = (0L until 1024L).map(i => (i, i + 1)).toDF("a", "b")
+    val ml = Dedup.connectedComponents(edges, "a", "b",
+        maxIter = 50, probeEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mlRounds = Dedup.ccLastRounds
+    assert(ml.size == 1025 && ml.values.forall(_ == 0L))
+    // pointer jumping doubles label reach per round: O(log d), NOT
+    // O(d) — the property this fixture pins (12 propagation rounds +
+    // the convergence-confirming probe round, with slack for the
+    // label-link constant)
+    assert(mlRounds <= 20, s"min-label took $mlRounds rounds on a path")
+    val st = Dedup.connectedComponentsStar(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stRounds = Dedup.ccLastRounds
+    assert(st == ml, "star labels != min-label labels")
+    assert(stRounds <= 20, s"star alternation took $stRounds rounds on a path")
+    info(s"rounds on diameter-1024 path: min-label+jumping $mlRounds, " +
+      s"large/small-star $stRounds")
+  }
+
+  test("connectedComponentsStar: multi-component graphs, singleton via self-loop, determinism") {
+    import spark.implicits._
+    // two components + an isolated self-loop node + duplicate edges
+    val edges = Seq((5L, 9L), (9L, 3L), (3L, 5L), (20L, 21L), (21L, 20L),
+      (40L, 40L)).toDF("a", "b")
+    val got = Dedup.connectedComponentsStar(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L,
+      40L -> 40L)
+    assert(got == want)
+    // same answer as the production implementation
+    val ml = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ml == want)
+  }
+
+  test("fellegiSunterEM: degenerate pair sets stay finite (parameter clamp)") {
+    import spark.implicits._
+    // every pair agrees on every field: unclamped EM drives p and all
+    // m_j to 1 (and u_j to 0/1), making sW = nTot divide the u update
+    // by zero and weight = ln(mlik/ulik) = ±Infinity. The
+    // [1e-9, 1-1e-9] clamp must keep the trajectory finite.
+    val allAgree = Seq.fill(50)((1, 1, 1)).toDF("g1", "g2", "g3")
+    val r1 = Dedup.fellegiSunterEM(allAgree, Seq("g1", "g2", "g3"), 20)
+      .collect()
+    assert(r1.length == 1)
+    assert(!r1(0).getDouble(2).isNaN && !r1(0).getDouble(2).isInfinite)
+    assert(!r1(0).getDouble(3).isNaN && !r1(0).getDouble(3).isInfinite)
+    // one field constant-agree, others mixed: that field's m and u both
+    // round toward 1 — likelihoods must stay strictly positive
+    val mixed = (Seq.fill(40)((1, 1, 0)) ++ Seq.fill(60)((1, 0, 1)))
+      .toDF("g1", "g2", "g3")
+    val r2 = Dedup.fellegiSunterEM(mixed, Seq("g1", "g2", "g3"), 20).collect()
+    r2.foreach { r =>
+      assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite, r.toString)
+      assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite, r.toString)
+    }
+  }
 }

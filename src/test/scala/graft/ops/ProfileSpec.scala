@@ -129,16 +129,18 @@ class ProfileSpec extends SparkSpec {
     val df = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "s")
     val nodes = Profile.merkleTree(df, Seq("k", "s"), col("k"), levels = 4)
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
       .toMap
     assert(nodes.size == 31) // 16 + 8 + 4 + 2 + 1
     assert(nodes((0, 0L))._1 == 200L)
+    // leaves are 64-hex limb concatenations, parents full 32-hex md5
+    assert(nodes((4, 0L))._2.length == 64)
     for (lv <- 0 until 4; i <- 0 until (1 << lv)) {
       val (n, d) = nodes((lv, i.toLong))
       val (ln, ld) = nodes((lv + 1, 2L * i))
       val (rn, rd) = nodes((lv + 1, 2L * i + 1))
       assert(n == ln + rn)
-      assert(d == graft.ops.Hashing.longHash60(s"$ld|$rd"))
+      assert(d == Hashing.md5Hex(s"$ld|$rd") && d.length == 32)
     }
   }
 
@@ -147,10 +149,10 @@ class ProfileSpec extends SparkSpec {
     val rows = (1L to 300L).map(i => (i, s"v$i"))
     val a = Profile.merkleTree(rows.toDF("k", "s"), Seq("k", "s"),
       col("k"), levels = 5).collect()
-      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(3)).toMap
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(3)).toMap
     val b = Profile.merkleTree(rows.reverse.toDF("k", "s").repartition(7),
       Seq("k", "s"), col("k"), levels = 5).collect()
-      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(3)).toMap
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(3)).toMap
     assert(a == b, "digest depends on row/partition order")
     // edit one row's content: exactly one leaf differs, and each level
     // above differs in exactly one node (the root path) — the property
@@ -158,37 +160,96 @@ class ProfileSpec extends SparkSpec {
     val edited = rows.map { case (k, s) => (k, if (k == 137L) "X" else s) }
     val c = Profile.merkleTree(edited.toDF("k", "s"), Seq("k", "s"),
       col("k"), levels = 5).collect()
-      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(3)).toMap
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(3)).toMap
     for (lv <- 0 to 5) {
       val diff = (0 until (1 << lv)).count(i => a((lv, i.toLong)) != c((lv, i.toLong)))
       assert(diff == 1, s"level $lv: $diff nodes differ, want 1")
     }
   }
 
-  test("merkleApplyDeltas: a correct delta reproduces the rebuild; a tampered one flips the root") {
+  test("merkleTree: null keys bucket under the sentinel instead of NPE-ing") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Some(1L), "a"), (None, "b"), (None, "c"))
+      .toDF("k", "s")
+    val root = Profile.merkleTree(df, Seq("k", "s"), col("k"), levels = 3)
+      .collect().find(r => r.getInt(0) == 0).get
+    assert(root.getLong(2) == 3L, "null-key rows must still count")
+    // and the null bucket is the chr(1)-sentinel bucket: hashing an
+    // explicit sentinel key lands the same rows in the same leaf
+    val explicitSentinel = Seq(("\u0001", "b"), ("\u0001", "c"))
+      .toDF("k", "s")
+    val viaNull = Profile.merkleTree(
+      Seq((Option.empty[Long], "b"), (Option.empty[Long], "c"))
+        .toDF("k", "s"),
+      Seq("s"), col("k"), levels = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(3)).toMap
+    val viaSentinel = Profile.merkleTree(explicitSentinel,
+      Seq("s"), col("k"), levels = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(3)).toMap
+    assert(viaNull == viaSentinel)
+  }
+
+  test("merkleApplyDeltas: CDC deltas (update+insert+delete) reproduce the rebuild; a tampered delta flips the root") {
     import org.apache.spark.sql.functions.col
     val cols = Seq("k", "s")
     val base = (1L to 300L).map(i => (i, s"v$i")).toDF("k", "s")
-    val updated = (1L to 300L).map(i =>
-      (i, if (i % 7 == 0) s"w$i" else s"v$i")).toDF("k", "s")
-    val oldRows = base.filter(col("k") % 7 === 0)
-    val newRows = updated.filter(col("k") % 7 === 0)
-    val deltas = Profile.merkleLeaves(oldRows.unionByName(newRows), cols,
-      col("k"), levels = 5).select(col("idx"), col("d"))
+    // update every mod-7 row, delete every mod-11 (non-mod-7) row,
+    // insert 10 fresh keys — the three CDC verbs in one feed
+    val updatedRows = (1L to 300L).filter(_ % 7 == 0).map(i => (i, s"w$i"))
+    val deletedRows = (1L to 300L).filter(i => i % 11 == 0 && i % 7 != 0)
+    val insertedRows = (1001L to 1010L).map(i => (i, s"v$i"))
+    val finalRows = (1L to 300L)
+      .filterNot(i => i % 11 == 0 && i % 7 != 0)
+      .map(i => (i, if (i % 7 == 0) s"w$i" else s"v$i")) ++ insertedRows
+    val deleted = base.filter(col("k") % 7 === 0 ||
+      col("k") % 11 === 0)
+    val inserted = updatedRows.toDF("k", "s")
+      .unionByName(insertedRows.toDF("k", "s"))
+    val deltas = Profile.merkleLeafDeltas(deleted, inserted, cols,
+      col("k"), levels = 5)
     def nodes(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
     val incr = nodes(Profile.merkleApplyDeltas(
       Profile.merkleLeaves(base, cols, col("k"), 5), deltas, 5))
-    val rebuilt = nodes(Profile.merkleTree(updated, cols, col("k"), 5))
+    val rebuilt = nodes(Profile.merkleTree(finalRows.toDF("k", "s"), cols,
+      col("k"), 5))
     assert(incr == rebuilt, "incremental != full rebuild")
-    // tamper: flip one bit in one leaf delta — the root digest must move
-    // (the tamper-evidence property an integrity tree exists for)
-    import spark.implicits._
-    val tampered = deltas.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val bad = (tampered.head._1, tampered.head._2 ^ 1L) +: tampered.tail
+    // tamper: shift one limb of one leaf delta by 1 — the root digest
+    // must move (the corruption-evidence property the tree exists for)
+    val tampered = deltas.withColumn("dl0",
+      org.apache.spark.sql.functions.when(col("idx") === deltas.select("idx").head().getLong(0),
+        col("dl0") + 1L).otherwise(col("dl0")))
     val badRoot = nodes(Profile.merkleApplyDeltas(
-      Profile.merkleLeaves(base, cols, col("k"), 5),
-      bad.toSeq.toDF("idx", "d"), 5))((0, 0L))._2
+      Profile.merkleLeaves(base, cols, col("k"), 5), tampered, 5))((0, 0L))._2
     assert(badRoot != rebuilt((0, 0L))._2, "tampering went undetected")
+  }
+
+  test("merkle additive fold: duplicate-pair append CHANGES the digest (the XOR-cancellation regression)") {
+    import org.apache.spark.sql.functions.col
+    // the pre-round-10 60-bit XOR leaf fold cancelled on any even
+    // multiset of equal row hashes: appending the same row twice left
+    // every digest untouched. The additive limb fold must not.
+    val rows = (1L to 100L).map(i => (i, s"v$i"))
+    val dup = rows ++ Seq((7L, "v7"), (7L, "v7"))
+    def tree(rs: Seq[(Long, String)]) =
+      Profile.merkleTree(rs.toDF("k", "s"), Seq("k", "s"), col("k"), 4)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getString(3)).toMap
+    val a = tree(rows)
+    val b = tree(dup)
+    assert(a((0, 0L)) != b((0, 0L)),
+      "even-multiset append cancelled — XOR regression")
+    // and the limb arithmetic is why: the leaf digest moves by exactly
+    // 2× the row's limbs mod 2^32
+    val leaf = (Hashing.longHash60("7") % 16).toInt
+    val limbsBefore = a((4, leaf.toLong)).grouped(8)
+      .map(java.lang.Long.parseLong(_, 16)).toArray
+    val limbsAfter = b((4, leaf.toLong)).grouped(8)
+      .map(java.lang.Long.parseLong(_, 16)).toArray
+    val rowLimbs = Hashing.sha256Limbs("7\u001fv7")
+    (0 until 8).foreach { j =>
+      assert(limbsAfter(j) ==
+        java.lang.Math.floorMod(limbsBefore(j) + 2 * rowLimbs(j), 1L << 32))
+    }
   }
 }

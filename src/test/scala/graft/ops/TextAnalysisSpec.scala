@@ -1148,6 +1148,70 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("AhoCorasickMatcher: sparse hits ≡ nonzero dense counts (exhaustive, with idxBase)") {
+    val pats = Array("a", "ab", "aba", "bb", "bab")
+    val m = new graft.expressions.AhoCorasickMatcher(pats)
+    for (len <- 0 to 11; bits <- 0 until (1 << len)) {
+      val t = (0 until len).map(i => if ((bits >> i & 1) == 0) 'a' else 'b').mkString
+      val dense = m.count(t).toLongArray()
+      val wantSparse = dense.zipWithIndex.collect {
+        case (n, i) if n > 0 => (100 + i, n)
+      }.toSeq
+      val got = m.hits(t, idxBase = 100)
+      val gotSparse = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2)
+        (r.getInt(0), r.getLong(1))
+      }
+      assert(gotSparse == wantSparse, s"text '$t'")
+    }
+  }
+
+  test("blocklistScreen: sharded kernels ≡ one kernel (counts and chars caps)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the nation's data station"),
+      (2L, "nothing in common at bat"),
+      (3L, "zzz")).toDF("doc_id", "text")
+    val pats = Seq("ation", "at", "ion", "the", "data", "in", "ing")
+    def run(maxPerKernel: Int) =
+      TextAnalysis.blocklistScreen(docs, "doc_id", "text", pats, maxPerKernel)
+        .orderBy("doc_id", "pattern")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val whole = run(65536)
+    assert(run(2) == whole, "3-pattern shards diverge")
+    assert(run(1) == whole, "single-pattern shards diverge")
+  }
+
+  test("blocklistScreen at 10k patterns: parity with a brute scan; automaton builds fast") {
+    import spark.implicits._
+    // all 4-grams over a 10-char alphabet — the production-scale shape
+    // (q339); build + flatten must be driver-cheap
+    val alpha = "etaonis rh"
+    val pats = for (a <- alpha; b <- alpha; c <- alpha; d <- alpha)
+      yield s"$a$b$c$d"
+    assert(pats.size == 10000)
+    val t0 = System.nanoTime()
+    val m = new graft.expressions.AhoCorasickMatcher(pats.toArray)
+    val buildMs = (System.nanoTime() - t0) / 1e6
+    assert(buildMs < 5000, s"10k-pattern automaton took $buildMs ms to build")
+    val docs = Seq(
+      (1L, "the rain in here stations the train onto east"),
+      (2L, "no hits from this line of text? some: onset, threat"),
+      (3L, "xx")).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistScreen(docs, "doc_id", "text", pats,
+        maxPerKernel = 4096) // 3 shards
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    def brute(t: String) = pats.map(p => p ->
+      (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, 4)).toLong)
+      .filter(_._2 > 0).toMap
+    for ((id, t) <- Seq((1L, "the rain in here stations the train onto east"),
+        (2L, "no hits from this line of text? some: onset, threat"),
+        (3L, "xx"))) {
+      val want = brute(t).map { case (p, n) => ((id, p), n) }
+      assert(got.filter(_._1._1 == id) == want, s"doc $id")
+    }
+  }
+
   test("blocklistScreen: overlapping substring hits with nested patterns") {
     import spark.implicits._
     val docs = Seq(
