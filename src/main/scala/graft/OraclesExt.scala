@@ -1878,6 +1878,80 @@ object OraclesExt {
       s"SELECT qid, rnk::INT AS rnk, cid, cos FROM rr WHERE rnk <= $k " +
       "ORDER BY qid, rnk"
 
+  /** Shared CTE chain for the residual serving oracles (q341/q342):
+    * pinned-cell assignment + probes (the q322 chain), micro-integer
+    * centroid lists, per-corpus-row residual int lists, per-probe query
+    * micro dims and the exact Σ Qᵢ·Cᵢ term. */
+  private def residualBase(nProbe: Int): String =
+    s"$embCte, " +
+      s"cent AS (SELECT * FROM (VALUES $pinnedCentRows) t(cell, cv, cn2)), " +
+      "cm AS (SELECT cell, list_transform(cv, " +
+      "x -> round(x * 1000000)::BIGINT) AS cmv FROM cent), " +
+      "scored AS (SELECT e.vec_id, e.v, cent.cell, " +
+      "row_number() OVER (PARTITION BY e.vec_id " +
+      "ORDER BY list_dot_product(e.v, cent.cv) * -2.0 + cent.cn2, cent.cell) AS rn " +
+      "FROM e CROSS JOIN cent), " +
+      "corp AS (SELECT vec_id AS cid, cell FROM scored WHERE rn = 1), " +
+      "qc AS (SELECT vec_id AS qid, cell FROM scored " +
+      s"WHERE vec_id % 100 = 0 AND rn <= $nProbe), " +
+      // corpus residual ints against the row's own cell
+      "cr AS (SELECT corp.cid, corp.cell, " +
+      "list_transform(range(64), i -> " +
+      "round(cv.v[i+1] * 1000000)::BIGINT - cm.cmv[i+1]) AS r " +
+      "FROM corp JOIN e cv ON cv.vec_id = corp.cid " +
+      "JOIN cm ON cm.cell = corp.cell), " +
+      // query micro dims + A = SUM Q*C per probed cell
+      "qm AS (SELECT qc.qid, qc.cell, " +
+      "list_transform(qv.v, x -> round(x * 1000000)::BIGINT) AS q, " +
+      "list_sum(list_transform(range(64), i -> " +
+      "round(qv.v[i+1] * 1000000)::BIGINT * cm.cmv[i+1]))::BIGINT AS a " +
+      "FROM qc JOIN e qv ON qv.vec_id = qc.qid " +
+      "JOIN cm ON cm.cell = qc.cell)"
+
+  /** The rerank tail shared by every cell-serving oracle: candidate cut
+    * at `candK` by the integer score, exact-cosine re-rank to `k`. */
+  private def rerankTail(candK: Int, k: Int): String =
+    "rb AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY score DESC, cid) AS rnk FROM sb), " +
+      s"cand AS (SELECT qid, cid FROM rb WHERE rnk <= $candK), " +
+      "sc AS (SELECT cand.qid, cand.cid, " +
+      s"round(${cosSql("q.v", "c.v")}, 6) AS cos FROM cand " +
+      "JOIN e q ON q.vec_id = cand.qid JOIN e c ON c.vec_id = cand.cid), " +
+      "rr AS (SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY cos DESC, cid) AS rnk FROM sc) " +
+      s"SELECT qid, rnk::INT AS rnk, cid, cos FROM rr WHERE rnk <= $k " +
+      "ORDER BY qid, rnk"
+
+  /** Mirrors q341: residual 1-bit serving — β = (Σ|Rᵢ|)/64 integer
+    * division, score = A + β·Σ(±Qᵢ) by the residual sign. */
+  def residualCellRerank(candK: Int, k: Int, nProbe: Int): String =
+    s"WITH ${residualBase(nProbe)}, " +
+      "cb AS (SELECT cid, cell, r, " +
+      "(list_sum(list_transform(r, x -> abs(x)))::BIGINT // 64) AS beta " +
+      "FROM cr), " +
+      "sb AS (SELECT qm.qid, cb.cid, qm.a + cb.beta * " +
+      "list_sum(list_transform(range(64), i -> " +
+      "CASE WHEN cb.r[i+1] > 0 THEN qm.q[i+1] ELSE -qm.q[i+1] END))::BIGINT " +
+      "AS score FROM qm JOIN cb ON cb.cell = qm.cell " +
+      "WHERE cb.cid <> qm.qid), " +
+      rerankTail(candK, k)
+
+  /** Mirrors q342: int8 residual serving — s = max|Rᵢ|, codes =
+    * round(Rᵢ·127/s) (0 when s = 0), score = 127·A + s·Σ Qᵢ·codeᵢ. */
+  def int8CellRerank(candK: Int, k: Int, nProbe: Int): String =
+    s"WITH ${residualBase(nProbe)}, " +
+      "cb AS (SELECT cid, cell, " +
+      "list_max(list_transform(r, x -> abs(x)))::BIGINT AS s8, " +
+      "r FROM cr), " +
+      "cd AS (SELECT cid, cell, s8, list_transform(r, x -> " +
+      "CASE WHEN s8 = 0 THEN 0::BIGINT " +
+      "ELSE round(x * 127.0 / s8)::BIGINT END) AS code FROM cb), " +
+      "sb AS (SELECT qm.qid, cd.cid, qm.a * 127 + cd.s8 * " +
+      "list_sum(list_transform(range(64), i -> " +
+      "qm.q[i+1] * cd.code[i+1]))::BIGINT AS score " +
+      "FROM qm JOIN cd ON cd.cell = qm.cell WHERE cd.cid <> qm.qid), " +
+      rerankTail(candK, k)
+
   /** q325: Sketches.qdigestQuantiles mirror — the same exact leaf
     * histogram, `levels` compression rounds as CHAINED CTEs (each
     * round: per-parent child sums, merge iff ≤ τ = n/k integer-divided,

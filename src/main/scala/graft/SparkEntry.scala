@@ -5131,6 +5131,44 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(count_distinct(col("src")).as("n_src"))
         .orderBy("doc_id")
+    },
+
+    // ───── RESIDUAL 1-bit cell serving: q322/q329's tier re-centered
+    // per cell (IVF-PQ / BQ-with-norm) — corpus rows store residual
+    // sign words + the mean-|residual| scale, candidates rank by the
+    // exact integer ADC decomposition score = Σ QᵢCᵢ + β·Σ(±Qᵢ) ≈
+    // 10¹²·(q·v), comparable ACROSS probed cells (the bare residual
+    // dot measured recall ≈ 0 — far cells flood the heap). On the
+    // planted-cluster fixture this beats raw-sign asym at tight
+    // spreads where raw signs collapse (RecallCurve table in README);
+    // kernels: ResidualSignPack / ResidualScale / CentroidDot +
+    // AsymSignDot, all plan-reference-object + exact-integer ─────
+    "q341_residual_cell_serve" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.topKResidualCells(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          graft.fixtures.PinnedIndex.ivfCentroidsV1,
+          dim = 64, candK = 30, k = 5, nProbe = 4)
+        .orderBy("qid", "rnk")
+    },
+
+    // ───── INT8 residual cell serving: the quality tier when 1
+    // bit/dim saturates — codes round(Rᵢ·127/s) packed 8 bytes/long,
+    // score = 127·Σ QᵢCᵢ + s·Σ Qᵢ·codeᵢ, still exact-integer and
+    // 4× under float32. Measured on the planted-cluster fixture:
+    // 0.447/0.727/0.933 recall@5 at candK=30 vs the 1-bit tier's
+    // 0.387/0.580/0.747; candK=100 reaches 0.840/0.980/1.000 ─────
+    "q342_int8_cell_serve" -> { (s, dir) =>
+      val e = tb(s, dir, "embeddings")
+      Similarity.topKInt8ResidualCells(
+          e.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          graft.fixtures.PinnedIndex.ivfCentroidsV1,
+          dim = 64, candK = 30, k = 5, nProbe = 4)
+        .orderBy("qid", "rnk")
     }
   )
 
@@ -8052,6 +8090,14 @@ object SparkEntry {
     // ts = epoch + doc_id minutes, so the 120-minute horizon replays
     // as an id-distance bound over q14's band CTEs
     "q340_stream_lsh_bounded" -> OraclesExt.streamLshBounded,
+
+    // residual 1-bit serving: micro-integer residual signs + per-row
+    // mean-|R| scale, score = SUM Q*C + beta*(+-Q) — bit-exact replay
+    "q341_residual_cell_serve" -> OraclesExt.residualCellRerank(30, 5, 4),
+
+    // int8 residual serving: round(R*127/s) signed codes, score =
+    // 127*SUM Q*C + s*SUM Q*code — bit-exact replay
+    "q342_int8_cell_serve" -> OraclesExt.int8CellRerank(30, 5, 4),
 
     // the incremental update must equal a FULL REBUILD over the
     // updated table (mod-11/13 updates, mod-17 deletes, mod-19

@@ -727,6 +727,154 @@ object Similarity {
       .select("qid", "rnk", "cid", "cos")
   }
 
+  /** Cell-blocked serving on RESIDUAL codes with a per-vector scale —
+    * the IVF-PQ / BQ-with-norm re-centering applied to the 1-bit tier,
+    * for CLUSTERED corpora where raw sign codes collapse (measured on
+    * the round-10 planted-cluster fixture: raw-sign recall@5 = 0.287
+    * at spread 0.25 for cell-blocked AND full-scan Hamming — the CODE,
+    * not the candidate generation, is the limit, against an
+    * exact-cosine cell ceiling of 1.000). Corpus rows store
+    * `(words, β)` = residual sign words + mean residual magnitude
+    * ([[graft.expressions.ResidualSignPack]]/[[graft.expressions.
+    * ResidualScale]] — the micro-centroid table is one plan reference
+    * object, not a per-dim literal lookup); each query probe carries
+    * its micro dims and the exact integer `A = Σ Qᵢ·Cᵢ` for the probed
+    * cell ([[graft.expressions.CentroidDot]]), and candidates rank by
+    *
+    *   score = A + β·asym_sign_dot(words, Q)  ≈  10¹²·(q·v)
+    *
+    * — the ADC decomposition `q·v = q·c + q·r` with `r̂ = β·sign(r)`.
+    * The q·c term is what makes scores COMPARABLE ACROSS PROBED CELLS:
+    * a first formulation ranking bare residual dots measured recall@5
+    * ≈ 0 (far-cell probes have large |q−c| and flood the heap,
+    * recall FELL as nProbe grew). All-integer scoring from one
+    * float→micro rounding boundary; bit-replayable by the SQL oracle.
+    *
+    * Same plan shape and cost as [[topKAsymCells]]: map-side pack
+    * (+ one long per row for β), cell equi-join against broadcast
+    * probes, bounded heap, exact rerank on candK·|queries| vectors. */
+  def topKResidualCells(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      centroids: Array[Array[Double]],
+      dim: Int,
+      candK: Int,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    require(k <= candK, s"k=$k must be <= candK=$candK")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val cents = centroids.map(_.toSeq).toSeq
+    def kernel(mk: (org.apache.spark.sql.catalyst.expressions.Expression,
+        org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression)(
+        v: Column, cell: Column): Column =
+      Bridge.column(mk(Bridge.expression(v), Bridge.expression(cell)))
+    val packE = kernel((v, c) =>
+      graft.expressions.ResidualSignPack(v, c, cents, dim)) _
+    val scaleE = kernel((v, c) =>
+      graft.expressions.ResidualScale(v, c, cents, dim)) _
+    val cdotE = kernel((v, c) =>
+      graft.expressions.CentroidDot(v, c, cents, dim)) _
+    val cq = corpus
+      .select(col("cid"), col("cvec"),
+        element_at(probeCells(col("cvec"), centroids, 1), 1).as("cell"))
+      .select(col("cid"), col("cell"),
+        packE(col("cvec"), col("cell")).as("wds"),
+        scaleE(col("cvec"), col("cell")).as("beta"))
+    val q = queries.select(col("qid"), col("qvec"),
+        array((0 until dim).map(i => round(get(col("qvec"), lit(i))
+          .cast("double") * 1e6).cast("long")): _*).as("qia"),
+        explode(probeCells(col("qvec"), centroids, nProbe)).as("cell"))
+      .select(col("qid"), col("cell"), col("qia"),
+        cdotE(col("qvec"), col("cell")).as("qc"))
+    val rdot = Bridge.column(graft.expressions.AsymSignDot(
+      Bridge.expression(col("wds")), Bridge.expression(col("qia"))))
+    val scored = cq.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (col("qc") + col("beta") * rdot).as("score"))
+    val wA = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("cid").asc)
+    val cand = scored.withColumn("rnk", row_number().over(wA))
+      .filter(col("rnk") <= candK).select("qid", "cid")
+    val withVec = corpus.join(broadcast(cand), Seq("cid"))
+    val qn = queries.withColumn("_qn", l2norm(col("qvec")))
+    val rer = withVec.join(broadcast(qn), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qvec"), col("cvec")) /
+          (col("_qn") * l2norm(col("cvec"))), 6).as("cos"))
+    val wC = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    rer.withColumn("rnk", row_number().over(wC)).filter(col("rnk") <= k)
+      .select("qid", "rnk", "cid", "cos")
+  }
+
+  /** [[topKResidualCells]]' QUALITY tier: int8 residual codes
+    * ([[graft.expressions.Int8ResidualPack]] — `codeᵢ =
+    * round(Rᵢ·127/s)`, 8 signed bytes per long, s = max|Rᵢ| stored per
+    * row) scored by the exact integer `127·A + s·Σ Qᵢ·codeᵢ ≈
+    * 127·10¹²·(q·v)`. 1 byte/dim (4× under float32, 8× over the 1-bit
+    * tier) buys residual MAGNITUDES, which is what within-cluster
+    * ranking needs once signs saturate — measured on the
+    * planted-cluster fixture the 1-bit+scale tier plateaus at ~0.39
+    * recall@5 (spread 0.25) while this tier reaches the candK-bounded
+    * ceiling. Same plan shape as every cell serving path: map-side
+    * pack, cell equi-join against broadcast probes, bounded heap,
+    * exact rerank on candK·|queries| vectors. */
+  def topKInt8ResidualCells(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame, // (cid, cvec)
+      centroids: Array[Array[Double]],
+      dim: Int,
+      candK: Int,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    require(k <= candK, s"k=$k must be <= candK=$candK")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val cents = centroids.map(_.toSeq).toSeq
+    def kernel(mk: (org.apache.spark.sql.catalyst.expressions.Expression,
+        org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression)(
+        v: Column, cell: Column): Column =
+      Bridge.column(mk(Bridge.expression(v), Bridge.expression(cell)))
+    val packE = kernel((v, c) =>
+      graft.expressions.Int8ResidualPack(v, c, cents, dim)) _
+    val scaleE = kernel((v, c) =>
+      graft.expressions.Int8ResidualScale(v, c, cents, dim)) _
+    val cdotE = kernel((v, c) =>
+      graft.expressions.CentroidDot(v, c, cents, dim)) _
+    val cq = corpus
+      .select(col("cid"), col("cvec"),
+        element_at(probeCells(col("cvec"), centroids, 1), 1).as("cell"))
+      .select(col("cid"), col("cell"),
+        packE(col("cvec"), col("cell")).as("codes"),
+        scaleE(col("cvec"), col("cell")).as("s8"))
+    val q = queries.select(col("qid"), col("qvec"),
+        array((0 until dim).map(i => round(get(col("qvec"), lit(i))
+          .cast("double") * 1e6).cast("long")): _*).as("qia"),
+        explode(probeCells(col("qvec"), centroids, nProbe)).as("cell"))
+      .select(col("qid"), col("cell"), col("qia"),
+        cdotE(col("qvec"), col("cell")).as("qc"))
+    val rdot = Bridge.column(graft.expressions.Int8ResidualDot(
+      Bridge.expression(col("codes")), Bridge.expression(col("qia"))))
+    val scored = cq.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (col("qc") * 127L + col("s8") * rdot).as("score"))
+    val wA = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("cid").asc)
+    val cand = scored.withColumn("rnk", row_number().over(wA))
+      .filter(col("rnk") <= candK).select("qid", "cid")
+    val withVec = corpus.join(broadcast(cand), Seq("cid"))
+    val qn = queries.withColumn("_qn", l2norm(col("qvec")))
+    val rer = withVec.join(broadcast(qn), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qvec"), col("cvec")) /
+          (col("_qn") * l2norm(col("cvec"))), 6).as("cos"))
+    val wC = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)
+    rer.withColumn("rnk", row_number().over(wC)).filter(col("rnk") <= k)
+      .select("qid", "rnk", "cid", "cos")
+  }
+
   /** Two-tier ANN serving: [[topKHamming]] produces `candK` cheap 1-bit
     * candidates per query, then ONLY those rows pay the exact-cosine
     * rerank — the production binary-index shape (scan 8 bytes/vector/

@@ -73,18 +73,26 @@ object RecallCurve {
     }
     println(s"── $label ──")
     println(f"recall@$k vs exact cosine (candK=30, 16-cell quantizer)")
-    println("nProbe  symmetric-hamming  asymmetric  cell-ceiling(exact-cos)")
+    println("nProbe  sym-hamming  asym  RESID-1bit  RESID-int8  cell-ceiling(exact-cos)")
     Seq(4, 6, 8).foreach { np =>
       val sym = recall(hits(graft.ops.Similarity.topKHammingCells(
         queries, corpus, cents, dim = 64, candK = 30, k = k, nProbe = np)))
       val asym = recall(hits(graft.ops.Similarity.topKAsymCells(
         queries, corpus, cents, dim = 64, candK = 30, k = k, nProbe = np)))
+      val resid = recall(hits(graft.ops.Similarity.topKResidualCells(
+        queries, corpus, cents, dim = 64, candK = 30, k = k, nProbe = np)))
+      val r8 = recall(hits(graft.ops.Similarity.topKInt8ResidualCells(
+        queries, corpus, cents, dim = 64, candK = 30, k = k, nProbe = np)))
       // ceiling: exact cosine over EVERY candidate in the probed cells —
       // what any candidate scorer could at best achieve at this nProbe
       val ceil = recall(hits(graft.ops.Similarity.topKIvfCentroids(
         queries, corpus, cents, k = k, nProbe = np)))
-      println(f"$np%6d  $sym%17.3f  $asym%10.3f  $ceil%23.3f")
+      println(f"$np%6d  $sym%11.3f  $asym%4.3f  $resid%10.3f  $r8%10.3f  $ceil%23.3f")
     }
+    // the candidate-budget knob: candK trades rerank rows for recall
+    val r8w = recall(hits(graft.ops.Similarity.topKInt8ResidualCells(
+      queries, corpus, cents, dim = 64, candK = 100, k = k, nProbe = 4)))
+    println(f"RESID-int8 at candK=100, nProbe=4: $r8w%.3f")
     val brute = recall(hits(graft.ops.Similarity.topKBinaryRerank(
       queries, corpus, dim = 64, candK = 30, k = k)))
     println(f"full-scan hamming rerank (q277 posture): $brute%.3f")

@@ -1131,6 +1131,34 @@ class PlanShapeSpec extends SparkSpec {
       s"a rank filter lost its bounded-selection pushdown:\n$plan")
   }
 
+  test("residual cell serving (1-bit + int8): cell equi-joins, no nested loop, bounded selections") {
+    import org.apache.spark.sql.functions.col
+    val e = ops.Sources.table(spark, dir, "embeddings")
+    for (f <- Seq(
+        ops.Similarity.topKResidualCells _,
+        ops.Similarity.topKInt8ResidualCells _)) {
+      val plan = executed(f(
+        e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        graft.fixtures.PinnedIndex.ivfCentroidsV1,
+        64, 30, 5, 4))
+      assert(collectAll(plan) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"nested loop in the residual serving path:\n$plan")
+      val bhj = collectAll(plan) { case j: BroadcastHashJoinExec => j }
+      assert(bhj.size == 3, s"expected cell + 2 rerank broadcast joins:\n$plan")
+      assert(bhj.exists(_.leftKeys.exists(_.toString.contains("cell"))),
+        s"the residual tier must equi-join by cell:\n$plan")
+      val bounded = collectAll(plan) {
+        case t: graft.plans.TopKPerKeyExec => t: Any
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w: Any
+      }
+      assert(bounded.size >= 2,
+        s"a rank filter lost its bounded-selection pushdown:\n$plan")
+    }
+  }
+
   test("rougeL: MAP-ONLY — the LCS kernel leaves no generate, aggregate, or extra shuffle") {
     import org.apache.spark.sql.functions.{col, substring}
     val d = ops.Sources.table(spark, dir, "documents")

@@ -514,4 +514,90 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("n_vectors") == 500L)
     }
   }
+
+  test("residual kernels: micro-int laws against a driver-side reference") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val dim = 8
+    val cents = Seq(
+      Seq(0.5, -0.25, 0.125, 0.0, 1.0, -1.0, 0.75, -0.5),
+      Seq(-0.5, 0.25, 0.0, 0.5, -1.0, 1.0, -0.75, 0.5))
+    val vecs = Seq(
+      (0L, Array(0.6f, -0.2f, 0.1f, 0.05f, 1.1f, -0.9f, 0.7f, -0.45f), 0),
+      (1L, Array(-0.4f, 0.3f, -0.05f, 0.55f, -1.2f, 0.8f, -0.7f, 0.6f), 1),
+      (2L, Array(0.5f, -0.25f, 0.125f, 0.0f, 1.0f, -1.0f, 0.75f, -0.5f), 0))
+    val df = vecs.toDF("id", "v", "cell")
+    def k(mk: (org.apache.spark.sql.catalyst.expressions.Expression,
+        org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression) =
+      Bridge.column(mk(Bridge.expression(col("v")), Bridge.expression(col("cell"))))
+    val got = df.select(col("id"),
+        k((v, c) => graft.expressions.ResidualSignPack(v, c, cents, dim)).as("w"),
+        k((v, c) => graft.expressions.ResidualScale(v, c, cents, dim)).as("b"),
+        k((v, c) => graft.expressions.CentroidDot(v, c, cents, dim)).as("a"),
+        k((v, c) => graft.expressions.Int8ResidualPack(v, c, cents, dim)).as("c8"),
+        k((v, c) => graft.expressions.Int8ResidualScale(v, c, cents, dim)).as("s8"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getLong(2), r.getLong(3), r.getSeq[Long](4),
+          r.getLong(5))).toMap
+    def micro(x: Double) = java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    for ((id, v, cell) <- vecs) {
+      val c = cents(cell).map(micro)
+      val r = v.map(_.toDouble).map(micro).zip(c).map { case (a, b) => a - b }
+      val (w, b, a, c8, s8) = got(id)
+      // 1-bit pack = strict-positive residual signs
+      val bits = (0 until dim).map(i => (w(i / 32) >> (i % 32)) & 1L)
+      assert(bits == r.map(x => if (x > 0) 1L else 0L).toSeq, s"id $id words")
+      assert(b == r.map(math.abs).sum / dim, s"id $id beta")
+      assert(a == v.map(_.toDouble).map(micro).zip(c)
+        .map { case (q, cc) => q * cc }.sum, s"id $id A")
+      val sm = r.map(math.abs).max
+      assert(s8 == sm, s"id $id s8")
+      val codes = (0 until dim).map { i =>
+        val b = (c8(i / 8) >>> ((i % 8) * 8)) & 0xffL
+        (b << 56) >> 56 // sign-extend the byte
+      }
+      val wantCodes = r.map(x => if (sm == 0) 0L
+        else java.math.BigDecimal.valueOf(x * 127.0 / sm)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+      assert(codes == wantCodes.toSeq, s"id $id codes")
+      // the exact-centroid row (id 2) has zero residual everywhere
+      if (id == 2L) assert(b == 0L && s8 == 0L && c8.forall(_ == 0L))
+    }
+  }
+
+  test("residual serving: int8 tier ranks exact-dot neighbors on a planted-cluster fixture") {
+    import org.apache.spark.sql.functions.col
+    // two tight clusters; within-cluster neighbors differ only in tiny
+    // residuals — raw signs collapse (every member shares the center's
+    // pattern), residual codes must still rank the true neighbor first
+    val c0 = Array.fill(16)(1.0f)
+    val c1 = Array.fill(16)(-1.0f)
+    def jitter(base: Array[Float], seed: Int): Array[Float] = {
+      val rnd = new java.util.Random(seed)
+      base.map(x => x + 0.01f * rnd.nextFloat())
+    }
+    val rows = (0 until 10).map(i => (i.toLong, jitter(c0, i))) ++
+      (10 until 20).map(i => (i.toLong, jitter(c1, i)))
+    val e = rows.toDF("vec_id", "embedding")
+    val cents = Array(c0.map(_.toDouble), c1.map(_.toDouble))
+    val queries = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // candK covers the whole cluster so the exact-cosine rerank decides
+    // the final order (the ADC score approximates the DOT product, not
+    // cosine — with fewer candidates the two can disagree on entry)
+    val got = Similarity.topKInt8ResidualCells(queries, corpus, cents,
+        dim = 16, candK = 10, k = 3, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // brute exact-cosine reference
+    val brute = Similarity.topKBrute(queries, corpus, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == brute,
+      s"int8 residual top-3 != exact top-3 within probed cluster: $got vs $brute")
+    // and every returned neighbor is same-cluster (nProbe=1 probes the
+    // query's own cell only)
+    got.foreach { case ((q, _), c) => assert((q < 10) == (c < 10)) }
+  }
 }
