@@ -1039,8 +1039,13 @@ object SparkEntry {
     // once, broadcast back) → exact per-band quotas, downsampling the
     // worst band 5× (q65's sampler). Deterministic end to end ─────
     "q82_quality_mix" -> { (s, dir) =>
+      // the scored frame feeds TWO consumers (the percentile cuts and the
+      // banding join) — materialize the narrow (doc_id, avg_nll) result
+      // once instead of running the whole LM pipeline twice (r10; the
+      // scoredDocsQuality posture)
       val scored = TextAnalysis.bigramLmScore(tb(s, dir, "documents"),
         "doc_id", "text", vocabSize = 20)
+        .localCheckpoint()
       val cuts = scored.agg(
         round(expr("percentile(avg_nll, 0.3333)"), 6).as("c1"),
         round(expr("percentile(avg_nll, 0.6667)"), 6).as("c2"))
@@ -1982,10 +1987,15 @@ object SparkEntry {
       val labels = Dedup.connectedComponentsStar(
         Dedup.simhashPairs(d, "doc_id", col("toks"), maxDist = 6),
         "id_a", "id_b")
+      // `assigned` feeds the leak check AND the final per-split aggregate
+      // — materialize the narrow (doc_id, grp, split) frame once instead
+      // of re-running the CC read-off join per consumer (r10)
       val assigned = docs.select(col("doc_id"))
         .join(labels, col("doc_id") === col("id"), "left")
         .withColumn("grp", coalesce(col("rep"), col("doc_id")))
         .withColumn("split", TextAnalysis.splitAssign(col("grp")))
+        .select("doc_id", "grp", "split")
+        .localCheckpoint()
       val leaks = assigned.groupBy("grp")
         .agg(countDistinct(col("split")).as("n_splits"))
         .filter(col("n_splits") > 1)
@@ -2427,11 +2437,17 @@ object SparkEntry {
       val docs = tb(s, dir, "documents")
       val d = docs.select(col("doc_id"),
         TextAnalysis.words(col("text")).as("toks"))
+      // labels and quality each feed TWO consumers below (keeper
+      // selection + the unclustered anti-join / the kept re-join):
+      // materialize the narrow (id, rep) and (doc_id, q) frames once
+      // instead of re-running the CC label read-off and the quality
+      // regex scan per consumer (r10)
       val labels = Dedup.connectedComponentsStar(
         Dedup.simhashPairs(d, "doc_id", col("toks"), maxDist = 6),
-        "id_a", "id_b")
+        "id_a", "id_b").localCheckpoint()
       val quality = docs.select(col("doc_id"),
         round(TextAnalysis.qualityScoreText(col("text")), 6).as("q"))
+        .localCheckpoint()
       val keepers = Dedup.canonicalPerCluster(labels, quality, "doc_id", "q")
         .select(col("keeper_id").as("doc_id"), col("rep"))
       val unclustered = docs.select(col("doc_id"))
@@ -3603,9 +3619,11 @@ object SparkEntry {
       val docs = tb(s, dir, "documents")
       val d = docs.select(col("doc_id"),
         TextAnalysis.words(col("text")).as("toks"))
+      // labels feeds dedupWeights' size aggregate AND its member join —
+      // materialize the narrow (id, rep) frame once (r10)
       val labels = Dedup.connectedComponentsStar(
         Dedup.simhashPairs(d, "doc_id", col("toks"), maxDist = 6),
-        "id_a", "id_b")
+        "id_a", "id_b").localCheckpoint()
       Dedup.dedupWeights(docs.select("doc_id"), labels, "doc_id")
         .orderBy("doc_id")
     },

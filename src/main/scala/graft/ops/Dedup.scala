@@ -274,19 +274,28 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    // explode + k min-aggregates instead of nested array lambdas: the hash
-    // aggregate is whole-stage-codegen'd (higher-order functions are not),
-    // the expression tree stays small (fast to plan/compile), and the
-    // shuffle carries (id, k partial mins). Docs with no shingles drop out
-    // (they have no signature; the all-null sigs would otherwise collide).
-    val hs = df.select(col(idCol).as("id"),
-      explode(shingleHashes(shingleCol)).as("h"))
-    val mins = (0 until k).map(j =>
-      min((lit(37L * j + 11L) * col("h") + lit(101L * j + 7L)) % P).as(s"m$j"))
-    val sigs = hs.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+    // signatures via the codegen'd row-local kernel (r10 optimization):
+    // the previous explode + k-min-aggregate formulation shuffled every
+    // shingle hash (Σ|shingles| rows through a Generate + one data-scale
+    // hash-aggregate); [[minhashFromHashes]] computes the IDENTICAL k
+    // minima (same affine permutations mod P, null on empty = the same
+    // "no shingles → no signature" drop) in one map-only pass — measured
+    // 0.56 s → 0.19 s per derivation on the sf0.1 documents.
+    //
+    // The no-shingle drop is deliberately NOT a `filter(sig.isNotNull)`:
+    // PushPredicateThroughProject substitutes the alias, inlining the
+    // whole tokenize+md5+kernel chain into the Filter condition — the
+    // chain then runs TWICE per row, interpreted (measured 0.19 s →
+    // 3.4 s for the identical result). Instead the band explode's input
+    // is null for a null signature, so Generate emits zero rows for
+    // exactly the docs the old aggregate dropped, and no optimizer rule
+    // can clone the expensive expression across operators.
+    val sigs = df
+      .select(col(idCol).as("id"),
+        minhashFromHashes(shingleHashes(shingleCol), k).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+        explode(when(col("sig").isNotNull,
+          sequence(lit(0), lit(bands - 1)))).as("b"))
       .withColumn("bkey",
         concat_ws(",", transform(slice(col("sig"), col("b") * r + 1, lit(r)),
           _.cast("string"))))
@@ -843,8 +852,14 @@ object Dedup {
     val v0 = reps.select(col("blk"), col("id"), col("nm"))
       .withColumn("v", col("nm"))
     val layers = Iterator.iterate(v0)(delOnce).take(maxDist + 1).toSeq
+    // materialized once (r10 optimization): the candidate self-join below
+    // references the variant table on BOTH sides — un-materialized, the
+    // whole ~L²/2-way deletion explode + distinct ran twice (measured
+    // q157 10.3 s / q189 13.6 s in-suite at sf0.1; the two heaviest rows
+    // in the bench). Eager: both join sides read the stored blocks.
     val variants = layers.reduce(_ unionByName _)
       .select("blk", "id", "nm", "v").distinct()
+      .localCheckpoint()
     variants
       .select(col("blk"), col("v"), col("id").as("id_a"),
         col("nm").as("name_a"))

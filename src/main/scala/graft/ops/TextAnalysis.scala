@@ -910,9 +910,14 @@ object TextAnalysis {
   def buildVocab(df: DataFrame, textCol: String, size: Int): DataFrame = {
     val counts = df.select(explode(words(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
+    // materialized (r10 optimization): every LM consumer references the
+    // vocab several times (w1 probe, w2 probe, |V|), and each broadcast
+    // re-derived the FULL corpus token count — ≤`size` rows, so the lazy
+    // localCheckpoint costs nothing and removes whole corpus passes.
     counts.orderBy(col("freq").desc, col("token")).limit(size)
       .withColumn("token_id",
         row_number().over(Window.orderBy(col("freq").desc, col("token"))) - 1)
+      .localCheckpoint()
   }
 
   /** Contrastive training-triplet mining: (anchor, positive, negative)
@@ -1090,7 +1095,11 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       vocabSize: Int): DataFrame = {
+    // vocab is referenced three times below (w1 probe, w2 probe, |V|):
+    // materialize the <=vocabSize-row frame once instead of re-running
+    // the corpus token count per broadcast (r10 optimization)
     val vocab = buildVocab(df, textCol, vocabSize).select("token")
+      .localCheckpoint()
     // bigrams of RAW tokens from the array (no shuffle), then each side
     // unk-maps through a broadcast probe — mapping per token commutes
     // with pairing, so this is value-identical to mapping first
@@ -1107,7 +1116,11 @@ object TextAnalysis {
       .select(col(idCol),
         when(col("_v1").isNotNull, col("w1r")).otherwise(lit("<unk>")).as("w1"),
         when(col("_v2").isNotNull, col("w2r")).otherwise(lit("<unk>")).as("w2"))
+    // one row per bigram TYPE (≤(V+1)² rows): materialized so the context
+    // totals and the scoring broadcast don't each re-run the corpus
+    // bigram pass (r10 optimization — the knBigramScore posture)
     val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
     val ctx = lm.groupBy("w1").agg(sum("cb").as("cw"))
     // conditional-distribution support = |vocab| + 1 ("<unk>")
     val nVocab = vocab.agg(count(lit(1)).as("nv"))
@@ -1154,7 +1167,10 @@ object TextAnalysis {
       vocabSize: Int,
       discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0, "discount in (0, 1)")
+    // vocab referenced twice below — materialized once (r10, see
+    // bigramLmScore)
     val vocab = buildVocab(df, textCol, vocabSize).select("token")
+      .localCheckpoint()
     val bg0 = df
       .select(col(idCol), words(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= 2)
@@ -1171,7 +1187,7 @@ object TextAnalysis {
     // one row per bigram TYPE: counts, and the three KN statistics all
     // derive from this ≤V²-row table, never from the corpus again
     val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      .localCheckpoint(false) // feeds four derived tables below
+      .localCheckpoint() // feeds four derived tables below (eager: they materialize concurrently)
     val ctx = lm.groupBy("w1").agg(sum("cb").as("cw"))
     val n1fwd = lm.groupBy("w1").agg(count(lit(1)).cast("double").as("n1f"))
     val n1bwd = lm.groupBy("w2").agg(count(lit(1)).cast("double").as("n1b"))

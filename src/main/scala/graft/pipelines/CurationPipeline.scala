@@ -44,24 +44,44 @@ object CurationPipeline {
       docs: DataFrame, // (doc_id, source, text)
       minQuality: Double,
       minJac: Double): DataFrame = {
-    val base = docs.select(col("doc_id"), col("source"), col("text"))
-      .withColumn("_lang_ok", TextAnalysis.langIdText(col("text")) === "en")
-      .withColumn("_q_ok",
-        round(TextAnalysis.qualityScoreText(col("text")), 6) >= minQuality)
+    // r10 optimization (guide §8, decide with small rows): the original
+    // formulation re-derived the regex gate + fingerprint-window subtree
+    // THREE times (keeper tokenization, the `_rn` join-back, and the
+    // output's own gate columns). Here the expensive per-text work runs
+    // ONCE into a narrow per-doc decision frame (doc_id, two gate bits,
+    // dup rank ≈ 20 B/row — materialized by a lazy localCheckpoint), and
+    // every later consumer joins by id. The window now runs over ALL
+    // docs (ordered so gated rows rank first): for a gated row,
+    // 1 + (gated rows before it in its fingerprint group) — identical to
+    // the original row_number over the gated subset; non-gated rows'
+    // rank is never consulted (the stage when-chain checks gates first).
     val w = Window
       .partitionBy(TextAnalysis.contentFingerprint(col("text")))
-      .orderBy(col("doc_id"))
-    val gated = base.filter(col("_lang_ok") && col("_q_ok"))
-      .withColumn("_rn", row_number().over(w))
-    val keepers = gated.filter(col("_rn") === 1)
+      .orderBy(col("_gated").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val decisions = docs
+      .select(col("doc_id"),
+        (TextAnalysis.langIdText(col("text")) === "en").as("_lang_ok"),
+        (round(TextAnalysis.qualityScoreText(col("text")), 6) >= minQuality)
+          .as("_q_ok"),
+        col("text"))
+      .withColumn("_gated", col("_lang_ok") && col("_q_ok"))
+      .withColumn("_rn",
+        sum(when(col("_gated"), 1).otherwise(0)).over(w))
+      .select("doc_id", "_lang_ok", "_q_ok", "_gated", "_rn")
+      .localCheckpoint()
+    val keeperIds = decisions.filter(col("_gated") && col("_rn") === 1)
+      .select("doc_id")
+    val keepers = docs
+      .join(keeperIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
     val nearDups = Dedup
       .minhashPairs(keepers, "doc_id", Dedup.shingles(col("toks"), 3))
       .filter(col("est_jac") >= minJac)
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("_near", lit(true))
-    base
-      .join(gated.select(col("doc_id"), col("_rn")), Seq("doc_id"), "left")
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .join(decisions, Seq("doc_id"))
       .join(nearDups, Seq("doc_id"), "left")
       .withColumn("stage",
         when(!col("_lang_ok"), "lang")
