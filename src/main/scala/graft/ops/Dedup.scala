@@ -378,18 +378,26 @@ object Dedup {
 
   /** 60-bit SimHash fingerprints: per token, each bit of the 60-bit token
     * hash votes ±1; fingerprint bit j is the sign of the vote sum.
-    * Computed as one hash-aggregate with 60 sum columns — a single
-    * shuffle of (doc, 60 longs), not the token stream. */
-  def simhash(df: DataFrame, idCol: String, tokenCol: Column): DataFrame = {
-    val th = df.select(col(idCol).as("id"),
-      explode(tokenCol).as("t")).withColumn("h", Hashing.hash60(col("t")))
-    val sums = (0 until simhashBits).map(j =>
-      sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"s$j"))
-    val voted = th.groupBy("id").agg(sums.head, sums.tail: _*)
-    val fp = (0 until simhashBits).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    voted.select(col("id"), fp.as("fp"))
+    * Since r10 a map-only pass through the codegen'd
+    * [[graft.expressions.SimHashFp]] kernel (bit-identical to the former
+    * explode + 60-sum-aggregate plan, which paid a Generate over every
+    * token and an (id, 60 longs) shuffle for a row-local value; kernel
+    * parity is spec-locked against the aggregate formulation). The
+    * no-token drop filters AFTER the projection on the kernel's null —
+    * callers that materialize first (the pair path) filter the stored
+    * column instead, dodging the PushPredicateThroughProject
+    * double-evaluation trap documented at [[minhashPairs]]. */
+  def simhash(df: DataFrame, idCol: String, tokenCol: Column): DataFrame =
+    simhashRaw(df, idCol, tokenCol).filter(col("fp").isNotNull)
+
+  /** [[simhash]] without the empty-doc filter (null fp kept) — the pair
+    * pipeline filters after its eager materialization. */
+  private[ops] def simhashRaw(
+      df: DataFrame, idCol: String, tokenCol: Column): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    df.select(col(idCol).as("id"),
+      Bridge.column(graft.expressions.SimHashFp(
+        Bridge.expression(tokenCol))).as("fp"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, via banded
@@ -403,9 +411,11 @@ object Dedup {
       tokenCol: Column,
       maxDist: Int = 6): DataFrame = {
     require(maxDist < simhashBands, "banding is only exact for maxDist < bands")
-    // materialized once: the fingerprint aggregation would otherwise run
-    // twice (both sides of the self-join rebuild the whole subtree)
-    val fps = simhash(df, idCol, tokenCol).localCheckpoint()
+    // materialized once: the fingerprint pass would otherwise run twice
+    // (both sides of the self-join rebuild the whole subtree); the
+    // empty-doc filter runs on the STORED column (see [[simhash]])
+    val fps = simhashRaw(df, idCol, tokenCol).localCheckpoint()
+      .filter(col("fp").isNotNull)
     def window(c: Column, off: Int, w: Int): Column =
       shiftright(c, off).bitwiseAND(lit((1L << w) - 1))
     val nibs = array(simhashBandLayout.map {

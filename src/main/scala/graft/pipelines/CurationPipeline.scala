@@ -49,7 +49,7 @@ object CurationPipeline {
     // THREE times (keeper tokenization, the `_rn` join-back, and the
     // output's own gate columns). Here the expensive per-text work runs
     // ONCE into a narrow per-doc decision frame (doc_id, two gate bits,
-    // dup rank ≈ 20 B/row — materialized by a lazy localCheckpoint), and
+    // dup rank ≈ 20 B/row — materialized by an eager localCheckpoint), and
     // every later consumer joins by id. The window now runs over ALL
     // docs (ordered so gated rows rank first): for a gated row,
     // 1 + (gated rows before it in its fingerprint group) — identical to

@@ -137,6 +137,36 @@ class DedupSpec extends SparkSpec {
     assert(sig == sig2)
   }
 
+  test("SimHashFp kernel == explode + 60-sum aggregate reference (r10 swap)") {
+    // mixed real docs plus the edge shapes: null token inside an array
+    // (vote skipped), all-null tokens (fp = 0), empty array (doc absent),
+    // null array (doc absent)
+    val rows = Seq(
+      (1L, Seq("alpha", "beta", "gamma", "alpha two words here")),
+      (2L, Seq("alpha", null, "gamma")),
+      (3L, Seq[String](null, null)),
+      (4L, Seq.empty[String]),
+      (6L, Seq("solo"))
+    ).toDF("doc_id", "toks")
+      .unionByName(Seq((5L, null)).toDF("doc_id", "toks")
+        .select(col("doc_id"), col("toks").cast("array<string>")))
+    val kernel = Dedup.simhash(rows, "doc_id", col("toks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the pre-r10 aggregate formulation, verbatim
+    val th = rows.select(col("doc_id").as("id"), explode(col("toks")).as("t"))
+      .withColumn("h", graft.ops.Hashing.hash60(col("t")))
+    val sums = (0 until 60).map(j =>
+      sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"s$j"))
+    val fpRef = (0 until 60).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val ref = th.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"), fpRef.as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == ref)
+    assert(!kernel.contains(4L) && !kernel.contains(5L)) // empty/null drop
+    assert(kernel(3L) == 0L) // all-null votes: every bit ties to 0
+  }
+
   test("simhashPairs: identical token streams at distance 0; banding == brute force") {
     // 7-band layout is pigeonhole-exact for maxDist <= 6
     val banded = Dedup.simhashPairs(docs, "doc_id", col("toks"), maxDist = 6)
