@@ -10,6 +10,17 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // always use the sort-based shuffle writer, never bypass-merge
+      // (r11, guide §2.2): bypass-merge opens one file PER REDUCER per
+      // map task and NIO-merges them — at local[32] that is 32×32 file
+      // creates + mmap/munmap copies + a serialized commit per shuffle,
+      // measured as task time 7× CPU time (threads blocked in
+      // FileOutputStream.open0 / FileChannelImpl.map0 / the metadata
+      // commit lock) across the whole suite. Production shuffles have
+      // R > 200 where bypass never engages, so this also makes local
+      // runs exercise the at-scale writer path. Env-overridable.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

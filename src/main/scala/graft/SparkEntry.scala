@@ -2365,11 +2365,17 @@ object SparkEntry {
     // hits — is_fp labels any filter collisions against the exact check ─────
     "q146_bloom_decontam" -> { (s, dir) =>
       val docs = tb(s, dir, "documents")
-      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
-      val bench = docs.filter(col("doc_id") % 20 === 0)
-      val bloom = Dedup.bloomContamination(corpus, bench, "doc_id", "text",
-        n = 4)
-      val exact = Dedup.contamination(corpus, bench, "doc_id", "text", n = 4)
+      // ONE tokenize+shingle Generate for all four consumers (r11): the
+      // bloom and exact arms each need corpus AND bench grams — explode
+      // the whole table once into a narrow (doc_id, gram) frame,
+      // materialize it, and split corpus/bench by id afterwards (the
+      // %-filter commutes with the per-doc explode)
+      val grams = Dedup.docGrams(docs, "doc_id", "text", n = 4)
+        .localCheckpoint()
+      val corpusG = grams.filter(col("doc_id") % 20 =!= 0)
+      val benchG = grams.filter(col("doc_id") % 20 === 0)
+      val bloom = Dedup.bloomContaminationFromGrams(corpusG, benchG, "doc_id")
+      val exact = Dedup.contaminationFromGrams(corpusG, benchG, "doc_id")
         .select(col("doc_id"), lit(true).as("hit"))
       bloom.join(exact, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_flagged"),
@@ -3400,7 +3406,11 @@ object SparkEntry {
         .otherwise(concat(date_format(d0, "yyyy-MM-dd"),
           when(col("o_orderkey") % 2 === 0, lit("T")).otherwise(lit(" ")),
           hh, lit(":"), mm, lit(":"), ss))
-      t(s, dir, "orders")
+      // balanced scan (r11): the 17-shape render + full lenient-parse
+      // cascade is the heaviest per-row expression in the suite, and the
+      // single-row-group orders file made it run on ONE core (measured
+      // 7.2 s at c32 AND c8 — parallelism-blind). tb() spreads it.
+      tb(s, dir, "orders")
         .select(col("o_orderkey").as("k"), shape.as("shape"),
           Cleansing.parseDateLenient(rendered).as("parsed"))
         .orderBy("k")
@@ -3930,7 +3940,8 @@ object SparkEntry {
         .when(shape === 3, date_format(d0, "d MMMM"))
         .when(shape === 4, date_format(d0, "d/M"))
         .otherwise(concat(date_format(d0, "MMMM "), day.cast("string"), suf))
-      t(s, dir, "orders")
+      // balanced scan (r11): same single-core cascade fix as q225
+      tb(s, dir, "orders")
         .filter(year(d0) === 1995)
         .select(col("o_orderkey").as("k"), shape.as("shape"),
           Cleansing.parseDateLenientYearless(rendered, defaultYear = 1995)

@@ -13,6 +13,9 @@ object Verify {
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // sort-based shuffle writer, never bypass-merge — see Bench.scala
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Spark reads it as long

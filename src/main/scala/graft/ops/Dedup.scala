@@ -675,11 +675,31 @@ object Dedup {
       bench: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): DataFrame = {
-    val ngrams = array_distinct(shingles(TextAnalysis.words(col(textCol)), n))
-    val cng = corpus.select(col(idCol), explode(ngrams).as("s"))
-    val bng = bench.select(explode(ngrams).as("s")).distinct()
-    cng.join(broadcast(bng), "s")
+      n: Int): DataFrame =
+    contaminationFromGrams(
+      docGrams(corpus, idCol, textCol, n),
+      docGrams(bench, idCol, textCol, n), idCol)
+
+  /** The per-doc distinct word-`n`-gram explode both contamination
+    * checks run on — exposed so a caller running SEVERAL checks over the
+    * same corpus (q146's bloom + exact arms) can materialize it once
+    * instead of paying the tokenize+shingle Generate per arm. */
+  def docGrams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), explode(
+      array_distinct(shingles(TextAnalysis.words(col(textCol)), n))).as("g"))
+
+  /** [[contamination]] over pre-exploded (id, g) gram frames. */
+  def contaminationFromGrams(
+      corpusGrams: DataFrame,
+      benchGrams: DataFrame,
+      idCol: String): DataFrame = {
+    val bng = benchGrams.select(col("g").as("s")).distinct()
+    corpusGrams.select(col(idCol), col("g").as("s"))
+      .join(broadcast(bng), "s")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
   }
 
@@ -720,16 +740,26 @@ object Dedup {
       textCol: String,
       n: Int,
       mBits: Int = 1 << 17,
+      kHashes: Int = 3): DataFrame =
+    bloomContaminationFromGrams(
+      docGrams(corpus, idCol, textCol, n),
+      docGrams(bench, idCol, textCol, n), idCol, mBits, kHashes)
+
+  /** [[bloomContamination]] over pre-exploded (id, g) gram frames. */
+  def bloomContaminationFromGrams(
+      corpusGrams: DataFrame,
+      benchGrams: DataFrame,
+      idCol: String,
+      mBits: Int = 1 << 17,
       kHashes: Int = 3): DataFrame = {
     require(kHashes >= 1 && kHashes <= 8, "kHashes in [1, 8]")
-    val ngrams = array_distinct(shingles(TextAnalysis.words(col(textCol)), n))
     def positions(gram: Column): Column = array(
       (0 until kHashes).map(i =>
         Hashing.permute(i, Hashing.hashP(gram)) % mBits): _*)
-    val setPos = bench.select(explode(ngrams).as("g"))
+    val setPos = benchGrams
       .select(explode(positions(col("g"))).as("pos"))
       .distinct()
-    corpus.select(col(idCol), explode(ngrams).as("g"))
+    corpusGrams
       .select(col(idCol), col("g"), explode(positions(col("g"))).as("pos"))
       .join(broadcast(setPos), "pos")
       .groupBy(col(idCol), col("g"))
@@ -820,7 +850,7 @@ object Dedup {
     val members = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         col(nameCol).as("nm"))
       .filter(col("nm").isNotNull && col("blk").isNotNull)
-    val reps = members.groupBy("blk", "nm").agg(min(col("id")).as("id"))
+    val reps = members.select("blk", "nm").distinct()
     val cand = symDelCandidates(reps, maxDist)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
@@ -851,34 +881,64 @@ object Dedup {
   private[ops] def symDelCandidates(
       reps: DataFrame,
       maxDist: Int): DataFrame = {
-    // one deletion applied to every position of the previous layer;
-    // sequence(1, 0) would generate a DESCENDING [1, 0] — guard len >= 1
-    def delOnce(d: DataFrame): DataFrame =
-      d.filter(length(col("v")) >= 1)
-        .withColumn("i", explode(sequence(lit(1), length(col("v")))))
-        .select(col("blk"), col("id"), col("nm"),
-          concat(col("v").substr(lit(1), col("i") - 1),
-            col("v").substr(col("i") + 1, length(col("v")))).as("v"))
-    val v0 = reps.select(col("blk"), col("id"), col("nm"))
-      .withColumn("v", col("nm"))
-    val layers = Iterator.iterate(v0)(delOnce).take(maxDist + 1).toSeq
-    // materialized once (r10 optimization): the candidate self-join below
-    // references the variant table on BOTH sides — un-materialized, the
-    // whole ~L²/2-way deletion explode + distinct ran twice (measured
-    // q157 10.3 s / q189 13.6 s in-suite at sf0.1; the two heaviest rows
-    // in the bench). Eager: both join sides read the stored blocks.
-    val variants = layers.reduce(_ unionByName _)
-      .select("blk", "id", "nm", "v").distinct()
-      .localCheckpoint()
-    variants
-      .select(col("blk"), col("v"), col("id").as("id_a"),
-        col("nm").as("name_a"))
-      .join(variants.select(col("blk"), col("v"), col("id").as("id_b"),
-        col("nm").as("name_b")), Seq("blk", "v"))
-      .filter(col("id_a") < col("id_b"))
+    // r11 restructure: the former shape (iterated delete-1 layers →
+    // union → distinct → eager checkpoint → SELF-JOIN on (blk, v)) paid
+    // three data-scale shuffles plus a stored ~L²/2-per-name variant
+    // frame. Now: ALL ≤maxDist-deletion variants come out of ONE
+    // array expression + Generate (no layer union, so the reps subtree
+    // is planned once), and the self-join is a GROUP-AND-EXPAND — one
+    // hash-aggregate collapses the variant stream to its key with
+    // collect_set(nm) (in-flight dedup replaces the former distinct),
+    // keys with a single distinct name (the overwhelming majority)
+    // die in the size filter, and the surviving sets expand to ordered
+    // name pairs in place. Set width is bounded by distinct names per
+    // variant key — the same true-near-duplicate-neighborhood bound the
+    // scaladoc argues, now also the bound on per-group aggregate state.
+    val len = length(col("nm"))
+    val emptyArr = array().cast("array<string>")
+    // delete one position (1-based i): prefix ++ suffix; sequence(1, 0)
+    // would generate a DESCENDING [1, 0] — guard len >= 1
+    val del1 = when(len >= 1, transform(sequence(lit(1), len), i =>
+      concat(col("nm").substr(lit(1), i - 1),
+        col("nm").substr(i + 1, len - i)))).otherwise(emptyArr)
+    // delete two positions i < j: three-way split around both
+    val del2 = when(len >= 2, flatten(transform(sequence(lit(1), len - 1),
+      i => transform(sequence(i + 1, len), j =>
+        concat(col("nm").substr(lit(1), i - 1),
+          col("nm").substr(i + 1, j - i - 1),
+          col("nm").substr(j + 1, len - j)))))).otherwise(emptyArr)
+    val variants = maxDist match {
+      case 0 => array(col("nm"))
+      case 1 => concat(array(col("nm")), del1)
+      case _ => concat(array(col("nm")), del1, del2)
+    }
+    // pin the explode stage's parallelism (guide §2.5): reps is tiny in
+    // BYTES, so AQE coalesces the exchange feeding it to one partition —
+    // but the deletion explode amplifies each row ~L²/2× in CPU (measured
+    // 8.1 s single-task vs 0.3 s spread, sf0.1 customers). An EXPLICIT
+    // partition count survives AQE; the session's configured shuffle
+    // parallelism scales with the deployment instead of hard-coding one.
+    // Keyed on nm ALONE so the caller's (blk, nm)-partitioned distinct
+    // can't satisfy it (a same-key same-N repartition is pruned as
+    // redundant at plan time, and the AQE-coalescible exchange below it
+    // becomes the one feeding the explode again)
+    val shufP = reps.sparkSession.conf.get("spark.sql.shuffle.partitions")
+      .toInt
+    reps
+      .repartition(shufP, col("nm"))
+      .select(col("blk"), col("nm"),
+        explode(array_distinct(variants)).as("v"))
+      .groupBy("blk", "v")
+      .agg(sort_array(collect_set(col("nm"))).as("nms"))
+      .filter(size(col("nms")) >= 2)
+      .select(col("blk"), explode(flatten(transform(col("nms"),
+        (x, i) => transform(
+          slice(col("nms"), i + lit(2), size(col("nms")) - i - lit(1)),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
       // a pair can meet through many shared variants — dedup before the
       // (comparatively expensive) DP verification runs
-      .select("blk", "name_a", "name_b").distinct()
+      .select(col("blk"), col("p.a").as("name_a"), col("p.b").as("name_b"))
+      .distinct()
   }
 
   /** Canonical-document selection (the "which copy survives" step after
@@ -1401,6 +1461,10 @@ object Dedup {
     // prefix = |x| − ⌈θ|x|⌉ + 1 rarest shingles
     val prefLen = (col("n") - ceil(col("n") * theta - lit(1e-9)) + 1)
       .cast("int")
+    // NOT materialized: measured twice (r10 on the wide `ordered` arrays
+    // 4.97 → 7.02 s, r11 on these narrow post-explode rows 5.76 → 9.40 s
+    // isolated) — storing either side of this subtree costs more than
+    // the duplicate rarity-sort work it saves at any tested scale
     val pref = ordered.select(col("id"), col("n"),
       explode(slice(col("toks"), lit(1), prefLen)).as("s"))
     // candidate pairs: shared prefix shingle + length filter, then

@@ -1058,7 +1058,10 @@ object Multimodal {
   def goertzelEnergy(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val coeffs = goertzelPeriods
-    Sources.table(spark, sfDir, "documents")
+    // balanced scan (r11): per-row work is a full WAV encode + decode +
+    // three O(n-samples) Goertzel recurrences with 9dp rounding per step
+    // — the single-row-group documents file ran it all on ONE core
+    Sources.table(spark, sfDir, "documents", balance = true)
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val (_, raw) = decodeWav(encodeWavBursts(id))

@@ -910,14 +910,13 @@ object TextAnalysis {
   def buildVocab(df: DataFrame, textCol: String, size: Int): DataFrame = {
     val counts = df.select(explode(words(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
-    // materialized (r10 optimization): every LM consumer references the
-    // vocab several times (w1 probe, w2 probe, |V|), and each broadcast
-    // re-derived the FULL corpus token count — ≤`size` rows, so the lazy
-    // localCheckpoint costs nothing and removes whole corpus passes.
+    // NOT checkpointed here (r11): single-use consumers (q57, zipfFit,
+    // q186) would pay an extra materialization job for nothing — the
+    // multi-reference LM consumers checkpoint the ≤`size`-row result at
+    // their own call sites (bigramLmScore / knBigramScore).
     counts.orderBy(col("freq").desc, col("token")).limit(size)
       .withColumn("token_id",
         row_number().over(Window.orderBy(col("freq").desc, col("token"))) - 1)
-      .localCheckpoint()
   }
 
   /** Contrastive training-triplet mining: (anchor, positive, negative)
@@ -1110,27 +1109,35 @@ object TextAnalysis {
       .select(col(idCol), col("bg.w1").as("w1r"), col("bg.w2").as("w2r"))
     val v1 = vocab.select(col("token").as("w1r"), lit(true).as("_v1"))
     val v2 = vocab.select(col("token").as("w2r"), lit(true).as("_v2"))
-    val bg = bg0
+    // ONE corpus pass (r11): per-doc unk-mapped bigram-TYPE counts,
+    // materialized — the model build AND the scoring aggregate both
+    // derive from this frame, so the tokenize+explode Generate runs once
+    // instead of twice (previously `bg` was a plan subtree referenced by
+    // both). Size ≤ the occurrence stream (types per doc ≤ tokens).
+    val perDoc = bg0
       .join(broadcast(v1), Seq("w1r"), "left")
       .join(broadcast(v2), Seq("w2r"), "left")
       .select(col(idCol),
         when(col("_v1").isNotNull, col("w1r")).otherwise(lit("<unk>")).as("w1"),
         when(col("_v2").isNotNull, col("w2r")).otherwise(lit("<unk>")).as("w2"))
-    // one row per bigram TYPE (≤(V+1)² rows): materialized so the context
-    // totals and the scoring broadcast don't each re-run the corpus
-    // bigram pass (r10 optimization — the knBigramScore posture)
-    val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .groupBy(idCol, "w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // one row per bigram TYPE (≤(V+1)² rows): aggregated off the stored
+    // per-doc counts, never from the corpus again
+    val lm = perDoc.groupBy("w1", "w2").agg(sum("c").as("cb"))
       .localCheckpoint()
     val ctx = lm.groupBy("w1").agg(sum("cb").as("cw"))
     // conditional-distribution support = |vocab| + 1 ("<unk>")
     val nVocab = vocab.agg(count(lit(1)).as("nv"))
-    val scored = bg
+    // per-doc avg over OCCURRENCES = count-weighted mean over types
+    val scored = perDoc
       .join(broadcast(lm), Seq("w1", "w2"))
       .join(broadcast(ctx), Seq("w1"))
       .crossJoin(broadcast(nVocab))
       .groupBy(idCol)
-      .agg(avg(-log((col("cb") + 1.0) / (col("cw") + col("nv") + 1.0)))
-        .as("nll"))
+      .agg((sum(col("c") *
+          -log((col("cb") + 1.0) / (col("cw") + col("nv") + 1.0))) /
+        sum(col("c"))).as("nll"))
     df.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol), round(coalesce(col("nll"), lit(0.0)), 6).as("avg_nll"))
@@ -1178,15 +1185,21 @@ object TextAnalysis {
       .select(col(idCol), col("bg.w1").as("w1r"), col("bg.w2").as("w2r"))
     val v1 = vocab.select(col("token").as("w1r"), lit(true).as("_v1"))
     val v2 = vocab.select(col("token").as("w2r"), lit(true).as("_v2"))
-    val bg = bg0
+    // ONE corpus pass (r11, the bigramLmScore posture): per-doc
+    // unk-mapped bigram-TYPE counts, materialized — model build and
+    // scoring both derive from this frame, so the tokenize+explode
+    // Generate runs once instead of twice
+    val perDoc = bg0
       .join(broadcast(v1), Seq("w1r"), "left")
       .join(broadcast(v2), Seq("w2r"), "left")
       .select(col(idCol),
         when(col("_v1").isNotNull, col("w1r")).otherwise(lit("<unk>")).as("w1"),
         when(col("_v2").isNotNull, col("w2r")).otherwise(lit("<unk>")).as("w2"))
+      .groupBy(idCol, "w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     // one row per bigram TYPE: counts, and the three KN statistics all
     // derive from this ≤V²-row table, never from the corpus again
-    val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val lm = perDoc.groupBy("w1", "w2").agg(sum("c").as("cb"))
       .localCheckpoint() // feeds four derived tables below (eager: they materialize concurrently)
     val ctx = lm.groupBy("w1").agg(sum("cb").as("cw"))
     val n1fwd = lm.groupBy("w1").agg(count(lit(1)).cast("double").as("n1f"))
@@ -1194,14 +1207,15 @@ object TextAnalysis {
     val nTypes = lm.agg(count(lit(1)).cast("double").as("nbt"))
     val p = (greatest(col("cb") - lit(discount), lit(0.0)) +
       lit(discount) * col("n1f") * (col("n1b") / col("nbt"))) / col("cw")
-    val scored = bg
+    // per-doc avg over OCCURRENCES = count-weighted mean over types
+    val scored = perDoc
       .join(broadcast(lm), Seq("w1", "w2"))
       .join(broadcast(ctx), Seq("w1"))
       .join(broadcast(n1fwd), Seq("w1"))
       .join(broadcast(n1bwd), Seq("w2"))
       .crossJoin(broadcast(nTypes))
       .groupBy(idCol)
-      .agg(avg(lit(0.0) - log(p)).as("nll"))
+      .agg((sum(col("c") * (lit(0.0) - log(p))) / sum(col("c"))).as("nll"))
     df.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol), round(coalesce(col("nll"), lit(0.0)), 6).as("avg_nll"))

@@ -86,9 +86,12 @@ class PlanShapeSpec extends SparkSpec {
     val df = ops.TextAnalysis.bigramLmScore(
       ops.Sources.table(spark, dir, "documents"), "doc_id", "text", 20)
     val plan = executed(df)
-    // unk-mapping (vocab), lm, ctx, and the scored join-back: ≥4 broadcasts
-    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size >= 4,
-      s"expected ≥4 broadcast joins in:\n$plan")
+    // lm + ctx probes against the stored per-doc type counts: ≥2
+    // broadcasts in the FINAL plan (the vocab unk-map probes broadcast
+    // too, but execute inside the perDoc checkpoint job since r11's
+    // single-corpus-pass restructure, so they are not visible here)
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size >= 2,
+      s"expected ≥2 broadcast joins in:\n$plan")
   }
 
   test("point-in-time join: dim broadcasts, validity check stays a residual (no theta join)") {
@@ -992,10 +995,13 @@ class PlanShapeSpec extends SparkSpec {
     val df = ops.TextAnalysis.knBigramScore(
       ops.Sources.table(spark, dir, "documents"), "doc_id", "text", 20)
     val plan = executed(df)
-    // unk-mapping (vocab ×2), lm, ctx, n1f, n1b, and the scored
-    // join-back: ≥6 broadcasts; the type-total is the 1-row re-entry
-    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size >= 6,
-      s"expected ≥6 broadcast joins in:\n$plan")
+    // lm, ctx, n1f, n1b probes against the stored per-doc type counts:
+    // ≥4 broadcasts in the FINAL plan (the vocab unk-map probes
+    // broadcast too, but execute inside the perDoc checkpoint job since
+    // r11's single-corpus-pass restructure); the type-total is the
+    // 1-row re-entry
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size >= 4,
+      s"expected ≥4 broadcast joins in:\n$plan")
   }
 
   test("naiveBayes: model probes broadcast — the token stream never joins by content") {
