@@ -22,10 +22,20 @@ object Dedup {
 
   /** Word n-gram shingles of a token array (empty when too short). */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    // LET-BINDING via a 1-element transform (r11): `toks` is often an
+    // EXPENSIVE expression — CollapseProject inlines the caller's
+    // words(text) regex tokenize straight into this lambda — and a
+    // captured expression inside a higher-order lambda re-evaluates PER
+    // ELEMENT on the (interpreted) HOF path: the tokenize regex ran once
+    // per emitted shingle (stack-sampled on q162: RegExpExtractAll.eval
+    // under ConcatWs dominating the stage). Passing it through a
+    // 1-element array binds it to a lambda VARIABLE, evaluated once per
+    // row; the window lambda then slices the bound value.
+    get(transform(array(toks), ts =>
+      when(size(ts) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(n)))))), lit(0))
 
   /** Exact dedup: group by a normalized content key, keep the minimum id
     * as the canonical representative. Returns one row per duplicate

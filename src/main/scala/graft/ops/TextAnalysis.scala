@@ -1026,11 +1026,15 @@ object TextAnalysis {
     * costs (measured at sf0.1: the window variant is ~1.3× slower even
     * single-node). */
   private def bigramPairs(toks: Column): Column =
-    when(size(toks) < 2,
-        array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2"))))
+    // let-binding via a 1-element transform — evaluates a possibly
+    // expensive (inlined tokenize) `toks` once per row instead of once
+    // per bigram; see Dedup.shingles for the measured rationale
+    get(transform(array(toks), ts =>
+      when(size(ts) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(ts) - 1),
+          i => struct(element_at(ts, i).as("w1"),
+            element_at(ts, i + 1).as("w2"))))), lit(0))
 
   /** Gopher-style repetition filters: per-doc top-unigram fraction,
     * top-bigram fraction, and distinct-token ratio — the standard

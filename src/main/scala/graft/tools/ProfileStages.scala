@@ -46,6 +46,9 @@ object ProfileStages {
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match the Bench session's shuffle-writer posture
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -94,8 +97,17 @@ object ProfileStages {
       while (sampling) {
         val all = Thread.getAllStackTraces
         all.forEach { (t, st) =>
-          if (t.getName.startsWith("Executor task launch") && st.nonEmpty) {
-            val key = t.getState + " " +
+          // local-mode thread names carry "... in stage N.M (TID k)" —
+          // prefix the histogram key so hot frames attribute to stages;
+          // skip idle pool threads parked on the executor's queue (they
+          // keep the LAST task's name and would mis-attribute)
+          val idle = st.nonEmpty && st.head.getMethodName == "park" &&
+            st.exists(_.getClassName.contains("SynchronousQueue"))
+          if (t.getName.startsWith("Executor task launch") && st.nonEmpty
+            && !idle) {
+            val stg = "in stage ([0-9]+)".r.findFirstMatchIn(t.getName)
+              .map(m => s"s${m.group(1)}").getOrElse("s?")
+            val key = stg + " " + t.getState + " " +
               st.take(10).map(e => e.getClassName + "." + e.getMethodName)
                 .mkString(" <- ")
             frames.merge(key, 1, (a, b) => a + b)
