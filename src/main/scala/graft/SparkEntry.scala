@@ -3580,9 +3580,20 @@ object SparkEntry {
     // append mode, same oracle arithmetic as the batch row ─────
     "q239_stream_quality_gate" -> { (s, dir) =>
       drainToTable(s,
-        TextAnalysis.gopherRules(docsStream(s, dir), "doc_id", "text",
+        TextAnalysis.gopherRules(docsStreamBalanced(s, dir), "doc_id", "text",
             minStopHits = 1)
-          .filter(col("pass")),
+          // spark_partition_id() is nondeterministic and ≥ 0 always: it
+          // pins the filter ABOVE the gate projection and the balancing
+          // exchange. A bare filter(pass) was pushed below both —
+          // PushDownPredicates substituted the whole rule chain into a
+          // Filter under the repartition, so the regex battery ran TWICE
+          // and once on the stream's single input partition (r11,
+          // profiled: 2.1 s single-task map stage + 12 s of duplicate
+          // 32-way evaluation). The guard must WRAP the predicate (a
+          // `pass && guard` conjunction is split and the deterministic
+          // half pushed alone).
+          .filter(when(spark_partition_id() >= 0, col("pass"))
+            .otherwise(lit(false))),
         "g239_gate", "append")
         .orderBy("doc_id")
     },
@@ -4404,7 +4415,7 @@ object SparkEntry {
     // on the document stream, blocklist filter, complete-mode per-domain
     // counts — row-identical to the batch grid (the q264 parity shape) ─────
     "q293_stream_url_gate" -> { (s, dir) =>
-      val stream = docsStream(s, dir)
+      val stream = docsStreamBalanced(s, dir)
         .select(col("doc_id"), urlSynth(col("doc_id")).as("raw"))
       val gated = stream
         .select(col("doc_id"),
@@ -5034,17 +5045,21 @@ object SparkEntry {
       // one ~2 s)
       def banded(df: DataFrame) = df
         .select(col("doc_id"), TextAnalysis.words(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 3)
+        // wrapped nondeterministic guard: a bare size filter is pushed
+        // below the balancing exchange with the tokenize chain
+        // substituted in (the q239 trap) — see q239
+        .filter(when(spark_partition_id() >= 0, size(col("toks")) >= 3)
+          .otherwise(lit(false)))
         .select(col("doc_id"),
           Dedup.shingleHashes(Dedup.shingles(col("toks"), 3)).as("hs"))
         .select(col("doc_id"), Dedup.minhashFromHashes(col("hs")).as("sig"))
         .select(col("doc_id"), explode(Dedup.bandKeys(col("sig"))).as("bk"))
         .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("bkey"))
       val store = drainToTable(s,
-        banded(docsStream(s, dir)).groupBy("b", "bkey")
+        banded(docsStreamBalanced(s, dir)).groupBy("b", "bkey")
           .agg(min("doc_id").as("min_id"), count(lit(1)).as("n")),
         "g336_lsh", "complete")
-      banded(t(s, dir, "documents"))
+      banded(tb(s, dir, "documents"))
         .join(store, Seq("b", "bkey"))
         .groupBy("doc_id")
         .agg(sum(when(col("min_id") < col("doc_id"), 1L).otherwise(0L))
@@ -5135,7 +5150,9 @@ object SparkEntry {
           expr("timestamp'2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE"))
         .select(col("doc_id"), col("ts"),
           TextAnalysis.words(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 3)
+        // wrapped guard against filter pushdown — see q239
+        .filter(when(spark_partition_id() >= 0, size(col("toks")) >= 3)
+          .otherwise(lit(false)))
         .select(col("doc_id"), col("ts"),
           Dedup.shingleHashes(Dedup.shingles(col("toks"), 3)).as("hs"))
         .select(col("doc_id"), col("ts"),
@@ -5144,10 +5161,10 @@ object SparkEntry {
           explode(Dedup.bandKeys(col("sig"))).as("bk"))
         .select(col("doc_id"), col("ts"),
           col("bk.b").as("b"), col("bk.key").as("bkey"))
-      val l = banded(docsStream(s, dir)).withWatermark("ts", "240 minutes")
+      val l = banded(docsStreamBalanced(s, dir)).withWatermark("ts", "240 minutes")
         .select(col("doc_id").as("l_id"), col("ts").as("l_ts"),
           col("b"), col("bkey"))
-      val r = banded(docsStream(s, dir)).withWatermark("ts", "240 minutes")
+      val r = banded(docsStreamBalanced(s, dir)).withWatermark("ts", "240 minutes")
         .select(col("doc_id").as("r_id"), col("ts").as("r_ts"),
           col("b").as("rb"), col("bkey").as("rbkey"))
       val matches = l.join(r,
@@ -5318,6 +5335,21 @@ object SparkEntry {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
     s.readStream.schema(schema).parquet(streamDir.toString)
   }
+
+  /** [[docsStream]] spread across the session's cores: the single-file
+    * (single-row-group) source gives every micro-batch ONE input
+    * partition, so a CPU-heavy ingest gate (regex rules, MinHash
+    * banding, URL canonicalization) runs single-threaded per batch —
+    * measured 2.8 of q239's 3.7 s in one task (75%, NOT micro-batch
+    * machinery). One deterministic hash exchange per batch spreads the
+    * per-row work; explicit numPartitions (= defaultParallelism, the
+    * deployment's core count) survives AQE. Production file streams
+    * arrive pre-split (many files per trigger), where this repartition
+    * is a per-batch no-op-sized shuffle of already-parallel data —
+    * keyed on doc_id, never a payload reorder. */
+  private def docsStreamBalanced(s: SparkSession, dir: String): DataFrame =
+    docsStream(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
   /** The events stream chopped into `n` range-partitioned files streamed
     * ONE per micro-batch — forces a real multi-batch run for the

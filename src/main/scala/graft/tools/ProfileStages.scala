@@ -91,8 +91,11 @@ object ProfileStages {
     // in-process stack sampler: histograms the top frames of executor
     // task threads while timed runs execute (poor-man's async-profiler;
     // answers "blocked on WHAT" when task time >> cpu time)
+    // SPARK_GRAFT_SAMPLE=1 turns the sampler on — Thread.getAllStackTraces
+    // is a safepoint op, so 3 ms sampling inflates wall times ~1.5-2×;
+    // use it to find WHERE time goes, never to report HOW MUCH
     val frames = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-    @volatile var sampling = true
+    @volatile var sampling = sys.env.get("SPARK_GRAFT_SAMPLE").contains("1")
     val sampler = new Thread(() => {
       while (sampling) {
         val all = Thread.getAllStackTraces
